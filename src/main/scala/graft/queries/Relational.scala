@@ -1,0 +1,213 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.io.Tables
+import graft.util.Exact
+
+/** Relational operator coverage (SURVEY §2: scans S1/S2, filter F1,
+  * joins J1-J4, aggregations A1/A3-A5/A12, top-k T1/T2, set ops §2.6)
+  * expressed over the synthetic star schema, each with a DuckDB oracle.
+  *
+  * Determinism rules (hash-match against the oracle):
+  *  - money/ratio doubles aggregate through [[Exact]] (scaled-long sums);
+  *  - integer-valued doubles (l_quantity) sum exactly in binary — plain sum;
+  *  - running/window sums evaluate in frame order on both engines — exact;
+  *  - every query ends in a total ORDER BY mirrored in the oracle.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q1 shape: scan → filter → hash agg with partial aggregation
+    // (the combiner the reference never had — SURVEY §4). Pushdown check:
+    // PushedFilters should show the shipdate range at the parquet scan.
+    "q01_pricing_summary" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2000-12-01"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          Exact.sumExact(col("l_extendedprice"), 2).as("sum_base_price"),
+          Exact.sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          Exact.avgExact(col("l_discount"), 2).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Filter + projection, pushed to the parquet scan (SURVEY F1 / §4
+    // predicate-pushdown row). Per-row values only — no agg determinism risk.
+    "q02_filter_project" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("2001-06-01") && col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // customer ⋈ orders equi-join → segment rollup (SURVEY J2 analog).
+    // No broadcast hint: both sides scale with SF, let AQE pick
+    // (broadcasts at test sizes, sort-merge at 100 TB).
+    "q03_segment_revenue" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          Exact.sumExact(col("o_totalprice"), 2).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // TPC-H Q5 shape: 5-way join. region/nation are fixed-cardinality →
+    // explicit broadcast (the reference's distributed-cache joins, J2/J4);
+    // the fact-side joins stay shuffle joins for scale.
+    "q04_nation_revenue" -> ((s, d) => {
+      val r  = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val n  = Tables.nation(s, d)
+      val c  = Tables.customer(s, d)
+      val o  = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(Exact.sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("n_name"))
+    }),
+
+    // Global top-k (SURVEY T1; reference task1_3's single-reducer TreeMap).
+    // orderBy+limit → TakeOrderedAndProject: per-partition heaps, no full
+    // sort. Deterministic tie-break on partkey.
+    "q05_top_parts" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .orderBy(col("total_qty").desc, col("l_partkey"))
+        .limit(10)
+    }),
+
+    // Grouped top-k via ranked window (SURVEY T2; reference task1_5_2).
+    // WindowGroupLimit pushes the rank filter below the sort at scale.
+    "q06_top_customers_per_nation" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("c_nationkey"), col("rk"), col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_nationkey"), col("rk"))
+    }),
+
+    // Distinct aggregate (SURVEY A4's countDistinct restated properly —
+    // the reference needed a single reducer with global state).
+    "q07_priority_stats" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_customers"),
+          Exact.sumExact(col("o_totalprice"), 2).as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Running sum per partition — frame-ordered accumulation is
+    // deterministic on both engines (left-to-right within the frame).
+    "q08_running_qty" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, d)
+        .filter(col("l_suppkey") <= 10)
+        .withColumn("running_qty", sum(col("l_quantity")).over(w))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("running_qty"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // Set op (SURVEY §2.6): union + distinct of two key sets.
+    "q09_union_distinct" -> ((s, d) => {
+      val big  = Tables.orders(s, d).filter(col("o_totalprice") > 450000)
+        .select(col("o_custkey").as("custkey"))
+      val debt = Tables.customer(s, d).filter(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("custkey"))
+      big.union(debt).distinct().orderBy(col("custkey"))
+    }),
+
+    // Anti join (SURVEY J1 — the stop-word anti join pattern):
+    // customers with no orders, rolled up per nation.
+    "q10_customers_without_orders" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_nationkey"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_base_price,
+        |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS DOUBLE)/10000.0 AS sum_disc_price,
+        |  sum(l_quantity)/count(*) AS avg_qty,
+        |  CAST(sum(CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)/(count(*)*100.0) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |  strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-06-01' AND l_quantity >= 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_segment_revenue" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q04_nation_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS DOUBLE)/10000.0 AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q05_top_parts" ->
+      """SELECT l_partkey, sum(l_quantity) AS total_qty FROM lineitem
+        |GROUP BY l_partkey ORDER BY total_qty DESC, l_partkey LIMIT 10""".stripMargin,
+    "q06_top_customers_per_nation" ->
+      """SELECT c_nationkey, rk, c_custkey, c_acctbal FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rk
+        |  FROM customer) WHERE rk <= 3 ORDER BY c_nationkey, rk""".stripMargin,
+    "q07_priority_stats" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  count(DISTINCT o_custkey) AS n_customers,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS revenue
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q08_running_qty" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |  sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |FROM lineitem WHERE l_suppkey <= 10
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "q09_union_distinct" ->
+      """SELECT DISTINCT custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000
+        |  UNION ALL
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0)
+        |ORDER BY custkey""".stripMargin,
+    "q10_customers_without_orders" ->
+      """SELECT c_nationkey, count(*) AS n_customers FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+  )
+}

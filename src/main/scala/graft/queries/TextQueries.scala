@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.io.Tables
+import graft.text.{Tokenizer, TfIdf}
+
+/** The reference's Part-1 TF-IDF pipeline (SURVEY §2.11) re-targeted at
+  * the synthetic `documents` table: doc identity = doc_id, category =
+  * lang, corpus text = text. Every stage is declared as a DataFrame
+  * transform and oracle-checked against the same pipeline written in
+  * DuckDB SQL.
+  *
+  * TF/IDF/TF·IDF values are single divisions/products of exact integer
+  * counts — bit-deterministic (no rounding needed for hash parity).
+  * Aggregated means (q16) go through a scaled-long sum (see
+  * [[graft.util.Exact]]).
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** min term frequency, the reference's cnt≥3 (task1_2.java:53) scaled
+    * to the shorter synthetic docs. */
+  val MinCount = 2
+
+  private def toks(s: SparkSession, d: String): DataFrame =
+    Tokenizer.tokens(Tables.documents(s, d), "text")
+
+  private def filteredCounts(s: SparkSession, d: String): DataFrame =
+    TfIdf.filterMin(TfIdf.termCounts(toks(s, d), "doc_id"), MinCount)
+
+  val queries: Map[String, Q] = Map(
+    // A1+F1: tokenize → (doc,term,cnt) → cnt >= MinCount.
+    // Reference: task1_1.java word count + task1_2.java filter.
+    "q11_doc_term_counts" -> ((s, d) => {
+      filteredCounts(s, d)
+        .select(col("doc_id"), col("term"), col("cnt"))
+        .orderBy(col("doc_id"), col("term"))
+    }),
+
+    // A2: dense term ids in lexicographic order (task1_1_1.java's
+    // single-reducer counter). 31-term vocabulary → the single-partition
+    // window is fine; Dictionary.denseIdsScalable is the 100 TB path.
+    "q12_term_dictionary" -> ((s, d) => {
+      val terms = toks(s, d).select(col("token").as("term")).distinct()
+      terms.withColumn("id",
+          row_number().over(Window.orderBy(col("term"))).cast("long"))
+        .orderBy(col("term"))
+    }),
+
+    // A3: TF = cnt / Σcnt per doc (task1_4_1.java).
+    "q13_tf" -> ((s, d) => {
+      TfIdf.tf(filteredCounts(s, d), "doc_id")
+        .select(col("doc_id"), col("term"), col("cnt"), col("tf"))
+        .orderBy(col("doc_id"), col("term"))
+    }),
+
+    // A4: IDF = ln(N/df), N and df from the *filtered* matrix —
+    // preserving the reference quirk (SURVEY §7.4.6; task1_4_2.java:102).
+    "q14_idf" -> ((s, d) => {
+      TfIdf.idf(filteredCounts(s, d), "doc_id")
+        .select(col("term"), col("df"), col("idf"))
+        .orderBy(col("term"))
+    }),
+
+    // J3: TF·IDF (task1_4_3.java's cache join → broadcast join).
+    "q15_tfidf" -> ((s, d) => {
+      val fc = filteredCounts(s, d)
+      TfIdf.tfidf(TfIdf.tf(fc, "doc_id"), TfIdf.idf(fc, "doc_id"))
+        .select(col("doc_id"), col("term"), col("tfidf"))
+        .orderBy(col("doc_id"), col("term"))
+    }),
+
+    // A5: mean TF·IDF per (lang, term) over docs containing the term
+    // (missing ≠ 0 — the reference's semantics, task1_5_1.java:149-163).
+    "q16_lang_term_mean" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val fc = filteredCounts(s, d)
+      TfIdf.tfidf(TfIdf.tf(fc, "doc_id"), TfIdf.idf(fc, "doc_id"))
+        .join(docs, Seq("doc_id"))
+        .groupBy(col("lang"), col("term"))
+        .agg(
+          (sum(round(col("tfidf") * 1000000).cast("long")).cast("double")
+            / (count(lit(1)) * 1000000.0)).as("mean_tfidf"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("term"))
+    }),
+
+    // T2: top-5 terms per lang by mean TF·IDF (task1_5_2.java's
+    // per-category TreeMap → ranked window, deterministic tie-break).
+    "q17_top_terms_per_lang" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val fc = filteredCounts(s, d)
+      val means = TfIdf.tfidf(TfIdf.tf(fc, "doc_id"), TfIdf.idf(fc, "doc_id"))
+        .join(docs, Seq("doc_id"))
+        .groupBy(col("lang"), col("term"))
+        .agg((sum(round(col("tfidf") * 1000000).cast("long")).cast("double")
+          / (count(lit(1)) * 1000000.0)).as("mean_tfidf"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("mean_tfidf").desc, col("term"))
+      means.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("lang"), col("rk"), col("term"), col("mean_tfidf"))
+        .orderBy(col("lang"), col("rk"))
+    }),
+
+    // T1: global top-10 terms by raw frequency (task1_3.java's global
+    // TreeMap → TakeOrderedAndProject), deterministic tie-break on term.
+    "q18_top_terms_global" -> ((s, d) => {
+      toks(s, d).groupBy(col("token").as("term"))
+        .agg(count(lit(1)).as("total_cnt"))
+        .orderBy(col("total_cnt").desc, col("term"))
+        .limit(10)
+    })
+  )
+
+  /** Shared tokenization CTE — the DuckDB mirror of [[Tokenizer.tokens]]
+    * (lower → strip [^\w\s] globally → split \s+ → drop empty + stop). */
+  private val TokCte =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, unnest(regexp_split_to_array(
+      |    regexp_replace(lower(text), '[^\w\s]', '', 'g'), '\s+')) AS term
+      |  FROM documents
+      |), kept AS (
+      |  SELECT doc_id, lang, term FROM toks
+      |  WHERE length(term) > 0 AND term NOT IN ('the', 'a')
+      |), counts AS (
+      |  SELECT doc_id, term, count(*) AS cnt FROM kept
+      |  GROUP BY doc_id, term HAVING count(*) >= 2
+      |), tf AS (
+      |  SELECT doc_id, term, cnt,
+      |    CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER (PARTITION BY doc_id) AS DOUBLE) AS tf
+      |  FROM counts
+      |), idf AS (
+      |  SELECT term, count(*) AS df,
+      |    round(ln(CAST((SELECT count(DISTINCT doc_id) FROM counts) AS DOUBLE)
+      |       / CAST(count(*) AS DOUBLE)), 9) AS idf
+      |  FROM counts GROUP BY term
+      |), tfidf AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf * idf.idf AS tfidf
+      |  FROM tf JOIN idf ON tf.term = idf.term
+      |)
+      |""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q11_doc_term_counts" -> (TokCte +
+      "SELECT doc_id, term, cnt FROM counts ORDER BY doc_id, term"),
+    "q12_term_dictionary" -> (TokCte +
+      """SELECT term, CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS id
+        |FROM (SELECT DISTINCT term FROM kept) ORDER BY term""".stripMargin),
+    "q13_tf" -> (TokCte +
+      "SELECT doc_id, term, cnt, tf FROM tf ORDER BY doc_id, term"),
+    "q14_idf" -> (TokCte +
+      "SELECT term, df, idf FROM idf ORDER BY term"),
+    "q15_tfidf" -> (TokCte +
+      "SELECT doc_id, term, tfidf FROM tfidf ORDER BY doc_id, term"),
+    "q16_lang_term_mean" -> (TokCte +
+      """SELECT d.lang, t.term,
+        |  CAST(sum(CAST(round(t.tfidf*1000000) AS BIGINT)) AS DOUBLE)
+        |    / (count(*) * 1000000.0) AS mean_tfidf,
+        |  count(*) AS n_docs
+        |FROM tfidf t JOIN documents d ON t.doc_id = d.doc_id
+        |GROUP BY d.lang, t.term ORDER BY d.lang, t.term""".stripMargin),
+    "q17_top_terms_per_lang" -> (TokCte +
+      """SELECT lang, rk, term, mean_tfidf FROM (
+        |  SELECT lang, term, mean_tfidf,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY mean_tfidf DESC, term) AS BIGINT) AS rk
+        |  FROM (
+        |    SELECT d.lang, t.term,
+        |      CAST(sum(CAST(round(t.tfidf*1000000) AS BIGINT)) AS DOUBLE)
+        |        / (count(*) * 1000000.0) AS mean_tfidf
+        |    FROM tfidf t JOIN documents d ON t.doc_id = d.doc_id
+        |    GROUP BY d.lang, t.term)
+        |) WHERE rk <= 5 ORDER BY lang, rk""".stripMargin),
+    "q18_top_terms_global" -> (TokCte +
+      """SELECT term, count(*) AS total_cnt FROM kept
+        |GROUP BY term ORDER BY total_cnt DESC, term LIMIT 10""".stripMargin)
+  )
+}
