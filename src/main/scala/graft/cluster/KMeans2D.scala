@@ -1,0 +1,75 @@
+package graft.cluster
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lloyd's K-Means on dense 2-D points (SURVEY §3.2; reference
+  * task2_1.java re-run a full MapReduce job per iteration and moved
+  * centroids through HDFS + the job Configuration).
+  *
+  * Spark restatement: points cached once; per iteration one
+  * `groupBy(cluster).agg(avg)` job whose only driver↔executor data
+  * motion is the `collect()` of k centroid rows. The nearest-centroid
+  * assignment is generated as a pure column expression (`when` chain
+  * over k literal centroids) — no UDF, stays in whole-stage codegen.
+  *
+  * Scale: state is O(k) on the driver; the per-iteration shuffle is a
+  * partial-aggregated groupBy on k keys — bytes shuffled ≈ k × partitions,
+  * independent of input rows. Holds at 100 TB.
+  */
+object KMeans2D {
+
+  /** Squared Euclidean distance to a literal centroid, as a column. */
+  private def sqDistTo(x: Column, y: Column, c: (Double, Double)): Column =
+    (x - c._1) * (x - c._1) + (y - c._2) * (y - c._2)
+
+  /** Argmin cluster index over literal centroids; ties resolve to the
+    * lowest index (strict `<=` chain — mirror any SQL oracle exactly). */
+  def assignExpr(x: Column, y: Column, cs: Seq[(Double, Double)]): Column = {
+    val ds = cs.map(sqDistTo(x, y, _))
+    ds.indices.init.foldRight(lit(ds.length - 1): Column) { (i, rest) =>
+      val isMin = ds.drop(i + 1).map(d => ds(i) <= d).reduce(_ && _)
+      when(isMin, lit(i)).otherwise(rest)
+    }
+  }
+
+  /** points(xCol, yCol) + literal centroids → points with `cluster`. */
+  def assign(points: DataFrame, xCol: String, yCol: String,
+             cs: Seq[(Double, Double)]): DataFrame =
+    points.withColumn("cluster", assignExpr(col(xCol), col(yCol), cs))
+
+  /** One Lloyd iteration: new centroid = mean of members (SURVEY A6).
+    * Empty clusters keep their previous centroid (Spark's groupBy just
+    * omits them; reference behavior is the same — no reduce call). */
+  def step(points: DataFrame, xCol: String, yCol: String,
+           cs: IndexedSeq[(Double, Double)]): IndexedSeq[(Double, Double)] = {
+    val means = assign(points, xCol, yCol, cs)
+      .groupBy(col("cluster"))
+      .agg(avg(col(xCol)).as("cx"), avg(col(yCol)).as("cy"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    cs.indices.map(i => means.getOrElse(i, cs(i)))
+  }
+
+  /** Full loop. Converges when every centroid moves ≤ `tol` (Euclidean,
+    * reference threshold 0.5 — task2_1.java:99-130,354), or after
+    * `maxIter`. Returns (centroids, iterations run). */
+  def fit(points: DataFrame, xCol: String, yCol: String,
+          init: IndexedSeq[(Double, Double)], maxIter: Int,
+          tol: Double = 0.5): (IndexedSeq[(Double, Double)], Int) = {
+    val cached = points.cache()
+    var cs = init
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      val next = step(cached, xCol, yCol, cs)
+      converged = cs.zip(next).forall { case ((ax, ay), (bx, by)) =>
+        math.sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by)) <= tol
+      }
+      cs = next
+      it += 1
+    }
+    (cs, it)
+  }
+}

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.text.{Tokenizer, TfIdf}
+import graft.cluster.{KMeans2D, KMeansSparse, KMeansParallel}
+
+/** K-Means coverage (SURVEY §2 A6-A12, M1-M3, T3-T6; reference Part 2).
+  *
+  * q20 (single assignment step against literal centroids) is fully
+  * SQL-expressible and oracle-checked — it pins the distance kernel and
+  * tie-break semantics. The iterative fits (q21-q24) are driver-loop
+  * algorithms with no SQL equivalent → rows-only checks, with invariants
+  * covered in ClusterSpec.
+  */
+object Clustering {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic 2-D point set derived from `customer`. */
+  private def points2d(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(
+      col("c_acctbal").as("x"),
+      (col("c_custkey") % 100).cast("double").as("y"))
+
+  private val InitCentroids = IndexedSeq((0.0, 50.0), (4000.0, 20.0), (9000.0, 80.0))
+
+  /** TF-IDF doc vectors (term → weight map) for the documents corpus. */
+  def docVectors(s: SparkSession, d: String): DataFrame = {
+    val toks = Tokenizer.tokens(Tables.documents(s, d), "text")
+    val fc = TfIdf.filterMin(TfIdf.termCounts(toks, "doc_id"), TextQueries.MinCount)
+    TfIdf.docVectors(
+      TfIdf.tfidf(TfIdf.tf(fc, "doc_id"), TfIdf.idf(fc, "doc_id")), "doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    // M1+J5+A6 pinned by oracle: one Euclidean assignment step against
+    // literal centroids, per-cluster count/mean (reference task2_1's
+    // mapper+reducer as a single codegen'd expression — no UDF).
+    "q20_kmeans_assign_step" -> ((s, d) => {
+      KMeans2D.assign(points2d(s, d), "x", "y", InitCentroids)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("x") * 100).cast("long")).cast("double")
+            / (count(lit(1)) * 100.0)).as("mean_x"),
+          (sum(col("y")) / count(lit(1))).as("mean_y"))
+        .orderBy(col("cluster"))
+    }),
+
+    // Full Lloyd's loop (§3.2): O(k) driver state, one tiny-shuffle agg
+    // per iteration. Output = final centroids; rows-only check.
+    "q21_kmeans_2d" -> ((s, d) => {
+      val (cs, iters) = KMeans2D.fit(points2d(s, d), "x", "y",
+        InitCentroids, maxIter = 10, tol = 0.5)
+      val rows = cs.zipWithIndex.map { case ((x, y), i) =>
+        (i, math.rint(x * 10000) / 10000, math.rint(y * 10000) / 10000, iters)
+      }
+      import s.implicits._
+      rows.toDF("cluster", "cx", "cy", "iters").orderBy(col("cluster"))
+    }),
+
+    // Cosine K-Means over sparse TF-IDF vectors (task2_2): deterministic
+    // min-id seeding, conv 0.98. Output = cluster sizes.
+    "q22_kmeans_sparse" -> ((s, d) => {
+      val dv = docVectors(s, d).cache()
+      val init = KMeansSparse.seedByMinId(dv, "doc_id", "vec", 4)
+      val (cs, _) = KMeansSparse.fit(dv, "vec", init, maxIter = 5)
+      KMeansSparse.assign(dv, "vec", cs)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("cluster"))
+    }),
+
+    // T3: top-5 terms per cluster by summed pre-division weight.
+    "q23_kmeans_topterms" -> ((s, d) => {
+      val dv = docVectors(s, d).cache()
+      val init = KMeansSparse.seedByMinId(dv, "doc_id", "vec", 4)
+      val (cs, _) = KMeansSparse.fit(dv, "vec", init, maxIter = 3)
+      KMeansSparse.topTerms(KMeansSparse.assign(dv, "vec", cs), "vec", 5)
+        .select(col("cluster"), col("rk"), col("term"))
+        .orderBy(col("cluster"), col("rk"))
+    }),
+
+    // K-Means|| init (task2_3): candidates, weights, ψ trace.
+    "q24_kmeans_parallel" -> ((s, d) => {
+      val dv = docVectors(s, d).cache()
+      val ir = KMeansParallel.init(dv, "doc_id", "vec", k = 4, l = 8.0,
+        maxRounds = 3)
+      val rows = ir.candidates.zip(ir.weights).map { case ((id, _), w) =>
+        (id, w, ir.rounds, ir.candidates.size)
+      }
+      import s.implicits._
+      rows.toDF("cand_id", "weight", "rounds", "n_candidates")
+        .orderBy(col("cand_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q20_kmeans_assign_step" ->
+      """WITH pts AS (
+        |  SELECT c_acctbal AS x, CAST(c_custkey % 100 AS DOUBLE) AS y FROM customer
+        |), a AS (
+        |  SELECT x, y,
+        |    (x-0.0)*(x-0.0)+(y-50.0)*(y-50.0) AS d0,
+        |    (x-4000.0)*(x-4000.0)+(y-20.0)*(y-20.0) AS d1,
+        |    (x-9000.0)*(x-9000.0)+(y-80.0)*(y-80.0) AS d2
+        |  FROM pts)
+        |SELECT CASE WHEN d0<=d1 AND d0<=d2 THEN 0 WHEN d1<=d2 THEN 1 ELSE 2 END AS cluster,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(x*100) AS BIGINT)) AS DOUBLE)/(count(*)*100.0) AS mean_x,
+        |  sum(y)/count(*) AS mean_y
+        |FROM a GROUP BY 1 ORDER BY cluster""".stripMargin
+  )
+}

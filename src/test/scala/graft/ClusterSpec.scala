@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.linalg.Sparse
+import graft.cluster.{KMeans2D, KMeansSparse, KMeansParallel}
+
+class SparseKernelSpec extends AnyFunSuite {
+  test("cosine: identical vectors -> 1, disjoint -> 0, 3-decimal round") {
+    val a = Map("x" -> 1.0, "y" -> 2.0)
+    assert(Sparse.cosine(a, a) == 1.0)
+    assert(Sparse.cosine(a, Map("z" -> 5.0)) == 0.0)
+    assert(Sparse.cosine(Map.empty, a) == 0.0)
+    // round3: 1/sqrt(2) = 0.7071... -> 0.707
+    val c = Sparse.cosine(Map("x" -> 1.0), Map("x" -> 1.0, "y" -> 1.0))
+    assert(c == 0.707)
+  }
+
+  test("cosine symmetric and in [0,1] for non-negative vectors") {
+    val a = Map("a" -> 0.3, "b" -> 1.7)
+    val b = Map("b" -> 2.0, "c" -> 0.1)
+    assert(Sparse.cosine(a, b) == Sparse.cosine(b, a))
+    assert(Sparse.cosine(a, b) >= 0.0 && Sparse.cosine(a, b) <= 1.0)
+  }
+
+  test("sqDist over key union; symmetry") {
+    val a = Map("x" -> 3.0)
+    val b = Map("y" -> 4.0)
+    assert(Sparse.sqDist(a, b) == 25.0)
+    assert(Sparse.sqDist(a, a) == 0.0)
+    assert(Sparse.sqDist(a, b) == Sparse.sqDist(b, a))
+  }
+
+  test("nearestByCosine: lowest index wins ties") {
+    val v = Map("x" -> 1.0)
+    val cs = IndexedSeq(Map("y" -> 1.0), Map("z" -> 1.0)) // both sim 0
+    assert(Sparse.nearestByCosine(v, cs) == 0)
+  }
+}
+
+class KMeans2DSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("recovers three well-separated clusters") {
+    import spark.implicits._
+    val pts = (Seq.tabulate(50)(i => (10.0 + i % 5, 10.0 + i % 3)) ++
+      Seq.tabulate(50)(i => (80.0 + i % 5, 15.0 + i % 3)) ++
+      Seq.tabulate(50)(i => (50.0 + i % 5, 90.0 + i % 3))).toDF("x", "y")
+    val init = IndexedSeq((0.0, 0.0), (100.0, 0.0), (50.0, 100.0))
+    val (cs, iters) = KMeans2D.fit(pts, "x", "y", init, maxIter = 20)
+    assert(iters <= 20)
+    assert(math.abs(cs(0)._1 - 12) < 1 && math.abs(cs(0)._2 - 11) < 1)
+    assert(math.abs(cs(1)._1 - 82) < 1)
+    assert(math.abs(cs(2)._2 - 91) < 1)
+  }
+
+  test("assignment is argmin with lowest-index tie-break") {
+    import spark.implicits._
+    val pts = Seq((5.0, 0.0)).toDF("x", "y") // equidistant from 0 and 10
+    val cl = KMeans2D.assign(pts, "x", "y", IndexedSeq((0.0, 0.0), (10.0, 0.0)))
+      .select("cluster").as[Int].collect()
+    assert(cl.head == 0)
+  }
+}
+
+class KMeansSparseSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("every doc assigned to its argmax-cosine centroid; wssse finite") {
+    val dv = graft.queries.Clustering.docVectors(spark, TestSession.sf).cache()
+    val init = KMeansSparse.seedByMinId(dv, "doc_id", "vec", 3)
+    assert(init.size == 3)
+    val assigned = KMeansSparse.assign(dv, "vec", init)
+    val rows = assigned.select("vec", "cluster").collect()
+    rows.take(50).foreach { r =>
+      val v = r.getMap[String, Double](0).toMap
+      assert(r.getInt(1) == Sparse.nearestByCosine(v, init))
+    }
+    val loss = KMeansSparse.wssse(assigned, "vec", init)
+    assert(loss > 0 && java.lang.Double.isFinite(loss))
+  }
+
+  test("fit converges and centroid count is stable") {
+    val dv = graft.queries.Clustering.docVectors(spark, TestSession.sf).cache()
+    val init = KMeansSparse.seedByMinId(dv, "doc_id", "vec", 4)
+    val (cs, iters) = KMeansSparse.fit(dv, "vec", init, maxIter = 5)
+    assert(cs.size == 4 && iters >= 1 && iters <= 5)
+    assert(cs.forall(_.nonEmpty))
+  }
+}
+
+class KMeansParallelSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("init produces k centroids and non-increasing psi after round 1") {
+    val dv = graft.queries.Clustering.docVectors(spark, TestSession.sf).cache()
+    val ir = KMeansParallel.init(dv, "doc_id", "vec", k = 3, l = 6.0, maxRounds = 2)
+    assert(ir.centroids.size == 3)
+    assert(ir.candidates.size > 3)
+    assert(ir.weights.sum > 0)
+    // psi should drop (or stay equal) as candidates are added
+    assert(ir.psiTrace.sliding(2).forall { case Seq(a, b) => b <= a + 1e-9 })
+  }
+}
