@@ -19,12 +19,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.TextQueries.queries ++
-      graft.queries.Clustering.queries
+      graft.queries.Clustering.queries ++
+      graft.queries.PipelineOps.queries ++
+      graft.queries.EventQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.TextQueries.oracles ++
-      graft.queries.Clustering.oracles
+      graft.queries.Clustering.oracles ++
+      graft.queries.PipelineOps.oracles ++
+      graft.queries.EventQueries.oracles
 }

@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines:
+  * exact (hash groupBy), exact n-gram Jaccard (shingle join — the
+  * oracle-checkable reference path), and MinHash+LSH (the 100 TB path:
+  * shingle → minhash signature → band → bucket join → verify).
+  *
+  * Scale shape: exact dedup is one shuffle on the content hash; LSH
+  * replaces the quadratic all-pairs comparison with `bands` bucket
+  * joins whose fan-out is bounded by collision rate — candidate pairs
+  * are then verified with exact Jaccard, so false positives cost only
+  * compute, never correctness. The all-pairs `exactJaccardPairs` is
+  * kept for oracle checks and small corpora; its shingle join explodes
+  * quadratically in bucket skew and must not be used at scale.
+  */
+object Dedup {
+
+  /** Exact duplicate groups: (text_hash, keep_id = min id, n_copies).
+    * Content-hash groupBy — one shuffle, fully parallel. */
+  def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Word `n`-gram shingle set (distinct), as an array column
+    * `shingles`. Pure built-ins: split → transform over a sequence of
+    * start offsets → slice → concat_ws. */
+  def withShingles(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
+    val toks = split(col(textCol), "\\s+")
+    df.withColumn("shingles",
+      array_distinct(
+        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
+      .filter(size(col("shingles")) > 0)
+  }
+
+  /** MinHash signature of the `shingles` column: `numHashes` minima of
+    * seeded xxhash64 over the shingle set, as array<long> `sig`.
+    * One pass over shingles per doc; no shuffle. */
+  def withMinhashSignature(df: DataFrame, numHashes: Int = 128): DataFrame =
+    df.withColumn("sig",
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        seed => array_min(transform(col("shingles"), s => xxhash64(s, seed)))))
+
+  /** LSH banding: explode `sig` into `bands` buckets of `rowsPerBand`
+    * hashes; docs sharing any (band, key) bucket become candidates.
+    * Collision threshold ≈ (1/bands)^(1/rowsPerBand). */
+  def lshCandidatePairs(sigs: DataFrame, idCol: String,
+                        bands: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+    val banded = sigs.select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          j => xxhash64(slice(col("sig"), j * rowsPerBand + lit(1), lit(rowsPerBand)))))
+          .as(Seq("band", "key")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over candidate pairs: join each side's shingle set
+    * back and compute |A∩B| / |A∪B| with array built-ins. */
+  def verifyJaccard(pairs: DataFrame, shingled: DataFrame, idCol: String,
+                    threshold: Double): DataFrame = {
+    val sh = shingled.select(col(idCol), col("shingles"))
+    pairs
+      .join(sh.withColumnsRenamed(Map(idCol -> "id_a", "shingles" -> "sh_a")), "id_a")
+      .join(sh.withColumnsRenamed(Map(idCol -> "id_b", "shingles" -> "sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash+LSH near-duplicate pairs, Jaccard-verified — the scale
+    * path (one narrow signature pass + bounded bucket joins). */
+  def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
+                         threshold: Double = 0.5, shingleN: Int = 3,
+                         numHashes: Int = 128, bands: Int = 32,
+                         rowsPerBand: Int = 4): DataFrame = {
+    val shingled = withShingles(df, textCol, shingleN).cache()
+    val cands = lshCandidatePairs(
+      withMinhashSignature(shingled, numHashes), idCol, bands, rowsPerBand)
+    verifyJaccard(cands, shingled, idCol, threshold)
+  }
+
+  /** All-pairs exact n-gram Jaccard via shingle equi-join — quadratic
+    * in bucket skew; reference/oracle path only (SQL-expressible). */
+  def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double, shingleN: Int = 3): DataFrame = {
+    val shingled = withShingles(df, textCol, shingleN)
+    val sh = shingled.select(col(idCol).as("id"),
+      explode(col("shingles")).as("shingle"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "n" -> "n_a")), "id_a")
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "n" -> "n_b")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: quality
+  * scoring, token statistics, document fingerprinting, and a heuristic
+  * n-gram language identifier. All but langid are pure built-ins
+  * (codegen'd, ratio-of-integer determinism for oracle checks); langid
+  * is a broadcast-profile scoring UDF.
+  */
+object TextAnalysis {
+
+  /** Tokens by whitespace, no normalization (raw counting). */
+  private def toks(textCol: Column): Column = split(textCol, "\\s+")
+
+  /** A BPE-ish pre-tokenization count: word-character runs + individual
+    * punctuation marks (each its own token). Expressed without regex
+    * lookarounds so the DuckDB (RE2) oracle can mirror it exactly. */
+  def subwordCount(textCol: Column): Column =
+    size(filter(split(textCol, "[^\\w]+"), s => length(s) > 0)) +
+      (length(textCol) - length(regexp_replace(textCol, "[^\\w\\s]", "")))
+
+  /** Per-doc quality metrics; every ratio is int/int → deterministic.
+    * Columns: n_tokens, n_distinct, avg_token_len, distinct_ratio,
+    * stopword_ratio, punct_ratio, n_subwords. */
+  def qualityMetrics(df: DataFrame, textCol: String,
+                     stopWords: Seq[String] = Seq("the", "a")): DataFrame = {
+    val t = toks(col(textCol))
+    val nTok = size(t).cast("long")
+    val nDist = size(array_distinct(t)).cast("long")
+    val nStop = size(filter(t, x => x.isin(stopWords.map(lit(_)): _*))).cast("long")
+    val totLen = aggregate(transform(t, x => length(x).cast("long")), lit(0L), _ + _)
+    val nPunct = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), "[^\\w\\s]", ""))).cast("long")
+    df.withColumn("n_tokens", nTok)
+      .withColumn("n_distinct", nDist)
+      .withColumn("avg_token_len", totLen.cast("double") / nTok.cast("double"))
+      .withColumn("distinct_ratio", nDist.cast("double") / nTok.cast("double"))
+      .withColumn("stopword_ratio", nStop.cast("double") / nTok.cast("double"))
+      .withColumn("punct_ratio",
+        nPunct.cast("double") / length(col(textCol)).cast("double"))
+      .withColumn("n_subwords", subwordCount(col(textCol)).cast("long"))
+  }
+
+  /** Rolling-hash (Rabin–Karp shape) fingerprint of normalized text:
+    * md5 of lowercase text with all non-word chars removed — stable
+    * under whitespace/punctuation edits. */
+  def fingerprint(textCol: Column): Column =
+    md5(regexp_replace(lower(textCol), "[^\\w]", "").cast("binary"))
+
+  /** Character-trigram profiles for a few languages — tiny, inlined,
+    * deterministic. Real pipelines plug in fastText-style models; the
+    * Spark shape (broadcast profile + scoring UDF) is identical. */
+  private val profiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd"),
+    "de" -> Seq("en", "er", "ch", "de", "ei", "nd", "te", "in", "ie", "ge"),
+    "es" -> Seq("de", "la", "os", "en", "el", "es", "ar", "ue", "ra", "as"),
+    "fr" -> Seq("es", "le", "de", "en", "re", "nt", "on", "er", "ou", "ai"),
+    "zh" -> Seq.empty // non-latin scripts: detected by codepoint range
+  )
+
+  /** Heuristic language ID over `textCol` → column `lang_pred`.
+    * Scores bigram-profile hits per language; CJK codepoints short-
+    * circuit to zh. Deterministic; broadcast closure, no shuffle. */
+  def withLangId(df: DataFrame, textCol: String): DataFrame = {
+    val ps = profiles // serialized into the closure (tiny)
+    val detect = udf { (s: String) =>
+      if (s == null || s.isEmpty) "und"
+      else if (s.exists(c => Character.UnicodeScript.of(c.toInt) ==
+        Character.UnicodeScript.HAN)) "zh"
+      else {
+        val lower = s.toLowerCase
+        val bigrams = lower.sliding(2).toSeq
+        val scores = ps.collect { case (lang, prof) if prof.nonEmpty =>
+          lang -> bigrams.count(prof.contains)
+        }
+        if (scores.isEmpty) "und" else scores.toSeq.sortBy(x => (-x._2, x._1)).head._1
+      }
+    }
+    df.withColumn("lang_pred", detect(col(textCol)))
+  }
+}

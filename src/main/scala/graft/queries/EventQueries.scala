@@ -1,0 +1,109 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.io.Tables
+
+/** Event-stream analytics over the `events` table: tumbling-window
+  * rollups, gap-based sessionization, and the same windowed aggregation
+  * run through Structured Streaming (readStream → watermark → window →
+  * memory sink) checked against the batch oracle — streaming is an
+  * extension beyond the reference (SURVEY §2.9), designed Spark-first.
+  *
+  * Time handling: window keys are formatted strings and gaps are epoch
+  * micros on both engines, so no timestamp-type/timezone coupling with
+  * the oracle. Value sums go through the cents path (see Exact).
+  */
+object EventQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val streamId = new AtomicInteger(0)
+  private val SessionGapUs = 1800L * 1000000L // 30 min
+
+  val queries: Map[String, Q] = Map(
+    // Tumbling 1-hour rollup per event type (batch).
+    "q39_event_hourly" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
+            .as("sum_value"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // Gap-based sessionization (30-min inactivity): windows over
+    // (user, time) — lag → new-session flag → running session index.
+    "q40_sessionize" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val flagged = ev.withColumn("new_s",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) > SessionGapUs, 1).otherwise(0))
+      flagged.withColumn("sid", sum(col("new_s")).over(run))
+        .groupBy(col("user_id"))
+        .agg(max(col("sid")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // The q39 aggregation as a Structured Streaming query: file source →
+    // watermark → tumbling window agg → in-memory sink (complete mode),
+    // driven to completion synchronously. Oracle = the batch SQL.
+    "q41_stream_hourly" -> ((s, d) => {
+      val name = s"stream_hourly_${streamId.incrementAndGet()}"
+      // streaming schema = the raw file layout (ts as nanos long); the
+      // micros-normalization transform runs inside the streaming plan
+      val schema = Tables.eventsRaw(s, d).schema
+      // file streams want a directory or glob, not a bare file path
+      val src = s.readStream.schema(schema).parquet(s"$d/events*.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = src
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
+            .as("sum_value"))
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(name)
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:00:00").as("hour"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy(col("hour"), col("event_type"))
+    })
+  )
+
+  private val HourlySql =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+      |  event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q39_event_hourly" -> HourlySql,
+    "q41_stream_hourly" -> HourlySql,
+    "q40_sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        |), f AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), sids AS (
+        |  SELECT user_id,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f)
+        |SELECT user_id, CAST(max(sid) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM sids GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.ops.{Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.functions.SimHash
+
+/** LLM-training-data pipeline operators over `documents` /
+  * `embeddings`: dedup family, similarity search, text analysis,
+  * multimodal plumbing. Exact/deterministic variants are
+  * oracle-checked; hash-based approximations (MinHash, SimHash, LSH)
+  * are rows-only (DuckDB lacks xxhash64) with invariants covered in
+  * PipelineOpsSpec.
+  */
+object PipelineOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: one shuffle on the content hash.
+    "q25_dedup_exact" -> ((s, d) => {
+      Dedup.exactDuplicates(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("text_hash"))
+    }),
+
+    // MinHash+LSH near-dup pairs, Jaccard-verified — the 100 TB dedup
+    // path (signature pass + bounded bucket joins). Rows-only.
+    "q26_dedup_minhash" -> ((s, d) => {
+      Dedup.nearDuplicatePairs(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.5, numHashes = 128, bands = 64, rowsPerBand = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Exact all-pairs n-gram Jaccard — oracle-checked; pins the shingle
+    // and Jaccard semantics the LSH path approximates.
+    "q27_ngram_jaccard" -> ((s, d) => {
+      Dedup.exactJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash fingerprints via the native Catalyst expression
+    // (graft.functions.SimHash64, codegen'd). Rows-only.
+    "q28_simhash" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          SimHash.simhash64(split(col("text"), "\\s+")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // SimHash near-dup pairs by Hamming distance — cheap 25M-compare
+    // cross join at sf0.1; at 100 TB you band the fingerprint bits
+    // like MinHash. Rows-only.
+    "q29_simhash_pairs" -> ((s, d) => {
+      val fp = Tables.documents(s, d)
+        .select(col("doc_id"), SimHash.simhash64(split(col("text"), "\\s+")).as("fp"))
+      val a = fp.select(col("doc_id").as("id_a"), col("fp").as("fp_a"))
+      val b = fp.select(col("doc_id").as("id_b"), col("fp").as("fp_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("hamming", SimHash.hammingDistance(col("fp_a"), col("fp_b")))
+        .filter(col("hamming") <= 8)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Embedding-cosine near-dup pairs — exact, bit-deterministic
+    // (scaled-long dot products), oracle-checked.
+    "q30_embed_neardup" -> ((s, d) => {
+      Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+          threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Brute-force cosine top-k ANN baseline, oracle-checked.
+    "q31_ann_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // LSH-bucketed ANN — the scale path (bucket-local joins). Rows-only.
+    "q32_ann_lsh" -> ((s, d) => {
+      Similarity.lshNearDupPairs(Tables.embeddings(s, d), "vec_id",
+          "embedding", threshold = 0.3, planes = 6)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Quality metrics: every ratio int/int → deterministic, oracle-checked.
+    "q33_quality" -> ((s, d) => {
+      TextAnalysis.qualityMetrics(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          col("avg_token_len"), col("distinct_ratio"), col("stopword_ratio"),
+          col("n_subwords"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token statistics per source, oracle-checked.
+    "q34_token_stats" -> ((s, d) => {
+      val t = TextAnalysis.qualityMetrics(Tables.documents(s, d), "text")
+      t.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          (sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_tokens"))
+        .orderBy(col("source"))
+    }),
+
+    // Normalized-content fingerprint, oracle-checked.
+    "q35_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Heuristic language ID rollup. Rows-only (heuristic, no SQL mirror).
+    "q36_langid" -> ((s, d) => {
+      TextAnalysis.withLangId(Tables.documents(s, d), "text")
+        .groupBy(col("lang_pred")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang_pred"))
+    }),
+
+    // Multimodal decode plumbing: binary payload → mapPartitions batch
+    // decode; n_bytes is decoder-independent → oracle-checked.
+    "q37_multimodal_bytes" -> ((s, d) => {
+      val recs = Multimodal.asMediaRecords(Tables.documents(s, d), "doc_id",
+        "text", "text")
+      Multimodal.decodeFeatures(recs).toDF()
+        .select(col("media_id"), col("n_bytes"))
+        .orderBy(col("media_id"))
+    }),
+
+    // Full stub features + chunk sampling shape. Rows-only.
+    "q38_multimodal_features" -> ((s, d) => {
+      val recs = Multimodal.asMediaRecords(Tables.documents(s, d), "doc_id",
+        "text", "text")
+      val feats = Multimodal.decodeFeatures(recs).toDF()
+      val chunks = Multimodal.sampleChunks(recs, chunkBytes = 64, stride = 2)
+        .groupBy(col("media_id")).agg(count(lit(1)).as("n_chunks"))
+      feats.join(chunks, "media_id")
+        .select(col("media_id"), col("n_bytes"), col("width"), col("height"),
+          col("n_chunks"))
+        .orderBy(col("media_id"))
+    })
+  )
+
+  private val EmbCte =
+    """WITH ex AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |         CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings
+      |), sn AS (
+      |  SELECT vec_id,
+      |    CAST(sum(CAST(round(v*v*1000000000) AS BIGINT)) AS DOUBLE)/1000000000.0 AS nsq
+      |  FROM ex GROUP BY vec_id
+      |)
+      |""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q25_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
+    "q27_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, generate_subscripts(regexp_split_to_array(text, '\s+'), 1) AS pos,
+        |         unnest(regexp_split_to_array(text, '\s+')) AS tok
+        |  FROM documents
+        |), tri AS (
+        |  SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |), sh AS (SELECT DISTINCT doc_id, shingle FROM tri WHERE shingle IS NOT NULL),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q30_embed_neardup" -> (EmbCte +
+      """, dots AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    CAST(sum(CAST(round(a.v*b.v*1000000000) AS BIGINT)) AS BIGINT) AS draw
+        |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  (CAST(draw AS DOUBLE)/1000000000.0)/(sqrt(na.nsq)*sqrt(nb.nsq)) AS cos
+        |FROM dots JOIN sn na ON na.vec_id = id_a JOIN sn nb ON nb.vec_id = id_b
+        |WHERE (CAST(draw AS DOUBLE)/1000000000.0)/(sqrt(na.nsq)*sqrt(nb.nsq)) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin),
+    "q31_ann_topk" -> (EmbCte +
+      """, dots AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(sum(CAST(round(q.v*c.v*1000000000) AS BIGINT)) AS BIGINT) AS draw
+        |  FROM ex q JOIN ex c ON q.i = c.i AND q.vec_id < 5 AND q.vec_id <> c.vec_id
+        |  GROUP BY 1, 2),
+        |cosd AS (
+        |  SELECT query_id, neighbor_id,
+        |    (CAST(draw AS DOUBLE)/1000000000.0)/(sqrt(nq.nsq)*sqrt(nc.nsq)) AS cos
+        |  FROM dots JOIN sn nq ON nq.vec_id = query_id JOIN sn nc ON nc.vec_id = neighbor_id)
+        |SELECT query_id, rk, neighbor_id, cos FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
+        |  FROM cosd)
+        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin),
+    "q33_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS arr FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(arr) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(arr)) AS BIGINT) AS n_distinct,
+        |  CAST(list_sum(list_transform(arr, x -> length(x))) AS DOUBLE)
+        |    / CAST(len(arr) AS DOUBLE) AS avg_token_len,
+        |  CAST(len(list_distinct(arr)) AS DOUBLE) / CAST(len(arr) AS DOUBLE) AS distinct_ratio,
+        |  CAST(len(list_filter(arr, x -> x IN ('the', 'a'))) AS DOUBLE)
+        |    / CAST(len(arr) AS DOUBLE) AS stopword_ratio,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '[^\w]+'), x -> length(x) > 0))
+        |    + length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS BIGINT) AS n_subwords
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q34_token_stats" ->
+      """WITH t AS (
+        |  SELECT source, len(regexp_split_to_array(text, '\s+')) AS n_tokens FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(CAST(sum(n_tokens) AS BIGINT) AS DOUBLE) / count(*) AS avg_tokens
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    "q35_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '[^\w]', '', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q37_multimodal_bytes" ->
+      """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
+}

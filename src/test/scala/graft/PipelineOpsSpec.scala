@@ -1,0 +1,147 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity, Multimodal, TextAnalysis}
+import graft.functions.{SimHash, SimHashKernel}
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("minhash LSH finds the exact-Jaccard pairs (planted near-dups)") {
+    val docs = graft.io.Tables.documents(spark, TestSession.sf)
+    val exact = Dedup.exactJaccardPairs(docs, "doc_id", "text", 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.nearDuplicatePairs(docs, "doc_id", "text", 0.5,
+        numHashes = 128, bands = 64, rowsPerBand = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test corpus should contain planted near-dups")
+    // verify step makes LSH ⊆ exact; banding at this config should reach
+    // full recall on j>=0.5 pairs
+    assert(lsh == exact, s"LSH recall mismatch: missed ${exact -- lsh}")
+  }
+
+  test("exact dedup groups identical texts") {
+    import spark.implicits._
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val groups = Dedup.exactDuplicates(df, "doc_id", "text").collect()
+    assert(groups.length == 2)
+    val dup = groups.find(_.getLong(2) == 2).get
+    assert(dup.getLong(1) == 1L) // keep_id = min
+  }
+}
+
+class SimHashSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("simhash: identical docs -> identical fp; near-dup -> small hamming") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 7) "CHANGED" else s"tok$i").mkString(" ")
+    val unrelated = (1 to 40).map(i => s"other$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, nearDup), (4L, unrelated))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), SimHash.simhash64(split(col("text"), " ")).as("fp"))
+    val fps = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(SimHashKernel.hamming(fps(1L), fps(3L)) <= 12)
+    assert(SimHashKernel.hamming(fps(1L), fps(4L)) > 12)
+  }
+
+  test("simhash expression works under codegen (wholestage plan)") {
+    // parquet-backed so ConvertToLocalRelation can't pre-evaluate it
+    val df = graft.io.Tables.documents(spark, TestSession.sf)
+      .select(SimHash.simhash64(split(col("text"), " ")).as("fp"))
+    // the "*(n)" prefix marks a WholeStageCodegen stage containing the
+    // simhash projection — the expression did not fall back to eval
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [simhash64"), plan)
+    assert(df.collect().forall(_.getLong(0) != 0L))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("cosineExact: self-similarity 1, orthogonal 0") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      Similarity.cosineExact(col("a"), col("b")).as("same"),
+      Similarity.cosineExact(col("a"), col("c")).as("orth")).collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-6)
+    assert(math.abs(r.getDouble(1)) < 1e-9)
+  }
+
+  test("brute-force top-k: k rows per query, descending, no self") {
+    val emb = graft.io.Tables.embeddings(spark, TestSession.sf)
+    val topk = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", 4).collect()
+    assert(topk.length == 12)
+    topk.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getDouble(3)).sliding(2).forall {
+        case Array(a, b) => a >= b; case _ => true })
+      assert(!rows.exists(_.getLong(2) == q))
+    }
+  }
+
+  test("LSH bucket pairs are a subset of exact pairs at same threshold") {
+    val emb = graft.io.Tables.embeddings(spark, TestSession.sf)
+    val exact = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 0.3, planes = 6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+  }
+}
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("quality metrics on a known doc") {
+    import spark.implicits._
+    val df = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityMetrics(df, "text").collect().head
+    assert(r.getAs[Long]("n_tokens") == 6)
+    assert(r.getAs[Long]("n_distinct") == 5) // "the" twice
+    assert(math.abs(r.getAs[Double]("stopword_ratio") - 2.0 / 6) < 1e-12)
+  }
+
+  test("langid: CJK short-circuits to zh; english profile wins for english") {
+    import spark.implicits._
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog and then some more"),
+      (2L, "你好世界")).toDF("doc_id", "text")
+    val preds = TextAnalysis.withLangId(df, "text").collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("lang_pred")).toMap
+    assert(preds(2L) == "zh")
+    assert(preds(1L) == "en")
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("decode plumbing: deterministic stub features, bytes match") {
+    import spark.implicits._
+    val df = Seq((7L, "hello world")).toDF("doc_id", "text")
+    val feats = Multimodal.decodeFeatures(
+      Multimodal.asMediaRecords(df, "doc_id", "text", "text")).collect().head
+    assert(feats.media_id == 7L)
+    assert(feats.n_bytes == 11L)
+    assert(feats.width >= 16 && feats.height >= 16)
+    // determinism: same payload -> same checksum
+    val again = Multimodal.decodeFeatures(
+      Multimodal.asMediaRecords(df, "doc_id", "text", "text")).collect().head
+    assert(again.checksum == feats.checksum)
+  }
+
+  test("chunk sampling covers the payload with stride") {
+    import spark.implicits._
+    val df = Seq((1L, "x" * 1000)).toDF("doc_id", "text")
+    val chunks = Multimodal.sampleChunks(
+      Multimodal.asMediaRecords(df, "doc_id", "text", "text"), 64, 2).collect()
+    assert(chunks.length == math.ceil(1000.0 / 128).toInt)
+  }
+}
