@@ -36,13 +36,13 @@ object Dedup {
       .filter(size(col("shingles")) > 0)
   }
 
-  /** MinHash signature of the `shingles` column: `numHashes` minima of
-    * seeded xxhash64 over the shingle set, as array<long> `sig`.
-    * One pass over shingles per doc; no shuffle. */
+  /** MinHash signature of the `shingles` column as array<long> `sig`:
+    * one xxhash64 per shingle + `numHashes` affine rehashes (universal
+    * hashing), minima tracked in a native codegen'd kernel
+    * (graft.functions.MinHashSig). One pass, no shuffle. */
   def withMinhashSignature(df: DataFrame, numHashes: Int = 128): DataFrame =
     df.withColumn("sig",
-      transform(sequence(lit(0), lit(numHashes - 1)),
-        seed => array_min(transform(col("shingles"), s => xxhash64(s, seed)))))
+      graft.functions.VectorFunctions.minhashSig(col("shingles"), numHashes))
 
   /** LSH banding: explode `sig` into `bands` buckets of `rowsPerBand`
     * hashes; docs sharing any (band, key) bucket become candidates.
@@ -94,8 +94,11 @@ object Dedup {
   def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double, shingleN: Int = 3): DataFrame = {
     val shingled = withShingles(df, textCol, shingleN)
+    // join on the 64-bit shingle hash, not the string: same result
+    // modulo 2^-64 collisions, much smaller shuffle and faster compares
     val sh = shingled.select(col(idCol).as("id"),
-      explode(col("shingles")).as("shingle"))
+        explode(col("shingles")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("shingle"))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))

@@ -21,50 +21,56 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
   private val Scale = 1e9
+  import graft.functions.VectorFunctions.{dotScaled, normSqScaled}
 
-  /** Bit-deterministic dot product of two array<float>/<double> cols. */
+  /** Bit-deterministic dot product of two array<float>/<double> cols
+    * (native codegen'd kernel). */
   def dotExact(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        round(x.cast("double") * y.cast("double") * Scale).cast("long")),
-      lit(0L), (acc, x) => acc + x).cast("double") / Scale
+    dotScaled(a, b).cast("double") / Scale
 
-  /** Bit-deterministic L2 norm. */
-  def normExact(a: Column): Column =
-    sqrt(aggregate(
-      transform(a, x => round(x.cast("double") * x.cast("double") * Scale).cast("long")),
-      lit(0L), (acc, x) => acc + x).cast("double") / Scale)
+  /** Bit-deterministic squared L2 norm. */
+  def normSqExact(a: Column): Column =
+    normSqScaled(a).cast("double") / Scale
 
-  /** Deterministic cosine similarity between two embedding columns. */
+  /** Deterministic cosine similarity between two embedding columns.
+    * For pairwise joins prefer precomputing `normSqExact` per side —
+    * this convenience form recomputes norms per pair. */
   def cosineExact(a: Column, b: Column): Column =
-    dotExact(a, b) / (normExact(a) * normExact(b))
+    dotExact(a, b) / (sqrt(normSqExact(a)) * sqrt(normSqExact(b)))
 
   /** Exact top-k neighbors for each query row (brute force).
-    * The query side is broadcast — keep it small; the corpus side
-    * streams through without materializing the full cross product
-    * thanks to the ranked-window filter.
-    * Output: (query_id, rk, neighbor_id, cos). */
+    * The query side is broadcast — keep it small; norms are computed
+    * once per row on each side, so the O(Q·N) join evaluates only the
+    * dot kernel per pair. Output: (query_id, rk, neighbor_id, cos). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      sqrt(normSqExact(col(vecCol))).as("qnorm"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      sqrt(normSqExact(col(vecCol))).as("cnorm"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosineExact(col("qvec"), col("cvec")))
+      .withColumn("cos",
+        dotExact(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos"))
   }
 
   /** All near-duplicate pairs with cosine ≥ threshold (exact,
-    * quadratic — oracle/reference path; use LSH at scale). */
+    * quadratic — oracle/reference path; use LSH at scale). Norms are
+    * precomputed per row; the pair loop is one dot kernel. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                    threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val withNorm = df.select(col(idCol), col(vecCol),
+      sqrt(normSqExact(col(vecCol))).as("nrm"))
+    val a = withNorm.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      col("nrm").as("na"))
+    val b = withNorm.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      col("nrm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", cosineExact(col("va"), col("vb")))
+      .withColumn("cos", dotExact(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
@@ -96,11 +102,14 @@ object Similarity {
     val dim = df.select(size(col(vecCol))).first().getInt(0)
     val hp = hyperplanes(planes, dim, seed)
     val bucketed = df.select(col(idCol), col(vecCol),
+      sqrt(normSqExact(col(vecCol))).as("nrm"),
       bucketExpr(col(vecCol), hp).as("bucket"))
-    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"),
+      col(vecCol).as("va"), col("nrm").as("na"))
+    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosineExact(col("va"), col("vb")))
+      .withColumn("cos", dotExact(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
       .distinct()
