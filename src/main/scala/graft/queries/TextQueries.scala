@@ -112,6 +112,27 @@ object TextQueries {
         .agg(count(lit(1)).as("total_cnt"))
         .orderBy(col("total_cnt").desc, col("term"))
         .limit(10)
+    }),
+
+    // P7: doc vectors serialized to the reference's sparse text form
+    // `term:w,term:w` (4-dp weights, key-sorted). The decimal string is
+    // constructed from a scaled integer so both engines render
+    // identical bytes (Java %.4f is HALF_UP, C printf is half-even —
+    // they disagree on dyadic-rational boundaries).
+    "q19_doc_vector_strings" -> ((s, d) => {
+      val fc = filteredCounts(s, d)
+      val tfidf = graft.text.TfIdf.tfidf(
+        graft.text.TfIdf.tf(fc, "doc_id"), graft.text.TfIdf.idf(fc, "doc_id"))
+      val w4 = round(col("tfidf") * 10000).cast("long")
+      tfidf.select(col("doc_id"), col("term"), w4.as("w4"))
+        .groupBy(col("doc_id"))
+        .agg(concat_ws(",",
+          transform(array_sort(collect_list(struct(col("term"), col("w4")))),
+            e => concat(e.getField("term"), lit(":"),
+              format_string("%d.%04d",
+                (e.getField("w4") / lit(10000)).cast("long"),
+                pmod(e.getField("w4"), lit(10000)))))).as("vec"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -176,6 +197,12 @@ object TextQueries {
         |) WHERE rk <= 5 ORDER BY lang, rk""".stripMargin),
     "q18_top_terms_global" -> (TokCte +
       """SELECT term, count(*) AS total_cnt FROM kept
-        |GROUP BY term ORDER BY total_cnt DESC, term LIMIT 10""".stripMargin)
+        |GROUP BY term ORDER BY total_cnt DESC, term LIMIT 10""".stripMargin),
+    "q19_doc_vector_strings" -> (TokCte +
+      """SELECT doc_id,
+        |  string_agg(term || ':' || printf('%d.%04d', w4 // 10000, w4 % 10000),
+        |             ',' ORDER BY term) AS vec
+        |FROM (SELECT doc_id, term, CAST(round(tfidf*10000) AS BIGINT) AS w4 FROM tfidf)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
 }
