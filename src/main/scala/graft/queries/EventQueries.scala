@@ -4,7 +4,11 @@ import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.io.Tables
+
+/** Per-user session state carried across streaming micro-batches. */
+case class UserSessState(lastUs: Long, nSessions: Long, nEvents: Long)
 
 /** Event-stream analytics over the `events` table: tumbling-window
   * rollups, gap-based sessionization, and the same windowed aggregation
@@ -77,6 +81,39 @@ object EventQueries {
           date_format(col("window.start"), "yyyy-MM-dd HH:00:00").as("hour"),
           col("event_type"), col("n_events"), col("sum_value"))
         .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // Gap sessionization as CUSTOM STREAMING STATE: groupByKey(user) →
+    // flatMapGroupsWithState carrying (lastSeen, sessions, events)
+    // across micro-batches (SURVEY §2.9 extension — the Spark-native
+    // shape for the reference's driver-held iteration state). With the
+    // file as one batch the result equals the batch sessionize → same
+    // oracle as q40.
+    "q42_stream_sessionize" -> ((s, d) => {
+      import s.implicits._
+      val name = s"stream_sess_${streamId.incrementAndGet()}"
+      val schema = Tables.eventsRaw(s, d).schema
+      val src = s.readStream.schema(schema).parquet(s"$d/events*.parquet")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("us")).as[(Long, Long, Long)]
+      val sess = src.groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+          (uid: Long, it: Iterator[(Long, Long, Long)],
+           state: GroupState[UserSessState]) =>
+            var st = state.getOption.getOrElse(UserSessState(Long.MinValue, 0L, 0L))
+            it.toSeq.sortBy(e => (e._3, e._2)).foreach { e =>
+              val newSession = st.lastUs == Long.MinValue || e._3 - st.lastUs > SessionGapUs
+              st = UserSessState(e._3,
+                st.nSessions + (if (newSession) 1 else 0), st.nEvents + 1)
+            }
+            state.update(st)
+            Iterator((uid, st.nSessions, st.nEvents))
+        }.toDF("user_id", "n_sessions", "n_events")
+      val q = sess.writeStream.outputMode("update")
+        .format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(name).orderBy(col("user_id"))
     })
   )
 
@@ -86,10 +123,7 @@ object EventQueries {
       |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    "q39_event_hourly" -> HourlySql,
-    "q41_stream_hourly" -> HourlySql,
-    "q40_sessionize" ->
+  private val SessionizeSql =
       """WITH ev AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
         |), f AS (
@@ -105,5 +139,11 @@ object EventQueries {
         |SELECT user_id, CAST(max(sid) AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
         |FROM sids GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q39_event_hourly" -> HourlySql,
+    "q41_stream_hourly" -> HourlySql,
+    "q40_sessionize" -> SessionizeSql,
+    "q42_stream_sessionize" -> SessionizeSql
   )
 }
