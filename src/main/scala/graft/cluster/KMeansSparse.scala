@@ -106,4 +106,13 @@ object KMeansSparse {
                   k: Int): IndexedSeq[Vec] =
     df.orderBy(col(idCol)).limit(k).select(col(vecCol))
       .collect().map(_.getMap[String, Double](0).toMap).toIndexedSeq
+
+  /** Seeded random sample init (SURVEY T6) — the reference's
+    * `Collections.shuffle` (task2_2.java:65) with the explicit seed
+    * SURVEY §7.4.4 mandates: shuffle by seeded rand, tie-broken by id
+    * for a total order. */
+  def seedRandom(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                 seed: Long): IndexedSeq[Vec] =
+    df.orderBy(rand(seed), col(idCol)).limit(k).select(col(vecCol))
+      .collect().map(_.getMap[String, Double](0).toMap).toIndexedSeq
 }

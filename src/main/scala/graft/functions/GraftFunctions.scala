@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SQL surface for the engine's native expressions: register once and
+  * every `spark.sql(...)` query can call them like built-ins —
+  * `simhash64(arr)`, `hamming(a,b)`, `dot_scaled(a,b)`,
+  * `normsq_scaled(a)`, `minhash_sig(arr, n)`.
+  *
+  * Two registration paths:
+  *  - [[GraftExtensions]]: `SparkSessionExtensions.injectFunction` for
+  *    sessions built with `.withExtensions(new GraftExtensions)` or
+  *    `spark.sql.extensions=graft.functions.GraftExtensions`;
+  *  - [[register]]: runtime registration into an existing session's
+  *    function registry (used by tests and the harness mains).
+  */
+object GraftFunctions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[SimHash64].getName, null, name, usage, "")
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(array<string>) - 64-bit SimHash fingerprint"),
+      (es: Seq[Expression]) => SimHash64(es.head)),
+    (FunctionIdentifier("hamming"),
+      info("hamming", "hamming(bigint, bigint) - Hamming distance between fingerprints"),
+      (es: Seq[Expression]) => HammingDistance(es(0), es(1))),
+    (FunctionIdentifier("dot_scaled"),
+      info("dot_scaled", "dot_scaled(arr, arr) - deterministic scaled-long dot product"),
+      (es: Seq[Expression]) => DotScaled(es(0), es(1))),
+    (FunctionIdentifier("normsq_scaled"),
+      info("normsq_scaled", "normsq_scaled(arr) - deterministic scaled-long squared norm"),
+      (es: Seq[Expression]) => NormSqScaled(es.head)),
+    (FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(array<string>, n) - MinHash signature"),
+      (es: Seq[Expression]) => MinHashSig(es(0),
+        es(1).eval().asInstanceOf[Number].intValue()))
+  )
+
+  /** Runtime registration into an existing session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(id.funcName, builder, "internal")
+    }
+}
+
+/** `spark.sql.extensions`-compatible injection point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach(ext.injectFunction)
+}

@@ -114,6 +114,28 @@ object EventQueries {
       q.processAllAvailable()
       q.stop()
       s.table(name).orderBy(col("user_id"))
+    }),
+
+    // Salted two-stage aggregation (hot-key mitigation): identical
+    // result to a plain GROUP BY — the oracle proves it — with a
+    // uniform stage-1 shuffle even under single-key skew.
+    "q43_salted_agg" -> ((s, d) => {
+      graft.ops.Skew.saltedAgg(Tables.events(s, d),
+          keys = Seq(col("event_type")), salts = 16,
+          partials = Seq(count(lit(1)).as("_pc"),
+            sum(round(col("value") * 100).cast("long")).as("_ps")),
+          merges = Seq(sum(col("_pc")).as("n_events"),
+            (sum(col("_ps")).cast("double") / 100.0).as("sum_value")))
+        .orderBy(col("event_type"))
+    }),
+
+    // SQL surface: the native expressions registered as SQL functions
+    // (graft.functions.GraftFunctions) and used from spark.sql.
+    "q44_sql_normsq" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.embeddings(s, d).createOrReplaceTempView("embeddings_v")
+      s.sql("""SELECT vec_id, normsq_scaled(embedding) AS nsq
+              |FROM embeddings_v ORDER BY vec_id""".stripMargin)
     })
   )
 
@@ -144,6 +166,15 @@ object EventQueries {
     "q39_event_hourly" -> HourlySql,
     "q41_stream_hourly" -> HourlySql,
     "q40_sessionize" -> SessionizeSql,
-    "q42_stream_sessionize" -> SessionizeSql
+    "q42_stream_sessionize" -> SessionizeSql,
+    "q43_salted_agg" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q44_sql_normsq" ->
+      """SELECT vec_id,
+        |  CAST(sum(CAST(round(v*v*1000000000) AS BIGINT)) AS BIGINT) AS nsq
+        |FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings)
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin
   )
 }

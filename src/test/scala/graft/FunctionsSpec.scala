@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.ops.Skew
+
+class SqlSurfaceSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("registered SQL functions match the Column API") {
+    GraftFunctions.register(spark)
+    graft.io.Tables.documents(spark, TestSession.sf)
+      .limit(20).createOrReplaceTempView("docs_v")
+    val viaSql = spark.sql(
+      "SELECT doc_id, simhash64(split(text, ' ')) AS fp FROM docs_v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaCol = spark.table("docs_v")
+      .select(col("doc_id"),
+        graft.functions.SimHash.simhash64(split(col("text"), " ")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaCol && viaSql.nonEmpty)
+    // hamming + minhash_sig callable from SQL
+    val h = spark.sql("SELECT hamming(7L, 1L)").collect().head.getInt(0)
+    assert(h == 2)
+    val sig = spark.sql("SELECT minhash_sig(array('a','b'), 8)")
+      .collect().head.getSeq[Long](0)
+    assert(sig.length == 8)
+  }
+}
+
+class SkewSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("salted count equals plain groupBy count under heavy skew") {
+    import spark.implicits._
+    // 10k rows of one hot key + a tail
+    val df = (Seq.fill(10000)("hot") ++ Seq("a", "a", "b")).toDF("k")
+    val salted = Skew.saltedCount(df, Seq(col("k")), salts = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == Map("hot" -> 10000L, "a" -> 2L, "b" -> 1L))
+  }
+
+  test("salted plan has two aggregation stages over the salt") {
+    import spark.implicits._
+    val df = Seq("x", "y").toDF("k")
+    val plan = Skew.saltedCount(df, Seq(col("k")), 4)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("_salt"), plan)
+  }
+}
