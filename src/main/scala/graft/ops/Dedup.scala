@@ -95,10 +95,13 @@ object Dedup {
                         threshold: Double, shingleN: Int = 3): DataFrame = {
     val shingled = withShingles(df, textCol, shingleN)
     // join on the 64-bit shingle hash, not the string: same result
-    // modulo 2^-64 collisions, much smaller shuffle and faster compares
+    // modulo 2^-64 collisions, much smaller shuffle and faster compares.
+    // Cached: the plan uses this table four times (both join sides +
+    // both size lookups) — without it the shingle HOF re-runs each time.
     val sh = shingled.select(col(idCol).as("id"),
         explode(col("shingles")).as("s"))
       .select(col("id"), xxhash64(col("s")).as("shingle"))
+      .cache()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))

@@ -27,8 +27,15 @@ object TextQueries {
   private def toks(s: SparkSession, d: String): DataFrame =
     Tokenizer.tokens(Tables.documents(s, d), "text")
 
-  private def filteredCounts(s: SparkSession, d: String): DataFrame =
-    TfIdf.filterMin(TfIdf.termCounts(toks(s, d), "doc_id"), MinCount)
+  // The filtered counts matrix feeds nine queries — materialize it once
+  // per (session, dir), mirroring the reference's persisted task_1_2
+  // intermediate (its downstream jobs re-read that file).
+  private val fcCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[queries] def filteredCounts(s: SparkSession, d: String): DataFrame =
+    fcCache.getOrElseUpdate((s, d),
+      TfIdf.filterMin(TfIdf.termCounts(toks(s, d), "doc_id"), MinCount).cache())
 
   val queries: Map[String, Q] = Map(
     // A1+F1: tokenize → (doc,term,cnt) → cnt >= MinCount.
