@@ -56,6 +56,22 @@ object KMeansSparse {
     (0 until k).map(i => means.getOrElse(i, prev(i)))
   }
 
+  /** One-pass centroid means via the custom UDAF
+    * (graft.functions.SparseMeanAggregator): no explode shuffle — map
+    * buffers combine map-side, one sparse map per cluster crosses the
+    * wire. Equivalent to [[meanCentroids]] (unweighted); preferred when
+    * vectors are wide and the explode amplification dominates. */
+  def meanCentroidsOnePass(assigned: DataFrame, vecCol: String, k: Int,
+                           prev: IndexedSeq[Vec]): IndexedSeq[Vec] = {
+    val meanVec = udaf(new graft.functions.SparseMeanAggregator)
+    val means = assigned.groupBy(col("cluster"))
+      .agg(meanVec(col(vecCol)).as("cvec"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getMap[String, Double](1).toMap)
+      .toMap
+    (0 until k).map(i => means.getOrElse(i, prev(i)))
+  }
+
   /** Top `n` terms per cluster by summed (pre-division) weight
     * (SURVEY T3; task2_2.java:319-331), deterministic tie-break on term. */
   def topTerms(assigned: DataFrame, vecCol: String, n: Int): DataFrame = {

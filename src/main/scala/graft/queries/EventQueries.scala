@@ -136,6 +136,18 @@ object EventQueries {
       Tables.embeddings(s, d).createOrReplaceTempView("embeddings_v")
       s.sql("""SELECT vec_id, normsq_scaled(embedding) AS nsq
               |FROM embeddings_v ORDER BY vec_id""".stripMargin)
+    }),
+
+    // Semi-structured extraction: JSON props column → typed value,
+    // rolled up (get_json_object pushdown-friendly scalar path).
+    "q45_json_extract" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          countDistinct(col("k")).as("distinct_k"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -175,6 +187,11 @@ object EventQueries {
       """SELECT vec_id,
         |  CAST(sum(CAST(round(v*v*1000000000) AS BIGINT)) AS BIGINT) AS nsq
         |FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings)
-        |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "q45_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS distinct_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

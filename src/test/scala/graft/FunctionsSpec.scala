@@ -49,3 +49,30 @@ class SkewSpec extends AnyFunSuite {
     assert(plan.contains("_salt"), plan)
   }
 }
+
+class SparseMeanAggregatorSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("one-pass UDAF centroid means equal the explode-groupBy means") {
+    import graft.cluster.KMeansSparse
+    val dv = graft.queries.Clustering.docVectors(spark, TestSession.sf)
+    val init = KMeansSparse.seedByMinId(dv, "doc_id", "vec", 3)
+    val assigned = KMeansSparse.assign(dv, "vec", init).cache()
+    val a = KMeansSparse.meanCentroids(assigned, "vec", 3, init)
+    val b = KMeansSparse.meanCentroidsOnePass(assigned, "vec", 3, init)
+    a.zip(b).foreach { case (ma, mb) =>
+      assert(ma.keySet == mb.keySet)
+      ma.foreach { case (k, v) => assert(math.abs(v - mb(k)) < 1e-9) }
+    }
+  }
+
+  test("aggregator semantics: absent terms count as zero in the mean") {
+    import org.apache.spark.sql.functions.udaf
+    import spark.implicits._
+    val df = Seq((0, Map("a" -> 2.0)), (0, Map("b" -> 4.0))).toDF("c", "vec")
+    val meanVec = udaf(new graft.functions.SparseMeanAggregator)
+    val m = df.groupBy(col("c")).agg(meanVec(col("vec")))
+      .collect().head.getMap[String, Double](1)
+    assert(m("a") == 1.0 && m("b") == 2.0) // divided by cluster size 2
+  }
+}
