@@ -35,4 +35,17 @@ object Tokenizer {
     if (stopWords.isEmpty) kept
     else kept.filter(!col("token").isin(stopWords: _*))
   }
+
+  /** Same contract with the stop filter as a broadcast left_anti join —
+    * for stop lists too large to inline as an IN literal (the
+    * reference's distributed-cache pattern, SURVEY J1). Result-equal to
+    * [[tokens]]; column set too (the join key is dropped back). */
+  def tokensAntiJoin(df: DataFrame, textCol: String,
+                     stopWords: DataFrame): DataFrame = {
+    val cleaned = regexp_replace(lower(col(textCol)), "[^\\w\\s]", "")
+    val kept = df.withColumn("token", explode(split(cleaned, "\\s+")))
+      .filter(length(col("token")) > 0)
+    kept.join(broadcast(stopWords.select(col(stopWords.columns.head).as("token"))),
+      Seq("token"), "left_anti")
+  }
 }

@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import graft.linalg.Sparse
+
+/** Property-based kernel checks (SURVEY §5 test plan #3). */
+class SparsePropertySpec extends AnyFunSuite {
+
+  /** Minimal property driver (the scalatest-scalacheck bridge artifact
+    * is not on the offline classpath). */
+  def forAll[A](g: Gen[A], n: Int = 200)(f: A => Unit): Unit = {
+    val seeded = org.scalacheck.rng.Seed(42L)
+    var seed = seeded
+    var i = 0
+    while (i < n) {
+      g.apply(Gen.Parameters.default, seed).foreach(f)
+      seed = seed.next; i += 1
+    }
+  }
+  def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb))(t => f(t._1, t._2))
+
+  val vecGen: Gen[Map[String, Double]] = Gen.mapOf(for {
+    k <- Gen.oneOf((1 to 20).map(i => s"t$i"))
+    v <- Gen.choose(0.0001, 10.0)
+  } yield k -> v)
+
+  test("cosine is symmetric and within [0,1] for non-negative vectors") {
+    forAll(vecGen, vecGen) { (a, b) =>
+      val ab = Sparse.cosine(a, b, round3 = false)
+      val ba = Sparse.cosine(b, a, round3 = false)
+      assert(math.abs(ab - ba) < 1e-12)
+      assert(ab >= 0.0 && ab <= 1.0 + 1e-12)
+    }
+  }
+
+  test("cosine self-similarity is 1 for non-empty vectors") {
+    forAll(vecGen.suchThat(_.nonEmpty)) { a =>
+      assert(math.abs(Sparse.cosine(a, a, round3 = false) - 1.0) < 1e-9)
+    }
+  }
+
+  test("sqDist is symmetric, non-negative, zero iff equal") {
+    forAll(vecGen, vecGen) { (a, b) =>
+      val d = Sparse.sqDist(a, b)
+      assert(d >= 0.0)
+      assert(math.abs(d - Sparse.sqDist(b, a)) < 1e-9)
+      if (a == b) assert(d == 0.0)
+    }
+  }
+
+  test("nearestByCosine returns a valid index achieving the max") {
+    val centroidsGen = Gen.nonEmptyListOf(vecGen.suchThat(_.nonEmpty))
+      .map(_.toIndexedSeq)
+    forAll(vecGen.suchThat(_.nonEmpty), centroidsGen) { (v, cs) =>
+      val idx = Sparse.nearestByCosine(v, cs)
+      assert(idx >= 0 && idx < cs.length)
+      val best = cs.map(Sparse.cosine(v, _)).max
+      assert(Sparse.cosine(v, cs(idx)) == best)
+    }
+  }
+
+  test("simhash hamming distance bounded by 64; equal inputs -> 0") {
+    import graft.functions.SimHashKernel
+    forAll(Gen.choose(Long.MinValue, Long.MaxValue),
+      Gen.choose(Long.MinValue, Long.MaxValue)) { (a, b) =>
+      val h = SimHashKernel.hamming(a, b)
+      assert(h >= 0 && h <= 64)
+      assert(SimHashKernel.hamming(a, a) == 0)
+    }
+  }
+
+  test("centroid mean stays within member bounds per coordinate") {
+    val members = Gen.nonEmptyListOf(vecGen.suchThat(_.nonEmpty))
+    forAll(members) { ms =>
+      val n = ms.size
+      val keys = ms.flatMap(_.keys).toSet
+      val mean = keys.map(k => k -> ms.map(_.getOrElse(k, 0.0)).sum / n).toMap
+      mean.foreach { case (k, v) =>
+        val vals = ms.map(_.getOrElse(k, 0.0))
+        assert(v >= vals.min - 1e-12 && v <= vals.max + 1e-12)
+      }
+    }
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.queries.UserSessState
+
+/** Streaming-specific behavior not covered by the oracle checks:
+  * state must carry across micro-batches, not just within one. */
+class StreamingStateSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("flatMapGroupsWithState session counts survive multiple batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stream_in").toString
+    val gapUs = 1800L * 1000000L
+
+    // batch 1: two events 10 min apart (same session)
+    Seq((1L, 1L, 0L), (1L, 2L, 600L * 1000000L))
+      .toDF("user_id", "event_id", "us").repartition(1)
+      .write.parquet(s"$dir/b1")
+    // batch 2: one event 2 h after the last -> second session
+    Seq((1L, 3L, 7800L * 1000000L))
+      .toDF("user_id", "event_id", "us").repartition(1)
+      .write.parquet(s"$dir/b2")
+
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // force one file per micro-batch
+      .parquet(s"$dir/*/")
+      .as[(Long, Long, Long)]
+    val sess = src.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long, Long)],
+         state: GroupState[UserSessState]) =>
+          var st = state.getOption.getOrElse(UserSessState(Long.MinValue, 0L, 0L))
+          it.toSeq.sortBy(e => (e._3, e._2)).foreach { e =>
+            val ns = st.lastUs == Long.MinValue || e._3 - st.lastUs > gapUs
+            st = UserSessState(e._3, st.nSessions + (if (ns) 1 else 0), st.nEvents + 1)
+          }
+          state.update(st)
+          Iterator((uid, st.nSessions, st.nEvents))
+      }.toDF("user_id", "n_sessions", "n_events")
+    val q = sess.writeStream.outputMode("update")
+      .format("memory").queryName("sess_batches").start()
+    q.processAllAvailable()
+    q.stop()
+    // latest update row: 2 sessions, 3 events — state crossed batches
+    val last = spark.table("sess_batches").collect().last
+    assert(last.getLong(1) == 2L && last.getLong(2) == 3L)
+    // and more than one update row proves multiple micro-batches ran
+    assert(spark.table("sess_batches").count() >= 2)
+  }
+}
+
+class TokenizerAntiJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("anti-join stop filter equals the isin filter") {
+    import graft.text.Tokenizer
+    import spark.implicits._
+    val docs = graft.io.Tables.documents(spark, TestSession.sf)
+    val stopDf = Tokenizer.defaultStopWords.toDF("w")
+    val a = Tokenizer.tokens(docs, "text")
+      .groupBy("token").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = Tokenizer.tokensAntiJoin(docs, "text", stopDf)
+      .groupBy("token").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b && a.nonEmpty)
+  }
+}
