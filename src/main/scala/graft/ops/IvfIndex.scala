@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** IVF (inverted-file) approximate nearest-neighbor index — the
+  * indexed scale path for similarity search (complements the
+  * brute-force baseline and hyperplane LSH in [[Similarity]]):
+  *
+  *  1. train: k coarse centroids by Lloyd's over the (dense) embedding
+  *     space, seeded sample init — O(k·d) driver state;
+  *  2. index: each vector assigned to its nearest centroid → the
+  *     partition-friendly `bucket` column (the inverted list);
+  *  3. search: a query probes only its `nProbe` nearest lists —
+  *     candidate set shrinks ~k/nProbe-fold vs brute force, recall
+  *     degrades gracefully (tested against the exact top-k).
+  *
+  * At 100 TB the bucket column becomes the table's partition/bucket
+  * key, so a probe touches only nProbe partitions (partition pruning
+  * does the data skipping).
+  */
+object IvfIndex {
+  type Centroid = Array[Double]
+
+  private def sqDist(a: Seq[Float], c: Centroid): Double = {
+    var s = 0.0; var i = 0
+    while (i < c.length) { val d = a(i) - c(i); s += d * d; i += 1 }
+    s
+  }
+
+  def nearestCentroid(v: Seq[Float], cs: Array[Centroid]): Int = {
+    var best = 0; var bd = Double.MaxValue; var i = 0
+    while (i < cs.length) {
+      val d = sqDist(v, cs(i)); if (d < bd) { bd = d; best = i }; i += 1
+    }
+    best
+  }
+
+  /** Train k coarse centroids (seeded sample init + `iters` Lloyd
+    * steps). Only k×d doubles ever reach the driver. */
+  def train(df: DataFrame, vecCol: String, k: Int, iters: Int = 3,
+            seed: Long = 42L): Array[Centroid] = {
+    var cs = df.orderBy(rand(seed)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val cached = df.select(col(vecCol)).cache()
+    for (_ <- 1 to iters) {
+      val bc = cached.sparkSession.sparkContext.broadcast(cs)
+      val assignU = udf((v: Seq[Float]) => nearestCentroid(v, bc.value))
+      val means = cached
+        .select(assignU(col(vecCol)).as("bucket"),
+          posexplode(col(vecCol)).as(Seq("i", "x")))
+        .groupBy(col("bucket"), col("i"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      val next = cs.map(_.clone())
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      cs = next
+    }
+    cs
+  }
+
+  /** Add the inverted-list `bucket` column. */
+  def index(df: DataFrame, vecCol: String, cs: Array[Centroid]): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(cs)
+    val assignU = udf((v: Seq[Float]) => nearestCentroid(v, bc.value))
+    df.withColumn("bucket", assignU(col(vecCol)))
+  }
+
+  /** Probed top-k search: each query joins only its nProbe nearest
+    * lists. Queries are collected (the small side by contract) and the
+    * (query, bucket) probe plan is broadcast. */
+  def search(indexed: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, cs: Array[Centroid], k: Int,
+             nProbe: Int): DataFrame = {
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    val qs = queries.select(col(idCol), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val probes = qs.flatMap { case (qid, v) =>
+      cs.indices.sortBy(i => sqDist(v, cs(i))).take(nProbe)
+        .map(b => (qid, b, v.toArray))
+    }.toSeq.toDF("query_id", "bucket", "qvec")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    indexed.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+        col("bucket"),
+        sqrt(Similarity.normSqExact(col(vecCol))).as("cnorm"))
+      .join(broadcast(probes), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        Similarity.dotExact(col("qvec"), col("cvec"))
+          / (sqrt(Similarity.normSqExact(col("qvec"))) * col("cnorm")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos"))
+  }
+
+  /** train + index + search in one call (the q47 entry point). */
+  def topK(df: DataFrame, queriesFilter: Column, idCol: String,
+           vecCol: String, k: Int, lists: Int, nProbe: Int,
+           seed: Long = 42L): DataFrame = {
+    val cs = train(df, vecCol, lists, seed = seed)
+    val indexed = index(df, vecCol, cs)
+    search(indexed, df.filter(queriesFilter), idCol, vecCol, cs, k, nProbe)
+  }
+}

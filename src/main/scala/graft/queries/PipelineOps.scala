@@ -79,6 +79,16 @@ object PipelineOps {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // IVF-indexed ANN: coarse quantizer + inverted lists + probed
+    // search (the partition-pruning scale path). Rows-only; recall vs
+    // exact top-k asserted in IvfSpec.
+    "q47_ann_ivf" -> ((s, d) => {
+      graft.ops.IvfIndex.topK(Tables.embeddings(s, d),
+          col("vec_id") < 5, "vec_id", "embedding",
+          k = 5, lists = 16, nProbe = 4)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     // LSH-bucketed ANN — the scale path (bucket-local joins). Rows-only.
     "q32_ann_lsh" -> ((s, d) => {
       Similarity.lshNearDupPairs(Tables.embeddings(s, d), "vec_id",

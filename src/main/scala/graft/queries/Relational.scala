@@ -146,6 +146,19 @@ object Relational {
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_customers"))
         .orderBy(col("c_nationkey"))
+    }),
+
+    // Hierarchical rollup (beyond the reference — no grouping sets
+    // exist there; Catalyst's Expand covers them natively). Subtotal
+    // rows keyed 'ALL' so ordering/compare is null-free.
+    "q46_rollup" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("rf"), col("ls"))
     })
   )
 
@@ -208,6 +221,12 @@ object Relational {
     "q10_customers_without_orders" ->
       """SELECT c_nationkey, count(*) AS n_customers FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q46_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin
   )
 }

@@ -145,3 +145,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(chunks.length == math.ceil(1000.0 / 128).toInt)
   }
 }
+
+class IvfSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("IVF probed search reaches high recall vs exact top-k") {
+    val emb = graft.io.Tables.embeddings(spark, TestSession.sf)
+    val exact = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = graft.ops.IvfIndex.topK(emb, col("vec_id") < 10,
+        "vec_id", "embedding", k = 5, lists = 16, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall too low (|exact|=${exact.size})")
+    // candidate reduction is real: with nProbe=8 of 16 lists we touch
+    // at most half the corpus per query
+  }
+
+  test("IVF with nProbe = lists equals brute force exactly") {
+    val emb = graft.io.Tables.embeddings(spark, TestSession.sf)
+    val exact = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = graft.ops.IvfIndex.topK(emb, col("vec_id") < 5,
+        "vec_id", "embedding", k = 5, lists = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == exact)
+  }
+}
