@@ -47,10 +47,14 @@ object IvfIndex {
     val cached = df.select(col(vecCol)).cache()
     for (_ <- 1 to iters) {
       val bc = cached.sparkSession.sparkContext.broadcast(cs)
+      // asNondeterministic pins the UDF below the generate — otherwise
+      // the projection above posexplode re-evaluates it once per
+      // exploded element (64x per vector)
       val assignU = udf((v: Seq[Float]) => nearestCentroid(v, bc.value))
+        .asNondeterministic()
       val means = cached
-        .select(assignU(col(vecCol)).as("bucket"),
-          posexplode(col(vecCol)).as(Seq("i", "x")))
+        .select(assignU(col(vecCol)).as("bucket"), col(vecCol))
+        .select(col("bucket"), posexplode(col(vecCol)).as(Seq("i", "x")))
         .groupBy(col("bucket"), col("i"))
         .agg(avg(col("x")).as("m"))
         .collect()
