@@ -148,6 +148,22 @@ object Relational {
         .orderBy(col("c_nationkey"))
     }),
 
+    // Window-function family over a deterministic order: lag/lead,
+    // rank vs dense_rank (real ties exist in o_totalprice? order by
+    // (o_totalprice desc, o_orderkey) is tie-free), ntile buckets.
+    "q48_window_family" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .filter(col("o_totalprice") > 480000)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+          lead(col("o_orderkey"), 1).over(w).as("next_key"),
+          row_number().over(w).cast("long").as("rn"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy(col("o_orderpriority"), col("rn"))
+    }),
+
     // Hierarchical rollup (beyond the reference — no grouping sets
     // exist there; Catalyst's Expand covers them natively). Subtotal
     // rows keyed 'ALL' so ordering/compare is null-free.
@@ -222,6 +238,16 @@ object Relational {
       """SELECT c_nationkey, count(*) AS n_customers FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q48_window_family" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  lag(o_orderkey) OVER w AS prev_key,
+        |  lead(o_orderkey) OVER w AS next_key,
+        |  CAST(row_number() OVER w AS BIGINT) AS rn,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM orders WHERE o_totalprice > 480000
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderpriority, rn""".stripMargin,
     "q46_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
         |  coalesce(l_linestatus, 'ALL') AS ls,
