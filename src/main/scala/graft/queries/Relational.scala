@@ -148,6 +148,18 @@ object Relational {
         .orderBy(col("c_nationkey"))
     }),
 
+    // Exact percentiles (sort-based interpolation — both engines use
+    // the p·(n−1) rank definition; integer-valued quantities keep the
+    // interpolation arithmetic exact).
+    "q49_percentiles" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.95)").as("p95_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Window-function family over a deterministic order: lag/lead,
     // rank vs dense_rank (real ties exist in o_totalprice? order by
     // (o_totalprice desc, o_orderkey) is tie-free), ntile buckets.
@@ -238,6 +250,12 @@ object Relational {
       """SELECT c_nationkey, count(*) AS n_customers FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q49_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.95) AS p95_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q48_window_family" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
         |  lag(o_orderkey) OVER w AS prev_key,

@@ -101,3 +101,30 @@ class KMeansParallelSpec extends AnyFunSuite {
     assert(ir.psiTrace.sliding(2).forall { case Seq(a, b) => b <= a + 1e-9 })
   }
 }
+
+class KMeansParallelFitSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("full KMeans|| fit: k centroids, assignments cover all docs") {
+    val dv = graft.queries.Clustering.docVectors(spark, TestSession.sf)
+    val (cs, iters) = KMeansParallel.fit(dv, "doc_id", "vec", k = 3, l = 6.0,
+      maxRounds = 2, finalMaxIter = 4)
+    assert(cs.size == 3 && iters >= 1 && iters <= 4)
+    val sizes = KMeansSparse.assign(dv, "vec", cs)
+      .groupBy("cluster").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.values.sum == dv.count())
+    // final centroids from KMeans|| should give no worse WSSSE than the
+    // naive min-id seeding after the same number of iterations
+    val naive = KMeansSparse.seedByMinId(dv, "doc_id", "vec", 3)
+    val (csNaive, _) = KMeansSparse.fit(dv, "vec", naive, maxIter = 4)
+    val lossPar = KMeansSparse.wssse(
+      KMeansSparse.assign(dv, "vec", cs), "vec", cs)
+    val lossNaive = KMeansSparse.wssse(
+      KMeansSparse.assign(dv, "vec", csNaive), "vec", csNaive)
+    // not a strict theorem, but a strong sanity bound: the engineered
+    // init should be within 2x of the naive one
+    assert(lossPar <= lossNaive * 2.0,
+      s"KMeans|| loss $lossPar vs naive $lossNaive")
+  }
+}
