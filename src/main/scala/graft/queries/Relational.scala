@@ -176,6 +176,30 @@ object Relational {
         .orderBy(col("o_orderpriority"), col("rn"))
     }),
 
+    // Full cube (all grouping-set combinations).
+    "q50_cube" -> ((s, d) => {
+      Tables.orders(s, d)
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          Exact.sumExact(col("o_totalprice"), 2).as("revenue"))
+        .select(coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          col("n"), col("revenue"))
+        .orderBy(col("pri"), col("st"))
+    }),
+
+    // Set-op breadth: INTERSECT and EXCEPT of customer key sets.
+    "q51_intersect_except" -> ((s, d) => {
+      val big = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("custkey"))
+      val rich = Tables.customer(s, d).filter(col("c_acctbal") > 8000)
+        .select(col("c_custkey").as("custkey"))
+      val both = big.intersect(rich).withColumn("op", lit("both"))
+      val onlyBig = big.distinct().exceptAll(rich.distinct())
+        .withColumn("op", lit("only_big_orders"))
+      both.union(onlyBig).orderBy(col("op"), col("custkey"))
+    }),
+
     // Hierarchical rollup (beyond the reference — no grouping sets
     // exist there; Catalyst's Expand covers them natively). Subtotal
     // rows keyed 'ALL' so ordering/compare is null-free.
@@ -250,6 +274,20 @@ object Relational {
       """SELECT c_nationkey, count(*) AS n_customers FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q50_cube" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS pri,
+        |  coalesce(o_orderstatus, 'ALL') AS st, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS revenue
+        |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        |ORDER BY pri, st""".stripMargin,
+    "q51_intersect_except" ->
+      """WITH big AS (SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000),
+        |rich AS (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 8000)
+        |SELECT custkey, 'both' AS op FROM (SELECT custkey FROM big INTERSECT SELECT custkey FROM rich)
+        |UNION ALL
+        |SELECT custkey, 'only_big_orders' AS op FROM
+        |  (SELECT DISTINCT custkey FROM big EXCEPT SELECT DISTINCT custkey FROM rich)
+        |ORDER BY op, custkey""".stripMargin,
     "q49_percentiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS median_qty,
