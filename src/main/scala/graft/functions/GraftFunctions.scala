@@ -38,7 +38,10 @@ object GraftFunctions {
     (FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(array<string>, n) - MinHash signature"),
       (es: Seq[Expression]) => MinHashSig(es(0),
-        es(1).eval().asInstanceOf[Number].intValue()))
+        es(1).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("sig_matches"),
+      info("sig_matches", "sig_matches(array<bigint>, array<bigint>) - equal minhash signature positions"),
+      (es: Seq[Expression]) => SigMatches(es(0), es(1)))
   )
 
   /** Runtime registration into an existing session. */

@@ -79,6 +79,16 @@ object VectorKernelsImpl {
       (a, b)
     })
 
+  /** Number of equal positions between two minhash signatures.
+    * matches/H is an unbiased Jaccard estimator (sd ≈ √(J(1−J)/H)) —
+    * the cheap prefilter between LSH banding and the exact verify. */
+  def sigMatches(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var m = 0; var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) m += 1; i += 1 }
+    m
+  }
+
   /** MinHash signature: one xxhash64 per shingle, then numHashes affine
     * rehashes, tracking minima. O(S + S·H) cheap ops per row. */
   def minhashSig(shingles: ArrayData, numHashes: Int): ArrayData = {
@@ -148,6 +158,23 @@ case class NormSqScaled(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Equal-position count between two array<long> minhash signatures. */
+case class SigMatches(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sig_matches requires (array<long>, array<long>), got ($l, $r)")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernelsImpl.sigMatches(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernelsImpl.sigMatches($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** MinHash signature of an array<string> shingle set → array<long>. */
 case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -175,4 +202,8 @@ object VectorFunctions {
   /** MinHash signature column. */
   def minhashSig(shingles: Column, numHashes: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(shingles), numHashes))
+
+  /** Equal-position count between two minhash signature columns. */
+  def sigMatches(a: Column, b: Column): Column =
+    Bridge.column(SigMatches(Bridge.expression(a), Bridge.expression(b)))
 }

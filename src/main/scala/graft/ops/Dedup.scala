@@ -77,16 +77,83 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Signature-estimate prefilter between banding and exact verify:
+    * estimated Jaccard = equal sig positions / numHashes (unbiased,
+    * sd ≈ √(J(1−J)/H)); candidates estimating below `minEst` never
+    * reach the shingle-array intersection. High-recall band configs
+    * (e.g. 64×2, s-curve threshold ≈ 0.125) flood the verify stage
+    * with J ≈ 0.15–0.4 pairs — this long-array compare (native
+    * codegen'd kernel) is orders cheaper than the string-array verify
+    * and cuts the flood before it shuffles full shingle sets. */
+  def sigEstimateFilter(pairs: DataFrame, sigs: DataFrame, idCol: String,
+                        numHashes: Int, minEst: Double): DataFrame =
+    pairs
+      .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), "id_b")
+      .filter(graft.functions.VectorFunctions
+        .sigMatches(col("sig_a"), col("sig_b")) >= math.ceil(minEst * numHashes).toInt)
+      .select(col("id_a"), col("id_b"))
+
   /** MinHash+LSH near-duplicate pairs, Jaccard-verified — the scale
-    * path (one narrow signature pass + bounded bucket joins). */
+    * path: one narrow signature pass, bounded bucket joins, a
+    * signature-estimate prefilter, then exact verify on survivors.
+    * The estimate margin (default threshold−0.15 ≈ 3.4σ at H=128)
+    * keeps the prefilter strictly recall-safe for pairs at the
+    * threshold while rejecting the sub-threshold candidate flood —
+    * and minhash is fully deterministic (fixed xxhash64 seed + affine
+    * coefficients), so the decision is stable run-to-run. */
   def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
                          threshold: Double = 0.5, shingleN: Int = 3,
                          numHashes: Int = 128, bands: Int = 32,
-                         rowsPerBand: Int = 4): DataFrame = {
+                         rowsPerBand: Int = 4,
+                         estMargin: Double = 0.15): DataFrame = {
     val shingled = withShingles(df, textCol, shingleN).cache()
-    val cands = lshCandidatePairs(
-      withMinhashSignature(shingled, numHashes), idCol, bands, rowsPerBand)
-    verifyJaccard(cands, shingled, idCol, threshold)
+    val sigs = withMinhashSignature(shingled, numHashes)
+      .select(col(idCol), col("sig")).cache()
+    val cands = lshCandidatePairs(sigs, idCol, bands, rowsPerBand)
+    val strong = sigEstimateFilter(cands, sigs, idCol, numHashes,
+      minEst = math.max(0.0, threshold - estMargin))
+    verifyJaccard(strong, shingled, idCol, threshold)
+  }
+
+  /** SimHash near-dup pairs by banded fingerprint join — the scale
+    * path for Charikar fingerprints (Manku et al., WWW'07): split the
+    * 64-bit fingerprint into `maxHamming`+1 contiguous bit bands; by
+    * pigeonhole, a pair within `maxHamming` flipped bits agrees
+    * exactly on at least one band, so the per-band equi-join finds
+    * EVERY qualifying pair (no recall loss), and only candidates pay
+    * the Hamming verify. With d=3 this is the classic 4×16-bit split;
+    * wider d trades narrower bands (more collisions) for the same
+    * guarantee. Replaces the O(n²) cross join: candidate count is
+    * Σ_bands n²/2^bandBits for random fingerprints vs n²/2 all-pairs.
+    *
+    * Input: `fps` with (idCol, fpCol: long). Output: (id_a, id_b,
+    * hamming), exactly the pairs with Hamming ≤ maxHamming. */
+  def simhashPairs(fps: DataFrame, idCol: String, fpCol: String,
+                   maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
+    val nBands = maxHamming + 1
+    // even-as-possible split of the 64 bits: band j covers
+    // [j*64/nBands, (j+1)*64/nBands)
+    val bounds = (0 to nBands).map(i => i * 64 / nBands)
+    val bandKeys = (0 until nBands).map { j =>
+      val lo = bounds(j); val width = bounds(j + 1) - lo
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      shiftrightunsigned(col(fpCol), lo).bitwiseAND(lit(mask))
+    }
+    val banded = fps.select(col(idCol), col(fpCol),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+    val a = banded.select(col("band"), col("key"),
+      col(idCol).as("id_a"), col(fpCol).as("fp_a"))
+    val b = banded.select(col("band"), col("key"),
+      col(idCol).as("id_b"), col(fpCol).as("fp_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming",
+        graft.functions.SimHash.hammingDistance(col("fp_a"), col("fp_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
   }
 
   /** All-pairs exact n-gram Jaccard via shingle equi-join — quadratic

@@ -48,18 +48,13 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     }),
 
-    // SimHash near-dup pairs by Hamming distance — cheap 25M-compare
-    // cross join at sf0.1; at 100 TB you band the fingerprint bits
-    // like MinHash. Rows-only.
+    // SimHash near-dup pairs by banded fingerprint equi-join (Manku
+    // et al.) — pigeonhole-exact at maxHamming=8 (9 bands), no cross
+    // join, scales as bucket joins. Rows-only (xxhash64-based).
     "q29_simhash_pairs" -> ((s, d) => {
       val fp = Tables.documents(s, d)
         .select(col("doc_id"), SimHash.simhash64(split(col("text"), "\\s+")).as("fp"))
-      val a = fp.select(col("doc_id").as("id_a"), col("fp").as("fp_a"))
-      val b = fp.select(col("doc_id").as("id_b"), col("fp").as("fp_b"))
-      a.join(b, col("id_a") < col("id_b"))
-        .withColumn("hamming", SimHash.hammingDistance(col("fp_a"), col("fp_b")))
-        .filter(col("hamming") <= 8)
-        .select(col("id_a"), col("id_b"), col("hamming"))
+      Dedup.simhashPairs(fp, "doc_id", "fp", maxHamming = 8)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -165,12 +160,14 @@ object PipelineOps {
       |)
       |""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    "q25_dedup_exact" ->
-      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
-        |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
-    "q27_ngram_jaccard" ->
-      """WITH toks AS (
+  // Shared by q27 (exact all-pairs, pins semantics) and q26 (MinHash
+  // LSH): at bands=64/r=2 the banding collision probability for a pair
+  // at J=0.5 is 1−(1−0.25)^64 ≈ 1−10⁻⁸, and the signature-estimate
+  // prefilter margin is ≈3.4σ — with a fixed-seed deterministic
+  // minhash the LSH output equals the exact result on this corpus, so
+  // the exact SQL is a valid oracle for the approximate path too.
+  private val NgramJaccardSql =
+    """WITH toks AS (
         |  SELECT doc_id, generate_subscripts(regexp_split_to_array(text, '\s+'), 1) AS pos,
         |         unnest(regexp_split_to_array(text, '\s+')) AS tok
         |  FROM documents
@@ -187,7 +184,14 @@ object PipelineOps {
         |  CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
         |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin,
+        |ORDER BY id_a, id_b""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q25_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
+    "q26_dedup_minhash" -> NgramJaccardSql,
+    "q27_ngram_jaccard" -> NgramJaccardSql,
     "q30_embed_neardup" -> (EmbCte +
       """, dots AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

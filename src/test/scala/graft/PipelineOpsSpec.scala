@@ -48,6 +48,26 @@ class SimHashSpec extends AnyFunSuite {
     assert(SimHashKernel.hamming(fps(1L), fps(4L)) > 12)
   }
 
+  test("banded simhash pairs == cross-join pairs (pigeonhole exactness)") {
+    val fp = graft.io.Tables.documents(spark, TestSession.sf)
+      .select(col("doc_id"), SimHash.simhash64(split(col("text"), "\\s+")).as("fp"))
+    val banded = Dedup.simhashPairs(fp, "doc_id", "fp", maxHamming = 8)
+    // reference result: the naive O(n²) comparison
+    val a = fp.select(col("doc_id").as("id_a"), col("fp").as("fp_a"))
+    val b = fp.select(col("doc_id").as("id_b"), col("fp").as("fp_b"))
+    val naive = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("hamming", SimHash.hammingDistance(col("fp_a"), col("fp_b")))
+      .filter(col("hamming") <= 8)
+      .select("id_a", "id_b", "hamming")
+    val bs = banded.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ns = naive.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ns.nonEmpty, "corpus should contain simhash near-dups")
+    assert(bs == ns, s"banding lost/invented pairs: missing=${ns -- bs} extra=${bs -- ns}")
+    // and the banded plan is equi-join only — no quadratic operator
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("simhash expression works under codegen (wholestage plan)") {
     // parquet-backed so ConvertToLocalRelation can't pre-evaluate it
     val df = graft.io.Tables.documents(spark, TestSession.sf)
