@@ -22,14 +22,15 @@ import graft.linalg.Sparse.Vec
 object KMeansSparse {
 
   /** Add `cluster` = argmax cosine(vec, centroid); lowest index wins
-    * ties (reference strict `>`, task2_2.java:272-279). */
+    * ties (reference strict `>`, task2_2.java:272-279). Runs as a
+    * native codegen'd expression (graft.functions.NearestCentroidCosine)
+    * reading the MapData in place — no catalyst↔scala map conversion
+    * per row per iteration; centroids ship inside the expression. */
   def assign(df: DataFrame, vecCol: String,
-             centroids: IndexedSeq[Vec]): DataFrame = {
-    val bc = df.sparkSession.sparkContext.broadcast(centroids)
-    val nearest = udf((m: Map[String, Double]) =>
-      Sparse.nearestByCosine(m, bc.value))
-    df.withColumn("cluster", nearest(col(vecCol)))
-  }
+             centroids: IndexedSeq[Vec]): DataFrame =
+    df.withColumn("cluster",
+      graft.functions.SparseCosineFunctions
+        .nearestCentroidCosine(col(vecCol), centroids))
 
   /** New centroids: element-wise Σw / clusterSize — absent terms count
     * as 0 in the mean (SURVEY A7; task2_2.java:294-346). Optional

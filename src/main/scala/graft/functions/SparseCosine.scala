@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.MapData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Nearest-centroid-by-cosine over sparse `map<string,double>` document
+  * vectors as a native Catalyst expression — the codegen replacement
+  * for the Scala-UDF assignment in sparse K-Means (SURVEY §2.10's
+  * custom-Expression tier). The UDF pays a catalyst↔scala `Map`
+  * conversion (allocation + boxing of every entry) per row per
+  * iteration; this kernel reads the `MapData` key/value arrays in
+  * place and probes prebuilt per-centroid `UTF8String` hash maps.
+  *
+  * Semantics match `graft.linalg.Sparse.nearestByCosine` (and the
+  * reference's comparator, task2_2.java:148-180,272-279) exactly:
+  * cosine rounded to 3 decimals (half-up), 0.0 on empty/zero-norm
+  * vectors, strict `>` comparison so the lowest index wins ties.
+  *
+  * The centroid set rides inside the expression (serialized with the
+  * plan → shipped once per task binary, same O(k·nnz) footprint a
+  * broadcast would have); the UTF8String lookup tables are rebuilt
+  * lazily per executor, not serialized.
+  */
+final class SparseNearestKernel(val centroids: IndexedSeq[Map[String, Double]])
+    extends Serializable {
+
+  @transient private lazy val tables: Array[java.util.HashMap[UTF8String, Double]] =
+    centroids.map { c =>
+      val m = new java.util.HashMap[UTF8String, Double](c.size * 2)
+      c.foreach { case (k, v) => m.put(UTF8String.fromString(k), v) }
+      m
+    }.toArray
+
+  @transient private lazy val norms: Array[Double] =
+    centroids.map(c => math.sqrt(c.valuesIterator.map(x => x * x).sum)).toArray
+
+  /** argmax_i round3(cosine(v, centroid_i)); first max wins. */
+  def nearest(v: MapData): Int = {
+    val n = v.numElements()
+    val keys = v.keyArray()
+    val vals = v.valueArray()
+    var nsq = 0.0
+    var i = 0
+    while (i < n) { val x = vals.getDouble(i); nsq += x * x; i += 1 }
+    val vnorm = math.sqrt(nsq)
+    var best = 0
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < tables.length) {
+      var sim = 0.0
+      if (n != 0 && vnorm != 0.0 && norms(c) != 0.0 && !tables(c).isEmpty) {
+        var dot = 0.0
+        var j = 0
+        val t = tables(c)
+        while (j < n) {
+          val w = t.get(keys.getUTF8String(j))
+          if (w != null) dot += vals.getDouble(j) * w.doubleValue()
+          j += 1
+        }
+        sim = math.round(dot / (vnorm * norms(c)) * 1000.0) / 1000.0
+      }
+      if (sim > bestSim) { bestSim = sim; best = c }
+      c += 1
+    }
+    best
+  }
+}
+
+/** `cluster = nearest_centroid_cosine(vec)` — IntegerType out. */
+case class NearestCentroidCosine(child: Expression,
+    centroids: IndexedSeq[Map[String, Double]]) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case MapType(StringType, DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid_cosine requires map<string,double>, got $t")
+  }
+
+  @transient private lazy val kernel = new SparseNearestKernel(centroids)
+
+  override def nullSafeEval(input: Any): Any =
+    kernel.nearest(input.asInstanceOf[MapData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sparseNearestKernel",
+      new SparseNearestKernel(centroids), classOf[SparseNearestKernel].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.nearest($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidCosine =
+    copy(child = newChild)
+}
+
+object SparseCosineFunctions {
+  /** Column API: index of the max-cosine centroid for a sparse vector
+    * column (3-decimal round, strict `>` ties — reference semantics). */
+  def nearestCentroidCosine(vec: Column,
+                            centroids: IndexedSeq[Map[String, Double]]): Column =
+    Bridge.column(NearestCentroidCosine(Bridge.expression(vec), centroids))
+}

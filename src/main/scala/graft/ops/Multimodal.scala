@@ -4,12 +4,16 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
-  * payloads with typed metadata, processed partition-wise in batches —
-  * the Spark-side shape (schema, partitioning, batch iteration) is
-  * real; the media decode itself is STUBBED (no image/audio libs in
-  * this container) behind [[StubDecoder]], which derives deterministic
-  * fake features from the bytes. Swap `StubDecoder.decode` for a real
-  * codec (javacv / a JNI codec / an inference runtime) without touching
+  * payloads with typed metadata, processed partition-wise in batches.
+  * The Spark-side shape (schema, partitioning, batch iteration) is
+  * real, and [[HeaderDecoder]] really parses the container headers of
+  * three public formats with pure-JVM byte reads — PNG (IHDR
+  * width/height), BMP (BITMAPINFOHEADER), WAV (RIFF fmt chunk sample
+  * rate/channels). Only full-frame pixel/sample decode is out of scope
+  * (no codec libs in this container): payloads that are none of the
+  * three known containers fall back to deterministic fake dimensions,
+  * clearly flagged by `format = "unknown"`. Swap the fallback for a
+  * real codec (javacv / JNI / an inference runtime) without touching
   * any of the Spark plumbing.
   *
   * Scale shape: decode runs in `mapPartitions` so per-partition
@@ -22,25 +26,86 @@ object Multimodal {
   /** A media record: opaque payload + source metadata. */
   final case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte])
 
-  /** Decoded (stub) features. */
-  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
-                                 width: Int, height: Int, checksum: Long)
+  /** Decoded features. `format` is the sniffed container ("png",
+    * "bmp", "wav", or "unknown"); width/height are real header fields
+    * for images, 0 for audio; sample_rate/n_channels are real for WAV,
+    * 0 otherwise. `checksum` is a deterministic payload hash in every
+    * branch. */
+  final case class MediaFeatures(media_id: Long, kind: String, format: String,
+                                 n_bytes: Long, width: Int, height: Int,
+                                 sample_rate: Int, n_channels: Int,
+                                 checksum: Long)
 
-  /** STUB: stands in for a real image/audio decoder. Deterministic
-    * fake: dimensions and checksum derived from the payload bytes.
-    * The signature — bytes in, features out, called once per record
-    * inside a partition batch — is the real contract. */
-  object StubDecoder {
-    def decode(r: MediaRecord): MediaFeatures = {
+  /** Pure-JVM container-header parser: bytes in, features out, called
+    * once per record inside a partition batch — the real decode
+    * contract. Header layouts are from the public format specs (PNG
+    * RFC 2083 §3.1/IHDR, BMP BITMAPINFOHEADER, RIFF/WAVE fmt). */
+  object HeaderDecoder {
+    private def payloadChecksum(p: Array[Byte]): Long = {
       var sum = 0L
       var i = 0
-      while (i < r.payload.length) { sum = sum * 31 + (r.payload(i) & 0xff); i += 1 }
-      MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
-        width = 16 + (math.abs(sum) % 1024).toInt,
-        height = 16 + (math.abs(sum / 7) % 1024).toInt,
-        checksum = sum)
+      while (i < p.length) { sum = sum * 31 + (p(i) & 0xff); i += 1 }
+      sum
+    }
+
+    private def u32be(p: Array[Byte], o: Int): Long =
+      ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
+        ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+
+    private def u32le(p: Array[Byte], o: Int): Long =
+      (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+        ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+
+    private def u16le(p: Array[Byte], o: Int): Int =
+      (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+
+    private val PngMagic = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    private def isPng(p: Array[Byte]): Boolean =
+      p.length >= 24 && PngMagic.indices.forall(i => p(i) == PngMagic(i))
+
+    private def isBmp(p: Array[Byte]): Boolean =
+      p.length >= 26 && p(0) == 'B'.toByte && p(1) == 'M'.toByte
+
+    private def isWav(p: Array[Byte]): Boolean =
+      p.length >= 36 &&
+        p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+    def decode(r: MediaRecord): MediaFeatures = {
+      val p = r.payload
+      val sum = payloadChecksum(p)
+      val n = p.length.toLong
+      if (isPng(p))
+        // IHDR is mandated first: length(4) type(4) at 8, width/height
+        // big-endian at 16/20
+        MediaFeatures(r.media_id, r.kind, "png", n,
+          width = u32be(p, 16).toInt, height = u32be(p, 20).toInt,
+          sample_rate = 0, n_channels = 0, checksum = sum)
+      else if (isBmp(p))
+        // BITMAPINFOHEADER: width at 18 (LE), height at 22 (LE, signed;
+        // negative = top-down rows)
+        MediaFeatures(r.media_id, r.kind, "bmp", n,
+          width = u32le(p, 18).toInt, height = math.abs(u32le(p, 22).toInt),
+          sample_rate = 0, n_channels = 0, checksum = sum)
+      else if (isWav(p))
+        // canonical fmt chunk at 12: channels at 22 (LE16), sample rate
+        // at 24 (LE32)
+        MediaFeatures(r.media_id, r.kind, "wav", n,
+          width = 0, height = 0,
+          sample_rate = u32le(p, 24).toInt, n_channels = u16le(p, 22),
+          checksum = sum)
+      else
+        // unknown container: STUB fallback — deterministic fake
+        // dimensions derived from the payload hash (what a real codec
+        // would replace)
+        MediaFeatures(r.media_id, r.kind, "unknown", n,
+          width = 16 + (math.abs(sum) % 1024).toInt,
+          height = 16 + (math.abs(sum / 7) % 1024).toInt,
+          sample_rate = 0, n_channels = 0, checksum = sum)
     }
   }
+
 
   /** Wrap a text/binary source as media records. For the synthetic
     * corpus the payload is the UTF-8 text — at 100 TB this column is
@@ -63,7 +128,7 @@ object Multimodal {
     import spark.implicits._
     records.mapPartitions { it =>
       // per-partition decoder/codec init would go here
-      it.map(StubDecoder.decode)
+      it.map(HeaderDecoder.decode)
     }
   }
 

@@ -134,7 +134,9 @@ object PipelineOps {
         .orderBy(col("media_id"))
     }),
 
-    // Full stub features + chunk sampling shape. Rows-only.
+    // Header-sniffed features (PNG/BMP/WAV really parsed; unknown
+    // containers fall back to flagged fakes) + chunk sampling shape.
+    // Rows-only.
     "q38_multimodal_features" -> ((s, d) => {
       val recs = Multimodal.asMediaRecords(Tables.documents(s, d), "doc_id",
         "text", "text")
@@ -142,8 +144,8 @@ object PipelineOps {
       val chunks = Multimodal.sampleChunks(recs, chunkBytes = 64, stride = 2)
         .groupBy(col("media_id")).agg(count(lit(1)).as("n_chunks"))
       feats.join(chunks, "media_id")
-        .select(col("media_id"), col("n_bytes"), col("width"), col("height"),
-          col("n_chunks"))
+        .select(col("media_id"), col("format"), col("n_bytes"), col("width"),
+          col("height"), col("n_chunks"))
         .orderBy(col("media_id"))
     })
   )

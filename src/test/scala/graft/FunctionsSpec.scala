@@ -66,6 +66,39 @@ class SparseMeanAggregatorSpec extends AnyFunSuite {
     }
   }
 
+  test("native nearest-centroid expression equals the Scala kernel") {
+    import spark.implicits._
+    import graft.linalg.Sparse
+    // seeded pseudo-random sparse vectors over a small term space so
+    // centroid overlap (and cosine ties after 3-dec rounding) occur
+    val rnd = new scala.util.Random(7)
+    def vec(): Map[String, Double] =
+      (0 until (1 + rnd.nextInt(6)))
+        .map(_ => s"t${rnd.nextInt(10)}" -> (rnd.nextInt(9) + 1) / 4.0).toMap
+    val rows = (1 to 300).map(i => (i.toLong, vec()))
+    val centroids = IndexedSeq(vec(), vec(), vec(), Map.empty[String, Double])
+    val df = rows.toDF("id", "vec")
+    val native = graft.cluster.KMeansSparse.assign(df, "vec", centroids)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val expected = rows.map { case (id, v) =>
+      id -> Sparse.nearestByCosine(v, centroids) }.toMap
+    assert(native == expected)
+    // empty input vector: cosine 0 everywhere -> first centroid
+    val e = graft.cluster.KMeansSparse.assign(
+      Seq((9L, Map.empty[String, Double])).toDF("id", "vec"), "vec", centroids)
+      .collect().head.getInt(2)
+    assert(e == 0)
+  }
+
+  test("nearest-centroid expression stays inside whole-stage codegen") {
+    val dv = graft.queries.Clustering.docVectors(spark, TestSession.sf)
+    val init = graft.cluster.KMeansSparse.seedByMinId(dv, "doc_id", "vec", 3)
+    val plan = graft.cluster.KMeansSparse.assign(dv, "vec", init)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("nearestcentroidcosine") || plan.contains("NearestCentroidCosine"), plan)
+    assert(!plan.toLowerCase.contains("batchevalpython") && !plan.contains("ScalaUDF"), plan)
+  }
+
   test("aggregator semantics: absent terms count as zero in the mean") {
     import org.apache.spark.sql.functions.udaf
     import spark.implicits._

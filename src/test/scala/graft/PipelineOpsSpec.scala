@@ -143,18 +143,63 @@ class TextAnalysisSpec extends AnyFunSuite {
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
 
-  test("decode plumbing: deterministic stub features, bytes match") {
+  test("decode plumbing: deterministic fallback features, bytes match") {
     import spark.implicits._
     val df = Seq((7L, "hello world")).toDF("doc_id", "text")
     val feats = Multimodal.decodeFeatures(
       Multimodal.asMediaRecords(df, "doc_id", "text", "text")).collect().head
     assert(feats.media_id == 7L)
     assert(feats.n_bytes == 11L)
+    assert(feats.format == "unknown")
     assert(feats.width >= 16 && feats.height >= 16)
     // determinism: same payload -> same checksum
     val again = Multimodal.decodeFeatures(
       Multimodal.asMediaRecords(df, "doc_id", "text", "text")).collect().head
     assert(again.checksum == feats.checksum)
+  }
+
+  // Minimal valid-header payloads built from the public format specs.
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(33).order(java.nio.ByteOrder.BIG_ENDIAN)
+    b.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    b.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    b.putInt(w).putInt(h)
+    b.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    b.array()
+  }
+  private def bmpBytes(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(54).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(54).putShort(0).putShort(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    b.array()
+  }
+  private def wavBytes(rate: Int, channels: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36).put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1)
+    b.putShort(channels.toShort).putInt(rate)
+    b.putInt(rate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+    b.put("data".getBytes("US-ASCII")).putInt(0)
+    b.array()
+  }
+
+  test("header decode: real PNG/BMP/WAV header fields, not fakes") {
+    import spark.implicits._
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "image", pngBytes(640, 480)),
+      Multimodal.MediaRecord(2L, "image", bmpBytes(320, 200)),
+      Multimodal.MediaRecord(3L, "audio", wavBytes(44100, 2))).toDS()
+    val byId = Multimodal.decodeFeatures(recs).collect().map(f => f.media_id -> f).toMap
+    assert(byId(1L).format == "png" && byId(1L).width == 640 && byId(1L).height == 480)
+    assert(byId(2L).format == "bmp" && byId(2L).width == 320 && byId(2L).height == 200)
+    assert(byId(3L).format == "wav" && byId(3L).sample_rate == 44100
+      && byId(3L).n_channels == 2 && byId(3L).width == 0)
+  }
+
+  test("header decode: BMP top-down (negative height) normalizes") {
+    val f = Multimodal.HeaderDecoder.decode(
+      Multimodal.MediaRecord(4L, "image", bmpBytes(16, -32)))
+    assert(f.format == "bmp" && f.height == 32)
   }
 
   test("chunk sampling covers the payload with stride") {
