@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst kernels for the hot loops of similarity search and
   * MinHash dedup (SURVEY §2.10 custom-Expression tier). These replace
@@ -87,6 +88,40 @@ object VectorKernelsImpl {
     var m = 0; var i = 0
     while (i < n) { if (a.getLong(i) == b.getLong(i)) m += 1; i += 1 }
     m
+  }
+
+  /** Distinct word n-gram shingles of a text, one pass — semantics
+    * identical to the HOF chain
+    * `array_distinct(transform(sequence(0, greatest(size(toks)-n, 0)),
+    * i -> concat_ws(' ', slice(toks, i+1, n))))` with
+    * `toks = split(text, "\s+")` (including its quirks: docs shorter
+    * than n yield one short shingle; empty text yields [""]), but
+    * ~10× cheaper: the HOF chain re-splits and re-allocates per
+    * offset, this builds each shingle once into a dedup set. */
+  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    // String.split(regex, -1) == Spark's split(str, regex) semantics
+    val toks = text.toString.split("\\s+", -1)
+    val last = math.max(toks.length - n, 0)
+    val seen = new java.util.LinkedHashSet[String]((last + 1) * 2)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= last) {
+      sb.setLength(0)
+      val end = math.min(i + n, toks.length)
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
   }
 
   /** MinHash signature: one xxhash64 per shingle, then numHashes affine
@@ -175,6 +210,21 @@ case class SigMatches(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
+/** Distinct word n-gram shingles of a string → array<string>. */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"word_shingles requires string, got $t")
+  }
+  override def nullSafeEval(a: Any): Any =
+    VectorKernelsImpl.wordShingles(a.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.VectorKernelsImpl.wordShingles($a, $n)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** MinHash signature of an array<string> shingle set → array<long>. */
 case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -206,4 +256,8 @@ object VectorFunctions {
   /** Equal-position count between two minhash signature columns. */
   def sigMatches(a: Column, b: Column): Column =
     Bridge.column(SigMatches(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Distinct word n-gram shingles of a string column. */
+  def wordShingles(text: Column, n: Int): Column =
+    Bridge.column(WordShingles(Bridge.expression(text), n))
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for large-scale training-data pipelines:
@@ -25,15 +25,24 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Word `n`-gram shingle set (distinct), as an array column
-    * `shingles`. Pure built-ins: split → transform over a sequence of
-    * start offsets → slice → concat_ws. */
-  def withShingles(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
-    val toks = split(col(textCol), "\\s+")
+    * `shingles` — a native one-pass kernel
+    * (graft.functions.WordShingles); [[shinglesHof]] is the
+    * equivalent built-in HOF chain it replaces (kept as the
+    * equivalence-test reference — the chain re-splits and
+    * re-allocates per offset and dominated the dedup queries). */
+  def withShingles(df: DataFrame, textCol: String, n: Int = 3): DataFrame =
     df.withColumn("shingles",
-      array_distinct(
-        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-          i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
+        graft.functions.VectorFunctions.wordShingles(col(textCol), n))
       .filter(size(col("shingles")) > 0)
+
+  /** Reference semantics of [[withShingles]] in pure built-ins:
+    * split → transform over a sequence of start offsets → slice →
+    * concat_ws → array_distinct. */
+  private[graft] def shinglesHof(textCol: String, n: Int): Column = {
+    val toks = split(col(textCol), "\\s+")
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
   }
 
   /** MinHash signature of the `shingles` column as array<long> `sig`:

@@ -72,9 +72,33 @@ object IvfIndex {
     df.withColumn("bucket", assignU(col(vecCol)))
   }
 
+  /** Shared probe-join tail: probes = (query_id, bucket, qvec); the
+    * query norm is computed ONCE per probe row (not per candidate
+    * pair), the corpus norm once per corpus row. */
+  private def probedTopK(indexed: DataFrame, probes: DataFrame, idCol: String,
+                         vecCol: String, k: Int,
+                         broadcastProbes: Boolean = true): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val probesN = probes
+      .withColumn("qnorm", sqrt(Similarity.normSqExact(col("qvec"))))
+    indexed.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+        col("bucket"),
+        sqrt(Similarity.normSqExact(col(vecCol))).as("cnorm"))
+      .join(if (broadcastProbes) broadcast(probesN) else probesN, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        Similarity.dotExact(col("qvec"), col("cvec"))
+          / (col("qnorm") * col("cnorm")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos"))
+  }
+
   /** Probed top-k search: each query joins only its nProbe nearest
     * lists. Queries are collected (the small side by contract) and the
-    * (query, bucket) probe plan is broadcast. */
+    * (query, bucket) probe plan is broadcast. For query sides too big
+    * to collect, use [[searchDistributed]]. */
   def search(indexed: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, cs: Array[Centroid], k: Int,
              nProbe: Int): DataFrame = {
@@ -86,19 +110,38 @@ object IvfIndex {
       cs.indices.sortBy(i => sqDist(v, cs(i))).take(nProbe)
         .map(b => (qid, b, v.toArray))
     }.toSeq.toDF("query_id", "bucket", "qvec")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    indexed.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
-        col("bucket"),
-        sqrt(Similarity.normSqExact(col(vecCol))).as("cnorm"))
-      .join(broadcast(probes), Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos",
-        Similarity.dotExact(col("qvec"), col("cvec"))
-          / (sqrt(Similarity.normSqExact(col("qvec"))) * col("cnorm")))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos"))
+    probedTopK(indexed, probes, idCol, vecCol, k)
+  }
+
+  /** Probe-plan computed distributedly — no `queries.collect()`: the
+    * k-row centroid table broadcasts against the query side, each
+    * query ranks its centroid distances and keeps nProbe. The scale
+    * path when the query side is itself a big DataFrame (batch ANN
+    * joins); driver state stays O(k·d). */
+  def searchDistributed(indexed: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, cs: Array[Centroid], k: Int,
+                        nProbe: Int): DataFrame = {
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    val csDf = cs.toSeq.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("bucket", "centroid")
+    val dist = aggregate(
+      zip_with(col("qvec"), col("centroid"),
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("bucket"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .crossJoin(broadcast(csDf))
+      .withColumn("dist", dist)
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("bucket"), col("qvec"))
+    // the probe side scales with the query count here — shuffle-join
+    // on bucket instead of broadcasting it (AQE may still pick
+    // broadcast when the probe side turns out small)
+    probedTopK(indexed, probes, idCol, vecCol, k, broadcastProbes = false)
   }
 
   /** train + index + search in one call (the q47 entry point). */

@@ -44,6 +44,13 @@ object Clustering {
         .cache()
     })
 
+  /** Drop the memoized doc-vector table and unpersist its cache (see
+    * graft.util.Caches). */
+  private[graft] def clearMemo(): Unit = {
+    dvCache.values.foreach(_.unpersist(blocking = false))
+    dvCache.clear()
+  }
+
   val queries: Map[String, Q] = Map(
     // M1+J5+A6 pinned by oracle: one Euclidean assignment step against
     // literal centroids, per-cluster count/mean (reference task2_1's

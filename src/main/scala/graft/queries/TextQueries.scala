@@ -37,6 +37,14 @@ object TextQueries {
     fcCache.getOrElseUpdate((s, d),
       TfIdf.filterMin(TfIdf.termCounts(toks(s, d), "doc_id"), MinCount).cache())
 
+  /** Drop the memoized intermediates and unpersist their cached data —
+    * harness mains call this at end-of-run so a long-lived session
+    * doesn't accumulate cache entries (see graft.util.Caches). */
+  private[graft] def clearMemo(): Unit = {
+    fcCache.values.foreach(_.unpersist(blocking = false))
+    fcCache.clear()
+  }
+
   val queries: Map[String, Q] = Map(
     // A1+F1: tokenize → (doc,term,cnt) → cnt >= MinCount.
     // Reference: task1_1.java word count + task1_2.java filter.

@@ -21,6 +21,19 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == exact, s"LSH recall mismatch: missed ${exact -- lsh}")
   }
 
+  test("native shingle kernel == built-in HOF chain (incl. short docs)") {
+    import spark.implicits._
+    val corpus = graft.io.Tables.documents(spark, TestSession.sf)
+      .select(col("doc_id"), col("text"))
+      .union(Seq((9001L, "one two"), (9002L, ""), (9003L, "  leading space"),
+        (9004L, "a a a a a")).toDF("doc_id", "text"))
+    val both = corpus.select(col("doc_id"),
+      graft.functions.VectorFunctions.wordShingles(col("text"), 3).as("k"),
+      Dedup.shinglesHof("text", 3).as("h"))
+    val bad = both.filter(not(col("k") <=> col("h"))).count()
+    assert(bad == 0, s"$bad docs differ between kernel and HOF shingles")
+  }
+
   test("exact dedup groups identical texts") {
     import spark.implicits._
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
@@ -226,6 +239,21 @@ class IvfSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall $recall too low (|exact|=${exact.size})")
     // candidate reduction is real: with nProbe=8 of 16 lists we touch
     // at most half the corpus per query
+  }
+
+  test("distributed probe plan (no driver collect) matches collected search") {
+    val emb = graft.io.Tables.embeddings(spark, TestSession.sf)
+    val cs = graft.ops.IvfIndex.train(emb, "embedding", 8)
+    val indexed = graft.ops.IvfIndex.index(emb, "embedding", cs)
+    val qs = emb.filter(col("vec_id") < 10)
+    val collected = graft.ops.IvfIndex.search(indexed, qs, "vec_id", "embedding",
+        cs, k = 5, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val dist = graft.ops.IvfIndex.searchDistributed(indexed, qs, "vec_id",
+        "embedding", cs, k = 5, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // nProbe = lists -> both probe every list -> identical exact result
+    assert(dist == collected && dist.nonEmpty)
   }
 
   test("IVF with nProbe = lists equals brute force exactly") {

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Automated plan audit over every declared query — locks in the
+  * scale-shape claims permanently: no quadratic join operator sneaks
+  * into a declared scale path, parquet scans keep their pushed
+  * filters, dimension joins broadcast.
+  *
+  * Exact all-pairs baselines are quadratic BY DESIGN (kept as the
+  * oracle-checkable semantic anchors for their approximate scale
+  * paths) and are the only allowlisted entries:
+  *  - q30 embed near-dup (scale path: q32 LSH / q47 IVF)
+  *  - q31 brute-force ANN (scale path: q47 IVF)
+  */
+class PlanLintSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private val quadraticByDesign = Set("q30_embed_neardup", "q31_ann_topk")
+
+  test("no cartesian/nested-loop join in any non-baseline query plan") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => quadraticByDesign(name) }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, TestSession.sf).queryExecution.executedPlan.toString
+        val bad = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+          .filter(plan.contains)
+        if (bad.isEmpty) None else Some(s"$name: ${bad.mkString(",")}")
+      }
+    assert(offenders.isEmpty, s"quadratic operators in: ${offenders.mkString("; ")}")
+  }
+
+  test("filters reach the parquet scan (pushdown) on filter-heavy queries") {
+    // q02 filters lineitem on shipdate/discount/quantity — every
+    // conjunct is a plain column predicate and must appear in
+    // PushedFilters, not as a post-scan-only Filter
+    val plan = SparkEntry.queries("q02_filter_project")(spark, TestSession.sf)
+      .queryExecution.executedPlan.toString
+    // the plan string truncates long field lists, so just require a
+    // non-empty PushedFilters list (an empty one prints as `[]`)
+    assert(plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"), plan)
+  }
+
+  test("dimension joins broadcast (no shuffle of the fact side's join)") {
+    // q04 joins fact tables against nation/region-sized dims — the
+    // plan must contain a broadcast join, not only sort-merge
+    val plan = SparkEntry.queries("q04_nation_revenue")(spark, TestSession.sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+}
