@@ -23,6 +23,18 @@ object Similarity {
   private val Scale = 1e9
   import graft.functions.VectorFunctions.{dotScaled, normSqScaled}
 
+  /** Spread the streamed side of an all-pairs join across the
+    * session's parallelism when the scan under-parallelizes it (small
+    * single-row-group files plan as one partition, serializing the
+    * O(n²) dot-product loop onto one core). Only worth the extra
+    * exchange when each row fans into n comparisons — the quadratic
+    * operators below; cheap linear ops don't amortize it. No-op when
+    * the input already carries enough partitions (real-scale scans). */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Bit-deterministic dot product of two array<float>/<double> cols
     * (native codegen'd kernel). */
   def dotExact(a: Column, b: Column): Column =
@@ -46,7 +58,7 @@ object Similarity {
                      vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
       sqrt(normSqExact(col(vecCol))).as("qnorm"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+    val c = fanOut(corpus).select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
       sqrt(normSqExact(col(vecCol))).as("cnorm"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -63,7 +75,7 @@ object Similarity {
     * precomputed per row; the pair loop is one dot kernel. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                    threshold: Double): DataFrame = {
-    val withNorm = df.select(col(idCol), col(vecCol),
+    val withNorm = fanOut(df).select(col(idCol), col(vecCol),
       sqrt(normSqExact(col(vecCol))).as("nrm"))
     val a = withNorm.select(col(idCol).as("id_a"), col(vecCol).as("va"),
       col("nrm").as("na"))
