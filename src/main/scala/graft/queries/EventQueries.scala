@@ -26,6 +26,23 @@ object EventQueries {
   private val streamId = new AtomicInteger(0)
   private val SessionGapUs = 1800L * 1000000L // 30 min
 
+  /** Stateful-stream shuffle parallelism: the state-store count is
+    * pinned to `spark.sql.shuffle.partitions` at query start, and each
+    * store pays init/commit per micro-batch — so size it to the STATE
+    * volume (thousands of window/user keys here), not the batch
+    * session's compute parallelism. Raise for genuinely large state. */
+  private val StreamShufflePartitions = 8
+
+  /** Run `f` with streaming-sized shuffle partitions, restoring the
+    * session's setting afterwards (each entry builds a fresh query, so
+    * the pin applies per run). */
+  private def withStreamPartitions[A](s: SparkSession)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, StreamShufflePartitions.toString)
+    try f finally s.conf.set(key, prev)
+  }
+
   val queries: Map[String, Q] = Map(
     // Tumbling 1-hour rollup per event type (batch).
     "q39_event_hourly" -> ((s, d) => {
@@ -72,10 +89,12 @@ object EventQueries {
         .agg(count(lit(1)).as("n_events"),
           (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
             .as("sum_value"))
-      val q = agg.writeStream.outputMode("complete")
-        .format("memory").queryName(name).start()
-      q.processAllAvailable()
-      q.stop()
+      withStreamPartitions(s) {
+        val q = agg.writeStream.outputMode("complete")
+          .format("memory").queryName(name).start()
+        q.processAllAvailable()
+        q.stop()
+      }
       s.table(name)
         .select(
           date_format(col("window.start"), "yyyy-MM-dd HH:00:00").as("hour"),
@@ -109,10 +128,12 @@ object EventQueries {
             state.update(st)
             Iterator((uid, st.nSessions, st.nEvents))
         }.toDF("user_id", "n_sessions", "n_events")
-      val q = sess.writeStream.outputMode("update")
-        .format("memory").queryName(name).start()
-      q.processAllAvailable()
-      q.stop()
+      withStreamPartitions(s) {
+        val q = sess.writeStream.outputMode("update")
+          .format("memory").queryName(name).start()
+        q.processAllAvailable()
+        q.stop()
+      }
       s.table(name).orderBy(col("user_id"))
     }),
 
