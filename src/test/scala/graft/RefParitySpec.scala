@@ -235,4 +235,35 @@ class RefParitySpec extends AnyFunSuite {
       }.toMap
     assert(ours == gold, s"cTFIDF_5 mismatch:\nours=$ours\ngold=$gold")
   }
+
+  /** Full-file EMISSION parity, end to end: the S4 text sink writes the
+    * dictionary outputs and the resulting part file byte-equals the
+    * reference's committed reducer output (MapReduce TextOutputFormat:
+    * `key\tvalue\n`, byte-lexicographic key order — Spark's UTF8String
+    * binary ordering matches Text's). Set-equality tests above pin the
+    * CONTENT; this pins the serialized bytes. */
+  test("S4 sink emits dictionary files byte-for-byte (Output1_1_1/1_1_2)") {
+    assume(refAvailable)
+    import org.apache.spark.sql.expressions.Window
+    def emitAndDiff(df: DataFrame, sortCol: String, basename: String,
+                    goldenPath: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sink").toFile
+      graft.io.Sinks.writeTsv(
+        df.repartition(1).sortWithinPartitions(col(sortCol)), tmp.getPath, basename)
+      val part = new java.io.File(tmp, basename).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      val ours = java.nio.file.Files.readAllBytes(part.toPath)
+      val gold = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(goldenPath))
+      assert(java.util.Arrays.equals(ours, gold),
+        s"$basename: emitted ${ours.length} bytes != golden ${gold.length} bytes")
+    }
+    emitAndDiff(
+      tokens.select(col("token").as("term")).distinct()
+        .withColumn("id", row_number().over(Window.orderBy(col("term"))).cast("long")),
+      "term", "termid", s"$Ref/Output/Output1_1_1/termid.mtx-r-00000")
+    emitAndDiff(
+      corpus.select(col("doc")).distinct()
+        .withColumn("id", row_number().over(Window.orderBy(col("doc"))).cast("long")),
+      "doc", "docid", s"$Ref/Output/Output1_1_2/docid.mtx-r-00000")
+  }
 }
