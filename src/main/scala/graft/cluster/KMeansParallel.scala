@@ -20,21 +20,21 @@ import graft.linalg.Sparse.Vec
 object KMeansParallel {
 
   /** Σ min-sqdist to the candidate set (ψ — cost of C,
-    * task2_3.java:215-232,342-366). */
-  def cost(df: DataFrame, vecCol: String, centroids: IndexedSeq[Vec]): Double = {
-    val bc = df.sparkSession.sparkContext.broadcast(centroids)
-    val mind = udf((m: Map[String, Double]) => Sparse.minSqDist(m, bc.value))
-    df.select(sum(mind(col(vecCol))).as("psi")).collect()(0).getDouble(0)
-  }
+    * task2_3.java:215-232,342-366). Native codegen kernel
+    * (graft.functions.MinSqDistCentroids), not a UDF. */
+  def cost(df: DataFrame, vecCol: String, centroids: IndexedSeq[Vec]): Double =
+    df.select(sum(graft.functions.SparseCosineFunctions
+        .minSqDistCentroids(col(vecCol), centroids)).as("psi"))
+      .collect()(0).getDouble(0)
 
   /** One oversampling round: top-⌊l⌋ points by p = l·d²min/ψ
     * (task2_3.java:279-297,326-339), deterministic tie-break on id. */
   def candidateRound(df: DataFrame, idCol: String, vecCol: String,
                      centroids: IndexedSeq[Vec], l: Double,
                      psi: Double): Array[(Long, Vec)] = {
-    val bc = df.sparkSession.sparkContext.broadcast(centroids)
-    val mind = udf((m: Map[String, Double]) => Sparse.minSqDist(m, bc.value))
-    df.withColumn("p", mind(col(vecCol)) * l / psi)
+    val mind = graft.functions.SparseCosineFunctions
+      .minSqDistCentroids(col(vecCol), centroids)
+    df.withColumn("p", mind * l / psi)
       .orderBy(col("p").desc, col(idCol))
       .limit(l.toInt)
       .select(col(idCol), col(vecCol))

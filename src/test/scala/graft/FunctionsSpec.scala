@@ -83,6 +83,16 @@ class SparseMeanAggregatorSpec extends AnyFunSuite {
     val expected = rows.map { case (id, v) =>
       id -> Sparse.nearestByCosine(v, centroids) }.toMap
     assert(native == expected)
+    // min-sqdist and per-centroid sqdist kernels vs the Scala reference
+    import graft.functions.SparseCosineFunctions
+    val d2 = df.select(col("id"),
+        SparseCosineFunctions.minSqDistCentroids(col("vec"), centroids).as("m"),
+        SparseCosineFunctions.sqDistToCentroid(col("vec"), lit(1), centroids).as("d1"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    rows.foreach { case (id, v) =>
+      assert(math.abs(d2(id)._1 - Sparse.minSqDist(v, centroids)) < 1e-9, s"minSqDist id=$id")
+      assert(math.abs(d2(id)._2 - Sparse.sqDist(v, centroids(1))) < 1e-9, s"sqDistTo id=$id")
+    }
     // empty input vector: cosine 0 everywhere -> first centroid
     val e = graft.cluster.KMeansSparse.assign(
       Seq((9L, Map.empty[String, Double])).toDF("id", "vec"), "vec", centroids)
