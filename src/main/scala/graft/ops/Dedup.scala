@@ -165,6 +165,43 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over a near-duplicate pair list — the step
+    * that turns pairwise matches into dedup GROUPS (keep the minimum
+    * id of each component, drop the rest). Iterative min-label
+    * propagation (Pregel-style BSP as DataFrame joins): every node
+    * starts labeled with its own id; each round takes the min of its
+    * own and its neighbors' labels; fixpoint after O(component
+    * diameter) rounds. Near-dup components are short chains in
+    * practice, so rounds stay small; each round is one equi-join +
+    * one partial-aggregated groupBy on the edge list, and the driver
+    * sees only the changed-label count. Output: (doc_id, rep_id) for
+    * every doc that appears in some pair, rep = component min id. */
+  def dedupGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(edges("src").as("nid")).agg(min(col("label")).as("nlabel"))
+      val next = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .cache()
+      changed = next.as("n")
+        .join(labels.select(col("id"), col("label").as("old")).as("o"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      it += 1
+    }
+    edges.unpersist(blocking = false)
+    labels.select(col("id").as("doc_id"), col("label").as("rep_id"))
+  }
+
   /** All-pairs exact n-gram Jaccard via shingle equi-join — quadratic
     * in bucket skew; reference/oracle path only (SQL-expressible). */
   def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,

@@ -58,6 +58,17 @@ object PipelineOps {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Pairwise matches → dedup GROUPS: connected components over the
+    // LSH near-dup pairs (min-label propagation), rep = min id — the
+    // "which doc do we keep" step of a dedup pipeline. Oracle =
+    // recursive-CTE transitive closure over the exact pair list.
+    "q52_dedup_groups" -> ((s, d) => {
+      val pairs = Dedup.nearDuplicatePairs(Tables.documents(s, d), "doc_id",
+        "text", threshold = 0.5, numHashes = 128, bands = 64, rowsPerBand = 2)
+      Dedup.dedupGroups(pairs.select(col("id_a"), col("id_b")))
+        .orderBy(col("doc_id"))
+    }),
+
     // Embedding-cosine near-dup pairs — exact, bit-deterministic
     // (scaled-long dot products), oracle-checked.
     "q30_embed_neardup" -> ((s, d) => {
@@ -162,14 +173,15 @@ object PipelineOps {
       |)
       |""".stripMargin
 
-  // Shared by q27 (exact all-pairs, pins semantics) and q26 (MinHash
-  // LSH): at bands=64/r=2 the banding collision probability for a pair
-  // at J=0.5 is 1−(1−0.25)^64 ≈ 1−10⁻⁸, and the signature-estimate
-  // prefilter margin is ≈3.4σ — with a fixed-seed deterministic
-  // minhash the LSH output equals the exact result on this corpus, so
-  // the exact SQL is a valid oracle for the approximate path too.
-  private val NgramJaccardSql =
-    """WITH toks AS (
+  // CTE chain computing the exact n-gram Jaccard pair list — shared by
+  // q27 (exact all-pairs, pins semantics), q26 (MinHash LSH: at
+  // bands=64/r=2 the banding collision probability for a pair at J=0.5
+  // is 1−(1−0.25)^64 ≈ 1−10⁻⁸, and the signature-estimate prefilter
+  // margin is ≈3.4σ — with a fixed-seed deterministic minhash the LSH
+  // output equals the exact result on this corpus, so the exact SQL is
+  // a valid oracle for the approximate path too), and q52 (groups).
+  private val NgramPairsCtes =
+    """toks AS (
         |  SELECT doc_id, generate_subscripts(regexp_split_to_array(text, '\s+'), 1) AS pos,
         |         unnest(regexp_split_to_array(text, '\s+')) AS tok
         |  FROM documents
@@ -181,12 +193,35 @@ object PipelineOps {
         |inter AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
+        |  GROUP BY 1, 2)""".stripMargin
+
+  private val NgramJaccardSql =
+    "WITH " + NgramPairsCtes +
+      """
         |SELECT id_a, id_b,
         |  CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
         |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin
+
+  // Dedup groups oracle: transitive closure (recursive CTE) over the
+  // exact pair list, component representative = min reachable id.
+  private val DedupGroupsSql =
+    "WITH RECURSIVE " + NgramPairsCtes +
+      """,
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT src AS doc_id, least(src, min(dst)) AS rep_id
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q25_dedup_exact" ->
@@ -194,6 +229,7 @@ object PipelineOps {
         |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
     "q26_dedup_minhash" -> NgramJaccardSql,
     "q27_ngram_jaccard" -> NgramJaccardSql,
+    "q52_dedup_groups" -> DedupGroupsSql,
     "q30_embed_neardup" -> (EmbCte +
       """, dots AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
