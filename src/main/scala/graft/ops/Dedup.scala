@@ -202,6 +202,30 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("rep_id"))
   }
 
+  /** Benchmark decontamination: training docs sharing at least
+    * `minShared` distinct word n-gram shingles with any probe
+    * (benchmark/eval) doc — the overlap check run before training to
+    * keep eval sets out of the corpus. Shingle equi-join on the
+    * 64-bit shingle hash: cost scales with shared-shingle matches
+    * (the probe side is the small one in practice), never all-pairs;
+    * the probe shingle set is distinct'd so a shingle repeated in a
+    * probe doc can't inflate the count. Output: (doc_id, probe_id,
+    * n_shared) for every contaminated (doc, probe) combination. */
+  def contaminationPairs(corpus: DataFrame, probe: DataFrame,
+                         idCol: String, textCol: String,
+                         minShared: Long, shingleN: Int = 3): DataFrame = {
+    def shingleHashes(df: DataFrame, outId: String): DataFrame =
+      withShingles(df, textCol, shingleN)
+        .select(col(idCol).as(outId), explode(col("shingles")).as("s"))
+        .select(col(outId), xxhash64(col("s")).as("shingle"))
+    shingleHashes(corpus, "doc_id")
+      .join(shingleHashes(probe, "probe_id"), "shingle")
+      .filter(col("doc_id") =!= col("probe_id"))
+      .groupBy(col("doc_id"), col("probe_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** All-pairs exact n-gram Jaccard via shingle equi-join — quadratic
     * in bucket skew; reference/oracle path only (SQL-expressible). */
   def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,

@@ -80,4 +80,18 @@ object TextAnalysis {
     }
     df.withColumn("lang_pred", detect(col(textCol)))
   }
+
+  /** Deterministic hash-based train/val split — the reproducible,
+    * engine-portable way to carve held-out data out of a corpus: the
+    * assignment depends only on the id (stable under reshuffles,
+    * re-reads, and engine changes; no seeded RNG state to ship).
+    * A doc goes to `val` iff the first two hex chars of
+    * md5(id-as-string) sort below `valHexCeil` — e.g. "1a" ≈ 26/256 ≈
+    * 10.2% — using only cross-engine-identical primitives (md5 of the
+    * decimal string, lowercase hex, byte-lexicographic compare). */
+  def withSplit(df: DataFrame, idCol: String,
+                valHexCeil: String = "1a"): DataFrame =
+    df.withColumn("split",
+      when(substring(md5(col(idCol).cast("string")), 1, 2) < valHexCeil, "val")
+        .otherwise("train"))
 }

@@ -69,6 +69,24 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Benchmark decontamination: training docs overlapping a probe
+    // (stand-in benchmark = every 20th doc) by ≥3 distinct shingles.
+    "q53_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationPairs(docs, docs.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", minShared = 3)
+        .orderBy(col("doc_id"), col("probe_id"))
+    }),
+
+    // Deterministic hash-based train/val split: per-split doc counts
+    // and an id checksum (cross-engine stable md5 assignment).
+    "q54_train_val_split" -> ((s, d) => {
+      TextAnalysis.withSplit(Tables.documents(s, d), "doc_id")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("split"))
+    }),
+
     // Embedding-cosine near-dup pairs — exact, bit-deterministic
     // (scaled-long dot products), oracle-checked.
     "q30_embed_neardup" -> ((s, d) => {
@@ -230,6 +248,23 @@ object PipelineOps {
     "q26_dedup_minhash" -> NgramJaccardSql,
     "q27_ngram_jaccard" -> NgramJaccardSql,
     "q52_dedup_groups" -> DedupGroupsSql,
+    "q53_decontaminate" -> ("WITH " + NgramPairsCtes +
+      """,
+        |contacts AS (
+        |  SELECT c.doc_id AS doc_id, p.doc_id AS probe_id, count(*) AS n_shared
+        |  FROM sh c JOIN sh p ON c.shingle = p.shingle
+        |    AND p.doc_id % 20 = 0 AND c.doc_id <> p.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, probe_id, n_shared FROM contacts
+        |WHERE n_shared >= 3 ORDER BY doc_id, probe_id""".stripMargin),
+    "q54_train_val_split" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+        |         THEN 'val' ELSE 'train' END AS split
+        |  FROM documents)
+        |SELECT split, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
     "q30_embed_neardup" -> (EmbCte +
       """, dots AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -45,6 +45,34 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("contaminationPairs counts distinct shared shingles, both directions excluded on self") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e f"),        // shares shingles "a b c".."d e f" with probe 10
+      (2L, "x y z w v u"),        // no overlap
+      (10L, "a b c d e f")).toDF("doc_id", "text")
+    val probe = corpus.filter(col("doc_id") === 10L)
+    val got = Dedup.contaminationPairs(corpus, probe, "doc_id", "text",
+        minShared = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // doc 1 shares all 4 trigram shingles with probe 10; probe's self-row excluded
+    assert(got == Map((1L, 10L) -> 4L))
+  }
+
+  test("withSplit: deterministic, engine-portable, ~10% val fraction") {
+    val docs = graft.io.Tables.documents(spark, TestSession.sf)
+    val a = graft.ops.TextAnalysis.withSplit(docs, "doc_id")
+      .groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = graft.ops.TextAnalysis.withSplit(docs, "doc_id")
+      .groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b) // stable across evaluations
+    val total = a.values.sum.toDouble
+    assert(a("val") / total > 0.03 && a("val") / total < 0.25,
+      s"val fraction ${a("val") / total} out of band")
+  }
+
   test("exact dedup groups identical texts") {
     import spark.implicits._
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
