@@ -94,4 +94,34 @@ object TextAnalysis {
     df.withColumn("split",
       when(substring(md5(col(idCol).cast("string")), 1, 2) < valHexCeil, "val")
         .otherwise("train"))
+
+  /** PII patterns shared by the scrubber and its oracle — kept to the
+    * regex subset Java and RE2 interpret identically (character
+    * classes, bounded counts, \b, no backrefs/lookarounds). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+
+  /** PII scrub — the redaction pass a training corpus goes through
+    * before ingestion: emails → `<EMAIL>`, phone-shaped digit runs →
+    * `<PHONE>`, with per-doc match counts for audit. Pure codegen'd
+    * regexp built-ins, one projection, no shuffle. */
+  def redactPii(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails", size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))).cast("long"))
+      .withColumn("n_phones", size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0))).cast("long"))
+      .withColumn("text_redacted",
+        regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"))
+
+  /** Repetition score — boilerplate/spam signal: 1 − distinct/total
+    * word n-gram shingles (0 = all shingles unique; → 1 as the doc
+    * repeats itself). Uses the one-pass distinct-shingle kernel for
+    * the numerator; total = max(tokens−n, 0)+1 by construction. */
+  def withRepetition(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
+    val total = greatest(size(split(col(textCol), "\\s+")) - n, lit(0)) + 1
+    val distinctN =
+      size(graft.functions.VectorFunctions.wordShingles(col(textCol), n))
+    df.withColumn("n_shingles", total.cast("long"))
+      .withColumn("rep_ratio",
+        lit(1.0) - distinctN.cast("double") / total.cast("double"))
+  }
 }

@@ -87,6 +87,22 @@ object PipelineOps {
         .orderBy(col("split"))
     }),
 
+    // PII scrub: email/phone redaction with audit counts; verified by
+    // redacted-text hash so the full replacement semantics are pinned.
+    "q55_pii_redact" -> ((s, d) => {
+      TextAnalysis.redactPii(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          md5(col("text_redacted")).as("redacted_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Repetition/boilerplate score: 1 − distinct/total shingles.
+    "q56_repetition" -> ((s, d) => {
+      TextAnalysis.withRepetition(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("n_shingles"), col("rep_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Embedding-cosine near-dup pairs — exact, bit-deterministic
     // (scaled-long dot products), oracle-checked.
     "q30_embed_neardup" -> ((s, d) => {
@@ -248,6 +264,24 @@ object PipelineOps {
     "q26_dedup_minhash" -> NgramJaccardSql,
     "q27_ngram_jaccard" -> NgramJaccardSql,
     "q52_dedup_groups" -> DedupGroupsSql,
+    "q55_pii_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(
+        |        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g')) AS redacted_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q56_repetition" -> ("WITH " + NgramPairsCtes +
+      """,
+        |t AS (
+        |  SELECT doc_id,
+        |    greatest(len(regexp_split_to_array(text, '\s+')) - 3, 0) + 1 AS total
+        |  FROM documents)
+        |SELECT t.doc_id AS doc_id, CAST(total AS BIGINT) AS n_shingles,
+        |  CAST(1 AS DOUBLE) - CAST(coalesce(n, 1) AS DOUBLE)/CAST(total AS DOUBLE) AS rep_ratio
+        |FROM t LEFT JOIN sizes ON sizes.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin),
     "q53_decontaminate" -> ("WITH " + NgramPairsCtes +
       """,
         |contacts AS (

@@ -183,6 +183,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("stopword_ratio") - 2.0 / 6) < 1e-12)
   }
 
+  test("redactPii: emails and phones replaced, counts audited") {
+    import spark.implicits._
+    val df = Seq((1L, "mail me at jo.doe+x@test-site.org or call 555-123-4567 ok"),
+      (2L, "nothing to scrub here")).toDF("doc_id", "text")
+    val r = graft.ops.TextAnalysis.redactPii(df, "text").collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_emails"), x.getAs[Long]("n_phones"),
+          x.getAs[String]("text_redacted"))).toMap
+    assert(r(1L)._1 == 1L && r(1L)._2 == 1L)
+    assert(r(1L)._3 == "mail me at <EMAIL> or call <PHONE> ok")
+    assert(r(2L) == (0L, 0L, "nothing to scrub here"))
+  }
+
+  test("withRepetition: fully repeated doc scores high, unique doc zero") {
+    import spark.implicits._
+    val df = Seq((1L, "a a a a a"), (2L, "v w x y z")).toDF("doc_id", "text")
+    val r = graft.ops.TextAnalysis.withRepetition(df, "text").collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_shingles"), x.getAs[Double]("rep_ratio"))).toMap
+    assert(r(1L) == (3L, 1.0 - 1.0 / 3.0)) // one distinct "a a a" of 3
+    assert(r(2L) == (3L, 0.0))
+  }
+
   test("langid: CJK short-circuits to zh; english profile wins for english") {
     import spark.implicits._
     val df = Seq((1L, "the quick brown fox jumps over the lazy dog and then some more"),
