@@ -137,6 +137,29 @@ object EventQueries {
       s.table(name).orderBy(col("user_id"))
     }),
 
+    // Streaming DEDUP: dropDuplicates on (user, type) under a
+    // watermark — the stateful exactly-once-per-key operator a
+    // streaming ingest pipeline uses; state is bounded by the
+    // watermark horizon. Distinct-user counts per type == the batch
+    // COUNT(DISTINCT) oracle.
+    "q57_stream_dedup" -> ((s, d) => {
+      val name = s"stream_dedup_${streamId.incrementAndGet()}"
+      val schema = Tables.eventsRaw(s, d).schema
+      val src = s.readStream.schema(schema).parquet(s"$d/events*.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates("user_id", "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+      withStreamPartitions(s) {
+        val q = src.writeStream.outputMode("complete")
+          .format("memory").queryName(name).start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      s.table(name).orderBy(col("event_type"))
+    }),
+
     // Salted two-stage aggregation (hot-key mitigation): identical
     // result to a plain GROUP BY — the oracle proves it — with a
     // uniform stage-1 shuffle even under single-key skew.
@@ -200,6 +223,9 @@ object EventQueries {
     "q41_stream_hourly" -> HourlySql,
     "q40_sessionize" -> SessionizeSql,
     "q42_stream_sessionize" -> SessionizeSql,
+    "q57_stream_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q43_salted_agg" ->
       """SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
