@@ -31,6 +31,17 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.exceptAll(docs).count() == 0 && docs.exceptAll(back).count() == 0)
   }
 
+  test("orc round-trip preserves data (columnar alternative to parquet)") {
+    val dir = java.nio.file.Files.createTempDirectory("orc").toString
+    docs.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.exceptAll(docs).count() == 0 && docs.exceptAll(back).count() == 0)
+    // ORC scans get the same pushdown treatment as parquet
+    val plan = back.filter(col("n_chars") > 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"), plan)
+  }
+
   test("tsv text sink re-parses positionally (reference S2 shape)") {
     val dir = java.nio.file.Files.createTempDirectory("tsv").toString
     graft.io.Sinks.writeTsv(docs.select("doc_id", "lang"), dir, "docs.mtx")
