@@ -162,7 +162,9 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     }),
 
-    // Heuristic language ID rollup. Rows-only (heuristic, no SQL mirror).
+    // Heuristic language ID rollup — oracle-checked: the bigram-profile
+    // scoring, strict-desc/lang tie-break, and \p{Han} short-circuit
+    // are all mirrored in SQL (profiles inlined as a VALUES table).
     "q36_langid" -> ((s, d) => {
       TextAnalysis.withLangId(Tables.documents(s, d), "text")
         .groupBy(col("lang_pred")).agg(count(lit(1)).as("n_docs"))
@@ -264,6 +266,46 @@ object PipelineOps {
     "q26_dedup_minhash" -> NgramJaccardSql,
     "q27_ngram_jaccard" -> NgramJaccardSql,
     "q52_dedup_groups" -> DedupGroupsSql,
+    // Mirrors TextAnalysis.withLangId exactly: lowercased sliding
+    // bigrams (n−1 windows; <2-char docs score 0 everywhere → 'de' by
+    // the lang tie-break, same as the Scala sort), profile hits
+    // counted per occurrence, Han codepoints short-circuit to zh,
+    // empty text → 'und'. Profile table = TextAnalysis.profiles.
+    "q36_langid" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, lower(text) AS t FROM documents
+        |), bg AS (
+        |  SELECT doc_id, substr(t, CAST(i AS INT), 2) AS big
+        |  FROM base, unnest(range(1, length(t))) AS u(i)
+        |), prof(lang, big) AS (
+        |  VALUES ('en','th'),('en','he'),('en','in'),('en','er'),('en','an'),
+        |         ('en','re'),('en','on'),('en','at'),('en','en'),('en','nd'),
+        |         ('de','en'),('de','er'),('de','ch'),('de','de'),('de','ei'),
+        |         ('de','nd'),('de','te'),('de','in'),('de','ie'),('de','ge'),
+        |         ('es','de'),('es','la'),('es','os'),('es','en'),('es','el'),
+        |         ('es','es'),('es','ar'),('es','ue'),('es','ra'),('es','as'),
+        |         ('fr','es'),('fr','le'),('fr','de'),('fr','en'),('fr','re'),
+        |         ('fr','nt'),('fr','on'),('fr','er'),('fr','ou'),('fr','ai')
+        |), scores AS (
+        |  SELECT d.doc_id, l.lang, count(p.big) AS cnt
+        |  FROM base d
+        |  CROSS JOIN (SELECT DISTINCT lang FROM prof) l
+        |  LEFT JOIN bg ON bg.doc_id = d.doc_id
+        |  LEFT JOIN prof p ON p.lang = l.lang AND p.big = bg.big
+        |  GROUP BY d.doc_id, l.lang
+        |), ranked AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, lang) AS rk
+        |  FROM scores
+        |), pred AS (
+        |  SELECT b.doc_id,
+        |    CASE WHEN b.text IS NULL OR length(b.text) = 0 THEN 'und'
+        |         WHEN regexp_matches(b.text, '\p{Han}') THEN 'zh'
+        |         ELSE r.lang END AS lang_pred
+        |  FROM base b JOIN ranked r ON r.doc_id = b.doc_id AND r.rk = 1
+        |)
+        |SELECT lang_pred, count(*) AS n_docs FROM pred
+        |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
     "q55_pii_redact" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
