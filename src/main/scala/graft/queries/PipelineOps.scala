@@ -16,6 +16,24 @@ import graft.functions.SimHash
 object PipelineOps {
   type Q = (SparkSession, String) => DataFrame
 
+  // The verified near-dup pair list feeds q26 (the pairs themselves)
+  // and q52 (components over them) — materialize once per
+  // (session, dir), like the TF-IDF intermediates in TextQueries.
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def nearDupPairs(s: SparkSession, d: String): DataFrame =
+    pairsCache.getOrElseUpdate((s, d),
+      Dedup.nearDuplicatePairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.5, numHashes = 128, bands = 64, rowsPerBand = 2).cache())
+
+  /** Drop the memoized pair list and unpersist its cache (see
+    * graft.util.Caches). */
+  private[graft] def clearMemo(): Unit = {
+    pairsCache.values.foreach(_.unpersist(blocking = false))
+    pairsCache.clear()
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: one shuffle on the content hash.
     "q25_dedup_exact" -> ((s, d) => {
@@ -24,11 +42,10 @@ object PipelineOps {
     }),
 
     // MinHash+LSH near-dup pairs, Jaccard-verified — the 100 TB dedup
-    // path (signature pass + bounded bucket joins). Rows-only.
+    // path (signature pass + bounded bucket joins + sig-estimate
+    // prefilter). Oracle = the exact q27 SQL (see NgramPairsCtes).
     "q26_dedup_minhash" -> ((s, d) => {
-      Dedup.nearDuplicatePairs(Tables.documents(s, d), "doc_id", "text",
-          threshold = 0.5, numHashes = 128, bands = 64, rowsPerBand = 2)
-        .orderBy(col("id_a"), col("id_b"))
+      nearDupPairs(s, d).orderBy(col("id_a"), col("id_b"))
     }),
 
     // Exact all-pairs n-gram Jaccard — oracle-checked; pins the shingle
@@ -63,9 +80,7 @@ object PipelineOps {
     // "which doc do we keep" step of a dedup pipeline. Oracle =
     // recursive-CTE transitive closure over the exact pair list.
     "q52_dedup_groups" -> ((s, d) => {
-      val pairs = Dedup.nearDuplicatePairs(Tables.documents(s, d), "doc_id",
-        "text", threshold = 0.5, numHashes = 128, bands = 64, rowsPerBand = 2)
-      Dedup.dedupGroups(pairs.select(col("id_a"), col("id_b")))
+      Dedup.dedupGroups(nearDupPairs(s, d).select(col("id_a"), col("id_b")))
         .orderBy(col("doc_id"))
     }),
 

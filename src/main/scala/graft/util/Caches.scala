@@ -14,6 +14,7 @@ object Caches {
   def clearAll(spark: SparkSession): Unit = {
     graft.queries.TextQueries.clearMemo()
     graft.queries.Clustering.clearMemo()
+    graft.queries.PipelineOps.clearMemo()
     // per-call caches (Dedup shingles/signatures, K-Means inputs) are
     // catalog-level cached plans:
     spark.catalog.clearCache()
