@@ -160,6 +160,25 @@ object EventQueries {
       s.table(name).orderBy(col("event_type"))
     }),
 
+    // Per-group top-k AS AN AGGREGATE (bounded buffers, map-side
+    // combine) composed with count in ONE groupBy pass — the window
+    // formulation would need a window pass plus a join for the same
+    // output. Oracle = the window SQL, proving the two formulations
+    // agree.
+    "q58_topk_agg" -> ((s, d) => {
+      val topk = udaf(new graft.functions.TopKAggregator(3))
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(topk(col("value"), col("event_id")).as("top"),
+          count(lit(1)).as("n_events"))
+        .select(col("event_type"), col("n_events"),
+          posexplode(col("top")).as(Seq("pos", "kv")))
+        .select(col("event_type"), col("n_events"),
+          (col("pos") + 1).cast("long").as("rk"),
+          col("kv._2").as("event_id"), col("kv._1").as("value"))
+        .orderBy(col("event_type"), col("rk"))
+    }),
+
     // Salted two-stage aggregation (hot-key mitigation): identical
     // result to a plain GROUP BY — the oracle proves it — with a
     // uniform stage-1 shuffle even under single-key skew.
@@ -226,6 +245,15 @@ object EventQueries {
     "q57_stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q58_topk_agg" ->
+      """WITH ranked AS (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS n_events
+        |  FROM events)
+        |SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(rk AS BIGINT) AS rk, event_id, value
+        |FROM ranked WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin,
     "q43_salted_agg" ->
       """SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value

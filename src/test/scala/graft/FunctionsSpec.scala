@@ -50,6 +50,30 @@ class SkewSpec extends AnyFunSuite {
   }
 }
 
+class TopKAggregatorSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("aggregate top-k equals the window formulation (incl. ties)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.udaf
+    // ties on value force the key tie-break; group "b" smaller than k
+    val df = Seq(("a", 5.0, 1L), ("a", 5.0, 2L), ("a", 7.0, 3L),
+      ("a", 1.0, 4L), ("a", 7.0, 5L), ("b", 2.0, 6L)).toDF("g", "value", "id")
+    val topk = udaf(new graft.functions.TopKAggregator(3))
+    val viaAgg = df.groupBy(col("g")).agg(topk(col("value"), col("id")).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("pos", "kv")))
+      .select(col("g"), (col("pos") + 1).cast("long").as("rk"),
+        col("kv._2").as("id"), col("kv._1").as("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val viaWindow = graft.text.TopK.perGroup(df, "g", "id", "value", 3)
+      .select(col("g"), col("rk"), col("id"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(viaAgg == viaWindow)
+    assert(viaAgg == Set(("a", 1L, 3L, 7.0), ("a", 2L, 5L, 7.0), ("a", 3L, 1L, 5.0),
+      ("b", 1L, 6L, 2.0)))
+  }
+}
+
 class SparseMeanAggregatorSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
 
