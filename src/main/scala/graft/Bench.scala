@@ -14,6 +14,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // without this, any plan feeding a .cache() compiles with AQE OFF
+      // (fixed 32-partition shuffles, no runtime coalesce) — the cached
+      // tokenize/shingle/label intermediates are exactly where adaptive
+      // coalescing matters most
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -167,35 +167,50 @@ object Dedup {
 
   /** Connected components over a near-duplicate pair list — the step
     * that turns pairwise matches into dedup GROUPS (keep the minimum
-    * id of each component, drop the rest). Iterative min-label
-    * propagation (Pregel-style BSP as DataFrame joins): every node
-    * starts labeled with its own id; each round takes the min of its
-    * own and its neighbors' labels; fixpoint after O(component
-    * diameter) rounds. Near-dup components are short chains in
-    * practice, so rounds stay small; each round is one equi-join +
-    * one partial-aggregated groupBy on the edge list, and the driver
-    * sees only the changed-label count. Output: (doc_id, rep_id) for
-    * every doc that appears in some pair, rep = component min id. */
+    * id of each component, drop the rest). Min-label propagation with
+    * pointer doubling (Pregel-style BSP as DataFrame joins): the
+    * initial label is fused with the first propagation round
+    * (min(self, neighbors)); each subsequent round takes the min over
+    * neighbors' labels, then shortcuts every label to its label's
+    * label, so convergence is O(log diameter) rounds instead of
+    * O(diameter). Every label value is always the id of a node in the
+    * same component (inductively: mins of member ids), which is what
+    * makes the label-of-label lookup well-defined. One action per
+    * round — the changed-label flag rides inside the cached frame, so
+    * the driver sees a single count and state stays O(1) driver-side.
+    * Output: (doc_id, rep_id) for every doc in some pair, rep =
+    * component min id. */
   def dedupGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).cache()
+    // fused round 1: label = min(self, direct neighbors); both
+    // directions are in `edges`, so groupBy(src) covers every node.
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("id"), least(col("id"), col("nmin")).as("label"))
+      .cache()
+    var retained = labels
     var changed = 1L
-    var it = 0
+    var it = 1
     while (changed > 0 && it < maxIter) {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src").as("nid")).agg(min(col("label")).as("nlabel"))
-      val next = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      val prop = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left")
+        .select(col("id"), col("label").as("old"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("lab1"))
+      // pointer doubling: label := label(label). lab1 is a member id,
+      // so the mapping join always hits; coalesce is belt-and-braces.
+      val hop = prop.select(col("id").as("mid"), col("lab1").as("mlabel"))
+      val next = prop.join(hop, prop("lab1") === hop("mid"), "left")
+        .select(prop("id"),
+          coalesce(col("mlabel"), col("lab1")).as("label"),
+          (coalesce(col("mlabel"), col("lab1")) =!= col("old")).as("chg"))
         .cache()
-      changed = next.as("n")
-        .join(labels.select(col("id"), col("label").as("old")).as("o"), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist(blocking = false)
-      labels = next
+      changed = next.filter(col("chg")).count()
+      retained.unpersist(blocking = false)
+      retained = next
+      labels = next.select(col("id"), col("label"))
       it += 1
     }
     edges.unpersist(blocking = false)
