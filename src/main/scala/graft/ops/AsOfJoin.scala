@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of (temporal) join — for every left row, attach the payload of
+  * the latest right row with the same key whose timestamp is at or
+  * before (inclusive) / strictly before (strict) the left timestamp.
+  * The operator a feature-store / market-data / slowly-changing-
+  * dimension lookup needs, and one Spark has no built-in for.
+  *
+  * Spark-first formulation: NOT a range join (whose naive plan is a
+  * per-key cross product) but the single-shuffle union+window
+  * technique — tag each side, union, then one window pass per key
+  * ordered by (ts, side) where the side bit makes the window see
+  * right rows at-or-before (or strictly-before) the left row; a
+  * running `last(payload, ignoreNulls)` is then exactly the as-of
+  * match. Cost: ONE shuffle on the key columns + a sort within
+  * partitions — same shape as any windowed aggregation, no pair
+  * explosion, driver state O(0); at 100 TB it scales exactly as far
+  * as sessionization does.
+  *
+  * Determinism: if several right rows share (keys, ts), the window
+  * order among them is unspecified — pre-reduce the right side to one
+  * row per (keys, ts) (see q59's arg-max reduction) when that matters.
+  */
+object AsOfJoin {
+
+  /** @param on       equi-key column names (both sides)
+    * @param leftTs   left ordering column (any orderable type; both
+    *                 sides must be mutually comparable)
+    * @param rightTs  right ordering column
+    * @param payload  right columns to carry onto matched left rows
+    *                 (null when no right row precedes the left row)
+    * @param prefix   prefix for the attached payload columns
+    * @param inclusive true → right.ts <= left.ts (default as-of
+    *                 semantics); false → strictly earlier only
+    */
+  def asOf(left: DataFrame, right: DataFrame, on: Seq[String],
+           leftTs: String, rightTs: String, payload: Seq[String],
+           prefix: String = "asof_", inclusive: Boolean = true): DataFrame = {
+    val lCols = left.columns.toSeq
+    // at equal ts the window must include right rows iff inclusive:
+    // window order is (ts, side), rows from unbounded preceding to
+    // CURRENT row — right sorts before left when its side bit is lower
+    val (rSide, lSide) = if (inclusive) (0, 1) else (1, 0)
+
+    val pStruct = struct(payload.map(col): _*)
+    val pType = right.select(pStruct.as("_p")).schema("_p").dataType
+    val lStruct = struct(lCols.map(col): _*)
+    val lType = left.select(lStruct.as("_lrow")).schema("_lrow").dataType
+
+    val l = left.select(
+      on.map(col) ++ Seq(
+        col(leftTs).as("_ts"), lit(lSide).as("_side"),
+        lStruct.as("_lrow"), lit(null).cast(pType).as("_p")): _*)
+    val r = right.select(
+      on.map(col) ++ Seq(
+        col(rightTs).as("_ts"), lit(rSide).as("_side"),
+        lit(null).cast(lType).as("_lrow"), pStruct.as("_p")): _*)
+
+    val w = Window.partitionBy(on.map(col): _*)
+      .orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    l.unionByName(r)
+      .withColumn("_asof", last(col("_p"), ignoreNulls = true).over(w))
+      .filter(col("_side") === lSide)
+      .select(lCols.map(c => col(s"_lrow.$c").as(c)) ++
+        payload.map(p => col(s"_asof.$p").as(prefix + p)): _*)
+  }
+}

@@ -179,6 +179,26 @@ object EventQueries {
         .orderBy(col("event_type"), col("rk"))
     }),
 
+    // As-of (temporal) join: each click gets the user's most recent
+    // at-or-before purchase (value + time). Implemented as ONE shuffle
+    // (union + window over user_id — see graft.ops.AsOfJoin), not a
+    // range join; oracle is DuckDB's native ASOF LEFT JOIN, proving
+    // the formulation's semantics. Purchases are arg-max-reduced per
+    // (user, ts) first so ties are deterministic in both engines.
+    "q59_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("p_us"))
+        .agg(max_by(col("value"), col("event_id")).as("p_value"))
+      graft.ops.AsOfJoin.asOf(clicks, purchases, Seq("user_id"),
+          leftTs = "us", rightTs = "p_us",
+          payload = Seq("p_us", "p_value"), prefix = "")
+        .orderBy(col("event_id"))
+    }),
+
     // Salted two-stage aggregation (hot-key mitigation): identical
     // result to a plain GROUP BY — the oracle proves it — with a
     // uniform stage-1 shuffle even under single-key skew.
@@ -254,6 +274,19 @@ object EventQueries {
         |SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
         |  CAST(rk AS BIGINT) AS rk, event_id, value
         |FROM ranked WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin,
+    "q59_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us, value
+        |  FROM events WHERE event_type = 'click'
+        |), purch AS (
+        |  SELECT user_id, epoch_us(ts) AS p_us, arg_max(value, event_id) AS p_value
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, epoch_us(ts)
+        |)
+        |SELECT c.event_id, c.user_id, c.us, c.value, p.p_us, p.p_value
+        |FROM clicks c ASOF LEFT JOIN purch p
+        |  ON c.user_id = p.user_id AND c.us >= p.p_us
+        |ORDER BY c.event_id""".stripMargin,
     "q43_salted_agg" ->
       """SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.AsOfJoin
+
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def left = Seq(
+    // (id, key, ts)
+    (1L, "u1", 100L), (2L, "u1", 200L), (3L, "u1", 50L),
+    (4L, "u2", 100L), (5L, "u3", 100L)
+  ).toDF("id", "k", "ts")
+
+  private def right = Seq(
+    // (key, ts, v)
+    ("u1", 100L, 1.0), ("u1", 150L, 2.0),
+    ("u2", 101L, 3.0)
+  ).toDF("k", "rts", "v")
+
+  test("inclusive as-of: latest right row with rts <= ts, null when none") {
+    val got = AsOfJoin.asOf(left, right, Seq("k"), "ts", "rts",
+        payload = Seq("rts", "v"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some((r.getLong(3), r.getDouble(4))))).toMap
+    assert(got == Map(
+      1L -> Some((100L, 1.0)), // equal ts matches (inclusive)
+      2L -> Some((150L, 2.0)), // latest of the two
+      3L -> None,              // nothing at or before 50
+      4L -> None,              // u2's only right row is later
+      5L -> None))             // u3 has no right rows
+  }
+
+  test("strict as-of excludes equal-ts right rows") {
+    val got = AsOfJoin.asOf(left, right, Seq("k"), "ts", "rts",
+        payload = Seq("v"), inclusive = false)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(1L).isEmpty) // rts=100 no longer visible at ts=100
+    assert(got(2L).contains(2.0))
+  }
+
+  test("left columns and row count are preserved exactly") {
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "ts", "rts",
+      payload = Seq("v"), prefix = "p_")
+    assert(out.columns.toSeq == Seq("id", "k", "ts", "p_v"))
+    assert(out.count() == left.count())
+    assert(out.select("id", "k", "ts").collect().toSet ==
+      left.select("id", "k", "ts").collect().toSet)
+  }
+
+  test("matches a brute-force as-of on the events table") {
+    val ev = graft.io.Tables.events(spark, TestSession.sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+    val got = AsOfJoin.asOf(clicks, purchases, Seq("user_id"), "us", "p_us",
+        payload = Seq("p_us"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    // brute force: non-equi join + max
+    val brute = clicks.as("c")
+      .join(purchases.as("p"),
+        col("c.user_id") === col("p.user_id") && col("p.p_us") <= col("c.us"),
+        "left")
+      .groupBy(col("c.event_id")).agg(max(col("p.p_us")).as("m"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == brute)
+    assert(got.values.exists(_.nonEmpty), "corpus should produce some matches")
+  }
+}
