@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval (range) join — match every point row to every
+  * interval row with lo <= point < hi. Spark's planner turns the
+  * naive non-equi formulation into a broadcast-nested-loop (or worse,
+  * a cartesian) — fine for a tiny interval side, fatal when both
+  * sides are large. The scale-safe restatement is GRID BUCKETING:
+  *
+  *  - pick a cell size; each point hashes to exactly one cell
+  *    (floor(p / cell));
+  *  - each interval explodes to the cells it covers
+  *    (sequence(floor(lo/cell), floor((hi-ε)/cell)));
+  *  - equi-join on the cell key, then re-check lo <= p < hi.
+  *
+  * Each (point, interval) pair meets in at most ONE cell (the point's),
+  * so no dedup pass is needed. Cost: a hash shuffle on the cell key —
+  * the same shape as any equi join, AQE-skew-splittable — plus an
+  * interval amplification of ~(len/cell + 1) rows, tunable via
+  * `cellSize` (set it near the typical interval length).
+  */
+object RangeJoin {
+
+  /** @param points    left side; every column is kept
+    * @param intervals right side; every column is kept (callers
+    *                  prefix/rename to avoid collisions)
+    * @param pointCol  numeric point column on `points`
+    * @param loCol     interval start (inclusive) on `intervals`
+    * @param hiCol     interval end (exclusive) on `intervals`
+    * @param cellSize  grid cell width (> 0) */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+                      pointCol: String, loCol: String, hiCol: String,
+                      cellSize: Double): DataFrame = {
+    require(cellSize > 0, "cellSize must be positive")
+    val p = points.withColumn("_cell",
+      floor(col(pointCol).cast("double") / cellSize).cast("long"))
+    // last covered cell: the one containing the largest value < hi.
+    // For half-open [lo, hi) that is cell(hi) when hi is interior to
+    // it, cell(hi)-1 when hi lands exactly on a cell boundary.
+    val loCell = floor(col(loCol).cast("double") / cellSize).cast("long")
+    val hiBoundary = col(hiCol).cast("double") / cellSize
+    val hiCell = (ceil(hiBoundary) - 1).cast("long")
+    val i = intervals
+      .filter(col(loCol) < col(hiCol)) // empty intervals match nothing
+      .withColumn("_cell", explode(sequence(loCell, greatest(loCell, hiCell))))
+    p.join(i, Seq("_cell"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("_cell")
+  }
+}

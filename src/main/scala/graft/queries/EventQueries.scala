@@ -199,6 +199,33 @@ object EventQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Range (point-in-interval) join: events against OVERLAPPING
+    // sliding value bands [5k, 5k+10) — each event lands in two bands,
+    // so this is a genuine interval join, not a bucketing. Implemented
+    // by grid-cell equi join (graft.ops.RangeJoin) — a hash shuffle,
+    // not the BroadcastNestedLoop Spark would plan for the non-equi
+    // predicate; oracle is DuckDB's plain non-equi join. The band
+    // dimension derives from exact extremes (floor(min)/ceil(max) —
+    // no double summation), so both engines build identical bands.
+    "q60_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+      val ext = ev.agg(floor(min(col("value"))).cast("long").as("vmin"),
+        ceil(max(col("value"))).cast("long").as("vmax"))
+      val bands = ext.select(explode(sequence(
+          floor(col("vmin") / 5).cast("long") - 1,
+          floor(col("vmax") / 5).cast("long"))).as("k"))
+        .select((col("k") * 5).cast("double").as("lo"),
+          (col("k") * 5 + 10).cast("double").as("hi"))
+      graft.ops.RangeJoin.pointInInterval(ev, bands, "value", "lo", "hi",
+          cellSize = 5.0)
+        .groupBy(col("lo").cast("long").as("band_lo"),
+          col("hi").cast("long").as("band_hi"))
+        .agg(count(lit(1)).as("n_events"),
+          (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
+            .as("sum_value"))
+        .orderBy(col("band_lo"))
+    }),
+
     // Salted two-stage aggregation (hot-key mitigation): identical
     // result to a plain GROUP BY — the oracle proves it — with a
     // uniform stage-1 shuffle even under single-key skew.
@@ -287,6 +314,22 @@ object EventQueries {
         |FROM clicks c ASOF LEFT JOIN purch p
         |  ON c.user_id = p.user_id AND c.us >= p.p_us
         |ORDER BY c.event_id""".stripMargin,
+    // bands derive from the occupied grid cells rather than min..max
+    // extremes (DuckDB's generate_series can't take column/subquery
+    // bounds) — empty bands drop out of the inner join on both
+    // engines, so the results are identical
+    "q60_range_join" ->
+      """WITH ks AS (
+        |  SELECT DISTINCT CAST(floor(value/5) AS BIGINT) - i AS k
+        |  FROM events, (VALUES (0), (1)) AS s(i)
+        |), bands AS (
+        |  SELECT CAST(k*5 AS DOUBLE) AS lo, CAST(k*5+10 AS DOUBLE) AS hi FROM ks
+        |)
+        |SELECT CAST(lo AS BIGINT) AS band_lo, CAST(hi AS BIGINT) AS band_hi,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+        |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        |GROUP BY 1, 2 ORDER BY band_lo""".stripMargin,
     "q43_salted_agg" ->
       """SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value

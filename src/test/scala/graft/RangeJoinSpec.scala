@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.RangeJoin
+
+class RangeJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("half-open boundaries, multi-cell spans, overlaps, empty intervals") {
+    val points = Seq((1L, 0.0), (2L, 5.0), (3L, 9.999), (4L, 10.0), (5L, 25.0))
+      .toDF("pid", "v")
+    val intervals = Seq(
+      ("a", 0.0, 10.0),   // spans cells 0-3 at cell=3
+      ("b", 5.0, 10.0),   // overlaps a
+      ("c", 10.0, 10.0),  // empty — matches nothing
+      ("d", 9.0, 11.0))   // crosses the 10 boundary
+      .toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, intervals, "v", "lo", "hi", 3.0)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set(
+      (1L, "a"),             // v=0: lo inclusive
+      (2L, "a"), (2L, "b"),  // overlap → two matches
+      (3L, "a"), (3L, "b"), (3L, "d"),
+      (4L, "d"),             // v=10: hi exclusive for a/b, inside d
+      // v=25 matches nothing
+    ))
+  }
+
+  test("grid join == naive non-equi join on seeded random data") {
+    val points = spark.range(500).select(col("id").as("pid"),
+      (pmod(hash(col("id")), lit(1000)).cast("double") / 10.0).as("v"))
+    val intervals = spark.range(80).select(col("id").as("iid"),
+      (pmod(hash(col("id") + 7), lit(900)).cast("double") / 10.0).as("lo"))
+      .withColumn("hi", col("lo") + (pmod(hash(col("iid") * 3), lit(150)).cast("double") / 10.0))
+    val grid = RangeJoin.pointInInterval(points, intervals, "v", "lo", "hi", 4.0)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.join(intervals,
+        points("v") >= intervals("lo") && points("v") < intervals("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(grid == naive)
+    assert(naive.nonEmpty, "seeded data should produce matches")
+  }
+
+  test("plan is an equi join on the cell key, no nested-loop/cartesian") {
+    val points = spark.range(100).select(col("id").as("pid"),
+      col("id").cast("double").as("v"))
+    val intervals = spark.range(100).select(col("id").as("iid"),
+      col("id").cast("double").as("lo"), (col("id") + 5).cast("double").as("hi"))
+    val plan = RangeJoin.pointInInterval(points, intervals, "v", "lo", "hi", 5.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
