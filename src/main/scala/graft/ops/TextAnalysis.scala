@@ -95,6 +95,47 @@ object TextAnalysis {
       when(substring(md5(col(idCol).cast("string")), 1, 2) < valHexCeil, "val")
         .otherwise("train"))
 
+  /** Deterministic stratified sampling — rebalance a training mix by
+    * keeping a different fraction per stratum (language, source,
+    * quality band). Same engine-portable primitive as [[withSplit]]:
+    * keep a row iff the first four hex chars of md5(id-as-string)
+    * sort below the stratum's threshold (rate quantized to 1/65536,
+    * so both engines pick bit-identical row sets — no seeded RNG
+    * state, stable under reshuffles). A pure codegen'd filter — no
+    * shuffle, no sampling pass. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double = 0.0): DataFrame = {
+    def hexCeil(r: Double): String =
+      if (r >= 1.0) "g" // sorts above every hex digit — keeps all rows
+      else f"${math.max(0L, math.round(r * 65536))}%04x"
+    val thr = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(hexCeil(defaultRate))) { case (acc, (k, r)) =>
+        when(col(strataCol) === k, lit(hexCeil(r))).otherwise(acc)
+      }
+    df.filter(substring(md5(col(idCol).cast("string")), 1, 4) < thr)
+  }
+
+  /** Sequence packing — group consecutive docs into token-budget bins
+    * (the packing step before training-sequence construction). Within
+    * each shard, rows ordered by `orderCol` get
+    * `pack_bin = (running token total BEFORE the row) div budget`:
+    * contiguous fill, each bin overflowing by at most one document.
+    * Deterministic given (shard, order) and expressible as one window
+    * running sum — a single shuffle on the shard key; shard count
+    * scales the parallelism, driver holds nothing. */
+  def packSequences(df: DataFrame, shardCol: String, orderCol: String,
+                    nTokensCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("pack_bin",
+      floor((sum(col(nTokensCol)).over(w) - col(nTokensCol))
+        .cast("double") / budget).cast("long"))
+  }
+
   /** PII patterns shared by the scrubber and its oracle — kept to the
     * regex subset Java and RE2 interpret identically (character
     * classes, bounded counts, \b, no backrefs/lookarounds). */

@@ -102,6 +102,31 @@ object PipelineOps {
         .orderBy(col("split"))
     }),
 
+    // Stratified sampling: per-lang keep rates (upsample scarce langs,
+    // downsample dominant ones) via the deterministic md5-threshold —
+    // both engines select the bit-identical row set.
+    "q61_stratified_sample" -> ((s, d) => {
+      TextAnalysis.stratifiedSample(Tables.documents(s, d), "doc_id", "lang",
+          rates = Map("en" -> 0.25, "de" -> 1.0, "es" -> 0.5,
+            "fr" -> 1.0, "zh" -> 0.5))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("lang"))
+    }),
+
+    // Sequence packing: token-budget bins within doc_id%8 shards —
+    // one window running sum; per-bin doc/token rollup.
+    "q62_pack_sequences" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        (col("doc_id") % 8).as("shard"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      TextAnalysis.packSequences(docs, "shard", "doc_id", "n_tokens",
+          budget = 256)
+        .groupBy(col("shard"), col("pack_bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy(col("shard"), col("pack_bin"))
+    }),
+
     // PII scrub: email/phone redaction with audit counts; verified by
     // redacted-text hash so the full replacement semantics are pinned.
     "q55_pii_redact" -> ((s, d) => {
@@ -356,6 +381,28 @@ object PipelineOps {
         |  FROM documents)
         |SELECT split, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM s GROUP BY split ORDER BY split""".stripMargin,
+    "q61_stratified_sample" ->
+      """SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |  CASE lang WHEN 'en' THEN '4000' WHEN 'de' THEN 'g'
+        |            WHEN 'es' THEN '8000' WHEN 'fr' THEN 'g'
+        |            WHEN 'zh' THEN '8000' ELSE '0000' END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q62_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), p AS (
+        |  SELECT shard, n_tokens,
+        |    (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+        |      // 256 AS pack_bin
+        |  FROM t)
+        |SELECT shard, CAST(pack_bin AS BIGINT) AS pack_bin,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM p GROUP BY 1, 2 ORDER BY shard, pack_bin""".stripMargin,
     "q30_embed_neardup" -> (EmbCte +
       """, dots AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.TextAnalysis
+
+class TrainPipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("stratifiedSample: rate 1 keeps all, rate 0 keeps none, default applies") {
+    val docs = graft.io.Tables.documents(spark, TestSession.sf)
+    val perLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = TextAnalysis.stratifiedSample(docs, "doc_id", "lang",
+        rates = Map("en" -> 1.0, "de" -> 0.0), defaultRate = 0.5)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("en") == perLang("en"))
+    assert(!kept.contains("de"))
+    // default-rate strata keep a nonzero strict subset
+    val others = perLang.keySet - "en" - "de"
+    assert(others.forall(l => kept.getOrElse(l, 0L) > 0 && kept(l) < perLang(l)))
+  }
+
+  test("stratifiedSample: rate is approximately honored and deterministic") {
+    val df = spark.range(20000).select(col("id"), lit("s").as("g"))
+    val n1 = TextAnalysis.stratifiedSample(df, "id", "g", Map("s" -> 0.3)).count()
+    val n2 = TextAnalysis.stratifiedSample(df, "id", "g", Map("s" -> 0.3)).count()
+    assert(n1 == n2, "same inputs must select the same rows")
+    assert(math.abs(n1 / 20000.0 - 0.3) < 0.02, s"rate off: ${n1 / 20000.0}")
+  }
+
+  test("packSequences: contiguous fill, bounded overflow, bins start at 0") {
+    val docs = Seq(
+      // shard 0: tokens 60,60,60,60 with budget 100 → bins 0,0,1,1
+      (0L, 0L, 60L), (1L, 0L, 60L), (2L, 0L, 60L), (3L, 0L, 60L),
+      // shard 1: a single over-budget doc still gets a bin
+      (4L, 1L, 250L), (5L, 1L, 10L)
+    ).toDF("doc_id", "shard", "n_tokens")
+    val got = TextAnalysis.packSequences(docs, "shard", "doc_id", "n_tokens", 100L)
+      .select("doc_id", "pack_bin").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 1L,
+      4L -> 0L, 5L -> 2L))
+  }
+
+  test("packSequences invariants on the corpus: bins contiguous per shard") {
+    val docs = graft.io.Tables.documents(spark, TestSession.sf).select(col("doc_id"),
+      (col("doc_id") % 4).as("shard"),
+      size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+    val bins = TextAnalysis.packSequences(docs, "shard", "doc_id", "n_tokens", 256L)
+      .groupBy("shard").agg(min("pack_bin").as("mn"), max("pack_bin").as("mx"),
+        countDistinct("pack_bin").as("nd"))
+      .collect()
+    bins.foreach { r =>
+      assert(r.getLong(1) == 0L, "first bin must be 0")
+      assert(r.getLong(3) == r.getLong(2) + 1, "bins must be contiguous")
+    }
+  }
+}
