@@ -4,9 +4,11 @@
 // expressions (Spark 4's Column wraps a ColumnNode, not an Expression).
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{classic, Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.execution.SparkStrategy
 
 object Bridge {
   /** Wrap a Catalyst Expression as a user-facing Column. */
@@ -14,4 +16,17 @@ object Bridge {
 
   /** Unwrap a Column back to its Catalyst Expression. */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Wrap a (resolved) LogicalPlan as a DataFrame — how extension
+    * libraries surface custom logical operators as user API. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Idempotently add a planner strategy to a live session (the
+    * runtime analogue of SparkSessionExtensions.injectPlannerStrategy). */
+  def addStrategy(spark: SparkSession, s: SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(s))
+      exp.extraStrategies = exp.extraStrategies :+ s
+  }
 }

@@ -52,8 +52,11 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions`-compatible injection point. */
+/** `spark.sql.extensions`-compatible injection point: native SQL
+  * functions + the whole-operator as-of join planner strategy. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }

@@ -3,6 +3,9 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.Project
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** As-of (temporal) join — for every left row, attach the payload of
   * the latest right row with the same key whose timestamp is at or
@@ -69,5 +72,34 @@ object AsOfJoin {
       .filter(col("_side") === lSide)
       .select(lCols.map(c => col(s"_lrow.$c").as(c)) ++
         payload.map(p => col(s"_asof.$p").as(prefix + p)): _*)
+  }
+
+  /** Same contract as [[asOf]], executed by the NATIVE sort-merge
+    * operator ([[graft.plans.AsOfJoinExec]]) instead of the
+    * union+window plan — a whole-operator Catalyst extension (logical
+    * node + planner strategy + physical exec). Registers the strategy
+    * on the session idempotently; result-equal to [[asOf]]
+    * (AsOfJoinSpec + the shared q59/q63 oracle prove it). */
+  def asOfMerge(left: DataFrame, right: DataFrame, on: Seq[String],
+                leftTs: String, rightTs: String, payload: Seq[String],
+                prefix: String = "asof_", inclusive: Boolean = true): DataFrame = {
+    val spark = left.sparkSession
+    Bridge.addStrategy(spark, graft.plans.AsOfJoinStrategy)
+    val lPlan = left.queryExecution.analyzed
+    // re-alias the right side so self-joins don't carry duplicate
+    // attribute ids into the combined plan
+    val r0 = right.queryExecution.analyzed
+    val rPlan = Project(r0.output.map(a => Alias(a, a.name)()), r0)
+    def attr(out: Seq[Attribute], n: String): Attribute =
+      out.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found in ${out.map(_.name)}"))
+    val payloadAttrs = payload.map(attr(rPlan.output, _))
+    val payloadOut = payloadAttrs.map(a =>
+      AttributeReference(prefix + a.name, a.dataType, nullable = true)())
+    Bridge.ofRows(spark, graft.plans.AsOfJoinPlan(
+      lPlan, rPlan,
+      on.map(attr(lPlan.output, _)), on.map(attr(rPlan.output, _)),
+      attr(lPlan.output, leftTs), attr(rPlan.output, rightTs),
+      payloadAttrs, payloadOut, inclusive))
   }
 }

@@ -199,6 +199,24 @@ object EventQueries {
         .orderBy(col("event_id"))
     }),
 
+    // The SAME as-of join computed by the native whole-operator
+    // extension (custom LogicalPlan → strategy → sort-merge exec,
+    // graft.plans.AsOfJoinExec) — sharing q59's oracle proves the
+    // custom physical operator end-to-end against DuckDB.
+    "q63_asof_native" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("p_us"))
+        .agg(max_by(col("value"), col("event_id")).as("p_value"))
+      graft.ops.AsOfJoin.asOfMerge(clicks, purchases, Seq("user_id"),
+          leftTs = "us", rightTs = "p_us",
+          payload = Seq("p_us", "p_value"), prefix = "")
+        .orderBy(col("event_id"))
+    }),
+
     // Range (point-in-interval) join: events against OVERLAPPING
     // sliding value bands [5k, 5k+10) — each event lands in two bands,
     // so this is a genuine interval join, not a bucketing. Implemented
@@ -284,6 +302,22 @@ object EventQueries {
         |  count(*) AS n_events
         |FROM sids GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Shared by q59 (union+window plan) and q63 (native sort-merge
+    * exec) — both must match DuckDB's native ASOF JOIN. */
+  private val AsOfSql =
+    """WITH clicks AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS us, value
+      |  FROM events WHERE event_type = 'click'
+      |), purch AS (
+      |  SELECT user_id, epoch_us(ts) AS p_us, arg_max(value, event_id) AS p_value
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY user_id, epoch_us(ts)
+      |)
+      |SELECT c.event_id, c.user_id, c.us, c.value, p.p_us, p.p_value
+      |FROM clicks c ASOF LEFT JOIN purch p
+      |  ON c.user_id = p.user_id AND c.us >= p.p_us
+      |ORDER BY c.event_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q39_event_hourly" -> HourlySql,
     "q41_stream_hourly" -> HourlySql,
@@ -301,19 +335,8 @@ object EventQueries {
         |SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
         |  CAST(rk AS BIGINT) AS rk, event_id, value
         |FROM ranked WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin,
-    "q59_asof_join" ->
-      """WITH clicks AS (
-        |  SELECT event_id, user_id, epoch_us(ts) AS us, value
-        |  FROM events WHERE event_type = 'click'
-        |), purch AS (
-        |  SELECT user_id, epoch_us(ts) AS p_us, arg_max(value, event_id) AS p_value
-        |  FROM events WHERE event_type = 'purchase'
-        |  GROUP BY user_id, epoch_us(ts)
-        |)
-        |SELECT c.event_id, c.user_id, c.us, c.value, p.p_us, p.p_value
-        |FROM clicks c ASOF LEFT JOIN purch p
-        |  ON c.user_id = p.user_id AND c.us >= p.p_us
-        |ORDER BY c.event_id""".stripMargin,
+    "q59_asof_join" -> AsOfSql,
+    "q63_asof_native" -> AsOfSql,
     // bands derive from the occupied grid cells rather than min..max
     // extremes (DuckDB's generate_series can't take column/subquery
     // bounds) — empty bands drop out of the inner join on both

@@ -51,6 +51,33 @@ class AsOfJoinSpec extends AnyFunSuite {
       left.select("id", "k", "ts").collect().toSet)
   }
 
+  test("native sort-merge exec: same results as the window formulation") {
+    for (incl <- Seq(true, false)) {
+      val win = AsOfJoin.asOf(left, right, Seq("k"), "ts", "rts",
+        payload = Seq("rts", "v"), inclusive = incl)
+      val mrg = AsOfJoin.asOfMerge(left, right, Seq("k"), "ts", "rts",
+        payload = Seq("rts", "v"), inclusive = incl)
+      assert(mrg.columns.toSeq == win.columns.toSeq)
+      assert(mrg.collect().toSet == win.collect().toSet, s"inclusive=$incl")
+    }
+  }
+
+  test("native exec plans as AsOfJoinExec with clustered exchanges, and self-joins work") {
+    val ev = graft.io.Tables.events(spark, TestSession.sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+    val mrg = AsOfJoin.asOfMerge(clicks, purchases, Seq("user_id"), "us", "p_us",
+      payload = Seq("p_us"), prefix = "")
+    val plan = mrg.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin ") && plan.contains("Exchange hashpartitioning"),
+      plan.take(500))
+    val win = AsOfJoin.asOf(clicks, purchases, Seq("user_id"), "us", "p_us",
+      payload = Seq("p_us"), prefix = "")
+    assert(mrg.collect().toSet == win.collect().toSet)
+  }
+
   test("matches a brute-force as-of on the events table") {
     val ev = graft.io.Tables.events(spark, TestSession.sf)
     val clicks = ev.filter(col("event_type") === "click")
