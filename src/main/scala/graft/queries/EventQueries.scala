@@ -160,6 +160,40 @@ object EventQueries {
       s.table(name).orderBy(col("event_type"))
     }),
 
+    // STREAM-STREAM inner join: clicks ⋈ same-user purchases within
+    // the preceding hour, with watermarks on BOTH sides so join state
+    // is evicted once the time-range condition can no longer match
+    // (the canonical watermark + event-time-range form). Inner-join
+    // matches emit as they are found, so the result equals the batch
+    // join — which is the oracle.
+    "q64_stream_stream_join" -> ((s, d) => {
+      val name = s"stream_ssj_${streamId.incrementAndGet()}"
+      val schema = Tables.eventsRaw(s, d).schema
+      def src = s.readStream.schema(schema).parquet(s"$d/events*.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+      val joinedS = clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+          col("p_ts") <= col("c_ts"))
+      withStreamPartitions(s) {
+        val q = joinedS.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      s.table(name)
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          unix_micros(col("c_ts")).as("c_us"), unix_micros(col("p_ts")).as("p_us"))
+        .orderBy(col("click_id"), col("purchase_id"))
+    }),
+
     // Per-group top-k AS AN AGGREGATE (bounded buffers, map-side
     // combine) composed with count in ONE groupBy pass — the window
     // formulation would need a window pass plus a join for the same
@@ -337,6 +371,14 @@ object EventQueries {
         |FROM ranked WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin,
     "q59_asof_join" -> AsOfSql,
     "q63_asof_native" -> AsOfSql,
+    "q64_stream_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.user_id, epoch_us(c.ts) AS c_us, epoch_us(p.ts) AS p_us
+        |FROM events c JOIN events p
+        |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND c.user_id = p.user_id
+        |  AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts
+        |ORDER BY click_id, purchase_id""".stripMargin,
     // bands derive from the occupied grid cells rather than min..max
     // extremes (DuckDB's generate_series can't take column/subquery
     // bounds) — empty bands drop out of the inner join on both
