@@ -78,6 +78,20 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(mrg.collect().toSet == win.collect().toSet)
   }
 
+  test("composite keys: both formulations agree with brute force") {
+    val l = Seq((1L, "a", 1L, 100L), (2L, "a", 2L, 100L), (3L, "b", 1L, 100L))
+      .toDF("id", "k1", "k2", "ts")
+    val r = Seq(("a", 1L, 90L, 1.0), ("a", 2L, 95L, 2.0), ("b", 2L, 80L, 3.0))
+      .toDF("k1", "k2", "rts", "v")
+    val expected = Map(1L -> Some(1.0), 2L -> Some(2.0), 3L -> None)
+    for (f <- Seq(AsOfJoin.asOf _, AsOfJoin.asOfMerge _)) {
+      val got = f(l, r, Seq("k1", "k2"), "ts", "rts", Seq("v"), "p_", true)
+        .collect().map(row => row.getLong(0) ->
+          (if (row.isNullAt(4)) None else Some(row.getDouble(4)))).toMap
+      assert(got == expected)
+    }
+  }
+
   test("matches a brute-force as-of on the events table") {
     val ev = graft.io.Tables.events(spark, TestSession.sf)
     val clicks = ev.filter(col("event_type") === "click")

@@ -43,6 +43,14 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(naive.nonEmpty, "seeded data should produce matches")
   }
 
+  test("negative domains: floor-based cells stay correct below zero") {
+    val points = Seq((1L, -7.5), (2L, -0.1), (3L, 0.0)).toDF("pid", "v")
+    val intervals = Seq(("a", -10.0, -5.0), ("b", -1.0, 1.0)).toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, intervals, "v", "lo", "hi", 3.0)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "b"), (3L, "b")))
+  }
+
   test("plan is an equi join on the cell key, no nested-loop/cartesian") {
     val points = spark.range(100).select(col("id").as("pid"),
       col("id").cast("double").as("v"))
