@@ -278,6 +278,23 @@ object EventQueries {
         .orderBy(col("band_lo"))
     }),
 
+    // Mergeable HLL distinct sketches: per-shard partials unioned to
+    // per-type estimates (the pre-aggregated-rollup pattern for
+    // COUNT DISTINCT at scale). Sketch bytes aren't cross-engine —
+    // rows-only here; SketchesSpec asserts merge-exactness and error
+    // bounds vs exact.
+    "q65_hll_distinct" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("user_id"),
+          (col("event_id") % 16).as("shard"))
+      graft.ops.Sketches.estimate(graft.ops.Sketches.mergeSketches(
+          graft.ops.Sketches.distinctSketch(ev, Seq("event_type", "shard"),
+            "user_id"),
+          Seq("event_type")))
+        .select(col("event_type"), col("approx_distinct"))
+        .orderBy(col("event_type"))
+    }),
+
     // Salted two-stage aggregation (hot-key mitigation): identical
     // result to a plain GROUP BY — the oracle proves it — with a
     // uniform stage-1 shuffle even under single-key skew.
