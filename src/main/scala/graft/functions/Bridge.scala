@@ -26,7 +26,11 @@ object Bridge {
     * runtime analogue of SparkSessionExtensions.injectPlannerStrategy). */
   def addStrategy(spark: SparkSession, s: SparkStrategy): Unit = {
     val exp = spark.asInstanceOf[classic.SparkSession].experimental
-    if (!exp.extraStrategies.contains(s))
-      exp.extraStrategies = exp.extraStrategies :+ s
+    // extraStrategies is a plain var — serialize the check-then-append
+    // so concurrent registrations can't drop each other's strategies
+    exp.synchronized {
+      if (!exp.extraStrategies.contains(s))
+        exp.extraStrategies = exp.extraStrategies :+ s
+    }
   }
 }

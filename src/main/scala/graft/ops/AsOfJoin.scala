@@ -27,6 +27,11 @@ import org.apache.spark.sql.graftbridge.Bridge
   * Determinism: if several right rows share (keys, ts), the window
   * order among them is unspecified — pre-reduce the right side to one
   * row per (keys, ts) (see q59's arg-max reduction) when that matters.
+  *
+  * Null semantics (both formulations, matching SQL equi joins and
+  * DuckDB ASOF): a null in any right key or in the right ts means the
+  * row can never be matched; a left row with a null key or ts gets a
+  * null payload.
   */
 object AsOfJoin {
 
@@ -58,10 +63,15 @@ object AsOfJoin {
       on.map(col) ++ Seq(
         col(leftTs).as("_ts"), lit(lSide).as("_side"),
         lStruct.as("_lrow"), lit(null).cast(pType).as("_p")): _*)
-    val r = right.select(
-      on.map(col) ++ Seq(
-        col(rightTs).as("_ts"), lit(rSide).as("_side"),
-        lit(null).cast(lType).as("_lrow"), pStruct.as("_p")): _*)
+    // SQL null semantics: right rows with a null key or ts can never
+    // match (a left null key then sees an empty partition → null
+    // payload, exactly like the SQL equi condition)
+    val r = right
+      .filter(on.map(col(_).isNotNull).reduce(_ && _) && col(rightTs).isNotNull)
+      .select(
+        on.map(col) ++ Seq(
+          col(rightTs).as("_ts"), lit(rSide).as("_side"),
+          lit(null).cast(lType).as("_lrow"), pStruct.as("_p")): _*)
 
     val w = Window.partitionBy(on.map(col): _*)
       .orderBy(col("_ts"), col("_side"))
@@ -86,13 +96,26 @@ object AsOfJoin {
     val spark = left.sparkSession
     Bridge.addStrategy(spark, graft.plans.AsOfJoinStrategy)
     val lPlan = left.queryExecution.analyzed
-    // re-alias the right side so self-joins don't carry duplicate
-    // attribute ids into the combined plan
-    val r0 = right.queryExecution.analyzed
+    // SQL null semantics (same filter the window formulation applies):
+    // right rows with a null key or ts can never match. Re-alias the
+    // result so self-joins don't carry duplicate attribute ids.
+    val r0 = right
+      .filter(on.map(col(_).isNotNull).reduce(_ && _) && col(rightTs).isNotNull)
+      .queryExecution.analyzed
     val rPlan = Project(r0.output.map(a => Alias(a, a.name)()), r0)
     def attr(out: Seq[Attribute], n: String): Attribute =
       out.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column $n not found in ${out.map(_.name)}"))
+    // the exec compares keys/ts with orderings built from the LEFT
+    // types — fail loudly on mismatched sides instead of mis-reading
+    // the right rows (the window formulation would coerce via union)
+    on.foreach { k =>
+      val (lt, rt) = (attr(lPlan.output, k).dataType, attr(rPlan.output, k).dataType)
+      require(lt == rt, s"key '$k' type mismatch: $lt vs $rt — cast one side first")
+    }
+    require(attr(lPlan.output, leftTs).dataType == attr(rPlan.output, rightTs).dataType,
+      s"ts type mismatch: ${attr(lPlan.output, leftTs).dataType} vs " +
+        s"${attr(rPlan.output, rightTs).dataType} — cast one side first")
     val payloadAttrs = payload.map(attr(rPlan.output, _))
     val payloadOut = payloadAttrs.map(a =>
       AttributeReference(prefix + a.name, a.dataType, nullable = true)())

@@ -34,6 +34,8 @@ object RangeJoin {
                       pointCol: String, loCol: String, hiCol: String,
                       cellSize: Double): DataFrame = {
     require(cellSize > 0, "cellSize must be positive")
+    require(!points.columns.contains("_cell") && !intervals.columns.contains("_cell"),
+      "inputs must not already have a _cell column")
     val p = points.withColumn("_cell",
       floor(col(pointCol).cast("double") / cellSize).cast("long"))
     // last covered cell: the one containing the largest value < hi.

@@ -106,9 +106,13 @@ object TextAnalysis {
   def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
                        rates: Map[String, Double],
                        defaultRate: Double = 0.0): DataFrame = {
-    def hexCeil(r: Double): String =
-      if (r >= 1.0) "g" // sorts above every hex digit — keeps all rows
-      else f"${math.max(0L, math.round(r * 65536))}%04x"
+    def hexCeil(r: Double): String = {
+      val q = math.max(0L, math.round(r * 65536))
+      // rates rounding up to 65536 would format as the 5-char "10000",
+      // which sorts BELOW most 4-hex prefixes — treat as keep-all
+      if (q >= 65536L) "g" // sorts above every hex digit — keeps all rows
+      else f"$q%04x"
+    }
     val thr = rates.toSeq.sortBy(_._1)
       .foldLeft(lit(hexCeil(defaultRate))) { case (acc, (k, r)) =>
         when(col(strataCol) === k, lit(hexCeil(r))).otherwise(acc)

@@ -78,6 +78,33 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(mrg.collect().toSet == win.collect().toSet)
   }
 
+  test("null keys and null timestamps never match (SQL semantics)") {
+    val l = Seq((1L, Some("a"), Some(100L)), (2L, None, Some(100L)),
+        (3L, Some("a"), None))
+      .toDF("id", "k", "ts")
+    val r = Seq((Some("a"), Some(50L), 1.0), (None, Some(40L), 2.0),
+        (Some("a"), None, 3.0))
+      .toDF("k", "rts", "v")
+    for (f <- Seq(AsOfJoin.asOf _, AsOfJoin.asOfMerge _)) {
+      val got = f(l, r, Seq("k"), "ts", "rts", Seq("v"), "p_", true)
+        .collect().map(row => row.getLong(0) ->
+          (if (row.isNullAt(3)) None else Some(row.getDouble(3)))).toMap
+      assert(got == Map(
+        1L -> Some(1.0), // normal match; null-ts right row (3.0) skipped
+        2L -> None,      // null left key matches nothing (not the null right key)
+        3L -> None))     // null left ts matches nothing
+    }
+  }
+
+  test("asOfMerge rejects mismatched key/ts types loudly") {
+    val l = Seq((1L, 1, 100L)).toDF("id", "k", "ts")
+    val r = Seq((1L, 90L, 1.0)).toDF("k", "rts", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfMerge(l, r, Seq("k"), "ts", "rts", Seq("v"))
+    }
+    assert(e.getMessage.contains("type mismatch"))
+  }
+
   test("composite keys: both formulations agree with brute force") {
     val l = Seq((1L, "a", 1L, 100L), (2L, "a", 2L, 100L), (3L, "b", 1L, 100L))
       .toDF("id", "k1", "k2", "ts")

@@ -23,6 +23,13 @@ class TrainPipelineSpec extends AnyFunSuite {
     assert(others.forall(l => kept.getOrElse(l, 0L) > 0 && kept(l) < perLang(l)))
   }
 
+  test("stratifiedSample: rates rounding up to 1.0 keep everything (no hex overflow)") {
+    val df = spark.range(1000).select(col("id"), lit("s").as("g"))
+    // 0.9999999 rounds to 65536/65536 — must keep all rows, not ~6%
+    val n = TextAnalysis.stratifiedSample(df, "id", "g", Map("s" -> 0.9999999)).count()
+    assert(n == 1000L)
+  }
+
   test("stratifiedSample: rate is approximately honored and deterministic") {
     val df = spark.range(20000).select(col("id"), lit("s").as("g"))
     val n1 = TextAnalysis.stratifiedSample(df, "id", "g", Map("s" -> 0.3)).count()
