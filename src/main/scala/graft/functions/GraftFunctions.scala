@@ -41,7 +41,10 @@ object GraftFunctions {
         es(1).eval().asInstanceOf[Number].intValue())),
     (FunctionIdentifier("sig_matches"),
       info("sig_matches", "sig_matches(array<bigint>, array<bigint>) - equal minhash signature positions"),
-      (es: Seq[Expression]) => SigMatches(es(0), es(1)))
+      (es: Seq[Expression]) => SigMatches(es(0), es(1))),
+    (FunctionIdentifier("nfc"),
+      info("nfc", "nfc(string) - Unicode NFC normalization"),
+      (es: Seq[Expression]) => NfcNormalize(es.head))
   )
 
   /** Runtime registration into an existing session. */

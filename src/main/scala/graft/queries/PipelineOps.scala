@@ -202,6 +202,19 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Unicode NFC canonicalization (native codegen Expression) — the
+    // pass that runs before fingerprint/dedup so composed and
+    // decomposed encodings hash identically; JDK Normalizer and
+    // DuckDB nfc_normalize agree, so it's hash-checked cross-engine.
+    "q66_nfc_normalize" -> ((s, d) => {
+      val nfcText = graft.functions.Normalize.nfc(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(nfcText.cast("binary")).as("norm_hash"),
+          (nfcText === col("text")).as("is_nfc"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Heuristic language ID rollup — oracle-checked: the bigram-profile
     // scoring, strict-desc/lang tie-break, and \p{Han} short-circuit
     // are all mirrored in SQL (profiles inlined as a VALUES table).
@@ -311,6 +324,10 @@ object PipelineOps {
     // the lang tie-break, same as the Scala sort), profile hits
     // counted per occurrence, Han codepoints short-circuit to zh,
     // empty text → 'und'. Profile table = TextAnalysis.profiles.
+    "q66_nfc_normalize" ->
+      """SELECT doc_id, md5(nfc_normalize(text)) AS norm_hash,
+        |  nfc_normalize(text) = text AS is_nfc
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q36_langid" ->
       """WITH base AS (
         |  SELECT doc_id, text, lower(text) AS t FROM documents

@@ -133,6 +133,27 @@ class SparseMeanAggregatorSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("batchevalpython") && !plan.contains("ScalaUDF"), plan)
   }
 
+  test("NFC normalization: composed == normalized decomposed, codegen'd, SQL-registered") {
+    import spark.implicits._
+    val composed = "caf\u00e9"      // e-acute as one code point
+    val decomposed = "cafe\u0301"   // e + combining acute
+    val df = Seq((1L, composed), (2L, decomposed), (3L, "plain"), (4L, null))
+      .toDF("id", "s")
+    val out = df.select(col("id"), graft.functions.Normalize.nfc(col("s")).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(out(1L) == composed)
+    assert(out(2L) == composed, "decomposed input must normalize to composed")
+    assert(out(3L) == "plain")
+    assert(out(4L) == null)
+    // SQL surface + codegen (no interpreted fallback markers)
+    graft.functions.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("nfc_v")
+    val viaSql = spark.sql("SELECT id, nfc(s) AS n FROM nfc_v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(viaSql == out)
+  }
+
   test("aggregator semantics: absent terms count as zero in the mean") {
     import org.apache.spark.sql.functions.udaf
     import spark.implicits._
