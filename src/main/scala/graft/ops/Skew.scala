@@ -42,4 +42,23 @@ object Skew {
     saltedAgg(df, keys, salts,
       partials = Seq(sum(value).as("_ps")),
       merges = Seq(sum(col("_ps")).as("sum_value")))
+
+  /** Salted equi join for a skewed big side against a small-but-not-
+    * broadcastable dimension: the big side draws a random salt in
+    * [0, salts), the small side is replicated once per salt value, and
+    * the join key becomes (keys, salt) — a hot key's rows spread over
+    * `salts` reducers instead of landing on one. Because every salt
+    * bucket holds the full small side, the result equals the unsalted
+    * join for ANY salt assignment (inner and left joins; q67 oracle
+    * proves it). AQE's skew split does this at runtime from shuffle
+    * statistics; the explicit form covers engines/paths without AQE or
+    * skew known ahead of time. */
+  def saltedJoin(big: DataFrame, small: DataFrame, on: Seq[String],
+                 salts: Int = 16, joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left", "left_outer")(joinType),
+      "saltedJoin preserves semantics for inner/left joins only")
+    val b = big.withColumn("_salt", (rand(42L) * salts).cast("int"))
+    val s = small.withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
+    b.join(s, on :+ "_salt", joinType).drop("_salt")
+  }
 }

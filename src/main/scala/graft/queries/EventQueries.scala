@@ -308,6 +308,21 @@ object EventQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Salted JOIN (hot-key fan-out): events ⋈ per-type stats where
+    // every key is hot (5 keys carry all rows) — the salt spreads each
+    // key over 16 reducers; result provably equals the plain join.
+    "q67_salted_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val dim = ev.groupBy(col("event_type"))
+        .agg((sum(round(col("value") * 100).cast("long")).cast("double")
+          / (count(lit(1)) * 100.0)).as("avg_v"))
+      graft.ops.Skew.saltedJoin(ev, dim, Seq("event_type"), salts = 16)
+        .groupBy(col("event_type"))
+        .agg(count(when(col("value") > col("avg_v"), 1)).as("n_above"),
+          count(when(col("value") <= col("avg_v"), 1)).as("n_at_or_below"))
+        .orderBy(col("event_type"))
+    }),
+
     // SQL surface: the native expressions registered as SQL functions
     // (graft.functions.GraftFunctions) and used from spark.sql.
     "q44_sql_normsq" -> ((s, d) => {
@@ -416,6 +431,16 @@ object EventQueries {
       """SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q67_salted_join" ->
+      """WITH dim AS (
+        |  SELECT event_type,
+        |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/(count(*)*100.0) AS avg_v
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type,
+        |  count(CASE WHEN e.value > d.avg_v THEN 1 END) AS n_above,
+        |  count(CASE WHEN e.value <= d.avg_v THEN 1 END) AS n_at_or_below
+        |FROM events e JOIN dim d ON e.event_type = d.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "q44_sql_normsq" ->
       """SELECT vec_id,
         |  CAST(sum(CAST(round(v*v*1000000000) AS BIGINT)) AS BIGINT) AS nsq

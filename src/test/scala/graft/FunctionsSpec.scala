@@ -48,6 +48,28 @@ class SkewSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.toString
     assert(plan.contains("_salt"), plan)
   }
+
+  test("salted join equals the plain join (inner + left, shuffle path)") {
+    import spark.implicits._
+    val big = (Seq.fill(5000)(("hot", 1.0)) ++ Seq(("a", 2.0), ("orphan", 3.0)))
+      .toDF("k", "v")
+    val small = Seq(("hot", 10L), ("a", 20L), ("unused", 30L)).toDF("k", "w")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (jt <- Seq("inner", "left")) {
+        val salted = Skew.saltedJoin(big, small, Seq("k"), 8, jt)
+          .groupBy("k").agg(count(lit(1)).as("n"), sum("w").as("sw"))
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), if (r.isNullAt(2)) null else r.getLong(2))).toMap
+        val plain = big.join(small, Seq("k"), jt)
+          .groupBy("k").agg(count(lit(1)).as("n"), sum("w").as("sw"))
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), if (r.isNullAt(2)) null else r.getLong(2))).toMap
+        assert(salted == plain, s"joinType=$jt")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
 
 class TopKAggregatorSpec extends AnyFunSuite {
