@@ -176,6 +176,21 @@ object PipelineOps {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // SQ8 scalar quantization of embeddings (the vector-memory lever:
+    // float32 → uint8 codes against per-dim [min,max]). Codes are
+    // exact integer math from comparison-only stats → cross-engine
+    // hash-checked via per-vector code rollups.
+    "q68_sq8_quantize" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = graft.ops.Quantize.codebook(emb, "embedding")
+      graft.ops.Quantize.sq8(emb, "vec_id", "embedding", cb)
+        .select(col("vec_id"), size(col("codes")).as("d"),
+          aggregate(col("codes"), lit(0L), (a, x) => a + x).as("code_sum"),
+          array_min(col("codes")).as("code_min"),
+          array_max(col("codes")).as("code_max"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Quality metrics: every ratio int/int → deterministic, oracle-checked.
     "q33_quality" -> ((s, d) => {
       TextAnalysis.qualityMetrics(Tables.documents(s, d), "text")
@@ -324,6 +339,20 @@ object PipelineOps {
     // the lang tie-break, same as the Scala sort), profile hits
     // counted per occurrence, Han codepoints short-circuit to zh,
     // empty text → 'und'. Profile table = TextAnalysis.profiles.
+    "q68_sq8_quantize" -> (EmbCte +
+      """, cb AS (
+        |  SELECT i, min(v) AS lo, max(v) AS hi FROM ex GROUP BY i
+        |), codes AS (
+        |  SELECT e.vec_id,
+        |    CASE WHEN c.hi = c.lo THEN 0
+        |         ELSE CAST(round((e.v - c.lo) * 255.0 / (c.hi - c.lo)) AS INTEGER)
+        |    END AS code
+        |  FROM ex e JOIN cb c ON e.i = c.i
+        |)
+        |SELECT vec_id, CAST(count(*) AS INTEGER) AS d,
+        |  CAST(sum(code) AS BIGINT) AS code_sum,
+        |  min(code) AS code_min, max(code) AS code_max
+        |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin),
     "q66_nfc_normalize" ->
       """SELECT doc_id, md5(nfc_normalize(text)) AS norm_hash,
         |  nfc_normalize(text) = text AS is_nfc

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Quantize
+
+class QuantizeSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private def emb = graft.io.Tables.embeddings(spark, TestSession.sf)
+
+  test("codes are uint8, dimension count preserved, reconstruction within half-step") {
+    val cb = Quantize.codebook(emb, "embedding").cache()
+    val codes = Quantize.sq8(emb, "vec_id", "embedding", cb)
+    val d = emb.select(size(col("embedding"))).first().getInt(0)
+    val bad = codes.filter(size(col("codes")) =!= d ||
+      array_min(col("codes")) < 0 || array_max(col("codes")) > 255).count()
+    assert(bad == 0)
+    // reconstruction error ≤ (hi-lo)/510 + float slack per dimension
+    val steps = cb.collect().map(r => r.getInt(0) ->
+      ((r.getDouble(2) - r.getDouble(1)) / 510.0 + 1e-6)).toMap
+    val orig = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val deq = Quantize.dequantize(codes, "vec_id", cb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    orig.foreach { case (id, v) =>
+      val q = deq(id)
+      v.indices.foreach { i =>
+        assert(math.abs(v(i) - q(i)) <= steps(i),
+          s"vec $id dim $i: ${v(i)} vs ${q(i)} (step ${steps(i)})")
+      }
+    }
+    cb.unpersist()
+  }
+
+  test("quantized cosine ranking recalls the exact top-5") {
+    val cb = Quantize.codebook(emb, "embedding")
+    val deq = Quantize.dequantize(
+        Quantize.sq8(emb, "vec_id", "embedding", cb), "vec_id", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val exact = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    def top5(qid: Long, space: Map[Long, Array[Double]]): Set[Long] =
+      space.toSeq.filter(_._1 != qid)
+        .sortBy { case (id, v) => (-cos(space(qid), v), id) }
+        .take(5).map(_._1).toSet
+    val queries = exact.keys.toSeq.sorted.take(10)
+    val recalls = queries.map { q =>
+      val e = top5(q, exact); val a = top5(q, deq)
+      e.intersect(a).size / 5.0
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.8, s"avg SQ8 top-5 recall $avg < 0.8 ($recalls)")
+  }
+}
