@@ -305,6 +305,26 @@ class IvfSpec extends AnyFunSuite {
     // at most half the corpus per query
   }
 
+  test("IVF composes with SQ8: search over dequantized codes recalls exact top-k") {
+    import graft.ops.Quantize
+    val emb = graft.io.Tables.embeddings(spark, TestSession.sf)
+    val cb = Quantize.codebook(emb, "embedding")
+    // FAISS-style IVF-SQ: index stores uint8 codes; search runs on the
+    // dequantized reconstruction (cast back to the float vector shape)
+    val deq = Quantize.dequantize(
+        Quantize.sq8(emb, "vec_id", "embedding", cb), "vec_id", cb)
+      .select(col("vec_id"),
+        transform(col("vec_q"), x => x.cast("float")).as("embedding"))
+    val exact = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivfSq = graft.ops.IvfIndex.topK(deq, col("vec_id") < 10,
+        "vec_id", "embedding", k = 5, lists = 16, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & ivfSq).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF-SQ recall $recall too low")
+  }
+
   test("distributed probe plan (no driver collect) matches collected search") {
     val emb = graft.io.Tables.embeddings(spark, TestSession.sf)
     val cs = graft.ops.IvfIndex.train(emb, "embedding", 8)
