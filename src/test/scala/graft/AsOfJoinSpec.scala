@@ -119,6 +119,34 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized: window, native exec, and brute force agree (both modes)") {
+    val rnd = new scala.util.Random(11)
+    val l = (1 to 300).map(i =>
+      (i.toLong, (rnd.nextInt(12)).toString, rnd.nextInt(25).toLong)).toDF("id", "k", "ts")
+    // right unique per (k, rts): max v wins (deterministic pre-reduction)
+    val r = (1 to 150).map(_ =>
+        ((rnd.nextInt(12)).toString, rnd.nextInt(25).toLong, rnd.nextInt(1000).toDouble))
+      .toDF("k", "rts", "v")
+      .groupBy("k", "rts").agg(max("v").as("v"))
+    for (incl <- Seq(true, false)) {
+      val cmp = if (incl) "<=" else "<"
+      val brute = l.as("l").join(r.as("r"),
+          expr(s"l.k = r.k AND r.rts $cmp l.ts"), "left")
+        .groupBy(col("l.id")).agg(max(struct(col("r.rts"), col("r.v"))).as("m"))
+        .collect().map(row => row.getLong(0) -> {
+          // no match → struct(null, null), not a null struct
+          if (row.isNullAt(1) || row.getStruct(1).isNullAt(1)) None
+          else Some(row.getStruct(1).getDouble(1))
+        }).toMap
+      for (f <- Seq(AsOfJoin.asOf _, AsOfJoin.asOfMerge _)) {
+        val got = f(l, r, Seq("k"), "ts", "rts", Seq("v"), "p_", incl)
+          .collect().map(row => row.getLong(0) ->
+            (if (row.isNullAt(3)) None else Some(row.getDouble(3)))).toMap
+        assert(got == brute, s"inclusive=$incl")
+      }
+    }
+  }
+
   test("matches a brute-force as-of on the events table") {
     val ev = graft.io.Tables.events(spark, TestSession.sf)
     val clicks = ev.filter(col("event_type") === "click")
