@@ -35,11 +35,15 @@ object EventQueries {
 
   /** Run `f` with streaming-sized shuffle partitions, restoring the
     * session's setting afterwards (each entry builds a fresh query, so
-    * the pin applies per run). */
-  private def withStreamPartitions[A](s: SparkSession)(f: => A): A = {
+    * the pin applies per run). `parts` scales with the operator's
+    * per-partition state-store count: a stream-stream join keeps FOUR
+    * stores per partition (left/right × two key indexes) vs one for an
+    * aggregation, so it wants fewer, bigger partitions at equal state. */
+  private def withStreamPartitions[A](s: SparkSession,
+      parts: Int = StreamShufflePartitions)(f: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, StreamShufflePartitions.toString)
+    s.conf.set(key, parts.toString)
     try f finally s.conf.set(key, prev)
   }
 
@@ -182,7 +186,7 @@ object EventQueries {
         col("user_id") === col("p_user_id") &&
           col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
           col("p_ts") <= col("c_ts"))
-      withStreamPartitions(s) {
+      withStreamPartitions(s, parts = 4) {
         val q = joinedS.writeStream.outputMode("append")
           .format("memory").queryName(name).start()
         q.processAllAvailable()
