@@ -148,6 +148,30 @@ object Relational {
         .orderBy(col("c_nationkey"))
     }),
 
+    // Left-semi join (the EXISTS dual of q10's anti join): customers
+    // WITH at least one order, no row multiplication from the probe.
+    "q70_semi_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // Pivot: hourly × event-type count matrix with an explicit value
+    // list (explicit values keep the schema static — no extra pass to
+    // discover columns, and both engines emit identical column sets).
+    "q69_pivot" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(date_format(date_trunc("hour", col("ts")),
+          "yyyy-MM-dd HH:00:00").as("hour"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy(col("hour"))
+    }),
+
     // Exact percentiles (sort-based interpolation — both engines use
     // the p·(n−1) rank definition; integer-valued quantities keep the
     // interpolation arithmetic exact).
@@ -274,6 +298,18 @@ object Relational {
       """SELECT c_nationkey, count(*) AS n_customers FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q70_semi_join" ->
+      """SELECT c_nationkey, count(*) AS n_customers FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q69_pivot" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
     "q50_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS pri,
         |  coalesce(o_orderstatus, 'ALL') AS st, count(*) AS n,
