@@ -159,6 +159,39 @@ object Relational {
         .orderBy(col("c_nationkey"))
     }),
 
+    // Full outer join over deliberately asymmetric sides (filters
+    // leave some nations customer-only / supplier-only, exercising
+    // null-fill on both sides).
+    "q71_full_outer" -> ((s, d) => {
+      val cn = Tables.customer(s, d).filter(col("c_custkey") % 5 === 0)
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+      val sn = Tables.supplier(s, d).filter(col("s_suppkey") % 3 === 0)
+        .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+      cn.join(sn, cn("c_nationkey") === sn("s_nationkey"), "full_outer")
+        .select(
+          coalesce(cn("c_nationkey"), sn("s_nationkey")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy(col("nationkey"))
+    }),
+
+    // Multiset set ops: EXCEPT ALL / INTERSECT ALL keep duplicates
+    // (bag semantics), unlike q51's distinct variants.
+    "q72_multiset_ops" -> ((s, d) => {
+      val all = Tables.orders(s, d).select(col("o_orderpriority"))
+      val f = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderpriority"))
+      val ex = all.exceptAll(f).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_except_all"))
+      val in = all.intersectAll(f).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_intersect_all"))
+      ex.join(in, Seq("o_orderpriority"), "full_outer")
+        .select(col("o_orderpriority"),
+          coalesce(col("n_except_all"), lit(0L)).as("n_except_all"),
+          coalesce(col("n_intersect_all"), lit(0L)).as("n_intersect_all"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Pivot: hourly × event-type count matrix with an explicit value
     // list (explicit values keep the schema static — no extra pass to
     // discover columns, and both engines emit identical column sets).
@@ -302,6 +335,37 @@ object Relational {
       """SELECT c_nationkey, count(*) AS n_customers FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q71_full_outer" ->
+      """WITH cn AS (
+        |  SELECT c_nationkey, count(*) AS n_cust FROM customer
+        |  WHERE c_custkey % 5 = 0 GROUP BY c_nationkey
+        |), sn AS (
+        |  SELECT s_nationkey, count(*) AS n_supp FROM supplier
+        |  WHERE s_suppkey % 3 = 0 GROUP BY s_nationkey
+        |)
+        |SELECT coalesce(cn.c_nationkey, sn.s_nationkey) AS nationkey,
+        |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM cn FULL OUTER JOIN sn ON cn.c_nationkey = sn.s_nationkey
+        |ORDER BY nationkey""".stripMargin,
+    "q72_multiset_ops" ->
+      """WITH ex AS (
+        |  SELECT o_orderpriority, count(*) AS n_except_all FROM (
+        |    SELECT o_orderpriority FROM orders
+        |    EXCEPT ALL
+        |    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F')
+        |  GROUP BY o_orderpriority
+        |), ia AS (
+        |  SELECT o_orderpriority, count(*) AS n_intersect_all FROM (
+        |    SELECT o_orderpriority FROM orders
+        |    INTERSECT ALL
+        |    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F')
+        |  GROUP BY o_orderpriority
+        |)
+        |SELECT coalesce(ex.o_orderpriority, ia.o_orderpriority) AS o_orderpriority,
+        |  coalesce(n_except_all, 0) AS n_except_all,
+        |  coalesce(n_intersect_all, 0) AS n_intersect_all
+        |FROM ex FULL OUTER JOIN ia ON ex.o_orderpriority = ia.o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q69_pivot" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
         |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
