@@ -205,6 +205,23 @@ object Relational {
         .orderBy(col("hour"))
     }),
 
+    // Unpivot (melt): stack() folds q69's wide hourly matrix back to
+    // (hour, event_type, n) rows — dropping the fill-zeros restores
+    // exactly the long-form rollup, proving pivot/unpivot are inverses.
+    "q73_unpivot" -> ((s, d) => {
+      val wide = Tables.events(s, d)
+        .groupBy(date_format(date_trunc("hour", col("ts")),
+          "yyyy-MM-dd HH:00:00").as("hour"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+      wide.select(col("hour"), expr(
+          """stack(5, 'click', click, 'error', error, 'purchase', purchase,
+            |'signup', signup, 'view', view) AS (event_type, n_events)""".stripMargin))
+        .filter(col("n_events") > 0)
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
     // Exact percentiles (sort-based interpolation — both engines use
     // the p·(n−1) rank definition; integer-valued quantities keep the
     // interpolation arithmetic exact).
@@ -335,6 +352,10 @@ object Relational {
       """SELECT c_nationkey, count(*) AS n_customers FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q73_unpivot" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+        |  event_type, count(*) AS n_events
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "q71_full_outer" ->
       """WITH cn AS (
         |  SELECT c_nationkey, count(*) AS n_cust FROM customer
