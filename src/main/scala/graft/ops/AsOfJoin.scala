@@ -67,7 +67,9 @@ object AsOfJoin {
     // match (a left null key then sees an empty partition → null
     // payload, exactly like the SQL equi condition)
     val r = right
-      .filter(on.map(col(_).isNotNull).reduce(_ && _) && col(rightTs).isNotNull)
+      // fold (not reduce) so the keyless global as-of still works
+      .filter(on.map(col(_).isNotNull)
+        .foldLeft(col(rightTs).isNotNull)(_ && _))
       .select(
         on.map(col) ++ Seq(
           col(rightTs).as("_ts"), lit(rSide).as("_side"),
@@ -93,6 +95,9 @@ object AsOfJoin {
   def asOfMerge(left: DataFrame, right: DataFrame, on: Seq[String],
                 leftTs: String, rightTs: String, payload: Seq[String],
                 prefix: String = "asof_", inclusive: Boolean = true): DataFrame = {
+    // the exec clusters and merges on the key columns — a keyless
+    // global as-of has no distribution to require; use asOf for that
+    require(on.nonEmpty, "asOfMerge requires at least one key column (use asOf for a global as-of)")
     val spark = left.sparkSession
     Bridge.addStrategy(spark, graft.plans.AsOfJoinStrategy)
     val lPlan = left.queryExecution.analyzed
@@ -100,7 +105,8 @@ object AsOfJoin {
     // right rows with a null key or ts can never match. Re-alias the
     // result so self-joins don't carry duplicate attribute ids.
     val r0 = right
-      .filter(on.map(col(_).isNotNull).reduce(_ && _) && col(rightTs).isNotNull)
+      .filter(on.map(col(_).isNotNull)
+        .foldLeft(col(rightTs).isNotNull)(_ && _))
       .queryExecution.analyzed
     val rPlan = Project(r0.output.map(a => Alias(a, a.name)()), r0)
     def attr(out: Seq[Attribute], n: String): Attribute =

@@ -33,10 +33,13 @@ object Quantize {
           cb: DataFrame): DataFrame = {
     val ex = df.select(col(idCol), posexplode(col(vecCol)).as(Seq("i", "x")))
     ex.join(broadcast(cb), Seq("i"))
+      // clamp: a codebook trained on a sample/snapshot may not cover
+      // every value — codes must stay uint8 regardless
       .withColumn("code",
         when(col("hi") === col("lo"), lit(0)).otherwise(
-          round((col("x").cast("double") - col("lo")) * 255.0
-            / (col("hi") - col("lo")))).cast("int"))
+          greatest(lit(0), least(lit(255),
+            round((col("x").cast("double") - col("lo")) * 255.0
+              / (col("hi") - col("lo")))))).cast("int"))
       .groupBy(col(idCol))
       .agg(transform(array_sort(collect_list(struct(col("i"), col("code")))),
         e => e.getField("code")).as("codes"))

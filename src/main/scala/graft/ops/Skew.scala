@@ -19,12 +19,15 @@ object Skew {
     * @param partials stage-1 aggregates over (keys + salt)
     * @param merges   stage-2 merges of the partial columns */
   def saltedAgg(df: DataFrame, keys: Seq[Column], salts: Int,
-                partials: Seq[Column], merges: Seq[Column]): DataFrame =
+                partials: Seq[Column], merges: Seq[Column]): DataFrame = {
+    require(!df.columns.contains("_salt"),
+      "input must not already have a _salt column")
     df.withColumn("_salt", (rand(42L) * salts).cast("int"))
       .groupBy(keys :+ col("_salt"): _*)
       .agg(partials.head, partials.tail: _*)
       .groupBy(keys: _*)
       .agg(merges.head, merges.tail: _*)
+  }
 
   /** Salted count per key — count is algebraic: partial counts then a
     * sum merge. Result is identical to `groupBy(keys).count()`; the
@@ -57,6 +60,8 @@ object Skew {
                  salts: Int = 16, joinType: String = "inner"): DataFrame = {
     require(Set("inner", "left", "left_outer")(joinType),
       "saltedJoin preserves semantics for inner/left joins only")
+    require(!big.columns.contains("_salt") && !small.columns.contains("_salt"),
+      "inputs must not already have a _salt column")
     val b = big.withColumn("_salt", (rand(42L) * salts).cast("int"))
     val s = small.withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
     b.join(s, on :+ "_salt", joinType).drop("_salt")

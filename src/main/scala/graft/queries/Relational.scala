@@ -19,6 +19,17 @@ import graft.util.Exact
 object Relational {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Wide hourly × event-type count matrix shared by the pivot (q69)
+    * and its unpivot inverse (q73) — one definition so the value list
+    * and hour format can't drift apart. */
+  private def hourlyTypeMatrix(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_format(date_trunc("hour", col("ts")),
+        "yyyy-MM-dd HH:00:00").as("hour"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+
   val queries: Map[String, Q] = Map(
     // TPC-H Q1 shape: scan → filter → hash agg with partial aggregation
     // (the combiner the reference never had — SURVEY §4). Pushdown check:
@@ -195,27 +206,13 @@ object Relational {
     // Pivot: hourly × event-type count matrix with an explicit value
     // list (explicit values keep the schema static — no extra pass to
     // discover columns, and both engines emit identical column sets).
-    "q69_pivot" -> ((s, d) => {
-      Tables.events(s, d)
-        .groupBy(date_format(date_trunc("hour", col("ts")),
-          "yyyy-MM-dd HH:00:00").as("hour"))
-        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-        .count()
-        .na.fill(0L)
-        .orderBy(col("hour"))
-    }),
+    "q69_pivot" -> ((s, d) => hourlyTypeMatrix(s, d).orderBy(col("hour"))),
 
     // Unpivot (melt): stack() folds q69's wide hourly matrix back to
     // (hour, event_type, n) rows — dropping the fill-zeros restores
     // exactly the long-form rollup, proving pivot/unpivot are inverses.
     "q73_unpivot" -> ((s, d) => {
-      val wide = Tables.events(s, d)
-        .groupBy(date_format(date_trunc("hour", col("ts")),
-          "yyyy-MM-dd HH:00:00").as("hour"))
-        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-        .count()
-        .na.fill(0L)
-      wide.select(col("hour"), expr(
+      hourlyTypeMatrix(s, d).select(col("hour"), expr(
           """stack(5, 'click', click, 'error', error, 'purchase', purchase,
             |'signup', signup, 'view', view) AS (event_type, n_events)""".stripMargin))
         .filter(col("n_events") > 0)
