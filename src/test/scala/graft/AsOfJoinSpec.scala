@@ -105,6 +105,19 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(e.getMessage.contains("type mismatch"))
   }
 
+  test("keyless global as-of works; asOfMerge rejects empty keys") {
+    val l = Seq((1L, 100L), (2L, 40L)).toDF("id", "ts")
+    val r = Seq((50L, 1.0), (90L, 2.0)).toDF("rts", "v")
+    val got = AsOfJoin.asOf(l, r, Seq(), "ts", "rts", Seq("v"))
+      .collect().map(row => row.getLong(0) ->
+        (if (row.isNullAt(2)) None else Some(row.getDouble(2)))).toMap
+    assert(got == Map(1L -> Some(2.0), 2L -> None))
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfMerge(l, r, Seq(), "ts", "rts", Seq("v"))
+    }
+    assert(e.getMessage.contains("at least one key"))
+  }
+
   test("composite keys: both formulations agree with brute force") {
     val l = Seq((1L, "a", 1L, 100L), (2L, "a", 2L, 100L), (3L, "b", 1L, 100L))
       .toDF("id", "k1", "k2", "ts")
