@@ -282,6 +282,23 @@ object EventQueries {
         .orderBy(col("band_lo"))
     }),
 
+    // RANGE-frame window (value-based frame, vs q08/q48's row-based
+    // frames): per user, each event sees the events of its PRECEDING
+    // HOUR — frame bounds follow the ordering value (epoch micros),
+    // not row positions, so gaps and ties behave correctly.
+    "q74_range_frame" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-3600000000L, 0L)
+      ev.select(col("user_id"), col("event_id"), col("us"),
+          count(lit(1)).over(w).as("n_prev_hour"),
+          (sum(col("cents")).over(w).cast("double") / 100.0).as("sum_prev_hour"))
+        .orderBy(col("event_id"))
+    }),
+
     // Mergeable HLL distinct sketches: per-shard partials unioned to
     // per-type estimates (the pre-aggregated-rollup pattern for
     // COUNT DISTINCT at scale). Sketch bytes aren't cross-engine —
@@ -435,6 +452,18 @@ object EventQueries {
       """SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q74_range_frame" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT user_id, event_id, us,
+        |  count(*) OVER w AS n_prev_hour,
+        |  CAST(sum(cents) OVER w AS DOUBLE)/100.0 AS sum_prev_hour
+        |FROM ev
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q67_salted_join" ->
       """WITH dim AS (
         |  SELECT event_type,
