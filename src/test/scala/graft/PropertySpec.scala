@@ -84,3 +84,32 @@ class SparsePropertySpec extends AnyFunSuite {
     }
   }
 }
+
+/** NFC kernel properties — char-level generative coverage beyond the
+  * fixture strings in the functions spec. */
+class NfcPropertySpec extends AnyFunSuite {
+  def forAll[A](g: Gen[A], n: Int = 200)(f: A => Unit): Unit = {
+    var seed = org.scalacheck.rng.Seed(7L)
+    var i = 0
+    while (i < n) {
+      g.apply(Gen.Parameters.default, seed).foreach(f)
+      seed = seed.next; i += 1
+    }
+  }
+
+  private val charGen = Gen.oneOf(
+    'a', 'z', '0', ' ', '\t', 'é', 'e', '́', '̈', 'ß',
+    '中', 'ñ', 'n', '̃', 'ö', 'o')
+
+  test("nfc kernel is idempotent and agrees with java.text.Normalizer") {
+    import org.apache.spark.unsafe.types.UTF8String
+    forAll(Gen.listOf(charGen)) { chars =>
+      val s = chars.mkString
+      val once = graft.functions.NormalizeKernel.nfc(UTF8String.fromString(s))
+      val twice = graft.functions.NormalizeKernel.nfc(once)
+      assert(once == twice, s"not idempotent on ${s.map(_.toInt)}")
+      assert(once.toString ==
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    }
+  }
+}

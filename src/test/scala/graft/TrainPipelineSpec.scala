@@ -38,6 +38,20 @@ class TrainPipelineSpec extends AnyFunSuite {
     assert(math.abs(n1 / 20000.0 - 0.3) < 0.02, s"rate off: ${n1 / 20000.0}")
   }
 
+  test("stratifiedSample: samples NEST as the rate grows (threshold monotone)") {
+    // the property that makes deterministic sampling usable for data
+    // scaling: the 10% sample is a strict subset of the 50% sample
+    val df = spark.range(5000).select(col("id"), lit("s").as("g"))
+    val sets = Seq(0.1, 0.3, 0.5, 0.9, 0.99999).map { r =>
+      TextAnalysis.stratifiedSample(df, "id", "g", Map("s" -> r))
+        .select("id").collect().map(_.getLong(0)).toSet
+    }
+    sets.sliding(2).foreach { w =>
+      assert(w(0).subsetOf(w(1)), s"${w(0).size} not nested in ${w(1).size}")
+    }
+    assert(sets.last.size > sets.head.size)
+  }
+
   test("packSequences: contiguous fill, bounded overflow, bins start at 0") {
     val docs = Seq(
       // shard 0: tokens 60,60,60,60 with budget 100 → bins 0,0,1,1
