@@ -48,7 +48,14 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, on: Seq[String],
            leftTs: String, rightTs: String, payload: Seq[String],
            prefix: String = "asof_", inclusive: Boolean = true): DataFrame = {
+    val reserved = Set("_ts", "_side", "_lrow", "_p", "_asof")
+    val clash = (left.columns ++ right.columns).filter(reserved).distinct
+    require(clash.isEmpty,
+      s"inputs must not already have ${clash.mkString("/")} columns (reserved by asOf)")
     val lCols = left.columns.toSeq
+    val dup = payload.map(prefix + _).filter(lCols.contains)
+    require(dup.isEmpty,
+      s"prefixed payload column(s) ${dup.mkString(", ")} collide with left columns — pick another prefix")
     // at equal ts the window must include right rows iff inclusive:
     // window order is (ts, side), rows from unbounded preceding to
     // CURRENT row — right sorts before left when its side bit is lower
@@ -98,6 +105,9 @@ object AsOfJoin {
     // the exec clusters and merges on the key columns — a keyless
     // global as-of has no distribution to require; use asOf for that
     require(on.nonEmpty, "asOfMerge requires at least one key column (use asOf for a global as-of)")
+    val dup = payload.map(prefix + _).filter(left.columns.contains)
+    require(dup.isEmpty,
+      s"prefixed payload column(s) ${dup.mkString(", ")} collide with left columns — pick another prefix")
     val spark = left.sparkSession
     Bridge.addStrategy(spark, graft.plans.AsOfJoinStrategy)
     val lPlan = left.queryExecution.analyzed

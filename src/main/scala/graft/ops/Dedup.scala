@@ -214,7 +214,13 @@ object Dedup {
       it += 1
     }
     edges.unpersist(blocking = false)
-    labels.select(col("id").as("doc_id"), col("label").as("rep_id"))
+    // materialize off the final round's cache (eager localCheckpoint
+    // truncates lineage), then release it — otherwise every call
+    // leaks one cached plan for the session lifetime
+    val out = labels.select(col("id").as("doc_id"), col("label").as("rep_id"))
+      .localCheckpoint()
+    retained.unpersist(blocking = false)
+    out
   }
 
   /** Benchmark decontamination: training docs sharing at least

@@ -36,14 +36,35 @@ object RangeJoin {
     require(cellSize > 0, "cellSize must be positive")
     require(!points.columns.contains("_cell") && !intervals.columns.contains("_cell"),
       "inputs must not already have a _cell column")
-    val p = points.withColumn("_cell",
-      floor(col(pointCol).cast("double") / cellSize).cast("long"))
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    def isIntegral(df: DataFrame, c: String) = df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    // Double math loses integer precision beyond 2^53, and a point
+    // whose cell id rounds differently from the interval's exploded
+    // range is silently DROPPED (the re-check filter only removes
+    // false positives). When every input is integral and the cell
+    // size is whole, stay in exact long arithmetic: floorDiv built
+    // from pmod + SQL `div` (plain `/` on longs yields double again;
+    // `div` alone truncates toward zero, wrong for negatives — but
+    // after subtracting pmod the dividend is an exact multiple).
+    val exact = cellSize.isWhole && cellSize <= Long.MaxValue.toDouble &&
+      isIntegral(points, pointCol) && isIntegral(intervals, loCol) && isIntegral(intervals, hiCol)
+    def cellOf(e: String) =
+      if (exact) {
+        val cs = s"${cellSize.toLong}L"
+        expr(s"cast(((($e) - pmod(($e), $cs)) div $cs) as long)")
+      } else floor(expr(e).cast("double") / cellSize).cast("long")
+    val p = points.withColumn("_cell", cellOf(s"`$pointCol`"))
     // last covered cell: the one containing the largest value < hi.
     // For half-open [lo, hi) that is cell(hi) when hi is interior to
-    // it, cell(hi)-1 when hi lands exactly on a cell boundary.
-    val loCell = floor(col(loCol).cast("double") / cellSize).cast("long")
-    val hiBoundary = col(hiCol).cast("double") / cellSize
-    val hiCell = (ceil(hiBoundary) - 1).cast("long")
+    // it, cell(hi)-1 when hi lands exactly on a cell boundary — for
+    // integral inputs, exactly cell(hi - 1).
+    val loCell = cellOf(s"`$loCol`")
+    val hiCell =
+      if (exact) cellOf(s"`$hiCol` - 1L")
+      else (ceil(col(hiCol).cast("double") / cellSize) - 1).cast("long")
     val i = intervals
       .filter(col(loCol) < col(hiCol)) // empty intervals match nothing
       .withColumn("_cell", explode(sequence(loCell, greatest(loCell, hiCell))))

@@ -118,6 +118,28 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(e.getMessage.contains("at least one key"))
   }
 
+  test("reserved internal names and payload-prefix collisions are rejected") {
+    val l = Seq((1L, 1, 100L)).toDF("id", "k", "ts")
+    val r = Seq((1, 90L, 1.0)).toDF("k", "rts", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(l.withColumnRenamed("id", "_p"), r, Seq("k"), "ts", "rts", Seq("v"))
+    }
+    assert(e1.getMessage.contains("_p"))
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(l, r.withColumnRenamed("v", "_asof"), Seq("k"), "ts", "rts", Seq("_asof"))
+    }
+    assert(e2.getMessage.contains("_asof"))
+    // prefixed payload landing on an existing left column
+    val e3 = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(l.withColumnRenamed("id", "asof_v"), r, Seq("k"), "ts", "rts", Seq("v"))
+    }
+    assert(e3.getMessage.contains("collide"))
+    val e4 = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfMerge(l.withColumnRenamed("id", "asof_v"), r, Seq("k"), "ts", "rts", Seq("v"))
+    }
+    assert(e4.getMessage.contains("collide"))
+  }
+
   test("composite keys: both formulations agree with brute force") {
     val l = Seq((1L, "a", 1L, 100L), (2L, "a", 2L, 100L), (3L, "b", 1L, 100L))
       .toDF("id", "k1", "k2", "ts")

@@ -13,8 +13,10 @@ class CachesSpec extends AnyFunSuite {
   test("clearAll leaves no persistent RDDs after cache-heavy queries") {
     val qs = SparkEntry.queries
     // q26: Dedup shingle+signature caches; q11: TextQueries memo;
-    // q22: Clustering doc-vector memo + fit-loop cache
-    Seq("q26_dedup_minhash", "q11_doc_term_counts", "q22_kmeans_sparse")
+    // q22: Clustering doc-vector memo + fit-loop cache; q52:
+    // dedupGroups iterative caches + final localCheckpoint
+    Seq("q26_dedup_minhash", "q11_doc_term_counts", "q22_kmeans_sparse",
+        "q52_dedup_groups")
       .foreach(n => qs(n)(spark, TestSession.sf).collect())
     assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
       "expected the query paths to have cached something")

@@ -51,6 +51,24 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got == Set((1L, "a"), (2L, "b"), (3L, "b")))
   }
 
+  test("integral inputs beyond 2^53: exact long cells, no double rounding") {
+    // 2^53 + {1,3} are not representable as doubles (they round to
+    // 2^53 / 2^53+4) — the double path mis-cells these and silently
+    // drops the match; the exact integral path must keep it.
+    val base = 1L << 53
+    val points = Seq((1L, base + 1L), (2L, base + 3L), (3L, base - 2L)).toDF("pid", "v")
+    val intervals = Seq(("a", base + 1L, base + 4L), ("b", base - 5L, base)).toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, intervals, "v", "lo", "hi", 2.0)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "a"), (3L, "b")))
+    // negative integral domain still floors correctly in the exact path
+    val np = Seq((1L, -7L), (2L, -1L), (3L, 0L)).toDF("pid", "v")
+    val ni = Seq(("a", -10L, -5L), ("b", -1L, 1L)).toDF("iid", "lo", "hi")
+    val ngot = RangeJoin.pointInInterval(np, ni, "v", "lo", "hi", 3.0)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ngot == Set((1L, "a"), (2L, "b"), (3L, "b")))
+  }
+
   test("plan is an equi join on the cell key, no nested-loop/cartesian") {
     val points = spark.range(100).select(col("id").as("pid"),
       col("id").cast("double").as("v"))
