@@ -169,4 +169,79 @@ object TextAnalysis {
       .withColumn("rep_ratio",
         lit(1.0) - distinctN.cast("double") / total.cast("double"))
   }
+
+  /** Inverted index: term → document frequency + the sorted posting
+    * list. The core retrieval structure (and the shuffle shape every
+    * search engine build job has): ONE shuffle on the term, map-side
+    * pre-distinct per doc so a term repeated in a document adds a
+    * single posting. Postings are sorted doc ids; at 100 TB the term
+    * is the natural bucket/sort key for the written index and hot
+    * terms are bounded by per-term list length, not corpus size. */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(array_distinct(toks(col(textCol)))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("doc_freq"),
+        sort_array(collect_list(col(idCol))).as("postings"))
+
+  /** Document-level co-occurrence with pointwise mutual information:
+    * for every unordered token pair present together in ≥ `minPairDocs`
+    * documents, PMI = ln(N·c_ab / (c_a·c_b)) over document frequencies
+    * (presence, not multiplicity). The classic phrase-mining /
+    * embedding-evaluation statistic. Cost: per-doc distinct-token
+    * self-join — quadratic in per-DOC vocabulary (bounded, typically
+    * ≤ a few hundred), never in corpus size; one shuffle on doc id +
+    * one on the pair. ln rounded to 9 decimals (cross-engine libm).
+    * Driver state: only the O(1) corpus count N (same pattern as
+    * TfIdf.idf — a literal beats a nested-loop scalar join). */
+  def coOccurrencePmi(df: DataFrame, idCol: String, textCol: String,
+                      minPairDocs: Long = 2L): DataFrame = {
+    val td = df.select(col(idCol).as("doc"),
+        explode(array_distinct(toks(col(textCol)))).as("tok"))
+      .filter(col("tok") =!= "")
+    val docFreq = td.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val pairs = td.as("a")
+      .join(td.as("b"), col("a.doc") === col("b.doc") && col("a.tok") < col("b.tok"))
+      .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minPairDocs)
+    val n = df.count()
+    pairs
+      .join(docFreq.select(col("tok").as("tok_a"), col("c").as("c_a")), "tok_a")
+      .join(docFreq.select(col("tok").as("tok_b"), col("c").as("c_b")), "tok_b")
+      .select(col("tok_a"), col("tok_b"), col("c_ab"),
+        round(log(lit(n.toDouble) * col("c_ab").cast("double") /
+          (col("c_a").cast("double") * col("c_b").cast("double"))), 9).as("pmi"))
+  }
+
+  /** Okapi BM25 term-document scores — the lexical-retrieval baseline
+    * every RAG/training-data pipeline keeps next to its embeddings.
+    * idf = ln(1 + (N − df + 0.5)/(df + 0.5)), rounded to 9 decimals
+    * BEFORE use (ln is the only non-correctly-rounded op; everything
+    * after is IEEE-exact in any engine). Shapes: tf/dl in one
+    * (doc, term) aggregation, df in one term aggregation — two
+    * key-shuffles; driver state = the O(1) scalars N and Σdl (same
+    * pattern as TfIdf.idf — literals beat a nested-loop scalar join). */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tok = df.select(col(idCol).as("doc"), explode(toks(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = tok.groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy(col("doc")).agg(count(lit(1)).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.count()
+    val sumDl = tok.count() // Σ per-doc lengths = total token count
+    val avgdl = sumDl.toDouble / nDocs.toDouble
+    val idf = round(log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("df").cast("double") + 0.5) /
+        (col("df").cast("double") + 0.5)), 9)
+    tf.join(dl, "doc")
+      .join(dfreq, "term")
+      .select(col("doc"), col("term"), col("tf"),
+        round(idf * (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) +
+              lit(b) * col("dl").cast("double") / lit(avgdl))), 9)
+          .as("score"))
+  }
 }

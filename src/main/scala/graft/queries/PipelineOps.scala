@@ -169,6 +169,44 @@ object PipelineOps {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // IVF probing ALL lists: the candidate set is the whole corpus, so
+    // the result provably equals the exact brute-force top-k (same
+    // scaled-long dot, same tie order) — the oracle-green anchor for
+    // the IVF family; q47 is the pruned production configuration.
+    "q75_ann_ivf_full" -> ((s, d) => {
+      graft.ops.IvfIndex.topK(Tables.embeddings(s, d),
+          col("vec_id") < 5, "vec_id", "embedding",
+          k = 5, lists = 16, nProbe = 16)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // Inverted index over the corpus — term → (doc_freq, sorted
+    // postings). Postings serialize to a zero-padded string so the
+    // cross-engine hash compare is list-order-exact.
+    "q76_inverted_index" -> ((s, d) => {
+      TextAnalysis.invertedIndex(Tables.documents(s, d), "doc_id", "text")
+        .select(col("term"), col("doc_freq"),
+          array_join(transform(col("postings"),
+            x => format_string("%010d", x)), ",").as("postings"))
+        .orderBy(col("term"))
+    }),
+
+    // Document-level co-occurrence PMI (presence counts, ln round-9).
+    "q77_cooccur_pmi" -> ((s, d) => {
+      TextAnalysis.coOccurrencePmi(Tables.documents(s, d), "doc_id", "text",
+          minPairDocs = 2L)
+        .orderBy(col("tok_a"), col("tok_b"))
+    }),
+
+    // Okapi BM25 term-document scores (k1=1.2, b=0.75), idf ln
+    // rounded 9-dec before use; capped to scores ≥ 0.5 to keep the
+    // dump bounded (full matrix = q13-scale rows).
+    "q79_bm25" -> ((s, d) => {
+      TextAnalysis.bm25(Tables.documents(s, d), "doc_id", "text")
+        .filter(col("score") >= 0.5)
+        .orderBy(col("doc"), col("term"))
+    }),
+
     // LSH-bucketed ANN — the scale path (bucket-local joins). Rows-only.
     "q32_ann_lsh" -> ((s, d) => {
       Similarity.lshNearDupPairs(Tables.embeddings(s, d), "vec_id",
@@ -276,6 +314,25 @@ object PipelineOps {
       |  FROM ex GROUP BY vec_id
       |)
       |""".stripMargin
+
+  // Exact cosine top-k for queries vec_id<5 — the oracle for BOTH the
+  // brute-force q31 and the full-probe IVF q75 (probing all lists
+  // makes the candidate set the whole corpus, so IVF == exact).
+  private val AnnTopKSql = EmbCte +
+    """, dots AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    CAST(sum(CAST(round(q.v*c.v*1000000000) AS BIGINT)) AS BIGINT) AS draw
+      |  FROM ex q JOIN ex c ON q.i = c.i AND q.vec_id < 5 AND q.vec_id <> c.vec_id
+      |  GROUP BY 1, 2),
+      |cosd AS (
+      |  SELECT query_id, neighbor_id,
+      |    (CAST(draw AS DOUBLE)/1000000000.0)/(sqrt(nq.nsq)*sqrt(nc.nsq)) AS cos
+      |  FROM dots JOIN sn nq ON nq.vec_id = query_id JOIN sn nc ON nc.vec_id = neighbor_id)
+      |SELECT query_id, rk, neighbor_id, cos FROM (
+      |  SELECT query_id, neighbor_id, cos,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
+      |  FROM cosd)
+      |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
   // CTE chain computing the exact n-gram Jaccard pair list — shared by
   // q27 (exact all-pairs, pins semantics), q26 (MinHash LSH: at
@@ -459,21 +516,61 @@ object PipelineOps {
         |FROM dots JOIN sn na ON na.vec_id = id_a JOIN sn nb ON nb.vec_id = id_b
         |WHERE (CAST(draw AS DOUBLE)/1000000000.0)/(sqrt(na.nsq)*sqrt(nb.nsq)) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin),
-    "q31_ann_topk" -> (EmbCte +
-      """, dots AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    CAST(sum(CAST(round(q.v*c.v*1000000000) AS BIGINT)) AS BIGINT) AS draw
-        |  FROM ex q JOIN ex c ON q.i = c.i AND q.vec_id < 5 AND q.vec_id <> c.vec_id
-        |  GROUP BY 1, 2),
-        |cosd AS (
-        |  SELECT query_id, neighbor_id,
-        |    (CAST(draw AS DOUBLE)/1000000000.0)/(sqrt(nq.nsq)*sqrt(nc.nsq)) AS cos
-        |  FROM dots JOIN sn nq ON nq.vec_id = query_id JOIN sn nc ON nc.vec_id = neighbor_id)
-        |SELECT query_id, rk, neighbor_id, cos FROM (
-        |  SELECT query_id, neighbor_id, cos,
-        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
-        |  FROM cosd)
-        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin),
+    "q31_ann_topk" -> AnnTopKSql,
+    // Probing every list makes IVF's candidate set the full corpus →
+    // identical to the exact brute-force top-k (same scaled-long dot,
+    // same (cos DESC, neighbor_id) tie order) — the exact SQL is a
+    // valid oracle for the full-probe configuration.
+    "q75_ann_ivf_full" -> AnnTopKSql,
+    "q76_inverted_index" ->
+      """WITH td AS (
+        |  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
+        |  FROM documents)
+        |SELECT term, count(*) AS doc_freq,
+        |  array_to_string(list_sort(list(printf('%010d', doc_id))), ',') AS postings
+        |FROM td WHERE term <> '' GROUP BY term ORDER BY term""".stripMargin,
+    "q77_cooccur_pmi" ->
+      """WITH td AS (
+        |  SELECT DISTINCT doc_id AS doc, unnest(regexp_split_to_array(text, '\s+')) AS tok
+        |  FROM documents),
+        |td2 AS (SELECT doc, tok FROM td WHERE tok <> ''),
+        |cf AS (SELECT tok, count(*) AS c FROM td2 GROUP BY tok),
+        |pairs AS (
+        |  SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS c_ab
+        |  FROM td2 a JOIN td2 b ON a.doc = b.doc AND a.tok < b.tok
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT tok_a, tok_b, c_ab,
+        |  round(ln(CAST(n_docs AS DOUBLE) * CAST(c_ab AS DOUBLE)
+        |    / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))), 9) AS pmi
+        |FROM pairs CROSS JOIN n
+        |JOIN cf ca ON ca.tok = tok_a JOIN cf cb ON cb.tok = tok_b
+        |ORDER BY tok_a, tok_b""".stripMargin,
+    // Mirrors TextAnalysis.bm25 operation-for-operation (same literal
+    // arithmetic shapes → IEEE-identical doubles; ln is the only
+    // non-correctly-rounded op and is rounded 9-dec before use).
+    "q79_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id AS doc, unnest(regexp_split_to_array(text, '\s+')) AS term
+        |  FROM documents),
+        |tok2 AS (SELECT doc, term FROM tok WHERE term <> ''),
+        |tf AS (SELECT doc, term, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+        |dl AS (SELECT doc, count(*) AS dl FROM tok2 GROUP BY 1),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |              CAST((SELECT sum(dl) FROM dl) AS BIGINT) AS sum_dl),
+        |scored AS (
+        |  SELECT tf.doc, tf.term, tf.tf,
+        |    round(
+        |      round(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |        / (CAST(df AS DOUBLE) + 0.5)), 9)
+        |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75
+        |          + (0.75 * CAST(dl AS DOUBLE))
+        |            / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))), 9) AS score
+        |  FROM tf JOIN dl USING (doc) JOIN dfq USING (term) CROSS JOIN st)
+        |SELECT doc, term, tf, score FROM scored
+        |WHERE score >= 0.5 ORDER BY doc, term""".stripMargin,
     "q33_quality" ->
       """WITH t AS (
         |  SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS arr FROM documents)

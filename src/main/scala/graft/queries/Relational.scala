@@ -271,6 +271,19 @@ object Relational {
       both.union(onlyBig).orderBy(col("op"), col("custkey"))
     }),
 
+    // Z-order (Morton) codes — the multi-dimensional layout key
+    // (graft.ops.ZOrder.clusterByZ writes z-clustered files whose
+    // min/max footers prune 2-D predicates). Pure long bit math,
+    // mirrored 1:1 into the oracle.
+    "q78_zorder" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.ops.ZOrder.zValue(
+            pmod(col("l_partkey"), lit(65536)),
+            pmod(col("l_suppkey"), lit(65536))).as("zval"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // Hierarchical rollup (beyond the reference — no grouping sets
     // exist there; Catalyst's Expand covers them natively). Subtotal
     // rows keyed 'ALL' so ordering/compare is null-free.
@@ -286,6 +299,12 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q78_zorder" -> {
+      val z = graft.ops.ZOrder.zValueSql(
+        "CAST(l_partkey AS BIGINT) % 65536", "CAST(l_suppkey AS BIGINT) % 65536")
+      s"""SELECT l_orderkey, l_linenumber, CAST($z AS BIGINT) AS zval
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
