@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: resample an irregular event stream
+  * onto a fixed grid with last-observation-carried-forward fill —
+  * the transform every metrics/feature pipeline runs before
+  * windowed/ML consumption (irregular ticks → hourly panel).
+  *
+  * Spark-first shape: the per-key grid is `sequence(min, max, step)`
+  * exploded (amplification = span/step per key, no driver state), and
+  * the LOCF fill is exactly an as-of join of grid points against
+  * observations — one shuffle on the key via [[AsOfJoin.asOf]]'s
+  * union+window plan. At 100 TB this scales as far as any windowed
+  * aggregation does; no per-key collect, no UDFs.
+  */
+object TimeSeries {
+
+  /** Hourly LOCF panel: for each key, one row per hour from its first
+    * to its last observation, carrying the latest value at-or-before
+    * the grid instant (null before the first in-hour observation).
+    * Ties at identical (key, ts) are pre-reduced deterministically to
+    * the value of the max `tieCol` (as-of ordering among equal
+    * timestamps is otherwise unspecified).
+    *
+    * Output: key, `hour` (timestamp, grid instant), `value`. */
+  def resampleHourlyLocf(df: DataFrame, keyCol: String, tsCol: String,
+                         valCol: String, tieCol: String): DataFrame = {
+    val obs = df.groupBy(col(keyCol), col(tsCol).as("_ots"))
+      .agg(max_by(col(valCol), col(tieCol)).as("_oval"))
+    val grid = df.groupBy(col(keyCol))
+      .agg(date_trunc("hour", min(col(tsCol))).as("_h0"),
+        date_trunc("hour", max(col(tsCol))).as("_h1"))
+      .select(col(keyCol),
+        explode(sequence(col("_h0"), col("_h1"), expr("interval 1 hour"))).as("hour"))
+    AsOfJoin.asOf(grid, obs, Seq(keyCol), "hour", "_ots", Seq("_oval"),
+        prefix = "locf_")
+      .select(col(keyCol), col("hour"), col("locf__oval").as("value"))
+  }
+}

@@ -76,6 +76,47 @@ object EventQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Hourly LOCF panel — irregular events resampled to a per-user
+    // hourly grid, latest value carried forward (the as-of join
+    // reused as a fill operator). Oracle: DuckDB generate_series +
+    // native ASOF LEFT JOIN.
+    "q80_locf_resample" -> ((s, d) => {
+      graft.ops.TimeSeries.resampleHourlyLocf(Tables.events(s, d),
+          "user_id", "ts", "value", "event_id")
+        .select(col("user_id"),
+          date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("value"))
+        .orderBy(col("user_id"), col("hour"))
+    }),
+
+    // Concurrent-session pairs across users: session intervals from
+    // the q40 gaps-and-islands pass, then the grid-bucketed interval
+    // OVERLAP join (RangeJoin.overlapJoin — equi join on time cells,
+    // exactly-once via the max(lo) cell, no pair explosion beyond
+    // true matches). 1-minute cells ≈ the typical session length.
+    "q81_session_overlap" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val iv = ev.withColumn("new_s",
+          when(lag(col("us"), 1).over(w).isNull ||
+            col("us") - lag(col("us"), 1).over(w) > SessionGapUs, 1).otherwise(0))
+        .withColumn("sid", sum(col("new_s")).over(run))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("us")).as("lo"), (max(col("us")) + 1).as("hi"))
+      val a = iv.select(col("user_id").as("user_a"), col("lo").as("lo_a"),
+        col("hi").as("hi_a"))
+      val b = iv.select(col("user_id").as("user_b"), col("lo").as("lo_b"),
+        col("hi").as("hi_b"))
+      graft.ops.RangeJoin.overlapJoin(a, b, "lo_a", "hi_a", "lo_b", "hi_b",
+          cellSize = 60L * 1000000L)
+        .filter(col("user_a") < col("user_b"))
+        .groupBy(col("user_a"), col("user_b"))
+        .agg(count(lit(1)).as("n_overlaps"))
+        .orderBy(col("user_a"), col("user_b"))
+    }),
+
     // The q39 aggregation as a Structured Streaming query: file source →
     // watermark → tumbling window agg → in-memory sink (complete mode),
     // driven to completion synchronously. Oracle = the batch SQL.
@@ -372,7 +413,9 @@ object EventQueries {
       |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
-  private val SessionizeSql =
+  // Gaps-and-islands session assignment (30-min gap), us carried —
+  // shared by the sessionize rollup and the session-overlap join.
+  private val SessionCtes =
       """WITH ev AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
         |), f AS (
@@ -381,13 +424,28 @@ object EventQueries {
         |         THEN 1 ELSE 0 END AS new_s
         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
         |), sids AS (
-        |  SELECT user_id,
+        |  SELECT user_id, us,
         |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM f)
-        |SELECT user_id, CAST(max(sid) AS BIGINT) AS n_sessions,
+        |""".stripMargin
+
+  private val SessionizeSql = SessionCtes +
+      """SELECT user_id, CAST(max(sid) AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
         |FROM sids GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // Session intervals (closed → half-open via max+1), then the
+  // overlap join as plain non-equi SQL — the oracle for the grid-
+  // bucketed RangeJoin.overlapJoin plan.
+  private val SessionOverlapSql = SessionCtes +
+      """, iv AS (
+        |  SELECT user_id, sid, min(us) AS lo, max(us) + 1 AS hi
+        |  FROM sids GROUP BY 1, 2)
+        |SELECT a.user_id AS user_a, b.user_id AS user_b, count(*) AS n_overlaps
+        |FROM iv a JOIN iv b
+        |  ON a.user_id < b.user_id AND a.lo < b.hi AND b.lo < a.hi
+        |GROUP BY 1, 2 ORDER BY user_a, user_b""".stripMargin
 
   /** Shared by q59 (union+window plan) and q63 (native sort-merge
     * exec) — both must match DuckDB's native ASOF JOIN. */
@@ -410,6 +468,23 @@ object EventQueries {
     "q41_stream_hourly" -> HourlySql,
     "q40_sessionize" -> SessionizeSql,
     "q42_stream_sessionize" -> SessionizeSql,
+    "q80_locf_resample" ->
+      """WITH b AS (
+        |  SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+        |         date_trunc('hour', max(ts)) AS h1
+        |  FROM events GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM b),
+        |obs AS (
+        |  SELECT user_id, ts, arg_max(value, event_id) AS v
+        |  FROM events GROUP BY user_id, ts)
+        |SELECT g.user_id AS user_id, strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  o.v AS value
+        |FROM grid g ASOF LEFT JOIN obs o
+        |  ON g.user_id = o.user_id AND o.ts <= g.h
+        |ORDER BY 1, 2""".stripMargin,
+    "q81_session_overlap" -> SessionOverlapSql,
     "q57_stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

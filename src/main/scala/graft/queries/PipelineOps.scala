@@ -207,6 +207,23 @@ object PipelineOps {
         .orderBy(col("doc"), col("term"))
     }),
 
+    // Blocked fuzzy matching: candidate pairs share a cheap block key
+    // (first token), verified by edit distance on the 60-char head —
+    // the record-linkage shape (block → verify) that replaces the
+    // all-pairs levenshtein no engine survives at scale.
+    "q82_fuzzy_pairs" -> ((s, d) => {
+      val t = Tables.documents(s, d).select(col("doc_id"),
+        substring(col("text"), 1, 60).as("head"),
+        element_at(split(col("text"), "\\s+"), 1).as("blk"))
+      t.as("a")
+        .join(t.as("b"),
+          col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          levenshtein(col("a.head"), col("b.head")).as("dist"))
+        .filter(col("dist") <= 20)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // LSH-bucketed ANN — the scale path (bucket-local joins). Rows-only.
     "q32_ann_lsh" -> ((s, d) => {
       Similarity.lshNearDupPairs(Tables.embeddings(s, d), "vec_id",
@@ -546,6 +563,16 @@ object PipelineOps {
         |FROM pairs CROSS JOIN n
         |JOIN cf ca ON ca.tok = tok_a JOIN cf cb ON cb.tok = tok_b
         |ORDER BY tok_a, tok_b""".stripMargin,
+    "q82_fuzzy_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, substr(text, 1, 60) AS head,
+        |         regexp_split_to_array(text, '\s+')[1] AS blk
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.head, b.head) AS INTEGER) AS dist
+        |FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.head, b.head) <= 20
+        |ORDER BY id_a, id_b""".stripMargin,
     // Mirrors TextAnalysis.bm25 operation-for-operation (same literal
     // arithmetic shapes → IEEE-identical doubles; ln is the only
     // non-correctly-rounded op and is rounded 9-dec before use).

@@ -284,6 +284,24 @@ object Relational {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // Arbitrary GROUPING SETS (the general form rollup/cube are sugar
+    // for) through the SQL surface — Catalyst plans one Expand, a
+    // single shuffle for all three groupings. Scaled-long revenue sum
+    // for the cross-engine hash.
+    "q83_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT coalesce(o_orderpriority, 'ALL') AS pri,
+          |  coalesce(o_orderstatus, 'ALL') AS st,
+          |  count(1) AS n,
+          |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+          |    AS revenue
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+          |  (o_orderstatus), ())
+          |ORDER BY pri, st""".stripMargin)
+    }),
+
     // Hierarchical rollup (beyond the reference — no grouping sets
     // exist there; Catalyst's Expand covers them natively). Subtotal
     // rows keyed 'ALL' so ordering/compare is null-free.
@@ -305,6 +323,16 @@ object Relational {
       s"""SELECT l_orderkey, l_linenumber, CAST($z AS BIGINT) AS zval
          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
     },
+    "q83_grouping_sets" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS pri,
+        |  coalesce(o_orderstatus, 'ALL') AS st,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+        |  (o_orderstatus), ())
+        |ORDER BY pri, st""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

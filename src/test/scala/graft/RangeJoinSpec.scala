@@ -69,6 +69,41 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(ngot == Set((1L, "a"), (2L, "b"), (3L, "b")))
   }
 
+  test("overlapJoin == naive non-equi join, each pair exactly once") {
+    val a = spark.range(300).select(col("id").as("aid"),
+        pmod(hash(col("id")), lit(1000)).cast("long").as("lo_a"))
+      .withColumn("hi_a", col("lo_a") + 1 + pmod(hash(col("aid") * 7), lit(60)).cast("long"))
+    val b = spark.range(200).select(col("id").as("bid"),
+        pmod(hash(col("id") + 13), lit(1000)).cast("long").as("lo_b"))
+      .withColumn("hi_b", col("lo_b") + 1 + pmod(hash(col("bid") * 3), lit(90)).cast("long"))
+    val grid = RangeJoin.overlapJoin(a, b, "lo_a", "hi_a", "lo_b", "hi_b", 16.0)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = a.join(b, col("lo_a") < col("hi_b") && col("lo_b") < col("hi_a"))
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(grid.length == grid.toSet.size, "pairs must be emitted exactly once")
+    assert(grid.toSet == naive)
+    assert(naive.nonEmpty)
+    // shared column names are rejected (result carries both sides)
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.overlapJoin(a, a, "lo_a", "hi_a", "lo_a", "hi_a", 16.0)
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
+
+  test("overlapJoin: exact integral cells beyond 2^53 and negative domains") {
+    val base = 1L << 53
+    val a = Seq((1L, base + 1L, base + 4L), (2L, base - 9L, base - 6L)).toDF("aid", "lo_a", "hi_a")
+    val b = Seq((10L, base + 3L, base + 8L), (11L, base - 8L, base - 7L)).toDF("bid", "lo_b", "hi_b")
+    val got = RangeJoin.overlapJoin(a, b, "lo_a", "hi_a", "lo_b", "hi_b", 2.0)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, 11L)))
+    val na = Seq((1L, -10L, -4L)).toDF("aid", "lo_a", "hi_a")
+    val nb = Seq((10L, -5L, -1L), (11L, -20L, -10L)).toDF("bid", "lo_b", "hi_b")
+    val ngot = RangeJoin.overlapJoin(na, nb, "lo_a", "hi_a", "lo_b", "hi_b", 3.0)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ngot == Set((1L, 10L))) // [-20,-10) does not overlap [-10,-4)
+  }
+
   test("plan is an equi join on the cell key, no nested-loop/cartesian") {
     val points = spark.range(100).select(col("id").as("pid"),
       col("id").cast("double").as("v"))

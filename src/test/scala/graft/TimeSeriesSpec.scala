@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+import graft.ops.TimeSeries
+
+class TimeSeriesSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("hourly LOCF: grid spans per-key range, values carry forward, ties break on tieCol") {
+    val df = Seq(
+      // key 1: obs at 10:30 (v=1), 10:45 tie pair (ids 5/6 → 6 wins, v=3), 13:10 (v=9)
+      (1L, ts("2026-01-01 10:30:00"), 1.0, 5L),
+      (1L, ts("2026-01-01 10:45:00"), 2.0, 5L),
+      (1L, ts("2026-01-01 10:45:00"), 3.0, 6L),
+      (1L, ts("2026-01-01 13:10:00"), 9.0, 7L),
+      // key 2: single observation exactly on the hour
+      (2L, ts("2026-01-01 05:00:00"), 4.0, 8L))
+      .toDF("k", "t", "v", "id")
+    val got = TimeSeries.resampleHourlyLocf(df, "k", "t", "v", "id")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toSet
+    assert(got == Set(
+      (1L, "2026-01-01 10:00:00.0", None),       // grid start precedes first obs
+      (1L, "2026-01-01 11:00:00.0", Some(3.0)),  // tie resolved to id 6
+      (1L, "2026-01-01 12:00:00.0", Some(3.0)),  // carried forward
+      (1L, "2026-01-01 13:00:00.0", Some(3.0)),  // 13:10 obs is after the 13:00 instant
+      (2L, "2026-01-01 05:00:00.0", Some(4.0)))) // on-the-hour obs is inclusive
+  }
+}
