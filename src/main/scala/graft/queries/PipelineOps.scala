@@ -207,20 +207,28 @@ object PipelineOps {
         .orderBy(col("doc"), col("term"))
     }),
 
-    // Blocked fuzzy matching: candidate pairs share a cheap block key
-    // (first token), verified by edit distance on the 60-char head —
-    // the record-linkage shape (block → verify) that replaces the
-    // all-pairs levenshtein no engine survives at scale.
+    // Blocked fuzzy matching — the record-linkage shape (block →
+    // verify) that replaces the all-pairs levenshtein no engine
+    // survives at scale. TWO selective block keys (char windows at
+    // offsets 0 and 30), candidates = the set union, so an edit
+    // inside one window still pairs through the other; a first-token
+    // key was measured 70× more candidates on this template-heavy
+    // corpus (one 197-doc block = 19k pairs at sf0.1). Verify = edit
+    // distance on the 60-char head.
     "q82_fuzzy_pairs" -> ((s, d) => {
       val t = Tables.documents(s, d).select(col("doc_id"),
         substring(col("text"), 1, 60).as("head"),
-        element_at(split(col("text"), "\\s+"), 1).as("blk"))
-      t.as("a")
+        substring(col("text"), 1, 12).as("k1"),
+        substring(col("text"), 31, 12).as("k2"))
+      def block(k: String) = t.as("a")
         .join(t.as("b"),
-          col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+          col(s"a.$k") === col(s"b.$k") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          levenshtein(col("a.head"), col("b.head")).as("dist"))
-        .filter(col("dist") <= 20)
+          col("a.head").as("head_a"), col("b.head").as("head_b"))
+      block("k1").unionByName(block("k2")).distinct()
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("head_a"), col("head_b")).as("dist"))
+        .filter(col("dist") <= 5)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -566,12 +574,18 @@ object PipelineOps {
     "q82_fuzzy_pairs" ->
       """WITH t AS (
         |  SELECT doc_id, substr(text, 1, 60) AS head,
-        |         regexp_split_to_array(text, '\s+')[1] AS blk
-        |  FROM documents)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(levenshtein(a.head, b.head) AS INTEGER) AS dist
-        |FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
-        |WHERE levenshtein(a.head, b.head) <= 20
+        |         substr(text, 1, 12) AS k1, substr(text, 31, 12) AS k2
+        |  FROM documents),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         a.head AS head_a, b.head AS head_b
+        |  FROM t a JOIN t b ON a.k1 = b.k1 AND a.doc_id < b.doc_id
+        |  UNION
+        |  SELECT a.doc_id, b.doc_id, a.head, b.head
+        |  FROM t a JOIN t b ON a.k2 = b.k2 AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |  CAST(levenshtein(head_a, head_b) AS INTEGER) AS dist
+        |FROM cand WHERE levenshtein(head_a, head_b) <= 5
         |ORDER BY id_a, id_b""".stripMargin,
     // Mirrors TextAnalysis.bm25 operation-for-operation (same literal
     // arithmetic shapes → IEEE-identical doubles; ln is the only
