@@ -44,7 +44,11 @@ object GraftFunctions {
       (es: Seq[Expression]) => SigMatches(es(0), es(1))),
     (FunctionIdentifier("nfc"),
       info("nfc", "nfc(string) - Unicode NFC normalization"),
-      (es: Seq[Expression]) => NfcNormalize(es.head))
+      (es: Seq[Expression]) => NfcNormalize(es.head)),
+    (FunctionIdentifier("pos_ngrams"),
+      info("pos_ngrams", "pos_ngrams(text, n) - generator: (pos, ngram) per word n-gram"),
+      (es: Seq[Expression]) => PosNGrams(es(0),
+        es(1).eval().asInstanceOf[Number].intValue()))
   )
 
   /** Runtime registration into an existing session. */

@@ -232,6 +232,17 @@ object PipelineOps {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Custom Generator/UDTF through GenerateExec: positional word
+    // trigrams — the table-valued quadrant of the §2.10 surface
+    // (also SQL-callable as LATERAL VIEW pos_ngrams(text, 3)).
+    "q84_pos_ngrams" -> ((s, d) => {
+      import org.apache.spark.sql.graftbridge.Bridge
+      Tables.documents(s, d).select(col("doc_id"),
+          Bridge.column(graft.functions.PosNGrams(
+            Bridge.expression(col("text")), 3)))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // LSH-bucketed ANN — the scale path (bucket-local joins). Rows-only.
     "q32_ann_lsh" -> ((s, d) => {
       Similarity.lshNearDupPairs(Tables.embeddings(s, d), "vec_id",
@@ -571,6 +582,17 @@ object PipelineOps {
         |FROM pairs CROSS JOIN n
         |JOIN cf ca ON ca.tok = tok_a JOIN cf cb ON cb.tok = tok_b
         |ORDER BY tok_a, tok_b""".stripMargin,
+    "q84_pos_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, generate_subscripts(regexp_split_to_array(text, '\s+'), 1) AS p,
+        |         unnest(regexp_split_to_array(text, '\s+')) AS tok
+        |  FROM documents),
+        |tri AS (
+        |  SELECT doc_id, p, tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS ngram
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY p))
+        |SELECT doc_id, CAST(p - 1 AS INTEGER) AS pos, ngram
+        |FROM tri WHERE ngram IS NOT NULL
+        |ORDER BY doc_id, pos""".stripMargin,
     "q82_fuzzy_pairs" ->
       """WITH t AS (
         |  SELECT doc_id, substr(text, 1, 60) AS head,

@@ -63,6 +63,56 @@ class ZOrderSpec extends AnyFunSuite {
   }
 }
 
+class PosNGramsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+  import org.apache.spark.sql.graftbridge.Bridge
+
+  private def gen(n: Int) = Seq(
+    (1L, "a b c d"), (2L, "x y"), (3L, ""), (4L, null.asInstanceOf[String]))
+    .toDF("id", "text")
+    .select(col("id"), Bridge.column(graft.functions.PosNGrams(
+      Bridge.expression(col("text")), n)))
+
+  test("generator emits (pos, ngram) rows; short/empty/null docs emit none") {
+    val got = gen(3).collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == Set((1L, 0, "a b c"), (1L, 1, "b c d")))
+    // n=1: every token with its position
+    val uni = gen(1).filter(col("id") === 2L)
+      .collect().map(r => (r.getInt(1), r.getString(2))).toSet
+    assert(uni == Set((0, "x"), (1, "y")))
+  }
+
+  test("SQL surface: LATERAL VIEW pos_ngrams") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq((1L, "a b c d")).toDF("id", "text").createOrReplaceTempView("png_docs")
+    val got = spark.sql(
+      """SELECT id, pos, ngram FROM png_docs
+        |LATERAL VIEW pos_ngrams(text, 2) AS pos, ngram""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == Set((1L, 0, "a b"), (1L, 1, "b c"), (1L, 2, "c d")))
+  }
+
+  test("generator == the HOF sliding-window formulation on real docs") {
+    val docs = TestSession.spark.read
+      .parquet(s"${TestSession.sf}/documents.parquet").limit(50)
+    val viaGen = docs.select(col("doc_id"), Bridge.column(
+        graft.functions.PosNGrams(Bridge.expression(col("text")), 3)))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val viaHof = docs.select(col("doc_id"),
+        posexplode(filter(transform(
+          split(col("text"), "\\s+"),
+          (_, i) => concat_ws(" ",
+            get(split(col("text"), "\\s+"), i),
+            get(split(col("text"), "\\s+"), i + 1),
+            get(split(col("text"), "\\s+"), i + 2))),
+          s => size(split(s, " ")) === 3)))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(viaGen == viaHof)
+    assert(viaGen.nonEmpty)
+  }
+}
+
 class RetrievalOpsSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   import spark.implicits._
