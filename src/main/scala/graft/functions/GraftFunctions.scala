@@ -22,6 +22,19 @@ object GraftFunctions {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[SimHash64].getName, null, name, usage, "")
 
+  /** Builders run inside analysis — surface bad static arguments as a
+    * clear message instead of a raw eval crash (an attribute argument
+    * would throw UnsupportedOperationException, a NULL literal an NPE,
+    * a missing argument IndexOutOfBounds). */
+  private def literalInt(es: Seq[Expression], idx: Int, fn: String): Int = {
+    require(es.length > idx, s"$fn expects at least ${idx + 1} arguments, got ${es.length}")
+    val e = es(idx)
+    require(e.foldable, s"$fn: argument ${idx + 1} must be an integer literal, got ${e.sql}")
+    val v = e.eval()
+    require(v != null, s"$fn: argument ${idx + 1} must not be NULL")
+    v.asInstanceOf[Number].intValue()
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(array<string>) - 64-bit SimHash fingerprint"),
@@ -38,7 +51,7 @@ object GraftFunctions {
     (FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(array<string>, n) - MinHash signature"),
       (es: Seq[Expression]) => MinHashSig(es(0),
-        es(1).eval().asInstanceOf[Number].intValue())),
+        literalInt(es, 1, "minhash_sig"))),
     (FunctionIdentifier("sig_matches"),
       info("sig_matches", "sig_matches(array<bigint>, array<bigint>) - equal minhash signature positions"),
       (es: Seq[Expression]) => SigMatches(es(0), es(1))),
@@ -48,7 +61,7 @@ object GraftFunctions {
     (FunctionIdentifier("pos_ngrams"),
       info("pos_ngrams", "pos_ngrams(text, n) - generator: (pos, ngram) per word n-gram"),
       (es: Seq[Expression]) => PosNGrams(es(0),
-        es(1).eval().asInstanceOf[Number].intValue()))
+        literalInt(es, 1, "pos_ngrams")))
   )
 
   /** Runtime registration into an existing session. */

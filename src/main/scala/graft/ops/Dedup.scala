@@ -214,11 +214,15 @@ object Dedup {
       it += 1
     }
     edges.unpersist(blocking = false)
-    // materialize off the final round's cache (eager localCheckpoint
-    // truncates lineage), then release it — otherwise every call
-    // leaks one cached plan for the session lifetime
+    // materialize the result into its own cache, then release the
+    // final round's — otherwise every call leaks one cached plan for
+    // the session lifetime. A cache (not localCheckpoint) keeps the
+    // lineage intact: after executor loss the result recomputes
+    // instead of failing on missing checkpoint blocks; the cache
+    // itself is reclaimed by util.Caches.clearAll / catalog.clearCache.
     val out = labels.select(col("id").as("doc_id"), col("label").as("rep_id"))
-      .localCheckpoint()
+      .cache()
+    out.count()
     retained.unpersist(blocking = false)
     out
   }

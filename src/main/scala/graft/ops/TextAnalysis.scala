@@ -196,9 +196,14 @@ object TextAnalysis {
     * TfIdf.idf — a literal beats a nested-loop scalar join). */
   def coOccurrencePmi(df: DataFrame, idCol: String, textCol: String,
                       minPairDocs: Long = 2L): DataFrame = {
+    // the tokenize-explode is the dominant cost and feeds three
+    // consumers (doc freq + both self-join sides) — cache it rather
+    // than re-running the regex split per consumer; reclaimed by
+    // util.Caches.clearAll like every per-call cache in this module
     val td = df.select(col(idCol).as("doc"),
         explode(array_distinct(toks(col(textCol)))).as("tok"))
       .filter(col("tok") =!= "")
+      .cache()
     val docFreq = td.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val pairs = td.as("a")
       .join(td.as("b"), col("a.doc") === col("b.doc") && col("a.tok") < col("b.tok"))
@@ -224,13 +229,17 @@ object TextAnalysis {
     * pattern as TfIdf.idf — literals beat a nested-loop scalar join). */
   def bm25(df: DataFrame, idCol: String, textCol: String,
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // cache the tokenize-explode (three consumers: tf, dl, Σdl);
+    // reclaimed by util.Caches.clearAll like this module's other
+    // per-call caches
     val tok = df.select(col(idCol).as("doc"), explode(toks(col(textCol))).as("term"))
       .filter(col("term") =!= "")
+      .cache()
     val tf = tok.groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
     val dl = tok.groupBy(col("doc")).agg(count(lit(1)).as("dl"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = df.count()
-    val sumDl = tok.count() // Σ per-doc lengths = total token count
+    val sumDl = tok.count() // Σ per-doc lengths = total token count; materializes the cache
     val avgdl = sumDl.toDouble / nDocs.toDouble
     val idf = round(log(lit(1.0) +
       (lit(nDocs.toDouble) - col("df").cast("double") + 0.5) /

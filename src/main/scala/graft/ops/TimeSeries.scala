@@ -27,6 +27,12 @@ object TimeSeries {
     * Output: key, `hour` (timestamp, grid instant), `value`. */
   def resampleHourlyLocf(df: DataFrame, keyCol: String, tsCol: String,
                          valCol: String, tieCol: String): DataFrame = {
+    val reserved = Set("hour", "value", "_ots", "_oval", "_h0", "_h1")
+    require(!reserved.contains(keyCol),
+      s"keyCol '$keyCol' collides with a reserved output/internal name")
+    val clash = df.columns.filter(c => reserved.contains(c) && c != keyCol)
+    require(clash.isEmpty,
+      s"input must not already have ${clash.mkString("/")} columns (reserved by resampleHourlyLocf)")
     val obs = df.groupBy(col(keyCol), col(tsCol).as("_ots"))
       .agg(max_by(col(valCol), col(tieCol)).as("_oval"))
     val grid = df.groupBy(col(keyCol))

@@ -219,7 +219,10 @@ object PipelineOps {
       val t = Tables.documents(s, d).select(col("doc_id"),
         substring(col("text"), 1, 60).as("head"),
         substring(col("text"), 1, 12).as("k1"),
-        substring(col("text"), 31, 12).as("k2"))
+        // only full 12-char windows: short docs would all share a
+        // truncated/empty k2 — one degenerate block, quadratic again.
+        // A null key never equi-joins, so short docs pair via k1 only.
+        when(length(col("text")) >= 42, substring(col("text"), 31, 12)).as("k2"))
       def block(k: String) = t.as("a")
         .join(t.as("b"),
           col(s"a.$k") === col(s"b.$k") && col("a.doc_id") < col("b.doc_id"))
@@ -583,10 +586,15 @@ object PipelineOps {
         |JOIN cf ca ON ca.tok = tok_a JOIN cf cb ON cb.tok = tok_b
         |ORDER BY tok_a, tok_b""".stripMargin,
     "q84_pos_ngrams" ->
-      """WITH toks AS (
-        |  SELECT doc_id, generate_subscripts(regexp_split_to_array(text, '\s+'), 1) AS p,
+      """WITH raw AS (
+        |  SELECT doc_id, generate_subscripts(regexp_split_to_array(text, '\s+'), 1) AS p0,
         |         unnest(regexp_split_to_array(text, '\s+')) AS tok
         |  FROM documents),
+        |toks AS (
+        |  -- drop empty tokens and re-rank, mirroring PosNGrams'
+        |  -- positions over the FILTERED token sequence
+        |  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY p0) AS p, tok
+        |  FROM raw WHERE tok <> ''),
         |tri AS (
         |  SELECT doc_id, p, tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS ngram
         |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY p))
@@ -596,7 +604,8 @@ object PipelineOps {
     "q82_fuzzy_pairs" ->
       """WITH t AS (
         |  SELECT doc_id, substr(text, 1, 60) AS head,
-        |         substr(text, 1, 12) AS k1, substr(text, 31, 12) AS k2
+        |         substr(text, 1, 12) AS k1,
+        |         CASE WHEN length(text) >= 42 THEN substr(text, 31, 12) END AS k2
         |  FROM documents),
         |cand AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,

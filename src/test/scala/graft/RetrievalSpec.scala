@@ -93,6 +93,23 @@ class PosNGramsSpec extends AnyFunSuite {
     assert(got == Set((1L, 0, "a b"), (1L, 1, "b c"), (1L, 2, "c d")))
   }
 
+  test("SQL builder rejects non-literal / null / missing n with a clear message") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq((1L, "a b c", 2)).toDF("id", "text", "n").createOrReplaceTempView("png_bad")
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT id, pos, ngram FROM png_bad LATERAL VIEW pos_ngrams(text, n) AS pos, ngram").collect()
+    }
+    assert(e1.getMessage.contains("integer literal"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT id, pos, ngram FROM png_bad LATERAL VIEW pos_ngrams(text, NULL) AS pos, ngram").collect()
+    }
+    assert(e2.getMessage.contains("NULL"))
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT id, pos, ngram FROM png_bad LATERAL VIEW pos_ngrams(text) AS pos, ngram").collect()
+    }
+    assert(e3.getMessage.contains("at least 2 arguments"))
+  }
+
   test("generator == the HOF sliding-window formulation on real docs") {
     val docs = TestSession.spark.read
       .parquet(s"${TestSession.sf}/documents.parquet").limit(50)

@@ -10,6 +10,18 @@ class TimeSeriesSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("reserved output/internal names are rejected upfront") {
+    val df = Seq((1L, ts("2026-01-01 10:30:00"), 1.0, 5L)).toDF("k", "t", "v", "id")
+    val e1 = intercept[IllegalArgumentException] {
+      TimeSeries.resampleHourlyLocf(df.withColumnRenamed("v", "hour"), "k", "t", "hour", "id")
+    }
+    assert(e1.getMessage.contains("hour"))
+    val e2 = intercept[IllegalArgumentException] {
+      TimeSeries.resampleHourlyLocf(df, "_ots", "t", "v", "id")
+    }
+    assert(e2.getMessage.contains("_ots"))
+  }
+
   test("hourly LOCF: grid spans per-key range, values carry forward, ties break on tieCol") {
     val df = Seq(
       // key 1: obs at 10:30 (v=1), 10:45 tie pair (ids 5/6 → 6 wins, v=3), 13:10 (v=9)
