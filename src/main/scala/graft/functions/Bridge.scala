@@ -33,4 +33,15 @@ object Bridge {
         exp.extraStrategies = exp.extraStrategies :+ s
     }
   }
+
+  /** Idempotently add an optimizer rule to a live session (the
+    * runtime analogue of SparkSessionExtensions.injectOptimizerRule). */
+  def addOptimization(spark: SparkSession,
+                      r: org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    exp.synchronized {
+      if (!exp.extraOptimizations.contains(r))
+        exp.extraOptimizations = exp.extraOptimizations :+ r
+    }
+  }
 }

@@ -64,19 +64,26 @@ object GraftFunctions {
         literalInt(es, 1, "pos_ngrams")))
   )
 
-  /** Runtime registration into an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Runtime registration into an existing session: SQL functions +
+    * the engine optimizer rule (same surface [[GraftExtensions]]
+    * injects at session build time). */
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (id, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(id.funcName, builder, "internal")
     }
+    org.apache.spark.sql.graftbridge.Bridge
+      .addOptimization(spark, graft.plans.CollapseNfcNormalize)
+  }
 }
 
 /** `spark.sql.extensions`-compatible injection point: native SQL
-  * functions + the whole-operator as-of join planner strategy. */
+  * functions, the engine optimizer rule, and the whole-operator as-of
+  * join planner strategy. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.CollapseNfcNormalize)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

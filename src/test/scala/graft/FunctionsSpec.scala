@@ -176,6 +176,23 @@ class SparseMeanAggregatorSpec extends AnyFunSuite {
     assert(viaSql == out)
   }
 
+  test("optimizer rule: nested nfc() collapses to one pass (any depth)") {
+    graft.functions.GraftFunctions.register(spark) // installs the rule too
+    // non-local source: a Project over a local Seq relation would be
+    // constant-folded whole before the count could see it
+    val df = spark.range(3).select(col("id"),
+      concat(lit("cafe\u0301 "), col("id").cast("string")).as("s"))
+    val nfc = graft.functions.Normalize.nfc _
+    val nested = df.select(col("id"), nfc(nfc(nfc(col("s")))).as("n"))
+    val count = nested.queryExecution.optimizedPlan.expressions.map(e =>
+      e.collect { case _: graft.functions.NfcNormalize => 1 }.sum).sum
+    assert(count == 1, nested.queryExecution.optimizedPlan.toString)
+    // semantics unchanged by the rewrite (idempotence: PropertySpec);
+    // the decomposed input comes out composed
+    val got = nested.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "caf\u00e9 1")
+  }
+
   test("aggregator semantics: absent terms count as zero in the mean") {
     import org.apache.spark.sql.functions.udaf
     import spark.implicits._
