@@ -27,12 +27,14 @@ object TimeSeries {
     * Output: key, `hour` (timestamp, grid instant), `value`. */
   def resampleHourlyLocf(df: DataFrame, keyCol: String, tsCol: String,
                          valCol: String, tieCol: String): DataFrame = {
-    val reserved = Set("hour", "value", "_ots", "_oval", "_h0", "_h1")
+    // every internal frame is built from explicit selects, so other
+    // input columns never leak in — only the KEY column's name can
+    // collide with the constructed output/internal names (tsCol/
+    // valCol/tieCol are aliased away immediately)
+    val reserved = Set("hour", "value", "_ots", "_oval", "_h0", "_h1",
+      "_ts", "_side", "_lrow", "_p", "_asof")
     require(!reserved.contains(keyCol),
       s"keyCol '$keyCol' collides with a reserved output/internal name")
-    val clash = df.columns.filter(c => reserved.contains(c) && c != keyCol)
-    require(clash.isEmpty,
-      s"input must not already have ${clash.mkString("/")} columns (reserved by resampleHourlyLocf)")
     val obs = df.groupBy(col(keyCol), col(tsCol).as("_ots"))
       .agg(max_by(col(valCol), col(tieCol)).as("_oval"))
     val grid = df.groupBy(col(keyCol))

@@ -10,16 +10,20 @@ class TimeSeriesSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
-  test("reserved output/internal names are rejected upfront") {
+  test("a reserved keyCol is rejected upfront; other role names are free") {
     val df = Seq((1L, ts("2026-01-01 10:30:00"), 1.0, 5L)).toDF("k", "t", "v", "id")
     val e1 = intercept[IllegalArgumentException] {
-      TimeSeries.resampleHourlyLocf(df.withColumnRenamed("v", "hour"), "k", "t", "hour", "id")
+      TimeSeries.resampleHourlyLocf(df.withColumnRenamed("k", "hour"), "hour", "t", "v", "id")
     }
     assert(e1.getMessage.contains("hour"))
     val e2 = intercept[IllegalArgumentException] {
-      TimeSeries.resampleHourlyLocf(df, "_ots", "t", "v", "id")
+      TimeSeries.resampleHourlyLocf(df.withColumnRenamed("k", "_ots"), "_ots", "t", "v", "id")
     }
     assert(e2.getMessage.contains("_ots"))
+    // a VALUE column named "value" (like the events table) is fine
+    val ok = TimeSeries.resampleHourlyLocf(
+      df.withColumnRenamed("v", "value"), "k", "t", "value", "id")
+    assert(ok.columns.toSeq == Seq("k", "hour", "value") && ok.count() == 1)
   }
 
   test("hourly LOCF: grid spans per-key range, values carry forward, ties break on tieCol") {
