@@ -117,6 +117,41 @@ object EventQueries {
         .orderBy(col("user_a"), col("user_b"))
     }),
 
+    // Changelog compaction (CDC upsert materialization): latest row
+    // per (user_id, event_type) by (ts, event_id) — one window pass,
+    // the same shuffle shape every lakehouse MERGE/compaction job has.
+    "q85_cdc_latest" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("value"), col("event_id"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // Winsorization — per-group outlier clamping to [p01, p99] before
+    // training. Cutoffs rounded 6-dec on both engines (percentile
+    // interpolation is the one non-exact step), then pure compares +
+    // a scaled-long sum of the clamped values.
+    "q86_winsorize" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cuts = ev.groupBy(col("event_type")).agg(
+        round(expr("percentile(value, 0.01)"), 6).as("lo"),
+        round(expr("percentile(value, 0.99)"), 6).as("hi"))
+      ev.join(broadcast(cuts), "event_type")
+        .withColumn("cl", least(greatest(col("value"), col("lo")), col("hi")))
+        .groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"),
+          sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_low"),
+          sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_high"),
+          (sum(round(col("cl") * 1000000).cast("long")).cast("double") / 1000000.0)
+            .as("sum_winsorized"))
+        .orderBy(col("event_type"))
+    }),
+
     // The q39 aggregation as a Structured Streaming query: file source →
     // watermark → tumbling window agg → in-memory sink (complete mode),
     // driven to completion synchronously. Oracle = the batch SQL.
@@ -485,6 +520,27 @@ object EventQueries {
         |  ON g.user_id = o.user_id AND o.ts <= g.h
         |ORDER BY 1, 2""".stripMargin,
     "q81_session_overlap" -> SessionOverlapSql,
+    "q85_cdc_latest" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, ts, value, event_id,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM events)
+        |SELECT user_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |  value, event_id
+        |FROM r WHERE rk = 1 ORDER BY user_id, event_type""".stripMargin,
+    "q86_winsorize" ->
+      """WITH c AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.01), 6) AS lo,
+        |         round(quantile_cont(value, 0.99), 6) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN e.value < c.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(sum(CASE WHEN e.value > c.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  CAST(sum(CAST(round(least(greatest(e.value, c.lo), c.hi) * 1000000) AS BIGINT)) AS DOUBLE)
+        |    / 1000000.0 AS sum_winsorized
+        |FROM events e JOIN c USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q57_stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
