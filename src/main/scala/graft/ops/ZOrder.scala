@@ -48,6 +48,35 @@ object ZOrder {
   def zValueSql(a: String, b: String): String =
     s"(${spread16Sql(a)} | (${spread16Sql(b)} << 1))"
 
+  private val Masks3 = Seq(
+    (32, 0x1f00000000ffffL), (16, 0x1f0000ff0000ffL),
+    (8, 0x100f00f00f00f00fL), (4, 0x10c30c30c30c30c3L),
+    (2, 0x1249249249249249L))
+
+  /** Spread the low 21 bits of `x` to every third bit position
+    * (3-way interleave; standard Morton3D magic constants). */
+  def spread21(x: Column): Column =
+    Masks3.foldLeft(x.cast("long").bitwiseAND(lit(0x1FFFFFL))) {
+      case (acc, (sh, m)) => acc.bitwiseOR(shiftleft(acc, sh)).bitwiseAND(lit(m))
+    }
+
+  /** 63-bit Morton code of three 21-bit dimensions (a at bit 0, b at
+    * bit 1, c at bit 2 of each triple). Values masked to 21 bits. */
+  def zValue3(a: Column, b: Column, c: Column): Column =
+    spread21(a).bitwiseOR(shiftleft(spread21(b), 1))
+      .bitwiseOR(shiftleft(spread21(c), 2))
+
+  /** SQL mirrors of [[spread21]]/[[zValue3]] (same masks → identical
+    * codes in the oracle engine; all intermediates < 2⁶² so signed
+    * BIGINT arithmetic never overflows). */
+  def spread21Sql(e: String): String =
+    Masks3.foldLeft(s"(($e) & 2097151)") {
+      case (acc, (sh, m)) => s"(($acc | ($acc << $sh)) & $m)"
+    }
+
+  def zValue3Sql(a: String, b: String, c: String): String =
+    s"(${spread21Sql(a)} | (${spread21Sql(b)} << 1) | (${spread21Sql(c)} << 2))"
+
   /** Physically cluster `df` along the z-curve of (a, b): range
     * shuffle on the z-value, then sort within partitions, so each
     * output partition/file covers one compact z-range. The `_z`

@@ -246,6 +246,28 @@ object PipelineOps {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // END-TO-END training-data pipeline in ONE declared plan: exact
+    // dedup (keep min id per content hash) → quality filter → hash
+    // train/val split → sequence packing per (split, shard) — the
+    // composition a real corpus build runs, optimized by Catalyst as
+    // a single DAG (shared scan, pushed filters, three shuffles).
+    "q88_e2e_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val keep = docs.groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val deduped = docs.join(keep.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      val quality = TextAnalysis.qualityMetrics(deduped, "text")
+        .filter(col("n_tokens") >= 10 && col("distinct_ratio") >= 0.3)
+      val sp = TextAnalysis.withSplit(quality, "doc_id")
+        .select(col("doc_id"), col("split"),
+          concat(col("split"), lit("_"), (col("doc_id") % 4).cast("string")).as("shard"),
+          col("n_tokens"))
+      TextAnalysis.packSequences(sp, "shard", "doc_id", "n_tokens", budget = 512)
+        .groupBy(col("split"), col("shard"), col("pack_bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy(col("split"), col("shard"), col("pack_bin"))
+    }),
+
     // LSH-bucketed ANN — the scale path (bucket-local joins). Rows-only.
     "q32_ann_lsh" -> ((s, d) => {
       Similarity.lshNearDupPairs(Tables.embeddings(s, d), "vec_id",
@@ -585,6 +607,38 @@ object PipelineOps {
         |FROM pairs CROSS JOIN n
         |JOIN cf ca ON ca.tok = tok_a JOIN cf cb ON cb.tok = tok_b
         |ORDER BY tok_a, tok_b""".stripMargin,
+    "q88_e2e_pipeline" ->
+      """WITH keep AS (
+        |  SELECT md5(text) AS h, min(doc_id) AS doc_id
+        |  FROM documents GROUP BY md5(text)),
+        |ded AS (
+        |  SELECT d.doc_id, d.text FROM documents d
+        |  WHERE d.doc_id IN (SELECT doc_id FROM keep)),
+        |q AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(regexp_split_to_array(text, '\s+'))) AS DOUBLE)
+        |      / CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE) AS dr
+        |  FROM ded),
+        |f AS (SELECT doc_id, n_tokens FROM q WHERE n_tokens >= 10 AND dr >= 0.3),
+        |sp AS (
+        |  SELECT doc_id, n_tokens,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+        |         THEN 'val' ELSE 'train' END AS split
+        |  FROM f),
+        |sh AS (
+        |  SELECT doc_id, n_tokens, split,
+        |    split || '_' || CAST(doc_id % 4 AS VARCHAR) AS shard
+        |  FROM sp),
+        |p AS (
+        |  SELECT split, shard, n_tokens,
+        |    (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+        |      // 512 AS pack_bin
+        |  FROM sh)
+        |SELECT split, shard, CAST(pack_bin AS BIGINT) AS pack_bin,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM p GROUP BY 1, 2, 3 ORDER BY split, shard, pack_bin""".stripMargin,
     "q84_pos_ngrams" ->
       """WITH raw AS (
         |  SELECT doc_id, generate_subscripts(regexp_split_to_array(text, '\s+'), 1) AS p0,

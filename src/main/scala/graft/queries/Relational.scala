@@ -302,6 +302,18 @@ object Relational {
           |ORDER BY pri, st""".stripMargin)
     }),
 
+    // 3-D Morton codes (the z-order generalization for three sort
+    // dimensions — 21 bits each into one 63-bit key).
+    "q87_zorder3" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.ops.ZOrder.zValue3(
+            pmod(col("l_partkey"), lit(2097152)),
+            pmod(col("l_suppkey"), lit(2097152)),
+            pmod(col("l_orderkey"), lit(2097152))).as("zval"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // Hierarchical rollup (beyond the reference — no grouping sets
     // exist there; Catalyst's Expand covers them natively). Subtotal
     // rows keyed 'ALL' so ordering/compare is null-free.
@@ -320,6 +332,14 @@ object Relational {
     "q78_zorder" -> {
       val z = graft.ops.ZOrder.zValueSql(
         "CAST(l_partkey AS BIGINT) % 65536", "CAST(l_suppkey AS BIGINT) % 65536")
+      s"""SELECT l_orderkey, l_linenumber, CAST($z AS BIGINT) AS zval
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
+    "q87_zorder3" -> {
+      val z = graft.ops.ZOrder.zValue3Sql(
+        "CAST(l_partkey AS BIGINT) % 2097152",
+        "CAST(l_suppkey AS BIGINT) % 2097152",
+        "CAST(l_orderkey AS BIGINT) % 2097152")
       s"""SELECT l_orderkey, l_linenumber, CAST($z AS BIGINT) AS zval
          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
     },

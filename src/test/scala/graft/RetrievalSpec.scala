@@ -29,6 +29,30 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  private def morton3Ref(a: Int, b: Int, c: Int): Long = {
+    var z = 0L
+    for (i <- 0 until 21)
+      z |= (((a >> i) & 1).toLong << (3 * i)) |
+        (((b >> i) & 1).toLong << (3 * i + 1)) |
+        (((c >> i) & 1).toLong << (3 * i + 2))
+    z
+  }
+
+  test("zValue3 == bit-by-bit 3-D Morton reference on corners and seeded values") {
+    val m = (1 << 21) - 1
+    val vals = Seq((0, 0, 0), (m, m, m), (m, 0, 0), (0, m, 0), (0, 0, m)) ++
+      (1 to 150).map(i => (
+        math.abs(i * 2654435761L % (m + 1)).toInt,
+        math.abs(i * 40503L % (m + 1)).toInt,
+        math.abs(i * 69069L % (m + 1)).toInt))
+    val df = vals.toDF("a", "b", "c")
+      .withColumn("z", ZOrder.zValue3(col("a"), col("b"), col("c")))
+    df.collect().foreach { r =>
+      assert(r.getLong(3) == morton3Ref(r.getInt(0), r.getInt(1), r.getInt(2)),
+        s"(${r.getInt(0)}, ${r.getInt(1)}, ${r.getInt(2)})")
+    }
+  }
+
   test("values above 16 bits are masked, not corrupted") {
     val got = Seq((65536 + 5, 3)).toDF("a", "b")
       .select(ZOrder.zValue(col("a"), col("b"))).head.getLong(0)
