@@ -32,7 +32,11 @@ object GraftFunctions {
     require(e.foldable, s"$fn: argument ${idx + 1} must be an integer literal, got ${e.sql}")
     val v = e.eval()
     require(v != null, s"$fn: argument ${idx + 1} must not be NULL")
-    v.asInstanceOf[Number].intValue()
+    v match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${idx + 1} must be an integer literal, got a ${other.getClass.getSimpleName}")
+    }
   }
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -50,8 +54,12 @@ object GraftFunctions {
       (es: Seq[Expression]) => NormSqScaled(es.head)),
     (FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(array<string>, n) - MinHash signature"),
-      (es: Seq[Expression]) => MinHashSig(es(0),
-        literalInt(es, 1, "minhash_sig"))),
+      (es: Seq[Expression]) => {
+        // validate arity BEFORE touching es(0) — Scala evaluates
+        // constructor args left-to-right, so es(0) on an empty list
+        // would throw raw IndexOutOfBounds ahead of the clear message
+        val n = literalInt(es, 1, "minhash_sig"); MinHashSig(es(0), n)
+      }),
     (FunctionIdentifier("sig_matches"),
       info("sig_matches", "sig_matches(array<bigint>, array<bigint>) - equal minhash signature positions"),
       (es: Seq[Expression]) => SigMatches(es(0), es(1))),
@@ -60,8 +68,9 @@ object GraftFunctions {
       (es: Seq[Expression]) => NfcNormalize(es.head)),
     (FunctionIdentifier("pos_ngrams"),
       info("pos_ngrams", "pos_ngrams(text, n) - generator: (pos, ngram) per word n-gram"),
-      (es: Seq[Expression]) => PosNGrams(es(0),
-        literalInt(es, 1, "pos_ngrams")))
+      (es: Seq[Expression]) => {
+        val n = literalInt(es, 1, "pos_ngrams"); PosNGrams(es(0), n)
+      })
   )
 
   /** Runtime registration into an existing session: SQL functions +

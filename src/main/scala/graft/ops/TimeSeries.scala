@@ -32,7 +32,7 @@ object TimeSeries {
     // collide with the constructed output/internal names (tsCol/
     // valCol/tieCol are aliased away immediately)
     val reserved = Set("hour", "value", "_ots", "_oval", "_h0", "_h1",
-      "_ts", "_side", "_lrow", "_p", "_asof")
+      "_ts", "_side", "_lrow", "_p", "_asof", "locf__oval")
     require(!reserved.contains(keyCol),
       s"keyCol '$keyCol' collides with a reserved output/internal name")
     val obs = df.groupBy(col(keyCol), col(tsCol).as("_ots"))

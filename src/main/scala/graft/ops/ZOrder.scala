@@ -66,12 +66,16 @@ object ZOrder {
     spread21(a).bitwiseOR(shiftleft(spread21(b), 1))
       .bitwiseOR(shiftleft(spread21(c), 2))
 
-  /** SQL mirrors of [[spread21]]/[[zValue3]] (same masks → identical
-    * codes in the oracle engine; all intermediates < 2⁶² so signed
-    * BIGINT arithmetic never overflows). */
+  /** SQL mirrors of [[spread21]]/[[zValue3]]. The JVM's `<<` wraps
+    * mod 2⁶⁴ (which the magic-constant algorithm is designed for),
+    * but DuckDB RAISES on BIGINT shift overflow — so the SQL form
+    * pre-masks with `m >> sh` before each shift: algebraically
+    * `(acc | acc << sh) & m  ==  (acc & m) | ((acc & (m >> sh)) << sh)`,
+    * and the pre-masked operand can never carry a bit past 62. */
   def spread21Sql(e: String): String =
     Masks3.foldLeft(s"(($e) & 2097151)") {
-      case (acc, (sh, m)) => s"(($acc | ($acc << $sh)) & $m)"
+      case (acc, (sh, m)) =>
+        s"((($acc & $m) | (($acc & ${m >> sh}) << $sh)))"
     }
 
   def zValue3Sql(a: String, b: String, c: String): String =

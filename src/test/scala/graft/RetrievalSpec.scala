@@ -53,6 +53,28 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL mirrors equal the Column forms over the full domain (incl. >=2^16 3-D inputs)") {
+    // the 3-D SQL form must pre-mask before shifting (DuckDB raises on
+    // BIGINT shift overflow where the JVM wraps) — assert the rewritten
+    // algebra still computes the same codes, over values that exercise
+    // the high bits
+    val m = (1 << 21) - 1
+    val df = spark.range(2000).select(
+      ((col("id") * 7919) % (m + 1)).as("a"),
+      ((col("id") * 40503) % (m + 1)).as("b"),
+      ((col("id") * 149999) % (m + 1)).as("c"))
+    val cmp3 = df.select(
+        ZOrder.zValue3(col("a"), col("b"), col("c")).as("zc"),
+        expr(ZOrder.zValue3Sql("a", "b", "c")).as("zs"))
+      .filter(col("zc") =!= col("zs")).count()
+    assert(cmp3 == 0)
+    val cmp2 = df.select(
+        ZOrder.zValue(col("a") % 65536, col("b") % 65536).as("zc"),
+        expr(ZOrder.zValueSql("a % 65536", "b % 65536")).as("zs"))
+      .filter(col("zc") =!= col("zs")).count()
+    assert(cmp2 == 0)
+  }
+
   test("values above 16 bits are masked, not corrupted") {
     val got = Seq((65536 + 5, 3)).toDF("a", "b")
       .select(ZOrder.zValue(col("a"), col("b"))).head.getLong(0)
