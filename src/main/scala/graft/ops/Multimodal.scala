@@ -72,6 +72,37 @@ object Multimodal {
         p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
         p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
 
+    private def u16be(p: Array[Byte], o: Int): Int =
+      ((p(o) & 0xff) << 8) | (p(o + 1) & 0xff)
+
+    private def isJpeg(p: Array[Byte]): Boolean =
+      p.length >= 4 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8
+
+    /** Walk the JPEG marker stream to the first SOFn frame header
+      * (ITU T.81 §B.2.2: precision(1) height(2) width(2), big-endian)
+      * — the standard way every image sniffer reads JPEG dimensions
+      * without decoding. Returns None on a malformed stream. */
+    private def jpegDims(p: Array[Byte]): Option[(Int, Int)] = {
+      var i = 2
+      while (i + 3 < p.length) {
+        if ((p(i) & 0xff) != 0xff) return None // marker desync
+        val m = p(i + 1) & 0xff
+        if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) i += 2 // standalone
+        else {
+          val len = u16be(p, i + 2)
+          if (len < 2) return None
+          // SOF0-SOF15 minus the non-frame DHT/JPG/DAC markers
+          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+            return if (i + 8 < p.length)
+              Some((u16be(p, i + 7), u16be(p, i + 5))) // (width, height)
+            else None
+          }
+          i += 2 + len
+        }
+      }
+      None
+    }
+
     def decode(r: MediaRecord): MediaFeatures = {
       val p = r.payload
       val sum = payloadChecksum(p)
@@ -95,7 +126,12 @@ object Multimodal {
           width = 0, height = 0,
           sample_rate = u32le(p, 24).toInt, n_channels = u16le(p, 22),
           checksum = sum)
-      else
+      else if (isJpeg(p) && jpegDims(p).isDefined) {
+        val (w, h) = jpegDims(p).get
+        MediaFeatures(r.media_id, r.kind, "jpeg", n,
+          width = w, height = h,
+          sample_rate = 0, n_channels = 0, checksum = sum)
+      } else
         // unknown container: STUB fallback — deterministic fake
         // dimensions derived from the payload hash (what a real codec
         // would replace)

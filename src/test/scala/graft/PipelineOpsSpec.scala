@@ -273,6 +273,31 @@ class MultimodalSpec extends AnyFunSuite {
       && byId(3L).n_channels == 2 && byId(3L).width == 0)
   }
 
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(2 + 18 + 19 + 2).order(java.nio.ByteOrder.BIG_ENDIAN)
+    b.putShort(0xffd8.toShort)                         // SOI
+    b.putShort(0xffe0.toShort).putShort(16)            // APP0, len 16
+    b.put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+    b.put(1.toByte).put(1.toByte).put(0.toByte)
+    b.putShort(1).putShort(1).put(0.toByte).put(0.toByte)
+    b.putShort(0xffc0.toShort).putShort(17)            // SOF0 baseline, len 17
+    b.put(8.toByte).putShort(h.toShort).putShort(w.toShort) // precision, height, width
+    b.put(3.toByte)                                    // 3 components
+    b.put(Array[Byte](1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+    b.putShort(0xffd9.toShort)                         // EOI
+    b.array()
+  }
+
+  test("header decode: JPEG dimensions via the SOF marker walk") {
+    val f = Multimodal.HeaderDecoder.decode(
+      Multimodal.MediaRecord(5L, "image", jpegBytes(1920, 1080)))
+    assert(f.format == "jpeg" && f.width == 1920 && f.height == 1080)
+    // a truncated/markerless JPEG falls back to the flagged stub path
+    val junk = Multimodal.HeaderDecoder.decode(
+      Multimodal.MediaRecord(6L, "image", Array[Byte](0xff.toByte, 0xd8.toByte, 0x00, 0x01)))
+    assert(junk.format == "unknown")
+  }
+
   test("header decode: BMP top-down (negative height) normalizes") {
     val f = Multimodal.HeaderDecoder.decode(
       Multimodal.MediaRecord(4L, "image", bmpBytes(16, -32)))
