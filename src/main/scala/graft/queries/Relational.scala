@@ -302,6 +302,23 @@ object Relational {
           |ORDER BY pri, st""".stripMargin)
     }),
 
+    // Correlated scalar subquery + EXISTS through the SQL surface —
+    // Catalyst de-correlates both (scalar → aggregate + left outer
+    // join, EXISTS → left semi join), so the declarative form still
+    // plans as shuffle-safe joins.
+    "q89_correlated_subquery" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_cs")
+      Tables.orders(s, d).createOrReplaceTempView("orders_cs")
+      s.sql(
+        """SELECT c_custkey, c_name,
+          |  (SELECT max(o_totalprice) FROM orders_cs
+          |   WHERE o_custkey = c_custkey) AS max_order
+          |FROM customer_cs
+          |WHERE EXISTS (SELECT 1 FROM orders_cs
+          |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
     // 3-D Morton codes (the z-order generalization for three sort
     // dimensions — 21 bits each into one 63-bit key).
     "q87_zorder3" -> ((s, d) => {
@@ -335,6 +352,14 @@ object Relational {
       s"""SELECT l_orderkey, l_linenumber, CAST($z AS BIGINT) AS zval
          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
     },
+    "q89_correlated_subquery" ->
+      """SELECT c_custkey, c_name,
+        |  (SELECT max(o_totalprice) FROM orders
+        |   WHERE o_custkey = c_custkey) AS max_order
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
     "q87_zorder3" -> {
       val z = graft.ops.ZOrder.zValue3Sql(
         "CAST(l_partkey AS BIGINT) % 2097152",
