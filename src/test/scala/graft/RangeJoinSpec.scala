@@ -90,6 +90,23 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(e.getMessage.contains("disjoint"))
   }
 
+  test("overlapJoin: result is cell-size-invariant (integral and fractional cells)") {
+    val a = spark.range(120).select(col("id").as("aid"),
+        pmod(hash(col("id")), lit(500)).cast("long").as("lo_a"))
+      .withColumn("hi_a", col("lo_a") + 1 + pmod(hash(col("aid") * 5), lit(40)).cast("long"))
+    val b = spark.range(90).select(col("id").as("bid"),
+        pmod(hash(col("id") + 3), lit(500)).cast("long").as("lo_b"))
+      .withColumn("hi_b", col("lo_b") + 1 + pmod(hash(col("bid") * 11), lit(70)).cast("long"))
+    val naive = a.join(b, col("lo_a") < col("hi_b") && col("lo_b") < col("hi_a"))
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (cell <- Seq(1.0, 3.0, 7.5, 16.0, 64.0, 1000.0)) {
+      val got = RangeJoin.overlapJoin(a, b, "lo_a", "hi_a", "lo_b", "hi_b", cell)
+        .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == got.toSet.size, s"duplicates at cell=$cell")
+      assert(got.toSet == naive, s"mismatch at cell=$cell")
+    }
+  }
+
   test("overlapJoin: exact integral cells beyond 2^53 and negative domains") {
     val base = 1L << 53
     val a = Seq((1L, base + 1L, base + 4L), (2L, base - 9L, base - 6L)).toDF("aid", "lo_a", "hi_a")
