@@ -302,6 +302,39 @@ object Relational {
           |ORDER BY pri, st""".stripMargin)
     }),
 
+    // Array higher-order-function family over a derived array column
+    // — slice / distinct-sort / HOF transform+aggregate / zip_with,
+    // serialized to strings for the cross-engine hash.
+    "q90_array_family" -> ((s, d) => {
+      val arr = split(col("text"), "\\s+")
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          array_join(slice(arr, 1, 5), ",").as("first5"),
+          array_join(sort_array(array_distinct(arr)), ",").as("vocab"),
+          aggregate(transform(arr, t => length(t).cast("long")), lit(0L), _ + _)
+            .as("total_len"),
+          aggregate(zip_with(transform(arr, t => length(t).cast("long")),
+              sequence(lit(1L), size(arr).cast("long")), (a, b) => a * b),
+            lit(0L), _ + _).as("weighted_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Date/time function family: truncation, arithmetic, extraction,
+    // epoch round-trips — string/integer outputs for the hash.
+    "q91_date_family" -> ((s, d) => {
+      Tables.orders(s, d).select(
+          col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+          date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3m"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow"),
+          datediff(lit("1998-12-31").cast("date"), col("o_orderdate")).cast("long")
+            .as("days_to_end"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Correlated scalar subquery + EXISTS through the SQL surface —
     // Catalyst de-correlates both (scalar → aggregate + left outer
     // join, EXISTS → left semi join), so the declarative form still
@@ -352,6 +385,32 @@ object Relational {
       s"""SELECT l_orderkey, l_linenumber, CAST($z AS BIGINT) AS zval
          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
     },
+    "q90_array_family" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS arr FROM documents),
+        |u AS (
+        |  SELECT doc_id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS tok
+        |  FROM t),
+        |wl AS (
+        |  SELECT doc_id, CAST(sum(length(tok)) AS BIGINT) AS total_len,
+        |         CAST(sum(length(tok) * pos) AS BIGINT) AS weighted_len
+        |  FROM u GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  array_to_string(list_slice(arr, 1, 5), ',') AS first5,
+        |  array_to_string(list_sort(list_distinct(arr)), ',') AS vocab,
+        |  wl.total_len, wl.weighted_len
+        |FROM t JOIN wl USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q91_date_family" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS d,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT)
+        |    AS days_to_end
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q89_correlated_subquery" ->
       """SELECT c_custkey, c_name,
         |  (SELECT max(o_totalprice) FROM orders

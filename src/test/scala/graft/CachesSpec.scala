@@ -14,9 +14,10 @@ class CachesSpec extends AnyFunSuite {
     val qs = SparkEntry.queries
     // q26: Dedup shingle+signature caches; q11: TextQueries memo;
     // q22: Clustering doc-vector memo + fit-loop cache; q52:
-    // dedupGroups iterative caches + final localCheckpoint
+    // dedupGroups iterative caches + materialized result cache;
+    // q79: bm25's tokenize-explode cache
     Seq("q26_dedup_minhash", "q11_doc_term_counts", "q22_kmeans_sparse",
-        "q52_dedup_groups")
+        "q52_dedup_groups", "q79_bm25")
       .foreach(n => qs(n)(spark, TestSession.sf).collect())
     assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
       "expected the query paths to have cached something")
