@@ -86,6 +86,9 @@ object Multimodal {
       var i = 2
       while (i + 3 < p.length) {
         if ((p(i) & 0xff) != 0xff) return None // marker desync
+        // ITU T.81 B.1.1.2: markers may be preceded by any number of
+        // 0xFF fill bytes — skip the run so padded streams still parse
+        while (i + 3 < p.length && (p(i + 1) & 0xff) == 0xff) i += 1
         val m = p(i + 1) & 0xff
         if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) i += 2 // standalone
         else {
@@ -126,20 +129,23 @@ object Multimodal {
           width = 0, height = 0,
           sample_rate = u32le(p, 24).toInt, n_channels = u16le(p, 22),
           checksum = sum)
-      else if (isJpeg(p) && jpegDims(p).isDefined) {
-        val (w, h) = jpegDims(p).get
-        MediaFeatures(r.media_id, r.kind, "jpeg", n,
-          width = w, height = h,
-          sample_rate = 0, n_channels = 0, checksum = sum)
-      } else
-        // unknown container: STUB fallback — deterministic fake
-        // dimensions derived from the payload hash (what a real codec
-        // would replace)
-        MediaFeatures(r.media_id, r.kind, "unknown", n,
-          width = 16 + (math.abs(sum) % 1024).toInt,
-          height = 16 + (math.abs(sum / 7) % 1024).toInt,
-          sample_rate = 0, n_channels = 0, checksum = sum)
+      else if (isJpeg(p)) jpegDims(p) match {
+        case Some((w, h)) =>
+          MediaFeatures(r.media_id, r.kind, "jpeg", n,
+            width = w, height = h,
+            sample_rate = 0, n_channels = 0, checksum = sum)
+        case None => unknownFallback(r, n, sum)
+      } else unknownFallback(r, n, sum)
     }
+
+    private def unknownFallback(r: MediaRecord, n: Long, sum: Long): MediaFeatures =
+      // unknown container: STUB fallback — deterministic fake
+      // dimensions derived from the payload hash (what a real codec
+      // would replace)
+      MediaFeatures(r.media_id, r.kind, "unknown", n,
+        width = 16 + (math.abs(sum) % 1024).toInt,
+        height = 16 + (math.abs(sum / 7) % 1024).toInt,
+        sample_rate = 0, n_channels = 0, checksum = sum)
   }
 
 

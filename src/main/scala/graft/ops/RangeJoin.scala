@@ -38,6 +38,11 @@ object RangeJoin {
   // SQL `div` (plain `/` on longs yields double again; `div` alone
   // truncates toward zero, wrong for negatives — but after
   // subtracting pmod the dividend is an exact multiple).
+  // Domain assumption: `e - pmod(e, cs)` wraps for values within
+  // cellSize of Long.MinValue (ANSI mode would raise). Inputs here are
+  // timestamps / surrogate keys, which never sit at the Long boundary;
+  // callers with adversarial domains should pre-shift into
+  // [MinValue + cellSize, MaxValue - cellSize].
   private def cellFn(exact: Boolean, cellSize: Double): String => org.apache.spark.sql.Column =
     e =>
       if (exact) {

@@ -64,7 +64,8 @@ object TextAnalysis {
     * Scores bigram-profile hits per language; CJK codepoints short-
     * circuit to zh. Deterministic; broadcast closure, no shuffle. */
   def withLangId(df: DataFrame, textCol: String): DataFrame = {
-    val ps = profiles // serialized into the closure (tiny)
+    // Set membership, not Seq.contains — the scan is per-bigram per-row
+    val ps = profiles.map { case (l, p) => l -> p.toSet } // tiny closure
     val detect = udf { (s: String) =>
       if (s == null || s.isEmpty) "und"
       else if (s.exists(c => Character.UnicodeScript.of(c.toInt) ==

@@ -187,7 +187,7 @@ object PipelineOps {
       TextAnalysis.invertedIndex(Tables.documents(s, d), "doc_id", "text")
         .select(col("term"), col("doc_freq"),
           array_join(transform(col("postings"),
-            x => format_string("%010d", x)), ",").as("postings"))
+            x => format_string("%019d", x)), ",").as("postings"))
         .orderBy(col("term"))
     }),
 
@@ -588,7 +588,7 @@ object PipelineOps {
         |  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
         |  FROM documents)
         |SELECT term, count(*) AS doc_freq,
-        |  array_to_string(list_sort(list(printf('%010d', doc_id))), ',') AS postings
+        |  array_to_string(list_sort(list(printf('%019d', doc_id))), ',') AS postings
         |FROM td WHERE term <> '' GROUP BY term ORDER BY term""".stripMargin,
     "q77_cooccur_pmi" ->
       """WITH td AS (
