@@ -52,6 +52,27 @@ object KMeans2D {
     cs.indices.map(i => means.getOrElse(i, cs(i)))
   }
 
+  /** One Lloyd iteration with bit-deterministic means: per-cluster
+    * means via [[graft.util.Exact]] scaled-long sums — order-independent
+    * under any partitioning, so an external SQL engine replaying the
+    * same arithmetic produces the IDENTICAL double centroids. This is
+    * what makes a fixed-iteration-count fit cross-engine checkable
+    * (q94): with exact means, iteration i+1's assignment compares
+    * bit-equal distances in both engines. */
+  def stepExact(points: DataFrame, xCol: String, yCol: String,
+                cs: IndexedSeq[(Double, Double)],
+                scale: Int = 6): IndexedSeq[(Double, Double)] = {
+    import graft.util.Exact
+    val means = assign(points, xCol, yCol, cs)
+      .groupBy(col("cluster"))
+      .agg(Exact.avgExact(col(xCol), scale).as("cx"),
+        Exact.avgExact(col(yCol), scale).as("cy"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    cs.indices.map(i => means.getOrElse(i, cs(i)))
+  }
+
   /** Full loop. Converges when every centroid moves ≤ `tol` (Euclidean,
     * reference threshold 0.5 — task2_1.java:99-130,354), or after
     * `maxIter`. Returns (centroids, iterations run). */

@@ -121,10 +121,11 @@ object IvfIndex {
   def searchDistributed(indexed: DataFrame, queries: DataFrame, idCol: String,
                         vecCol: String, cs: Array[Centroid], k: Int,
                         nProbe: Int): DataFrame = {
-    val spark = indexed.sparkSession
-    import spark.implicits._
-    val csDf = cs.toSeq.zipWithIndex.map { case (c, i) => (i, c) }
-      .toDF("bucket", "centroid")
+    // Centroids enter as a LITERAL array generated per query row
+    // (posexplode) rather than a k-row broadcast relation: a 1×k cross
+    // join would plan as BroadcastNestedLoopJoin, while the generate is
+    // joinless and keeps the probe-ranking stage a pure map+window.
+    val csLit = typedlit(cs.map(_.toSeq).toSeq)
     val dist = aggregate(
       zip_with(col("qvec"), col("centroid"),
         (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
@@ -133,7 +134,8 @@ object IvfIndex {
       .orderBy(col("dist"), col("bucket"))
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-      .crossJoin(broadcast(csDf))
+      .select(col("query_id"), col("qvec"),
+        posexplode(csLit).as(Seq("bucket", "centroid")))
       .withColumn("dist", dist)
       .withColumn("pr", row_number().over(pw))
       .filter(col("pr") <= nProbe)

@@ -41,10 +41,16 @@ object Multimodal {
     * contract. Header layouts are from the public format specs (PNG
     * RFC 2083 §3.1/IHDR, BMP BITMAPINFOHEADER, RIFF/WAVE fmt). */
   object HeaderDecoder {
+    /** Deterministic payload checksum: position-weighted byte sum
+      * Σ b_i · ((i mod 31) + 1). Bounded by 255·31·n — no Long overflow
+      * below exabyte payloads — so an external SQL engine computes the
+      * identical value from the same bytes (a rolling `h*31+b` hash
+      * wraps JVM-side, which engines that raise on BIGINT overflow
+      * cannot reproduce). */
     private def payloadChecksum(p: Array[Byte]): Long = {
       var sum = 0L
       var i = 0
-      while (i < p.length) { sum = sum * 31 + (p(i) & 0xff); i += 1 }
+      while (i < p.length) { sum += (p(i) & 0xff).toLong * ((i % 31) + 1); i += 1 }
       sum
     }
 
@@ -143,8 +149,8 @@ object Multimodal {
       // dimensions derived from the payload hash (what a real codec
       // would replace)
       MediaFeatures(r.media_id, r.kind, "unknown", n,
-        width = 16 + (math.abs(sum) % 1024).toInt,
-        height = 16 + (math.abs(sum / 7) % 1024).toInt,
+        width = 16 + (sum % 1024).toInt, // sum ≥ 0 by construction
+        height = 16 + ((sum / 7) % 1024).toInt,
         sample_rate = 0, n_channels = 0, checksum = sum)
   }
 

@@ -93,11 +93,15 @@ object Similarity {
     Array.fill(planes, dim)(rnd.nextGaussian())
   }
 
-  /** Sign-bit LSH bucket id of an embedding under the given planes. */
+  /** Sign-bit LSH bucket id of an embedding under the given planes.
+    * Zero planes ⇒ the constant bucket 0: every row is a candidate of
+    * every other, so the LSH pipeline degenerates to the exact
+    * all-pairs result — the oracle anchor configuration (q92). */
   def bucketExpr(vecCol: Column, planes: Array[Array[Double]]): Column = {
     // bucket = Σ_p (dot(vec, plane_p) > 0) << p  — built from per-plane
     // dot products; planes are literals, so this is pure codegen'd math.
-    planes.zipWithIndex.map { case (p, i) =>
+    if (planes.isEmpty) lit(0L)
+    else planes.zipWithIndex.map { case (p, i) =>
       val dot = aggregate(
         zip_with(vecCol, lit(p), (x, y) => x.cast("double") * y),
         lit(0.0), (acc, x) => acc + x)

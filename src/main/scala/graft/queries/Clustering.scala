@@ -65,6 +65,24 @@ object Clustering {
         .orderBy(col("cluster"))
     }),
 
+    // TWO exact Lloyd iterations, cross-engine checkable: iteration-1
+    // means go through scaled-long sums (order-independent ⇒ both
+    // engines compute bit-identical centroid doubles), iteration 2
+    // re-assigns against those centroids and rolls up — so the
+    // iterative loop's arithmetic (assign → mean → re-assign) gets a
+    // full value-level oracle beyond the rows-only q21 fit.
+    "q94_kmeans_two_steps" -> ((s, d) => {
+      import graft.util.Exact
+      val pts = points2d(s, d)
+      val c1 = KMeans2D.stepExact(pts, "x", "y", InitCentroids)
+      KMeans2D.assign(pts, "x", "y", c1)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"),
+          Exact.avgExact(col("x"), 6).as("mean_x"),
+          Exact.avgExact(col("y"), 6).as("mean_y"))
+        .orderBy(col("cluster"))
+    }),
+
     // Full Lloyd's loop (§3.2): O(k) driver state, one tiny-shuffle agg
     // per iteration. Output = final centroids; rows-only check.
     "q21_kmeans_2d" -> ((s, d) => {
@@ -126,6 +144,47 @@ object Clustering {
         |  count(*) AS n,
         |  CAST(sum(CAST(round(x*100) AS BIGINT)) AS DOUBLE)/(count(*)*100.0) AS mean_x,
         |  sum(y)/count(*) AS mean_y
-        |FROM a GROUP BY 1 ORDER BY cluster""".stripMargin
+        |FROM a GROUP BY 1 ORDER BY cluster""".stripMargin,
+    // Mirrors q94 operation-for-operation: same assignment tie-break
+    // chain (lowest index wins on <=), same scaled-long means (scale
+    // 6) — the division CAST(sum AS DOUBLE)/(count*1000000.0) is the
+    // identical IEEE sequence, so iteration-2 distances compare
+    // bit-equal doubles. Empty clusters fall back to their previous
+    // centroid (the VALUES left join), as in KMeans2D.stepExact.
+    "q94_kmeans_two_steps" ->
+      """WITH pts AS (
+        |  SELECT c_acctbal AS x, CAST(c_custkey % 100 AS DOUBLE) AS y FROM customer
+        |), a1 AS (
+        |  SELECT x, y, CASE WHEN d0<=d1 AND d0<=d2 THEN 0 WHEN d1<=d2 THEN 1 ELSE 2 END AS cluster
+        |  FROM (SELECT x, y,
+        |    (x-0.0)*(x-0.0)+(y-50.0)*(y-50.0) AS d0,
+        |    (x-4000.0)*(x-4000.0)+(y-20.0)*(y-20.0) AS d1,
+        |    (x-9000.0)*(x-9000.0)+(y-80.0)*(y-80.0) AS d2 FROM pts)
+        |), m1 AS (
+        |  SELECT cluster,
+        |    CAST(sum(CAST(round(x*1000000) AS BIGINT)) AS DOUBLE)/(count(*)*1000000.0) AS cx,
+        |    CAST(sum(CAST(round(y*1000000) AS BIGINT)) AS DOUBLE)/(count(*)*1000000.0) AS cy
+        |  FROM a1 GROUP BY cluster
+        |), c1 AS (
+        |  SELECT i.cluster, coalesce(m1.cx, i.cx) AS cx, coalesce(m1.cy, i.cy) AS cy
+        |  FROM (VALUES (0, 0.0, 50.0), (1, 4000.0, 20.0), (2, 9000.0, 80.0)) AS i(cluster, cx, cy)
+        |  LEFT JOIN m1 ON m1.cluster = i.cluster
+        |), cs AS (
+        |  SELECT
+        |    max(CASE WHEN cluster=0 THEN cx END) AS cx0, max(CASE WHEN cluster=0 THEN cy END) AS cy0,
+        |    max(CASE WHEN cluster=1 THEN cx END) AS cx1, max(CASE WHEN cluster=1 THEN cy END) AS cy1,
+        |    max(CASE WHEN cluster=2 THEN cx END) AS cx2, max(CASE WHEN cluster=2 THEN cy END) AS cy2
+        |  FROM c1
+        |), a2 AS (
+        |  SELECT x, y, CASE WHEN d0<=d1 AND d0<=d2 THEN 0 WHEN d1<=d2 THEN 1 ELSE 2 END AS cluster
+        |  FROM (SELECT x, y,
+        |    (x-cx0)*(x-cx0)+(y-cy0)*(y-cy0) AS d0,
+        |    (x-cx1)*(x-cx1)+(y-cy1)*(y-cy1) AS d1,
+        |    (x-cx2)*(x-cx2)+(y-cy2)*(y-cy2) AS d2 FROM pts CROSS JOIN cs)
+        |)
+        |SELECT cluster, count(*) AS n,
+        |  CAST(sum(CAST(round(x*1000000) AS BIGINT)) AS DOUBLE)/(count(*)*1000000.0) AS mean_x,
+        |  CAST(sum(CAST(round(y*1000000) AS BIGINT)) AS DOUBLE)/(count(*)*1000000.0) AS mean_y
+        |FROM a2 GROUP BY cluster ORDER BY cluster""".stripMargin
   )
 }

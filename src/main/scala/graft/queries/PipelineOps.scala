@@ -180,6 +180,23 @@ object PipelineOps {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // Batch ANN through the DISTRIBUTED probe planner: the query side
+    // stays a DataFrame (100 vectors — no driver collect anywhere in
+    // the plan); each query ranks the broadcast-literal centroids,
+    // keeps nProbe, and shuffle-joins the inverted lists on `bucket`.
+    // Full-probe configuration (nProbe = lists) keeps the exact
+    // brute-force SQL a valid oracle, so the distributed plumbing
+    // itself is what the green row certifies.
+    "q93_ann_distributed" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cs = graft.ops.IvfIndex.train(emb, "embedding", 16)
+      val indexed = graft.ops.IvfIndex.index(emb, "embedding", cs)
+      graft.ops.IvfIndex.searchDistributed(indexed,
+          emb.filter(col("vec_id") < 100), "vec_id", "embedding", cs,
+          k = 5, nProbe = 16)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     // Inverted index over the corpus — term → (doc_freq, sorted
     // postings). Postings serialize to a zero-padded string so the
     // cross-engine hash compare is list-order-exact.
@@ -275,6 +292,18 @@ object PipelineOps {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Hyperplane LSH with planes = 0: one constant bucket ⇒ the
+    // candidate set is every pair ⇒ the LSH machinery (bucket join →
+    // exact-cosine verify → distinct) provably returns the exact q30
+    // result — the oracle-green anchor for the LSH family, the same
+    // way full-probe q75 anchors IVF. q32 is the pruned production
+    // configuration of this identical code path.
+    "q92_ann_lsh_full" -> ((s, d) => {
+      Similarity.lshNearDupPairs(Tables.embeddings(s, d), "vec_id",
+          "embedding", threshold = 0.4, planes = 0)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // SQ8 scalar quantization of embeddings (the vector-memory lever:
     // float32 → uint8 codes against per-dim [min,max]). Codes are
     // exact integer math from comparison-only stats → cross-engine
@@ -350,7 +379,12 @@ object PipelineOps {
 
     // Header-sniffed features (PNG/BMP/WAV really parsed; unknown
     // containers fall back to flagged fakes) + chunk sampling shape.
-    // Rows-only.
+    // Oracle-checked: the DuckDB mirror re-derives every byte of the
+    // UTF-8 payload from hex(encode(text)) and replays the sniffing
+    // order, header-field little/big-endian math, the position-weighted
+    // checksum, and the fake-dimension fallback. (JPEG sniffing is
+    // omitted from the SQL: 0xFF cannot occur as a UTF-8 lead byte, so
+    // the branch is unreachable on text payloads.)
     "q38_multimodal_features" -> ((s, d) => {
       val recs = Multimodal.asMediaRecords(Tables.documents(s, d), "doc_id",
         "text", "text")
@@ -359,7 +393,8 @@ object PipelineOps {
         .groupBy(col("media_id")).agg(count(lit(1)).as("n_chunks"))
       feats.join(chunks, "media_id")
         .select(col("media_id"), col("format"), col("n_bytes"), col("width"),
-          col("height"), col("n_chunks"))
+          col("height"), col("sample_rate"), col("n_channels"),
+          col("checksum"), col("n_chunks"))
         .orderBy(col("media_id"))
     })
   )
@@ -376,15 +411,18 @@ object PipelineOps {
       |)
       |""".stripMargin
 
-  // Exact cosine top-k for queries vec_id<5 — the oracle for BOTH the
-  // brute-force q31 and the full-probe IVF q75 (probing all lists
-  // makes the candidate set the whole corpus, so IVF == exact).
-  private val AnnTopKSql = EmbCte +
-    """, dots AS (
+  // Exact cosine top-k for queries matching `qPred` — the oracle for
+  // the brute-force q31, the full-probe IVF q75, and the distributed
+  // full-probe q93 (probing all lists makes the candidate set the
+  // whole corpus, so IVF == exact regardless of how the probe plan is
+  // computed).
+  private def annTopKSql(qPred: String): String = EmbCte +
+    s""", dots AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |    CAST(sum(CAST(round(q.v*c.v*1000000000) AS BIGINT)) AS BIGINT) AS draw
-      |  FROM ex q JOIN ex c ON q.i = c.i AND q.vec_id < 5 AND q.vec_id <> c.vec_id
-      |  GROUP BY 1, 2),
+      |  FROM ex q JOIN ex c ON q.i = c.i AND $qPred AND q.vec_id <> c.vec_id
+      |  GROUP BY 1, 2),""".stripMargin +
+    """
       |cosd AS (
       |  SELECT query_id, neighbor_id,
       |    (CAST(draw AS DOUBLE)/1000000000.0)/(sqrt(nq.nsq)*sqrt(nc.nsq)) AS cos
@@ -394,6 +432,19 @@ object PipelineOps {
       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
       |  FROM cosd)
       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
+  // Exact embedding near-dup pairs at cosine ≥ 0.4 — the oracle for
+  // BOTH the brute-force q30 and the degenerate single-bucket LSH q92.
+  private val EmbNearDupSql = EmbCte +
+    """, dots AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    CAST(sum(CAST(round(a.v*b.v*1000000000) AS BIGINT)) AS BIGINT) AS draw
+      |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  (CAST(draw AS DOUBLE)/1000000000.0)/(sqrt(na.nsq)*sqrt(nb.nsq)) AS cos
+      |FROM dots JOIN sn na ON na.vec_id = id_a JOIN sn nb ON nb.vec_id = id_b
+      |WHERE (CAST(draw AS DOUBLE)/1000000000.0)/(sqrt(na.nsq)*sqrt(nb.nsq)) >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin
 
   // CTE chain computing the exact n-gram Jaccard pair list — shared by
   // q27 (exact all-pairs, pins semantics), q26 (MinHash LSH: at
@@ -567,22 +618,21 @@ object PipelineOps {
         |SELECT shard, CAST(pack_bin AS BIGINT) AS pack_bin,
         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
         |FROM p GROUP BY 1, 2 ORDER BY shard, pack_bin""".stripMargin,
-    "q30_embed_neardup" -> (EmbCte +
-      """, dots AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    CAST(sum(CAST(round(a.v*b.v*1000000000) AS BIGINT)) AS BIGINT) AS draw
-        |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2)
-        |SELECT id_a, id_b,
-        |  (CAST(draw AS DOUBLE)/1000000000.0)/(sqrt(na.nsq)*sqrt(nb.nsq)) AS cos
-        |FROM dots JOIN sn na ON na.vec_id = id_a JOIN sn nb ON nb.vec_id = id_b
-        |WHERE (CAST(draw AS DOUBLE)/1000000000.0)/(sqrt(na.nsq)*sqrt(nb.nsq)) >= 0.4
-        |ORDER BY id_a, id_b""".stripMargin),
-    "q31_ann_topk" -> AnnTopKSql,
+    "q30_embed_neardup" -> EmbNearDupSql,
+    // planes = 0 ⇒ single bucket ⇒ LSH candidate set = all pairs, and
+    // the verify step computes the same scaled-long cosine — the exact
+    // near-dup SQL is a valid oracle for the degenerate LSH run.
+    "q92_ann_lsh_full" -> EmbNearDupSql,
+    "q31_ann_topk" -> annTopKSql("q.vec_id < 5"),
     // Probing every list makes IVF's candidate set the full corpus →
     // identical to the exact brute-force top-k (same scaled-long dot,
     // same (cos DESC, neighbor_id) tie order) — the exact SQL is a
     // valid oracle for the full-probe configuration.
-    "q75_ann_ivf_full" -> AnnTopKSql,
+    "q75_ann_ivf_full" -> annTopKSql("q.vec_id < 5"),
+    // Same full-probe identity, but the probe plan is computed
+    // DISTRIBUTEDLY (no queries.collect()) over a 100-vector query
+    // side — the batch-ANN shape a 100 TB join actually takes.
+    "q93_ann_distributed" -> annTopKSql("q.vec_id < 100"),
     "q76_inverted_index" ->
       """WITH td AS (
         |  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
@@ -723,6 +773,57 @@ object PipelineOps {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q37_multimodal_bytes" ->
       """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+    // Byte-exact mirror of HeaderDecoder over the UTF-8 payload: bytes
+    // recovered from hex(encode(text)) nibble pairs, then the same
+    // sniff order (PNG magic → 'BM' → RIFF/WAVE → unknown; JPEG is
+    // unreachable on UTF-8 — 0xFF is never a valid lead byte), the
+    // same LE/BE header-field math (BMP height read as signed int32),
+    // the position-weighted checksum, fake dims 16+(sum%1024) /
+    // 16+((sum/7)%1024), and chunk count ceil(n/128) with 0-byte
+    // payloads dropped by the inner chunk join.
+    "q38_multimodal_features" ->
+      """WITH b0 AS (
+        |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n FROM documents
+        |), by AS (
+        |  SELECT doc_id, i,
+        |    (strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1))-1)*16
+        |    + (strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1))-1) AS b
+        |  FROM b0, unnest(range(0, n)) AS u(i)
+        |), agg AS (
+        |  SELECT doc_id,
+        |    CAST(sum(b * ((i % 31)+1)) AS BIGINT) AS checksum,
+        |    max(CASE WHEN i=16 THEN b END)*16777216 + max(CASE WHEN i=17 THEN b END)*65536
+        |      + max(CASE WHEN i=18 THEN b END)*256 + max(CASE WHEN i=19 THEN b END) AS png_w,
+        |    max(CASE WHEN i=20 THEN b END)*16777216 + max(CASE WHEN i=21 THEN b END)*65536
+        |      + max(CASE WHEN i=22 THEN b END)*256 + max(CASE WHEN i=23 THEN b END) AS png_h,
+        |    max(CASE WHEN i=18 THEN b END) + max(CASE WHEN i=19 THEN b END)*256
+        |      + max(CASE WHEN i=20 THEN b END)*65536 + max(CASE WHEN i=21 THEN b END)*16777216 AS bmp_w,
+        |    max(CASE WHEN i=22 THEN b END) + max(CASE WHEN i=23 THEN b END)*256
+        |      + max(CASE WHEN i=24 THEN b END)*65536 + max(CASE WHEN i=25 THEN b END)*16777216 AS bmp_h,
+        |    max(CASE WHEN i=24 THEN b END) + max(CASE WHEN i=25 THEN b END)*256
+        |      + max(CASE WHEN i=26 THEN b END)*65536 + max(CASE WHEN i=27 THEN b END)*16777216 AS wav_sr,
+        |    max(CASE WHEN i=22 THEN b END) + max(CASE WHEN i=23 THEN b END)*256 AS wav_ch
+        |  FROM by GROUP BY doc_id
+        |), f AS (
+        |  SELECT b0.doc_id, n, checksum,
+        |    CASE WHEN n >= 24 AND substr(h,1,16)='89504E470D0A1A0A' THEN 'png'
+        |         WHEN n >= 26 AND substr(h,1,4)='424D' THEN 'bmp'
+        |         WHEN n >= 36 AND substr(h,1,8)='52494646' AND substr(h,17,8)='57415645' THEN 'wav'
+        |         ELSE 'unknown' END AS format,
+        |    png_w, png_h, bmp_w, bmp_h, wav_sr, wav_ch
+        |  FROM b0 JOIN agg ON agg.doc_id = b0.doc_id
+        |)
+        |SELECT doc_id AS media_id, format, CAST(n AS BIGINT) AS n_bytes,
+        |  CAST(CASE format WHEN 'png' THEN png_w WHEN 'bmp' THEN bmp_w
+        |       WHEN 'wav' THEN 0 ELSE 16 + (checksum % 1024) END AS INTEGER) AS width,
+        |  CAST(CASE format WHEN 'png' THEN png_h
+        |       WHEN 'bmp' THEN abs(CASE WHEN bmp_h >= 2147483648 THEN bmp_h - 4294967296 ELSE bmp_h END)
+        |       WHEN 'wav' THEN 0 ELSE 16 + ((checksum // 7) % 1024) END AS INTEGER) AS height,
+        |  CAST(CASE format WHEN 'wav' THEN wav_sr ELSE 0 END AS INTEGER) AS sample_rate,
+        |  CAST(CASE format WHEN 'wav' THEN wav_ch ELSE 0 END AS INTEGER) AS n_channels,
+        |  checksum,
+        |  CAST((n + 127) // 128 AS BIGINT) AS n_chunks
+        |FROM f WHERE n > 0 ORDER BY media_id""".stripMargin
   )
 }

@@ -169,6 +169,19 @@ class SimilaritySpec extends AnyFunSuite {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.subsetOf(exact))
   }
+
+  test("LSH with zero planes equals the exact pair list (q92 anchor)") {
+    // planes = 0 ⇒ one constant bucket ⇒ candidate set = all pairs;
+    // the verify step then computes the identical scaled-long cosine,
+    // so the full LSH pipeline must return exactly the exact result —
+    // (id_a, id_b) AND the cosine values.
+    val emb = graft.io.Tables.embeddings(spark, TestSession.sf)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = asMap(Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.4))
+    val lsh0 = asMap(Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 0.4, planes = 0))
+    assert(lsh0 == exact)
+  }
 }
 
 class TextAnalysisSpec extends AnyFunSuite {

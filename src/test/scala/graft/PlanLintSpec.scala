@@ -12,11 +12,16 @@ import org.scalatest.funsuite.AnyFunSuite
   * paths) and are the only allowlisted entries:
   *  - q30 embed near-dup (scale path: q32 LSH / q47 IVF)
   *  - q31 brute-force ANN (scale path: q47 IVF)
+  *  - q92 planes=0 LSH anchor: the constant bucket key constant-folds
+  *    the equi-join into a nested-loop — which is exactly the point
+  *    (candidate set = all pairs ⇒ provably ≡ exact q30); q32 is the
+  *    production configuration of the same code path and stays linted
   */
 class PlanLintSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
 
-  private val quadraticByDesign = Set("q30_embed_neardup", "q31_ann_topk")
+  private val quadraticByDesign =
+    Set("q30_embed_neardup", "q31_ann_topk", "q92_ann_lsh_full")
 
   test("no cartesian/nested-loop join in any non-baseline query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -150,26 +150,30 @@ class RefParitySpec extends AnyFunSuite {
     assert(joined.filter(col("clean") > col("gold")).count() == 0)
   }
 
+  // task1_3: reducer keyed by termid-as-Text (lexicographic string
+  // order); TreeMap<count,term> collapses equal counts (last wins),
+  // evicts smallest when >10 (task1_3.java:85-92). Emitted ascending
+  // by count (TreeMap iteration order).
+  private def treeMapTop10(totals: Seq[(String, Long)]): Seq[(Long, Long)] = {
+    val tm = new java.util.TreeMap[Long, String]()
+    totals.sortBy(_._1).foreach { case (t, c) =>
+      tm.put(c, t)
+      if (tm.size > 10) tm.remove(tm.firstKey)
+    }
+    import scala.jdk.CollectionConverters._
+    tm.entrySet().asScala.toSeq.map(e => (e.getValue.toLong, e.getKey))
+  }
+
+  private def totalsOf(m: DataFrame): Seq[(String, Long)] =
+    m.groupBy(col("termid"))
+      .agg(sum(col("cnt")).as("total")).collect()
+      .map(r => (r.getLong(0).toString, r.getLong(1))).toSeq
+
   test("global top-10 with TreeMap tie-collapse matches task_1_3") {
     assume(refAvailable)
-    // task1_3: reducer keyed by termid-as-Text (lexicographic string
-    // order); TreeMap<count,term> collapses equal counts (last wins),
-    // evicts smallest when >10 (task1_3.java:85-92).
-    def treeMapTop10(totals: Seq[(String, Long)]): Seq[(Long, Long)] = {
-      val tm = new java.util.TreeMap[Long, String]()
-      totals.sortBy(_._1).foreach { case (t, c) =>
-        tm.put(c, t)
-        if (tm.size > 10) tm.remove(tm.firstKey)
-      }
-      import scala.jdk.CollectionConverters._
-      tm.entrySet().asScala.toSeq.map(e => (e.getValue.toLong, e.getKey))
-    }
     val gold = goldenTsv(s"$Ref/Output/Output1_3/task_1_3.mtx-r-00000",
       "termid" -> "long", "cnt" -> "long")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    def totalsOf(m: DataFrame) = m.groupBy(col("termid"))
-      .agg(sum(col("cnt")).as("total")).collect()
-      .map(r => (r.getLong(0).toString, r.getLong(1))).toSeq
     val fromFiltered = treeMapTop10(totalsOf(ourFiltered))
     val fromRaw = treeMapTop10(totalsOf(ourCounts))
     assert(fromFiltered == gold || fromRaw == gold,
@@ -265,5 +269,26 @@ class RefParitySpec extends AnyFunSuite {
       corpus.select(col("doc")).distinct()
         .withColumn("id", row_number().over(Window.orderBy(col("doc"))).cast("long")),
       "doc", "docid", s"$Ref/Output/Output1_1_2/docid.mtx-r-00000")
+  }
+
+  test("S4 sink emits the top-10 file byte-for-byte (Output1_3)") {
+    assume(refAvailable)
+    // task1_3 runs over Output1_2 (verified: the filtered totals — not
+    // the raw ones — reproduce the committed golden). The TreeMap
+    // reducer state is O(10) driver-side, like the reference's single
+    // reducer; the file is its ascending-count iteration.
+    val top = treeMapTop10(totalsOf(ourFiltered))
+    import spark.implicits._
+    val df = top.toDF("termid", "cnt")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sink").toFile
+    graft.io.Sinks.writeTsv(
+      df.repartition(1).sortWithinPartitions(col("cnt")), tmp.getPath, "task_1_3")
+    val part = new java.io.File(tmp, "task_1_3").listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val ours = java.nio.file.Files.readAllBytes(part.toPath)
+    val gold = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$Ref/Output/Output1_3/task_1_3.mtx-r-00000"))
+    assert(java.util.Arrays.equals(ours, gold),
+      s"task_1_3: emitted ${ours.length} bytes != golden ${gold.length} bytes")
   }
 }
