@@ -251,6 +251,40 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** [[contaminationPairs]] with a Bloom-filter prefilter on the
+    * corpus side — the 100 TB shape: the probe/benchmark shingle set
+    * is small and fixed, so a Bloom filter over it (built once,
+    * ~1.2 MB per million shingles at 1% fpp) broadcast-prefilters the
+    * corpus BEFORE the shuffle join; only shingles that might match
+    * pay the exchange. False positives are eliminated by the exact
+    * join that follows, so the result is IDENTICAL to the exact
+    * operator (oracle q97 = q53's SQL) — the Bloom stage only sheds
+    * shuffle volume (at 1% fpp, ~99% of non-matching corpus shingles
+    * never leave their scan task). */
+  def contaminationPairsBloom(corpus: DataFrame, probe: DataFrame,
+                              idCol: String, textCol: String,
+                              minShared: Long, shingleN: Int = 3,
+                              fpp: Double = 0.01): DataFrame = {
+    def shingleHashes(df: DataFrame, outId: String): DataFrame =
+      withShingles(df, textCol, shingleN)
+        .select(col(outId), explode(col("shingles")).as("s"))
+        .select(col(outId), xxhash64(col("s")).as("shingle"))
+    val probeSh = shingleHashes(probe.select(col(idCol)
+        .as("probe_id"), col(textCol)), "probe_id")
+    val nProbe = math.max(1L,
+      probeSh.select(col("shingle")).distinct().count())
+    val bloom = probeSh.stat.bloomFilter("shingle", nProbe, fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val mightMatch = udf((h: Long) => bc.value.mightContainLong(h))
+    shingleHashes(corpus.select(col(idCol), col(textCol)), idCol)
+      .filter(mightMatch(col("shingle")))
+      .join(probeSh, "shingle")
+      .filter(col(idCol) =!= col("probe_id"))
+      .groupBy(col(idCol), col("probe_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** All-pairs exact n-gram Jaccard via shingle equi-join — quadratic
     * in bucket skew; reference/oracle path only (SQL-expressible). */
   def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,

@@ -49,6 +49,21 @@ object TextAnalysis {
   def fingerprint(textCol: Column): Column =
     md5(regexp_replace(lower(textCol), "[^\\w]", "").cast("binary"))
 
+  /** Karp–Rabin rolling-hash fingerprint over the normalized content:
+    * h = fold(h·131 + codepoint) mod 1e9+7, left to right. Pure HOF
+    * column math (codegen'd, no UDF), O(n) per doc, no shuffle. The
+    * modulus keeps every intermediate ≤ 2³⁷, so the same fold is
+    * bit-reproducible in any 64-bit engine (oracle q95) — unlike a
+    * wrapping h·31+c JVM hash. Normalization strips to ASCII \w, so
+    * UTF-16 (JVM) and UTF-8 (columnar engines) views agree. */
+  def rollingFingerprint(textCol: Column): Column = {
+    val norm = regexp_replace(lower(textCol), "[^\\w]", "")
+    val folded = aggregate(
+      transform(split(norm, ""), ch => ascii(ch).cast("long")),
+      lit(0L), (h, x) => (h * 131L + x) % 1000000007L)
+    when(length(norm) === 0, 0L).otherwise(folded)
+  }
+
   /** Character-trigram profiles for a few languages — tiny, inlined,
     * deterministic. Real pipelines plug in fastText-style models; the
     * Spark shape (broadcast profile + scoring UDF) is identical. */

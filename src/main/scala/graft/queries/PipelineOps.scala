@@ -93,6 +93,19 @@ object PipelineOps {
         .orderBy(col("doc_id"), col("probe_id"))
     }),
 
+    // Decontamination through the Bloom-prefilter scale path: the
+    // probe shingle set becomes a broadcast Bloom filter that sheds
+    // ~99% of non-matching corpus shingles before the shuffle; the
+    // exact join then removes the false positives, so the result is
+    // provably identical to q53 and shares its oracle.
+    "q97_decontaminate_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationPairsBloom(docs,
+          docs.filter(col("doc_id") % 20 === 0), "doc_id", "text",
+          minShared = 3)
+        .orderBy(col("doc_id"), col("probe_id"))
+    }),
+
     // Deterministic hash-based train/val split: per-split doc counts
     // and an id checksum (cross-engine stable md5 assignment).
     "q54_train_val_split" -> ((s, d) => {
@@ -345,6 +358,15 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Karp–Rabin rolling-hash fingerprint (codegen'd HOF fold, modulus
+    // sized so both engines run the identical 64-bit arithmetic).
+    "q95_rolling_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.rollingFingerprint(col("text")).as("rh"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Unicode NFC canonicalization (native codegen Expression) — the
     // pass that runs before fingerprint/dedup so composed and
     // decomposed encodings hash identically; JDK Normalizer and
@@ -588,6 +610,17 @@ object PipelineOps {
         |  GROUP BY 1, 2)
         |SELECT doc_id, probe_id, n_shared FROM contacts
         |WHERE n_shared >= 3 ORDER BY doc_id, probe_id""".stripMargin),
+    // Bloom prefilter + exact verify == exact decontamination: the
+    // Bloom stage only sheds shuffle volume, never changes the result.
+    "q97_decontaminate_bloom" -> ("WITH " + NgramPairsCtes +
+      """,
+        |contacts AS (
+        |  SELECT c.doc_id AS doc_id, p.doc_id AS probe_id, count(*) AS n_shared
+        |  FROM sh c JOIN sh p ON c.shingle = p.shingle
+        |    AND p.doc_id % 20 = 0 AND c.doc_id <> p.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, probe_id, n_shared FROM contacts
+        |WHERE n_shared >= 3 ORDER BY doc_id, probe_id""".stripMargin),
     "q54_train_val_split" ->
       """WITH s AS (
         |  SELECT doc_id,
@@ -771,6 +804,20 @@ object PipelineOps {
     "q35_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '[^\w]', '', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // The identical left-to-right fold: list_reduce with a prepended 0
+    // seed, (h*131 + ord(char)) % 1e9+7 — every intermediate < 2^37.
+    "q95_rolling_fingerprint" ->
+      """WITH n AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '[^\w]', '', 'g') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN length(t) = 0 THEN CAST(0 AS BIGINT) ELSE
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(t, ''), c -> CAST(ord(c) AS BIGINT))),
+        |      (h, c) -> (h * 131 + c) % 1000000007)
+        |  END AS rh
+        |FROM n ORDER BY doc_id""".stripMargin,
     "q37_multimodal_bytes" ->
       """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY media_id""".stripMargin,

@@ -64,6 +64,18 @@ object TextQueries {
         .orderBy(col("term"))
     }),
 
+    // A2, 100 TB path as a DECLARED query: the distributed
+    // sort→zipWithIndex id assignment (no single-partition window)
+    // must produce byte-identical ids — it shares q12's SQL oracle, so
+    // the scalable path gets the same cross-engine value check the
+    // windowed path has (the anchor pattern: same oracle, scale
+    // machinery under test).
+    "q96_term_dictionary_scalable" -> ((s, d) => {
+      graft.text.Dictionary.denseIdsScalable(
+          toks(s, d).select(col("token").as("term")), "term")
+        .orderBy(col("term"))
+    }),
+
     // A3: TF = cnt / Σcnt per doc (task1_4_1.java).
     "q13_tf" -> ((s, d) => {
       TfIdf.tf(filteredCounts(s, d), "doc_id")
@@ -183,6 +195,10 @@ object TextQueries {
     "q11_doc_term_counts" -> (TokCte +
       "SELECT doc_id, term, cnt FROM counts ORDER BY doc_id, term"),
     "q12_term_dictionary" -> (TokCte +
+      """SELECT term, CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS id
+        |FROM (SELECT DISTINCT term FROM kept) ORDER BY term""".stripMargin),
+    // Same contract, distributed implementation — same oracle.
+    "q96_term_dictionary_scalable" -> (TokCte +
       """SELECT term, CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS id
         |FROM (SELECT DISTINCT term FROM kept) ORDER BY term""".stripMargin),
     "q13_tf" -> (TokCte +
