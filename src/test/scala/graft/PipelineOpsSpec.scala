@@ -187,6 +187,33 @@ class SimilaritySpec extends AnyFunSuite {
 class TextAnalysisSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
 
+  test("rolling fingerprint: HOF fold == reference fold, edges covered") {
+    import spark.implicits._
+    // driver-side reference implementation of the same definition
+    def ref(s: String): Long = {
+      val norm = s.toLowerCase.replaceAll("[^\\w]", "")
+      norm.foldLeft(0L)((h, c) => (h * 131L + c.toLong) % 1000000007L)
+    }
+    val cases = Seq(
+      "Hello, World! 42",
+      "", "...", "   ",                      // all-stripped edges -> 0
+      "a", "aa", "ab", "ba",                 // order sensitivity
+      "The quick brown fox jumps over the lazy dog 0123456789",
+      "MiXeD_CaSe_With_Underscores",
+      "unicode stripped: héllo wörld 中文",   // non-ASCII \\w stripped
+      "x" * 5000)                            // long doc, modulus stays bounded
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        graft.ops.TextAnalysis.rollingFingerprint(col("text")).as("rh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cases.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == ref(t), s"case $i: '$t'")
+    }
+    // order sensitivity: a rolling hash must distinguish permutations
+    assert(ref("ab") != ref("ba"))
+  }
+
   test("quality metrics on a known doc") {
     import spark.implicits._
     val df = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
