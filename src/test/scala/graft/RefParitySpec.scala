@@ -246,29 +246,43 @@ class RefParitySpec extends AnyFunSuite {
     * `key\tvalue\n`, byte-lexicographic key order — Spark's UTF8String
     * binary ordering matches Text's). Set-equality tests above pin the
     * CONTENT; this pins the serialized bytes. */
+  private def emitAndDiff(df: DataFrame, sortKey: org.apache.spark.sql.Column,
+                          basename: String, goldenPath: String): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sink").toFile
+    graft.io.Sinks.writeTsv(
+      df.repartition(1).sortWithinPartitions(sortKey), tmp.getPath, basename)
+    val part = new java.io.File(tmp, basename).listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val ours = java.nio.file.Files.readAllBytes(part.toPath)
+    val gold = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(goldenPath))
+    assert(java.util.Arrays.equals(ours, gold),
+      s"$basename: emitted ${ours.length} bytes != golden ${gold.length} bytes")
+  }
+
   test("S4 sink emits dictionary files byte-for-byte (Output1_1_1/1_1_2)") {
     assume(refAvailable)
     import org.apache.spark.sql.expressions.Window
-    def emitAndDiff(df: DataFrame, sortCol: String, basename: String,
-                    goldenPath: String): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_sink").toFile
-      graft.io.Sinks.writeTsv(
-        df.repartition(1).sortWithinPartitions(col(sortCol)), tmp.getPath, basename)
-      val part = new java.io.File(tmp, basename).listFiles()
-        .filter(_.getName.startsWith("part-")).head
-      val ours = java.nio.file.Files.readAllBytes(part.toPath)
-      val gold = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(goldenPath))
-      assert(java.util.Arrays.equals(ours, gold),
-        s"$basename: emitted ${ours.length} bytes != golden ${gold.length} bytes")
-    }
     emitAndDiff(
       tokens.select(col("token").as("term")).distinct()
         .withColumn("id", row_number().over(Window.orderBy(col("term"))).cast("long")),
-      "term", "termid", s"$Ref/Output/Output1_1_1/termid.mtx-r-00000")
+      col("term"), "termid", s"$Ref/Output/Output1_1_1/termid.mtx-r-00000")
     emitAndDiff(
       corpus.select(col("doc")).distinct()
         .withColumn("id", row_number().over(Window.orderBy(col("doc"))).cast("long")),
-      "doc", "docid", s"$Ref/Output/Output1_1_2/docid.mtx-r-00000")
+      col("doc"), "docid", s"$Ref/Output/Output1_1_2/docid.mtx-r-00000")
+  }
+
+  test("S4 sink emits the count matrices byte-for-byte (Output1_1/1_2)") {
+    assume(refAvailable)
+    // MapReduce emits these keyed by the composite Text "docid\ttermid";
+    // the physical line order is the lexicographic order of that STRING
+    // (verified: both goldens sort as text, not as (int,int)) — so the
+    // sink reproduces the files exactly by sorting on the same string.
+    val key = concat_ws("\t", col("docid").cast("string"), col("termid").cast("string"))
+    emitAndDiff(refCounts.select(col("docid"), col("termid"), col("cnt")),
+      key, "task_1_1", s"$Ref/Output/Output1_1/task_1_1.mtx-r-00000")
+    emitAndDiff(ourFiltered.select(col("docid"), col("termid"), col("cnt")),
+      key, "task_1_2", s"$Ref/Output/Output1_2/task_1_2.mtx-r-00000")
   }
 
   test("S4 sink emits the top-10 file byte-for-byte (Output1_3)") {
