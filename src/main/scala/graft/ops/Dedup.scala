@@ -165,6 +165,42 @@ object Dedup {
       .distinct()
   }
 
+  /** Charikar bit-vote fold as a pure built-in HOF chain, with a
+    * pluggable per-token hash — the STRUCTURAL twin of the native
+    * `graft.functions.SimHash` kernel. Fingerprint bit i is set iff
+    * Σ_tokens (bit_i(hash(tok)) ? +1 : −1) > 0, exactly the kernel's
+    * vote rule, but expressed as transform/aggregate/zip_with so the
+    * whole fold stays inside Catalyst and (with an engine-neutral
+    * hash such as md5-prefix) is expressible in ANSI SQL for a
+    * cross-engine oracle. Two uses: (a) `hash = xxhash64` / bits=64
+    * reproduces the production kernel bit-for-bit (spec'd in
+    * SimHashSpec — proves kernel ≡ fold); (b) `hash = md5-prefix` /
+    * bits=60 is the oracle-green anchor q98 (proves fold ≡ DuckDB).
+    * Chained, they give the xxhash kernel a cross-engine check on
+    * everything except the hash primitive itself.
+    *
+    * Cost is O(tokens × bits) array ops per row — fine for an anchor
+    * or modest corpora; the O(tokens + bits) kernel remains the
+    * production path. */
+  def simhashBitVote(tokens: Column, hash: Column => Column,
+                     bits: Int): Column = {
+    require(bits >= 1 && bits <= 64, "bits must be in [1, 64]")
+    val bitIdx = sequence(lit(0), lit(bits - 1))
+    // per-token ±1 vote vector, summed elementwise across tokens
+    val votes = aggregate(
+      transform(tokens, t => hash(t)),
+      array_repeat(lit(0L), bits),
+      (acc, h) => zip_with(acc,
+        transform(bitIdx, i =>
+          when(call_function("shiftrightunsigned", h, i)
+              .bitwiseAND(lit(1L)) === lit(1L), lit(1L))
+            .otherwise(lit(-1L))),
+        (a, b) => a + b))
+    aggregate(bitIdx, lit(0L), (acc, i) =>
+      acc + when(element_at(votes, i + lit(1)) > 0,
+        call_function("shiftleft", lit(1L), i)).otherwise(lit(0L)))
+  }
+
   /** Connected components over a near-duplicate pair list — the step
     * that turns pairwise matches into dedup GROUPS (keep the minimum
     * id of each component, drop the rest). Min-label propagation with

@@ -200,6 +200,31 @@ object TextAnalysis {
       .agg(count(lit(1)).as("doc_freq"),
         sort_array(collect_list(col(idCol))).as("postings"))
 
+  /** Fixed-size overlapping character chunks — the RAG/embedding
+    * pre-processing step (split each document into `chunkSize`-char
+    * windows advancing by `stride`, so consecutive chunks share
+    * `chunkSize − stride` chars of context). Chunk count is
+    * 1 + ⌈(len − chunkSize)/stride⌉ (one chunk when the text fits),
+    * so every character is covered and only the final chunk may be
+    * short. Pure narrow work: a per-row transform + posexplode, no
+    * shuffle at all — at 100 TB this pipelines straight from the scan
+    * into the downstream embed/write stage, output rows ≈ len/stride per
+    * doc. Output: (id, chunk_id, chunk, chunk_len). */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkSize: Int = 200, stride: Int = 150): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
+      "need 1 <= stride <= chunkSize")
+    val len = length(col(textCol))
+    val nChunks = when(len <= chunkSize, lit(1L)).otherwise(
+      lit(1L) + ceil((len - chunkSize).cast("double") / stride).cast("long"))
+    df.select(col(idCol),
+        posexplode(transform(sequence(lit(0L), nChunks - 1),
+          i => col(textCol).substr((i * stride).cast("int") + lit(1),
+            lit(chunkSize)))).as(Seq("chunk_id", "chunk")))
+      .select(col(idCol), col("chunk_id").cast("int").as("chunk_id"),
+        col("chunk"), length(col("chunk")).as("chunk_len"))
+  }
+
   /** Document-level co-occurrence with pointwise mutual information:
     * for every unordered token pair present together in ≥ `minPairDocs`
     * documents, PMI = ln(N·c_ab / (c_a·c_b)) over document frequencies

@@ -182,6 +182,36 @@ object EventQueries {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    // STREAM-STATIC broadcast enrichment — the remaining §2.9 join
+    // form (q64 covers stream-stream): each event joins the static
+    // customer dimension on user_id; the static side is broadcast, so
+    // enrichment adds NO shuffle and no join state (nothing to evict —
+    // the static side is re-planned per micro-batch). At 100 TB/day of
+    // events this is the canonical dimension-enrich shape: state and
+    // shuffle stay proportional to the aggregation, not the join.
+    // Inner equi-join + complete-mode agg ⇒ equals the batch join,
+    // which is the oracle.
+    "q101_stream_static_join" -> ((s, d) => {
+      val name = s"stream_enrich_${streamId.incrementAndGet()}"
+      val schema = Tables.eventsRaw(s, d).schema
+      val src = s.readStream.schema(schema).parquet(s"$d/events*.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val dim = broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment")))
+      val enriched = src.join(dim, col("user_id") === col("c_custkey"))
+        .groupBy(col("segment"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
+            .as("sum_value"))
+      withStreamPartitions(s) {
+        val q = enriched.writeStream.outputMode("complete")
+          .format("memory").queryName(name).start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      s.table(name).orderBy(col("segment"), col("event_type"))
+    }),
+
     // Gap sessionization as CUSTOM STREAMING STATE: groupByKey(user) →
     // flatMapGroupsWithState carrying (lastSeen, sessions, events)
     // across micro-batches (SURVEY §2.9 extension — the Spark-native
@@ -501,6 +531,13 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     "q39_event_hourly" -> HourlySql,
     "q41_stream_hourly" -> HourlySql,
+    "q101_stream_static_join" ->
+      """SELECT c.c_mktsegment AS segment, e.event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS sum_value
+        |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q40_sessionize" -> SessionizeSql,
     "q42_stream_sessionize" -> SessionizeSql,
     "q80_locf_resample" ->

@@ -75,6 +75,23 @@ object PipelineOps {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // SimHash through the portable bit-vote fold with an
+    // engine-neutral hash (md5 60-bit prefix) — the oracle-green
+    // anchor for the q28/q29 family: DuckDB replays the identical
+    // vote→fingerprint fold, and SimHashSpec proves the same fold
+    // with hash=xxhash64/bits=64 reproduces the production kernel
+    // bit-for-bit, so everything but the hash primitive itself is
+    // cross-engine checked.
+    "q98_simhash_portable" -> ((s, d) => {
+      val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+      val md5Hash60: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        t => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Dedup.simhashBitVote(toks, md5Hash60, bits = 60).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Pairwise matches → dedup GROUPS: connected components over the
     // LSH near-dup pairs (min-label propagation), rep = min id — the
     // "which doc do we keep" step of a dedup pipeline. Oracle =
@@ -365,6 +382,16 @@ object PipelineOps {
         .select(col("doc_id"),
           TextAnalysis.rollingFingerprint(col("text")).as("rh"))
         .orderBy(col("doc_id"))
+    }),
+
+    // RAG-style overlapping character chunking (200-char windows,
+    // 150-char stride): pure narrow transform+posexplode, zero
+    // shuffle — the embed-stage pre-processor. Oracle replays the
+    // same windowing with substr/generate_series.
+    "q99_chunk_docs" -> ((s, d) => {
+      TextAnalysis.chunkDocuments(Tables.documents(s, d), "doc_id", "text",
+          chunkSize = 200, stride = 150)
+        .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
     // Unicode NFC canonicalization (native codegen Expression) — the
@@ -804,6 +831,45 @@ object PipelineOps {
     "q35_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '[^\w]', '', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Identical vote→fingerprint fold, per-token hash = first 15 hex
+    // chars of md5 parsed as a 60-bit int (engine-neutral); docs with
+    // no tokens keep fp=0 via the left join, ties (vote==0) are 0 in
+    // both engines (strict >).
+    "q98_simhash_portable" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t.tok
+        |  FROM documents, UNNEST(string_split_regex(text, '\s+')) AS t(tok)
+        |  WHERE length(t.tok) > 0
+        |), hashes AS (
+        |  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        |  FROM toks
+        |), votes AS (
+        |  SELECT doc_id, b.bit,
+        |    sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM hashes, UNNEST(generate_series(0, 59)) AS b(bit)
+        |  GROUP BY 1, 2
+        |), fps AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS fp
+        |  FROM votes GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, CAST(coalesce(f.fp, 0) AS BIGINT) AS fp
+        |FROM documents d LEFT JOIN fps f ON d.doc_id = f.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // Same windowing arithmetic: n = 1 + ceil((len-200)/150) (min 1),
+    // chunk i = substr(text, i*150+1, 200).
+    "q99_chunk_docs" ->
+      """WITH n AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(text) <= 200 THEN 1
+        |         ELSE 1 + CAST(ceil((length(text) - 200) / 150.0) AS BIGINT)
+        |    END AS n_chunks
+        |  FROM documents)
+        |SELECT doc_id, CAST(c.i AS INT) AS chunk_id,
+        |  substr(text, CAST(c.i * 150 + 1 AS BIGINT), 200) AS chunk,
+        |  CAST(length(substr(text, CAST(c.i * 150 + 1 AS BIGINT), 200)) AS INT) AS chunk_len
+        |FROM n, UNNEST(generate_series(0, n_chunks - 1)) AS c(i)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     // The identical left-to-right fold: list_reduce with a prepended 0
     // seed, (h*131 + ord(char)) % 1e9+7 — every intermediate < 2^37.
     "q95_rolling_fingerprint" ->

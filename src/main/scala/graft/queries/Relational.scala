@@ -319,6 +319,29 @@ object Relational {
         .orderBy(col("doc_id"))
     }),
 
+    // Map function family: build per-customer status→count maps with
+    // map_from_entries, rewrite values (transform_values), prune
+    // entries (map_filter), then explode the map back to rows —
+    // checked against the purely relational computation in DuckDB, so
+    // the whole map round-trip has a ground truth that never touches
+    // an engine-specific map type.
+    "q100_map_family" -> ((s, d) => {
+      val counts = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"))
+      counts.groupBy(col("o_custkey"))
+        .agg(map_from_entries(array_sort(
+          collect_list(struct(col("o_orderstatus"), col("cnt"))))).as("m"))
+        .select(col("o_custkey"),
+          size(map_keys(col("m"))).cast("long").as("n_statuses"),
+          // explode of a MAP yields (key, value) — two generator columns
+          explode(map_filter(transform_values(col("m"), (_, v) => v * 2),
+            (_, v) => v >= 4)).as(Seq("status", "double_cnt")))
+        .select(col("o_custkey"), col("status"), col("double_cnt"),
+          col("n_statuses"))
+        .orderBy(col("o_custkey"), col("status"))
+    }),
+
     // Date/time function family: truncation, arithmetic, extraction,
     // epoch round-trips — string/integer outputs for the hash.
     "q91_date_family" -> ((s, d) => {
@@ -400,6 +423,20 @@ object Relational {
         |  array_to_string(list_sort(list_distinct(arr)), ',') AS vocab,
         |  wl.total_len, wl.weighted_len
         |FROM t JOIN wl USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // Relational ground truth for the Spark-side map round-trip:
+    // n_statuses counted BEFORE the v>=4 filter (size of the full
+    // map), double_cnt = 2×count with the filter applied after.
+    "q100_map_family" ->
+      """WITH c AS (
+        |  SELECT o_custkey, o_orderstatus, count(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |n AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_statuses
+        |      FROM c GROUP BY 1)
+        |SELECT c.o_custkey, c.o_orderstatus AS status,
+        |  CAST(c.cnt * 2 AS BIGINT) AS double_cnt, n.n_statuses
+        |FROM c JOIN n USING (o_custkey)
+        |WHERE c.cnt * 2 >= 4
+        |ORDER BY c.o_custkey, status""".stripMargin,
     "q91_date_family" ->
       """SELECT o_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d') AS d,

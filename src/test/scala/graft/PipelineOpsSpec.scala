@@ -120,6 +120,20 @@ class SimHashSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("portable bit-vote fold (hash=xxhash64, bits=64) == native kernel") {
+    // the structural twin behind oracle-anchor q98: with the SAME hash
+    // the HOF fold must reproduce the production kernel bit-for-bit,
+    // so the cross-engine md5 anchor transitively checks the kernel's
+    // vote->fingerprint logic (everything except xxhash64 itself)
+    val docs = graft.io.Tables.documents(spark, TestSession.sf)
+    val both = docs.select(col("doc_id"),
+      SimHash.simhash64(split(col("text"), "\\s+")).as("kernel_fp"),
+      Dedup.simhashBitVote(split(col("text"), "\\s+"),
+        t => xxhash64(t), bits = 64).as("fold_fp"))
+    val bad = both.filter(col("kernel_fp") =!= col("fold_fp")).count()
+    assert(bad == 0L, s"$bad docs diverge between kernel and HOF fold")
+  }
+
   test("simhash expression works under codegen (wholestage plan)") {
     // parquet-backed so ConvertToLocalRelation can't pre-evaluate it
     val df = graft.io.Tables.documents(spark, TestSession.sf)
@@ -212,6 +226,40 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
     // order sensitivity: a rolling hash must distinguish permutations
     assert(ref("ab") != ref("ba"))
+  }
+
+  test("chunkDocuments: coverage, overlap, and edge lengths") {
+    import spark.implicits._
+    val cases = Seq(
+      (1L, "x" * 50),    // shorter than one chunk -> 1 chunk
+      (2L, "y" * 200),   // exactly one chunk
+      (3L, "z" * 201),   // one char over -> 2 chunks
+      (4L, ('a' to 'z').mkString * 30), // 780 chars -> several chunks
+      (5L, ""))          // empty -> single empty chunk
+    val df = cases.toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(df, "doc_id", "text",
+      chunkSize = 200, stride = 150)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val texts = cases.toMap
+    cases.foreach { case (id, t) =>
+      val chunks = out(id)
+      val expectN = if (t.length <= 200) 1 else 1 + math.ceil((t.length - 200) / 150.0).toInt
+      assert(chunks.length == expectN, s"doc $id chunk count")
+      // every chunk is the substring at its window; stitching the
+      // first `stride` chars of each chunk plus the last chunk's tail
+      // reconstructs the document exactly (lossless coverage)
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        assert(c == t.substring(i * 150, math.min(i * 150 + 200, t.length)), s"doc $id chunk $i")
+      }
+      val rebuilt = chunks.init.zipWithIndex.map { case (c, _) => c.take(150) }.mkString + chunks.last
+      assert(rebuilt == t, s"doc $id reconstruction")
+      // consecutive chunks share the 50-char overlap
+      chunks.sliding(2).foreach {
+        case Seq(a, b) => if (a.length == 200) assert(a.drop(150) == b.take(50))
+        case _ =>
+      }
+    }
   }
 
   test("quality metrics on a known doc") {
