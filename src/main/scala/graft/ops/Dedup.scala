@@ -172,16 +172,16 @@ object Dedup {
     * vote rule, but expressed as transform/aggregate/zip_with so the
     * whole fold stays inside Catalyst and (with an engine-neutral
     * hash such as md5-prefix) is expressible in ANSI SQL for a
-    * cross-engine oracle. Two uses: (a) `hash = xxhash64` / bits=64
-    * reproduces the production kernel bit-for-bit (spec'd in
-    * SimHashSpec — proves kernel ≡ fold); (b) `hash = md5-prefix` /
-    * bits=60 is the oracle-green anchor q98 (proves fold ≡ DuckDB).
-    * Chained, they give the xxhash kernel a cross-engine check on
-    * everything except the hash primitive itself.
+    * cross-engine oracle. SPEC-ONLY — two equivalences in SimHashSpec:
+    * (a) `hash = xxhash64` / bits=64 reproduces the `SimHash64` kernel
+    * bit-for-bit; (b) `hash = md5-prefix` / bits=60 reproduces the
+    * `SimHashPortable60` kernel that oracle-anchor q98 actually runs.
+    * Chained with the q98 DuckDB oracle, they give the kernels a
+    * cross-engine check on everything except the hash primitive.
     *
-    * Cost is O(tokens × bits) array ops per row — fine for an anchor
-    * or modest corpora; the O(tokens + bits) kernel remains the
-    * production path. */
+    * Cost is O(tokens × bits) INTERPRETED array ops per row (HOF
+    * lambdas don't codegen) — measured ~250× slower than the kernels
+    * at sf0.1, which is why no declared query uses it. */
   def simhashBitVote(tokens: Column, hash: Column => Column,
                      bits: Int): Column = {
     require(bits >= 1 && bits <= 64, "bits must be in [1, 64]")

@@ -75,20 +75,18 @@ object PipelineOps {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // SimHash through the portable bit-vote fold with an
-    // engine-neutral hash (md5 60-bit prefix) — the oracle-green
-    // anchor for the q28/q29 family: DuckDB replays the identical
-    // vote→fingerprint fold, and SimHashSpec proves the same fold
-    // with hash=xxhash64/bits=64 reproduces the production kernel
-    // bit-for-bit, so everything but the hash primitive itself is
-    // cross-engine checked.
+    // SimHash with an engine-neutral hash (md5 60-bit prefix) — the
+    // oracle-green anchor for the q28/q29 family: DuckDB replays the
+    // identical vote→fingerprint fold, so the native kernel's Charikar
+    // vote logic is cross-engine checked on everything except the
+    // xxhash64 primitive (SimHashSpec separately proves the portable
+    // kernel ≡ the built-in HOF fold ≡ the xxhash kernel structure).
+    // Native codegen kernel — the interpreted HOF-fold twin is
+    // O(tokens×bits) and 100× slower; it stays spec-only.
     "q98_simhash_portable" -> ((s, d) => {
-      val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
-      val md5Hash60: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        t => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long")
       Tables.documents(s, d)
         .select(col("doc_id"),
-          Dedup.simhashBitVote(toks, md5Hash60, bits = 60).as("fp"))
+          SimHash.simhashPortable60(split(col("text"), "\\s+")).as("fp"))
         .orderBy(col("doc_id"))
     }),
 
@@ -382,6 +380,25 @@ object PipelineOps {
         .select(col("doc_id"),
           TextAnalysis.rollingFingerprint(col("text")).as("rh"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Heavy hitters via the Space-Saving sketch UDAF (mergeable
+    // frequent-items summary — the open-domain "top terms" rollup
+    // where a full-vocabulary groupBy would not fit). capacity=256 ≥
+    // the 31-term vocabulary ⇒ the exact regime: nothing evicts, the
+    // sketch provably equals GROUP BY COUNT on any partitioning, so
+    // the top-20 is oracle-checked cross-engine; approximate-regime
+    // bounds are property-checked in SketchesSpec.
+    "q102_heavy_hitters" -> ((s, d) => {
+      val topTerms = udaf(new graft.functions.FreqItemsAggregator(256, 20))
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), "\\s+")).as("term"))
+        .filter(length(col("term")) > 0)
+        .agg(topTerms(col("term")).as("top"))
+        .select(posexplode(col("top")).as(Seq("pos", "t")))
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("t._1").as("term"), col("t._2").as("cnt"), col("t._3").as("err"))
+        .orderBy(col("rank"))
     }),
 
     // RAG-style overlapping character chunking (200-char windows,
@@ -856,6 +873,18 @@ object PipelineOps {
         |SELECT d.doc_id, CAST(coalesce(f.fp, 0) AS BIGINT) AS fp
         |FROM documents d LEFT JOIN fps f ON d.doc_id = f.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // Exact-regime ground truth: plain GROUP BY count, top-20 by
+    // (cnt desc, term asc) — the same deterministic order as the
+    // aggregator's finish; err is identically 0 when nothing evicts.
+    "q102_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT t.tok AS term
+        |  FROM documents, UNNEST(string_split_regex(text, '\s+')) AS t(tok)
+        |  WHERE length(t.tok) > 0),
+        |c AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY term)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rank,
+        |  term, cnt, CAST(0 AS BIGINT) AS err
+        |FROM c ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
     // Same windowing arithmetic: n = 1 + ceil((len-200)/150) (min 1),
     // chunk i = substr(text, i*150+1, 200).
     "q99_chunk_docs" ->

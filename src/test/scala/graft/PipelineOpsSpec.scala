@@ -134,6 +134,23 @@ class SimHashSpec extends AnyFunSuite {
     assert(bad == 0L, s"$bad docs diverge between kernel and HOF fold")
   }
 
+  test("portable md5 kernel (q98 production path) == md5 HOF fold") {
+    // closes the anchor chain: DuckDB oracle ≡ HOF fold (same SQL
+    // semantics) and HOF fold ≡ native portable kernel (this test), so
+    // the codegen'd kernel the query actually runs is what the
+    // cross-engine gate certifies
+    val toks = split(col("text"), "\\s+")
+    val md5Hash60: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      t => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long")
+    val docs = graft.io.Tables.documents(spark, TestSession.sf)
+    val both = docs.select(col("doc_id"),
+      SimHash.simhashPortable60(toks).as("kernel_fp"),
+      Dedup.simhashBitVote(filter(toks, t => length(t) > 0),
+        md5Hash60, bits = 60).as("fold_fp"))
+    val bad = both.filter(col("kernel_fp") =!= col("fold_fp")).count()
+    assert(bad == 0L, s"$bad docs diverge between portable kernel and md5 fold")
+  }
+
   test("simhash expression works under codegen (wholestage plan)") {
     // parquet-backed so ConvertToLocalRelation can't pre-evaluate it
     val df = graft.io.Tables.documents(spark, TestSession.sf)

@@ -39,4 +39,48 @@ class SketchesSpec extends AnyFunSuite {
         s"$k: approx $a vs exact $n")
     }
   }
+
+  test("space-saving exact regime: capacity >= distinct == GROUP BY count, any partitioning") {
+    import spark.implicits._
+    val terms = graft.io.Tables.documents(spark, TestSession.sf)
+      .select(explode(split(col("text"), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val exact = terms.groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val k = exact.size // return the whole vocabulary
+    for (parts <- Seq(1, 7, 32)) {
+      val agg = udaf(new graft.functions.FreqItemsAggregator(256, k))
+      val got = terms.repartition(parts).agg(agg(col("term")).as("top"))
+        .select(explode(col("top")).as("t"))
+        .select(col("t._1"), col("t._2"), col("t._3")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(got.forall(_._3 == 0L), s"parts=$parts: err must be 0 in the exact regime")
+      assert(got.map(t => t._1 -> t._2).toMap == exact, s"parts=$parts: counts diverge")
+    }
+  }
+
+  test("space-saving approximate regime: classic bounds hold under eviction") {
+    import spark.implicits._
+    // skewed stream: key i appears ~N/i times (zipf-ish), far more
+    // distinct keys (40) than capacity (8)
+    val data = (1 to 40).flatMap(i => Seq.fill(1200 / i)(s"k$i"))
+    val n = data.size.toLong
+    val truth = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val capacity = 8
+    val agg = udaf(new graft.functions.FreqItemsAggregator(capacity, capacity))
+    val got = data.toDF("term").repartition(5)
+      .agg(agg(col("term")).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t._1"), col("t._2"), col("t._3")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (key, est, err) =>
+      val t = truth(key)
+      assert(est >= t, s"$key: estimate $est must overcount true $t")
+      assert(est - err <= t, s"$key: est-err ${est - err} must undercount true $t")
+    }
+    // every key with true count > n/capacity survives in the summary
+    val heavy = truth.filter(_._2 > n / capacity).keySet
+    val kept = got.map(_._1).toSet
+    assert(heavy.subsetOf(kept), s"missing heavy hitters: ${heavy -- kept}")
+  }
 }
