@@ -53,4 +53,34 @@ class PlanLintSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("aggregations combine map-side (partial + final, never final-only)") {
+    // q01's sums/avgs must pre-aggregate before the shuffle — at
+    // 100 TB the difference between shuffling 6 rows per partition
+    // and 6 billion
+    val plan = SparkEntry.queries("q01_pricing_summary")(spark, TestSession.sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum"), plan)
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not a total sort") {
+    // q05's LIMIT k over an ordering must keep per-partition heaps —
+    // a full range-partitioned sort of the fact table would be the
+    // classic 100 TB scale-killer for a top-k
+    val plan = SparkEntry.queries("q05_top_parts")(spark, TestSession.sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("chunking is shuffle-free: q99's only exchange is the output sort") {
+    // the zero-shuffle claim for the RAG chunker — the transform +
+    // posexplode pipeline straight from the scan; the single range
+    // exchange is the deterministic ORDER BY the oracle compare needs,
+    // not part of the operator
+    val plan = SparkEntry.queries("q99_chunk_docs")(spark, TestSession.sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange (\\w+)".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(exchanges.forall(_ == "rangepartitioning"),
+      s"non-sort exchange in chunk plan: $exchanges\n$plan")
+  }
 }
