@@ -422,6 +422,25 @@ object EventQueries {
         .orderBy(col("event_type"))
     }),
 
+    // The HLL sketch cube at FINE granularity — the oracle-green
+    // anchor for the q65 family: per (event_type, user-bucket) cell
+    // the distinct count stays far below coupon-list promotion
+    // (k/4 = 1024 at lgK=12), so the sketch stores the coupon SET
+    // itself and the estimate is the exact distinct count, invariant
+    // to partitioning/merge order (set union). Declared at the cell
+    // granularity where sketch cubes are actually built at 100 TB;
+    // the q65 coarse rollup keeps its rows-only status (estimates at
+    // 1.5k distinct are approximate by design).
+    "q103_hll_cells" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("bucket", col("user_id") % 64)
+      graft.ops.Sketches.estimate(
+          graft.ops.Sketches.distinctSketch(ev, Seq("event_type", "bucket"),
+            "user_id"))
+        .select(col("event_type"), col("bucket"), col("approx_distinct"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
     // Salted two-stage aggregation (hot-key mitigation): identical
     // result to a plain GROUP BY — the oracle proves it — with a
     // uniform stage-1 shuffle even under single-key skew.
@@ -531,6 +550,12 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     "q39_event_hourly" -> HourlySql,
     "q41_stream_hourly" -> HourlySql,
+    // Exact because every cell is in the sketch's coupon regime — the
+    // ground truth is plain COUNT(DISTINCT) per cell.
+    "q103_hll_cells" ->
+      """SELECT event_type, CAST(user_id % 64 AS BIGINT) AS bucket,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS approx_distinct
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q101_stream_static_join" ->
       """SELECT c.c_mktsegment AS segment, e.event_type,
         |  count(*) AS n_events,

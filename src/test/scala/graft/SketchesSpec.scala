@@ -40,6 +40,25 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("hll coupon regime: fine-granularity cells estimate exactly, any partitioning") {
+    // the q103 anchor claim: below coupon-list promotion the sketch
+    // IS the distinct set, so estimates equal COUNT(DISTINCT) and are
+    // invariant to how partials were partitioned before the merge
+    val ev = graft.io.Tables.events(spark, TestSession.sf)
+      .withColumn("bucket", col("user_id") % 64)
+    val exact = ev.groupBy("event_type", "bucket")
+      .agg(countDistinct("user_id").as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (parts <- Seq(1, 32)) {
+      val est = Sketches.estimate(
+          Sketches.distinctSketch(ev.repartition(parts),
+            Seq("event_type", "bucket"), "user_id"))
+        .select(col("event_type"), col("bucket"), col("approx_distinct"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(est == exact, s"parts=$parts: coupon-regime estimate not exact")
+    }
+  }
+
   test("space-saving exact regime: capacity >= distinct == GROUP BY count, any partitioning") {
     import spark.implicits._
     val terms = graft.io.Tables.documents(spark, TestSession.sf)
