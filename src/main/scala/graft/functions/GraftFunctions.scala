@@ -20,7 +20,8 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 object GraftFunctions {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[SimHash64].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[SimHash64].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   /** Builders run inside analysis — surface bad static arguments as a
     * clear message instead of a raw eval crash (an attribute argument

@@ -30,10 +30,13 @@ import org.apache.spark.unsafe.types.UTF8String
 final class SparseNearestKernel(val centroids: IndexedSeq[Map[String, Double]])
     extends Serializable {
 
-  @transient private lazy val tables: Array[java.util.HashMap[UTF8String, Double]] =
+  // values boxed EXPLICITLY: with a primitive-typed map, `get` on a
+  // missing key unboxes null to 0.0 and the null guards below would
+  // silently never fire (correct dot/distance only by accident)
+  @transient private lazy val tables: Array[java.util.HashMap[UTF8String, java.lang.Double]] =
     centroids.map { c =>
-      val m = new java.util.HashMap[UTF8String, Double](c.size * 2)
-      c.foreach { case (k, v) => m.put(UTF8String.fromString(k), v) }
+      val m = new java.util.HashMap[UTF8String, java.lang.Double](c.size * 2)
+      c.foreach { case (k, v) => m.put(UTF8String.fromString(k), Double.box(v)) }
       m
     }.toArray
 

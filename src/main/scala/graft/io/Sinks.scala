@@ -46,7 +46,7 @@ object Sinks {
     * sets via `mapreduce.output.basename`). Columns are concat_ws'd in
     * order; callers pre-format numerics (fmt4) for golden parity. */
   def writeTsv(df: DataFrame, dir: String, basename: String): Unit = {
-    val line = concat_ws("\t", df.columns.map(col): _*)
+    val line = concat_ws("\t", df.columns.toIndexedSeq.map(col): _*)
     df.select(line.as("value")).write.mode("overwrite")
       .option("compression", "none").text(s"$dir/$basename")
   }
