@@ -85,9 +85,12 @@ class SparsePropertySpec extends AnyFunSuite {
   }
 }
 
-/** NFC kernel properties — char-level generative coverage beyond the
-  * fixture strings in the functions spec. */
-class NfcPropertySpec extends AnyFunSuite {
+/** Generative kernel properties beyond the fixture strings in the
+  * functions specs: NFC normalization (char-level), the Space-Saving
+  * aggregator's reduce/merge guarantees over random streams and merge
+  * trees, and the q99 chunk-window arithmetic over random
+  * (len, chunkSize, stride). */
+class KernelPropertySpec extends AnyFunSuite {
   def forAll[A](g: Gen[A], n: Int = 200)(f: A => Unit): Unit = {
     var seed = org.scalacheck.rng.Seed(7L)
     var i = 0
@@ -110,6 +113,62 @@ class NfcPropertySpec extends AnyFunSuite {
       assert(once == twice, s"not idempotent on ${s.map(_.toInt)}")
       assert(once.toString ==
         java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    }
+  }
+
+  // driver-side property checks of the Space-Saving aggregator kernel
+  // (plain Scala reduce/merge — no Spark session needed): random
+  // streams, random merge trees, the classic guarantees must hold
+  private val streamGen: Gen[List[String]] =
+    Gen.listOf(Gen.oneOf((1 to 25).map(i => s"k$i")))
+
+  test("space-saving: random streams + random merge splits keep the bounds") {
+    val agg = new graft.functions.FreqItemsAggregator(capacity = 6, k = 6)
+    forAll(Gen.zip(streamGen, Gen.choose(1, 5)), n = 100) { case (stream, nSplits) =>
+      val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // split the stream into contiguous partials, reduce each, then
+      // merge left-to-right (models map partials + reduce tree)
+      val parts = stream.grouped(math.max(1, stream.size / nSplits)).toList
+      val partials = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = partials.foldLeft(agg.zero)(agg.merge)
+      val out = agg.finish(merged)
+      out.foreach { case (key, est, err) =>
+        val t = truth.getOrElse(key, 0L)
+        assert(est >= t, s"$key: est $est < true $t")
+        assert(est - err <= t, s"$key: est-err ${est - err} > true $t")
+      }
+      // summary keeps every key whose true count exceeds n/capacity
+      val n = stream.size.toLong
+      val heavy = truth.filter(_._2 > n / 6).keySet
+      val kept = merged.keySet
+      assert(heavy.subsetOf(kept), s"lost heavy keys ${heavy -- kept}")
+      // exact regime: while nothing ever evicted, result == truth
+      if (partials.forall(_.size < 6) && merged.size == truth.size)
+        assert(out.map(e => e._1 -> e._2).toMap ==
+          truth.toSeq.sortBy { case (k2, c) => (-c, k2) }.take(6).toMap)
+    }
+  }
+
+  test("chunk windowing arithmetic: count/coverage for arbitrary lengths") {
+    // the q99 window formula, checked driver-side over random
+    // (len, chunkSize, stride) — counts match, windows tile the text
+    forAll(Gen.zip(Gen.choose(0, 2000), Gen.choose(1, 300), Gen.choose(1, 300)),
+        n = 300) { case (len, a, b) =>
+      val chunkSize = math.max(a, b); val stride = math.min(a, b)
+      val nChunks =
+        if (len <= chunkSize) 1
+        else 1 + math.ceil((len - chunkSize).toDouble / stride).toInt
+      // every char index < len falls inside at least one window, and
+      // the last window's start is within the text
+      val lastStart = (nChunks - 1) * stride
+      assert(lastStart < math.max(len, 1),
+        s"len=$len cs=$chunkSize st=$stride: empty trailing chunk")
+      assert(lastStart + chunkSize >= len,
+        s"len=$len cs=$chunkSize st=$stride: tail uncovered")
+      // one fewer chunk would leave a tail uncovered (minimality)
+      if (nChunks > 1)
+        assert((nChunks - 2) * stride + chunkSize < len,
+          s"len=$len cs=$chunkSize st=$stride: chunk count not minimal")
     }
   }
 }
