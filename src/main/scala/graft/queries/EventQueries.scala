@@ -441,6 +441,26 @@ object EventQueries {
         .orderBy(col("event_type"), col("bucket"))
     }),
 
+    // Approximate percentiles (Greenwald–Khanna QuantileSummaries,
+    // the mergeable sketch behind percentile_approx) — declared in
+    // the exact regime: accuracy 10⁶ exceeds every group size at the
+    // gate scales, the summary keeps all samples uncompressed, and
+    // Spark's boundary rule matches DuckDB's quantile_disc, so the
+    // oracle is the exact discrete quantile (verified value-equal at
+    // sf0.01 AND sf0.1). The q49 exact-percentile query pins the
+    // non-sketch formulation; this one declares the O(accuracy)-state
+    // mergeable path a 100 TB rollup would actually run.
+    "q104_percentile_approx" -> ((s, d) => {
+      val qsArr = array(lit(0.1), lit(0.5), lit(0.9), lit(0.99))
+      Tables.events(s, d).groupBy(col("event_type"))
+        .agg(expr("percentile_approx(value, array(0.1, 0.5, 0.9, 0.99), 1000000)")
+          .as("pa"))
+        .select(col("event_type"), posexplode(col("pa")).as(Seq("idx", "qv")))
+        .select(col("event_type"),
+          element_at(qsArr, col("idx") + 1).as("q"), col("qv"))
+        .orderBy(col("event_type"), col("q"))
+    }),
+
     // Salted two-stage aggregation (hot-key mitigation): identical
     // result to a plain GROUP BY — the oracle proves it — with a
     // uniform stage-1 shuffle even under single-key skew.
@@ -550,6 +570,19 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     "q39_event_hourly" -> HourlySql,
     "q41_stream_hourly" -> HourlySql,
+    // Exact because accuracy >> group size: the GK summary holds all
+    // samples, and both engines pick the same discrete boundary
+    // element.
+    "q104_percentile_approx" ->
+      """WITH p AS (
+        |  SELECT event_type, quantile_disc(value, [0.1, 0.5, 0.9, 0.99]) AS qs
+        |  FROM events GROUP BY 1)
+        |SELECT event_type,
+        |  CASE t.gs WHEN 1 THEN 0.1 WHEN 2 THEN 0.5 WHEN 3 THEN 0.9
+        |       ELSE 0.99 END AS q,
+        |  qs[t.gs] AS qv
+        |FROM p, UNNEST(generate_series(1, 4)) AS t(gs)
+        |ORDER BY event_type, q""".stripMargin,
     // Exact because every cell is in the sketch's coupon regime — the
     // ground truth is plain COUNT(DISTINCT) per cell.
     "q103_hll_cells" ->
