@@ -2,17 +2,54 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
 
-/** Mergeable distinct-count sketches (DataSketches HLL via the Spark
-  * built-ins — codegen'd, no UDFs). The 100 TB story is MERGEABILITY:
-  * a sketch built per shard/partition/day can be unioned later into
-  * any coarser rollup without touching the raw data again, and the
-  * union equals the sketch you'd have built in one global pass
-  * (asserted in SketchesSpec). That makes distinct-count rollups an
-  * O(sketch-size) metadata operation instead of a re-scan — the
-  * pre-aggregated-cube pattern for COUNT(DISTINCT).
+/** Mergeable frequency/distinct sketches via the Spark built-ins
+  * (DataSketches HLL, Count-Min — codegen'd aggregation, no UDF in
+  * the build path). The 100 TB story is MERGEABILITY: a sketch built
+  * per shard/partition/day can be unioned later into any coarser
+  * rollup without touching the raw data again, and the union equals
+  * the sketch you'd have built in one global pass (asserted in
+  * SketchesSpec). That makes distinct-count rollups an O(sketch-size)
+  * metadata operation instead of a re-scan — the pre-aggregated-cube
+  * pattern for COUNT(DISTINCT) — and point-frequency lookup an
+  * O(width×depth) probe instead of a GROUP BY over the raw table.
   */
 object Sketches {
+
+  /** Executor-side probe wrapper: ships the serialized sketch once per
+    * task closure, deserializes once per executor (transient lazy),
+    * probes per row. */
+  private class CmsProbe(bytes: Array[Byte]) extends Serializable {
+    @transient private lazy val cms =
+      CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+    def estimate(k: Long): Long = cms.estimateCount(k)
+  }
+
+  /** Count-Min point-frequency estimates for every distinct value of
+    * `keyCol` (must be integral). The sketch is built by Spark's
+    * mergeable `count_min_sketch` aggregate — partial sketches
+    * map-side, O(width×depth) state through the shuffle — then the
+    * O(100 KB) result is fetched driver-side (1 row, the same O(1)
+    * contract as a K-Means model) and probed per key.
+    *
+    * CMS guarantees estimate ≥ true count, with overestimate ≤ eps·N
+    * at the given confidence; with #distinct ≪ width (2/eps) the
+    * probability that any key collides in ALL depth rows is
+    * negligible and the estimates are EXACTLY the true counts — the
+    * collision-free regime, this family's oracle-green anchor (the
+    * q103 coupon-regime trick applied to frequency instead of
+    * cardinality). Everything is seed-deterministic either way.
+    */
+  def countMinEstimates(df: DataFrame, keyCol: String, eps: Double = 5e-4,
+                        confidence: Double = 0.999, seed: Int = 42): DataFrame = {
+    val bytes = df
+      .agg(count_min_sketch(col(keyCol), lit(eps), lit(confidence), lit(seed)))
+      .first().getAs[Array[Byte]](0)
+    val probe = udf(new CmsProbe(bytes).estimate _)
+    df.select(col(keyCol).cast("long").as(keyCol)).distinct()
+      .withColumn("est", probe(col(keyCol)))
+  }
 
   /** Per-group HLL sketch partials over `valueCol`. */
   def distinctSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,

@@ -461,6 +461,21 @@ object EventQueries {
         .orderBy(col("event_type"), col("q"))
     }),
 
+    // Count-Min sketch point frequencies — the mergeable
+    // frequency-sketch sibling of the q102 Space-Saving heavy hitters
+    // and the q103 HLL cells, declared in its collision-free regime:
+    // ≤100 distinct keys against a width-4000×depth-10 sketch, so
+    // every estimate equals the exact count (CMS only ever
+    // over-counts, and only on an all-depths collision) and the plain
+    // GROUP BY count is the oracle. Build side is Spark's native
+    // mergeable aggregate; probe side is one O(100 KB) driver fetch.
+    "q106_cms_freq" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(pmod(col("user_id"), lit(100)).cast("long").as("bucket"))
+      graft.ops.Sketches.countMinEstimates(ev, "bucket")
+        .orderBy(col("bucket"))
+    }),
+
     // Salted two-stage aggregation (hot-key mitigation): identical
     // result to a plain GROUP BY — the oracle proves it — with a
     // uniform stage-1 shuffle even under single-key skew.
@@ -583,6 +598,12 @@ object EventQueries {
         |  qs[t.gs] AS qv
         |FROM p, UNNEST(generate_series(1, 4)) AS t(gs)
         |ORDER BY event_type, q""".stripMargin,
+    // Exact because ≤100 keys sit in a width-4000 sketch: no key
+    // collides in all depth rows, so CMS estimate == exact count.
+    "q106_cms_freq" ->
+      """SELECT CAST(user_id % 100 AS BIGINT) AS bucket,
+        |       count(*) AS est
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // Exact because every cell is in the sketch's coupon regime — the
     // ground truth is plain COUNT(DISTINCT) per cell.
     "q103_hll_cells" ->

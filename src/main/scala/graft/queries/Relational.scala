@@ -387,6 +387,21 @@ object Relational {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // Exact integer PageRank (3 unrolled iterations) over the
+    // part→supplier bipartite graph from lineitem — the iterative
+    // graph kernel sibling to q52's connected components. Scaled-long
+    // arithmetic makes every iteration order-independent and therefore
+    // oracle-checkable against DuckDB computing the same recurrence;
+    // supplier nodes are offset by 10^6 to keep the id spaces disjoint.
+    "q105_pagerank" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d).select(
+        col("l_partkey").as("src"),
+        (lit(1000000L) + col("l_suppkey")).as("dst"))
+      graft.ops.Graph.pageRankExact(edges, iters = 3)
+        .select(col("node"), col("rank").as("rank_ppt"))
+        .orderBy(col("node"))
+    }),
+
     // Hierarchical rollup (beyond the reference — no grouping sets
     // exist there; Catalyst's Expand covers them natively). Subtotal
     // rows keyed 'ALL' so ordering/compare is null-free.
@@ -401,7 +416,41 @@ object Relational {
     })
   )
 
+  /** DuckDB mirror of [[graft.ops.Graph.pageRankExact]]'s recurrence,
+    * unrolled: one CTE per iteration, same truncating integer math
+    * (`//` and `div` agree on non-negative longs), dangling mass
+    * redistributed uniformly. */
+  private def pageRankSql(iters: Int): String = {
+    def step(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT d.node, d.outdeg,
+         |    ((15 * 1000000000000) // 100) // (SELECT n FROM params)
+         |    + (85 * (COALESCE(c.contrib, 0)
+         |       + (SELECT COALESCE(sum(pr), 0) FROM $prev WHERE outdeg = 0)
+         |         // (SELECT n FROM params))) // 100 AS pr
+         |  FROM deg d
+         |  LEFT JOIN (SELECT e.dst AS node, sum(r.pr // r.outdeg) AS contrib
+         |             FROM edges e JOIN $prev r ON r.node = e.src GROUP BY 1) c
+         |    ON c.node = d.node)""".stripMargin
+    val steps = (1 to iters).map(i => step(s"r${i - 1}", s"r$i")).mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src,
+       |                  1000000 + CAST(l_suppkey AS BIGINT) AS dst FROM lineitem
+       |),
+       |deg AS (
+       |  SELECT n.node, count(e.src) AS outdeg
+       |  FROM (SELECT src AS node FROM edges UNION SELECT dst FROM edges) n
+       |  LEFT JOIN edges e ON e.src = n.node GROUP BY 1
+       |),
+       |params AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+       |r0 AS (SELECT node, outdeg,
+       |       1000000000000 // (SELECT n FROM params) AS pr FROM deg),
+       |$steps
+       |SELECT node, CAST(pr AS BIGINT) AS rank_ppt FROM r$iters ORDER BY node""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q105_pagerank" -> pageRankSql(3),
     "q78_zorder" -> {
       val z = graft.ops.ZOrder.zValueSql(
         "CAST(l_partkey AS BIGINT) % 65536", "CAST(l_suppkey AS BIGINT) % 65536")

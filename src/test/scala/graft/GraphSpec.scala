@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[graft.ops.Graph.pageRankExact]] — the integer-PageRank recurrence
+  * against an in-memory reference fold, partitioning invariance (the
+  * property the scaled-long design buys), mass conservation, and the
+  * scale shape of the per-iteration plan. */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import graft.ops.Graph
+
+  /** Same recurrence, plain Scala — non-negative longs, truncating /. */
+  private def ref(edges: Seq[(Long, Long)], iters: Int,
+                  scale: Long = 1000000000000L, damp: Int = 85): Map[Long, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val out = e.groupBy(_._1).map { case (u, es) => u -> es.size.toLong }
+    val n = nodes.size.toLong
+    val base = ((100 - damp).toLong * scale / 100) / n
+    var r = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val dangShare = nodes.filterNot(out.contains).map(r).sum / n
+      val contrib = e.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => r(u) / out(u) }.sum
+      }
+      r = nodes.map(v =>
+        v -> (base + damp * (contrib.getOrElse(v, 0L) + dangShare) / 100)).toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.pageRankExact(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("matches the reference recurrence on a dangling-sink graph") {
+    // 1,2 -> 3 (sink); 1 -> 2: node 3 is dangling, its mass recycles
+    val edges = Seq((1L, 3L), (2L, 3L), (1L, 2L))
+    for (iters <- Seq(1, 3)) assert(run(edges, iters) == ref(edges, iters))
+  }
+
+  test("matches the reference recurrence on a seeded random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(60).toLong))
+      .filter(e => e._1 != e._2)
+    assert(run(edges, 3) == ref(edges, 3))
+  }
+
+  test("result is invariant to input partitioning (order-independent math)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(200)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(e => e._1 != e._2)
+    val a = Graph.pageRankExact(edges.toDF("src", "dst").repartition(1), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val b = Graph.pageRankExact(
+        edges.toDF("src", "dst").repartition(7, col("dst")), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
+  test("rank mass is conserved up to integer-division remainders") {
+    val rnd = new scala.util.Random(3)
+    val edges = Seq.fill(400)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter(e => e._1 != e._2)
+    val scale = 1000000000000L
+    val got = run(edges, 3)
+    val mass = got.values.sum
+    val n = got.size.toLong
+    // each round each node can lose <100 (div 100) + its contrib/dangling
+    // remainders (<outdeg each, ≤n) — a generous linear bound, nowhere
+    // near the O(scale) drift float math would allow
+    assert(mass <= scale && mass >= scale - 3 * n * (n + 200))
+  }
+
+  test("plan shape: shuffle joins + partial aggregation, no quadratic operator") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val plan = Graph.pageRankExact(edges, 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("partial_sum"), plan) // map-side combine of contribs
+  }
+}

@@ -59,6 +59,37 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("count-min collision-free regime: estimates == exact counts, any partitioning") {
+    // the q106 anchor claim: with #distinct << width no key collides
+    // in all depth rows, so the (always >=) estimate is exact — and
+    // the sketch build is merge-order invariant
+    val ev = graft.io.Tables.events(spark, TestSession.sf)
+      .select(pmod(col("user_id"), lit(100)).cast("long").as("bucket"))
+    val exact = ev.groupBy("bucket").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (parts <- Seq(1, 32)) {
+      val got = Sketches.countMinEstimates(ev.repartition(parts), "bucket")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == exact, s"parts=$parts: CMS not exact in collision-free regime")
+    }
+  }
+
+  test("count-min guarantee outside the exact regime: overcount only, bounded") {
+    import spark.implicits._
+    // 5000 distinct keys vs width 40 (eps 0.05): collisions guaranteed
+    val df = (1L to 5000L).flatMap(k => Seq.fill((k % 7 + 1).toInt)(k)).toDF("k")
+    val n = df.count()
+    val exact = df.groupBy("k").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Sketches.countMinEstimates(df, "k", eps = 0.05, confidence = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.forall { case (k, est) => est >= exact(k) },
+      "CMS must never undercount")
+    val within = got.count { case (k, est) => est - exact(k) <= (0.05 * n).toLong }
+    assert(within >= (got.size * 0.9).toInt,
+      s"eps*N overcount bound should hold at >=90% confidence, held for $within/${got.size}")
+  }
+
   test("space-saving exact regime: capacity >= distinct == GROUP BY count, any partitioning") {
     import spark.implicits._
     val terms = graft.io.Tables.documents(spark, TestSession.sf)
