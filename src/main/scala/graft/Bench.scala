@@ -47,7 +47,8 @@ object Bench {
     // Each is still timed by its own start→finish wall clock, and
     // Verify runs them unchanged (sequentially).
     val streamingGroup = Set("q41_stream_hourly", "q42_stream_sessionize",
-      "q57_stream_dedup", "q64_stream_stream_join", "q101_stream_static_join")
+      "q57_stream_dedup", "q64_stream_stream_join", "q101_stream_static_join",
+      "q107_stream_session_window")
     // returns (per-query seconds, pass wall seconds). The pass wall is
     // what "run the whole suite" actually costs: the streaming group
     // overlaps, so it's less than the per-query sum (whose streaming

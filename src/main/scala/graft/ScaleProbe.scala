@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-scaling probe: measures a named subset of declared queries at
+  * an arbitrary scale directory, synthesizing that directory first if
+  * missing by key-offset replication of a source scale factor.
+  *
+  * Purpose: the driver ships sf ≤ 0.1; the 100 TB claim needs measured
+  * evidence further up the curve. `ScaleProbe src out copies q1,q2,…`
+  * builds `out` as `copies`× `src` (every key column offset per copy so
+  * cardinalities scale with volume — a 10× corpus has 10× orders, 10×
+  * users, 10× docs, not 10 duplicates of each key), then times each
+  * query with the same noise-immune min-of-two + GC-settle harness as
+  * [[Bench]] and prints one JSON line.
+  *
+  * Document text gets a per-copy suffix token: copies stay NEAR-dups
+  * (realistic for a crawl corpus, and exactly the load a dedup pipeline
+  * must survive) without being byte-identical.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val Array(src, out, copiesStr, queryCsv) = args.take(4)
+    val copies = copiesStr.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!new java.io.File(s"$out/_READY").exists()) build(spark, src, out, copies)
+
+    // same warmup + measurement discipline as Bench
+    spark.range(2000000).selectExpr("sum(id % 7)").collect()
+    spark.read.parquet(s"$out/lineitem.parquet").limit(1000).count()
+    val names = queryCsv.split(",").toSeq
+    def pass(): Seq[(String, Double)] = names.map { name =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, out).write.mode("overwrite").format("noop").save()
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    def gcSettle(): Unit = { System.gc(); Thread.sleep(2000); System.gc() }
+    gcSettle()
+    val p1 = pass()
+    graft.util.Caches.clearAll(spark)
+    gcSettle()
+    val p2 = pass()
+    graft.util.Caches.clearAll(spark)
+    val qs = p1.zip(p2).map { case ((n, a), (_, b)) => "\"" + n + "\":" + math.min(a, b) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"scaleprobe","copies":$copies,"queries":$qs,"dir":"$out"}""")
+    spark.stop()
+  }
+
+  /** Key-offset replication. Offsets keep every id space disjoint
+    * across copies AND disjoint from the q105 node encoding (supplier
+    * ids stay < 10^6). */
+  private def build(spark: SparkSession, src: String, out: String, copies: Int): Unit = {
+    // events.parquet stores TIMESTAMP(NANOS) — read nanos as long
+    // (same trap Tables.eventsRaw handles); the replica then carries a
+    // BIGINT ts, which every consumer already accepts
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val big = 100000000L // 1e8: orderkey/partkey/custkey/doc/vec/event ids
+    def rep(name: String, grow: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      val all = (0 until copies).map(i => grow(base, i)).reduce(_ unionAll _)
+      all.write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+    def shift(c: String, step: Long)(df: DataFrame, i: Int): DataFrame =
+      df.withColumn(c, col(c) + lit(step * i))
+    rep("region", (df, i) => if (i == 0) df else df.limit(0))
+    rep("nation", (df, i) => if (i == 0) df else df.limit(0))
+    rep("customer", shift("c_custkey", big))
+    rep("supplier", shift("s_suppkey", 1000L))
+    rep("part", shift("p_partkey", big))
+    rep("orders", (df, i) =>
+      shift("o_custkey", big)(shift("o_orderkey", big)(df, i), i))
+    rep("lineitem", (df, i) =>
+      shift("l_suppkey", 1000L)(
+        shift("l_partkey", big)(shift("l_orderkey", big)(df, i), i), i))
+    rep("events", (df, i) =>
+      shift("user_id", 100000L)(shift("event_id", big)(df, i), i))
+    rep("documents", (df, i) => {
+      val d = shift("doc_id", big)(df, i)
+      if (i == 0) d
+      else d.withColumn("text", concat(col("text"), lit(s" copytoken$i")))
+    })
+    rep("embeddings", shift("vec_id", big))
+    new java.io.File(s"$out/_READY").createNewFile()
+    ()
+  }
+}

@@ -294,4 +294,40 @@ object TextAnalysis {
               lit(b) * col("dl").cast("double") / lit(avgdl))), 9)
           .as("score"))
   }
+
+  /** Bigram language-model scoring — the CCNet-style perplexity
+    * quality filter: train an add-one-smoothed bigram LM on the corpus
+    * itself, score each document by its mean log-likelihood per bigram
+    * (low = boilerplate/templated, high = fluent; the filtering
+    * statistic is monotone in perplexity, without the cross-engine
+    * `exp`). P(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V).
+    *
+    * Determinism: each bigram's ln is rounded 9-dec (the one
+    * non-correctly-rounded op), the per-doc mean rides an exact
+    * scaled-long sum ([[graft.util.Exact.avgExact]]) so partial-sum
+    * order never matters. Scale shape: bigrams extracted NARROW
+    * (explode of an index sequence + element_at — no window shuffle,
+    * no interpreted HOF in the hot path), then two count aggregations
+    * (pair key, head key) and two shuffle joins back; V and nothing
+    * else is an O(1) driver scalar. Bigram table cached across its
+    * four consumers, reclaimed by util.Caches.clearAll. */
+  def perplexityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withArr = df.select(col(idCol).as("doc"), toks(col(textCol)).as("arr"))
+    val bi = withArr.where(size(col("arr")) >= 2)
+      .select(col("doc"),
+        explode(expr("sequence(1, size(arr) - 1)")).as("i"), col("arr"))
+      .select(col("doc"), element_at(col("arr"), col("i")).as("w1"),
+        element_at(col("arr"), col("i") + 1).as("w2"))
+      .cache()
+    val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = withArr.select(explode(col("arr")).as("tok")).distinct().count()
+    bi.join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .withColumn("lp", round(log((col("c12") + 1).cast("double") /
+        (col("c1") + lit(v)).cast("double")), 9))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        graft.util.Exact.avgExact(col("lp"), 9).as("avg_logp"))
+  }
 }

@@ -247,6 +247,35 @@ object EventQueries {
       s.table(name).orderBy(col("user_id"))
     }),
 
+    // NATIVE session windows — the declarative sibling of q42's
+    // custom flatMapGroupsWithState sessionizer: Spark's
+    // session_window merges per-key event windows [ts, ts+gap] in the
+    // state store, so the operator (merge, expiry, state size) is
+    // engine-managed rather than hand-rolled. The merge is INCLUSIVE
+    // at the boundary — an event at exactly lastTs + gap still
+    // extends the session (pinned by the boundary test in
+    // StreamingSpec) — so the sessions are exactly q40's `> gap`
+    // islands. Session start = min event ts, emitted as epoch micros.
+    "q107_stream_session_window" -> ((s, d) => {
+      val name = s"stream_swin_${streamId.incrementAndGet()}"
+      val schema = Tables.eventsRaw(s, d).schema
+      val src = s.readStream.schema(schema).parquet(s"$d/events*.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = src
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          col("n_events"))
+      withStreamPartitions(s) {
+        val q = agg.writeStream.outputMode("complete")
+          .format("memory").queryName(name).start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      s.table(name).orderBy(col("user_id"), col("session_start_us"))
+    }),
+
     // Streaming DEDUP: dropDuplicates on (user, type) under a
     // watermark — the stateful exactly-once-per-key operator a
     // streaming ingest pipeline uses; state is bounded by the
@@ -598,6 +627,15 @@ object EventQueries {
         |  qs[t.gs] AS qv
         |FROM p, UNNEST(generate_series(1, 4)) AS t(gs)
         |ORDER BY event_type, q""".stripMargin,
+    // session_window merges INCLUSIVELY at the boundary (an event at
+    // exactly lastTs + gap extends the session — pinned by the
+    // boundary test in StreamingSpec), so its islands are exactly
+    // q40's `> gap` rule and the oracle reuses SessionCtes.
+    "q107_stream_session_window" -> (SessionCtes +
+      """SELECT user_id, CAST(min(us) AS BIGINT) AS session_start_us,
+        |       count(*) AS n_events
+        |FROM sids GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin),
     // Exact because ≤100 keys sit in a width-4000 sketch: no key
     // collides in all depth rows, so CMS estimate == exact count.
     "q106_cms_freq" ->

@@ -252,6 +252,16 @@ object PipelineOps {
         .orderBy(col("doc"), col("term"))
     }),
 
+    // Bigram-LM perplexity scoring (CCNet-style quality filter):
+    // add-one-smoothed corpus LM, per-doc mean log-likelihood. ln
+    // round-9 per bigram, exact scaled-long mean (partial-sum-order
+    // independent), narrow bigram extraction (no window shuffle).
+    "q108_perplexity" -> ((s, d) => {
+      TextAnalysis.perplexityScore(Tables.documents(s, d), "doc_id", "text")
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Blocked fuzzy matching — the record-linkage shape (block →
     // verify) that replaces the all-pairs levenshtein no engine
     // survives at scale. TWO selective block keys (char windows at
@@ -717,6 +727,27 @@ object PipelineOps {
         |SELECT term, count(*) AS doc_freq,
         |  array_to_string(list_sort(list(printf('%019d', doc_id))), ',') AS postings
         |FROM td WHERE term <> '' GROUP BY term ORDER BY term""".stripMargin,
+    // Same recurrence as TextAnalysis.perplexityScore: bigrams via
+    // positional element_at (both engines index the same split array),
+    // add-one smoothing, ln round-9, exact scaled-long mean.
+    "q108_perplexity" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS arr
+        |           FROM documents),
+        |bi AS (
+        |  SELECT doc_id, arr[i.x] AS w1, arr[i.x + 1] AS w2
+        |  FROM t, UNNEST(generate_series(1, len(arr) - 1)) AS i(x)
+        |  WHERE len(arr) >= 2),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS v FROM
+        |  (SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok
+        |   FROM documents))
+        |SELECT bi.doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(CAST(round(round(ln((c12 + 1.0) / (c1 + (SELECT v FROM v))), 9)
+        |    * 1000000000) AS BIGINT)) AS DOUBLE) / (count(*) * 1000000000.0)
+        |    AS avg_logp
+        |FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+        |GROUP BY bi.doc_id ORDER BY bi.doc_id""".stripMargin,
     "q77_cooccur_pmi" ->
       """WITH td AS (
         |  SELECT DISTINCT doc_id AS doc, unnest(regexp_split_to_array(text, '\s+')) AS tok

@@ -51,6 +51,31 @@ class StreamingStateSpec extends AnyFunSuite {
     // and more than one update row proves multiple micro-batches ran
     assert(spark.table("sess_batches").count() >= 2)
   }
+
+  test("session_window boundary is inclusive: gap == size still merges") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stream_swin").toString
+    // user 1: events at 0 and exactly +30 min  -> one merged session
+    //         (inclusive boundary == q40's `> gap` island rule)
+    // user 2: events at 0 and +30 min + 1 µs   -> two sessions
+    val gapUs = 1800L * 1000000L
+    Seq((1L, 0L), (1L, gapUs), (2L, 0L), (2L, gapUs + 1))
+      .toDF("user_id", "us").repartition(1).write.parquet(s"$dir/b1")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val src = spark.readStream.schema(schema).parquet(s"$dir/*/")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val agg = src.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_micros(col("session_window.start")).as("start_us"),
+        col("n"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("swin_boundary").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("swin_boundary").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set((1L, 0L, 2L), (2L, 0L, 1L), (2L, gapUs + 1, 1L)))
+  }
 }
 
 class TokenizerAntiJoinSpec extends AnyFunSuite {
