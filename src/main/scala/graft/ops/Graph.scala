@@ -92,4 +92,58 @@ object Graph {
     }
     ranks.select(col("node"), col("rank"))
   }
+
+  /** Per-node triangle counts over an UNDIRECTED graph — the local
+    * clustering / spam-farm signal next to PageRank's authority.
+    *
+    * Plan is the degree-ordered orientation algorithm (the MapReduce
+    * classic from Suri & Vassilvitskii WWW'11): orient each edge from
+    * its (degree, id)-smaller endpoint, enumerate wedges as pairs of
+    * out-neighbors, close them against oriented edges. Orientation
+    * caps every node's out-degree at O(√m), so wedge volume is
+    * O(m^{3/2}) even on hub-heavy degree distributions — the naive
+    * per-node neighbor-pair count is Σdeg², quadratic in the hottest
+    * hub, which is exactly what dies on a social/web graph at scale.
+    * Shapes: two key shuffles (degrees, wedges) + two shuffle joins,
+    * all equi joins; each triangle {a≺b≺c in orientation order} is
+    * produced exactly once (as the wedge at a closed by edge b→c), so
+    * counting needs no dedup state.
+    *
+    * @param edges undirected; `a`/`b` columns, any integral type.
+    *              Self-loops dropped, duplicates (either direction)
+    *              collapsed.
+    * @return (node LONG, n_triangles LONG) for nodes in ≥1 triangle.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("a"), col("b")).cast("long").as("a"),
+        greatest(col("a"), col("b")).cast("long").as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("node")).union(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // total orientation order: (deg, node); the dst's key is carried so
+    // the wedge join can order out-neighbor pairs without another join
+    val keyed = und
+      .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), "b")
+    val o = keyed.select(
+        when(struct(col("deg_a"), col("a")) < struct(col("deg_b"), col("b")),
+          struct(col("a").as("src"), col("b").as("dst"),
+            struct(col("deg_b").as("d"), col("b").as("n")).as("dstKey")))
+          .otherwise(
+            struct(col("b").as("src"), col("a").as("dst"),
+              struct(col("deg_a").as("d"), col("a").as("n")).as("dstKey")))
+          .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.dstKey").as("dstKey"))
+      .cache()
+    val x = o.select(col("src"), col("dst").as("v"), col("dstKey").as("kv"))
+    val y = o.select(col("src"), col("dst").as("w"), col("dstKey").as("kw"))
+    val wedges = x.join(y, Seq("src")).where(col("kv") < col("kw"))
+      .select(col("src").as("u"), col("v"), col("w"))
+    val closing = o.select(col("src").as("v"), col("dst").as("w"))
+    val tri = wedges.join(closing, Seq("v", "w"))
+    tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -117,6 +117,36 @@ object EventQueries {
         .orderBy(col("user_a"), col("user_b"))
     }),
 
+    // Per-node triangle counts over the session-overlap graph (users
+    // whose sessions ever overlap = q81's pair set) — the local-
+    // clustering / collusion signal beside q105's PageRank authority.
+    // Degree-ordered orientation (wedge volume O(m^1.5), no hub
+    // quadratics); each triangle counted exactly once. The oracle
+    // re-derives the same edges with a plain non-equi overlap join
+    // and closes ordered triples a<b<c.
+    "q109_triangles" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val iv = ev.withColumn("new_s",
+          when(lag(col("us"), 1).over(w).isNull ||
+            col("us") - lag(col("us"), 1).over(w) > SessionGapUs, 1).otherwise(0))
+        .withColumn("sid", sum(col("new_s")).over(run))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("us")).as("lo"), (max(col("us")) + 1).as("hi"))
+      val a = iv.select(col("user_id").as("user_a"), col("lo").as("lo_a"),
+        col("hi").as("hi_a"))
+      val b = iv.select(col("user_id").as("user_b"), col("lo").as("lo_b"),
+        col("hi").as("hi_b"))
+      val edges = graft.ops.RangeJoin.overlapJoin(a, b, "lo_a", "hi_a",
+          "lo_b", "hi_b", cellSize = 60L * 1000000L)
+        .filter(col("user_a") < col("user_b"))
+        .select(col("user_a").as("a"), col("user_b").as("b"))
+      graft.ops.Graph.triangleCounts(edges)
+        .orderBy(col("node"))
+    }),
+
     // Changelog compaction (CDC upsert materialization): latest row
     // per (user_id, event_type) by (ts, event_id) — one window pass,
     // the same shuffle shape every lakehouse MERGE/compaction job has.
@@ -578,6 +608,27 @@ object EventQueries {
         |  FROM f)
         |""".stripMargin
 
+  /** q109: same session intervals, plain non-equi overlap join for the
+    * edge set, ordered-triple (a<b<c) triangle closure, per-node
+    * counts via a 3-way unpivot. */
+  private val TrianglesSql = SessionCtes +
+      """, iv AS (
+        |  SELECT user_id, sid, min(us) AS lo, max(us) + 1 AS hi
+        |  FROM sids GROUP BY 1, 2),
+        |pe AS (
+        |  SELECT DISTINCT a.user_id AS a, b.user_id AS b
+        |  FROM iv a JOIN iv b
+        |    ON a.user_id < b.user_id AND a.lo < b.hi AND b.lo < a.hi),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM pe e1 JOIN pe e2 ON e2.a = e1.b
+        |       JOIN pe e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT node, count(*) AS n_triangles FROM (
+        |  SELECT x AS node FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val SessionizeSql = SessionCtes +
       """SELECT user_id, CAST(max(sid) AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
@@ -656,6 +707,7 @@ object EventQueries {
         |FROM events e JOIN customer c ON c.c_custkey = e.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q40_sessionize" -> SessionizeSql,
+    "q109_triangles" -> TrianglesSql,
     "q42_stream_sessionize" -> SessionizeSql,
     "q80_locf_resample" ->
       """WITH b AS (

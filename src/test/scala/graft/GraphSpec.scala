@@ -77,6 +77,41 @@ class GraphSpec extends AnyFunSuite {
     assert(mass <= scale && mass >= scale - 3 * n * (n + 200))
   }
 
+  /** Brute-force per-node triangle counts: ordered triples. */
+  private def triRef(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val e = edges.map(p => (p._1 min p._2, p._1 max p._2))
+      .filter(p => p._1 != p._2).distinct.toSet
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).toSeq.distinct.sorted
+    val tris = for {
+      a <- nodes; b <- nodes if b > a && e((a, b))
+      c <- nodes if c > b && e((b, c)) && e((a, c))
+    } yield (a, b, c)
+    tris.flatMap(t => Seq(t._1, t._2, t._3)).groupBy(identity)
+      .map { case (n, xs) => n -> xs.size.toLong }
+  }
+
+  private def runTri(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.triangleCounts(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("triangles: K4, star (none), star + rim edge") {
+    val k4 = for (i <- 0L to 3L; j <- 0L to 3L if j > i) yield (i, j)
+    assert(runTri(k4) == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    val star = (1L to 6L).map(i => (0L, i))
+    assert(runTri(star) == Map.empty)
+    assert(runTri(star :+ (1L, 2L)) == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("triangles: matches brute force on seeded random graphs, any edge encoding") {
+    val rnd = new scala.util.Random(13)
+    val edges = Seq.fill(250)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+    // throw in reversed duplicates and self-loops — must all collapse
+    val noisy = edges ++ edges.take(50).map(_.swap) ++ Seq((3L, 3L), (7L, 7L))
+    assert(runTri(noisy) == triRef(edges))
+  }
+
   test("plan shape: shuffle joins + partial aggregation, no quadratic operator") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
