@@ -76,6 +76,44 @@ class StreamingStateSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(rows == Set((1L, 0L, 2L), (2L, 0L, 1L), (2L, gapUs + 1, 1L)))
   }
+
+  test("watermark drops late data: an event below the watermark never updates its window") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stream_late").toString
+    val h = 3600L * 1000000L // one hour in µs
+    // batch 1: events at 10:00 and 12:30 → watermark after it: 12:20
+    Seq((1L, 10 * h), (1L, 12 * h + h / 2))
+      .toDF("user_id", "us").repartition(1).write.parquet(s"$dir/b1")
+    // batch 2: on-time event; the 12:20 watermark now EVICTS the
+    // [10:00, 11:00) window's state at this batch boundary
+    Seq((1L, 12 * h + 3 * h / 4))
+      .toDF("user_id", "us").repartition(1).write.parquet(s"$dir/b2")
+    // batch 3: a LATE event back at 10:00 — its window's state is
+    // gone and the row is below the watermark: must be dropped, not
+    // resurrected as a fresh (10:00 → 1) state row
+    Seq((1L, 10 * h))
+      .toDF("user_id", "us").repartition(1).write.parquet(s"$dir/b3")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*/")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withWatermark("ts", "10 minutes")
+    val agg = src.groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("w"), col("n"))
+    val q = agg.writeStream.outputMode("update")
+      .format("memory").queryName("late_drop").start()
+    q.processAllAvailable()
+    q.stop()
+    val updates = spark.table("late_drop").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // the 10:00 window was updated exactly once (batch 1, count 1);
+    // the batch-3 late arrival after eviction produced NO update —
+    // neither an increment nor a resurrected fresh count
+    assert(updates.filter(_._1 == 10 * h) == Seq((10 * h, 1L)))
+    // the 12:00 window reflects both on-time events across batches
+    assert(updates.filter(_._1 == 12 * h).map(_._2).max == 2L)
+  }
 }
 
 class TokenizerAntiJoinSpec extends AnyFunSuite {
