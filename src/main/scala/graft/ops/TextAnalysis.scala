@@ -311,6 +311,35 @@ object TextAnalysis {
     * (pair key, head key) and two shuffle joins back; V and nothing
     * else is an O(1) driver scalar. Bigram table cached across its
     * four consumers, reclaimed by util.Caches.clearAll. */
+  /** Hashing-trick (feature-hashing) vectorizer — fixed-`dim` sparse
+    * token-count vectors with NO dictionary: bucket = portable
+    * 60-bit md5 hash mod dim (the same engine-agnostic hash as the
+    * q98 SimHash — Spark `conv(substr(md5,1,15),16,10)` == DuckDB
+    * `CAST('0x'||substr(md5,1,15) AS BIGINT)`). The streaming-friendly
+    * alternative to [[graft.text.Dictionary]]'s dense ids: no global
+    * vocabulary state, any shard can vectorize independently, and two
+    * engines agree bucket-for-bucket. Output serializes the sparse
+    * vector as zero-padded "bucket:count" pairs (string sort ==
+    * numeric sort for dim ≤ 100) for the cross-engine hash.
+    * Shape: one narrow tokenize-explode, one (doc,bucket) shuffle,
+    * one doc shuffle — no driver state at all. */
+  def featureHash(df: DataFrame, idCol: String, textCol: String,
+                  dim: Int = 64): DataFrame = {
+    require(dim >= 1 && dim <= 100, "pad width fixed for dim <= 100")
+    val tok = df.select(col(idCol).as("doc"), explode(toks(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+    tok
+      .withColumn("bucket",
+        pmod(expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"),
+          lit(dim.toLong)))
+      .groupBy(col("doc"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc"))
+      .agg(array_join(array_sort(collect_list(
+          format_string("%02d:%d", col("bucket"), col("cnt")))), ",")
+          .as("features"),
+        sum(col("cnt")).as("n_tokens"))
+  }
+
   def perplexityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val withArr = df.select(col(idCol).as("doc"), toks(col(textCol)).as("arr"))
     val bi = withArr.where(size(col("arr")) >= 2)

@@ -252,6 +252,15 @@ object PipelineOps {
         .orderBy(col("doc"), col("term"))
     }),
 
+    // Hashing-trick vectorizer — dictionary-free fixed-dim sparse
+    // count vectors over the portable 60-bit md5 hash; the
+    // no-global-state alternative to the q12/q96 dense dictionary.
+    "q110_feature_hash" -> ((s, d) => {
+      TextAnalysis.featureHash(Tables.documents(s, d), "doc_id", "text", dim = 64)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Bigram-LM perplexity scoring (CCNet-style quality filter):
     // add-one-smoothed corpus LM, per-doc mean log-likelihood. ln
     // round-9 per bigram, exact scaled-long mean (partial-sum-order
@@ -727,6 +736,23 @@ object PipelineOps {
         |SELECT term, count(*) AS doc_freq,
         |  array_to_string(list_sort(list(printf('%019d', doc_id))), ',') AS postings
         |FROM td WHERE term <> '' GROUP BY term ORDER BY term""".stripMargin,
+    // Same portable-hash idiom as q98: DuckDB's hex-literal BIGINT
+    // parse == Spark's conv(hex,16,10) for 60-bit values.
+    "q110_feature_hash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+        |  FROM documents),
+        |tok2 AS (SELECT doc_id, tok FROM tok WHERE tok <> ''),
+        |b AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 64 AS bucket
+        |  FROM tok2),
+        |c AS (SELECT doc_id, bucket, count(*) AS cnt FROM b GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  array_to_string(list_sort(list(printf('%02d:%d', bucket, cnt))), ',')
+        |    AS features,
+        |  CAST(sum(cnt) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Same recurrence as TextAnalysis.perplexityScore: bigrams via
     // positional element_at (both engines index the same split array),
     // add-one smoothing, ln round-9, exact scaled-long mean.
