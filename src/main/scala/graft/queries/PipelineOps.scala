@@ -252,6 +252,39 @@ object PipelineOps {
         .orderBy(col("doc"), col("term"))
     }),
 
+    // End-to-end RAG retrieval pipeline in ONE Catalyst DAG — the
+    // read-side bookend to q88's training-data pipeline: chunk the
+    // corpus (narrow, q99's op) → BM25-index the chunks (q79's op on
+    // the chunk table) → score a derived probe-query set (first 5
+    // tokens of every 100th doc) → top-3 chunks per probe. Per-
+    // (probe, chunk) relevance = exact scaled-long sum of the round-9
+    // per-term scores, so ranking is partial-sum-order-independent;
+    // ties break on chunk id. Shuffles: the two BM25 key shuffles +
+    // one (probe, chunk) agg + one probe-partition rank window.
+    "q111_e2e_rag" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val chunks = TextAnalysis.chunkDocuments(Tables.documents(s, d),
+          "doc_id", "text", chunkSize = 200, stride = 150)
+        .select((col("doc_id") * 1000 + col("chunk_id")).as("chunk_uid"),
+          col("chunk"))
+      val scored = TextAnalysis.bm25(chunks, "chunk_uid", "chunk")
+      val probes = Tables.documents(s, d).filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("probe_id"),
+          explode(slice(split(col("text"), "\\s+"), 1, 5)).as("term"))
+        .filter(col("term") =!= "").distinct()
+      val pc = probes.join(scored, "term")
+        .groupBy(col("probe_id"), col("doc"))
+        .agg(sum(graft.util.Exact.scaled(col("score"), 9)).as("s9"),
+          count(lit(1)).as("n_terms"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("s9").desc, col("doc"))
+      pc.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("probe_id"), col("rnk"), col("doc").as("chunk_uid"),
+          (col("s9").cast("double") / 1e9).as("score"), col("n_terms"))
+        .orderBy(col("probe_id"), col("rnk"))
+    }),
+
     // Hashing-trick vectorizer — dictionary-free fixed-dim sparse
     // count vectors over the portable 60-bit md5 hash; the
     // no-global-state alternative to the q12/q96 dense dictionary.
@@ -736,6 +769,53 @@ object PipelineOps {
         |SELECT term, count(*) AS doc_freq,
         |  array_to_string(list_sort(list(printf('%019d', doc_id))), ',') AS postings
         |FROM td WHERE term <> '' GROUP BY term ORDER BY term""".stripMargin,
+    // q99's chunk windowing + q79's BM25 recurrence on the chunk
+    // table + exact scaled-long relevance sums + deterministic rank.
+    "q111_e2e_rag" ->
+      """WITH nch AS (SELECT doc_id, text, CASE WHEN length(text) <= 200 THEN 1
+        |      ELSE 1 + CAST(ceil((length(text) - 200) / 150.0) AS BIGINT)
+        |      END AS n_chunks
+        |  FROM documents),
+        |chunks AS (
+        |  SELECT doc_id * 1000 + c.i AS chunk_uid,
+        |         substr(text, CAST(c.i * 150 + 1 AS BIGINT), 200) AS chunk
+        |  FROM nch, UNNEST(generate_series(0, n_chunks - 1)) AS c(i)),
+        |tok AS (SELECT chunk_uid AS doc,
+        |               unnest(regexp_split_to_array(chunk, '\s+')) AS term
+        |        FROM chunks),
+        |tok2 AS (SELECT doc, term FROM tok WHERE term <> ''),
+        |tf AS (SELECT doc, term, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+        |dl AS (SELECT doc, count(*) AS dl FROM tok2 GROUP BY 1),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |st AS (SELECT (SELECT count(*) FROM chunks) AS n_docs,
+        |              CAST((SELECT sum(dl) FROM dl) AS BIGINT) AS sum_dl),
+        |scored AS (SELECT tf.doc, tf.term,
+        |    round(round(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |        / (CAST(df AS DOUBLE) + 0.5)), 9)
+        |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75
+        |          + (0.75 * CAST(dl AS DOUBLE))
+        |            / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))), 9) AS score
+        |  FROM tf JOIN dl USING (doc) JOIN dfq USING (term) CROSS JOIN st),
+        |probes AS (
+        |  SELECT DISTINCT doc_id AS probe_id, t.term FROM (
+        |    SELECT doc_id, regexp_split_to_array(text, '\s+') AS arr FROM documents
+        |    WHERE doc_id % 100 = 0) p, UNNEST(arr[1:5]) AS t(term)
+        |  WHERE t.term <> ''),
+        |pc AS (
+        |  SELECT probe_id, scored.doc AS chunk_uid,
+        |    CAST(sum(CAST(round(score * 1000000000) AS BIGINT)) AS BIGINT) AS s9,
+        |    count(*) AS n_terms
+        |  FROM probes JOIN scored ON scored.term = probes.term
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT probe_id, chunk_uid, s9, n_terms,
+        |    row_number() OVER (PARTITION BY probe_id
+        |                       ORDER BY s9 DESC, chunk_uid) AS rnk
+        |  FROM pc)
+        |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, chunk_uid,
+        |  CAST(s9 AS DOUBLE) / 1000000000.0 AS score, n_terms
+        |FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin,
     // Same portable-hash idiom as q98: DuckDB's hex-literal BIGINT
     // parse == Spark's conv(hex,16,10) for 60-bit values.
     "q110_feature_hash" ->
