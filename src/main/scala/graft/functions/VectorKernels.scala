@@ -57,6 +57,17 @@ object VectorKernelsImpl {
     s
   }
 
+  /** Σ_i (a(i)−b(i))² over int code arrays — EXACT long arithmetic
+    * (the asymmetric-free SQ8 candidate distance: all-integer, so any
+    * engine computes the identical value). */
+  def sqDistInt(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements(); var s = 0L; var i = 0
+    while (i < n) {
+      val d = (a.getInt(i) - b.getInt(i)).toLong; s += d * d; i += 1
+    }
+    s
+  }
+
   // SplitMix64 — deterministic per-hash-function constants for the
   // "one strong hash + affine rehash" minhash scheme (Broder-style
   // universal hashing: h_i(x) = a_i·h(x) + b_i).
@@ -240,10 +251,33 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Exact integer squared distance between two array<int> code vectors
+  * (SQ8 candidate scoring — symmetric distance on quantized codes). */
+case class CodeSqDist(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"code_sqdist requires (array<int>, array<int>), got ($l, $r)")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernelsImpl.sqDistInt(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernelsImpl.sqDistInt($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 object VectorFunctions {
   /** Bit-deterministic scaled dot product (long) — see Exact. */
   def dotScaled(a: Column, b: Column): Column =
     Bridge.column(DotScaled(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Exact integer squared distance between int code arrays. */
+  def codeSqDist(a: Column, b: Column): Column =
+    Bridge.column(CodeSqDist(Bridge.expression(a), Bridge.expression(b)))
 
   /** Bit-deterministic scaled squared norm (long). */
   def normSqScaled(a: Column): Column =

@@ -70,6 +70,54 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos"))
   }
 
+  /** Production ANN shape: SQ8-quantized candidate scan + exact
+    * re-rank — what a real vector-search deployment runs when the
+    * corpus no longer fits in float32 (FAISS's SQ index + refine).
+    *
+    * Stage 1 scans 4×-compressed int codes with a symmetric integer
+    * squared distance ([[graft.functions.CodeSqDist]] — all-long
+    * arithmetic, so ANY engine computes the identical candidate set;
+    * no float drift in the cut) and keeps `candidates` per query with
+    * a deterministic (dist, id) tie-break. Stage 2 re-ranks only those
+    * candidates with the exact scaled-long cosine. Memory: stage 1
+    * touches d bytes/vector instead of 4d; the float vectors are read
+    * only for Q×candidates rows. The query side broadcasts (O(k)
+    * rows) — stage 1 is LINEAR in the corpus, not quadratic.
+    *
+    * Both stages are deterministic integer/scaled-long math, so the
+    * whole two-stage recurrence is oracle-checkable (q112), unlike
+    * float-scored ANN cuts where the candidate boundary is
+    * engine-dependent. */
+  def quantizedRerankTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                          vecCol: String, candidates: Int, k: Int): DataFrame = {
+    val cb = Quantize.codebook(corpus, vecCol)
+    val cCodes = Quantize.sq8(fanOut(corpus), idCol, vecCol, cb)
+      .select(col(idCol).as("cand_id"), col("codes").as("ccodes"))
+    val qCodes = Quantize.sq8(queries, idCol, vecCol, cb)
+      .select(col(idCol).as("query_id"), col("codes").as("qcodes"))
+    val scan = cCodes.join(broadcast(qCodes), col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        graft.functions.VectorFunctions.codeSqDist(col("qcodes"), col("ccodes"))
+          .as("qdist"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdist"), col("cand_id"))
+    val cand = scan.withColumn("crk", row_number().over(wq))
+      .filter(col("crk") <= candidates)
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      sqrt(normSqExact(col(vecCol))).as("qnorm"))
+    val cv = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"),
+      sqrt(normSqExact(col(vecCol))).as("cnorm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    cand.join(broadcast(qv), "query_id").join(cv, "cand_id")
+      .withColumn("cos",
+        dotExact(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("cand_id").as("neighbor_id"),
+        col("cos"))
+  }
+
   /** All near-duplicate pairs with cosine ≥ threshold (exact,
     * quadratic — oracle/reference path; use LSH at scale). Norms are
     * precomputed per row; the pair loop is one dot kernel. */

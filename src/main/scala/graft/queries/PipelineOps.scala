@@ -252,6 +252,19 @@ object PipelineOps {
         .orderBy(col("doc"), col("term"))
     }),
 
+    // Production ANN: SQ8-quantized candidate scan (exact integer
+    // distance on 4×-compressed codes, deterministic top-50 cut) +
+    // exact scaled-long cosine re-rank — the FAISS SQ+refine shape.
+    // Both stages are engine-exact arithmetic, so the full two-stage
+    // recurrence (codebook → codes → candidate cut → re-rank) is
+    // oracle-checked, candidate boundary included.
+    "q112_ann_quantized_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.quantizedRerankTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", candidates = 50, k = 5)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     // End-to-end RAG retrieval pipeline in ONE Catalyst DAG — the
     // read-side bookend to q88's training-data pipeline: chunk the
     // corpus (narrow, q99's op) → BM25-index the chunks (q79's op on
@@ -626,6 +639,46 @@ object PipelineOps {
     // the lang tie-break, same as the Scala sort), profile hits
     // counted per occurrence, Han codepoints short-circuit to zh,
     // empty text → 'und'. Profile table = TextAnalysis.profiles.
+    // q68's codebook/codes + integer candidate distances + q31's
+    // exact-cosine re-rank, candidate cut replayed verbatim.
+    "q112_ann_quantized_rerank" -> (EmbCte +
+      """, cb AS (
+        |  SELECT i, min(v) AS lo, max(v) AS hi FROM ex GROUP BY i
+        |), codes AS (
+        |  SELECT e.vec_id, e.i,
+        |    CASE WHEN c.hi = c.lo THEN 0
+        |         ELSE CAST(round((e.v - c.lo) * 255.0 / (c.hi - c.lo)) AS INTEGER)
+        |    END AS code
+        |  FROM ex e JOIN cb c ON e.i = c.i
+        |), qd AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    CAST(sum(CAST(q.code - c.code AS BIGINT)
+        |             * CAST(q.code - c.code AS BIGINT)) AS BIGINT) AS qdist
+        |  FROM codes q JOIN codes c ON q.i = c.i AND q.vec_id < 5
+        |       AND c.vec_id <> q.vec_id
+        |  GROUP BY 1, 2
+        |), c50 AS (
+        |  SELECT query_id, cand_id FROM (
+        |    SELECT query_id, cand_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY qdist, cand_id) AS crk
+        |    FROM qd) WHERE crk <= 50
+        |), dots AS (
+        |  SELECT c50.query_id, c50.cand_id,
+        |    CAST(sum(CAST(round(q.v*c.v*1000000000) AS BIGINT)) AS BIGINT) AS draw
+        |  FROM c50 JOIN ex q ON q.vec_id = c50.query_id
+        |           JOIN ex c ON c.vec_id = c50.cand_id AND c.i = q.i
+        |  GROUP BY 1, 2
+        |), cosd AS (
+        |  SELECT query_id, cand_id AS neighbor_id,
+        |    (CAST(draw AS DOUBLE)/1000000000.0)/(sqrt(nq.nsq)*sqrt(nc.nsq)) AS cos
+        |  FROM dots JOIN sn nq ON nq.vec_id = query_id
+        |            JOIN sn nc ON nc.vec_id = cand_id)
+        |SELECT query_id, rk, neighbor_id, cos FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
+        |  FROM cosd) WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin),
     "q68_sq8_quantize" -> (EmbCte +
       """, cb AS (
         |  SELECT i, min(v) AS lo, max(v) AS hi FROM ex GROUP BY i

@@ -57,4 +57,34 @@ class QuantizeSpec extends AnyFunSuite {
     val avg = recalls.sum / recalls.size
     assert(avg >= 0.8, s"avg SQ8 top-5 recall $avg < 0.8 ($recalls)")
   }
+
+  test("quantized-rerank with candidates = corpus equals exact brute-force top-k") {
+    // the q112 anchor argument: the quantized stage only CUTS the
+    // candidate list; un-cut, the exact re-rank must reproduce q31
+    val emb = graft.io.Tables.embeddings(spark, TestSession.sf)
+    val n = emb.count().toInt
+    val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = rows(graft.ops.Similarity.quantizedRerankTopK(
+      emb, queries, "vec_id", "embedding", candidates = n, k = 5))
+    val exact = rows(graft.ops.Similarity.bruteForceTopK(
+      emb, queries, "vec_id", "embedding", k = 5))
+    assert(full == exact)
+  }
+
+  test("quantized-rerank with a bounded cut keeps high exact-top-5 recall") {
+    val emb = graft.io.Tables.embeddings(spark, TestSession.sf)
+    val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+    def byQuery(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val cut = byQuery(graft.ops.Similarity.quantizedRerankTopK(
+      emb, queries, "vec_id", "embedding", candidates = 50, k = 5))
+    val exact = byQuery(graft.ops.Similarity.bruteForceTopK(
+      emb, queries, "vec_id", "embedding", k = 5))
+    val recall = exact.keys.toSeq.map(q =>
+      cut(q).intersect(exact(q)).size / 5.0).sum / exact.size
+    assert(recall >= 0.8, s"recall@5 with 50-candidate cut = $recall")
+  }
 }
