@@ -115,10 +115,13 @@ object Graph {
     * @return (node LONG, n_triangles LONG) for nodes in ≥1 triangle.
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
+    // cached: three consumers (deg, keyed) would otherwise re-run the
+    // caller's edge derivation — often an expensive join — per use;
+    // reclaimed by util.Caches.clearAll like every per-call cache
     val und = edges
       .select(least(col("a"), col("b")).cast("long").as("a"),
         greatest(col("a"), col("b")).cast("long").as("b"))
-      .where(col("a") =!= col("b")).distinct()
+      .where(col("a") =!= col("b")).distinct().cache()
     val deg = und.select(col("a").as("node")).union(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     // total orientation order: (deg, node); the dst's key is carried so
