@@ -311,6 +311,34 @@ object TextAnalysis {
     * (pair key, head key) and two shuffle joins back; V and nothing
     * else is an O(1) driver scalar. Bigram table cached across its
     * four consumers, reclaimed by util.Caches.clearAll. */
+  /** Derandomized WEIGHTED sampling (Efraimidis–Spirakis exponential
+    * race): item i wins with probability ∝ weight_i, ranked by
+    * key_i = −ln(u_i)/w_i with u_i a uniform draw — here derived from
+    * the portable 60-bit md5 of the item id instead of an RNG, so the
+    * sample is reshuffle-stable, engine-reproducible, and needs no
+    * seed state (the weighted sibling of [[stratifiedSample]]'s
+    * md5-threshold trick). ln is rounded 9-dec (the one
+    * non-correctly-rounded op); everything else — the (h+1)→double
+    * conversion, the 2⁻⁶⁰ scale, the /w division — is IEEE-exact in
+    * any engine, so the oracle replays the full race bit-for-bit.
+    * Scale shape: one window shuffle on the stratum key; at extreme
+    * per-stratum cardinality swap the window for per-partition top-k
+    * heaps (TopK.perGroup) — same keys, same result. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     strataCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = expr(
+      s"cast(conv(substring(md5(cast($idCol as string)), 1, 15), 16, 10) as bigint)")
+    val key = (-round(log((h + lit(1L)).cast("double") /
+      lit(1152921504606846976.0)), 9)) / col(weightCol).cast("double")
+    val w = Window.partitionBy(col(strataCol)).orderBy(col("skey"), col(idCol))
+    df.filter(col(weightCol) > 0)
+      .withColumn("skey", key)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col(strataCol), col("rk"), col(idCol), col("skey"))
+  }
+
   /** Hashing-trick (feature-hashing) vectorizer — fixed-`dim` sparse
     * token-count vectors with NO dictionary: bucket = portable
     * 60-bit md5 hash mod dim (the same engine-agnostic hash as the

@@ -298,6 +298,15 @@ object PipelineOps {
         .orderBy(col("probe_id"), col("rnk"))
     }),
 
+    // Derandomized weighted sampling (Efraimidis–Spirakis race over
+    // the portable md5 hash): per-source top-5 by n_chars weight —
+    // importance sampling of training data with zero RNG state.
+    "q113_weighted_sample" -> ((s, d) => {
+      TextAnalysis.weightedSample(Tables.documents(s, d), "doc_id",
+          "n_chars", "source", k = 5)
+        .orderBy(col("source"), col("rk"))
+    }),
+
     // Hashing-trick vectorizer — dictionary-free fixed-dim sparse
     // count vectors over the portable 60-bit md5 hash; the
     // no-global-state alternative to the q12/q96 dense dictionary.
@@ -869,6 +878,20 @@ object PipelineOps {
         |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, chunk_uid,
         |  CAST(s9 AS DOUBLE) / 1000000000.0 AS score, n_terms
         |FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin,
+    // The same exponential race: u from the md5 hex prefix, ln
+    // round-9, IEEE division by the weight, (key, id) rank.
+    "q113_weighted_sample" ->
+      """WITH keyed AS (
+        |  SELECT source, doc_id,
+        |    -round(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |                AS BIGINT) + 1) / 1152921504606846976.0), 9)
+        |      / CAST(n_chars AS DOUBLE) AS skey
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT source, rk, doc_id, skey FROM (
+        |  SELECT source, doc_id, skey,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |                            ORDER BY skey, doc_id) AS BIGINT) AS rk
+        |  FROM keyed) WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
     // Same portable-hash idiom as q98: DuckDB's hex-literal BIGINT
     // parse == Spark's conv(hex,16,10) for 60-bit values.
     "q110_feature_hash" ->

@@ -52,6 +52,32 @@ class TrainPipelineSpec extends AnyFunSuite {
     assert(sets.last.size > sets.head.size)
   }
 
+  test("weightedSample: partition-invariant, exhaustive when k >= group, weight-dominant") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val df = Seq(
+      // stratum A: one item 10^7x heavier — must win rank 1
+      ("A", 1L, 10000000L), ("A", 2L, 1L), ("A", 3L, 1L),
+      // stratum B: equal weights, sample decided purely by the hash race
+      ("B", 10L, 5L), ("B", 11L, 5L), ("B", 12L, 5L), ("B", 13L, 5L),
+      // zero weight excluded entirely
+      ("C", 20L, 0L), ("C", 21L, 3L)
+    ).toDF("source", "doc_id", "n_chars")
+    def run(d: org.apache.spark.sql.DataFrame, k: Int) =
+      TextAnalysis.weightedSample(d, "doc_id", "n_chars", "source", k)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val a = run(df.repartition(1), 2)
+    val b = run(df.repartition(7, $"doc_id"), 2)
+    assert(a == b, "sample must not depend on partitioning")
+    assert(a.contains(("A", 1L, 1L)), "the 10^7x-heavier item must rank first")
+    assert(!a.exists(t => t._1 == "C" && t._3 == 20L), "zero weight never sampled")
+    // k >= group size: every positive-weight row included, ranks contiguous
+    val all = run(df, 10)
+    assert(all.count(_._1 == "B") == 4 &&
+      all.filter(_._1 == "B").map(_._2).toSeq.sorted == Seq(1L, 2L, 3L, 4L))
+    assert(all.count(_._1 == "C") == 1)
+  }
+
   test("packSequences: contiguous fill, bounded overflow, bins start at 0") {
     val docs = Seq(
       // shard 0: tokens 60,60,60,60 with budget 100 → bins 0,0,1,1
