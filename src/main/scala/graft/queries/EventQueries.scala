@@ -520,6 +520,29 @@ object EventQueries {
         .orderBy(col("event_type"), col("q"))
     }),
 
+    // Robust outlier detection (median absolute deviation): per-type
+    // discrete median, MAD = median(|v − med|), outliers beyond
+    // 3×MAD — the data-cleaning filter that survives the heavy tails
+    // that break mean/stddev z-scores. Both medians ride the GK
+    // summary in its exact regime (q104's proven == quantile_disc),
+    // comparisons are IEEE-exact on raw values.
+    "q114_mad_outliers" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val med = ev.groupBy(col("event_type"))
+        .agg(expr("percentile_approx(value, 0.5, 1000000)").as("med"))
+      val dev = ev.join(med, "event_type")
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(expr("percentile_approx(adev, 0.5, 1000000)").as("mad"))
+      dev.join(mad, "event_type")
+        .groupBy(col("event_type"))
+        .agg(first(col("med")).as("med"), first(col("mad")).as("mad"),
+          sum(when(col("adev") > col("mad") * 3.0, 1L).otherwise(0L))
+            .as("n_outliers"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
     // Count-Min sketch point frequencies — the mergeable
     // frequency-sketch sibling of the q102 Space-Saving heavy hitters
     // and the q103 HLL cells, declared in its collision-free regime:
@@ -678,6 +701,22 @@ object EventQueries {
         |  qs[t.gs] AS qv
         |FROM p, UNNEST(generate_series(1, 4)) AS t(gs)
         |ORDER BY event_type, q""".stripMargin,
+    // Discrete medians == GK exact regime (q104); abs/compare IEEE.
+    "q114_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_disc(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, quantile_disc(adev, 0.5) AS mad FROM dev GROUP BY 1)
+        |SELECT d.event_type, any_value(d.med) AS med, any_value(m.mad) AS mad,
+        |  CAST(sum(CASE WHEN d.adev > m.mad * 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  count(*) AS n
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
     // session_window merges INCLUSIVELY at the boundary (an event at
     // exactly lastTs + gap extends the session — pinned by the
     // boundary test in StreamingSpec), so its islands are exactly
