@@ -64,6 +64,9 @@ object GraftFunctions {
     (FunctionIdentifier("sig_matches"),
       info("sig_matches", "sig_matches(array<bigint>, array<bigint>) - equal minhash signature positions"),
       (es: Seq[Expression]) => SigMatches(es(0), es(1))),
+    (FunctionIdentifier("code_sqdist"),
+      info("code_sqdist", "code_sqdist(array<int>, array<int>) - exact integer squared distance between SQ8 code vectors"),
+      (es: Seq[Expression]) => CodeSqDist(es(0), es(1))),
     (FunctionIdentifier("nfc"),
       info("nfc", "nfc(string) - Unicode NFC normalization"),
       (es: Seq[Expression]) => NfcNormalize(es.head)),

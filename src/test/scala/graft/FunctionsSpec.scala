@@ -26,6 +26,10 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val sig = spark.sql("SELECT minhash_sig(array('a','b'), 8)")
       .collect().head.getSeq[Long](0)
     assert(sig.length == 8)
+    // code_sqdist callable from SQL: (1-4)² + (2-6)² = 25
+    val cd = spark.sql("SELECT code_sqdist(array(1, 2), array(4, 6))")
+      .collect().head.getLong(0)
+    assert(cd == 25L)
   }
 }
 
