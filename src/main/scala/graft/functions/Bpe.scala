@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Real greedy byte-pair-encoding APPLY (not the regex stand-in): the
+  * token counter an LLM-data pipeline runs to budget sequences against
+  * a trained tokenizer. Words start as character sequences; the
+  * adjacent pair with the LOWEST merge rank merges first (the exact
+  * greedy loop of the original BPE apply — Sennrich et al. '16 / the
+  * GPT-2 encoder), repeated until no listed pair remains.
+  *
+  * The merge table rides into generated code as a codegen reference
+  * object (one HashMap per operator instance, never per row), so the
+  * loop runs inside whole-stage codegen like the other native kernels.
+  * With an EMPTY merge table every word stays characters, so the count
+  * provably equals the non-whitespace character count — the family's
+  * oracle anchor regime (q115); real merge lists are pinned by
+  * hand-computed fixtures in BpeSpec (greedy order, rank priority,
+  * termination).
+  */
+object BpeImpl {
+  /** Greedy BPE of one word against `ranks` ("a b" → rank); returns
+    * the final token list (spec/debug surface). */
+  def encodeWord(word: String, ranks: java.util.HashMap[String, Integer]): Array[String] = {
+    if (word.isEmpty) return Array.empty
+    val parts = scala.collection.mutable.ArrayBuffer[String](word.map(_.toString): _*)
+    var done = false
+    while (!done && parts.length > 1) {
+      var best = -1
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < parts.length - 1) {
+        val r = ranks.get(parts(i) + " " + parts(i + 1))
+        if (r != null && r < bestRank) { bestRank = r; best = i }
+        i += 1
+      }
+      if (best < 0) done = true
+      else {
+        parts(best) = parts(best) + parts(best + 1)
+        parts.remove(best + 1)
+      }
+    }
+    parts.toArray
+  }
+
+  /** Total BPE token count over whitespace-split words. */
+  def countTokens(text: UTF8String, ranks: java.util.HashMap[String, Integer]): Long = {
+    var total = 0L
+    val words = text.toString.split("\\s+")
+    var i = 0
+    while (i < words.length) {
+      if (words(i).nonEmpty) total += encodeWord(words(i), ranks).length
+      i += 1
+    }
+    total
+  }
+
+  def buildRanks(merges: Seq[(String, String)]): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) => m.put(a + " " + b, i) }
+    m
+  }
+}
+
+/** `bpe_token_count(text)` against a static merge table. */
+case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bpe_token_count expects a string column, got ${child.dataType.catalogString}")
+
+  @transient private lazy val ranks = BpeImpl.buildRanks(merges)
+
+  override def nullSafeEval(v: Any): Any =
+    BpeImpl.countTokens(v.asInstanceOf[UTF8String], ranks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeRanks", ranks, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeImpl.countTokens($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
+    copy(child = newChild)
+}
+
+object BpeFunctions {
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeTokenCount(Bridge.expression(text), merges))
+}

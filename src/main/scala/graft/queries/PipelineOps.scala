@@ -298,6 +298,19 @@ object PipelineOps {
         .orderBy(col("probe_id"), col("rnk"))
     }),
 
+    // Real greedy BPE apply (native codegen kernel, merge table as a
+    // codegen reference object) declared in its anchor regime: an
+    // empty merge table keeps every word as characters, so the count
+    // provably equals the non-whitespace character count — the
+    // greedy-merge loop itself is pinned by BpeSpec fixtures.
+    "q115_bpe_count" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.BpeFunctions.bpeTokenCount(col("text"), Nil)
+            .as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Derandomized weighted sampling (Efraimidis–Spirakis race over
     // the portable md5 hash): per-source top-5 by n_chars weight —
     // importance sampling of training data with zero RNG state.
@@ -878,6 +891,13 @@ object PipelineOps {
         |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, chunk_uid,
         |  CAST(s9 AS DOUBLE) / 1000000000.0 AS score, n_terms
         |FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin,
+    // Empty merge table ⇒ every token is one character ⇒ count ==
+    // non-whitespace character count.
+    "q115_bpe_count" ->
+      """SELECT doc_id,
+        |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
+        |    AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // The same exponential race: u from the md5 hex prefix, ln
     // round-9, IEEE division by the weight, (key, id) rank.
     "q113_weighted_sample" ->

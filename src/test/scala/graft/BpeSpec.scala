@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.{BpeFunctions, BpeImpl}
+
+/** Greedy BPE apply — the merge loop that the q115 anchor (empty
+  * table ⇒ character count) deliberately does not exercise. */
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private def enc(word: String, merges: (String, String)*): Seq[String] =
+    BpeImpl.encodeWord(word, BpeImpl.buildRanks(merges)).toSeq
+
+  test("classic fixture: low/lower under {l+o, lo+w}") {
+    val merges = Seq(("l", "o"), ("lo", "w"))
+    assert(enc("low", merges: _*) == Seq("low"))
+    assert(enc("lower", merges: _*) == Seq("low", "e", "r"))
+    assert(enc("slow", merges: _*) == Seq("s", "low"))
+  }
+
+  test("rank priority decides between overlapping pairs") {
+    // "abc": rank0 = a+b -> [ab, c]; with priorities swapped -> [a, bc]
+    assert(enc("abc", ("a", "b"), ("b", "c")) == Seq("ab", "c"))
+    assert(enc("abc", ("b", "c"), ("a", "b")) == Seq("a", "bc"))
+  }
+
+  test("merges cascade: products of earlier merges can merge again") {
+    val merges = Seq(("a", "b"), ("c", "d"), ("ab", "cd"))
+    assert(enc("abcd", merges: _*) == Seq("abcd"))
+  }
+
+  test("repeated characters merge left-to-right at equal rank") {
+    // "aaaa" under a+a: positions 0 and 2 both rank 0; the leftmost
+    // wins each round -> [aa, aa]
+    assert(enc("aaaa", ("a", "a")) == Seq("aa", "aa"))
+    // and the cascade to one token needs the second merge
+    assert(enc("aaaa", ("a", "a"), ("aa", "aa")) == Seq("aaaa"))
+  }
+
+  test("unknown pairs terminate; empty table keeps characters") {
+    assert(enc("xyz", ("q", "q")) == Seq("x", "y", "z"))
+    assert(enc("xyz") == Seq("x", "y", "z"))
+    assert(enc("") == Seq.empty)
+  }
+
+  test("column kernel: count over words, empty-table anchor equals char count") {
+    import spark.implicits._
+    val df = Seq((1L, "low lower  slow"), (2L, ""), (3L, "a")).toDF("id", "t")
+    val merges = Seq(("l", "o"), ("lo", "w"))
+    val got = df.select(col("id"),
+        BpeFunctions.bpeTokenCount(col("t"), merges).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // low=1, lower=3, slow=2 -> 6
+    assert(got == Map(1L -> 6L, 2L -> 0L, 3L -> 1L))
+    val anchor = df.select(col("id"),
+        BpeFunctions.bpeTokenCount(col("t"), Nil).as("n"),
+        length(regexp_replace(col("t"), "\\s", "")).cast("long").as("chars"))
+      .collect()
+    anchor.foreach(r => assert(r.getLong(1) == r.getLong(2)))
+  }
+}
