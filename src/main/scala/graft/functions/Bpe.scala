@@ -66,6 +66,14 @@ object BpeImpl {
     merges.zipWithIndex.foreach { case ((a, b), i) => m.put(a + " " + b, i) }
     m
   }
+
+  /** Codegen entry for [[BpeTokens]]: encode one word → ArrayData. */
+  def tokensArray(word: UTF8String,
+                  ranks: java.util.HashMap[String, Integer])
+      : org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      encodeWord(word.toString, ranks)
+        .map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
 }
 
 /** `bpe_token_count(text)` against a static merge table. */
@@ -90,7 +98,35 @@ case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** `bpe_tokens(word)` — the token array of ONE word under a static
+  * merge table (the trainer's re-encode step; pair statistics come
+  * from adjacent elements of this array). */
+case class BpeTokens(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bpe_tokens expects a string column, got ${child.dataType.catalogString}")
+
+  @transient private lazy val ranks = BpeImpl.buildRanks(merges)
+
+  override def nullSafeEval(v: Any): Any =
+    BpeImpl.tokensArray(v.asInstanceOf[UTF8String], ranks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeRanks", ranks, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeImpl.tokensArray($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeTokens =
+    copy(child = newChild)
+}
+
 object BpeFunctions {
   def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(BpeTokenCount(Bridge.expression(text), merges))
+
+  def bpeTokens(word: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeTokens(Bridge.expression(word), merges))
 }

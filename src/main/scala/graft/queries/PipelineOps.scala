@@ -298,6 +298,26 @@ object PipelineOps {
         .orderBy(col("probe_id"), col("rnk"))
     }),
 
+    // BPE TRAINING, first selection step: corpus-wide adjacent-pair
+    // counts over the character-regime tokenization, ranked by
+    // (count desc, pair asc) — exactly what BpeTrainer.learnMerges
+    // adopts as merge #1 (BpeTrainerSpec equates them; later rounds
+    // depend on the growing merge table and are spec'd against an
+    // in-memory reference trainer).
+    "q116_bpe_train_pairs" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(split(col("text"), "\\s+")).as("word"))
+        .filter(length(col("word")) >= 2)
+      words
+        .select(explode(expr("sequence(1, length(word) - 1)")).as("i"),
+          col("word"))
+        .select(expr("substr(word, i, 1)").as("a"),
+          expr("substr(word, i + 1, 1)").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(10)
+    }),
+
     // Real greedy BPE apply (native codegen kernel, merge table as a
     // codegen reference object) declared in its anchor regime: an
     // empty merge table keeps every word as characters, so the count
@@ -891,6 +911,18 @@ object PipelineOps {
         |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, chunk_uid,
         |  CAST(s9 AS DOUBLE) / 1000000000.0 AS score, n_terms
         |FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin,
+    // Deterministic rank: exact counts, lexicographic tie-break.
+    "q116_bpe_train_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(regexp_split_to_array(text, '\s+')) AS word
+        |  FROM documents),
+        |w2 AS (SELECT word FROM w WHERE length(word) >= 2),
+        |pairs AS (
+        |  SELECT substr(word, i.x, 1) AS a, substr(word, i.x + 1, 1) AS b,
+        |         count(*) AS cnt
+        |  FROM w2, UNNEST(generate_series(1, length(word) - 1)) AS i(x)
+        |  GROUP BY 1, 2)
+        |SELECT a, b, cnt FROM pairs ORDER BY cnt DESC, a, b LIMIT 10""".stripMargin,
     // Empty merge table ⇒ every token is one character ⇒ count ==
     // non-whitespace character count.
     "q115_bpe_count" ->

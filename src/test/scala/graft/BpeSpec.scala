@@ -44,6 +44,52 @@ class BpeSpec extends AnyFunSuite {
     assert(enc("") == Seq.empty)
   }
 
+  /** In-memory reference trainer: same greedy semantics as
+    * BpeTrainer.learnMerges, computed over a word list directly. */
+  private def refLearn(words: Seq[String], k: Int): Seq[(String, String)] = {
+    var merges = Vector.empty[(String, String)]
+    var done = false
+    while (merges.length < k && !done) {
+      val ranks = BpeImpl.buildRanks(merges)
+      val counts = words.filter(_.length >= 2)
+        .flatMap(w => BpeImpl.encodeWord(w, ranks).sliding(2).filter(_.length == 2))
+        .map(p => (p(0), p(1))).groupBy(identity)
+        .map { case (p, xs) => (p, xs.size.toLong) }
+      val eligible = counts.filter(_._2 >= 2)
+      if (eligible.isEmpty) done = true
+      else {
+        val best = eligible.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges = merges :+ best
+      }
+    }
+    merges
+  }
+
+  test("distributed trainer equals the in-memory reference on a small corpus") {
+    import spark.implicits._
+    val docs = Seq("low low lower lowest", "slow slower low newest",
+      "widest wider new low").toDF("text")
+    val words = docs.collect().flatMap(_.getString(0).split("\\s+")).toSeq
+    for (k <- Seq(1, 3, 6)) {
+      val got = graft.ops.BpeTrainer.learnMerges(docs, "text", k)
+      assert(got == refLearn(words, k), s"k=$k")
+    }
+  }
+
+  test("trainer merges monotonically shrink the corpus token count") {
+    import spark.implicits._
+    val docs = graft.io.Tables.documents(spark, TestSession.sf).limit(100)
+    val merges = graft.ops.BpeTrainer.learnMerges(docs, "text", 5)
+    assert(merges.length == 5)
+    val counts = (0 to merges.length).map { i =>
+      docs.select(sum(BpeFunctions.bpeTokenCount(col("text"), merges.take(i))))
+        .collect().head.getLong(0)
+    }
+    counts.sliding(2).foreach { case Seq(prev, next) =>
+      assert(next < prev, s"merge must reduce tokens: $counts")
+    }
+  }
+
   test("column kernel: count over words, empty-table anchor equals char count") {
     import spark.implicits._
     val df = Seq((1L, "low lower  slow"), (2L, ""), (3L, "a")).toDF("id", "t")
