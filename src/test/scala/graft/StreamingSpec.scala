@@ -114,6 +114,52 @@ class StreamingStateSpec extends AnyFunSuite {
     // the 12:00 window reflects both on-time events across batches
     assert(updates.filter(_._1 == 12 * h).map(_._2).max == 2L)
   }
+
+  test("foreachBatch upsert sink: streamed CDC compaction equals the batch result") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.{DataFrame, functions => F}
+    val in = java.nio.file.Files.createTempDirectory("stream_cdc_in").toString
+    val state = java.nio.file.Files.createTempDirectory("stream_cdc_state").toString + "/t"
+    // three micro-batches of (user, seq, value) upserts with overlaps
+    Seq((1L, 1L, 10.0), (2L, 2L, 20.0)).toDF("user_id", "seq", "value")
+      .repartition(1).write.parquet(s"$in/b1")
+    Seq((1L, 3L, 11.0), (3L, 4L, 30.0)).toDF("user_id", "seq", "value")
+      .repartition(1).write.parquet(s"$in/b2")
+    Seq((2L, 5L, 21.0), (1L, 2L, 99.0)).toDF("user_id", "seq", "value")
+      .repartition(1).write.parquet(s"$in/b3")
+
+    def latest(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(F.col("user_id"))
+        .orderBy(F.col("seq").desc)
+      df.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") === 1)
+        .drop("rk")
+    }
+    val schema = spark.read.parquet(s"$in/b1").schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$in/*/")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // MERGE-by-key emulation on plain parquet: union current state
+        // with the batch, keep latest per key, swap in atomically via
+        // a cache barrier (real lakehouses do this with table formats)
+        val s = batch.sparkSession
+        val cur = try s.read.parquet(state)
+          catch { case _: Throwable => batch.limit(0) }
+        val merged = latest(cur.unionByName(batch)).cache()
+        merged.count() // materialize BEFORE overwriting what we read
+        merged.write.mode("overwrite").parquet(state)
+        merged.unpersist(blocking = false)
+        ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(state).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = latest(spark.read.parquet(s"$in/*/")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want && got == Set((1L, 3L, 11.0), (2L, 5L, 21.0), (3L, 4L, 30.0)))
+  }
 }
 
 class TokenizerAntiJoinSpec extends AnyFunSuite {
