@@ -67,6 +67,9 @@ object GraftFunctions {
     (FunctionIdentifier("code_sqdist"),
       info("code_sqdist", "code_sqdist(array<int>, array<int>) - exact integer squared distance between SQ8 code vectors"),
       (es: Seq[Expression]) => CodeSqDist(es(0), es(1))),
+    (FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler", "jaro_winkler(string, string) - Jaro-Winkler similarity (DuckDB-convention)"),
+      (es: Seq[Expression]) => JaroWinkler(es(0), es(1))),
     (FunctionIdentifier("nfc"),
       info("nfc", "nfc(string) - Unicode NFC normalization"),
       (es: Seq[Expression]) => NfcNormalize(es.head)),

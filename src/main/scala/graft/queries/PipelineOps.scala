@@ -387,6 +387,29 @@ object PipelineOps {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // q82's block→verify shape scored by the native Jaro–Winkler
+    // kernel — Spark has no JW built-in, DuckDB does, so this oracle
+    // is a TRUE cross-implementation check: two independent codebases
+    // must agree on every double bit (conventions pinned in
+    // StringSimSpec).
+    "q117_jw_pairs" -> ((s, d) => {
+      val t = Tables.documents(s, d).select(col("doc_id"),
+        substring(col("text"), 1, 60).as("head"),
+        substring(col("text"), 1, 12).as("k1"),
+        when(length(col("text")) >= 42, substring(col("text"), 31, 12)).as("k2"))
+      def block(k: String) = t.as("a")
+        .join(t.as("b"),
+          col(s"a.$k") === col(s"b.$k") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.head").as("head_a"), col("b.head").as("head_b"))
+      block("k1").unionByName(block("k2")).distinct()
+        .select(col("id_a"), col("id_b"),
+          graft.functions.StringSimFunctions
+            .jaroWinkler(col("head_a"), col("head_b")).as("jw"))
+        .filter(col("jw") >= 0.9)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Custom Generator/UDTF through GenerateExec: positional word
     // trigrams — the table-valued quadrant of the §2.10 surface
     // (also SQL-callable as LATERAL VIEW pos_ngrams(text, 3)).
@@ -1047,6 +1070,24 @@ object PipelineOps {
         |SELECT doc_id, CAST(p - 1 AS INTEGER) AS pos, ngram
         |FROM tri WHERE ngram IS NOT NULL
         |ORDER BY doc_id, pos""".stripMargin,
+    // DuckDB's INDEPENDENT jaro_winkler_similarity implementation —
+    // not a replayed recurrence.
+    "q117_jw_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, substr(text, 1, 60) AS head,
+        |         substr(text, 1, 12) AS k1,
+        |         CASE WHEN length(text) >= 42 THEN substr(text, 31, 12) END AS k2
+        |  FROM documents),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         a.head AS head_a, b.head AS head_b
+        |  FROM t a JOIN t b ON a.k1 = b.k1 AND a.doc_id < b.doc_id
+        |  UNION
+        |  SELECT a.doc_id, b.doc_id, a.head, b.head
+        |  FROM t a JOIN t b ON a.k2 = b.k2 AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaro_winkler_similarity(head_a, head_b) AS jw
+        |FROM cand WHERE jaro_winkler_similarity(head_a, head_b) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
     "q82_fuzzy_pairs" ->
       """WITH t AS (
         |  SELECT doc_id, substr(text, 1, 60) AS head,
