@@ -72,6 +72,67 @@ object StringSimImpl {
   }
 }
 
+object DamerauImpl {
+  /** TRUE (unrestricted) Damerau–Levenshtein — Lowrance–Wagner DP
+    * with the per-character last-match table, so a transposed pair
+    * can still participate in later edits ("CA"→"ABC" = 2, where the
+    * restricted OSA variant says 3). Matches DuckDB's
+    * `damerau_levenshtein` (fuzz-verified on 500 random pairs while
+    * building the q118 oracle). O(|a|·|b|) time, O(|a|·|b|) ints. */
+  def damerauLevenshtein(ua: UTF8String, ub: UTF8String): Int = {
+    val a = ua.toString
+    val b = ub.toString
+    val la = a.length
+    val lb = b.length
+    if (la == 0) return lb
+    if (lb == 0) return la
+    val maxd = la + lb
+    val d = Array.ofDim[Int](la + 2, lb + 2)
+    d(0)(0) = maxd
+    var i = 0
+    while (i <= la) { d(i + 1)(0) = maxd; d(i + 1)(1) = i; i += 1 }
+    var j = 0
+    while (j <= lb) { d(0)(j + 1) = maxd; d(1)(j + 1) = j; j += 1 }
+    val da = new java.util.HashMap[Character, Integer]()
+    i = 1
+    while (i <= la) {
+      var db = 0
+      j = 1
+      while (j <= lb) {
+        val kBox = da.get(b.charAt(j - 1))
+        val k = if (kBox == null) 0 else kBox.intValue()
+        val l = db
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) { db = j; 0 } else 1
+        d(i + 1)(j + 1) = math.min(
+          math.min(d(i)(j) + cost, d(i + 1)(j) + 1),
+          math.min(d(i)(j + 1) + 1, d(k)(l) + (i - k - 1) + 1 + (j - l - 1)))
+        j += 1
+      }
+      da.put(a.charAt(i - 1), i)
+      i += 1
+    }
+    d(la + 1)(lb + 1)
+  }
+}
+
+case class DamerauLevenshtein(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"damerau_levenshtein requires (string, string), got ($l, $r)")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DamerauImpl.damerauLevenshtein(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.DamerauImpl.damerauLevenshtein($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 case class JaroWinkler(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes(): TypeCheckResult =
@@ -91,4 +152,7 @@ case class JaroWinkler(left: Expression, right: Expression) extends BinaryExpres
 object StringSimFunctions {
   def jaroWinkler(a: Column, b: Column): Column =
     Bridge.column(JaroWinkler(Bridge.expression(a), Bridge.expression(b)))
+
+  def damerauLevenshtein(a: Column, b: Column): Column =
+    Bridge.column(DamerauLevenshtein(Bridge.expression(a), Bridge.expression(b)))
 }

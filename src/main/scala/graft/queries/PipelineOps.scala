@@ -410,6 +410,27 @@ object PipelineOps {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // The q82 verify stage upgraded to TRUE Damerau–Levenshtein
+    // (transpositions count 1) via the native Lowrance–Wagner kernel;
+    // integer output, cross-implementation oracle like q117.
+    "q118_dl_pairs" -> ((s, d) => {
+      val t = Tables.documents(s, d).select(col("doc_id"),
+        substring(col("text"), 1, 60).as("head"),
+        substring(col("text"), 1, 12).as("k1"),
+        when(length(col("text")) >= 42, substring(col("text"), 31, 12)).as("k2"))
+      def block(k: String) = t.as("a")
+        .join(t.as("b"),
+          col(s"a.$k") === col(s"b.$k") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.head").as("head_a"), col("b.head").as("head_b"))
+      block("k1").unionByName(block("k2")).distinct()
+        .select(col("id_a"), col("id_b"),
+          graft.functions.StringSimFunctions
+            .damerauLevenshtein(col("head_a"), col("head_b")).as("dist"))
+        .filter(col("dist") <= 5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Custom Generator/UDTF through GenerateExec: positional word
     // trigrams — the table-valued quadrant of the §2.10 surface
     // (also SQL-callable as LATERAL VIEW pos_ngrams(text, 3)).
@@ -1070,6 +1091,25 @@ object PipelineOps {
         |SELECT doc_id, CAST(p - 1 AS INTEGER) AS pos, ngram
         |FROM tri WHERE ngram IS NOT NULL
         |ORDER BY doc_id, pos""".stripMargin,
+    // DuckDB's INDEPENDENT damerau_levenshtein — integer edit
+    // distances, unrestricted-transposition variant on both sides.
+    "q118_dl_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, substr(text, 1, 60) AS head,
+        |         substr(text, 1, 12) AS k1,
+        |         CASE WHEN length(text) >= 42 THEN substr(text, 31, 12) END AS k2
+        |  FROM documents),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         a.head AS head_a, b.head AS head_b
+        |  FROM t a JOIN t b ON a.k1 = b.k1 AND a.doc_id < b.doc_id
+        |  UNION
+        |  SELECT a.doc_id, b.doc_id, a.head, b.head
+        |  FROM t a JOIN t b ON a.k2 = b.k2 AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |  CAST(damerau_levenshtein(head_a, head_b) AS INTEGER) AS dist
+        |FROM cand WHERE damerau_levenshtein(head_a, head_b) <= 5
+        |ORDER BY id_a, id_b""".stripMargin,
     // DuckDB's INDEPENDENT jaro_winkler_similarity implementation —
     // not a replayed recurrence.
     "q117_jw_pairs" ->

@@ -30,6 +30,34 @@ class StringSimSpec extends AnyFunSuite {
     assert(plain < 0.7 + 1e-9)
   }
 
+  private def dl(a: String, b: String): Int =
+    graft.functions.DamerauImpl.damerauLevenshtein(
+      UTF8String.fromString(a), UTF8String.fromString(b))
+
+  test("damerau-levenshtein: unrestricted variant (transposition then edit)") {
+    assert(dl("CA", "ABC") == 2)   // OSA would say 3 — the defining case
+    assert(dl("ab", "ba") == 1)
+    assert(dl("abc", "ca") == 2)
+    assert(dl("kitten", "sitting") == 3)
+    assert(dl("abcdef", "abcfad") == 3)
+    assert(dl("", "abc") == 3 && dl("abc", "") == 3 && dl("", "") == 0)
+    assert(dl("same", "same") == 0)
+  }
+
+  test("damerau-levenshtein: bounded by plain levenshtein, symmetric") {
+    val rnd = new scala.util.Random(5)
+    def s() = Seq.fill(rnd.nextInt(10))("abcd".charAt(rnd.nextInt(4))).mkString
+    for (_ <- 1 to 300) {
+      val (a, b) = (s(), s())
+      val d = dl(a, b)
+      assert(d == dl(b, a))
+      val lev = UTF8String.fromString(a)
+        .levenshteinDistance(UTF8String.fromString(b))
+      assert(d <= lev && d >= 0)
+      assert(d >= math.abs(a.length - b.length))
+    }
+  }
+
   test("symmetry and prefix cap at 4") {
     for ((a, b) <- Seq(("martha", "marhta"), ("dixon", "dicksonx"),
         ("prefixes", "prefixed"))) assert(jw(a, b) == jw(b, a))
