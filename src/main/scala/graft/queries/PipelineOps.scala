@@ -268,12 +268,17 @@ object PipelineOps {
     // End-to-end RAG retrieval pipeline in ONE Catalyst DAG — the
     // read-side bookend to q88's training-data pipeline: chunk the
     // corpus (narrow, q99's op) → BM25-index the chunks (q79's op on
-    // the chunk table) → score a derived probe-query set (first 5
-    // tokens of every 100th doc) → top-3 chunks per probe. Per-
-    // (probe, chunk) relevance = exact scaled-long sum of the round-9
-    // per-term scores, so ranking is partial-sum-order-independent;
-    // ties break on chunk id. Shuffles: the two BM25 key shuffles +
-    // one (probe, chunk) agg + one probe-partition rank window.
+    // the chunk table) → truncate each term's posting list to its
+    // top-1000 chunks by impact (Anh–Moffat impact ordering, the
+    // WAND-family scale lever: without it a high-df query term scores
+    // EVERY chunk — measured 90 s at sf1 on this degenerate ~31-term
+    // vocabulary vs ~7 s truncated; a Zipf corpus hits the same wall
+    // on stopwords) → score a derived probe-query set (first 5 tokens
+    // of every 100th doc) → top-3 chunks per probe. The truncation is
+    // deterministic ((score desc, chunk id) per term — score is
+    // round-9) so the ORACLE REPLAYS THE CUT; per-(probe, chunk)
+    // relevance = exact scaled-long sum of surviving round-9 term
+    // scores, ties break on chunk id.
     "q111_e2e_rag" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val chunks = TextAnalysis.chunkDocuments(Tables.documents(s, d),
@@ -281,11 +286,15 @@ object PipelineOps {
         .select((col("doc_id") * 1000 + col("chunk_id")).as("chunk_uid"),
           col("chunk"))
       val scored = TextAnalysis.bm25(chunks, "chunk_uid", "chunk")
+      val wTerm = Window.partitionBy(col("term"))
+        .orderBy(col("score").desc, col("doc"))
+      val postings = scored.withColumn("trk", row_number().over(wTerm))
+        .filter(col("trk") <= 1000).drop("trk")
       val probes = Tables.documents(s, d).filter(col("doc_id") % 100 === 0)
         .select(col("doc_id").as("probe_id"),
           explode(slice(split(col("text"), "\\s+"), 1, 5)).as("term"))
         .filter(col("term") =!= "").distinct()
-      val pc = probes.join(scored, "term")
+      val pc = probes.join(postings, "term")
         .groupBy(col("probe_id"), col("doc"))
         .agg(sum(graft.util.Exact.scaled(col("score"), 9)).as("s9"),
           count(lit(1)).as("n_terms"))
@@ -936,16 +945,22 @@ object PipelineOps {
         |          + (0.75 * CAST(dl AS DOUBLE))
         |            / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))), 9) AS score
         |  FROM tf JOIN dl USING (doc) JOIN dfq USING (term) CROSS JOIN st),
+        |postings AS (
+        |  SELECT doc, term, score FROM (
+        |    SELECT doc, term, score,
+        |      row_number() OVER (PARTITION BY term
+        |                         ORDER BY score DESC, doc) AS trk
+        |    FROM scored) WHERE trk <= 1000),
         |probes AS (
         |  SELECT DISTINCT doc_id AS probe_id, t.term FROM (
         |    SELECT doc_id, regexp_split_to_array(text, '\s+') AS arr FROM documents
         |    WHERE doc_id % 100 = 0) p, UNNEST(arr[1:5]) AS t(term)
         |  WHERE t.term <> ''),
         |pc AS (
-        |  SELECT probe_id, scored.doc AS chunk_uid,
+        |  SELECT probe_id, postings.doc AS chunk_uid,
         |    CAST(sum(CAST(round(score * 1000000000) AS BIGINT)) AS BIGINT) AS s9,
         |    count(*) AS n_terms
-        |  FROM probes JOIN scored ON scored.term = probes.term
+        |  FROM probes JOIN postings ON postings.term = probes.term
         |  GROUP BY 1, 2),
         |ranked AS (
         |  SELECT probe_id, chunk_uid, s9, n_terms,
