@@ -30,12 +30,19 @@ object Bench {
     // noop-format write: evaluates EVERY output column (count() lets
     // Catalyst prune deterministic projections, underreporting
     // expression-heavy queries) while writing nothing
+    // a throwing query must NOT bench as a phantom-fast green number:
+    // record the error message per query and exit nonzero at the end
+    val errors = new java.util.concurrent.ConcurrentHashMap[String, String]()
     def timedOne(s: SparkSession, name: String,
                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (String, Double) = {
       val t0 = System.nanoTime()
       try { fn(s, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case _: Throwable => () }
+      catch {
+        case e: Throwable =>
+          errors.put(name,
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     // Structured Streaming entries each pay a fixed query start/stop +
@@ -48,7 +55,7 @@ object Bench {
     // Verify runs them unchanged (sequentially).
     val streamingGroup = Set("q41_stream_hourly", "q42_stream_sessionize",
       "q57_stream_dedup", "q64_stream_stream_join", "q101_stream_static_join",
-      "q107_stream_session_window")
+      "q107_stream_session_window", "q122_stream_cdc_upsert")
     // returns (per-query seconds, pass wall seconds). The pass wall is
     // what "run the whole suite" actually costs: the streaming group
     // overlaps, so it's less than the per-query sum (whose streaming
@@ -88,7 +95,18 @@ object Bench {
     // the suite once); per-query values are per-query min-of-two walls,
     // and the streaming four overlap, so summing them overstates total
     val total = math.min(wall1, wall2)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson =
+      if (errors.isEmpty) ""
+      else {
+        import scala.jdk.CollectionConverters._
+        val es = errors.asScala.toSeq.sortBy(_._1).map { case (k, v) =>
+          "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
+            .replaceAll("[\\n\\r\\t]", " ") + "\""
+        }.mkString("{", ",", "}")
+        s""","errors":$es"""
+      }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson}""")
     spark.stop()
+    if (!errors.isEmpty) sys.exit(1)
   }
 }

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Measured evidence for the incremental BPE trainer (round-5 verdict
+  * ask #4): times `learnMerges` (k full re-encode passes) vs
+  * `learnMergesIncremental` (one-merge delta maintenance) on the same
+  * corpus and prints one JSON line with per-k seconds. Run:
+  * `sbt "runMain graft.BpeBench /root/testdata/sf0.1 8"`. */
+object BpeBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val kMax = if (args.length > 1) args(1).toInt else 8
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.io.Tables.documents(spark, sfDir)
+    docs.count() // warm the scan
+    def timed(f: => Any): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val ks = Seq(1, 2, 4, kMax).distinct.sorted
+    val naive = ks.map(k => k -> timed(graft.ops.BpeTrainer.learnMerges(docs, "text", k)))
+    val inc = ks.map(k => k -> timed(graft.ops.BpeTrainer.learnMergesIncremental(docs, "text", k)))
+    def js(xs: Seq[(Int, Double)]) =
+      xs.map { case (k, s) => s""""k$k":${math.rint(s * 100) / 100}""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"bpe_trainer","naive":${js(naive)},"incremental":${js(inc)},"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

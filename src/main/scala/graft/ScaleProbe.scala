@@ -73,18 +73,33 @@ object ScaleProbe {
     }
     def shift(c: String, step: Long)(df: DataFrame, i: Int): DataFrame =
       df.withColumn(c, col(c) + lit(step * i))
+    // supplier step derived from the source's actual key range (a fixed
+    // 1000 collided for any source bigger than sf0.1); q105 offsets
+    // supplier nodes by +10^6 to disjoint them from part ids, so the
+    // replicated key space must stay under that — fail loudly if not
+    val maxSupp = spark.read.parquet(s"$src/supplier.parquet")
+      .agg(max(col("s_suppkey"))).first().getLong(0)
+    val suppStep = math.max(1000L,
+      math.pow(10, math.ceil(math.log10(maxSupp + 1.0))).toLong)
+    require(suppStep * copies + maxSupp < 1000000L,
+      s"supplier replication ($copies copies, step $suppStep) would exceed " +
+        "q105's 10^6 supplier-node offset; shrink copies or the source")
     rep("region", (df, i) => if (i == 0) df else df.limit(0))
     rep("nation", (df, i) => if (i == 0) df else df.limit(0))
     rep("customer", shift("c_custkey", big))
-    rep("supplier", shift("s_suppkey", 1000L))
+    rep("supplier", shift("s_suppkey", suppStep))
     rep("part", shift("p_partkey", big))
     rep("orders", (df, i) =>
       shift("o_custkey", big)(shift("o_orderkey", big)(df, i), i))
     rep("lineitem", (df, i) =>
-      shift("l_suppkey", 1000L)(
+      shift("l_suppkey", suppStep)(
         shift("l_partkey", big)(shift("l_orderkey", big)(df, i), i), i))
+    // user_id must step IN LOCKSTEP with c_custkey: events from copy i
+    // join customers from copy i (a smaller step detached every
+    // replicated event from the customer table, collapsing q101-style
+    // enrichment selectivity at probe scale)
     rep("events", (df, i) =>
-      shift("user_id", 100000L)(shift("event_id", big)(df, i), i))
+      shift("user_id", big)(shift("event_id", big)(df, i), i))
     rep("documents", (df, i) => {
       val d = shift("doc_id", big)(df, i)
       if (i == 0) d

@@ -93,4 +93,32 @@ object KMeans2D {
     }
     (cs, it)
   }
+
+  /** Full loop with bit-deterministic arithmetic end-to-end: every mean
+    * goes through [[stepExact]]'s scaled-long sums and the convergence
+    * test compares SQUARED movement against tol² (no sqrt — one fewer
+    * op for an external engine to replay; with tol = 0.5 the threshold
+    * 0.25 is exactly representable). Because each iteration's centroids
+    * are bit-identical in any engine replaying the same arithmetic, the
+    * convergence FLAG flips at the same iteration too — so the whole
+    * convergence-driven loop (not just a fixed iteration count) is
+    * cross-engine checkable: q119 unrolls this loop as DuckDB CTEs and
+    * matches centroids AND the iteration count. */
+  def fitExact(points: DataFrame, xCol: String, yCol: String,
+               init: IndexedSeq[(Double, Double)], maxIter: Int,
+               tol: Double = 0.5, scale: Int = 6): (IndexedSeq[(Double, Double)], Int) = {
+    val cached = points.cache()
+    var cs = init
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      val next = stepExact(cached, xCol, yCol, cs, scale)
+      converged = cs.zip(next).forall { case ((ax, ay), (bx, by)) =>
+        (ax - bx) * (ax - bx) + (ay - by) * (ay - by) <= tol * tol
+      }
+      cs = next
+      it += 1
+    }
+    (cs, it)
+  }
 }

@@ -124,6 +124,81 @@ object KMeansParallel {
     cs
   }
 
+  /** One weighted-recluster round as a DISTRIBUTED DataFrame computation
+    * with bit-deterministic arithmetic — phase 4 of K-Means‖ in the shape
+    * it takes when the candidate set is too large for the driver (the
+    * 100 TB path), and the value-level oracle anchor for [[recluster]]'s
+    * arithmetic (q120; semantics from task2_3.java:719-757).
+    *
+    * Input: exploded candidate table (cand_idx, w, term, v) — one row per
+    * nonzero term, w = the candidate's vote weight (integral), cand_idx
+    * dense from 0. Centroids = candidates 0..k-1 ([[recluster]]'s init).
+    *
+    * Arithmetic is order-independent end-to-end so any engine replaying
+    * it produces identical bits: dot products and squared norms are
+    * scaled-long sums at 1e9 (graft.util.Exact), cosine is rounded to 3
+    * decimals (the reference's task2_2.java:179 convention — matching
+    * [[graft.linalg.Sparse.cosine]]), assignment is first-max-wins
+    * (strict `>` ⇒ lowest index on ties, task2_2.java:272-279), and the
+    * weighted mean is Σ round(w·v·1e9) / (Σw · 1e9) per (cluster, term).
+    * Empty clusters keep their centroid's own vector, like [[recluster]].
+    *
+    * Returns (cluster, term, weight) rows. Scale: one equi-join on term
+    * against a k-row broadcast side + two key shuffles; no driver state.
+    */
+  def reclusterRoundExact(exploded: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val S = 1000000000L // 1e9 scale for dot/norm/mean sums
+    val cents = exploded.filter(col("cand_idx") < k)
+      .select(col("cand_idx").as("cidx"), col("term"), col("v").as("cv"))
+    // squared norms, scaled-long: norm = sqrt(nsq9 / 1e9)
+    def nsq(df: DataFrame, idCol: String, vCol: String, out: String) =
+      df.groupBy(col(idCol))
+        .agg(sum(round(col(vCol) * col(vCol) * S).cast("long")).as(out))
+    val candNorm = nsq(exploded, "cand_idx", "v", "nsq9")
+    val centNorm = nsq(cents, "cidx", "cv", "cnsq9")
+    // dot products over shared terms (cands with NO shared term get no
+    // row — restored as dot 0 by the cross-join + left-join below)
+    val dots = exploded.join(broadcast(cents), "term")
+      .groupBy(col("cand_idx"), col("cidx"))
+      .agg(sum(round(col("v") * col("cv") * S).cast("long")).as("dot9"))
+    // full (cand × centroid) pair grid WITHOUT a nested-loop join:
+    // explode a k-element literal per candidate, then equi-join the
+    // centroid norms — plans as a broadcast HASH join on cidx
+    val pairs = candNorm
+      .withColumn("cidx", explode(lit((0L until k.toLong).toArray)))
+      .join(broadcast(centNorm), "cidx")
+      .join(dots, Seq("cand_idx", "cidx"), "left")
+      .withColumn("cos", round(
+        (coalesce(col("dot9"), lit(0L)).cast("double") / S) /
+          (sqrt(col("nsq9").cast("double") / S) *
+            sqrt(col("cnsq9").cast("double") / S)) * 1000) / 1000)
+    val wA = Window.partitionBy(col("cand_idx"))
+      .orderBy(col("cos").desc, col("cidx"))
+    val assign = pairs.withColumn("rk", row_number().over(wA))
+      .filter(col("rk") === 1)
+      .select(col("cand_idx"), col("cidx").as("cluster"))
+    // per-candidate weight (constant across its exploded rows)
+    val cw = exploded.groupBy(col("cand_idx")).agg(first(col("w")).as("w"))
+    val members = assign.join(cw, "cand_idx")
+    val wsums = members.groupBy(col("cluster")).agg(sum(col("w")).as("wsum"))
+    val means = exploded.drop("w")
+      .join(members.select(col("cand_idx"), col("cluster"), col("w")), "cand_idx")
+      .groupBy(col("cluster"), col("term"))
+      .agg(sum(round(col("w") * col("v") * S).cast("long")).as("s9"))
+      .join(wsums, "cluster")
+      .filter(col("wsum") > 0)
+      .select(col("cluster"),
+        col("term"),
+        (col("s9").cast("double") / (col("wsum") * S.toDouble)).as("weight"))
+    // empty clusters (no members, or all-zero member weight — the
+    // wsum == 0 branch of [[recluster]]): keep the centroid's vector
+    val nonEmpty = wsums.filter(col("wsum") > 0).select(col("cluster"))
+    val empties = cents.join(nonEmpty, cents("cidx") === nonEmpty("cluster"), "left_anti")
+      .select(col("cidx").as("cluster"), col("term"), col("cv").as("weight"))
+    means.unionByName(empties)
+  }
+
   /** init + final standard loop (reference conv 0.9, task2_3.java:1332). */
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int, l: Double,
           maxRounds: Int = 5, finalMaxIter: Int = 10,

@@ -29,7 +29,11 @@ object BpeImpl {
     * the final token list (spec/debug surface). */
   def encodeWord(word: String, ranks: java.util.HashMap[String, Integer]): Array[String] = {
     if (word.isEmpty) return Array.empty
-    val parts = scala.collection.mutable.ArrayBuffer[String](word.map(_.toString): _*)
+    // seed units are CODE POINTS, not UTF-16 code units: an astral char
+    // (surrogate pair) is one seed symbol, matching the oracle's
+    // code-point semantics (DuckDB length/regexp count code points)
+    val parts = scala.collection.mutable.ArrayBuffer[String](
+      word.codePoints().toArray.map(cp => new String(Character.toChars(cp))): _*)
     var done = false
     while (!done && parts.length > 1) {
       var best = -1
@@ -74,6 +78,58 @@ object BpeImpl {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       encodeWord(word.toString, ranks)
         .map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
+
+  /** Apply ONE merge (a,b)→ab to a token array, simultaneous
+    * left-to-right with skip — identical to repeated leftmost-first
+    * single merges of the same pair, which is [[encodeWord]]'s order.
+    * The incremental trainer's per-round update: each adopted merge is
+    * applied once to the LIVE token arrays instead of re-encoding every
+    * word from characters through the whole merge table (the
+    * sequential-application ≡ greedy-rank-apply equivalence: a merge's
+    * parts can never contain tokens created by LATER merges, so rank
+    * order is a topological order — BpeTrainerSpec pins it). */
+  def mergeAdjacent(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+                    a: UTF8String, b: UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = toks.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[Any](n)
+    var i = 0
+    while (i < n) {
+      if (i < n - 1 && toks.getUTF8String(i).equals(a) &&
+          toks.getUTF8String(i + 1).equals(b)) {
+        out += UTF8String.concat(a, b); i += 2
+      } else { out += toks.getUTF8String(i); i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
+/** `merge_adjacent(toks)` — one BPE merge applied to a token array. */
+case class MergeAdjacentPair(child: Expression, a: String, b: String)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"merge_adjacent expects array<string>, got ${other.catalogString}")
+  }
+
+  @transient private lazy val ua = UTF8String.fromString(a)
+  @transient private lazy val ub = UTF8String.fromString(b)
+
+  override def nullSafeEval(v: Any): Any =
+    BpeImpl.mergeAdjacent(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], ua, ub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ra = ctx.addReferenceObj("mergeA", ua, "org.apache.spark.unsafe.types.UTF8String")
+    val rb = ctx.addReferenceObj("mergeB", ub, "org.apache.spark.unsafe.types.UTF8String")
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeImpl.mergeAdjacent($c, $ra, $rb)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MergeAdjacentPair =
+    copy(child = newChild)
 }
 
 /** `bpe_token_count(text)` against a static merge table. */
@@ -129,4 +185,7 @@ object BpeFunctions {
 
   def bpeTokens(word: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(BpeTokens(Bridge.expression(word), merges))
+
+  def mergeAdjacent(toks: Column, a: String, b: String): Column =
+    Bridge.column(MergeAdjacentPair(Bridge.expression(toks), a, b))
 }

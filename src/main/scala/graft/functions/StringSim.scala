@@ -21,13 +21,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * matches, jaro = (m/l1 + m/l2 + (m−t)/m)/3 — in exactly that
   * association order — and the Winkler boost j + ℓp·0.1·(1−j) applied
   * only when jaro > 0.7, common prefix capped at 4. Comparison is by
-  * UTF-16 code unit (== code point ASCII/BMP, the corpus' domain).
+  * Unicode CODE POINT (like DuckDB's), so astral/surrogate-pair text
+  * scores identically cross-engine — not just the ASCII/BMP corpus.
   */
 object StringSimImpl {
   def jaroWinkler(ua: UTF8String, ub: UTF8String): Double = {
-    val s1 = ua.toString
-    val s2 = ub.toString
-    if (s1 == s2) return 1.0
+    if (ua.equals(ub)) return 1.0
+    val s1 = ua.toString.codePoints().toArray
+    val s2 = ub.toString.codePoints().toArray
     val l1 = s1.length
     val l2 = s2.length
     if (l1 == 0 || l2 == 0) return 0.0
@@ -42,7 +43,7 @@ object StringSimImpl {
       var j = lo
       var found = false
       while (j < hi && !found) {
-        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+        if (!m2(j) && s1(i) == s2(j)) {
           m1(i) = true; m2(j) = true; m += 1; found = true
         }
         j += 1
@@ -56,7 +57,7 @@ object StringSimImpl {
     while (i < l1) {
       if (m1(i)) {
         while (!m2(k)) k += 1
-        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        if (s1(i) != s2(k)) t += 1
         k += 1
       }
       i += 1
@@ -66,7 +67,7 @@ object StringSimImpl {
     if (jaro > 0.7) {
       var pre = 0
       val cap = math.min(4, math.min(l1, l2))
-      while (pre < cap && s1.charAt(pre) == s2.charAt(pre)) pre += 1
+      while (pre < cap && s1(pre) == s2(pre)) pre += 1
       jaro + pre * 0.1 * (1.0 - jaro)
     } else jaro
   }
@@ -80,8 +81,10 @@ object DamerauImpl {
     * `damerau_levenshtein` (fuzz-verified on 500 random pairs while
     * building the q118 oracle). O(|a|·|b|) time, O(|a|·|b|) ints. */
   def damerauLevenshtein(ua: UTF8String, ub: UTF8String): Int = {
-    val a = ua.toString
-    val b = ub.toString
+    // code-point alphabet (matches DuckDB's code-point counting on
+    // astral text; a surrogate pair is ONE symbol, not two)
+    val a = ua.toString.codePoints().toArray
+    val b = ub.toString.codePoints().toArray
     val la = a.length
     val lb = b.length
     if (la == 0) return lb
@@ -93,22 +96,22 @@ object DamerauImpl {
     while (i <= la) { d(i + 1)(0) = maxd; d(i + 1)(1) = i; i += 1 }
     var j = 0
     while (j <= lb) { d(0)(j + 1) = maxd; d(1)(j + 1) = j; j += 1 }
-    val da = new java.util.HashMap[Character, Integer]()
+    val da = new java.util.HashMap[Integer, Integer]()
     i = 1
     while (i <= la) {
       var db = 0
       j = 1
       while (j <= lb) {
-        val kBox = da.get(b.charAt(j - 1))
+        val kBox = da.get(Integer.valueOf(b(j - 1)))
         val k = if (kBox == null) 0 else kBox.intValue()
         val l = db
-        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) { db = j; 0 } else 1
+        val cost = if (a(i - 1) == b(j - 1)) { db = j; 0 } else 1
         d(i + 1)(j + 1) = math.min(
           math.min(d(i)(j) + cost, d(i + 1)(j) + 1),
           math.min(d(i)(j + 1) + 1, d(k)(l) + (i - k - 1) + 1 + (j - l - 1)))
         j += 1
       }
-      da.put(a.charAt(i - 1), i)
+      da.put(Integer.valueOf(a(i - 1)), i)
       i += 1
     }
     d(la + 1)(lb + 1)

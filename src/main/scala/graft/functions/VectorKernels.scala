@@ -61,7 +61,10 @@ object VectorKernelsImpl {
     * (the asymmetric-free SQ8 candidate distance: all-integer, so any
     * engine computes the identical value). */
   def sqDistInt(a: ArrayData, b: ArrayData): Long = {
-    val n = a.numElements(); var s = 0L; var i = 0
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"sqDistInt: mismatched code-vector lengths ($n vs ${b.numElements()})")
+    var s = 0L; var i = 0
     while (i < n) {
       val d = (a.getInt(i) - b.getInt(i)).toLong; s += d * d; i += 1
     }

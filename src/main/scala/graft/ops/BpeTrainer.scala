@@ -50,4 +50,77 @@ object BpeTrainer {
     words.unpersist(blocking = false)
     merges
   }
+
+  /** INCREMENTAL trainer — same merges as [[learnMerges]] (BpeSpec /
+    * BpeTrainerSpec equate them), with per-round cost that SHRINKS as
+    * training progresses instead of growing:
+    *
+    *  - The corpus collapses once to a WORD HISTOGRAM (word, freq) —
+    *    pair statistics then scale with distinct words, not corpus
+    *    size, and every count is Σ freq (exact long, identical to the
+    *    naive trainer's per-occurrence count).
+    *  - Token arrays are materialized and each adopted merge is applied
+    *    ONCE ([[graft.functions.BpeImpl.mergeAdjacent]], O(len)) —
+    *    never the O(len·|merges|) full re-encode per round.
+    *  - Pair counts are maintained by DELTA: only words the merge
+    *    actually changed contribute (old pairs at −freq, new at +freq),
+    *    merged into the standing count table by one full-outer join.
+    *    Late rounds touch few words, so per-round cost decays — the
+    *    superlinear win over k full re-encode passes.
+    *
+    * Scale: state = two cached DataFrames (histogram-sized); per round
+    * one narrow merge-apply map, one delta shuffle over CHANGED words'
+    * pairs, one O(1) argmax. Caches rotate per round (BSP hygiene,
+    * same pattern as connected components). */
+  def learnMergesIncremental(df: DataFrame, textCol: String, k: Int): Seq[(String, String)] = {
+    require(k >= 0)
+    import graft.functions.BpeFunctions
+    def pairsOf(words: DataFrame, toksCol: String, sign: Int): DataFrame = words
+      .where(size(col(toksCol)) >= 2)
+      .select(explode(expr(s"sequence(1, size($toksCol) - 1)")).as("i"),
+        col(toksCol).as("t"), col("freq"))
+      .select(element_at(col("t"), col("i")).as("a"),
+        element_at(col("t"), col("i") + 1).as("b"),
+        (col("freq") * sign).as("freq"))
+    var words = df.select(explode(split(col(textCol), "\\s+")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(BpeFunctions.bpeTokens(col("word"), Nil).as("toks"), col("freq"))
+      .cache()
+    var counts = pairsOf(words, "toks", 1)
+      .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("cnt"))
+      .cache()
+    var merges = Vector.empty[(String, String)]
+    var done = false
+    while (merges.length < k && !done) {
+      val best = counts.where(col("cnt") >= 2)
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (a, b) = (best(0).getString(0), best(0).getString(1))
+        merges = merges :+ ((a, b))
+        val applied = words
+          .withColumn("nt", BpeFunctions.mergeAdjacent(col("toks"), a, b))
+        // merge changed the array iff it got shorter
+        val changed = applied.filter(size(col("nt")) < size(col("toks"))).cache()
+        val delta = pairsOf(changed, "toks", -1)
+          .unionByName(pairsOf(changed, "nt", 1))
+          .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("d"))
+        val newCounts = counts.join(delta, Seq("a", "b"), "full_outer")
+          .select(col("a"), col("b"),
+            (coalesce(col("cnt"), lit(0L)) + coalesce(col("d"), lit(0L))).as("cnt"))
+          .filter(col("cnt") > 0)
+          .cache()
+        val newWords = applied.select(col("nt").as("toks"), col("freq")).cache()
+        newCounts.count(); newWords.count() // materialize before dropping parents
+        changed.unpersist(blocking = false)
+        counts.unpersist(blocking = false); counts = newCounts
+        words.unpersist(blocking = false); words = newWords
+      }
+    }
+    words.unpersist(blocking = false)
+    counts.unpersist(blocking = false)
+    merges
+  }
 }

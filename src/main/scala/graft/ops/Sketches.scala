@@ -43,12 +43,21 @@ object Sketches {
     */
   def countMinEstimates(df: DataFrame, keyCol: String, eps: Double = 5e-4,
                         confidence: Double = 0.999, seed: Int = 42): DataFrame = {
-    val bytes = df
+    import org.apache.spark.sql.types._
+    df.schema(keyCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"countMinEstimates requires an integral keyCol; '$keyCol' is $other " +
+          "(a non-integral column would hash in a different domain at build " +
+          "vs probe time)")
+    }
+    // build and probe in the SAME domain: cast to long before sketching
+    val keyed = df.select(col(keyCol).cast("long").as(keyCol))
+    val bytes = keyed
       .agg(count_min_sketch(col(keyCol), lit(eps), lit(confidence), lit(seed)))
       .first().getAs[Array[Byte]](0)
     val probe = udf(new CmsProbe(bytes).estimate _)
-    df.select(col(keyCol).cast("long").as(keyCol)).distinct()
-      .withColumn("est", probe(col(keyCol)))
+    keyed.distinct().withColumn("est", probe(col(keyCol)))
   }
 
   /** Per-group HLL sketch partials over `valueCol`. */

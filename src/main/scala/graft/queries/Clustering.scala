@@ -25,6 +25,11 @@ object Clustering {
 
   private val InitCentroids = IndexedSeq((0.0, 50.0), (4000.0, 20.0), (9000.0, 80.0))
 
+  /** Iteration cap for the q119 full-fit oracle (the DuckDB side unrolls
+    * this many CTE blocks — each a customer-table scan, trivial at gate
+    * scale). Mirrors q21's cap. */
+  private val FitMaxIter = 10
+
   // Doc vectors feed three K-Means queries — materialized once per
   // (session, dir), like the reference's persisted TFIDF.txt input that
   // every KMeans task re-reads.
@@ -84,15 +89,55 @@ object Clustering {
     }),
 
     // Full Lloyd's loop (§3.2): O(k) driver state, one tiny-shuffle agg
-    // per iteration. Output = final centroids; rows-only check.
+    // per iteration. Runs the SAME fitExact code path as the q119
+    // oracle anchor (scaled-long means; convergence on squared
+    // movement), so this rows-only query's arithmetic is value-checked
+    // through its sibling.
     "q21_kmeans_2d" -> ((s, d) => {
-      val (cs, iters) = KMeans2D.fit(points2d(s, d), "x", "y",
+      val (cs, iters) = KMeans2D.fitExact(points2d(s, d), "x", "y",
         InitCentroids, maxIter = 10, tol = 0.5)
       val rows = cs.zipWithIndex.map { case ((x, y), i) =>
         (i, math.rint(x * 10000) / 10000, math.rint(y * 10000) / 10000, iters)
       }
       import s.implicits._
       rows.toDF("cluster", "cx", "cy", "iters").orderBy(col("cluster"))
+    }),
+
+    // THE FULL CONVERGENCE-DRIVEN LLOYD LOOP, value-checked cross-engine
+    // (round-5 verdict ask #1): fitExact runs assign → scaled-long mean
+    // → movement² ≤ tol² until the flag flips (or maxIter); the DuckDB
+    // oracle unrolls the same recurrence as chained CTEs, computes the
+    // same per-iteration convergence flag, and selects the state at the
+    // first converged iteration. Centroid doubles AND the iteration
+    // count must both hash-match — the loop control itself is under
+    // oracle, not just one step (q94's anchor extended to the loop).
+    "q119_kmeans_full_fit" -> ((s, d) => {
+      val (cs, iters) = KMeans2D.fitExact(points2d(s, d), "x", "y",
+        InitCentroids, maxIter = FitMaxIter, tol = 0.5)
+      val rows = cs.zipWithIndex.map { case ((x, y), i) => (i, x, y, iters) }
+      import s.implicits._
+      rows.toDF("cluster", "cx", "cy", "iters").orderBy(col("cluster"))
+    }),
+
+    // K-MEANS‖ PHASE-4 WEIGHTED RECLUSTER, one round, distributed +
+    // value-checked (round-5 verdict ask #2): the exploded 8-candidate
+    // table (lowest doc_ids, weight = vector cardinality) goes through
+    // reclusterRoundExact — scaled-long cosine assignment to the first
+    // 3 candidates, then the Σ round(w·v·1e9)/(Σw·1e9) weighted mean —
+    // and DuckDB replays every operation. Anchors q24's A8 arithmetic
+    // AND declares the driver-free 100 TB shape of phase 4
+    // (ReclusterSpec ties this round to KMeansParallel.recluster).
+    "q120_kmeanspar_recluster" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dv = docVectors(s, d)
+      val cands = dv.orderBy(col("doc_id")).limit(8)
+        .withColumn("cand_idx",
+          (row_number().over(Window.orderBy(col("doc_id"))) - 1).cast("long"))
+        .withColumn("w", size(col("vec")).cast("long"))
+      val exploded = cands.select(col("cand_idx"), col("w"),
+        explode(col("vec")).as(Seq("term", "v")))
+      KMeansParallel.reclusterRoundExact(exploded, k = 3)
+        .orderBy(col("cluster"), col("term"))
     }),
 
     // Cosine K-Means over sparse TF-IDF vectors (task2_2): deterministic
@@ -130,7 +175,143 @@ object Clustering {
     })
   )
 
+  /** DuckDB mirror of [[KMeans2D.fitExact]]: `maxIter` unrolled Lloyd
+    * iterations as chained CTEs — each block is exactly q94's
+    * assign/scaled-mean/fallback arithmetic — plus a per-iteration
+    * convergence scalar v{i} (squared movement ≤ tol² for every
+    * centroid, tol = 0.5). The final select picks the state at the
+    * FIRST converged iteration (ELSE the cap), reproducing the Scala
+    * while-loop's exit: because every mean is a scaled-long sum, both
+    * engines see bit-identical centroids, so the flag flips at the
+    * same iteration in both. */
+  private def kmeansFitSql(maxIter: Int): String = {
+    val k = InitCentroids.length
+    val initRow = InitCentroids.zipWithIndex.map { case ((x, y), j) =>
+      s"$x AS cx$j, $y AS cy$j"
+    }.mkString(", ")
+    def iterBlock(i: Int): String = {
+      val p = s"c${i - 1}"
+      val ds = (0 until k).map(j =>
+        s"(x-cx$j)*(x-cx$j)+(y-cy$j)*(y-cy$j) AS d$j").mkString(",\n    ")
+      val caseAssign = (0 until k - 1).map { j =>
+        val isMin = (j + 1 until k).map(m => s"d$j<=d$m").mkString(" AND ")
+        s"WHEN $isMin THEN $j"
+      }.mkString(" ") + s" ELSE ${k - 1}"
+      val pivot = (0 until k).map(j =>
+        s"coalesce(max(CASE WHEN m.cluster=$j THEN m.cx END), max(p.cx$j)) AS cx$j,\n" +
+          s"    coalesce(max(CASE WHEN m.cluster=$j THEN m.cy END), max(p.cy$j)) AS cy$j")
+        .mkString(",\n    ")
+      val moved = (0 until k).map(j =>
+        s"(c.cx$j-p.cx$j)*(c.cx$j-p.cx$j)+(c.cy$j-p.cy$j)*(c.cy$j-p.cy$j) <= 0.25")
+        .mkString(" AND\n    ")
+      // every per-iteration CTE is MATERIALIZED: DuckDB inlines CTEs
+      // by default, and c{i} references c{i-1} several times — without
+      // materialization the expression tree grows exponentially in
+      // maxIter (the chain stalled for minutes at maxIter = 10)
+      s"""a$i AS MATERIALIZED (
+         |  SELECT x, y, CASE $caseAssign END AS cluster
+         |  FROM (SELECT x, y,
+         |    $ds FROM pts CROSS JOIN $p)
+         |), m$i AS MATERIALIZED (
+         |  SELECT cluster,
+         |    CAST(sum(CAST(round(x*1000000) AS BIGINT)) AS DOUBLE)/(count(*)*1000000.0) AS cx,
+         |    CAST(sum(CAST(round(y*1000000) AS BIGINT)) AS DOUBLE)/(count(*)*1000000.0) AS cy
+         |  FROM a$i GROUP BY cluster
+         |), c$i AS MATERIALIZED (
+         |  SELECT
+         |    $pivot
+         |  FROM m$i m CROSS JOIN $p p
+         |), v$i AS MATERIALIZED (
+         |  SELECT CASE WHEN
+         |    $moved
+         |    THEN 1 ELSE 0 END AS conv
+         |  FROM c$i c CROSS JOIN $p p
+         |)""".stripMargin
+    }
+    val blocks = (1 to maxIter).map(iterBlock).mkString(",\n")
+    val vJoins = (1 to maxIter).map(i => s"v$i AS t$i").mkString(" CROSS JOIN ")
+    val itersCase = (1 until maxIter).map(i =>
+      s"WHEN t$i.conv=1 THEN $i").mkString(" ") + s" ELSE $maxIter"
+    val cJoins = (1 to maxIter).map(i => s"c$i AS s$i").mkString(" CROSS JOIN ")
+    val finalCols = (0 until k).flatMap(j => Seq(s"cx$j", s"cy$j")).map { cname =>
+      val whens = (1 until maxIter).map(i =>
+        s"WHEN $i THEN s$i.$cname").mkString(" ")
+      s"CASE f.iters $whens ELSE s$maxIter.$cname END AS $cname"
+    }.mkString(",\n    ")
+    val union = (0 until k).map(j =>
+      s"SELECT $j AS cluster, cx$j AS cx, cy$j AS cy, iters FROM sel")
+      .mkString("\nUNION ALL ")
+    s"""WITH pts AS MATERIALIZED (
+       |  SELECT c_acctbal AS x, CAST(c_custkey % 100 AS DOUBLE) AS y FROM customer
+       |), c0 AS MATERIALIZED (SELECT $initRow),
+       |$blocks,
+       |fin AS (
+       |  SELECT CASE $itersCase END AS iters FROM $vJoins
+       |),
+       |sel AS (
+       |  SELECT f.iters,
+       |    $finalCols
+       |  FROM fin f CROSS JOIN $cJoins
+       |)
+       |$union
+       |ORDER BY cluster""".stripMargin
+  }
+
+  /** DuckDB mirror of q120: [[TextQueries.TokCte]] rebuilds the TF-IDF
+    * doc vectors (q19-proven parity), then every reclusterRoundExact
+    * operation — scaled-long norms/dots, round-3 cosine, first-max-wins
+    * assignment, Σ round(w·v·1e9)/(Σw·1e9) means, empty-cluster
+    * fallback — replayed operation-for-operation. */
+  private def reclusterSql: String = TextQueries.TokCte +
+    """, cands AS (
+      |  SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) - 1 AS cand_idx
+      |  FROM (SELECT DISTINCT doc_id FROM tfidf ORDER BY doc_id LIMIT 8)
+      |), cx AS (
+      |  SELECT c.cand_idx, t.term, t.tfidf AS v
+      |  FROM cands c JOIN tfidf t ON t.doc_id = c.doc_id
+      |), cw AS (SELECT cand_idx, count(*) AS w FROM cx GROUP BY cand_idx),
+      |cents AS (SELECT cand_idx AS cidx, term, v AS cv FROM cx WHERE cand_idx < 3),
+      |nrm AS (SELECT cand_idx, sum(CAST(round(v*v*1000000000) AS BIGINT)) AS nsq9
+      |        FROM cx GROUP BY cand_idx),
+      |cnrm AS (SELECT cidx, sum(CAST(round(cv*cv*1000000000) AS BIGINT)) AS cnsq9
+      |         FROM cents GROUP BY cidx),
+      |dots AS (
+      |  SELECT a.cand_idx, b.cidx, sum(CAST(round(a.v*b.cv*1000000000) AS BIGINT)) AS dot9
+      |  FROM cx a JOIN cents b ON a.term = b.term GROUP BY a.cand_idx, b.cidx
+      |), pairs AS (
+      |  SELECT n.cand_idx, c.cidx,
+      |    round((CAST(coalesce(d.dot9, 0) AS DOUBLE)/1000000000.0)
+      |      / (sqrt(CAST(n.nsq9 AS DOUBLE)/1000000000.0)
+      |         * sqrt(CAST(c.cnsq9 AS DOUBLE)/1000000000.0)) * 1000) / 1000 AS cos
+      |  FROM nrm n CROSS JOIN cnrm c
+      |  LEFT JOIN dots d ON d.cand_idx = n.cand_idx AND d.cidx = c.cidx
+      |), assign AS (
+      |  SELECT cand_idx, cidx AS cluster FROM (
+      |    SELECT cand_idx, cidx,
+      |      row_number() OVER (PARTITION BY cand_idx ORDER BY cos DESC, cidx) AS rk
+      |    FROM pairs) WHERE rk = 1
+      |), wsums AS (
+      |  SELECT a.cluster, sum(w.w) AS wsum
+      |  FROM assign a JOIN cw w ON w.cand_idx = a.cand_idx GROUP BY a.cluster
+      |)
+      |SELECT m.cluster, m.term,
+      |  CAST(m.s9 AS DOUBLE) / (ws.wsum * 1000000000.0) AS weight
+      |FROM (
+      |  SELECT a.cluster, x.term, sum(CAST(round(w.w * x.v * 1000000000) AS BIGINT)) AS s9
+      |  FROM cx x JOIN assign a ON a.cand_idx = x.cand_idx
+      |  JOIN cw w ON w.cand_idx = x.cand_idx
+      |  GROUP BY a.cluster, x.term
+      |) m JOIN wsums ws ON ws.cluster = m.cluster
+      |WHERE ws.wsum > 0
+      |UNION ALL
+      |SELECT c.cidx AS cluster, c.term, c.cv AS weight
+      |FROM cents c
+      |WHERE c.cidx NOT IN (SELECT cluster FROM wsums WHERE wsum > 0)
+      |ORDER BY cluster, term""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q119_kmeans_full_fit" -> kmeansFitSql(FitMaxIter),
+    "q120_kmeanspar_recluster" -> reclusterSql,
     "q20_kmeans_assign_step" ->
       """WITH pts AS (
         |  SELECT c_acctbal AS x, CAST(c_custkey % 100 AS DOUBLE) AS y FROM customer

@@ -306,6 +306,58 @@ object EventQueries {
       s.table(name).orderBy(col("user_id"), col("session_start_us"))
     }),
 
+    // FOREACHBATCH CDC-UPSERT SINK as a declared query (round-5 verdict
+    // ask #7; previously StreamingSpec-only): the events stream arrives
+    // as FOUR micro-batches (source pre-split by user hash,
+    // maxFilesPerTrigger=1) and each batch MERGEs into a parquet state
+    // table — read current state, union the batch, keep the latest row
+    // per (user_id, event_type) by (ts, event_id), swap atomically
+    // after a cache barrier. Latest-wins is associative/commutative
+    // over batches, so the materialized state equals the batch
+    // compaction regardless of file arrival order — the oracle is
+    // q85's SQL verbatim. This is the lakehouse MERGE loop (Delta/
+    // Iceberg upsert) on plain parquet.
+    "q122_stream_cdc_upsert" -> ((s, d) => {
+      import org.apache.spark.sql.DataFrame
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cdc_").toString
+      val srcDir = s"$tmp/src"
+      val state = s"$tmp/state"
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("value"),
+          col("event_id"))
+        .repartition(4, col("user_id"))
+        .write.parquet(srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      def latest(df: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        df.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+          .drop("rk")
+      }
+      withStreamPartitions(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+          .writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val ss = batch.sparkSession
+            val cur = try ss.read.parquet(state)
+              catch { case _: Throwable => batch.limit(0) }
+            val merged = latest(cur.unionByName(batch)).cache()
+            merged.count() // materialize BEFORE overwriting what we read
+            merged.write.mode("overwrite").parquet(state)
+            merged.unpersist(blocking = false)
+            ()
+          }.start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      s.read.parquet(state)
+        .select(col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("value"), col("event_id"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     // Streaming DEDUP: dropDuplicates on (user, type) under a
     // watermark — the stateful exactly-once-per-key operator a
     // streaming ingest pipeline uses; state is bounded by the
@@ -652,6 +704,18 @@ object EventQueries {
         |  UNION ALL SELECT z FROM tri)
         |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Latest row per (user_id, event_type) — the CDC compaction shared
+    * by q85 (batch) and q122 (streamed foreachBatch MERGE). */
+  private val CdcLatestSql =
+    """WITH r AS (
+      |  SELECT user_id, event_type, ts, value, event_id,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts DESC, event_id DESC) AS rk
+      |  FROM events)
+      |SELECT user_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+      |  value, event_id
+      |FROM r WHERE rk = 1 ORDER BY user_id, event_type""".stripMargin
+
   private val SessionizeSql = SessionCtes +
       """SELECT user_id, CAST(max(sid) AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
@@ -765,15 +829,10 @@ object EventQueries {
         |  ON g.user_id = o.user_id AND o.ts <= g.h
         |ORDER BY 1, 2""".stripMargin,
     "q81_session_overlap" -> SessionOverlapSql,
-    "q85_cdc_latest" ->
-      """WITH r AS (
-        |  SELECT user_id, event_type, ts, value, event_id,
-        |    row_number() OVER (PARTITION BY user_id, event_type
-        |      ORDER BY ts DESC, event_id DESC) AS rk
-        |  FROM events)
-        |SELECT user_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
-        |  value, event_id
-        |FROM r WHERE rk = 1 ORDER BY user_id, event_type""".stripMargin,
+    "q85_cdc_latest" -> CdcLatestSql,
+    // The streamed MERGE materialization must equal the batch
+    // compaction — same oracle as q85.
+    "q122_stream_cdc_upsert" -> CdcLatestSql,
     "q86_winsorize" ->
       """WITH c AS (
         |  SELECT event_type, round(quantile_cont(value, 0.01), 6) AS lo,

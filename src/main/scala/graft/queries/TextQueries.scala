@@ -165,7 +165,7 @@ object TextQueries {
 
   /** Shared tokenization CTE — the DuckDB mirror of [[Tokenizer.tokens]]
     * (lower → strip [^\w\s] globally → split \s+ → drop empty + stop). */
-  private val TokCte =
+  private[queries] val TokCte =
     """WITH toks AS (
       |  SELECT doc_id, lang, unnest(regexp_split_to_array(
       |    regexp_replace(lower(text), '[^\w\s]', '', 'g'), '\s+')) AS term

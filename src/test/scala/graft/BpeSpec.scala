@@ -76,6 +76,40 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental trainer equals the naive trainer and the in-memory reference") {
+    import spark.implicits._
+    val docs = Seq("low low lower lowest", "slow slower low newest",
+      "widest wider new low").toDF("text")
+    val words = docs.collect().flatMap(_.getString(0).split("\\s+")).toSeq
+    for (k <- Seq(1, 3, 6, 10)) {
+      val inc = graft.ops.BpeTrainer.learnMergesIncremental(docs, "text", k)
+      assert(inc == refLearn(words, k), s"k=$k vs reference")
+      assert(inc == graft.ops.BpeTrainer.learnMerges(docs, "text", k), s"k=$k vs naive")
+    }
+  }
+
+  test("incremental trainer equals naive on real documents") {
+    val docs = graft.io.Tables.documents(spark, TestSession.sf).limit(60)
+    val k = 6
+    val inc = graft.ops.BpeTrainer.learnMergesIncremental(docs, "text", k)
+    val naive = graft.ops.BpeTrainer.learnMerges(docs, "text", k)
+    assert(inc == naive)
+  }
+
+  test("mergeAdjacent: simultaneous left-to-right with skip") {
+    import spark.implicits._
+    val df = Seq(Seq("x", "x", "x"), Seq("x", "x", "x", "x"),
+      Seq("a", "b", "a", "b"), Seq("b", "a")).toDF("t")
+    val got = df.select(BpeFunctions.mergeAdjacent(col("t"), "x", "x").as("m"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(got == List(List("xx", "x"), List("xx", "xx"),
+      List("a", "b", "a", "b"), List("b", "a")))
+    val ab = df.select(BpeFunctions.mergeAdjacent(col("t"), "a", "b").as("m"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(ab == List(List("x", "x", "x"), List("x", "x", "x", "x"),
+      List("ab", "ab"), List("b", "a")))
+  }
+
   test("trainer merges monotonically shrink the corpus token count") {
     import spark.implicits._
     val docs = graft.io.Tables.documents(spark, TestSession.sf).limit(100)

@@ -1,0 +1,51 @@
+#!/usr/bin/env python3
+"""Standing per-round scale artifact (round-5 verdict ask #6): run
+graft.ScaleProbe on the 12-query scale subset at sf0.01 and at a
+synthesized sf1 (10x sf0.1 by key-offset replication), compute the
+100x per-query ratios, and write SCALE_r{N}.json next to the BENCH
+artifacts so scale regressions diff across rounds.
+
+Usage: tools/scale.py <round> [queryCsv]
+"""
+import json, subprocess, sys
+
+QUERIES = ",".join([
+    "q01_pricing_summary", "q04_nation_revenue", "q08_running_qty",
+    "q26_dedup_minhash", "q52_dedup_groups", "q78_zorder",
+    "q80_locf_resample", "q93_ann_distributed", "q105_pagerank",
+    "q108_perplexity", "q110_feature_hash", "q111_e2e_rag",
+])
+
+rnd = sys.argv[1]
+queries = sys.argv[2] if len(sys.argv) > 2 else QUERIES
+
+
+def probe(src, out, copies):
+    r = subprocess.run(
+        ["sbt", f"runMain graft.ScaleProbe {src} {out} {copies} {queries}"],
+        capture_output=True, text=True, cwd="/root/repo")
+    lines = [l for l in r.stdout.splitlines() if '"metric":"scaleprobe"' in l]
+    if not lines:
+        sys.stderr.write(r.stdout[-3000:] + "\n" + r.stderr[-2000:])
+        sys.exit(1)
+    return json.loads(lines[-1])
+
+
+small = probe("/root/testdata/sf0.01", "/tmp/scale_sf001", 1)
+big = probe("/root/testdata/sf0.1", "/tmp/scale_sf1", 10)
+ratios = {q: round(big["queries"][q] / max(small["queries"][q], 1e-9), 2)
+          for q in big["queries"]}
+artifact = {
+    "metric": "scale_100x",
+    "round": int(rnd),
+    "sf_small": "sf0.01", "sf_big": "sf1 (10x sf0.1 key-offset replication)",
+    "seconds_small": {k: round(v, 3) for k, v in small["queries"].items()},
+    "seconds_big": {k: round(v, 3) for k, v in big["queries"].items()},
+    "ratio_100x": ratios,
+    "median_ratio": sorted(ratios.values())[len(ratios) // 2],
+}
+path = f"/root/repo/SCALE_r{int(rnd):02d}.json"
+with open(path, "w") as f:
+    json.dump(artifact, f, indent=1, sort_keys=True)
+print(json.dumps(artifact["ratio_100x"], sort_keys=True))
+print(f"wrote {path}; median {artifact['median_ratio']}")
