@@ -90,20 +90,33 @@ object BpeTrainer {
     var counts = pairsOf(words, "toks", 1)
       .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("cnt"))
       .cache()
+    // ONE action per round: the argmax collect materializes this
+    // round's (lazily cached) counts — and, through the delta lineage,
+    // the words cache — so the previous round's caches are dropped
+    // AFTER the collect, one round deferred. The naive trainer also
+    // pays one action per round, so all of the incremental win is
+    // compute, none of it is eaten by extra materialization passes.
+    var prevWords: DataFrame = null
+    var prevCounts: DataFrame = null
     var merges = Vector.empty[(String, String)]
     var done = false
     while (merges.length < k && !done) {
       val best = counts.where(col("cnt") >= 2)
         .orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(1).collect()
+      if (prevWords != null) {
+        prevWords.unpersist(blocking = false); prevWords = null
+        prevCounts.unpersist(blocking = false); prevCounts = null
+      }
       if (best.isEmpty) done = true
       else {
         val (a, b) = (best(0).getString(0), best(0).getString(1))
         merges = merges :+ ((a, b))
         val applied = words
           .withColumn("nt", BpeFunctions.mergeAdjacent(col("toks"), a, b))
-        // merge changed the array iff it got shorter
-        val changed = applied.filter(size(col("nt")) < size(col("toks"))).cache()
+        // merge changed the array iff it got shorter; recomputed per
+        // delta branch from the materialized words cache (narrow)
+        val changed = applied.filter(size(col("nt")) < size(col("toks")))
         val delta = pairsOf(changed, "toks", -1)
           .unionByName(pairsOf(changed, "nt", 1))
           .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("d"))
@@ -113,14 +126,13 @@ object BpeTrainer {
           .filter(col("cnt") > 0)
           .cache()
         val newWords = applied.select(col("nt").as("toks"), col("freq")).cache()
-        newCounts.count(); newWords.count() // materialize before dropping parents
-        changed.unpersist(blocking = false)
-        counts.unpersist(blocking = false); counts = newCounts
-        words.unpersist(blocking = false); words = newWords
+        prevWords = words; prevCounts = counts
+        counts = newCounts
+        words = newWords
       }
     }
-    words.unpersist(blocking = false)
-    counts.unpersist(blocking = false)
+    Seq(words, counts, prevWords, prevCounts).filter(_ != null)
+      .foreach(_.unpersist(blocking = false))
     merges
   }
 }
