@@ -305,4 +305,25 @@ class RefParitySpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(ours, gold),
       s"task_1_3: emitted ${ours.length} bytes != golden ${gold.length} bytes")
   }
+
+  test("TFIDF matrix emits byte-for-byte via the Hadoop-order compat sink") {
+    assume(refAvailable)
+    // The goldens' within-line term order is Hadoop's UNSTABLE map-side
+    // QuickSort permuting equal docid keys — not derivable from the
+    // data. MrOrderCompat replays the emission through Hadoop's real
+    // LocalJobRunner on OUR tf-idf values; input order is the upstream
+    // job's file order: docid as Text (ASCII), then TreeMap term order.
+    val lines = ourTfIdf4.collect()
+      .map(r => (r.getLong(0).toString, r.getLong(1).toString, r.getString(2)))
+      .sortBy { case (d, t, _) => (d, t) }
+      .map { case (d, t, w) => s"${d}_$t\t$w" }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mrorder").toFile
+    val ours = graft.io.MrOrderCompat.tfidfHadoopOrder(lines.toSeq, tmp.getPath)
+    for (golden <- Seq(s"$Ref/Output/Output1_4/TFIDF.mtx-r-00000",
+                       s"$Ref/KMeans/Input/TFIDF.txt-r-00000")) {
+      val gold = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(golden))
+      assert(java.util.Arrays.equals(ours, gold),
+        s"$golden: emitted ${ours.length} bytes != golden ${gold.length} bytes")
+    }
+  }
 }

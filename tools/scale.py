@@ -28,7 +28,7 @@ def probe(src, out, copies):
     if not lines:
         sys.stderr.write(r.stdout[-3000:] + "\n" + r.stderr[-2000:])
         sys.exit(1)
-    return json.loads(lines[-1])
+    return json.loads(lines[-1][lines[-1].index("{"):])
 
 
 small = probe("/root/testdata/sf0.01", "/tmp/scale_sf001", 1)
