@@ -347,4 +347,41 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** SUBSTRING-level duplication profile — the span-granular sibling of
+    * document dedup (the "exact substring deduplication" family from
+    * the dedup-training-data literature): fixed-length character
+    * windows (`spanLen`, step `stride`) are hashed, a span is
+    * DUPLICATED if ≥2 distinct documents contain it, and each document
+    * reports its duplicated-span fraction — the signal used to strip
+    * boilerplate/templated passages that document-level dedup can't
+    * see (two different pages sharing a footer).
+    *
+    * Only full-length spans participate (the ragged tail window would
+    * otherwise make near-empty suffixes collide corpus-wide). Span key
+    * = md5 of the span text: fixed 32-char shuffle key regardless of
+    * `spanLen`, identical in any engine, collision-safe at corpus
+    * scale. Plan: chunk (narrow) → groupBy(hash) count-distinct-doc
+    * (two-level partial agg) → 1:1 join back on hash → per-doc rollup.
+    * Two key-shuffles total; the hot-span skew a boilerplate footer
+    * creates lands on AQE's skew-split, not a quadratic join. Docs
+    * shorter than `spanLen` emit zero spans and report dup_frac 0. */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+                spanLen: Int = 40, stride: Int = 20): DataFrame = {
+    val spans = TextAnalysis.chunkDocuments(df, idCol, textCol, spanLen, stride)
+      .filter(col("chunk_len") === spanLen)
+      .select(col(idCol), md5(col("chunk").cast("binary")).as("span_hash"))
+    val counts = spans.groupBy(col("span_hash"))
+      .agg(count_distinct(col(idCol)).as("span_docs"))
+    val perDoc = spans.join(counts, "span_hash")
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("span_docs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac", when(col("n_spans") === 0, lit(0.0)).otherwise(
+        col("n_dup_spans").cast("double") / col("n_spans").cast("double")))
+  }
 }

@@ -178,4 +178,36 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
       .distinct()
   }
+
+  /** HARD-NEGATIVE mining for embedding-model training: for each query
+    * vector, the top-k most-similar corpus vectors with a DIFFERENT
+    * label, excluding near-identical vectors (cos ≥ `maxCos` — those
+    * are mislabeled duplicates, not negatives). The standard
+    * contrastive-training data op (high-cosine wrong-label examples
+    * are the gradient-rich ones).
+    *
+    * Same plan shape as [[bruteForceTopK]]: queries broadcast (O(k)
+    * rows), corpus scanned LINEARLY once, exact scaled-long cosine, so
+    * the selection boundary is engine-exact and oracle-checkable. For
+    * batch-scale query sets use the q93-style distributed-probe IVF
+    * plan with a label filter on the probed lists. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int,
+                    maxCos: Double = 0.999): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      col(labelCol).as("query_label"), sqrt(normSqExact(col(vecCol))).as("qnorm"))
+    val c = fanOut(corpus).select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cvec"), col(labelCol).as("neighbor_label"),
+      sqrt(normSqExact(col(vecCol))).as("cnorm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_label") =!= col("neighbor_label"))
+      .withColumn("cos",
+        dotExact(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+      .filter(col("cos") < maxCos)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        col("neighbor_label"), col("cos"))
+  }
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis operators for training-data pipelines: quality
   * scoring, token statistics, document fingerprinting, and a heuristic
@@ -386,5 +387,109 @@ object TextAnalysis {
       .groupBy(col("doc"))
       .agg(count(lit(1)).as("n_bigrams"),
         graft.util.Exact.avgExact(col("lp"), 9).as("avg_logp"))
+  }
+
+  /** Gopher/C4-style document quality RULE SUITE — the keep/drop
+    * decision a pretraining ingest applies, with one flag column per
+    * rule so filter composition stays auditable (which rule killed a
+    * doc is a first-class question at corpus scale). Rules (classic
+    * pretraining-filter families, thresholds tuned to this corpus):
+    *
+    *  - `ok_len`:     token count within [minTokens, maxTokens]
+    *  - `ok_wordlen`: mean word length within [minMeanLen, maxMeanLen]
+    *  - `ok_top`:     most-frequent-word fraction ≤ maxTopFrac
+    *                  (boilerplate/keyword-stuffing detector)
+    *  - `ok_bigram`:  duplicated-bigram fraction ≤ maxDupBigramFrac
+    *                  (repetition detector)
+    *  - `ok_stop`:    contains ≥1 stop word (natural-language check)
+    *
+    * All statistics come from ONE tokenize-explode pass: per-(doc,term)
+    * counts roll up to token/distinct/top-word/char totals, a lead()
+    * window over token positions yields bigram repetition. Ratios are
+    * int/int double divisions — deterministic cross-engine. Flags are
+    * 0/1 longs; `keep` is their conjunction. Scale: two key-shuffles
+    * (term-grid and doc), both with partial aggregation; no data path
+    * touches the driver. */
+  def qualityFilter(df: DataFrame, idCol: String, textCol: String,
+                    minTokens: Long = 30, maxTokens: Long = 90,
+                    minMeanLen: Double = 4.0, maxMeanLen: Double = 5.0,
+                    maxTopFrac: Double = 0.12,
+                    maxDupBigramFrac: Double = 0.06,
+                    stopWords: Seq[String] = Seq("the", "a")): DataFrame = {
+    val tok = df.select(col(idCol).as("qf_id"),
+        posexplode(toks(col(textCol))).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+    val tf = tok.groupBy(col("qf_id"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = tf.groupBy(col("qf_id")).agg(
+      sum(col("cnt")).as("n_tokens"),
+      count(lit(1)).as("n_distinct"),
+      max(col("cnt")).as("top_cnt"),
+      sum(length(col("term")).cast("long") * col("cnt")).as("n_chars"),
+      sum(when(col("term").isin(stopWords.map(lit(_)): _*), col("cnt"))
+        .otherwise(0L)).as("stop_cnt"))
+    val w = Window.partitionBy(col("qf_id")).orderBy(col("pos"))
+    val bi = tok
+      .withColumn("nxt", lead(col("term"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("qf_id"), concat_ws(" ", col("term"), col("nxt")).as("bg"))
+      .groupBy(col("qf_id"), col("bg")).agg(count(lit(1)).as("bcnt"))
+      .groupBy(col("qf_id")).agg(sum(col("bcnt")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"))
+    val flag = (c: Column) => when(c, 1L).otherwise(0L)
+    stats.join(bi, Seq("qf_id"), "left")
+      .select(col("qf_id").as(idCol), col("n_tokens"),
+        (col("n_chars").cast("double") / col("n_tokens").cast("double"))
+          .as("mean_word_len"),
+        (col("top_cnt").cast("double") / col("n_tokens").cast("double"))
+          .as("top_word_frac"),
+        (coalesce(col("n_bigrams") - col("n_distinct_bigrams"), lit(0L))
+          .cast("double") / coalesce(col("n_bigrams"), lit(1L)).cast("double"))
+          .as("dup_bigram_frac"))
+      .withColumn("ok_len",
+        flag(col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens))
+      .withColumn("ok_wordlen", flag(col("mean_word_len") >= minMeanLen &&
+        col("mean_word_len") <= maxMeanLen))
+      .withColumn("ok_top", flag(col("top_word_frac") <= maxTopFrac))
+      .withColumn("ok_bigram", flag(col("dup_bigram_frac") <= maxDupBigramFrac))
+      .join(stats.select(col("qf_id").as(idCol),
+        flag(col("stop_cnt") >= 1).as("ok_stop")), Seq(idCol))
+      .withColumn("keep", col("ok_len") * col("ok_wordlen") * col("ok_top") *
+        col("ok_bigram") * col("ok_stop"))
+  }
+
+  /** Deterministic DOMAIN-MIXTURE sampler: allocate exactly `total`
+    * rows across groups proportionally to an integer per-group weight,
+    * using the largest-remainder (Hamilton) method — the standard way a
+    * pretraining pipeline hits a target corpus mix (e.g. "books 30%,
+    * web 60%, code 10%") with EXACT counts, no RNG state, stable under
+    * reshuffling. Within a group, rows are chosen by md5-rank (the
+    * q54-family derandomized-sampling trick).
+    *
+    * Arithmetic is all-integer: base_g = ⌊total·w_g/Σw⌋ via long
+    * division, remainder rank = (total·w_g mod Σw) desc, group asc —
+    * bit-reproducible in any engine. Scale: group stats are O(groups)
+    * (a window over the tiny group list), selection is one md5-rank
+    * window shuffle over the data; allocations broadcast back. */
+  def mixtureSample(df: DataFrame, groupCol: String, idCol: String,
+                    weightCol: Column, total: Long): DataFrame = {
+    val g = df.groupBy(col(groupCol)).agg(first(weightCol).as("w"))
+    val wAll = Window.partitionBy()
+    val wRem = Window.partitionBy()
+      .orderBy(col("rem").desc, col(groupCol))
+    val alloc = g.withColumn("wsum", sum(col("w")).over(wAll))
+      .withColumn("base", expr(s"(CAST($total AS BIGINT) * w) div wsum"))
+      .withColumn("rem", lit(total) * col("w") - col("base") * col("wsum"))
+      .withColumn("leftover", lit(total) - sum(col("base")).over(wAll))
+      .withColumn("extra",
+        when(row_number().over(wRem) <= col("leftover"), 1L).otherwise(0L))
+      .select(col(groupCol), (col("base") + col("extra")).as("alloc"))
+    val wSel = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.select(col(groupCol), col(idCol))
+      .withColumn("sel_rk", row_number().over(wSel).cast("long"))
+      .join(broadcast(alloc), Seq(groupCol))
+      .filter(col("sel_rk") <= col("alloc"))
+      .select(col(groupCol), col(idCol), col("sel_rk"), col("alloc"))
   }
 }

@@ -442,6 +442,94 @@ object PipelineOps {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // HYBRID RETRIEVAL with reciprocal-rank fusion — the modern RAG
+    // read path: a BM25 lexical arm (q79's op, round-9 scores summed
+    // scaled-long per (probe, doc)) and an exact-cosine vector arm
+    // (q31's op) each rank top-20, then fuse with RRF. The fused
+    // score is INTEGER: 1e12 div (60 + rank) per arm (floor
+    // division), so the fusion boundary is engine-exact and the
+    // oracle replays rank lists AND fusion bit-for-bit. Probes =
+    // every 100th doc (its first-5-token query + its embedding).
+    // Scale: lexical arm shuffles on term then (probe,doc); vector
+    // arm broadcasts the O(probes) query side over one linear corpus
+    // scan; the fusion join touches only the two top-20 lists.
+    "q123_hybrid_rrf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val postings = TextAnalysis.bm25(docs, "doc_id", "text")
+      val probes = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("probe_id"),
+          explode(slice(split(col("text"), "\\s+"), 1, 5)).as("term"))
+        .filter(col("term") =!= "").distinct()
+      val wLex = Window.partitionBy(col("probe_id"))
+        .orderBy(col("s9").desc, col("doc"))
+      val lex = probes.join(postings, "term")
+        .filter(col("doc") =!= col("probe_id"))
+        .groupBy(col("probe_id"), col("doc"))
+        .agg(sum(graft.util.Exact.scaled(col("score"), 9)).as("s9"))
+        .withColumn("r_lex", row_number().over(wLex).cast("long"))
+        .filter(col("r_lex") <= 20)
+        .select(col("probe_id"), col("doc").as("doc_id"), col("r_lex"))
+      val emb = Tables.embeddings(s, d)
+      val vec = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", k = 20)
+        .select(col("query_id").as("probe_id"),
+          col("neighbor_id").as("doc_id"), col("rk").as("r_vec"))
+      val wF = Window.partitionBy(col("probe_id"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+      lex.join(vec, Seq("probe_id", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          expr("coalesce(1000000000000 div (60 + r_lex), 0)") +
+          expr("coalesce(1000000000000 div (60 + r_vec), 0)"))
+        .withColumn("rk", row_number().over(wF).cast("long"))
+        .filter(col("rk") <= 10)
+        .select(col("probe_id"), col("rk"), col("doc_id"), col("rrf"),
+          col("r_lex"), col("r_vec"))
+        .orderBy(col("probe_id"), col("rk"))
+    }),
+
+    // Pretraining quality-RULE suite (Gopher/C4 family): one flag per
+    // rule + the keep conjunction, all from one tokenize pass — see
+    // TextAnalysis.qualityFilter. Ratios are int/int doubles;
+    // thresholds chosen to SPLIT this corpus on every rule.
+    "q124_quality_rules" -> ((s, d) => {
+      TextAnalysis.qualityFilter(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Substring-span duplication profile (exact substring dedup
+    // family): 40-char windows at stride 20, md5 span keys, a span is
+    // duplicated iff ≥2 distinct docs contain it; per-doc duplicated
+    // fraction. See Dedup.spanDedup for the scale shape.
+    "q125_span_dedup" -> ((s, d) => {
+      Dedup.spanDedup(Tables.documents(s, d), "doc_id", "text",
+          spanLen = 40, stride = 20)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Hard-negative mining for contrastive training: per probe, the
+    // top-5 highest-cosine WRONG-LABEL neighbors below the near-dup
+    // ceiling. Exact scaled-long cosine ⇒ the selection boundary
+    // (label filter + ceiling + top-k cut) replays in the oracle.
+    "q126_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") % 100 === 0),
+          "vec_id", "embedding", "label", k = 5, maxCos = 0.999)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // Domain-mixture sampling: exactly 100 docs allocated across the
+    // 20 sources by largest-remainder on integer weights (source
+    // index + 1 — i.e. "more of higher-numbered domains"), md5-rank
+    // selection within a source. All-integer allocation arithmetic;
+    // the oracle replays base/remainder/leftover and the md5 ranks.
+    "q127_mixture_sample" -> ((s, d) => {
+      TextAnalysis.mixtureSample(Tables.documents(s, d), "source", "doc_id",
+          regexp_extract(col("source"), "src(\\d+)", 1).cast("long") + 1L,
+          total = 100L)
+        .orderBy(col("source"), col("sel_rk"))
+    }),
+
     // Custom Generator/UDTF through GenerateExec: positional word
     // trigrams — the table-valued quadrant of the §2.10 surface
     // (also SQL-callable as LATERAL VIEW pos_ngrams(text, 3)).
@@ -1142,6 +1230,210 @@ object PipelineOps {
         |  CAST(damerau_levenshtein(head_a, head_b) AS INTEGER) AS dist
         |FROM cand WHERE damerau_levenshtein(head_a, head_b) <= 5
         |ORDER BY id_a, id_b""".stripMargin,
+    // Both rank lists AND the integer RRF fusion replayed: the BM25
+    // arm is the q79 recurrence aggregated per (probe, doc) in
+    // scaled-long; the vector arm is the q31 exact-cosine ranking;
+    // fusion is floor division — no float in the cut anywhere.
+    "q123_hybrid_rrf" ->
+      """WITH tok AS (
+        |  SELECT doc_id AS doc, unnest(regexp_split_to_array(text, '\s+')) AS term
+        |  FROM documents),
+        |tok2 AS (SELECT doc, term FROM tok WHERE term <> ''),
+        |tf AS (SELECT doc, term, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+        |dl AS (SELECT doc, count(*) AS dl FROM tok2 GROUP BY 1),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |              CAST((SELECT sum(dl) FROM dl) AS BIGINT) AS sum_dl),
+        |scored AS (SELECT tf.doc, tf.term,
+        |    round(round(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |        / (CAST(df AS DOUBLE) + 0.5)), 9)
+        |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75
+        |          + (0.75 * CAST(dl AS DOUBLE))
+        |            / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))), 9) AS score
+        |  FROM tf JOIN dl USING (doc) JOIN dfq USING (term) CROSS JOIN st),
+        |probes AS (
+        |  SELECT DISTINCT doc_id AS probe_id, t.term FROM (
+        |    SELECT doc_id, regexp_split_to_array(text, '\s+') AS arr FROM documents
+        |    WHERE doc_id % 100 = 0) p, UNNEST(arr[1:5]) AS t(term)
+        |  WHERE t.term <> ''),
+        |lexagg AS (
+        |  SELECT probe_id, scored.doc,
+        |    CAST(sum(CAST(round(score * 1000000000) AS BIGINT)) AS BIGINT) AS s9
+        |  FROM probes JOIN scored ON scored.term = probes.term
+        |    AND scored.doc <> probes.probe_id
+        |  GROUP BY 1, 2),
+        |lex AS (
+        |  SELECT probe_id, doc AS doc_id, r_lex FROM (
+        |    SELECT probe_id, doc,
+        |      CAST(row_number() OVER (PARTITION BY probe_id
+        |                              ORDER BY s9 DESC, doc) AS BIGINT) AS r_lex
+        |    FROM lexagg) WHERE r_lex <= 20),
+        |ex AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |sn AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CAST(round(v*v*1000000000) AS BIGINT)) AS DOUBLE)/1000000000.0 AS nsq
+        |  FROM ex GROUP BY vec_id),
+        |dots AS (
+        |  SELECT q.vec_id AS probe_id, c.vec_id AS doc_id,
+        |    CAST(sum(CAST(round(q.v*c.v*1000000000) AS BIGINT)) AS BIGINT) AS draw
+        |  FROM ex q JOIN ex c ON q.i = c.i AND q.vec_id % 100 = 0
+        |    AND q.vec_id <> c.vec_id
+        |  GROUP BY 1, 2),
+        |cosd AS (
+        |  SELECT probe_id, doc_id,
+        |    (CAST(draw AS DOUBLE)/1000000000.0)/(sqrt(nq.nsq)*sqrt(nc.nsq)) AS cos
+        |  FROM dots JOIN sn nq ON nq.vec_id = probe_id
+        |    JOIN sn nc ON nc.vec_id = doc_id),
+        |vec AS (
+        |  SELECT probe_id, doc_id, r_vec FROM (
+        |    SELECT probe_id, doc_id,
+        |      CAST(row_number() OVER (PARTITION BY probe_id
+        |                              ORDER BY cos DESC, doc_id) AS BIGINT) AS r_vec
+        |    FROM cosd) WHERE r_vec <= 20),
+        |fused AS (
+        |  SELECT coalesce(l.probe_id, v.probe_id) AS probe_id,
+        |         coalesce(l.doc_id, v.doc_id) AS doc_id, l.r_lex, v.r_vec,
+        |    CAST(coalesce(1000000000000 // (60 + l.r_lex), 0)
+        |       + coalesce(1000000000000 // (60 + v.r_vec), 0) AS BIGINT) AS rrf
+        |  FROM lex l FULL OUTER JOIN vec v
+        |    ON l.probe_id = v.probe_id AND l.doc_id = v.doc_id)
+        |SELECT probe_id, rk, doc_id, rrf, r_lex, r_vec FROM (
+        |  SELECT probe_id, doc_id, rrf, r_lex, r_vec,
+        |    CAST(row_number() OVER (PARTITION BY probe_id
+        |                            ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk
+        |  FROM fused) WHERE rk <= 10 ORDER BY probe_id, rk""".stripMargin,
+    // Every rule flag re-derived from list ops; ratios are the same
+    // int/int double divisions, so flags flip identically.
+    "q124_quality_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS arr
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, arr, len(arr) AS n_tokens,
+        |    list_transform(generate_series(1, len(arr) - 1),
+        |                   i -> arr[i] || ' ' || arr[i + 1]) AS bg
+        |  FROM t),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(arr) AS term FROM t) GROUP BY 1, 2),
+        |top AS (SELECT doc_id, max(c) AS top_cnt FROM tf GROUP BY 1),
+        |met AS (
+        |  SELECT m.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    CAST(list_sum(list_transform(arr, x -> length(x))) AS DOUBLE)
+        |      / CAST(n_tokens AS DOUBLE) AS mean_word_len,
+        |    CAST(top_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_word_frac,
+        |    CASE WHEN len(bg) = 0 THEN 0.0
+        |         ELSE CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE)
+        |            / CAST(len(bg) AS DOUBLE) END AS dup_bigram_frac,
+        |    len(list_filter(arr, x -> x IN ('the', 'a'))) AS stop_cnt
+        |  FROM m JOIN top ON top.doc_id = m.doc_id)
+        |SELECT doc_id, n_tokens, mean_word_len, top_word_frac, dup_bigram_frac,
+        |  CAST(CASE WHEN n_tokens BETWEEN 30 AND 90 THEN 1 ELSE 0 END AS BIGINT) AS ok_len,
+        |  CAST(CASE WHEN mean_word_len BETWEEN 4.0 AND 5.0 THEN 1 ELSE 0 END AS BIGINT) AS ok_wordlen,
+        |  CAST(CASE WHEN top_word_frac <= 0.12 THEN 1 ELSE 0 END AS BIGINT) AS ok_top,
+        |  CAST(CASE WHEN dup_bigram_frac <= 0.06 THEN 1 ELSE 0 END AS BIGINT) AS ok_bigram,
+        |  CAST(CASE WHEN stop_cnt >= 1 THEN 1 ELSE 0 END AS BIGINT) AS ok_stop,
+        |  CAST(CASE WHEN n_tokens BETWEEN 30 AND 90 THEN 1 ELSE 0 END
+        |     * CASE WHEN mean_word_len BETWEEN 4.0 AND 5.0 THEN 1 ELSE 0 END
+        |     * CASE WHEN top_word_frac <= 0.12 THEN 1 ELSE 0 END
+        |     * CASE WHEN dup_bigram_frac <= 0.06 THEN 1 ELSE 0 END
+        |     * CASE WHEN stop_cnt >= 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM met ORDER BY doc_id""".stripMargin,
+    // The q99 chunk recurrence at (40, 20), full-length spans only;
+    // span identity via md5 text hash in both engines.
+    "q125_span_dedup" ->
+      """WITH n AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(text) <= 40 THEN 1
+        |         ELSE 1 + CAST(ceil((length(text) - 40) / 20.0) AS BIGINT)
+        |    END AS n_chunks
+        |  FROM documents),
+        |spans AS (
+        |  SELECT doc_id,
+        |    md5(substr(text, CAST(c.i * 20 + 1 AS BIGINT), 40)) AS span_hash
+        |  FROM n, UNNEST(generate_series(0, n_chunks - 1)) AS c(i)
+        |  WHERE length(substr(text, CAST(c.i * 20 + 1 AS BIGINT), 40)) = 40),
+        |cnts AS (
+        |  SELECT span_hash, count(DISTINCT doc_id) AS span_docs
+        |  FROM spans GROUP BY 1),
+        |pd AS (
+        |  SELECT doc_id, count(*) AS n_spans,
+        |    CAST(sum(CASE WHEN span_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+        |  FROM spans JOIN cnts USING (span_hash) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+        |  CASE WHEN coalesce(n_spans, 0) = 0 THEN 0.0
+        |       ELSE CAST(n_dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE)
+        |  END AS dup_frac
+        |FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // q31's exact-cosine ranking with the label-inequality join and
+    // the near-dup ceiling applied BEFORE the rank, as in the op.
+    "q126_hard_negatives" ->
+      """WITH ex AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |sn AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CAST(round(v*v*1000000000) AS BIGINT)) AS DOUBLE)/1000000000.0 AS nsq
+        |  FROM ex GROUP BY vec_id),
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |dots AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(sum(CAST(round(q.v*c.v*1000000000) AS BIGINT)) AS BIGINT) AS draw
+        |  FROM ex q JOIN ex c ON q.i = c.i AND q.vec_id % 100 = 0
+        |    AND q.vec_id <> c.vec_id
+        |  GROUP BY 1, 2),
+        |cosd AS (
+        |  SELECT query_id, neighbor_id, lc.label AS neighbor_label,
+        |    (CAST(draw AS DOUBLE)/1000000000.0)/(sqrt(nq.nsq)*sqrt(nc.nsq)) AS cos
+        |  FROM dots JOIN sn nq ON nq.vec_id = query_id
+        |    JOIN sn nc ON nc.vec_id = neighbor_id
+        |    JOIN lab lq ON lq.vec_id = query_id
+        |    JOIN lab lc ON lc.vec_id = neighbor_id
+        |  WHERE lq.label <> lc.label)
+        |SELECT query_id, rk, neighbor_id, neighbor_label, cos FROM (
+        |  SELECT query_id, neighbor_id, neighbor_label, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
+        |  FROM cosd WHERE cos < 0.999)
+        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // Largest-remainder allocation replayed in integer arithmetic,
+    // md5-rank selection within each source.
+    "q127_mixture_sample" ->
+      """WITH g AS (
+        |  SELECT source,
+        |    CAST(regexp_extract(source, 'src(\d+)', 1) AS BIGINT) + 1 AS w
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |b AS (
+        |  SELECT source, w, (SELECT sum(w) FROM g) AS wsum FROM g),
+        |c AS (
+        |  SELECT source, (100 * w) // wsum AS base,
+        |         100 * w - ((100 * w) // wsum) * wsum AS rem
+        |  FROM b),
+        |e AS (
+        |  SELECT source, base, rem,
+        |    (SELECT 100 - sum(base) FROM c) AS leftover,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS rr
+        |  FROM c),
+        |alloc AS (
+        |  SELECT source,
+        |    CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |  FROM e),
+        |sel AS (
+        |  SELECT source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS sel_rk
+        |  FROM documents)
+        |SELECT s.source, s.doc_id, s.sel_rk, a.alloc
+        |FROM sel s JOIN alloc a USING (source)
+        |WHERE s.sel_rk <= a.alloc ORDER BY s.source, s.sel_rk""".stripMargin,
     // DuckDB's INDEPENDENT jaro_winkler_similarity implementation —
     // not a replayed recurrence.
     "q117_jw_pairs" ->

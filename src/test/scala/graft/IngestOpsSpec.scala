@@ -1,0 +1,137 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** Invariant specs for the round-6 ingest operators: the quality-rule
+  * suite, substring-span dedup, hard-negative mining, and the
+  * largest-remainder mixture sampler. (Their end-to-end values are
+  * oracle-checked as q124/q125/q126/q127 — these tests pin the
+  * properties an oracle diff can't name.)
+  */
+class IngestOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  // ---- qualityFilter -------------------------------------------------
+
+  test("qualityFilter: every rule splits the corpus, keep == conjunction") {
+    val out = TextAnalysis.qualityFilter(
+      graft.io.Tables.documents(spark, TestSession.sf), "doc_id", "text").cache()
+    for (f <- Seq("ok_len", "ok_wordlen", "ok_top", "ok_bigram", "ok_stop")) {
+      val vals = out.select(col(f)).distinct().as[Long].collect().toSet
+      assert(vals == Set(0L, 1L), s"rule $f does not split the corpus: $vals")
+    }
+    val broken = out.filter(col("keep") =!=
+      col("ok_len") * col("ok_wordlen") * col("ok_top") *
+        col("ok_bigram") * col("ok_stop")).count()
+    assert(broken == 0L)
+    out.unpersist(blocking = false)
+  }
+
+  test("qualityFilter: hand-built docs trip the intended rules") {
+    val docs = Seq(
+      // 40 in-range tokens, mean len (3 + 39·5)/40 = 4.95 ∈ [4, 5],
+      // varied, has a stop word
+      (1L, (Seq("the") ++ (1 to 39).map(i => f"wrd$i%02d")).mkString(" ")),
+      (2L, "tiny doc"),                        // fails ok_len (2 tokens)
+      (3L, (Seq("the") ++ Seq.fill(39)("same")).mkString(" ")) // repetition
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.qualityFilter(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(1L).getAs[Long]("ok_len") == 1L && m(1L).getAs[Long]("keep") == 1L)
+    assert(m(2L).getAs[Long]("ok_len") == 0L && m(2L).getAs[Long]("keep") == 0L)
+    assert(m(3L).getAs[Long]("ok_top") == 0L, "39/40 same word must fail ok_top")
+    assert(m(3L).getAs[Long]("ok_bigram") == 0L, "same-same bigrams must fail ok_bigram")
+  }
+
+  // ---- spanDedup -----------------------------------------------------
+
+  test("spanDedup: shared span detected, unique doc clean, short doc zero spans") {
+    val shared = "A" * 40 // exactly one full-length span per doc at len 40
+    val docs = Seq(
+      (1L, shared),             // span shared with doc 2
+      (2L, shared),
+      (3L, "B" * 40),           // unique full-length span
+      (4L, "short")             // < spanLen: no spans at all
+    ).toDF("doc_id", "text")
+    val m = Dedup.spanDedup(docs, "doc_id", "text", spanLen = 40, stride = 20)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_spans"),
+          r.getAs[Double]("dup_frac"))).toMap
+    assert(m(1L) == ((1L, 1L, 1.0)) && m(2L) == ((1L, 1L, 1.0)))
+    assert(m(3L) == ((1L, 0L, 0.0)))
+    assert(m(4L) == ((0L, 0L, 0.0)))
+  }
+
+  test("spanDedup: repeats WITHIN one doc don't count as duplication") {
+    // one doc made of the same 40-char block repeated: every span may
+    // collide with itself, but span_docs == 1 => nothing is "duplicated"
+    val docs = Seq((1L, ("C" * 40) * 3)).toDF("doc_id", "text")
+    val r = Dedup.spanDedup(docs, "doc_id", "text", 40, 20).collect().head
+    assert(r.getAs[Long]("n_dup_spans") == 0L)
+  }
+
+  // ---- hardNegatives -------------------------------------------------
+
+  test("hardNegatives: wrong-label only, below ceiling, cosine-ranked") {
+    val emb = graft.io.Tables.embeddings(spark, TestSession.sf)
+    val out = Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", "label", k = 5).cache()
+    val qLab = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("neighbor_label") != qLab(r.getAs[Long]("query_id")),
+        "a hard negative must have a different label")
+      assert(r.getAs[Double]("cos") < 0.999)
+    }
+    // within a query, rank order == descending cosine
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
+      val byRank = g.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("cos"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    out.unpersist(blocking = false)
+  }
+
+  // ---- mixtureSample -------------------------------------------------
+
+  test("mixtureSample: exact total, near-proportional, partition-invariant") {
+    val df = graft.io.Tables.documents(spark, TestSession.sf)
+    val w = regexp_extract(col("source"), "src(\\d+)", 1).cast("long") + 1L
+    val sel = TextAnalysis.mixtureSample(df, "source", "doc_id", w, total = 100L)
+      .cache()
+    assert(sel.count() == 100L, "largest-remainder must hit the total EXACTLY")
+    // per-group allocation within 1 of the real-valued share
+    val wsum = (1 to 20).map(_.toLong).sum // src0..src19 -> weights 1..20
+    sel.groupBy(col("source")).agg(count(lit(1)).as("n"), first(col("alloc")).as("a"))
+      .collect().foreach { r =>
+        val src = r.getAs[String]("source")
+        val share = 100.0 * (src.drop(3).toLong + 1) / wsum
+        assert(r.getAs[Long]("n") == r.getAs[Long]("a"))
+        assert(math.abs(r.getAs[Long]("a") - share) < 1.0,
+          s"$src alloc ${r.getAs[Long]("a")} vs share $share")
+      }
+    val again = TextAnalysis.mixtureSample(df.repartition(13), "source",
+      "doc_id", w, total = 100L)
+    assert(sel.select("source", "doc_id").except(
+      again.select("source", "doc_id")).count() == 0L,
+      "selection must not depend on physical partitioning")
+    sel.unpersist(blocking = false)
+  }
+
+  test("mixtureSample: total larger than some groups caps at group size") {
+    // 3 groups of 4 rows, weights 1/1/8: group c wants 20 of 24 slots
+    // but only has 4 rows — alloc is the demand; selection caps at size.
+    val df = (0 until 12).map(i => (Seq("a", "b", "c")(i % 3), i.toLong))
+      .toDF("g", "id")
+    val w = when(col("g") === "c", 8L).otherwise(1L)
+    val sel = TextAnalysis.mixtureSample(df, "g", "id", w, total = 10L)
+    val perG = sel.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perG("c") == 4L, "cannot select more rows than the group has")
+    assert(perG.values.sum <= 10L)
+  }
+}

@@ -27,7 +27,8 @@ class PlanLintSpec extends AnyFunSuite {
   // side = O(1) query rows, so the nested-loop operator is one kernel
   // evaluation per corpus row — LINEAR in the corpus, not a pair
   // explosion. Allowlisted separately from the true quadratics.
-  private val broadcastProbeScan = Set("q112_ann_quantized_rerank")
+  private val broadcastProbeScan = Set("q112_ann_quantized_rerank",
+    "q123_hybrid_rrf", "q126_hard_negatives")
 
   test("no cartesian/nested-loop join in any non-baseline query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -7,10 +7,13 @@ import json, subprocess, sys, glob, os
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+only = ""
+if "--only" in sys.argv:  # comma-separated query-name prefixes
+    only = sys.argv[sys.argv.index("--only") + 1]
 
 if "--skip-verify" not in sys.argv:
     r = subprocess.run(
-        ["sbt", f'runMain graft.Verify {sf} {out}'],
+        ["sbt", f'runMain graft.Verify {sf} {out} {only}'.strip()],
         cwd="/root/repo", capture_output=True, text=True)
     sys.stdout.write(r.stdout[-3000:])
     if r.returncode != 0:
