@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Spectral embedding statistics: the dominant right-singular direction
+  * of the embedding matrix by POWER ITERATION on the Gram matrix — the
+  * distributed core of PCA whitening / anisotropy removal
+  * ("all-but-the-top" post-processing), run before indexing or
+  * training on an embedding corpus.
+  *
+  * Each iteration is two row-scaled distributed passes over X (the d×d
+  * Gram matrix is never materialized; only the O(d) direction vector
+  * crosses the driver, the accepted K-Means-centroid pattern):
+  *
+  *   dot9_i = Σ_k round(x_ik · v_k · 1e9)     (long; v_k literal)
+  *   u9_j   = Σ_i round(x_ij · dot_i · 1e9)   (posexplode + groupBy j)
+  *   v9'_j  = round_half_away(u9_j · 1e9 / max_j |u9_j|)
+  *
+  * The direction lives as a SCALED LONG (v9, |v9| ≤ 1e9) and the
+  * ∞-norm normalization is EXACT integer rational rounding (BigInt on
+  * the driver, HUGEINT arithmetic in the oracle) — no IEEE operation
+  * anywhere in the recurrence except the deterministic per-element
+  * round(x·d·1e9) scaling, so `iters` chained iterations replay
+  * bit-for-bit cross-engine (the q94 discipline, hardened).
+  *
+  * Long-sum headroom: u9 accumulates ~1e11-scaled terms, so corpora
+  * beyond ~10⁷ rows want a per-partition downscale (or a coarser
+  * scale factor) before the final sum — same headroom note as the
+  * other scaled-long reductions.
+  */
+object Spectral {
+  import graft.functions.VectorFunctions.dotScaled
+
+  private val S = 1000000000L // 1e9 scale
+
+  /** Round-half-away-from-zero of p/q (q > 0) in exact integer math. */
+  private def halfAway(p: BigInt, q: BigInt): Long = {
+    val s = if (p.signum < 0) -1 else 1
+    (s * ((p.abs * 2 + q) / (q * 2))).toLong
+  }
+
+  /** Returns (dim, v9, comp): the ∞-normalized dominant direction
+    * after `iters` power iterations from v₀ = e₁ (no RNG). `dim` is
+    * 1-based (matches SQL generate_subscripts); `v9` is the exact
+    * scaled-long component, `comp` its double image. */
+  def topDirection(df: DataFrame, vecCol: String, iters: Int): DataFrame = {
+    val spark = df.sparkSession
+    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    var v9 = Array.tabulate(dim)(j => if (j == 0) S else 0L)
+    // float→double widening is exact and keeps the kernel dispatch on
+    // the DOUBLE path (the direction literal is an array<double>)
+    val xd = col(vecCol).cast("array<double>")
+    for (_ <- 1 to iters) {
+      val vLit = array(v9.map(x => lit(x.toDouble / S.toDouble)): _*)
+      val dots = df.select(xd.as("x"),
+        (dotScaled(xd, vLit).cast("double") / S.toDouble).as("dot"))
+      val u = dots
+        .select(posexplode(col("x")).as(Seq("j0", "xj")), col("dot"))
+        .groupBy(col("j0"))
+        .agg(sum(round(col("xj").cast("double") * col("dot") * S.toDouble)
+          .cast("long")).as("u9"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val u9 = Array.tabulate(dim)(j => u.getOrElse(j, 0L))
+      val norm = u9.map(math.abs).max
+      require(norm > 0L, "power iteration collapsed to the zero vector")
+      v9 = u9.map(x => halfAway(BigInt(x) * S, BigInt(norm)))
+    }
+    import spark.implicits._
+    v9.zipWithIndex
+      .map { case (c, j) => ((j + 1).toLong, c, c.toDouble / S.toDouble) }
+      .toSeq.toDF("dim", "v9", "comp")
+  }
+}

@@ -492,4 +492,27 @@ object TextAnalysis {
       .filter(col("sel_rk") <= col("alloc"))
       .select(col(groupCol), col(idCol), col("sel_rk"), col("alloc"))
   }
+
+  /** Deterministic SHUFFLED-SHARD writer assignment — the last step of
+    * a training-corpus build: give every row a pseudorandom global
+    * position (order by md5(id) — reshuffle-stable, no RNG state) and
+    * deal positions round-robin into `nShards` EXACTLY balanced shards
+    * (sizes differ by ≤1). Downstream: `write.partitionBy("shard")`.
+    *
+    * Scale shape: the global order is a RANGE-partitioned distributed
+    * sort + per-partition `zipWithIndex` offsets (one lightweight
+    * count job) — the q96 dense-id machinery, NO single-partition
+    * window. Output: (id, gpos, shard, shard_pos). */
+  def shardAssign(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, "need at least one shard")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), md5(col(idCol).cast("string")).as("h"))
+      .orderBy(col("h"), col(idCol))
+      .rdd.map(_.getLong(0))
+      .zipWithIndex()
+      .map { case (id, pos) =>
+        (id, pos, pos % nShards, pos / nShards) }
+      .toDF(idCol, "gpos", "shard", "shard_pos")
+  }
 }

@@ -530,6 +530,24 @@ object PipelineOps {
         .orderBy(col("source"), col("sel_rk"))
     }),
 
+    // Dominant embedding direction by 3 power iterations on the Gram
+    // matrix — the distributed PCA-whitening core. The direction lives
+    // as scaled longs with EXACT integer ∞-norm normalization (BigInt
+    // / HUGEINT), so three chained iterations replay bit-for-bit.
+    "q128_power_iteration" -> ((s, d) => {
+      graft.ops.Spectral.topDirection(Tables.embeddings(s, d), "embedding",
+          iters = 3)
+        .orderBy(col("dim"))
+    }),
+
+    // Deterministic shuffled-shard assignment: md5 global order →
+    // round-robin deal into 8 exactly balanced shards; distributed
+    // sort + zipWithIndex (q96 machinery), no single-partition window.
+    "q129_shard_assign" -> ((s, d) => {
+      TextAnalysis.shardAssign(Tables.documents(s, d), "doc_id", nShards = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // Custom Generator/UDTF through GenerateExec: positional word
     // trigrams — the table-valued quadrant of the §2.10 surface
     // (also SQL-callable as LATERAL VIEW pos_ngrams(text, 3)).
@@ -763,6 +781,51 @@ object PipelineOps {
       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
       |  FROM cosd)
       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
+  // q128's oracle: `iters` power iterations unrolled as chained CTEs.
+  // The recurrence is the builder's exactly: dot9 = Σ round(x·v·1e9),
+  // u9 = Σ round(x·(dot9/1e9)·1e9), then EXACT integer half-away
+  // rounding of u9·1e9/max|u9| in HUGEINT (no IEEE in the
+  // normalization), starting from v0 = e1.
+  private def powerIterSql(iters: Int): String = {
+    val b = new StringBuilder(
+      """WITH ex AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS j,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |v0 AS (
+        |  SELECT DISTINCT j, CASE WHEN j = 1 THEN CAST(1000000000 AS BIGINT)
+        |                          ELSE CAST(0 AS BIGINT) END AS v9
+        |  FROM ex)""".stripMargin)
+    for (t <- 1 to iters) {
+      val p = t - 1
+      b ++= s""",
+        |d$t AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CAST(round(ex.x * (CAST(v$p.v9 AS DOUBLE)/1000000000.0)
+        |      * 1000000000) AS BIGINT)) AS BIGINT) AS dot9
+        |  FROM ex JOIN v$p USING (j) GROUP BY vec_id),
+        |u$t AS (
+        |  SELECT j,
+        |    CAST(sum(CAST(round(ex.x * (CAST(d$t.dot9 AS DOUBLE)/1000000000.0)
+        |      * 1000000000) AS BIGINT)) AS BIGINT) AS u9
+        |  FROM ex JOIN d$t USING (vec_id) GROUP BY j),
+        |n$t AS (SELECT max(abs(u9)) AS nrm FROM u$t),
+        |v$t AS (
+        |  SELECT j, CAST(CASE WHEN u9 >= 0
+        |    THEN (CAST(u9 AS HUGEINT) * 2000000000 + nrm)
+        |           // (2 * CAST(nrm AS HUGEINT))
+        |    ELSE -((CAST(-u9 AS HUGEINT) * 2000000000 + nrm)
+        |           // (2 * CAST(nrm AS HUGEINT)))
+        |  END AS BIGINT) AS v9
+        |  FROM u$t CROSS JOIN n$t)""".stripMargin
+    }
+    b ++= s"""
+        |SELECT CAST(j AS BIGINT) AS dim, v9,
+        |  CAST(v9 AS DOUBLE)/1000000000.0 AS comp
+        |FROM v$iters ORDER BY dim""".stripMargin
+    b.toString
+  }
 
   // Exact embedding near-dup pairs at cosine ≥ 0.4 — the oracle for
   // BOTH the brute-force q30 and the degenerate single-bucket LSH q92.
@@ -1404,6 +1467,22 @@ object PipelineOps {
         |                            ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
         |  FROM cosd WHERE cos < 0.999)
         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // Three power iterations unrolled as chained CTEs; the ∞-norm
+    // normalization is EXACT integer rounding in HUGEINT arithmetic —
+    // round_half_away(u9·1e9/nrm) = (2·u9·1e9 + nrm) // (2·nrm) —
+    // matching the builder's BigInt driver math digit-for-digit.
+    "q128_power_iteration" -> powerIterSql(3),
+    // The same global md5 order + round-robin deal, via row_number.
+    "q129_shard_assign" ->
+      """WITH o AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |      - 1 AS gpos
+        |  FROM documents)
+        |SELECT doc_id, CAST(gpos AS BIGINT) AS gpos,
+        |  CAST(gpos % 8 AS BIGINT) AS shard,
+        |  CAST(gpos // 8 AS BIGINT) AS shard_pos
+        |FROM o ORDER BY doc_id""".stripMargin,
     // Largest-remainder allocation replayed in integer arithmetic,
     // md5-rank selection within each source.
     "q127_mixture_sample" ->

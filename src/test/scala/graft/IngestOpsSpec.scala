@@ -122,6 +122,51 @@ class IngestOpsSpec extends AnyFunSuite {
     sel.unpersist(blocking = false)
   }
 
+  // ---- shardAssign ---------------------------------------------------
+
+  test("shardAssign: exact balance, disjoint cover, partition-invariant") {
+    val df = graft.io.Tables.documents(spark, TestSession.sf)
+    val n = df.count()
+    val a = TextAnalysis.shardAssign(df, "doc_id", nShards = 8).cache()
+    assert(a.count() == n, "every row gets exactly one shard")
+    val sizes = a.groupBy("shard").count().as[(Long, Long)].collect().toMap
+    assert(sizes.size == 8)
+    assert(sizes.values.max - sizes.values.min <= 1L,
+      s"round-robin deal must balance within 1: $sizes")
+    // shard_pos is dense 0..size-1 within each shard
+    val dense = a.groupBy("shard")
+      .agg(count(lit(1)).as("c"), max(col("shard_pos")).as("m"))
+      .filter(col("m") =!= col("c") - 1).count()
+    assert(dense == 0L)
+    val b = TextAnalysis.shardAssign(df.repartition(17), "doc_id", 8)
+    assert(a.select("doc_id", "gpos").except(b.select("doc_id", "gpos")).count() == 0L,
+      "global order must not depend on physical partitioning")
+    a.unpersist(blocking = false)
+  }
+
+  // ---- Spectral.topDirection -----------------------------------------
+
+  test("topDirection: finds a planted dominant axis, partition-invariant") {
+    // 40 vectors hugging e3 (with tiny structured noise), 4 along e1:
+    // the Gram matrix's top eigenvector is ≈ ±e3
+    val rows = (0 until 40).map { i =>
+      (i.toLong, Array(0.01 * (i % 3), 0.02, 1.0 + 0.001 * (i % 5)))
+    } ++ (40 until 44).map(i => (i.toLong, Array(0.5, 0.0, 0.0)))
+    val df = rows.toDF("vec_id", "embedding")
+    val v = graft.ops.Spectral.topDirection(df, "embedding", iters = 3)
+      .orderBy(col("dim")).collect()
+    assert(v.length == 3)
+    val comps = v.map(r => math.abs(r.getAs[Double]("comp")))
+    assert(comps(2) == 1.0, "dominant axis must carry the max component")
+    assert(comps(0) < 0.1 && comps(1) < 0.1, comps.mkString(","))
+    // ∞-normalization: max |v9| is exactly the scale
+    assert(v.map(r => math.abs(r.getAs[Long]("v9"))).max == 1000000000L)
+    val v2 = graft.ops.Spectral.topDirection(df.repartition(7), "embedding", 3)
+      .orderBy(col("dim")).collect()
+    assert(v.map(_.getAs[Long]("v9")).toSeq == v2.map(_.getAs[Long]("v9")).toSeq,
+      "scaled-long recurrence must be partition-invariant")
+  }
+
   test("mixtureSample: total larger than some groups caps at group size") {
     // 3 groups of 4 rows, weights 1/1/8: group c wants 20 of 24 slots
     // but only has 4 rows — alloc is the demand; selection caps at size.
