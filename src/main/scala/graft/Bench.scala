@@ -105,7 +105,17 @@ object Bench {
         }.mkString("{", ",", "}")
         s""","errors":$es"""
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson}""")
+    // The driver's BENCH artifact keeps only the TAIL of this line once
+    // the per-query map outgrows its buffer — so the headline numbers
+    // ride at the END, where truncation can't eat them.
+    val times = results.map(_._2).sorted
+    val slowest = results.sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+    val summary = s""""summary":{"n":${results.size},"total_sec":$total,""" +
+      f""""median_sec":${times(times.size / 2)}%.3f,""" +
+      f""""max_sec":${times.last}%.3f,"slowest":$slowest,""" +
+      s""""n_errors":${errors.size}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson,$summary}""")
     spark.stop()
     if (!errors.isEmpty) sys.exit(1)
   }

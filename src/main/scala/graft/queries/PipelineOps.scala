@@ -456,7 +456,16 @@ object PipelineOps {
     "q123_hybrid_rrf" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
+      // q111's impact-ordered truncation, for the same reason: an
+      // untruncated high-df term scores EVERY doc (the sf1 probe
+      // measured 45.7 s / 27x growth without the cut; 100 TB would be
+      // quadratic-ish in corpus size). The cut is deterministic
+      // (round-9 score desc, doc asc), so the oracle replays it.
+      val wTrunc = Window.partitionBy(col("term"))
+        .orderBy(col("score").desc, col("doc"))
       val postings = TextAnalysis.bm25(docs, "doc_id", "text")
+        .withColumn("trk", row_number().over(wTrunc))
+        .filter(col("trk") <= 1000).drop("trk")
       val probes = docs.filter(col("doc_id") % 100 === 0)
         .select(col("doc_id").as("probe_id"),
           explode(slice(split(col("text"), "\\s+"), 1, 5)).as("term"))
@@ -1315,16 +1324,22 @@ object PipelineOps {
         |          + (0.75 * CAST(dl AS DOUBLE))
         |            / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))), 9) AS score
         |  FROM tf JOIN dl USING (doc) JOIN dfq USING (term) CROSS JOIN st),
+        |postings AS (
+        |  SELECT doc, term, score FROM (
+        |    SELECT doc, term, score,
+        |      row_number() OVER (PARTITION BY term
+        |                         ORDER BY score DESC, doc) AS trk
+        |    FROM scored) WHERE trk <= 1000),
         |probes AS (
         |  SELECT DISTINCT doc_id AS probe_id, t.term FROM (
         |    SELECT doc_id, regexp_split_to_array(text, '\s+') AS arr FROM documents
         |    WHERE doc_id % 100 = 0) p, UNNEST(arr[1:5]) AS t(term)
         |  WHERE t.term <> ''),
         |lexagg AS (
-        |  SELECT probe_id, scored.doc,
+        |  SELECT probe_id, postings.doc,
         |    CAST(sum(CAST(round(score * 1000000000) AS BIGINT)) AS BIGINT) AS s9
-        |  FROM probes JOIN scored ON scored.term = probes.term
-        |    AND scored.doc <> probes.probe_id
+        |  FROM probes JOIN postings ON postings.term = probes.term
+        |    AND postings.doc <> probes.probe_id
         |  GROUP BY 1, 2),
         |lex AS (
         |  SELECT probe_id, doc AS doc_id, r_lex FROM (

@@ -14,6 +14,10 @@ QUERIES = ",".join([
     "q26_dedup_minhash", "q52_dedup_groups", "q78_zorder",
     "q80_locf_resample", "q93_ann_distributed", "q105_pagerank",
     "q108_perplexity", "q110_feature_hash", "q111_e2e_rag",
+    # round-6 join/sort-shaped additions: RRF (probe term ⋈ postings),
+    # span dedup (span-hash shuffle + join-back), shard writer (global
+    # range sort + zipWithIndex)
+    "q123_hybrid_rrf", "q125_span_dedup", "q129_shard_assign",
 ])
 
 rnd = sys.argv[1]
