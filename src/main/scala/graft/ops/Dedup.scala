@@ -384,4 +384,50 @@ object Dedup {
       .withColumn("dup_frac", when(col("n_spans") === 0, lit(0.0)).otherwise(
         col("n_dup_spans").cast("double") / col("n_spans").cast("double")))
   }
+
+  /** C4-style segment-level deduplication (Raffel et al. 2020, §2.2:
+    * "we removed all but one of any three-sentence span occurring more
+    * than once" — re-expressed over consecutive `segWords`-word
+    * segments, since this corpus carries no sentence punctuation).
+    * Unlike [[spanDedup]], which *reports* overlapping-window
+    * duplication, this is the *transform*: every distinct segment text
+    * survives exactly once corpus-wide — at its FIRST occurrence
+    * (lowest (doc id, segment position); a within-document repeat is
+    * dropped too, exactly like C4) — and each document is rebuilt from
+    * its surviving segments.
+    *
+    * Scale shape: segment extraction is NARROW (slices of the
+    * already-split token array — no explode-groupBy round trip);
+    * the wide stages are the keep-first decision (one shuffle on
+    * segment text — the window key is the raw segment rather than a
+    * hash so an external engine can replay the decision; production
+    * would key on md5(segment) for a fixed-width shuffle like
+    * spanDedup) and the per-doc rebuild (one shuffle on the id).
+    * Rebuild order is restored by sorting the surviving (position,
+    * segment) structs — no second window. Output: (id, n_segs,
+    * n_kept, clean_text). */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+                   segWords: Int = 8): DataFrame = {
+    require(segWords >= 1, "need segWords >= 1")
+    val toks = split(col(textCol), "\\s+")
+    // ≥1 even for a hypothetical empty token array: Spark's sequence()
+    // DESCENDS when stop < start, which would fabricate segments.
+    val nSegs = greatest(lit(1L),
+      ceil(size(toks).cast("double") / segWords).cast("long"))
+    val segs = df.select(col(idCol),
+      posexplode(transform(sequence(lit(0L), nSegs - 1),
+        i => concat_ws(" ",
+          slice(toks, (i * segWords).cast("int") + 1, lit(segWords)))))
+        .as(Seq("seg_idx", "seg_text")))
+    val wFirst = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seg_text")).orderBy(col(idCol), col("seg_idx"))
+    segs.withColumn("keep", row_number().over(wFirst) === 1)
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("seg_idx"), col("seg_text"))))),
+          s => s.getField("seg_text"))).as("clean_text"))
+  }
 }

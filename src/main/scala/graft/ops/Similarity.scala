@@ -210,4 +210,67 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("neighbor_id"),
         col("neighbor_label"), col("cos"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication of an embedding corpus. Every vector is assigned
+    * to its nearest centroid by cosine (deterministic (cos desc, id)
+    * tie-break); WITHIN each cluster, a vector is dropped iff some
+    * LOWER-id cluster-mate sits at cosine ≥ `tau` (keep-lowest-id —
+    * the deterministic stand-in for the paper's keep-farthest-from-
+    * centroid choice). The clustering is the published scale lever:
+    * near-dup pairs are enumerated per cluster — O(Σ n_c²), bounded
+    * by the largest cluster — never corpus-wide, which is what makes
+    * semantic dedup feasible where [[nearDupPairs]]' all-pairs join
+    * is not.
+    *
+    * Centroids here are a deterministic fixed codebook (the
+    * `nClusters` lowest-id vectors) so the entire decision chain —
+    * assignment, pairing, drop — is exact scaled-long arithmetic an
+    * external engine replays value-for-value; production swaps in
+    * KMeans‖-trained centroids (graft.cluster.KMeansParallel) without
+    * touching the plan shape. Centroids enter the scoring stage as a
+    * LITERAL array generated per row (posexplode — the IvfIndex
+    * idiom: a 1×k cross join would plan as BroadcastNestedLoopJoin;
+    * the generate is joinless), and the argmax collapses map-side
+    * (groupBy-max on (cos, -cent) — the shuffle carries one row per
+    * vector, never one per (vector, centroid)). The centroid model is
+    * O(nClusters) driver state, like every cluster codebook in this
+    * repo; its norms are computed by the same scaled-long kernel
+    * before collection so the literal carries kernel-exact values.
+    * The pair stage is one shuffle join on the cluster id. Output:
+    * one row per input vector — (id, cluster, keep). */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               nClusters: Int, tau: Double): DataFrame = {
+    val centRows = df.filter(col(idCol) < nClusters)
+      .select(col(idCol).cast("long"), col(vecCol),
+        sqrt(normSqExact(col(vecCol))))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    val csLit = typedlit(centRows.toSeq)
+    val v = fanOut(df).select(col(idCol), col(vecCol).as("vec"),
+      sqrt(normSqExact(col(vecCol))).as("vnorm"))
+    val assigned = v
+      .select(col(idCol), col("vec"), col("vnorm"), explode(csLit).as("c"))
+      .withColumn("ccos",
+        dotExact(col("vec"), col("c._3")) / (col("vnorm") * col("c._2")))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("ccos"), (-col("c._1")).as("negc"))).as("best"))
+      .select(col(idCol), (-col("best.negc")).cast("long").as("cluster"))
+      .join(v, idCol)
+    val a = assigned.select(col("cluster"), col(idCol).as("id_a"),
+      col("vec").as("va"), col("vnorm").as("na"))
+    val b = assigned.select(col("cluster"), col(idCol).as("id_b"),
+      col("vec").as("vb"), col("vnorm").as("nb"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", dotExact(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= tau)
+      .select(col("id_b").as(idCol)).distinct()
+      .withColumn("hit", lit(1))
+    assigned.select(col(idCol), col("cluster"))
+      .join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        col("hit").isNull.cast("int").as("keep"))
+  }
 }

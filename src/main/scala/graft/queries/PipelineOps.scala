@@ -557,6 +557,30 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     }),
 
+    // C4-style segment-level dedup — the TRANSFORM (rebuild each doc
+    // from its surviving segments), not a duplication report: every
+    // distinct 8-word segment survives once corpus-wide at its first
+    // (doc, position) occurrence. See Dedup.segmentDedup for the
+    // narrow-extraction / two-shuffle scale shape.
+    "q130_segment_dedup" -> ((s, d) => {
+      Dedup.segmentDedup(Tables.documents(s, d), "doc_id", "text",
+          segWords = 8)
+        .select(col("doc_id"), col("n_segs"), col("n_kept"),
+          md5(col("clean_text")).as("clean_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // SemDeDup semantic dedup: cluster-bucketed cosine pruning with
+    // keep-lowest-id. Fixed deterministic codebook (16 lowest-id
+    // vectors) keeps every boundary — assignment argmax, pair cut at
+    // cos ≥ 0.4, drop decision — exact scaled-long arithmetic the
+    // oracle replays row-for-row.
+    "q131_semantic_dedup" -> ((s, d) => {
+      Similarity.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+          nClusters = 16, tau = 0.4)
+        .orderBy(col("vec_id"))
+    }),
+
     // Custom Generator/UDTF through GenerateExec: positional word
     // trigrams — the table-valued quadrant of the §2.10 surface
     // (also SQL-callable as LATERAL VIEW pos_ngrams(text, 3)).
@@ -1528,6 +1552,73 @@ object PipelineOps {
         |SELECT s.source, s.doc_id, s.sel_rk, a.alloc
         |FROM sel s JOIN alloc a USING (source)
         |WHERE s.sel_rk <= a.alloc ORDER BY s.source, s.sel_rk""".stripMargin,
+    // C4 keep-first segment dedup replayed end-to-end: same 8-word
+    // aligned segments, same (doc, position) first-occurrence rule,
+    // same ordered rebuild (string_agg over surviving segments).
+    "q130_segment_dedup" ->
+      """WITH arrs AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS arr
+        |  FROM documents),
+        |segs AS (
+        |  SELECT doc_id, g.i AS seg_idx,
+        |    array_to_string(arr[(g.i*8+1):(g.i*8+8)], ' ') AS seg_text
+        |  FROM arrs, LATERAL (SELECT unnest(generate_series(0,
+        |    greatest(CAST(ceil(len(arr)/8.0) AS BIGINT), 1) - 1)) AS i) g),
+        |kept AS (
+        |  SELECT doc_id, seg_idx, seg_text,
+        |    row_number() OVER (PARTITION BY seg_text
+        |                       ORDER BY doc_id, seg_idx) AS rn
+        |  FROM segs)
+        |SELECT doc_id, count(*) AS n_segs,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  md5(coalesce(string_agg(CASE WHEN rn = 1 THEN seg_text END,
+        |    ' ' ORDER BY seg_idx), '')) AS clean_hash
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // SemDeDup replay: nearest-of-16-centroids assignment (scaled-long
+    // cosine, (cos desc, id) tie-break), within-cluster pair cut at
+    // cos >= 0.4, drop iff a lower-id cluster-mate clears the cut.
+    "q131_semantic_dedup" ->
+      """WITH ex AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings
+        |), sn AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CAST(round(v*v*1000000000) AS BIGINT)) AS DOUBLE)
+        |      /1000000000.0 AS nsq
+        |  FROM ex GROUP BY vec_id
+        |), cdots AS (
+        |  SELECT a.vec_id, c.vec_id AS cent_id,
+        |    CAST(sum(CAST(round(a.v*c.v*1000000000) AS BIGINT)) AS BIGINT) AS draw
+        |  FROM ex a JOIN ex c ON a.i = c.i AND c.vec_id < 16 GROUP BY 1, 2
+        |), assign AS (
+        |  SELECT vec_id, cent_id AS cluster FROM (
+        |    SELECT cdots.vec_id, cent_id,
+        |      row_number() OVER (PARTITION BY cdots.vec_id ORDER BY
+        |        (CAST(draw AS DOUBLE)/1000000000.0)
+        |          /(sqrt(nv.nsq)*sqrt(nc.nsq)) DESC,
+        |        cent_id) AS rn
+        |    FROM cdots JOIN sn nv ON nv.vec_id = cdots.vec_id
+        |               JOIN sn nc ON nc.vec_id = cent_id)
+        |  WHERE rn = 1
+        |), pdots AS (
+        |  SELECT aa.vec_id AS id_a, bb.vec_id AS id_b,
+        |    CAST(sum(CAST(round(ea.v*eb.v*1000000000) AS BIGINT)) AS BIGINT) AS draw
+        |  FROM assign aa JOIN assign bb
+        |    ON aa.cluster = bb.cluster AND aa.vec_id < bb.vec_id
+        |  JOIN ex ea ON ea.vec_id = aa.vec_id
+        |  JOIN ex eb ON eb.vec_id = bb.vec_id AND ea.i = eb.i
+        |  GROUP BY 1, 2
+        |), dropped AS (
+        |  SELECT DISTINCT id_b AS vec_id FROM pdots
+        |  JOIN sn na ON na.vec_id = id_a JOIN sn nb ON nb.vec_id = id_b
+        |  WHERE (CAST(draw AS DOUBLE)/1000000000.0)
+        |          /(sqrt(na.nsq)*sqrt(nb.nsq)) >= 0.4
+        |)
+        |SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+        |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM assign a LEFT JOIN dropped d USING (vec_id)
+        |ORDER BY a.vec_id""".stripMargin,
     // DuckDB's INDEPENDENT jaro_winkler_similarity implementation —
     // not a replayed recurrence.
     "q117_jw_pairs" ->

@@ -179,4 +179,106 @@ class IngestOpsSpec extends AnyFunSuite {
     assert(perG("c") == 4L, "cannot select more rows than the group has")
     assert(perG.values.sum <= 10L)
   }
+
+  // ---- segmentDedup (C4 keep-first) ----------------------------------
+
+  private def seg(words: String*): String = words.mkString(" ")
+
+  test("segmentDedup: cross-doc and within-doc repeats drop, first stays") {
+    val s1 = seg((1 to 8).map(i => s"a$i"): _*)
+    val s2 = seg((1 to 8).map(i => s"b$i"): _*)
+    val s3 = seg((1 to 8).map(i => s"c$i"): _*)
+    val docs = Seq(
+      (1L, s1 + " " + s2),  // both novel: kept
+      (2L, s1 + " " + s3),  // first segment repeats doc 1: dropped
+      (3L, s3 + " " + s3)   // within-doc repeat AND repeats doc 2
+    ).toDF("doc_id", "text")
+    val m = Dedup.segmentDedup(docs, "doc_id", "text", segWords = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(1L).getAs[Long]("n_kept") == 2L)
+    assert(m(1L).getAs[String]("clean_text") == s1 + " " + s2)
+    assert(m(2L).getAs[Long]("n_kept") == 1L)
+    assert(m(2L).getAs[String]("clean_text") == s3,
+      "doc 2 must lose the segment doc 1 already owns, keep the novel one")
+    assert(m(3L).getAs[Long]("n_segs") == 2L && m(3L).getAs[Long]("n_kept") == 0L,
+      "doc 3's segments all occurred earlier (doc 2, then within-doc)")
+    assert(m(3L).getAs[String]("clean_text") == "")
+  }
+
+  test("segmentDedup: duplicate-free corpus reconstructs byte-for-byte") {
+    // ragged tails included: lengths not divisible by segWords
+    val docs = Seq(
+      (1L, (1 to 11).map(i => s"u$i").mkString(" ")),
+      (2L, (1 to 8).map(i => s"v$i").mkString(" ")),
+      (3L, "lone")
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, "doc_id", "text", segWords = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for ((id, text) <- Seq(1L -> (1 to 11).map(i => s"u$i").mkString(" "),
+                           2L -> (1 to 8).map(i => s"v$i").mkString(" "),
+                           3L -> "lone")) {
+      assert(out(id).getAs[String]("clean_text") == text)
+      assert(out(id).getAs[Long]("n_kept") == out(id).getAs[Long]("n_segs"))
+    }
+  }
+
+  test("segmentDedup: each distinct segment survives exactly once corpus-wide") {
+    val docs = graft.io.Tables.documents(spark, TestSession.sf)
+    val out = Dedup.segmentDedup(docs, "doc_id", "text", segWords = 8)
+    val kept = out.agg(sum("n_kept")).as[Long].head()
+    // distinct segment texts, computed independently of the operator
+    val segsIndep = docs.select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0L), greatest(lit(1L),
+            ceil(size(split(col("text"), "\\s+")).cast("double") / 8)
+              .cast("long")) - 1),
+          i => concat_ws(" ",
+            slice(split(col("text"), "\\s+"), (i * 8).cast("int") + 1, lit(8)))))
+          .as(Seq("seg_idx", "seg_text")))
+    val distinctTexts = segsIndep.select("seg_text").distinct().count()
+    assert(kept == distinctTexts,
+      s"keep-first must retain each distinct segment once: $kept vs $distinctTexts")
+  }
+
+  // ---- semDedup (SemDeDup) -------------------------------------------
+
+  private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+
+  test("semDedup: near-dup cluster-mates drop, lowest id survives") {
+    val emb = Seq(
+      (0L, vec(1, 0, 0)),      // centroid 0 (codebook member, kept)
+      (1L, vec(0, 1, 0)),      // centroid 1
+      (10L, vec(2, 0, 0)),     // cos(·, id 0) = 1 → dropped (0 < 10)
+      (11L, vec(3, 0.001, 0)), // ≈ same direction → dropped
+      (20L, vec(0, 5, 1))      // cluster 1, cos vs centroid = 0.98 < τ: kept
+    ).toDF("vec_id", "embedding")
+    val m = Similarity.semDedup(emb, "vec_id", "embedding",
+        nClusters = 2, tau = 0.99)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(m.size == 5, "one output row per input vector")
+    assert(m(0L).getAs[Int]("keep") == 1 && m(1L).getAs[Int]("keep") == 1)
+    assert(m(10L).getAs[Long]("cluster") == 0L)
+    assert(m(10L).getAs[Int]("keep") == 0 && m(11L).getAs[Int]("keep") == 0)
+    assert(m(20L).getAs[Long]("cluster") == 1L)
+    assert(m(20L).getAs[Int]("keep") == 1)
+  }
+
+  test("semDedup: tau > 1 keeps everything; tau = -1 keeps one per cluster") {
+    val emb = graft.io.Tables.embeddings(spark, TestSession.sf)
+    val all = Similarity.semDedup(emb, "vec_id", "embedding",
+      nClusters = 16, tau = 1.1)
+    assert(all.filter(col("keep") === 0).count() == 0L)
+    val one = Similarity.semDedup(emb, "vec_id", "embedding",
+        nClusters = 16, tau = -1.0).cache()
+    val survivors = one.filter(col("keep") === 1)
+    val perCluster = survivors.groupBy("cluster").count()
+      .filter(col("count") =!= 1L).count()
+    assert(perCluster == 0L, "cos >= -1 always holds: exactly one per cluster")
+    // and the survivor is the cluster's minimum id
+    val badMin = one.groupBy("cluster").agg(min("vec_id").as("mn")).join(
+        survivors.select(col("cluster"), col("vec_id").as("sv")), "cluster")
+      .filter(col("mn") =!= col("sv")).count()
+    assert(badMin == 0L)
+    one.unpersist(blocking = false)
+  }
 }
