@@ -515,4 +515,62 @@ object TextAnalysis {
         (id, pos, pos % nShards, pos / nShards) }
       .toDF(idCol, "gpos", "shard", "shard_pos")
   }
+
+  /** DSIR-style domain selection (Xie et al. 2023, arXiv:2302.03169,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * rank every raw document by how much more likely its hashed-
+    * unigram bag is under a TARGET domain's token distribution than
+    * under the raw pool's, then flag the top `select`. Features are
+    * the [[featureHash]] hashing-trick buckets (portable md5 % dim);
+    * both distributions are add-one-smoothed bucket frequencies
+    * estimated in ONE aggregate pass (c_raw = all tokens, c_tgt =
+    * tokens of docs matching `targetPred`); a document's log
+    * importance weight is Σ_tokens ln(p_tgt(b)/p_raw(b)), each
+    * bucket's log-ratio rounded to 9 decimals once (cross-engine
+    * libm) and summed as scaled longs (order-independent — exact).
+    * Selection = deterministic top-`select` by (weight desc, id):
+    * importance *resampling* derandomized the same way the q113
+    * weighted sampler is.
+    *
+    * Scale shape: the bucket model is O(dim) rows — a broadcast join
+    * onto the token stream, never a shuffle of it; everything else is
+    * the q110 plan (narrow tokenize-explode → (doc,bucket) partial
+    * agg → doc rollup), and the selection boundary is a TakeOrdered
+    * top-k joined back, not a global window. Driver state: the two
+    * O(1) total-token counts (the TfIdf.idf literal pattern).
+    * Output: (id, n_tok, logw, selected). */
+  def dsirScore(df: DataFrame, idCol: String, textCol: String,
+                targetPred: Column, dim: Int = 64,
+                select: Int = 100): DataFrame = {
+    val tok = df
+      .select(col(idCol).as("doc"), targetPred.cast("long").as("tgt"),
+        explode(toks(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("bucket",
+        pmod(expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"),
+          lit(dim.toLong)))
+    val cnt = tok.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("c_raw"), sum(col("tgt")).as("c_tgt"))
+      .cache()
+    val (totRaw, totTgt) = {
+      val r = cnt.agg(sum(col("c_raw")), sum(col("c_tgt"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // ln of a ratio of EXACT small integers: both factors stay well
+    // under 2^53, so the double products and the division are
+    // identical in any IEEE engine; only ln needs the round-9 guard.
+    val lr = cnt.select(col("bucket"),
+      round(log(
+        ((col("c_tgt") + 1) * (totRaw + dim)).cast("double") /
+          ((col("c_raw") + 1) * (totTgt + dim)).cast("double")), 9).as("lr9"))
+    val scored = tok.join(broadcast(lr), "bucket")
+      .groupBy(col("doc")).agg(
+        count(lit(1)).as("n_tok"),
+        graft.util.Exact.sumExact(col("lr9"), 9).as("logw"))
+    val picked = scored.orderBy(col("logw").desc, col("doc")).limit(select)
+      .select(col("doc"), lit(1).as("hit"))
+    scored.join(picked, Seq("doc"), "left")
+      .select(col("doc").as(idCol), col("n_tok"), col("logw"),
+        coalesce(col("hit"), lit(0)).as("selected"))
+  }
 }

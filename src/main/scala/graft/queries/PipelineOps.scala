@@ -581,6 +581,16 @@ object PipelineOps {
         .orderBy(col("vec_id"))
     }),
 
+    // DSIR-style domain selection: hashed-unigram importance weights
+    // ln(p_target/p_raw) (target = lang='en' docs), add-one smoothing,
+    // ln round-9 per bucket + exact scaled-long doc sums, deterministic
+    // top-100 flag. O(dim) broadcast model, q110's hash kernel.
+    "q132_dsir_select" -> ((s, d) => {
+      TextAnalysis.dsirScore(Tables.documents(s, d), "doc_id", "text",
+          col("lang") === "en", dim = 64, select = 100)
+        .orderBy(col("doc_id"))
+    }),
+
     // Custom Generator/UDTF through GenerateExec: positional word
     // trigrams — the table-valued quadrant of the §2.10 surface
     // (also SQL-callable as LATERAL VIEW pos_ngrams(text, 3)).
@@ -1619,6 +1629,38 @@ object PipelineOps {
         |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS keep
         |FROM assign a LEFT JOIN dropped d USING (vec_id)
         |ORDER BY a.vec_id""".stripMargin,
+    // DSIR replay: q110's portable hash, one-pass raw/target bucket
+    // counts, the same smoothed integer-ratio ln (round 9), scaled-long
+    // doc sums, and the (logw desc, id) top-100 boundary.
+    "q132_dsir_select" ->
+      """WITH tok AS (
+        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+        |         unnest(regexp_split_to_array(text, '\s+')) AS tok
+        |  FROM documents),
+        |tok2 AS (
+        |  SELECT doc_id, tgt,
+        |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 64 AS bucket
+        |  FROM tok WHERE tok <> ''),
+        |cnt AS (
+        |  SELECT bucket, count(*) AS c_raw, sum(tgt) AS c_tgt
+        |  FROM tok2 GROUP BY bucket),
+        |tots AS (SELECT sum(c_raw) AS tot_raw, sum(c_tgt) AS tot_tgt FROM cnt),
+        |lr AS (
+        |  SELECT bucket,
+        |    round(ln(CAST((c_tgt + 1) * (tot_raw + 64) AS DOUBLE)
+        |           / CAST((c_raw + 1) * (tot_tgt + 64) AS DOUBLE)), 9) AS lr9
+        |  FROM cnt CROSS JOIN tots),
+        |scored AS (
+        |  SELECT doc_id, count(*) AS n_tok,
+        |    CAST(sum(CAST(round(lr9 * 1000000000) AS BIGINT)) AS DOUBLE)
+        |      /1000000000.0 AS logw
+        |  FROM tok2 JOIN lr USING (bucket) GROUP BY doc_id),
+        |picked AS (
+        |  SELECT doc_id FROM scored ORDER BY logw DESC, doc_id LIMIT 100)
+        |SELECT s.doc_id, s.n_tok, s.logw,
+        |  CAST(CASE WHEN p.doc_id IS NULL THEN 0 ELSE 1 END AS INT) AS selected
+        |FROM scored s LEFT JOIN picked p USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
     // DuckDB's INDEPENDENT jaro_winkler_similarity implementation —
     // not a replayed recurrence.
     "q117_jw_pairs" ->

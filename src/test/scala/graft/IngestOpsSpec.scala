@@ -281,4 +281,26 @@ class IngestOpsSpec extends AnyFunSuite {
     assert(badMin == 0L)
     one.unpersist(blocking = false)
   }
+
+  // ---- dsirScore (DSIR importance resampling) ------------------------
+
+  test("dsirScore: target-like docs outrank pool-like docs, exactly k selected") {
+    // alpha/beta/delta land in distinct buckets (59/43/17) of the
+    // 64-bucket portable hash — no collision muddies the ordering
+    val docs = Seq(
+      (1L, "alpha alpha alpha alpha", "en"),  // pure target vocabulary
+      (2L, "beta beta beta beta", "fr"),      // pure pool vocabulary
+      (3L, "alpha alpha beta beta", "fr"),    // mixed
+      (4L, "delta delta delta delta", "fr")   // vocabulary absent from target
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.dsirScore(docs, "doc_id", "text",
+        col("lang") === "en", dim = 64, select = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == 4, "every doc is scored, selected or not")
+    val lw = (i: Long) => out(i).getAs[Double]("logw")
+    assert(lw(1L) > lw(3L), "all-target beats mixed")
+    assert(lw(3L) > lw(2L), "mixed beats all-pool")
+    assert(out.values.map(_.getAs[Int]("selected")).sum == 2)
+    assert(out(1L).getAs[Int]("selected") == 1, "the most target-like doc is picked")
+  }
 }
