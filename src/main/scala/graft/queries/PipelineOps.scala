@@ -591,6 +591,18 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Product quantization + asymmetric-distance (ADC) top-k — the
+    // third member of the quantized-ANN family (SQ8 q68/q112, IVF
+    // q47/q75/q93): m=8 codes replace 64 floats, candidates score by
+    // m LUT additions. All-integer scaled-long distances ⇒ encode,
+    // LUT, and the top-k cut replay exactly (no float-ADC drift).
+    "q133_pq_adc" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.ops.Quantize.pqAdcTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", m = 8, nCodes = 16, k = 5)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     // Custom Generator/UDTF through GenerateExec: positional word
     // trigrams — the table-valued quadrant of the §2.10 surface
     // (also SQL-callable as LATERAL VIEW pos_ngrams(text, 3)).
@@ -1661,6 +1673,48 @@ object PipelineOps {
         |  CAST(CASE WHEN p.doc_id IS NULL THEN 0 ELSE 1 END AS INT) AS selected
         |FROM scored s LEFT JOIN picked p USING (doc_id)
         |ORDER BY s.doc_id""".stripMargin,
+    // PQ replay: subspace split s=(i-1)//8, per-subspace scaled-long
+    // squared distances nsq9 − 2·dot9 + nsq9 against the 16 lowest-id
+    // sub-centroids, argmin codes, per-query LUT, ADC = Σ LUT[s,code].
+    "q133_pq_adc" ->
+      """WITH ex AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |sub AS (
+        |  SELECT vec_id, CAST((i-1)//8 AS BIGINT) AS s, (i-1)%8 AS si, v
+        |  FROM ex),
+        |xn AS (
+        |  SELECT vec_id, s,
+        |    CAST(sum(CAST(round(v*v*1000000000) AS BIGINT)) AS BIGINT) AS nsq9
+        |  FROM sub GROUP BY 1, 2),
+        |xd AS (
+        |  SELECT a.vec_id, a.s, c.vec_id AS j,
+        |    CAST(sum(CAST(round(a.v*c.v*1000000000) AS BIGINT)) AS BIGINT) AS dot9
+        |  FROM sub a JOIN sub c ON a.s = c.s AND a.si = c.si AND c.vec_id < 16
+        |  GROUP BY 1, 2, 3),
+        |d AS (
+        |  SELECT xd.vec_id, xd.s, xd.j, xa.nsq9 - 2*dot9 + xc.nsq9 AS d9
+        |  FROM xd JOIN xn xa ON xa.vec_id = xd.vec_id AND xa.s = xd.s
+        |          JOIN xn xc ON xc.vec_id = xd.j AND xc.s = xd.s),
+        |codes AS (
+        |  SELECT vec_id, s, j AS code FROM (
+        |    SELECT vec_id, s, j,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d9, j) AS rn
+        |    FROM d) WHERE rn = 1),
+        |lut AS (SELECT vec_id AS query_id, s, j, d9 FROM d WHERE vec_id < 5),
+        |adc AS (
+        |  SELECT l.query_id, c.vec_id AS neighbor_id,
+        |    CAST(sum(l.d9) AS BIGINT) AS adc9
+        |  FROM codes c JOIN lut l ON l.s = c.s AND l.j = c.code
+        |    AND l.query_id <> c.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, rk, neighbor_id, adc9 FROM (
+        |  SELECT query_id, neighbor_id, adc9,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc9, neighbor_id) AS BIGINT) AS rk
+        |  FROM adc)
+        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
     // DuckDB's INDEPENDENT jaro_winkler_similarity implementation —
     // not a replayed recurrence.
     "q117_jw_pairs" ->

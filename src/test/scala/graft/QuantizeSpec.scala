@@ -87,4 +87,44 @@ class QuantizeSpec extends AnyFunSuite {
       cut(q).intersect(exact(q)).size / 5.0).sum / exact.size
     assert(recall >= 0.8, s"recall@5 with 50-candidate cut = $recall")
   }
+
+  // ---- product quantization --------------------------------------------
+
+  test("pq: identical vectors share codes; ADC of an exact copy is zero") {
+    import spark.implicits._
+    // 16 well-separated base vectors (dim 16, m=4 → sub=4) + an exact
+    // copy of base 7 under a non-codebook id
+    val base = (0 until 16).map(j =>
+      (j.toLong, Array.tabulate(16)(i => (j * 16 + i).toFloat / 10)))
+    val corpus = (base :+ (20L, base(7)._2)).toDF("vec_id", "embedding")
+    val codes = Quantize.pqEncode(corpus, "vec_id", "embedding",
+        m = 4, nCodes = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (s <- 0L until 4L) {
+      assert(codes((7L, s)) == 7L, "a codebook vector encodes to itself")
+      assert(codes((20L, s)) == codes((7L, s)), "an exact copy shares all codes")
+    }
+    val top = Quantize.pqAdcTopK(corpus,
+        corpus.filter(col("vec_id") === 20L), "vec_id", "embedding",
+        m = 4, nCodes = 16, k = 1).collect()
+    assert(top.length == 1)
+    assert(top(0).getAs[Long]("neighbor_id") == 7L)
+    assert(top(0).getAs[Long]("adc9") == 0L,
+      "ADC to the copied codebook vector is exactly zero (integer arithmetic)")
+  }
+
+  test("pq ADC on the real table: k rows per query, ascending integer distances") {
+    val out = Quantize.pqAdcTopK(emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", m = 8, nCodes = 16, k = 5).cache()
+    assert(out.count() == 25L)
+    val perQ = out.groupBy("query_id").count()
+      .filter(col("count") =!= 5L).count()
+    assert(perQ == 0L)
+    val nonMono = out.withColumn("prev",
+        lag(col("adc9"), 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(col("rk"))))
+      .filter(col("prev").isNotNull && col("adc9") < col("prev")).count()
+    assert(nonMono == 0L, "adc9 must ascend with rank")
+    out.unpersist(blocking = false)
+  }
 }
