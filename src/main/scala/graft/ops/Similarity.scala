@@ -247,6 +247,8 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getDouble(2), r.getSeq[Float](1)))
       .sortBy(_._1)
+    require(centRows.nonEmpty,
+      s"semDedup: no vectors with $idCol < $nClusters to serve as centroids")
     val csLit = typedlit(centRows.toSeq)
     val v = fanOut(df).select(col(idCol), col(vecCol).as("vec"),
       sqrt(normSqExact(col(vecCol))).as("vnorm"))

@@ -18,6 +18,9 @@ QUERIES = ",".join([
     # span dedup (span-hash shuffle + join-back), shard writer (global
     # range sort + zipWithIndex)
     "q123_hybrid_rrf", "q125_span_dedup", "q129_shard_assign",
+    # late round-6: C4 keep-first (segment-text window shuffle) and
+    # DSIR (token stream ⋈ broadcast bucket model + TakeOrdered cut)
+    "q130_segment_dedup", "q132_dsir_select",
 ])
 
 rnd = sys.argv[1]
