@@ -61,10 +61,6 @@ object ScaleProbe {
     * across copies AND disjoint from the q105 node encoding (supplier
     * ids stay < 10^6). */
   private def build(spark: SparkSession, src: String, out: String, copies: Int): Unit = {
-    // events.parquet stores TIMESTAMP(NANOS) — read nanos as long
-    // (same trap Tables.eventsRaw handles); the replica then carries a
-    // BIGINT ts, which every consumer already accepts
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val big = 100000000L // 1e8: orderkey/partkey/custkey/doc/vec/event ids
     def rep(name: String, grow: (DataFrame, Int) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$src/$name.parquet")
@@ -98,8 +94,18 @@ object ScaleProbe {
     // join customers from copy i (a smaller step detached every
     // replicated event from the customer table, collapsing q101-style
     // enrichment selectivity at probe scale)
-    rep("events", (df, i) =>
-      shift("user_id", big)(shift("event_id", big)(df, i), i))
+    // events goes through the schema-adaptive raw loader (the testdata's
+    // ts encoding is driver-owned and has drifted before); the replica
+    // then carries whatever encoding was read, which Tables.normalizeTs
+    // accepts either way
+    def repEvents(): Unit = {
+      val base = graft.io.Tables.eventsRaw(spark, src)
+      val all = (0 until copies)
+        .map(i => shift("user_id", big)(shift("event_id", big)(base, i), i))
+        .reduce(_ unionAll _)
+      all.write.mode("overwrite").parquet(s"$out/events.parquet")
+    }
+    repEvents()
     rep("documents", (df, i) => {
       val d = shift("doc_id", big)(df, i)
       if (i == 0) d

@@ -187,12 +187,9 @@ object EventQueries {
     // driven to completion synchronously. Oracle = the batch SQL.
     "q41_stream_hourly" -> ((s, d) => {
       val name = s"stream_hourly_${streamId.incrementAndGet()}"
-      // streaming schema = the raw file layout (ts as nanos long); the
-      // micros-normalization transform runs inside the streaming plan
-      val schema = Tables.eventsRaw(s, d).schema
-      // file streams want a directory or glob, not a bare file path
-      val src = s.readStream.schema(schema).parquet(s"$d/events*.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // streaming schema derives from the batch footer and the same
+      // schema-adaptive ts normalization runs inside the streaming plan
+      val src = Tables.eventsStream(s, d)
       val agg = src
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -223,9 +220,7 @@ object EventQueries {
     // which is the oracle.
     "q101_stream_static_join" -> ((s, d) => {
       val name = s"stream_enrich_${streamId.incrementAndGet()}"
-      val schema = Tables.eventsRaw(s, d).schema
-      val src = s.readStream.schema(schema).parquet(s"$d/events*.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val src = Tables.eventsStream(s, d)
       val dim = broadcast(Tables.customer(s, d)
         .select(col("c_custkey"), col("c_mktsegment").as("segment")))
       val enriched = src.join(dim, col("user_id") === col("c_custkey"))
@@ -251,10 +246,9 @@ object EventQueries {
     "q42_stream_sessionize" -> ((s, d) => {
       import s.implicits._
       val name = s"stream_sess_${streamId.incrementAndGet()}"
-      val schema = Tables.eventsRaw(s, d).schema
-      val src = s.readStream.schema(schema).parquet(s"$d/events*.parquet")
+      val src = Tables.eventsStream(s, d)
         .select(col("user_id"), col("event_id"),
-          expr("ts div 1000").as("us")).as[(Long, Long, Long)]
+          unix_micros(col("ts")).as("us")).as[(Long, Long, Long)]
       val sess = src.groupByKey(_._1)
         .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
           (uid: Long, it: Iterator[(Long, Long, Long)],
@@ -288,9 +282,7 @@ object EventQueries {
     // islands. Session start = min event ts, emitted as epoch micros.
     "q107_stream_session_window" -> ((s, d) => {
       val name = s"stream_swin_${streamId.incrementAndGet()}"
-      val schema = Tables.eventsRaw(s, d).schema
-      val src = s.readStream.schema(schema).parquet(s"$d/events*.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val src = Tables.eventsStream(s, d)
       val agg = src
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"))
@@ -365,9 +357,7 @@ object EventQueries {
     // COUNT(DISTINCT) oracle.
     "q57_stream_dedup" -> ((s, d) => {
       val name = s"stream_dedup_${streamId.incrementAndGet()}"
-      val schema = Tables.eventsRaw(s, d).schema
-      val src = s.readStream.schema(schema).parquet(s"$d/events*.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val src = Tables.eventsStream(s, d)
         .withWatermark("ts", "1 hour")
         .dropDuplicates("user_id", "event_type")
         .groupBy(col("event_type"))
@@ -389,9 +379,7 @@ object EventQueries {
     // join — which is the oracle.
     "q64_stream_stream_join" -> ((s, d) => {
       val name = s"stream_ssj_${streamId.incrementAndGet()}"
-      val schema = Tables.eventsRaw(s, d).schema
-      def src = s.readStream.schema(schema).parquet(s"$d/events*.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      def src = Tables.eventsStream(s, d)
       val clicks = src.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
         .withWatermark("c_ts", "2 hours")
@@ -657,6 +645,18 @@ object EventQueries {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
           countDistinct(col("k")).as("distinct_k"))
         .orderBy(col("event_type"))
+    }),
+
+    // Events-SCHEMA smoke: the loader contract itself as an oracle row.
+    // min/max(ts) re-emitted as epoch micros + count — if the
+    // driver-owned parquet's physical ts encoding ever drifts again,
+    // this row fails FIRST and names the loader, instead of 29
+    // downstream queries failing in analysis (the round-6 mode).
+    "q134_events_schema_smoke" -> ((s, d) => {
+      Tables.events(s, d).agg(
+        unix_micros(min(col("ts"))).as("min_us"),
+        unix_micros(max(col("ts"))).as("max_us"),
+        count(lit(1)).as("n_events"))
     })
   )
 
@@ -829,6 +829,9 @@ object EventQueries {
         |  ON g.user_id = o.user_id AND o.ts <= g.h
         |ORDER BY 1, 2""".stripMargin,
     "q81_session_overlap" -> SessionOverlapSql,
+    "q134_events_schema_smoke" ->
+      """SELECT epoch_us(min(ts)) AS min_us, epoch_us(max(ts)) AS max_us,
+        |  count(*) AS n_events FROM events""".stripMargin,
     "q85_cdc_latest" -> CdcLatestSql,
     // The streamed MERGE materialization must equal the batch
     // compaction — same oracle as q85.

@@ -21,6 +21,10 @@ QUERIES = ",".join([
     # late round-6: C4 keep-first (segment-text window shuffle) and
     # DSIR (token stream ⋈ broadcast bucket model + TakeOrdered cut)
     "q130_segment_dedup", "q132_dsir_select",
+    # round-7 (verdict ask #3): event-family probes SCALE_r06 could not
+    # cover while the events loader was broken — interval-overlap join
+    # (grid-bucketed) and session-overlap triangle counting
+    "q81_session_overlap", "q109_triangles",
 ])
 
 rnd = sys.argv[1]
