@@ -2,7 +2,7 @@ package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, TimestampNTZType, TimestampType}
 
 import scala.util.control.NonFatal
 
@@ -91,5 +91,23 @@ object Tables {
       s.readStream.schema(eventsRaw(s, d).schema).parquet(s"$d/events*.parquet"))
 
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** embeddings with the vector canonicalized to `array<float>` — the
+    * type every ANN/quantization consumer (and their `Seq[Float]`
+    * collect paths for O(k) model state) relies on. Same
+    * drift-adversarial stance as [[normalizeTs]]: a driver
+    * regeneration as `list<double>` must degrade to a cast, not crash
+    * the whole similarity family (TablesSpec pins both encodings;
+    * q136 is the oracle smoke). */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    val df = load(s, d, "embeddings")
+    df.schema("embedding").dataType match {
+      case ArrayType(FloatType, _)  => df
+      case ArrayType(DoubleType, _) =>
+        df.withColumn("embedding", col("embedding").cast("array<float>"))
+      case other => throw new IllegalArgumentException(
+        s"embeddings.embedding has unsupported encoding $other — expected " +
+          "array<float> or array<double>")
+    }
+  }
 }

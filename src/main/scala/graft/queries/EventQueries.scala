@@ -647,6 +647,28 @@ object EventQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Events-INDEPENDENT as-of join (verdict-r6 stretch #8, defense in
+    // depth): the same AsOfJoin operator as q59 over tiny literal
+    // tables, so the temporal-join family J6/J8 keeps an oracle-green
+    // row even if the driver-owned events table drifts again. The
+    // literals pin the three semantic edges: an exact ts tie matches
+    // (<=), a left row earlier than every right row gets nulls, and
+    // multiple candidates resolve to the latest.
+    "q135_asof_literal" -> ((s, d) => {
+      import s.implicits._
+      val clicks = Seq(
+        (1L, 1L, 100L, 10L), (2L, 1L, 200L, 20L), (3L, 1L, 50L, 5L),
+        (4L, 2L, 500L, 40L), (5L, 3L, 999L, 1L))
+        .toDF("event_id", "user_id", "us", "value")
+      val purchases = Seq(
+        (1L, 100L, 7L), (1L, 150L, 8L), (2L, 400L, 9L), (2L, 500L, 11L))
+        .toDF("user_id", "p_us", "p_value")
+      graft.ops.AsOfJoin.asOf(clicks, purchases, Seq("user_id"),
+          leftTs = "us", rightTs = "p_us",
+          payload = Seq("p_us", "p_value"), prefix = "")
+        .orderBy(col("event_id"))
+    }),
+
     // Events-SCHEMA smoke: the loader contract itself as an oracle row.
     // min/max(ts) re-emitted as epoch micros + count — if the
     // driver-owned parquet's physical ts encoding ever drifts again,
@@ -832,6 +854,18 @@ object EventQueries {
     "q134_events_schema_smoke" ->
       """SELECT epoch_us(min(ts)) AS min_us, epoch_us(max(ts)) AS max_us,
         |  count(*) AS n_events FROM events""".stripMargin,
+    "q135_asof_literal" ->
+      """WITH l(event_id, user_id, us, value) AS (VALUES
+        |    (1,1,100,10),(2,1,200,20),(3,1,50,5),(4,2,500,40),(5,3,999,1)),
+        |  r(user_id, p_us, p_value) AS (VALUES
+        |    (1,100,7),(1,150,8),(2,400,9),(2,500,11))
+        |SELECT CAST(l.event_id AS BIGINT) AS event_id,
+        |  CAST(l.user_id AS BIGINT) AS user_id, CAST(l.us AS BIGINT) AS us,
+        |  CAST(l.value AS BIGINT) AS value, CAST(r.p_us AS BIGINT) AS p_us,
+        |  CAST(r.p_value AS BIGINT) AS p_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND r.p_us <= l.us
+        |ORDER BY event_id""".stripMargin,
     "q85_cdc_latest" -> CdcLatestSql,
     // The streamed MERGE materialization must equal the batch
     // compaction — same oracle as q85.

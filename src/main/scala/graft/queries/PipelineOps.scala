@@ -603,6 +603,22 @@ object PipelineOps {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // Embeddings-SCHEMA smoke (q134's sibling for the vector table):
+    // count, dim range, and a first-element checksum computed at FLOAT
+    // precision on both engines — drift in the driver-owned parquet's
+    // element type fails here first, naming the loader, not the whole
+    // ANN family. The checksum multiplies the float32 element into a
+    // double before rounding, which DuckDB replays with CAST(.. AS
+    // REAL), so float vs double storage cannot silently diverge.
+    "q136_embeddings_schema_smoke" -> ((s, d) => {
+      Tables.embeddings(s, d).agg(
+        count(lit(1)).as("n_vecs"),
+        min(size(col("embedding"))).cast("long").as("dim_min"),
+        max(size(col("embedding"))).cast("long").as("dim_max"),
+        sum(round(element_at(col("embedding"), 1) * 1e6).cast("long"))
+          .as("checksum"))
+    }),
+
     // Custom Generator/UDTF through GenerateExec: positional word
     // trigrams — the table-valued quadrant of the §2.10 surface
     // (also SQL-callable as LATERAL VIEW pos_ngrams(text, 3)).
@@ -1716,6 +1732,12 @@ object PipelineOps {
         |  FROM adc)
         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
     // DuckDB's INDEPENDENT jaro_winkler_similarity implementation —
+    "q136_embeddings_schema_smoke" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        |  min(len(embedding)) AS dim_min, max(len(embedding)) AS dim_max,
+        |  CAST(sum(CAST(round(CAST(embedding[1] AS REAL) * 1000000)
+        |    AS BIGINT)) AS BIGINT) AS checksum
+        |FROM embeddings""".stripMargin,
     // not a replayed recurrence.
     "q117_jw_pairs" ->
       """WITH t AS (

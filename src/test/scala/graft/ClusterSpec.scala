@@ -128,3 +128,23 @@ class KMeansParallelFitSpec extends AnyFunSuite {
       s"KMeans|| loss $lossPar vs naive $lossNaive")
   }
 }
+
+/** Verdict-r6 stretch #7: the rows-only q21 fit is the SAME fitExact
+  * recurrence as the oracle-green q119 — assert the cross-query
+  * equality directly so q21's values are anchored, not just its
+  * code path. (q24's recluster arithmetic is already anchored to
+  * q120 via ReclusterSpec.) */
+class FitAnchorSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("q21 centroids and iteration count equal the q119 oracle fit (4-dec rounding aside)") {
+    val q21 = graft.queries.Clustering.queries("q21_kmeans_2d")(spark, TestSession.sf)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getInt(3)))
+    val q119 = graft.queries.Clustering.queries("q119_kmeans_full_fit")(spark, TestSession.sf)
+      .collect().map(r => (r.getInt(0),
+        math.rint(r.getDouble(1) * 10000) / 10000,
+        math.rint(r.getDouble(2) * 10000) / 10000, r.getInt(3)))
+    assert(q21.toSeq == q119.toSeq,
+      "q21 must be the q119 fit output modulo its 4-decimal display rounding")
+  }
+}

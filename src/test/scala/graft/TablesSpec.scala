@@ -86,6 +86,29 @@ class TablesSpec extends AnyFunSuite {
     assert(loadedMicros(dir) == usValues)
   }
 
+  test("embeddings canonicalize to array<float> from either element encoding") {
+    import spark.implicits._
+    // values with float-truncation residue: 0.1 and 1/3 are not exact
+    val vecs = Seq((1L, Seq(0.1, 1.0 / 3.0), 0), (2L, Seq(2.5, -7.25), 1))
+    val dirD = tmpTableDir()
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dirD/embeddings.parquet")
+    val dirF = tmpTableDir()
+    vecs.map { case (id, v, l) => (id, v.map(_.toFloat), l) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dirF/embeddings.parquet")
+    def loadVals(dir: String): Seq[(Long, Seq[Float])] = {
+      val df = graft.io.Tables.embeddings(spark, dir)
+      assert(df.schema("embedding").dataType ==
+        ArrayType(FloatType, containsNull = true),
+        "embedding must canonicalize to array<float>")
+      df.select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq.sortBy(_._1)
+    }
+    assert(loadVals(dirD) == loadVals(dirF),
+      "double-encoded embeddings must load as the same float values")
+  }
+
   test("streaming source normalizes ts identically to the batch loader") {
     val sfDir = TestSession.sf
     val batch = graft.io.Tables.events(spark, sfDir)
