@@ -94,15 +94,28 @@ object ScaleProbe {
     // join customers from copy i (a smaller step detached every
     // replicated event from the customer table, collapsing q101-style
     // enrichment selectivity at probe scale)
-    // events goes through the schema-adaptive raw loader (the testdata's
-    // ts encoding is driver-owned and has drifted before); the replica
-    // then carries whatever encoding was read, which Tables.normalizeTs
-    // accepts either way
+    // events goes through the schema-adaptive loader (the testdata's ts
+    // encoding is driver-owned and has drifted before). Copies are
+    // TIME-SHIFTED end-to-end, not stacked on the same clock window:
+    // stacking 10x users onto one window inflates instantaneous session
+    // concurrency 10x, so any per-time-cell pairing (q81 overlap join,
+    // q109's overlap GRAPH) densifies quadratically — a property of the
+    // replication, not the operator (a measured run spilled >80 GB and
+    // died ENOSPC in q109's wedge join at 10 copies). Real 100 TB of
+    // events extends the TIMELINE at similar instantaneous concurrency;
+    // the shift reproduces that, keeping id spaces disjoint AND the
+    // temporal density constant.
     def repEvents(): Unit = {
-      val base = graft.io.Tables.eventsRaw(spark, src)
-      val all = (0 until copies)
-        .map(i => shift("user_id", big)(shift("event_id", big)(base, i), i))
-        .reduce(_ unionAll _)
+      val base = graft.io.Tables.events(spark, src)
+      val Array(mn, mx) = base
+        .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      val spanUs = mx - mn + 3600L * 1000000L // +1h: copies never touch
+      val all = (0 until copies).map { i =>
+        shift("user_id", big)(shift("event_id", big)(base, i), i)
+          .withColumn("ts",
+            timestamp_micros(unix_micros(col("ts")) + lit(spanUs * i)))
+      }.reduce(_ unionAll _)
       all.write.mode("overwrite").parquet(s"$out/events.parquet")
     }
     repEvents()

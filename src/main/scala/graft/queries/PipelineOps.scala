@@ -1735,8 +1735,8 @@ object PipelineOps {
     "q136_embeddings_schema_smoke" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_vecs,
         |  min(len(embedding)) AS dim_min, max(len(embedding)) AS dim_max,
-        |  CAST(sum(CAST(round(CAST(embedding[1] AS REAL) * 1000000)
-        |    AS BIGINT)) AS BIGINT) AS checksum
+        |  CAST(sum(CAST(round(CAST(CAST(embedding[1] AS REAL) AS DOUBLE)
+        |    * 1000000) AS BIGINT)) AS BIGINT) AS checksum
         |FROM embeddings""".stripMargin,
     // not a replayed recurrence.
     "q117_jw_pairs" ->

@@ -18,7 +18,8 @@ files = [f for f in files if re.search(r"\.(scala|sbt|py|java|md)$", f)]
 PUBLIC_IMPORT = re.compile(
     r"^(import|from)\s+(org\.apache\.|scala\b|scala\.|java\.|javax\.|graft\.?|"
     r"org\.scalatest|org\.scalacheck|json\b|re\b|subprocess\b|sys\b|os\b|glob\b|"
-    r"datetime\b|duckdb\b|pyarrow\b|pandas\b|[\w.]+\.implicits\._)")
+    r"datetime\b|duckdb\b|pyarrow\b|pandas\b|shutil\b|"
+    r"[\w.]+\.implicits\._)")
 URL = re.compile(r"https?://([\w.-]+)")
 PUBLIC_HOST = re.compile(
     r"(apache\.org|github\.com|arxiv\.org|aclanthology\.org|wikipedia\.org|"
