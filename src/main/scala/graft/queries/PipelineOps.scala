@@ -619,6 +619,62 @@ object PipelineOps {
           .as("checksum"))
     }),
 
+    // Documents-SCHEMA smoke — the third driver-owned risky table
+    // (q134 events, q136 embeddings): ~60 queries read documents, so
+    // encoding drift there must fail on ONE obvious row first.
+    "q137_documents_schema_smoke" -> ((s, d) => {
+      Tables.documents(s, d).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("sum_chars"),
+        sum(length(col("text")).cast("long")).as("sum_text_len"),
+        countDistinct(col("lang")).cast("long").as("n_langs"),
+        countDistinct(col("source")).cast("long").as("n_sources"))
+    }),
+
+    // PER-DOMAIN CAP (RefinedWeb/C4-style source balancing): keep at
+    // most K docs per source domain, selected by a reshuffle-stable
+    // pseudorandom rank (md5 of the doc id — zero RNG state, the
+    // q127/q129 derandomization pattern) so reruns and repartitions
+    // keep the same docs. One window shuffle on (source); at 100 TB
+    // the cap bounds any hub domain's contribution without a global
+    // sort or a driver-side frequency table.
+    "q138_domain_cap" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 10)
+        .select(col("source"), col("rk"), col("doc_id"))
+        .orderBy(col("source"), col("rk"))
+    }),
+
+    // CANONICAL-DOC SELECTION over near-dup clusters — the keep-policy
+    // step a real dedup pipeline runs after q26/q52: cluster docs by
+    // connected components of the LSH pair graph (singletons stay
+    // their own cluster), keep the LONGEST doc per cluster (ties →
+    // lowest doc_id). Reuses the memoized pair list (q26/q52's cached
+    // signatures) and the q52 component op; adds one broadcast-size
+    // join (components ≤ docs-in-pairs) and one window on cluster —
+    // no new quadratics. Oracle replays components recursively plus
+    // the same keep window.
+    "q139_dedup_canonical" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val comp = Dedup.dedupGroups(nearDupPairs(s, d).select(col("id_a"), col("id_b")))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+      val m = docs.join(comp, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("rep_id"), col("doc_id")))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      m.withColumn("krk", row_number().over(w))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max(when(col("krk") === 1, col("doc_id"))).as("keep_id"),
+          max(when(col("krk") === 1, col("n_chars"))).as("keep_chars"))
+        .orderBy(col("cluster_id"))
+    }),
+
     // Custom Generator/UDTF through GenerateExec: positional word
     // trigrams — the table-valued quadrant of the §2.10 surface
     // (also SQL-callable as LATERAL VIEW pos_ngrams(text, 3)).
@@ -1738,6 +1794,50 @@ object PipelineOps {
         |  CAST(sum(CAST(round(CAST(CAST(embedding[1] AS REAL) AS DOUBLE)
         |    * 1000000) AS BIGINT)) AS BIGINT) AS checksum
         |FROM embeddings""".stripMargin,
+    "q137_documents_schema_smoke" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM documents""".stripMargin,
+    "q138_domain_cap" ->
+      """SELECT source, rk, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+        |  FROM documents)
+        |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+    "q139_dedup_canonical" ->
+      ("WITH RECURSIVE " + NgramPairsCtes +
+        """,
+          |pairs AS (
+          |  SELECT id_a, id_b
+          |  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+          |  WHERE CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5),
+          |edges AS (
+          |  SELECT id_a AS src, id_b AS dst FROM pairs
+          |  UNION SELECT id_b, id_a FROM pairs),
+          |reach AS (
+          |  SELECT src, dst FROM edges
+          |  UNION
+          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+          |comp AS (
+          |  SELECT src AS doc_id, least(src, min(dst)) AS rep_id
+          |  FROM reach GROUP BY src),
+          |m AS (
+          |  SELECT d.doc_id, coalesce(c.rep_id, d.doc_id) AS cluster_id,
+          |    CAST(d.n_chars AS BIGINT) AS n_chars
+          |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+          |r AS (
+          |  SELECT cluster_id, doc_id, n_chars,
+          |    row_number() OVER (PARTITION BY cluster_id
+          |      ORDER BY n_chars DESC, doc_id) AS krk
+          |  FROM m)
+          |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+          |  max(CASE WHEN krk = 1 THEN doc_id END) AS keep_id,
+          |  max(CASE WHEN krk = 1 THEN n_chars END) AS keep_chars
+          |FROM r GROUP BY cluster_id ORDER BY cluster_id""".stripMargin),
     // not a replayed recurrence.
     "q117_jw_pairs" ->
       """WITH t AS (
