@@ -385,6 +385,52 @@ object Dedup {
         col("n_dup_spans").cast("double") / col("n_spans").cast("double")))
   }
 
+  /** MAXIMAL duplicated-span removal list — the transform-side output
+    * of substring-level dedup, i.e. the shape an ExactSubstr-style
+    * pipeline (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better") actually emits: per document, the
+    * character ranges to cut. [[spanDedup]] REPORTS window-level
+    * duplication; this MERGES the duplicated fixed-stride windows into
+    * maximal `[cut_start, cut_end)` character spans per document —
+    * overlapping or exactly-adjacent windows coalesce via a running-max
+    * gaps-and-islands pass (an island starts where a window's start
+    * exceeds the max end of every earlier window in the doc).
+    *
+    * Duplication rule matches spanDedup: a full-length window is
+    * duplicated iff its text occurs in ≥ 2 distinct documents; md5
+    * span keys give a fixed-width shuffle. Scale shape: one shuffle
+    * for the span-hash distinct-doc count, one join back, then ONE
+    * window pass over each doc's duplicated windows (per-doc data,
+    * never corpus-wide) — no quadratics anywhere. Output: (id,
+    * span_rk, cut_start, cut_end, cut_len), span_rk dense per doc in
+    * start order. */
+  def spanRemovalList(df: DataFrame, idCol: String, textCol: String,
+                      spanLen: Int = 40, stride: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = TextAnalysis.chunkDocuments(df, idCol, textCol, spanLen, stride)
+      .filter(col("chunk_len") === spanLen)
+      .select(col(idCol), (col("chunk_id").cast("long") * stride).as("start"),
+        md5(col("chunk").cast("binary")).as("span_hash"))
+    val dupHashes = wins.groupBy(col("span_hash"))
+      .agg(count_distinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= 2).select(col("span_hash"))
+    val dupWins = wins.join(dupHashes, "span_hash")
+      .select(col(idCol), col("start"),
+        (col("start") + spanLen).as("end"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("start"))
+    val prevMaxEnd =
+      max(col("end")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    dupWins
+      .withColumn("new_island",
+        when(prevMaxEnd.isNull || col("start") > prevMaxEnd, 1L).otherwise(0L))
+      .withColumn("span_rk",
+        sum(col("new_island")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("span_rk"))
+      .agg(min(col("start")).as("cut_start"), max(col("end")).as("cut_end"))
+      .select(col(idCol), col("span_rk"), col("cut_start"), col("cut_end"),
+        (col("cut_end") - col("cut_start")).as("cut_len"))
+  }
+
   /** C4-style segment-level deduplication (Raffel et al. 2020, §2.2:
     * "we removed all but one of any three-sentence span occurring more
     * than once" — re-expressed over consecutive `segWords`-word

@@ -516,6 +516,16 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     }),
 
+    // The TRANSFORM sibling of q125: duplicated windows merged into
+    // maximal per-doc removal spans (ExactSubstr's output shape —
+    // Lee et al. 2022). Gaps-and-islands running-max merge; the
+    // oracle replays windows, dup rule, islands, and spans.
+    "q140_span_removal" -> ((s, d) => {
+      Dedup.spanRemovalList(Tables.documents(s, d), "doc_id", "text",
+          spanLen = 40, stride = 20)
+        .orderBy(col("doc_id"), col("span_rk"))
+    }),
+
     // Hard-negative mining for contrastive training: per probe, the
     // top-5 highest-cosine WRONG-LABEL neighbors below the near-dup
     // ceiling. Exact scaled-long cosine ⇒ the selection boundary
@@ -1808,6 +1818,40 @@ object PipelineOps {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
         |  FROM documents)
         |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+    "q140_span_removal" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, length(text) AS L FROM documents
+        |  WHERE length(text) >= 40),
+        |idx AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0, CAST((L - 40) / 20 AS BIGINT))) AS i
+        |  FROM t),
+        |w AS (
+        |  SELECT doc_id, CAST(i * 20 AS BIGINT) AS st,
+        |    substr(text, CAST(i * 20 + 1 AS INTEGER), 40) AS sp
+        |  FROM idx),
+        |dup AS (
+        |  SELECT sp FROM w GROUP BY sp HAVING count(DISTINCT doc_id) >= 2),
+        |dw AS (
+        |  SELECT w.doc_id, w.st, w.st + 40 AS en FROM w JOIN dup USING (sp)),
+        |g AS (
+        |  SELECT doc_id, st, en,
+        |    CASE WHEN max(en) OVER (PARTITION BY doc_id ORDER BY st
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR st > max(en) OVER (PARTITION BY doc_id ORDER BY st
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS ni
+        |  FROM dw),
+        |isl AS (
+        |  SELECT doc_id, st, en,
+        |    CAST(sum(ni) OVER (PARTITION BY doc_id ORDER BY st
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS span_rk
+        |  FROM g)
+        |SELECT doc_id, span_rk, min(st) AS cut_start, max(en) AS cut_end,
+        |  max(en) - min(st) AS cut_len
+        |FROM isl GROUP BY doc_id, span_rk
+        |ORDER BY doc_id, span_rk""".stripMargin,
     "q139_dedup_canonical" ->
       ("WITH RECURSIVE " + NgramPairsCtes +
         """,

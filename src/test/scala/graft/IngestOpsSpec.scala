@@ -304,3 +304,40 @@ class IngestOpsSpec extends AnyFunSuite {
     assert(out(1L).getAs[Int]("selected") == 1, "the most target-like doc is picked")
   }
 }
+
+class SpanRemovalSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("duplicated windows merge into maximal spans; unique text emits none") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // docs 1 and 2 share chars [0, 80) exactly (4 overlapping windows at
+    // stride 20 over an 80-char prefix), then diverge; doc 3 is unique.
+    val shared = "A" * 25 + "B" * 30 + "C" * 25 // 80 chars
+    val docs = Seq(
+      (1L, shared + ("x" * 40) + shared.take(40) + "ZZ" * 20),
+      (2L, shared + ("y" * 40)),
+      (3L, (0 until 120).map(i => ('a' + (i * 7 + i / 3) % 26).toChar).mkString))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Dedup
+      .spanRemovalList(docs, "doc_id", "text", spanLen = 40, stride = 20)
+      .orderBy("doc_id", "span_rk")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 3 never appears
+    assert(!out.exists(_._1 == 3L), "unique doc must emit no removal span")
+    // doc 2: one maximal span covering the shared 80-char prefix
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2.head._3 == 0L && d2.head._4 == 80L,
+      s"doc 2 must merge its 3 full-windows into [0, 80): ${d2.toSeq}")
+    // doc 1 has the prefix span; every cut is maximal (no two spans
+    // touch or overlap) and span_rk is dense from 1
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.head._3 == 0L && d1.head._4 >= 80L)
+    assert(d1.map(_._2).toSeq == (1L to d1.length).toSeq, "dense span_rk")
+    d1.sliding(2).foreach {
+      case Array(a, b) => assert(b._3 > a._4, s"spans must not touch: $a $b")
+      case _ =>
+    }
+  }
+}
