@@ -71,4 +71,26 @@ object Spectral {
       .map { case (c, j) => ((j + 1).toLong, c, c.toDouble / S.toDouble) }
       .toSeq.toDF("dim", "v9", "comp")
   }
+
+  /** Per-vector projection onto the `iters`-step dominant direction —
+    * PCA leverage along the top component, the signal
+    * "all-but-the-top" removal and anisotropy diagnostics rank by.
+    * proj9 = Σ_j round(x_j · v_j · 1e9), the SAME per-element scaled
+    * rounding as the iteration's dot pass, so the scores chain onto
+    * the q128 recurrence bit-for-bit. Returns the `k` most-aligned
+    * rows by (|proj9| desc, id asc). Scale shape: the direction is an
+    * O(d) literal (broadcast with the plan), the projection is one
+    * narrow codegen'd pass, and the cut is TakeOrdered — per-partition
+    * heaps, no global sort or single-partition window. */
+  def projections(df: DataFrame, idCol: String, vecCol: String,
+                  iters: Int, k: Int): DataFrame = {
+    val v9 = topDirection(df, vecCol, iters)
+      .collect().sortBy(_.getLong(0)).map(_.getLong(1))
+    val vLit = array(v9.map(x => lit(x.toDouble / S.toDouble)): _*)
+    val xd = col(vecCol).cast("array<double>")
+    df.select(col(idCol), dotScaled(xd, vLit).as("proj9"))
+      .orderBy(abs(col("proj9")).desc, col(idCol)).limit(k)
+      .select(col(idCol), col("proj9"),
+        (col("proj9").cast("double") / S.toDouble).as("proj"))
+  }
 }

@@ -559,6 +559,17 @@ object PipelineOps {
         .orderBy(col("dim"))
     }),
 
+    // PCA leverage scores: every vector's scaled-long projection onto
+    // q128's 3-iteration direction, top-50 most-aligned — the ranking
+    // "all-but-the-top" removal and anisotropy diagnostics consume.
+    // Direction = O(d) literal in the plan; projection = one narrow
+    // codegen pass; cut = TakeOrdered (per-partition heaps).
+    "q141_pca_projection" -> ((s, d) => {
+      graft.ops.Spectral.projections(Tables.embeddings(s, d), "vec_id",
+          "embedding", iters = 3, k = 50)
+        .orderBy(abs(col("proj9")).desc, col("vec_id"))
+    }),
+
     // Deterministic shuffled-shard assignment: md5 global order →
     // round-robin deal into 8 exactly balanced shards; distributed
     // sort + zipWithIndex (q96 machinery), no single-partition window.
@@ -924,7 +935,25 @@ object PipelineOps {
   // u9 = Σ round(x·(dot9/1e9)·1e9), then EXACT integer half-away
   // rounding of u9·1e9/max|u9| in HUGEINT (no IEEE in the
   // normalization), starting from v0 = e1.
-  private def powerIterSql(iters: Int): String = {
+  private def powerIterSql(iters: Int): String =
+    powerIterCtes(iters) + s"""
+        |SELECT CAST(j AS BIGINT) AS dim, v9,
+        |  CAST(v9 AS DOUBLE)/1000000000.0 AS comp
+        |FROM v$iters ORDER BY dim""".stripMargin
+
+  // q141: the same chained iterations, then every vector's scaled-long
+  // projection onto the final direction, top-k by (|proj9|, vec_id).
+  private def powerIterProjSql(iters: Int, k: Int): String =
+    powerIterCtes(iters) + s""",
+        |proj AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CAST(round(ex.x * (CAST(v$iters.v9 AS DOUBLE)/1000000000.0)
+        |      * 1000000000) AS BIGINT)) AS BIGINT) AS proj9
+        |  FROM ex JOIN v$iters USING (j) GROUP BY vec_id)
+        |SELECT vec_id, proj9, CAST(proj9 AS DOUBLE)/1000000000.0 AS proj
+        |FROM proj ORDER BY abs(proj9) DESC, vec_id LIMIT $k""".stripMargin
+
+  private def powerIterCtes(iters: Int): String = {
     val b = new StringBuilder(
       """WITH ex AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS j,
@@ -957,10 +986,6 @@ object PipelineOps {
         |  END AS BIGINT) AS v9
         |  FROM u$t CROSS JOIN n$t)""".stripMargin
     }
-    b ++= s"""
-        |SELECT CAST(j AS BIGINT) AS dim, v9,
-        |  CAST(v9 AS DOUBLE)/1000000000.0 AS comp
-        |FROM v$iters ORDER BY dim""".stripMargin
     b.toString
   }
 
@@ -1615,6 +1640,7 @@ object PipelineOps {
     // round_half_away(u9·1e9/nrm) = (2·u9·1e9 + nrm) // (2·nrm) —
     // matching the builder's BigInt driver math digit-for-digit.
     "q128_power_iteration" -> powerIterSql(3),
+    "q141_pca_projection" -> powerIterProjSql(3, 50),
     // The same global md5 order + round-robin deal, via row_number.
     "q129_shard_assign" ->
       """WITH o AS (

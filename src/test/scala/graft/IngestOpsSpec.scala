@@ -167,6 +167,26 @@ class IngestOpsSpec extends AnyFunSuite {
       "scaled-long recurrence must be partition-invariant")
   }
 
+  test("projections: planted-axis vectors lead the leverage ranking, partition-invariant") {
+    val rows = (0 until 40).map { i =>
+      (i.toLong, Array(0.01 * (i % 3), 0.02, 1.0 + 0.001 * (i % 5)))
+    } ++ (40 until 44).map(i => (i.toLong, Array(0.5, 0.0, 0.0)))
+    val df = rows.toDF("vec_id", "embedding")
+    val top = graft.ops.Spectral.projections(df, "vec_id", "embedding",
+      iters = 3, k = 10).collect()
+    assert(top.length == 10)
+    // every top-leverage row is one of the 40 e3-hugging vectors, and
+    // ranking is by |proj9| desc
+    assert(top.forall(_.getAs[Long]("vec_id") < 40L),
+      "e1 outliers must not out-lever the dominant-axis rows")
+    val abs9 = top.map(r => math.abs(r.getAs[Long]("proj9"))).toSeq
+    assert(abs9 == abs9.sorted.reverse, "ordered by |proj9| desc")
+    val t2 = graft.ops.Spectral.projections(df.repartition(5), "vec_id",
+      "embedding", iters = 3, k = 10).collect()
+    assert(top.map(_.getAs[Long]("proj9")).toSeq ==
+      t2.map(_.getAs[Long]("proj9")).toSeq, "partition-invariant")
+  }
+
   test("mixtureSample: total larger than some groups caps at group size") {
     // 3 groups of 4 rows, weights 1/1/8: group c wants 20 of 24 slots
     // but only has 4 rows — alloc is the demand; selection caps at size.
