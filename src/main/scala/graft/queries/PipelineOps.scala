@@ -27,11 +27,24 @@ object PipelineOps {
       Dedup.nearDuplicatePairs(Tables.documents(s, d), "doc_id", "text",
         threshold = 0.5, numHashes = 128, bands = 64, rowsPerBand = 2).cache())
 
-  /** Drop the memoized pair list and unpersist its cache (see
-    * graft.util.Caches). */
+  // The component labels over those pairs feed q52 (the labels) and
+  // q139 (canonical selection) — the min-label BSP is iterative, so
+  // recomputing it per consumer costs whole rounds, not one plan node.
+  private val compCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def dedupComponents(s: SparkSession, d: String): DataFrame =
+    compCache.getOrElseUpdate((s, d),
+      Dedup.dedupGroups(nearDupPairs(s, d).select(col("id_a"), col("id_b")))
+        .cache())
+
+  /** Drop the memoized pair/component tables and unpersist their
+    * caches (see graft.util.Caches). */
   private[graft] def clearMemo(): Unit = {
     pairsCache.values.foreach(_.unpersist(blocking = false))
     pairsCache.clear()
+    compCache.values.foreach(_.unpersist(blocking = false))
+    compCache.clear()
   }
 
   val queries: Map[String, Q] = Map(
@@ -95,8 +108,7 @@ object PipelineOps {
     // "which doc do we keep" step of a dedup pipeline. Oracle =
     // recursive-CTE transitive closure over the exact pair list.
     "q52_dedup_groups" -> ((s, d) => {
-      Dedup.dedupGroups(nearDupPairs(s, d).select(col("id_a"), col("id_b")))
-        .orderBy(col("doc_id"))
+      dedupComponents(s, d).orderBy(col("doc_id"))
     }),
 
     // Benchmark decontamination: training docs overlapping a probe
@@ -681,7 +693,7 @@ object PipelineOps {
     // the same keep window.
     "q139_dedup_canonical" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val comp = Dedup.dedupGroups(nearDupPairs(s, d).select(col("id_a"), col("id_b")))
+      val comp = dedupComponents(s, d)
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
       val m = docs.join(comp, Seq("doc_id"), "left")
