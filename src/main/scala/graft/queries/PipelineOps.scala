@@ -1862,12 +1862,14 @@ object PipelineOps {
         |  WHERE length(text) >= 40),
         |idx AS (
         |  SELECT doc_id, text,
-        |    unnest(generate_series(0, CAST((L - 40) / 20 AS BIGINT))) AS i
+        |    unnest(generate_series(0, (L - 40) // 20)) AS i
         |  FROM t),
         |w AS (
-        |  SELECT doc_id, CAST(i * 20 AS BIGINT) AS st,
-        |    substr(text, CAST(i * 20 + 1 AS INTEGER), 40) AS sp
-        |  FROM idx),
+        |  SELECT doc_id, CAST(i * 20 AS BIGINT) AS st, sp FROM (
+        |    SELECT doc_id, i,
+        |      substr(text, CAST(i * 20 + 1 AS INTEGER), 40) AS sp
+        |    FROM idx)
+        |  WHERE length(sp) = 40),
         |dup AS (
         |  SELECT sp FROM w GROUP BY sp HAVING count(DISTINCT doc_id) >= 2),
         |dw AS (
