@@ -528,6 +528,34 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     }),
 
+    // N-GRAM NOVELTY against the earlier corpus (incremental-dedup
+    // diagnostic): per doc, the fraction of its distinct word
+    // trigrams whose FIRST occurrence (min doc_id = ingestion order)
+    // is this doc. Streams/crawls use exactly this to score how much
+    // a new batch adds. One shuffle keyed on the shingle for the
+    // first-occurrence map, a join back, one per-doc agg — never a
+    // doc×doc comparison. Shingle-less docs (<3 words) are fully
+    // novel by definition.
+    "q142_ngram_novelty" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh = docs.select(col("doc_id"),
+        explode(graft.functions.VectorFunctions.wordShingles(col("text"), 3))
+          .as("shingle"))
+      val first = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
+      val per = sh.join(first, "shingle")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+      docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+        .withColumn("novelty", when(col("n_shingles") === 0, lit(1.0))
+          .otherwise(col("n_novel").cast("double") / col("n_shingles").cast("double")))
+        .orderBy(col("doc_id"))
+    }),
+
     // The TRANSFORM sibling of q125: duplicated windows merged into
     // maximal per-doc removal spans (ExactSubstr's output shape —
     // Lee et al. 2022). Gaps-and-islands running-max merge; the
@@ -1856,6 +1884,22 @@ object PipelineOps {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
         |  FROM documents)
         |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+    "q142_ngram_novelty" ->
+      ("WITH " + NgramPairsCtes +
+        """,
+          |first AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle),
+          |per AS (
+          |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+          |    CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS n_novel
+          |  FROM sh s JOIN first f USING (shingle) GROUP BY s.doc_id)
+          |SELECT d.doc_id, coalesce(p.n_shingles, 0) AS n_shingles,
+          |  coalesce(p.n_novel, 0) AS n_novel,
+          |  CASE WHEN coalesce(p.n_shingles, 0) = 0 THEN 1.0
+          |       ELSE CAST(p.n_novel AS DOUBLE) / CAST(p.n_shingles AS DOUBLE)
+          |  END AS novelty
+          |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+          |ORDER BY d.doc_id""".stripMargin),
     "q140_span_removal" ->
       """WITH t AS (
         |  SELECT doc_id, text, length(text) AS L FROM documents
