@@ -147,4 +147,85 @@ object Quantize {
       .select(col("query_id"), col("rk"), col(idCol).as("neighbor_id"),
         col("adc9"))
   }
+
+  // ---- IVF-PQ: coarse inverted-file pruning × PQ ADC scoring --------
+
+  /** Full-vector exact scaled-long squared distance (the per-subspace
+    * subDist9 summed over all subspaces — per-element rounding makes
+    * the two formulations the same integer). */
+  private def fullDist9(x: org.apache.spark.sql.Column,
+                        c: org.apache.spark.sql.Column) =
+    normSqScaled(x) - lit(2L) * dotScaled(x, c) + normSqScaled(c)
+
+  /** IVF-PQ composed search — the production billion-scale ANN shape
+    * (FAISS IndexIVFPQ with `by_residual=false`): a coarse inverted
+    * file prunes the corpus to `nProbe` of `kCoarse` lists per query,
+    * and only the surviving candidates are scored, by PQ ADC (m LUT
+    * integer additions each) instead of a d-dim float loop. Completes
+    * the family ladder: brute (q30/q31) → IVF-Flat (q47/q75/q93) →
+    * PQ-ADC flat (q133) → IVF-PQ (q143).
+    *
+    * Coarse centroids are the `kCoarse` lowest-id vectors entering the
+    * plan as a posexplode LITERAL (the IvfIndex/SemDeDup deterministic-
+    * codebook idiom — production trains them; the plan shape is
+    * unchanged), assignment/probing argmin by EXACT scaled-long
+    * distance with (d9, bucket) tie-break, so bucket membership, the
+    * probe set, and the final ADC cut all replay cross-engine.
+    *
+    * Scale shape: assignment collapses map-side (groupBy-min(struct) —
+    * one narrow pass over the corpus); at 100 TB `bucket` is the
+    * table's partition key so a probe touches nProbe partitions
+    * (partition pruning does the data skipping); the candidate join is
+    * bucket-keyed (each (query, candidate) pair meets in exactly ONE
+    * bucket — assignment is unique — so no dedup pass); the ADC stage
+    * is a broadcast O(Q·m·nCodes) LUT join + one (query, candidate)
+    * partial-agg shuffle over the PRUNED candidate set only.
+    * Output: (query_id, rk, neighbor_id, adc9). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, kCoarse: Int = 4, nProbe: Int = 2,
+                m: Int = 8, nCodes: Int = 16, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val coarse = corpus.filter(col(idCol) < kCoarse)
+      .select(col(idCol).cast("long"), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+    require(coarse.nonEmpty, "corpus must contain the coarse-centroid ids")
+    val coarseLit = typedlit(coarse)
+    val assign = corpus
+      .select(col(idCol), col(vecCol), explode(coarseLit).as("c"))
+      .withColumn("d9f", fullDist9(col(vecCol), col("c._2")))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("d9f"), col("c._1").as("bucket"))).as("best"))
+      .select(col(idCol).as("neighbor_id"), col("best.bucket").as("bucket"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("d9f"), col("bucket"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol), explode(coarseLit).as("c"))
+      .select(col("query_id"), col("c._1").as("bucket"),
+        fullDist9(col(vecCol), col("c._2")).as("d9f"))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("bucket"))
+    val codes = pqEncode(corpus, idCol, vecCol, m, nCodes)
+    val (sub, entries) = pqCodebook(corpus, idCol, vecCol, m, nCodes)
+    val csLit = typedlit(entries)
+    val lut = queries
+      .select(col(idCol).as("query_id"), col(vecCol), explode(csLit).as("c"))
+      .select(col("query_id"), col("c._1").cast("long").as("s"),
+        col("c._2").as("code"),
+        subDist9(slice(col(vecCol), col("c._1") * sub + 1, lit(sub)),
+          col("c._3")).as("lut9"))
+    val cand = assign.join(broadcast(probes), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc9"), col("neighbor_id"))
+    cand
+      .join(codes.withColumnRenamed(idCol, "neighbor_id"), Seq("neighbor_id"))
+      .join(broadcast(lut), Seq("query_id", "s", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("lut9")).as("adc9"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("adc9"))
+  }
 }

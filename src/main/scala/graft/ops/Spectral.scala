@@ -93,4 +93,48 @@ object Spectral {
       .select(col(idCol), col("proj9"),
         (col("proj9").cast("double") / S.toDouble).as("proj"))
   }
+
+  /** "All-but-the-top" removal (Mu & Viswanath 2018, arXiv:1702.01417
+    * §3 step 3): subtract each vector's component along the dominant
+    * direction — the anisotropy-removal TRANSFORM the q128 direction
+    * and q141 leverage diagnostics feed. The whole computation is
+    * exact integer rational arithmetic so the residual ranking
+    * replays cross-engine:
+    *
+    *   x9_j  = round(x_j · 1e9)                      (per-element)
+    *   r9_j  = x9_j − half_away(proj9 · v9_j, 1e9)   (DECIMAL(38)/
+    *                                                  HUGEINT product)
+    *   r6_j  = half_away(r9_j, 1e3)                  (headroom rescale)
+    *   rss12 = Σ_j r6_j²                             (long-safe: ≤2⁶⁰)
+    *
+    * Returns the `k` vectors with the LARGEST residual energy rss12
+    * (ties → id) — the rows least explained by the top component, the
+    * complement of q141's most-aligned ranking. Scale shape: the
+    * direction is an O(d) plan literal, the transform is one narrow
+    * pass (zip_with + aggregate fold, no shuffle at all before the
+    * TakeOrdered cut). */
+  def removeTopResidual(df: DataFrame, idCol: String, vecCol: String,
+                        iters: Int, k: Int): DataFrame = {
+    val v9 = topDirection(df, vecCol, iters)
+      .collect().sortBy(_.getLong(0)).map(_.getLong(1))
+    val vLit = array(v9.map(x => lit(x.toDouble / S.toDouble)): _*)
+    val v9Lit = array(v9.map(lit(_)): _*)
+    val xd = col(vecCol).cast("array<double>")
+    // half_away(p, q) for column decimals: sign(p)·⌊(2|p|+q)/2q⌋
+    def halfAwayCol(p: org.apache.spark.sql.Column, q: Long) = {
+      val mag = floor((abs(p) * 2 + lit(q)) / lit(2L * q)).cast("decimal(38,0)")
+      when(p < 0, -mag).otherwise(mag)
+    }
+    val base = df.select(col(idCol), dotScaled(xd, vLit).as("proj9"),
+      transform(xd, e => round(e * lit(S)).cast("long")).as("x9"))
+    val r6 = zip_with(col("x9"), v9Lit, (x9j, v9j) => {
+      val p = col("proj9").cast("decimal(38,0)") * v9j.cast("decimal(38,0)")
+      val r9 = x9j.cast("decimal(38,0)") - halfAwayCol(p, S)
+      halfAwayCol(r9, 1000L).cast("long")
+    })
+    base.select(col(idCol), col("proj9"), r6.as("r6"))
+      .select(col(idCol), col("proj9"),
+        aggregate(col("r6"), lit(0L), (acc, e) => acc + e * e).as("rss12"))
+      .orderBy(col("rss12").desc, col(idCol)).limit(k)
+  }
 }

@@ -573,4 +573,50 @@ object TextAnalysis {
       .select(col("doc").as(idCol), col("n_tok"), col("logw"),
         coalesce(col("hit"), lit(0)).as("selected"))
   }
+
+  /** Per-source DATASET-CARD statistics — the summary table a corpus
+    * release publishes per subset (HuggingFace dataset cards, Dolma/
+    * RedPajama reports): document count, token totals, and the token-
+    * length distribution (max / exact p50 / exact p95). Percentiles go
+    * through `percentile_approx` at accuracy ≥ any group size — the
+    * mergeable Greenwald–Khanna summary a 100 TB rollup would use,
+    * exact in this regime, boundary rule == DuckDB `quantile_disc`
+    * (the q104-proven equivalence). ONE narrow tokenize pass + one
+    * partial-agg shuffle on source; no percentile re-sort. */
+  def sourceStats(df: DataFrame, sourceCol: String,
+                  textCol: String): DataFrame =
+    df.select(col(sourceCol).as("source"),
+        size(toks(col(textCol))).cast("long").as("n_tok"),
+        length(col(textCol)).cast("long").as("n_chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("tok_total"),
+        max(col("n_tok")).as("tok_max"),
+        expr("percentile_approx(n_tok, 0.5, 1000000)").cast("long")
+          .as("tok_p50"),
+        expr("percentile_approx(n_tok, 0.95, 1000000)").cast("long")
+          .as("tok_p95"),
+        sum(col("n_chars")).as("char_total"))
+
+  /** Unigram Shannon entropy per document — the information-density
+    * quality signal (template/keyword-stuffed docs score low even when
+    * q124's coarser top-word and dup-bigram rules pass):
+    * H = −Σ_t (c_t/N)·ln(c_t/N). Per-term ln is round-9 (the standing
+    * cross-engine libm guard), the Σ c_t·ln9 accumulation is an exact
+    * long sum, and the single final division is one deterministic
+    * IEEE op — so the scores hash cross-engine (the q108 discipline).
+    * Two key-shuffles ((doc,term) grid then doc), both partial-agg;
+    * N rides the grouping key from the narrow pass (no totals join). */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), size(toks(col(textCol))).cast("long").as("n_tok"),
+        explode(toks(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("n_tok"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("lnp9", graft.util.Exact.scaled(
+        round(log(col("c").cast("double") / col("n_tok").cast("double")), 9), 9))
+      .groupBy(col(idCol), col("n_tok"))
+      .agg(sum(-col("c") * col("lnp9")).as("ent_sum9"))
+      .select(col(idCol), col("n_tok"), col("ent_sum9"),
+        (col("ent_sum9").cast("double") / (col("n_tok") * lit(1000000000L)))
+          .as("ent"))
 }

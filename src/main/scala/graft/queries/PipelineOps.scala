@@ -556,6 +556,50 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     }),
 
+    // IVF-PQ composed ANN (FAISS IndexIVFPQ, by_residual=false): a
+    // coarse 4-list inverted file prunes each query to its 2 nearest
+    // lists, then ONLY the surviving candidates score by PQ ADC —
+    // completes the ladder brute (q30) → IVF-Flat (q47/q93) → PQ flat
+    // (q133) → IVF-PQ. All-integer coarse assignment, probe ranking,
+    // and ADC sums ⇒ bucket membership and the cut replay exactly.
+    "q143_ivf_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.ops.Quantize.ivfPqTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", kCoarse = 4, nProbe = 2, m = 8,
+          nCodes = 16, k = 5)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // "All-but-the-top" residual (Mu & Viswanath 2018): remove each
+    // vector's component along the q128 power-iteration direction in
+    // EXACT integer rational arithmetic (DECIMAL(38) / HUGEINT
+    // products, half-away roundings) and rank by residual energy —
+    // the anisotropy-removal transform q141's leverage diagnostic
+    // feeds, its cut engine-exact like the rest of the q128 family.
+    "q144_detop_residual" -> ((s, d) => {
+      graft.ops.Spectral.removeTopResidual(Tables.embeddings(s, d),
+          "vec_id", "embedding", iters = 3, k = 100)
+        .orderBy(col("rss12").desc, col("vec_id"))
+    }),
+
+    // Per-source dataset-card statistics: doc/token/char totals and
+    // the token-length distribution (max, exact p50/p95 via the
+    // mergeable GK summary in its exact regime — q104's proven
+    // quantile_disc equivalence). The per-subset summary table a
+    // corpus release ships.
+    "q145_source_stats" -> ((s, d) => {
+      TextAnalysis.sourceStats(Tables.documents(s, d), "source", "text")
+        .orderBy(col("source"))
+    }),
+
+    // Unigram Shannon entropy per doc — the information-density
+    // quality signal complementing q124's rule suite; ln round-9 +
+    // exact long sums ⇒ cross-engine hash (the q108 discipline).
+    "q146_token_entropy" -> ((s, d) => {
+      TextAnalysis.tokenEntropy(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // The TRANSFORM sibling of q125: duplicated windows merged into
     // maximal per-doc removal spans (ExactSubstr's output shape —
     // Lee et al. 2022). Gaps-and-islands running-max merge; the
@@ -992,6 +1036,39 @@ object PipelineOps {
         |  FROM ex JOIN v$iters USING (j) GROUP BY vec_id)
         |SELECT vec_id, proj9, CAST(proj9 AS DOUBLE)/1000000000.0 AS proj
         |FROM proj ORDER BY abs(proj9) DESC, vec_id LIMIT $k""".stripMargin
+
+  // q144: the same chain, then the all-but-the-top residual — per
+  // element r9 = round(x·1e9) − half_away(proj9·v9, 1e9) in HUGEINT,
+  // rescaled r6 = half_away(r9, 1e3), residual energy Σ r6², top-k by
+  // (rss12 desc, vec_id). Mirrors Spectral.removeTopResidual's
+  // DECIMAL(38) arithmetic bit-for-bit.
+  private def powerIterResidualSql(iters: Int, k: Int): String =
+    powerIterCtes(iters) + s""",
+        |proj AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CAST(round(ex.x * (CAST(v$iters.v9 AS DOUBLE)/1000000000.0)
+        |      * 1000000000) AS BIGINT)) AS BIGINT) AS proj9
+        |  FROM ex JOIN v$iters USING (j) GROUP BY vec_id),
+        |relem AS (
+        |  SELECT ex.vec_id,
+        |    CAST(CAST(round(ex.x * 1000000000) AS BIGINT) AS HUGEINT)
+        |      - (CASE WHEN CAST(proj.proj9 AS HUGEINT) * v$iters.v9 >= 0
+        |           THEN (CAST(proj.proj9 AS HUGEINT) * v$iters.v9 * 2
+        |                  + 1000000000) // 2000000000
+        |           ELSE -((-(CAST(proj.proj9 AS HUGEINT) * v$iters.v9) * 2
+        |                  + 1000000000) // 2000000000) END) AS r9
+        |  FROM ex JOIN v$iters USING (j) JOIN proj USING (vec_id)),
+        |r6 AS (
+        |  SELECT vec_id, CAST(CASE WHEN r9 >= 0
+        |      THEN (r9 * 2 + 1000) // 2000
+        |      ELSE -(((-r9) * 2 + 1000) // 2000) END AS BIGINT) AS r6
+        |  FROM relem),
+        |rss AS (
+        |  SELECT vec_id, CAST(sum(r6 * r6) AS BIGINT) AS rss12
+        |  FROM r6 GROUP BY vec_id)
+        |SELECT vec_id, proj9, rss12
+        |FROM rss JOIN proj USING (vec_id)
+        |ORDER BY rss12 DESC, vec_id LIMIT $k""".stripMargin
 
   private def powerIterCtes(iters: Int): String = {
     val b = new StringBuilder(
@@ -1681,6 +1758,40 @@ object PipelineOps {
     // matching the builder's BigInt driver math digit-for-digit.
     "q128_power_iteration" -> powerIterSql(3),
     "q141_pca_projection" -> powerIterProjSql(3, 50),
+
+    "q144_detop_residual" -> powerIterResidualSql(3, 100),
+
+    "q145_source_stats" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tok,
+        |    CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS tok_total,
+        |  max(n_tok) AS tok_max,
+        |  CAST(quantile_disc(n_tok, 0.5) AS BIGINT) AS tok_p50,
+        |  CAST(quantile_disc(n_tok, 0.95) AS BIGINT) AS tok_p95,
+        |  CAST(sum(n_chars) AS BIGINT) AS char_total
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+    "q146_token_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tok,
+        |    unnest(regexp_split_to_array(text, '\s+')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, n_tok, tok, count(*) AS c
+        |       FROM toks GROUP BY 1, 2, 3),
+        |e AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(sum(-c * CAST(round(round(ln(CAST(c AS DOUBLE)
+        |      / CAST(n_tok AS DOUBLE)), 9) * 1000000000) AS BIGINT))
+        |      AS BIGINT) AS ent_sum9
+        |  FROM tf GROUP BY 1, 2)
+        |SELECT doc_id, n_tok, ent_sum9,
+        |  CAST(ent_sum9 AS DOUBLE) / CAST(n_tok * 1000000000 AS BIGINT) AS ent
+        |FROM e ORDER BY doc_id""".stripMargin,
     // The same global md5 order + round-robin deal, via row_number.
     "q129_shard_assign" ->
       """WITH o AS (
@@ -1856,6 +1967,67 @@ object PipelineOps {
         |    CAST(sum(l.d9) AS BIGINT) AS adc9
         |  FROM codes c JOIN lut l ON l.s = c.s AND l.j = c.code
         |    AND l.query_id <> c.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, rk, neighbor_id, adc9 FROM (
+        |  SELECT query_id, neighbor_id, adc9,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc9, neighbor_id) AS BIGINT) AS rk
+        |  FROM adc)
+        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    // q143: the q133 chain plus a coarse inverted file — full-vector
+    // distances to the 4 coarse centroids are the per-subspace d9
+    // summed over s (per-element rounding makes the formulations the
+    // same integer), assignment/probes are (d9f, bucket) argmins, and
+    // ADC runs over the probed candidates only.
+    "q143_ivf_pq" ->
+      """WITH ex AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |sub AS (
+        |  SELECT vec_id, CAST((i-1)//8 AS BIGINT) AS s, (i-1)%8 AS si, v
+        |  FROM ex),
+        |xn AS (
+        |  SELECT vec_id, s,
+        |    CAST(sum(CAST(round(v*v*1000000000) AS BIGINT)) AS BIGINT) AS nsq9
+        |  FROM sub GROUP BY 1, 2),
+        |xd AS (
+        |  SELECT a.vec_id, a.s, c.vec_id AS j,
+        |    CAST(sum(CAST(round(a.v*c.v*1000000000) AS BIGINT)) AS BIGINT) AS dot9
+        |  FROM sub a JOIN sub c ON a.s = c.s AND a.si = c.si AND c.vec_id < 16
+        |  GROUP BY 1, 2, 3),
+        |d AS (
+        |  SELECT xd.vec_id, xd.s, xd.j, xa.nsq9 - 2*dot9 + xc.nsq9 AS d9
+        |  FROM xd JOIN xn xa ON xa.vec_id = xd.vec_id AND xa.s = xd.s
+        |          JOIN xn xc ON xc.vec_id = xd.j AND xc.s = xd.s),
+        |codes AS (
+        |  SELECT vec_id, s, j AS code FROM (
+        |    SELECT vec_id, s, j,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d9, j) AS rn
+        |    FROM d) WHERE rn = 1),
+        |dfull AS (
+        |  SELECT vec_id, j, CAST(sum(d9) AS BIGINT) AS d9f
+        |  FROM d WHERE j < 4 GROUP BY 1, 2),
+        |assign AS (
+        |  SELECT vec_id, j AS bucket FROM (
+        |    SELECT vec_id, j,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d9f, j) AS rn
+        |    FROM dfull) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, j AS bucket FROM (
+        |    SELECT vec_id, j,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d9f, j) AS rn
+        |    FROM dfull WHERE vec_id < 5) WHERE rn <= 2),
+        |lut AS (SELECT vec_id AS query_id, s, j, d9 FROM d WHERE vec_id < 5),
+        |cand AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id
+        |  FROM probes p JOIN assign a ON a.bucket = p.bucket
+        |    AND a.vec_id <> p.query_id),
+        |adc AS (
+        |  SELECT cd.query_id, cd.neighbor_id, CAST(sum(l.d9) AS BIGINT) AS adc9
+        |  FROM cand cd JOIN codes c ON c.vec_id = cd.neighbor_id
+        |    JOIN lut l ON l.query_id = cd.query_id AND l.s = c.s AND l.j = c.code
         |  GROUP BY 1, 2)
         |SELECT query_id, rk, neighbor_id, adc9 FROM (
         |  SELECT query_id, neighbor_id, adc9,

@@ -323,6 +323,95 @@ class IngestOpsSpec extends AnyFunSuite {
     assert(out.values.map(_.getAs[Int]("selected")).sum == 2)
     assert(out(1L).getAs[Int]("selected") == 1, "the most target-like doc is picked")
   }
+
+  // ---- removeTopResidual (all-but-the-top) ---------------------------
+
+  test("removeTopResidual: vectors along the dominant axis have zero residual") {
+    import spark.implicits._
+    // every vector an exact multiple of e1 → the 3-iteration direction
+    // is e1 exactly, proj9 == x9[0], and the residual vanishes
+    val df = (1 to 8).map(i =>
+      (i.toLong, Array.tabulate(4)(j => if (j == 0) i.toFloat / 10 else 0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.ops.Spectral.removeTopResidual(df, "vec_id", "embedding",
+      iters = 3, k = 8).collect()
+    assert(out.length == 8)
+    out.foreach(r => assert(r.getAs[Long]("rss12") == 0L,
+      s"axis-aligned vector ${r.getLong(0)} must have zero residual"))
+  }
+
+  test("removeTopResidual: an orthogonal vector keeps its full energy") {
+    import spark.implicits._
+    // seven vectors on e1 dominate the direction; the e2 outlier's
+    // projection is 0 so its residual energy is its own norm
+    val rows = (1 to 7).map(i =>
+      (i.toLong, Array.tabulate(4)(j => if (j == 0) 1f else 0f))) :+
+      (8L, Array.tabulate(4)(j => if (j == 1) 0.5f else 0f))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = graft.ops.Spectral.removeTopResidual(df, "vec_id", "embedding",
+      iters = 3, k = 8).collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("proj9"), r.getAs[Long]("rss12"))).toMap
+    assert(out(8L)._1 == 0L, "orthogonal vector projects to zero")
+    // r9 = 0.5e9 → r6 = 5e5 → rss12 = 2.5e11
+    assert(out(8L)._2 == 250000000000L)
+    (1L to 7L).foreach(i => assert(out(i)._2 == 0L))
+  }
+
+  test("removeTopResidual: partition-invariant on the real table") {
+    val emb = graft.io.Tables.embeddings(spark, TestSession.sf)
+    val a = graft.ops.Spectral.removeTopResidual(emb, "vec_id", "embedding",
+      iters = 2, k = 20)
+    val b = graft.ops.Spectral.removeTopResidual(emb.repartition(7),
+      "vec_id", "embedding", iters = 2, k = 20)
+    assert(a.exceptAll(b).count() == 0L && b.exceptAll(a).count() == 0L)
+  }
+
+  // ---- tokenEntropy --------------------------------------------------
+
+  test("tokenEntropy: repeated token → 0, uniform distinct → ln(n)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a a a"),
+      (2L, "a b c d"),
+      (3L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_tok"), r.getAs[Double]("ent"))).toMap
+    assert(out(1L)._1 == 4L && math.abs(out(1L)._2) < 1e-9)
+    assert(math.abs(out(2L)._2 - math.log(4)) < 1e-6)
+    assert(out(3L)._1 == 1L && math.abs(out(3L)._2) < 1e-9)
+  }
+
+  test("tokenEntropy: skewed distribution scores below uniform") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a a a a a a a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("ent")).toMap
+    assert(out(2L) < out(1L))
+  }
+
+  // ---- sourceStats ---------------------------------------------------
+
+  test("sourceStats: totals, max, and discrete percentiles on a known table") {
+    import spark.implicits._
+    val df = Seq(
+      ("web", "a b c"), ("web", "a b"), ("web", "a b c d e"),
+      ("book", "x y z w")).toDF("source", "text")
+    val out = TextAnalysis.sourceStats(df, "source", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val web = out("web")
+    assert(web.getAs[Long]("n_docs") == 3L)
+    assert(web.getAs[Long]("tok_total") == 10L)
+    assert(web.getAs[Long]("tok_max") == 5L)
+    assert(web.getAs[Long]("tok_p50") == 3L)
+    assert(web.getAs[Long]("tok_p95") == 5L)
+    assert(web.getAs[Long]("char_total") == 5L + 3L + 9L)
+    val book = out("book")
+    assert(book.getAs[Long]("n_docs") == 1L &&
+      book.getAs[Long]("tok_p50") == 4L)
+  }
 }
 
 class SpanRemovalSpec extends AnyFunSuite {

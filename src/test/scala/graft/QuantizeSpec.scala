@@ -127,4 +127,40 @@ class QuantizeSpec extends AnyFunSuite {
     assert(nonMono == 0L, "adc9 must ascend with rank")
     out.unpersist(blocking = false)
   }
+
+  // ---- IVF-PQ ----------------------------------------------------------
+
+  test("ivf-pq with nProbe == kCoarse degenerates to flat PQ ADC") {
+    // probing every list removes the pruning, so the composed search
+    // must equal pqAdcTopK row-for-row (same integer cut)
+    val qs = emb.filter(col("vec_id") < 5)
+    val flat = Quantize.pqAdcTopK(emb, qs, "vec_id", "embedding",
+      m = 8, nCodes = 16, k = 5)
+    val ivf = Quantize.ivfPqTopK(emb, qs, "vec_id", "embedding",
+      kCoarse = 4, nProbe = 4, m = 8, nCodes = 16, k = 5)
+    assert(ivf.exceptAll(flat).count() == 0L && flat.exceptAll(ivf).count() == 0L)
+  }
+
+  test("ivf-pq prunes to the probed buckets only") {
+    val qs = emb.filter(col("vec_id") < 5)
+    val out = Quantize.ivfPqTopK(emb, qs, "vec_id", "embedding",
+      kCoarse = 4, nProbe = 2, m = 8, nCodes = 16, k = 5).cache()
+    // ≤ k rows per query, ascending distances
+    assert(out.groupBy("query_id").count().filter(col("count") > 5L).count() == 0L)
+    val nonMono = out.withColumn("prev",
+        lag(col("adc9"), 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(col("rk"))))
+      .filter(col("prev").isNotNull && col("adc9") < col("prev")).count()
+    assert(nonMono == 0L)
+    // every returned neighbor's flat-ADC distance also appears in the
+    // unpruned ranking with the same integer value (pruning can only
+    // REMOVE candidates, never change a surviving pair's distance)
+    val flat = Quantize.pqAdcTopK(emb, qs, "vec_id", "embedding",
+        m = 8, nCodes = 16, k = Int.MaxValue)
+      .select(col("query_id"), col("neighbor_id"), col("adc9"))
+    val mismatched = out.select(col("query_id"), col("neighbor_id"), col("adc9"))
+      .exceptAll(flat).count()
+    assert(mismatched == 0L, "pruned distances must match the flat ADC values")
+    out.unpersist(blocking = false)
+  }
 }
