@@ -476,4 +476,29 @@ object Dedup {
             struct(col("seg_idx"), col("seg_text"))))),
           s => s.getField("seg_text"))).as("clean_text"))
   }
+
+  /** Per-group DEDUP REPORT — the monitoring rollup a corpus pipeline
+    * publishes per ingest batch: for each `groupCol` (source domain,
+    * shard, date), the document count, how many documents are exact
+    * duplicates of an earlier one (md5 text groups, keeper = min id),
+    * and how many sit in a near-dup component (`components` =
+    * (idCol, rep_id) from [[dedupGroups]] — every member has a partner
+    * by construction). One content-hash shuffle + one membership join
+    * + one group rollup; the numbers drive per-source keep/drop budget
+    * decisions at scale. */
+  def dedupReport(df: DataFrame, idCol: String, textCol: String,
+                  groupCol: String, components: DataFrame): DataFrame = {
+    val h = df.select(col(groupCol), col(idCol), md5(col(textCol)).as("h"))
+    val grp = h.groupBy(col("h")).agg(min(col(idCol)).as("keeper"))
+    val nearDocs = components.select(col(idCol), lit(1L).as("near"))
+    h.join(grp, "h")
+      .join(nearDocs, Seq(idCol), "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col(idCol) =!= col("keeper"), 1L).otherwise(0L))
+          .as("n_exact_dups"),
+        sum(coalesce(col("near"), lit(0L))).as("n_near_dup_docs"))
+      .withColumn("near_frac",
+        col("n_near_dup_docs").cast("double") / col("n_docs").cast("double"))
+  }
 }

@@ -598,6 +598,33 @@ object TextAnalysis {
           .as("tok_p95"),
         sum(col("n_chars")).as("char_total"))
 
+  /** Vocabulary-growth curve (Heaps'-law diagnostic): ingestion order
+    * is bucketed into batches of `bucketSize` docs, and each batch
+    * reports its token volume, the count of never-before-seen terms,
+    * and the cumulative vocabulary — the curve a corpus build watches
+    * to spot staleness (vocab_new collapsing ⇒ the source is mined
+    * out) or contamination (a vocab_new spike ⇒ new domain mixed in).
+    * Shape: one narrow tokenize pass, a term-keyed first-seen
+    * aggregate (min bucket — monotone in ingestion order), a bucket
+    * rollup, then an O(batches) running sum — the only unpartitioned
+    * window sits on the ALREADY-AGGREGATED batch table (≤ corpus/
+    * bucketSize rows), never the data. */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+                  bucketSize: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(
+      expr(s"cast($idCol as bigint) div $bucketSize").as("bucket"),
+      explode(toks(col(textCol))).as("tok"))
+    val perB = tok.groupBy(col("bucket")).agg(count(lit(1)).as("n_tokens"))
+    val nw = tok.groupBy(col("tok")).agg(min(col("bucket")).as("fb"))
+      .groupBy(col("fb").as("bucket")).agg(count(lit(1)).as("vocab_new"))
+    perB.join(nw, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_tokens"),
+        coalesce(col("vocab_new"), lit(0L)).as("vocab_new"))
+      .withColumn("vocab_cum",
+        sum(col("vocab_new")).over(Window.orderBy(col("bucket"))))
+  }
+
   /** Unigram Shannon entropy per document — the information-density
     * quality signal (template/keyword-stuffed docs score low even when
     * q124's coarser top-word and dup-bigram rules pass):

@@ -600,6 +600,30 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-source DEDUP REPORT — the monitoring rollup a corpus
+    // pipeline publishes per ingest batch: how much of each source is
+    // exact-duplicated (md5 text groups, keeper = min id) and
+    // near-duplicated (membership in the memoized q26/q52 LSH
+    // component graph — every component member has a partner by
+    // construction). One hash shuffle + the shared component memo +
+    // one source rollup; the report is what drives per-source keep/
+    // drop budget decisions at 100 TB.
+    "q147_dedup_report" -> ((s, d) => {
+      Dedup.dedupReport(Tables.documents(s, d), "doc_id", "text", "source",
+          dedupComponents(s, d))
+        .orderBy(col("source"))
+    }),
+
+    // Heaps'-law vocabulary-growth curve over ingestion batches of 50
+    // docs: token volume, never-before-seen terms, and cumulative
+    // vocabulary per batch — the corpus-freshness diagnostic (new-term
+    // collapse = mined-out source; spike = domain contamination).
+    "q148_vocab_growth" -> ((s, d) => {
+      TextAnalysis.vocabGrowth(Tables.documents(s, d), "doc_id", "text",
+          bucketSize = 50L)
+        .orderBy(col("bucket"))
+    }),
+
     // The TRANSFORM sibling of q125: duplicated windows merged into
     // maximal per-doc removal spans (ExactSubstr's output shape —
     // Lee et al. 2022). Gaps-and-islands running-max merge; the
@@ -1774,6 +1798,51 @@ object PipelineOps {
         |  CAST(quantile_disc(n_tok, 0.95) AS BIGINT) AS tok_p95,
         |  CAST(sum(n_chars) AS BIGINT) AS char_total
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+    // q147: md5 exact-dup groups + the q52/q139 recursive transitive
+    // closure for near-dup membership, rolled up per source.
+    "q147_dedup_report" ->
+      ("WITH RECURSIVE " + NgramPairsCtes +
+        """,
+          |pairs AS (
+          |  SELECT id_a, id_b
+          |  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+          |  WHERE CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5),
+          |edges AS (
+          |  SELECT id_a AS src, id_b AS dst FROM pairs
+          |  UNION SELECT id_b, id_a FROM pairs),
+          |reach AS (
+          |  SELECT src, dst FROM edges
+          |  UNION
+          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+          |nd AS (SELECT DISTINCT src AS doc_id FROM reach),
+          |hx AS (SELECT source, doc_id, md5(text) AS h FROM documents),
+          |hg AS (SELECT h, min(doc_id) AS keeper FROM hx GROUP BY h)
+          |SELECT hx.source, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(CASE WHEN hx.doc_id <> hg.keeper THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_exact_dups,
+          |  CAST(sum(CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_near_dup_docs,
+          |  CAST(sum(CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+          |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS near_frac
+          |FROM hx JOIN hg USING (h) LEFT JOIN nd ON nd.doc_id = hx.doc_id
+          |GROUP BY hx.source ORDER BY hx.source""".stripMargin),
+
+    "q148_vocab_growth" ->
+      """WITH tok AS (
+        |  SELECT doc_id // 50 AS bucket,
+        |         unnest(regexp_split_to_array(text, '\s+')) AS tok
+        |  FROM documents),
+        |pb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens
+        |       FROM tok GROUP BY bucket),
+        |fb AS (SELECT tok, min(bucket) AS fbk FROM tok GROUP BY tok),
+        |nw AS (SELECT fbk AS bucket, CAST(count(*) AS BIGINT) AS vocab_new
+        |       FROM fb GROUP BY fbk)
+        |SELECT pb.bucket, pb.n_tokens,
+        |  CAST(coalesce(nw.vocab_new, 0) AS BIGINT) AS vocab_new,
+        |  CAST(sum(coalesce(nw.vocab_new, 0))
+        |    OVER (ORDER BY pb.bucket) AS BIGINT) AS vocab_cum
+        |FROM pb LEFT JOIN nw USING (bucket) ORDER BY bucket""".stripMargin,
 
     "q146_token_entropy" ->
       """WITH toks AS (

@@ -392,6 +392,55 @@ class IngestOpsSpec extends AnyFunSuite {
     assert(out(2L) < out(1L))
   }
 
+  // ---- vocabGrowth ---------------------------------------------------
+
+  test("vocabGrowth: per-batch new terms and cumulative vocabulary") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "a b"), (1L, "b c"),   // bucket 0: new {a, b, c}
+      (2L, "c d"), (3L, "a e")    // bucket 1: new {d, e}
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowth(df, "doc_id", "text", bucketSize = 2L)
+      .orderBy("bucket").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(out.map(_.getAs[Long]("n_tokens")).toSeq == Seq(4L, 4L))
+    assert(out.map(_.getAs[Long]("vocab_new")).toSeq == Seq(3L, 2L))
+    assert(out.map(_.getAs[Long]("vocab_cum")).toSeq == Seq(3L, 5L))
+  }
+
+  test("vocabGrowth: cumulative vocabulary ends at the distinct term count") {
+    val docs = graft.io.Tables.documents(spark, TestSession.sf)
+    val out = TextAnalysis.vocabGrowth(docs, "doc_id", "text", 10L)
+      .orderBy(col("bucket").desc).limit(1).collect().head
+    val distinctTerms = docs
+      .select(explode(split(col("text"), "\\s+")).as("t"))
+      .distinct().count()
+    assert(out.getAs[Long]("vocab_cum") == distinctTerms)
+  }
+
+  // ---- dedupReport ---------------------------------------------------
+
+  test("dedupReport: exact copies and component members counted per group") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "srcA", "x y z"), (2L, "srcA", "x y z"),   // exact dup pair
+      (3L, "srcA", "p q r"),
+      (4L, "srcB", "x y z"),                          // dup of 1 across groups
+      (5L, "srcB", "u v w")
+    ).toDF("doc_id", "source", "text")
+    val comp = Seq((3L, 3L), (5L, 3L)).toDF("doc_id", "rep_id") // fake near pair
+    val out = Dedup.dedupReport(docs, "doc_id", "text", "source", comp)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("srcA")
+    assert(a.getAs[Long]("n_docs") == 3L)
+    assert(a.getAs[Long]("n_exact_dups") == 1L, "doc 2 copies doc 1")
+    assert(a.getAs[Long]("n_near_dup_docs") == 1L, "doc 3 is in a component")
+    val b = out("srcB")
+    assert(b.getAs[Long]("n_exact_dups") == 1L, "doc 4 copies doc 1 cross-group")
+    assert(b.getAs[Long]("n_near_dup_docs") == 1L)
+    assert(math.abs(b.getAs[Double]("near_frac") - 0.5) < 1e-12)
+  }
+
   // ---- sourceStats ---------------------------------------------------
 
   test("sourceStats: totals, max, and discrete percentiles on a known table") {

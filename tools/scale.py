@@ -25,6 +25,11 @@ QUERIES = ",".join([
     # cover while the events loader was broken — interval-overlap join
     # (grid-bucketed) and session-overlap triangle counting
     "q81_session_overlap", "q109_triangles",
+    # round-8: IVF-PQ (bucket-pruned ADC joins), the all-but-the-top
+    # residual (power-iteration collects + narrow transform), token
+    # entropy ((doc,term) grid shuffle), vocab growth (term first-seen)
+    "q143_ivf_pq", "q144_detop_residual", "q146_token_entropy",
+    "q148_vocab_growth",
 ])
 
 rnd = sys.argv[1]
