@@ -275,4 +275,27 @@ object Similarity {
       .select(col(idCol), col("cluster"),
         col("hit").isNull.cast("int").as("keep"))
   }
+
+  /** Embedding NORM-OUTLIER detection — the vector-QA pass an
+    * embedding pipeline runs before indexing/training: rows whose
+    * squared norm sits farthest from the corpus mean are truncated,
+    * zeroed, or wrongly-scaled vectors (a broken encoder shard shows
+    * up here first). The ranking key is |n·nsq9 − Σnsq9| — the
+    * mean-deviation comparison cross-multiplied into EXACT integers
+    * (no division at all), so the outlier cut replays cross-engine.
+    * Σnsq9 and n enter as O(1) driver literals (the TfIdf pattern);
+    * the scan is one narrow codegen pass + a TakeOrdered cut.
+    * Headroom: n·nsq9 stays in long for n ≲ 10⁸ unit-norm d=64 rows;
+    * beyond that, downscale nsq9 per partition first (the standing
+    * scaled-long headroom note). Output: (id, nsq9, dev). */
+  def normOutliers(df: DataFrame, idCol: String, vecCol: String,
+                   k: Int): DataFrame = {
+    import graft.functions.VectorFunctions.normSqScaled
+    val nsq = df.select(col(idCol), normSqScaled(col(vecCol)).as("nsq9"))
+    val r = nsq.agg(sum(col("nsq9")).as("s"), count(lit(1)).as("n")).head()
+    val (s0, n) = (r.getLong(0), r.getLong(1))
+    nsq.select(col(idCol), col("nsq9"),
+        abs(col("nsq9") * lit(n) - lit(s0)).as("dev"))
+      .orderBy(col("dev").desc, col(idCol)).limit(k)
+  }
 }

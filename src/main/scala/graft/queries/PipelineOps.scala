@@ -624,6 +624,26 @@ object PipelineOps {
         .orderBy(col("bucket"))
     }),
 
+    // Embedding norm-outlier QA: |n·nsq9 − Σnsq9| cross-multiplied
+    // mean deviation in exact integers (no division) — broken encoder
+    // shards (zeroed/truncated/mis-scaled vectors) surface here before
+    // they poison an index or a training run.
+    "q149_norm_outliers" -> ((s, d) => {
+      Similarity.normOutliers(Tables.embeddings(s, d), "vec_id",
+          "embedding", k = 50)
+        .orderBy(col("dev").desc, col("vec_id"))
+    }),
+
+    // Per-source LANGUAGE-MIX report — the q36 n-gram lang-id op
+    // rolled up per source domain (the dataset-card language table);
+    // same scoring kernel, one extra grouping key.
+    "q150_lang_mix" -> ((s, d) => {
+      TextAnalysis.withLangId(Tables.documents(s, d), "text")
+        .groupBy(col("source"), col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"), col("lang_pred"))
+    }),
+
     // The TRANSFORM sibling of q125: duplicated windows merged into
     // maximal per-doc removal spans (ExactSubstr's output shape —
     // Lee et al. 2022). Gaps-and-islands running-max merge; the
@@ -1827,6 +1847,58 @@ object PipelineOps {
           |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS near_frac
           |FROM hx JOIN hg USING (h) LEFT JOIN nd ON nd.doc_id = hx.doc_id
           |GROUP BY hx.source ORDER BY hx.source""".stripMargin),
+
+    "q149_norm_outliers" ->
+      """WITH ex AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |sn2 AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CAST(round(v*v*1000000000) AS BIGINT)) AS BIGINT) AS nsq9
+        |  FROM ex GROUP BY vec_id),
+        |tot AS (SELECT CAST(sum(nsq9) AS BIGINT) AS s,
+        |               CAST(count(*) AS BIGINT) AS n FROM sn2)
+        |SELECT vec_id, nsq9, CAST(abs(nsq9 * n - s) AS BIGINT) AS dev
+        |FROM sn2 CROSS JOIN tot
+        |ORDER BY dev DESC, vec_id LIMIT 50""".stripMargin,
+
+    // q150: the q36 lang-id replay with `source` carried through to a
+    // per-(source, lang) rollup.
+    "q150_lang_mix" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, text, lower(text) AS t FROM documents
+        |), bg AS (
+        |  SELECT doc_id, substr(t, CAST(i AS INT), 2) AS big
+        |  FROM base, unnest(range(1, length(t))) AS u(i)
+        |), prof(lang, big) AS (
+        |  VALUES ('en','th'),('en','he'),('en','in'),('en','er'),('en','an'),
+        |         ('en','re'),('en','on'),('en','at'),('en','en'),('en','nd'),
+        |         ('de','en'),('de','er'),('de','ch'),('de','de'),('de','ei'),
+        |         ('de','nd'),('de','te'),('de','in'),('de','ie'),('de','ge'),
+        |         ('es','de'),('es','la'),('es','os'),('es','en'),('es','el'),
+        |         ('es','es'),('es','ar'),('es','ue'),('es','ra'),('es','as'),
+        |         ('fr','es'),('fr','le'),('fr','de'),('fr','en'),('fr','re'),
+        |         ('fr','nt'),('fr','on'),('fr','er'),('fr','ou'),('fr','ai')
+        |), scores AS (
+        |  SELECT d.doc_id, l.lang, count(p.big) AS cnt
+        |  FROM base d
+        |  CROSS JOIN (SELECT DISTINCT lang FROM prof) l
+        |  LEFT JOIN bg ON bg.doc_id = d.doc_id
+        |  LEFT JOIN prof p ON p.lang = l.lang AND p.big = bg.big
+        |  GROUP BY d.doc_id, l.lang
+        |), ranked AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, lang) AS rk
+        |  FROM scores
+        |), pred AS (
+        |  SELECT b.doc_id, b.source,
+        |    CASE WHEN b.text IS NULL OR length(b.text) = 0 THEN 'und'
+        |         WHEN regexp_matches(b.text, '\p{Han}') THEN 'zh'
+        |         ELSE r.lang END AS lang_pred
+        |  FROM base b JOIN ranked r ON r.doc_id = b.doc_id AND r.rk = 1
+        |)
+        |SELECT source, lang_pred, count(*) AS n_docs FROM pred
+        |GROUP BY source, lang_pred ORDER BY source, lang_pred""".stripMargin,
 
     "q148_vocab_growth" ->
       """WITH tok AS (

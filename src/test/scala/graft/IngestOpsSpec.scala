@@ -441,6 +441,31 @@ class IngestOpsSpec extends AnyFunSuite {
     assert(math.abs(b.getAs[Double]("near_frac") - 0.5) < 1e-12)
   }
 
+  // ---- normOutliers --------------------------------------------------
+
+  test("normOutliers: a zeroed vector leads the deviation ranking") {
+    import spark.implicits._
+    // nine near-unit vectors + one zeroed row (the broken-shard case)
+    val rows = (1 to 9).map(i =>
+      (i.toLong, Array.tabulate(4)(j => if (j == 0) 1f else 0.01f * i))) :+
+      (10L, Array.fill(4)(0f))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.normOutliers(df, "vec_id", "embedding", k = 10)
+      .collect()
+    assert(out.head.getAs[Long]("vec_id") == 10L,
+      "the zero vector must be the top outlier")
+    assert(out.head.getAs[Long]("nsq9") == 0L)
+    val devs = out.map(_.getAs[Long]("dev")).toSeq
+    assert(devs == devs.sorted.reverse, "ordered by dev desc")
+  }
+
+  test("normOutliers: partition-invariant on the real table") {
+    val emb = graft.io.Tables.embeddings(spark, TestSession.sf)
+    val a = Similarity.normOutliers(emb, "vec_id", "embedding", 20)
+    val b = Similarity.normOutliers(emb.repartition(7), "vec_id", "embedding", 20)
+    assert(a.exceptAll(b).count() == 0L && b.exceptAll(a).count() == 0L)
+  }
+
   // ---- sourceStats ---------------------------------------------------
 
   test("sourceStats: totals, max, and discrete percentiles on a known table") {
