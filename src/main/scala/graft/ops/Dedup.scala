@@ -477,6 +477,70 @@ object Dedup {
           s => s.getField("seg_text"))).as("clean_text"))
   }
 
+  /** CONTENT-DEFINED chunking dedup (the FastCDC/LBFS family, Muthitacharoen
+    * et al. 2001): chunk boundaries fall where a w-char Karp–Rabin window
+    * hash satisfies h ≡ 0 (mod `maskMod`), so boundaries are determined by
+    * LOCAL content — inserting or deleting a line shifts every fixed-stride
+    * window (q125's blind spot) but leaves all CDC boundaries outside the
+    * edit untouched, which is why storage dedup uses it. A chunk is
+    * DUPLICATED iff ≥2 distinct docs contain it (q125's rule).
+    *
+    * Determinism/portability: the window hash is Σ_j code(c_{i+j})·B^{w−1−j}
+    * mod 1e9+7 — every intermediate ≤ 2⁴² (long-exact, engine-portable, the
+    * q95 modulus discipline); boundary set, chunks, and the dup decision all
+    * replay in SQL (oracle).
+    *
+    * Scale shape: hashing + boundary selection + chunk slicing are ONE
+    * narrow codegen pass (HOF transforms over the char array — no explode
+    * before the chunk rows exist); the dedup is the q125 two-level
+    * count-distinct partial agg + a 1:1 hash join back. O(w) literal state.
+    * Output: (id, n_chunks, n_dup_chunks, dup_frac). */
+  def cdcChunkDedup(df: DataFrame, idCol: String, textCol: String,
+                    w: Int = 16, maskMod: Long = 64L): DataFrame = {
+    val M = 1000000007L
+    val B = 131L
+    val pows: Array[Long] = {
+      val a = new Array[Long](w); a(w - 1) = 1L
+      for (j <- (0 until w - 1).reverse) a(j) = a(j + 1) * B % M
+      a
+    }
+    def winHash(i: org.apache.spark.sql.Column) =
+      pows.zipWithIndex.map { case (p, j) =>
+        element_at(col("cs"), i + lit(j)) * lit(p)
+      }.reduce(_ + _) % M
+    val positions = when(col("n") >= w, sequence(lit(1), col("n") - lit(w - 1)))
+      .otherwise(array().cast("array<int>"))
+    val cuts = filter(col("pos"), i => winHash(i) % maskMod === 0)
+    val withBounds = df
+      .select(col(idCol), col(textCol).as("t"),
+        length(col(textCol)).as("n"),
+        transform(split(col(textCol), ""), ch => ascii(ch).cast("long"))
+          .as("cs"))
+      .withColumn("pos", positions)
+      .withColumn("bounds", array_distinct(concat(
+        array(lit(0)), transform(cuts, i => i + lit(w - 1)), array(col("n")))))
+    val chunks = withBounds
+      .select(col(idCol), col("t"),
+        explode(expr("transform(sequence(1, size(bounds) - 1), " +
+          "k -> struct(element_at(bounds, k) as lo, " +
+          "element_at(bounds, k + 1) as hi))")).as("b"))
+      .select(col(idCol),
+        md5(col("t").substr(col("b.lo") + 1, col("b.hi") - col("b.lo"))
+          .cast("binary")).as("chunk_hash"))
+    val counts = chunks.groupBy(col("chunk_hash"))
+      .agg(count_distinct(col(idCol)).as("chunk_docs"))
+    val perDoc = chunks.join(counts, "chunk_hash")
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("chunk_docs") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"))
+      .withColumn("dup_frac", when(col("n_chunks") === 0, lit(0.0)).otherwise(
+        col("n_dup_chunks").cast("double") / col("n_chunks").cast("double")))
+  }
+
   /** Per-group DEDUP REPORT — the monitoring rollup a corpus pipeline
     * publishes per ingest batch: for each `groupCol` (source domain,
     * shard, date), the document count, how many documents are exact

@@ -644,6 +644,18 @@ object PipelineOps {
         .orderBy(col("source"), col("lang_pred"))
     }),
 
+    // CONTENT-DEFINED chunking dedup (FastCDC/LBFS family): boundaries
+    // where a 16-char Karp–Rabin window hash ≡ 0 mod 64 — boundaries
+    // are local content, so an insertion shifts only its own chunk
+    // where q125's fixed-stride windows all shift. Portable modulus
+    // hash (the q95 discipline) ⇒ boundary set, chunks, and the ≥2-
+    // distinct-docs dup rule replay in SQL.
+    "q151_cdc_chunk_dedup" -> ((s, d) => {
+      Dedup.cdcChunkDedup(Tables.documents(s, d), "doc_id", "text",
+          w = 16, maskMod = 64L)
+        .orderBy(col("doc_id"))
+    }),
+
     // The TRANSFORM sibling of q125: duplicated windows merged into
     // maximal per-doc removal spans (ExactSubstr's output shape —
     // Lee et al. 2022). Gaps-and-islands running-max merge; the
@@ -1847,6 +1859,52 @@ object PipelineOps {
           |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS near_frac
           |FROM hx JOIN hg USING (h) LEFT JOIN nd ON nd.doc_id = hx.doc_id
           |GROUP BY hx.source ORDER BY hx.source""".stripMargin),
+
+    // q151: the Karp–Rabin window hash, boundary rule, chunk slicing,
+    // and dup decision replayed — powers of 131 mod 1e9+7 inlined.
+    "q151_cdc_chunk_dedup" ->
+      """WITH pw(j, p) AS (VALUES
+        |  (0, 493200928), (1, 507581690), (2, 736699102), (3, 685012975),
+        |  (4, 989961938), (5, 977022617), (6, 908221553), (7, 861894827),
+        |  (8, 617266377), (9, 913108910), (10, 579489385), (11, 294499921),
+        |  (12, 2248091), (13, 17161), (14, 131), (15, 1)),
+        |pos AS (
+        |  SELECT doc_id, text,
+        |    CAST(unnest(range(1, length(text) - 14)) AS BIGINT) AS i
+        |  FROM documents WHERE length(text) >= 16),
+        |h AS (
+        |  SELECT p0.doc_id, p0.i,
+        |    CAST(sum(CAST(ascii(substr(p0.text, CAST(p0.i + pw.j AS INT), 1))
+        |      AS BIGINT) * pw.p) % 1000000007 AS BIGINT) AS hv
+        |  FROM pos p0 CROSS JOIN pw GROUP BY 1, 2),
+        |cuts AS (SELECT doc_id, i + 15 AS b FROM h WHERE hv % 64 = 0),
+        |bnd AS (
+        |  SELECT doc_id, CAST(b AS BIGINT) AS b FROM cuts
+        |  UNION SELECT doc_id, 0 FROM documents
+        |  UNION SELECT doc_id, length(text) FROM documents),
+        |sq AS (
+        |  SELECT doc_id, b AS lo,
+        |    lead(b) OVER (PARTITION BY doc_id ORDER BY b) AS hi
+        |  FROM bnd),
+        |chunks AS (
+        |  SELECT s.doc_id,
+        |    md5(substr(d.text, CAST(s.lo + 1 AS INT), CAST(s.hi - s.lo AS INT))) AS ch
+        |  FROM sq s JOIN documents d USING (doc_id)
+        |  WHERE s.hi IS NOT NULL AND s.hi > s.lo),
+        |grp AS (SELECT ch, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY ch),
+        |per AS (
+        |  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |    CAST(sum(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dup_chunks
+        |  FROM chunks c JOIN grp g USING (ch) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(p.n_chunks, 0) AS BIGINT) AS n_chunks,
+        |  CAST(coalesce(p.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+        |  CASE WHEN coalesce(p.n_chunks, 0) = 0 THEN 0.0
+        |       ELSE CAST(p.n_dup_chunks AS DOUBLE)/CAST(p.n_chunks AS DOUBLE)
+        |  END AS dup_frac
+        |FROM documents d LEFT JOIN per p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q149_norm_outliers" ->
       """WITH ex AS (

@@ -441,6 +441,42 @@ class IngestOpsSpec extends AnyFunSuite {
     assert(math.abs(b.getAs[Double]("near_frac") - 0.5) < 1e-12)
   }
 
+  // ---- cdcChunkDedup -------------------------------------------------
+
+  test("cdcChunkDedup: exact copies fully duplicated, unique/short docs clean") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val t = (1 to 300).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val u = (1 to 300).map(_ => ('A' + rnd.nextInt(26)).toChar).mkString
+    val docs = Seq((1L, t), (2L, t), (3L, u), (4L, "short")).toDF("doc_id", "text")
+    val m = Dedup.cdcChunkDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_dup_chunks"),
+          r.getAs[Double]("dup_frac"))).toMap
+    assert(m(1L)._1 > 0 && m(1L)._3 == 1.0, s"copy pair fully dup: ${m(1L)}")
+    assert(m(2L) == m(1L))
+    assert(m(3L)._2 == 0L, "unique doc has no duplicated chunks")
+    assert(m(4L)._1 == 1L && m(4L)._2 == 0L,
+      "a sub-window doc is one whole-doc chunk")
+  }
+
+  test("cdcChunkDedup: boundaries survive a prefix insertion (the CDC property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val t = (1 to 400).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val docs = Seq((1L, t), (2L, "zzz " + t)).toDF("doc_id", "text")
+    val cdc = Dedup.cdcChunkDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_dup_chunks")).toMap
+    assert(cdc(1L) > 0L && cdc(2L) > 0L,
+      "content-defined boundaries re-align after the insertion")
+    // the fixed-stride family CANNOT re-align: every window of doc 2
+    // is shifted 4 chars, so span dedup sees zero shared spans
+    val fixed = Dedup.spanDedup(docs, "doc_id", "text", spanLen = 40, stride = 20)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_dup_spans")).toMap
+    assert(fixed(1L) == 0L && fixed(2L) == 0L,
+      "fixed-stride windows all shift under the same insertion")
+  }
+
   // ---- normOutliers --------------------------------------------------
 
   test("normOutliers: a zeroed vector leads the deviation ranking") {
