@@ -679,6 +679,24 @@ object EventQueries {
         unix_micros(min(col("ts"))).as("min_us"),
         unix_micros(max(col("ts"))).as("max_us"),
         count(lit(1)).as("n_events"))
+    }),
+
+    // FUNNEL analysis (view → click → purchase): per user, the first
+    // view, the first click STRICTLY AFTER that view, the first
+    // purchase strictly after that click — the product-analytics
+    // ordered-sequence operator. "Strictly after" is lexicographic on
+    // (us, event_id), so equal-timestamp events order deterministically
+    // and the whole funnel replays cross-engine. Shape: one narrow
+    // scan + three user-keyed min-struct aggregations (each partial-agg
+    // — no per-user event sort, no sessionize window); joins stay on
+    // the user key throughout, so a 100 TB event log funnels in three
+    // key shuffles.
+    "q152_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), col("event_id"))
+      graft.ops.Funnel.funnel(ev, "user_id", "event_type", "us", "event_id",
+          Seq("view", "click", "purchase"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -854,6 +872,41 @@ object EventQueries {
     "q134_events_schema_smoke" ->
       """SELECT epoch_us(min(ts)) AS min_us, epoch_us(max(ts)) AS max_us,
         |  count(*) AS n_events FROM events""".stripMargin,
+
+    // q152: first-view / first-click-after / first-purchase-after via
+    // row_number windows, (us, event_id) tuple comparison for the
+    // strict ordering.
+    "q152_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+        |v AS (
+        |  SELECT user_id, us AS v_us, event_id AS v_id FROM (
+        |    SELECT user_id, us, event_id,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) rn
+        |    FROM ev WHERE event_type = 'view') WHERE rn = 1),
+        |c AS (
+        |  SELECT user_id, us AS c_us, event_id AS c_id FROM (
+        |    SELECT e.user_id, e.us, e.event_id,
+        |      row_number() OVER (PARTITION BY e.user_id
+        |        ORDER BY e.us, e.event_id) rn
+        |    FROM ev e JOIN v USING (user_id)
+        |    WHERE e.event_type = 'click'
+        |      AND (e.us, e.event_id) > (v.v_us, v.v_id)) WHERE rn = 1),
+        |p AS (
+        |  SELECT user_id, us AS p_us FROM (
+        |    SELECT e.user_id, e.us,
+        |      row_number() OVER (PARTITION BY e.user_id
+        |        ORDER BY e.us, e.event_id) rn
+        |    FROM ev e JOIN c USING (user_id)
+        |    WHERE e.event_type = 'purchase'
+        |      AND (e.us, e.event_id) > (c.c_us, c.c_id)) WHERE rn = 1)
+        |SELECT v.user_id, v.v_us AS view_us, c.c_us AS click_us,
+        |  p.p_us AS purchase_us,
+        |  CAST(1 + (CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END)
+        |         + (CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS stage
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "q135_asof_literal" ->
       """WITH l(event_id, user_id, us, value) AS (VALUES
         |    (1,1,100,10),(2,1,200,20),(3,1,50,5),(4,2,500,40),(5,3,999,1)),
