@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics over an event log — the product-analytics
+  * family beyond funnels ([[Funnel]]): cohort retention, Markov
+  * transition matrices, last-touch attribution, rolling z-score
+  * anomaly flags, and exact equi-width histograms.
+  *
+  * All five are shaped for a 100 TB log: per-user state lives behind a
+  * user-keyed shuffle (window or aggregation — never a global sort),
+  * summaries re-aggregate the keyed partials, and every float the
+  * oracle compares is derived from exact integers (epoch micros,
+  * value cents) through arithmetic both engines evaluate identically
+  * in IEEE doubles.
+  */
+object Behavior {
+
+  /** Weekly COHORT RETENTION: each user joins the cohort of the ISO
+    * week of their first event; for every (cohort week, whole weeks
+    * since) we count the distinct users active in that later week.
+    *
+    * Shape: one user-keyed min-aggregation for first-seen (partial agg
+    * does the heavy lift map-side), one user-keyed join back — Catalyst
+    * co-partitions it with the aggregation's shuffle — then a distinct
+    * + count over (cohort, offset). No broadcast of the cohort frame:
+    * it is O(users) and at log scale users don't fit one executor.
+    * Week offsets are integer day arithmetic on `date_trunc('week')`
+    * (Monday-based in both Spark and DuckDB), so no timezone or float
+    * coupling with the oracle.
+    */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String)
+      : DataFrame = {
+    val ev = events.select(col(userCol).as("u"),
+      date_trunc("week", col(tsCol)).cast("date").as("wk"))
+    val cohorts = ev.groupBy(col("u")).agg(min(col("wk")).as("cohort_wk"))
+    ev.join(cohorts, "u")
+      .select(col("u"), col("cohort_wk"),
+        floor(datediff(col("wk"), col("cohort_wk")) / 7.0).cast("long")
+          .as("week_n"))
+      .distinct()
+      .groupBy(date_format(col("cohort_wk"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_n"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_n"))
+  }
+
+  /** First-order MARKOV transition matrix over per-user event-type
+    * sequences: count each (prev type → next type) adjacency in
+    * (ts, id)-lexicographic order and normalize rows to probabilities.
+    *
+    * Shape: one user-keyed lag window (the only shuffle touching raw
+    * events), then a tiny (type × type) aggregation; the row totals
+    * come from a window over that already-small matrix, not from a
+    * second pass over the log. Probabilities are round(cnt/total, 9) —
+    * a bigint ratio both engines compute identically.
+    */
+  def markovTransitions(events: DataFrame, userCol: String, typeCol: String,
+                        usCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(usCol), col(idCol))
+    val pairs = events
+      .select(col(userCol), col(typeCol).as("next_type"),
+        col(usCol), col(idCol))
+      .withColumn("prev_type", lag(col("next_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    val counts = pairs.groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = Window.partitionBy(col("prev_type"))
+    counts
+      .withColumn("p", round(col("cnt").cast("double") /
+        sum(col("cnt")).over(total).cast("double"), 9))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  /** LAST-TOUCH ATTRIBUTION: credit each conversion event to the most
+    * recent strictly-earlier touch event (any type in `touchTypes`) by
+    * the same user, then roll revenue up per touch type. Conversions
+    * with no preceding touch fall into the 'direct' bucket.
+    *
+    * Shape: a single user-keyed carry-forward window (`last_value`
+    * with ignoreNulls over the interleaved event stream) — the
+    * sessionization idiom, one shuffle — followed by a tiny per-type
+    * rollup. This is the degenerate as-of join where both sides are
+    * the same table, so interleave-and-carry beats a self as-of join
+    * (one shuffle instead of two, no range bucketing).
+    * Revenue stays in exact cents until the final /100.
+    */
+  def lastTouchAttribution(events: DataFrame, userCol: String, typeCol: String,
+                           usCol: String, idCol: String, valueCol: String,
+                           touchTypes: Seq[String], convType: String)
+      : DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(usCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col(typeCol).isin(touchTypes: _*), col(typeCol))
+    val attributed = events
+      .select(col(userCol), col(typeCol), col(usCol), col(idCol),
+        round(col(valueCol) * 100).cast("long").as("cents"))
+      .withColumn("touch_type",
+        last(touch, ignoreNulls = true).over(w))
+      .filter(col(typeCol) === convType)
+    attributed
+      .groupBy(coalesce(col("touch_type"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        (sum(col("cents")).cast("double") / 100.0).as("revenue"))
+      .orderBy(col("channel"))
+  }
+
+  /** ROLLING Z-SCORE anomaly flags: for each event, the z-score of its
+    * value against the trailing `window` events of the same user
+    * (current row included), flagged when |z| > `zCut`. Rows with
+    * fewer than `minN` trailing events emit a null z (not enough
+    * evidence ≠ anomalous).
+    *
+    * Shape: one user-keyed rows-frame window carrying THREE exact
+    * integer partials (n, Σcents, Σcents²) — never stddev over raw
+    * doubles, so the z both engines derive from those bigints is
+    * bit-identical before the final round. One shuffle total.
+    */
+  def rollingZscore(events: DataFrame, userCol: String, usCol: String,
+                    idCol: String, valueCol: String,
+                    window: Int = 20, minN: Int = 5, zCut: Double = 3.0)
+      : DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(usCol), col(idCol))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val cents = round(col(valueCol) * 100).cast("long")
+    val withSums = events
+      .select(col(userCol), col(usCol), col(idCol), cents.as("cents"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("cents")).over(w))
+      .withColumn("s2", sum(col("cents") * col("cents")).over(w))
+    // var_samp from exact partials: (s2 - s1²/n) / (n-1); z from cents.
+    val nd = col("n").cast("double")
+    val varS = (col("s2").cast("double") - col("s1").cast("double") *
+      col("s1").cast("double") / nd) / (nd - 1.0)
+    val z = (col("cents").cast("double") - col("s1").cast("double") / nd) /
+      sqrt(varS)
+    withSums
+      .withColumn("z", when(col("n") >= minN && varS > 0, round(z, 6)))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z")) > zCut, lit(false)))
+      .select(col(idCol), col(userCol), col("z"), col("is_anomaly"))
+      .orderBy(col(idCol))
+  }
+
+  /** Exact EQUI-WIDTH HISTOGRAM of a value column in `nBins` bins over
+    * the observed [min, max]. Bin edges and assignment are all-integer
+    * (cents): bin = floor((c − min)·nBins / (max − min + 1)) — the
+    * numerator stays exact in a double far below 2^53, `floor` means
+    * no engine-specific cast-rounding (DuckDB rounds double→bigint,
+    * Spark truncates), and the +1 keeps the max value inside the last
+    * bin without a special case.
+    *
+    * Shape: one exact min/max aggregate (a 1-row frame, broadcast by
+    * Catalyst into the scan's projection via cross join), then one
+    * groupBy(bin) — two passes over the column, zero wide shuffles.
+    * This is the exact complement of the approx-percentile sketch
+    * family (q104): histograms you can afford exactly, quantiles you
+    * sketch.
+    */
+  def valueHistogram(events: DataFrame, valueCol: String, nBins: Int = 10)
+      : DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("long")
+    val bounds = events.agg(min(cents).as("lo"), max(cents).as("hi"))
+    val span: Column = col("hi") - col("lo") + 1L
+    events.select(cents.as("c"))
+      .crossJoin(bounds)
+      .groupBy(floor(((col("c") - col("lo")) * nBins) / span).cast("long")
+          .as("bin"),
+        col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"),
+        (col("lo") + floor(col("bin") * span / nBins)).cast("long")
+          .as("lo_cents"),
+        col("n"))
+      .orderBy(col("bin"))
+  }
+}

@@ -697,7 +697,43 @@ object EventQueries {
       graft.ops.Funnel.funnel(ev, "user_id", "event_type", "us", "event_id",
           Seq("view", "click", "purchase"))
         .orderBy(col("user_id"))
-    })
+    }),
+
+    // q153: weekly cohort retention — first-seen cohort per user, then
+    // distinct active users per (cohort week, whole weeks since).
+    "q153_cohort_retention" -> ((s, d) =>
+      graft.ops.Behavior.cohortRetention(Tables.events(s, d), "user_id", "ts")),
+
+    // q154: first-order Markov transition matrix over per-user
+    // event-type sequences, probabilities from bigint count ratios.
+    "q154_markov_transitions" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      graft.ops.Behavior.markovTransitions(ev, "user_id", "event_type",
+        "us", "event_id")
+    }),
+
+    // q155: last-touch attribution — each purchase credits the most
+    // recent strictly-earlier view/click by the same user.
+    "q155_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+      graft.ops.Behavior.lastTouchAttribution(ev, "user_id", "event_type",
+        "us", "event_id", "value", Seq("view", "click"), "purchase")
+    }),
+
+    // q157: rolling z-score anomaly flags from exact integer partials
+    // over a trailing 20-event per-user frame.
+    "q157_rolling_zscore" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+      graft.ops.Behavior.rollingZscore(ev, "user_id", "us", "event_id",
+        "value")
+    }),
+
+    // q160: exact all-integer equi-width histogram of event values.
+    "q160_value_histogram" -> ((s, d) =>
+      graft.ops.Behavior.valueHistogram(Tables.events(s, d), "value", 10))
   )
 
   private val HourlySql =
@@ -1008,6 +1044,96 @@ object EventQueries {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS distinct_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q153: Monday-truncated weeks on both engines; whole-week offsets
+    // via integer day arithmetic + explicit floor (DuckDB CAST rounds).
+    "q153_cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1),
+        |act AS (
+        |  SELECT DISTINCT ev.user_id, c.cohort_wk,
+        |    CAST(floor((ev.wk - c.cohort_wk) / 7.0) AS BIGINT) AS week_n
+        |  FROM ev JOIN c USING (user_id))
+        |SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week, week_n,
+        |  count(*) AS n_users
+        |FROM act GROUP BY 1, 2 ORDER BY cohort_week, week_n""".stripMargin,
+    "q154_markov_transitions" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |  FROM events),
+        |pairs AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS prev_type,
+        |    event_type AS next_type
+        |  FROM ev),
+        |counts AS (
+        |  SELECT prev_type, next_type, count(*) AS cnt FROM pairs
+        |  WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, cnt,
+        |  round(CAST(cnt AS DOUBLE)
+        |    / CAST(sum(cnt) OVER (PARTITION BY prev_type) AS DOUBLE), 9) AS p
+        |FROM counts ORDER BY prev_type, next_type""".stripMargin,
+    "q155_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+        |    CAST(round(value*100) AS BIGINT) AS cents FROM events),
+        |t AS (
+        |  SELECT user_id, event_type, cents,
+        |    last_value(CASE WHEN event_type IN ('view', 'click')
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS touch_type
+        |  FROM ev)
+        |SELECT coalesce(touch_type, 'direct') AS channel,
+        |  count(*) AS n_conversions,
+        |  CAST(sum(cents) AS DOUBLE) / 100.0 AS revenue
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY channel""".stripMargin,
+    // q157: z from exact (n, Σcents, Σcents²) partials — the double
+    // expression is written identically on both engines so IEEE gives
+    // bit-equal z before the final round(…, 6).
+    "q157_rolling_zscore" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CAST(round(value*100) AS BIGINT) AS cents FROM events),
+        |t AS (
+        |  SELECT event_id, user_id, cents,
+        |    count(*) OVER w AS n, sum(cents) OVER w AS s1,
+        |    sum(cents*cents) OVER w AS s2
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |z AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN n >= 5 AND
+        |        (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)
+        |           /CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE)-1.0) > 0
+        |      THEN round((CAST(cents AS DOUBLE)
+        |             - CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE))
+        |        / sqrt((CAST(s2 AS DOUBLE)
+        |             - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE))
+        |          / (CAST(n AS DOUBLE)-1.0)), 6)
+        |    END AS z
+        |  FROM t)
+        |SELECT event_id, user_id, z,
+        |  coalesce(abs(z) > 3.0, FALSE) AS is_anomaly
+        |FROM z ORDER BY event_id""".stripMargin,
+    "q160_value_histogram" ->
+      """WITH c AS (
+        |  SELECT CAST(round(value*100) AS BIGINT) AS c FROM events),
+        |b AS (SELECT min(c) AS lo, max(c) AS hi FROM c),
+        |binned AS (
+        |  SELECT CAST(floor(CAST((c.c - b.lo) * 10 AS DOUBLE)
+        |      / CAST(b.hi - b.lo + 1 AS DOUBLE)) AS BIGINT) AS bin,
+        |    b.lo, b.hi
+        |  FROM c, b)
+        |SELECT bin,
+        |  CAST(lo + floor(CAST(bin * (hi - lo + 1) AS DOUBLE) / 10.0)
+        |    AS BIGINT) AS lo_cents,
+        |  count(*) AS n
+        |FROM binned GROUP BY 1, 2 ORDER BY bin""".stripMargin
   )
 }

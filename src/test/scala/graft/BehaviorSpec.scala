@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Behavior
+
+class BehaviorSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("cohortRetention: users land in their first week's cohort; later weeks offset") {
+    // user 1 first seen 2024-01-01 (a Monday), active again 2024-01-10
+    // (week of 01-08 → offset 1); user 2 first seen week of 01-08.
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-03 10:00:00"),
+      (1L, "2024-01-10 10:00:00"),
+      (2L, "2024-01-09 10:00:00")
+    ).toDF("user_id", "s").withColumn("ts", to_timestamp(col("s")))
+    val got = Behavior.cohortRetention(ev, "user_id", "ts")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got(("2024-01-01", 0L)) == 1L)
+    assert(got(("2024-01-01", 1L)) == 1L)
+    assert(got(("2024-01-08", 0L)) == 1L)
+    assert(got.size == 3)
+  }
+
+  test("markovTransitions: adjacency counts and row-normalized probabilities") {
+    val ev = Seq(
+      (1L, "a", 1L, 1L), (1L, "b", 2L, 2L), (1L, "a", 3L, 3L),
+      (1L, "b", 4L, 4L),
+      (2L, "a", 1L, 5L), (2L, "a", 2L, 6L)
+    ).toDF("user_id", "event_type", "us", "event_id")
+    val got = Behavior.markovTransitions(ev, "user_id", "event_type", "us", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // from a: a→b twice (u1), a→a once (u2) → p = 2/3, 1/3
+    assert(got(("a", "b"))._1 == 2L)
+    assert(got(("a", "a"))._1 == 1L)
+    assert(math.abs(got(("a", "b"))._2 - 0.666666667) < 1e-9)
+    // from b: b→a once, p = 1
+    assert(got(("b", "a")) == ((1L, 1.0)))
+  }
+
+  test("attribution: purchases credit the latest earlier touch; none → direct") {
+    val ev = Seq(
+      (1L, "view", 1L, 1L, 0.0), (1L, "click", 2L, 2L, 0.0),
+      (1L, "purchase", 3L, 3L, 10.0),                  // → click
+      (1L, "purchase", 4L, 4L, 5.0),                   // still → click
+      (2L, "purchase", 1L, 5L, 7.5),                   // no touch → direct
+      (3L, "view", 1L, 6L, 0.0), (3L, "purchase", 2L, 7L, 2.25) // → view
+    ).toDF("user_id", "event_type", "us", "event_id", "value")
+    val got = Behavior.lastTouchAttribution(ev, "user_id", "event_type",
+        "us", "event_id", "value", Seq("view", "click"), "purchase")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got("click") == ((2L, 15.0)))
+    assert(got("direct") == ((1L, 7.5)))
+    assert(got("view") == ((1L, 2.25)))
+  }
+
+  test("rollingZscore: constant series null z; a spike after minN flags") {
+    val base = (1 to 10).map(i => (1L, i.toLong, i.toLong, 5.0))
+    val spike = Seq((1L, 11L, 11L, 500.0))
+    val got = Behavior.rollingZscore(
+        (base ++ spike).toDF("user_id", "us", "event_id", "value"),
+        "user_id", "us", "event_id", "value")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3))).toMap
+    // first rows: n < 5 → null z, not anomalous
+    assert(got(1L) == ((None, false)) && got(4L) == ((None, false)))
+    // constant window → zero variance → null z
+    assert(got(10L) == ((None, false)))
+    // the spike against 10 constant 5.0s is way past |z| > 3
+    assert(got(11L)._2, "spike must flag")
+    assert(got(11L)._1.get > 3.0)
+  }
+
+  test("valueHistogram: all-integer bins cover min..max; max lands in the last bin") {
+    val ev = (0 until 100).map(i => Tuple1(i / 100.0 * 10)).toDF("value")
+    val rows = Behavior.valueHistogram(ev, "value", 10).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L until 10L))
+    assert(rows.map(_.getLong(2)).sum == 100L)
+    assert(rows.head.getLong(1) == 0L, "first bin starts at min cents")
+  }
+
+  test("valueHistogram: a single distinct value collapses to one bin") {
+    val ev = Seq(1.0, 1.0, 1.0).map(Tuple1(_)).toDF("value")
+    val rows = Behavior.valueHistogram(ev, "value", 10).collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 0L &&
+      rows.head.getLong(2) == 3L)
+  }
+}
