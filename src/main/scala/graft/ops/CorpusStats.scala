@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level distribution statistics for dataset curation: domain
+  * drift (KL divergence per source), consistent-hashing shard
+  * placement (HRW / rendezvous), and tokenizer-fertility reports.
+  *
+  * Determinism discipline matches the rest of the engine: every
+  * transcendental (`ln`) is rounded to 9 decimals on BOTH engines
+  * before being scaled to an exact long, all sums run over exact
+  * integers, and the one final division back to a double is an
+  * identically-written IEEE expression (see [[TextAnalysis.tokenEntropy]]).
+  */
+object CorpusStats {
+
+  private def toks(textCol: Column): Column = split(textCol, "\\s+")
+
+  /** KL DIVERGENCE of each source's unigram distribution from the
+    * whole-corpus distribution — the standard domain-drift /
+    * mixture-shift monitor (cf. Xie et al. 2023's DSIR, which
+    * importance-weights on exactly this ratio). For source s:
+    * KL(P_s‖Q) = Σ_t P_s(t)·ln(P_s(t)/Q(t)); every term of a source
+    * also appears in the corpus, so the ratio is always finite.
+    *
+    * Shape: ONE tokenize-explode shuffle to (source, term) counts —
+    * the only pass over raw text; per-source totals, global term
+    * counts, and the corpus total all re-aggregate those partials
+    * (each orders of magnitude smaller than the log). The ratio
+    * P/Q = (c_st·n)/(n_s·c_t) is a product of bigints evaluated
+    * exactly in a double (≪ 2^53), ln is round-9-scaled, and the
+    * per-source sum is an exact long until the final division.
+    */
+  def klDivergence(df: DataFrame, sourceCol: String, textCol: String)
+      : DataFrame = {
+    val st = df.select(col(sourceCol).as("src"),
+        explode(toks(col(textCol))).as("tok"))
+      .groupBy(col("src"), col("tok"))
+      .agg(count(lit(1)).as("c_st"))
+    val ns = st.groupBy(col("src")).agg(sum(col("c_st")).as("n_s"))
+    val ct = st.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
+    val n  = ns.agg(sum(col("n_s")).as("n"))
+    val ratio = (col("c_st") * col("n")).cast("double") /
+      (col("n_s") * col("c_t")).cast("double")
+    st.join(ns, "src").join(ct, "tok").crossJoin(n)
+      .withColumn("lnr9", graft.util.Exact.scaled(round(log(ratio), 9), 9))
+      .groupBy(col("src").as("source"), col("n_s"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("c_st") * col("lnr9")).as("kl_sum9"))
+      .select(col("source"), col("n_terms"), col("kl_sum9"),
+        (col("kl_sum9").cast("double") / (col("n_s") * lit(1000000000L)))
+          .as("kl"))
+      .orderBy(col("source"))
+  }
+
+  /** RENDEZVOUS (highest-random-weight) shard assignment: each key
+    * goes to the shard with the largest md5(key ":" shard) digest —
+    * Thaler & Ravishankar 1998. Unlike mod-N (q129's deal), adding or
+    * removing ONE shard remaps only ~1/N of the keys (only those whose
+    * winning shard vanished), which is why cache/storage tiers use it.
+    *
+    * Shape: entirely narrow — an inline array of `shards.length`
+    * (digest, name) structs folded by `array_max` inside whole-stage
+    * codegen; no shuffle, no state, embarrassingly parallel at any
+    * scale. Tie-break (never in practice: 128-bit digests) is the
+    * larger shard name, pinned by the struct field order.
+    */
+  def hrwShards(df: DataFrame, idCol: String, shards: Seq[String])
+      : DataFrame = {
+    require(shards.nonEmpty, "need at least one shard")
+    val cands = shards.map { sh =>
+      struct(
+        md5(concat(col(idCol).cast("string"), lit(":" + sh)).cast("binary"))
+          .as("h"),
+        lit(sh).as("nm"))
+    }
+    df.select(col(idCol),
+        array_max(array(cands: _*)).getField("nm").as("shard"))
+      .orderBy(col(idCol))
+  }
+
+  /** TOKENIZER FERTILITY report per language: characters per token —
+    * the standard multilingual-tokenizer health metric (a language
+    * with anomalously low chars/token is being shredded; one with very
+    * high is under-segmented). Whitespace tokens here; the BPE
+    * kernel's fertility is anchored by q115/q116.
+    *
+    * Shape: one narrow projection (token count = `size(split(…))` —
+    * no explode) into one partial-agg shuffle on the language key.
+    * chars/token is a bigint ratio rounded to 6 — exact on both
+    * engines.
+    */
+  def tokenFertility(df: DataFrame, langCol: String, textCol: String)
+      : DataFrame =
+    df.select(col(langCol).as("lang"),
+        length(col(textCol)).cast("long").as("chars"),
+        size(toks(col(textCol))).cast("long").as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("chars")).as("n_chars"))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast("double") / col("n_tokens").cast("double"), 6))
+      .orderBy(col("lang"))
+}

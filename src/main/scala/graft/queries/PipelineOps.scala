@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
-import graft.ops.{Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.ops.{CorpusStats, Dedup, Similarity, TextAnalysis, Multimodal}
 import graft.functions.SimHash
 
 /** LLM-training-data pipeline operators over `documents` /
@@ -655,6 +655,21 @@ object PipelineOps {
           w = 16, maskMod = 64L)
         .orderBy(col("doc_id"))
     }),
+
+    // Per-source KL divergence from the corpus unigram distribution —
+    // the domain-drift monitor; one tokenize shuffle, partials after.
+    "q156_kl_divergence" -> ((s, d) =>
+      CorpusStats.klDivergence(Tables.documents(s, d), "source", "text")),
+
+    // Rendezvous (HRW) hashing shard placement — minimal-remap
+    // consistent sharding; fully narrow codegen, zero shuffle.
+    "q158_hrw_shards" -> ((s, d) =>
+      CorpusStats.hrwShards(Tables.documents(s, d), "doc_id",
+        (0 until 8).map(i => s"shard$i"))),
+
+    // Tokenizer-fertility (chars/token) report per language.
+    "q159_token_fertility" -> ((s, d) =>
+      CorpusStats.tokenFertility(Tables.documents(s, d), "lang", "text")),
 
     // The TRANSFORM sibling of q125: duplicated windows merged into
     // maximal per-doc removal spans (ExactSubstr's output shape —
@@ -2558,6 +2573,53 @@ object PipelineOps {
         |  CAST(8 AS INTEGER) AS height,
         |  CAST(sum(CASE WHEN i < 16 THEN b ELSE 0 END) AS BIGINT) AS row0_sum,
         |  CAST(sum(b * ((i % 31)+1)) AS BIGINT) AS pixel_checksum
-        |FROM by GROUP BY doc_id ORDER BY media_id""".stripMargin
+        |FROM by GROUP BY doc_id ORDER BY media_id""".stripMargin,
+    // q156: KL(P_source ‖ Q_corpus) — the P/Q ratio is an exact bigint
+    // product evaluated in a double, ln round-9-scaled (q146's
+    // discipline), per-source sum exact to the final division.
+    "q156_kl_divergence" ->
+      """WITH toks AS (
+        |  SELECT source AS src, unnest(regexp_split_to_array(text, '\s+')) AS tok
+        |  FROM documents),
+        |st AS (SELECT src, tok, count(*) AS c_st FROM toks GROUP BY 1, 2),
+        |ns AS (SELECT src, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+        |ct AS (SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+        |n AS (SELECT CAST(sum(n_s) AS BIGINT) AS n FROM ns),
+        |terms AS (
+        |  SELECT st.src, st.c_st, ns.n_s,
+        |    CAST(round(round(ln(CAST(st.c_st * n.n AS DOUBLE)
+        |        / CAST(ns.n_s * ct.c_t AS DOUBLE)), 9) * 1000000000) AS BIGINT)
+        |      AS lnr9
+        |  FROM st JOIN ns USING (src) JOIN ct USING (tok) CROSS JOIN n)
+        |SELECT src AS source, count(*) AS n_terms,
+        |  CAST(sum(c_st * lnr9) AS BIGINT) AS kl_sum9,
+        |  CAST(CAST(sum(c_st * lnr9) AS BIGINT) AS DOUBLE)
+        |    / CAST(n_s * 1000000000 AS BIGINT) AS kl
+        |FROM terms GROUP BY src, n_s ORDER BY source""".stripMargin,
+    // q158: highest-random-weight — per doc the max (md5, name) over
+    // the shard candidates; ties (never at 128 bits) break to the
+    // larger name, mirroring the struct field order on the Spark side.
+    "q158_hrw_shards" ->
+      """WITH cand AS (
+        |  SELECT doc_id, sh,
+        |    md5(CAST(doc_id AS VARCHAR) || ':' || sh) AS h
+        |  FROM documents, (VALUES ('shard0'),('shard1'),('shard2'),('shard3'),
+        |    ('shard4'),('shard5'),('shard6'),('shard7')) AS s(sh)),
+        |r AS (
+        |  SELECT doc_id, sh,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, sh DESC)
+        |      AS rn
+        |  FROM cand)
+        |SELECT doc_id, sh AS shard FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+    "q159_token_fertility" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT))
+        |    AS BIGINT) AS n_tokens,
+        |  CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS n_chars,
+        |  round(CAST(sum(CAST(length(text) AS BIGINT)) AS DOUBLE)
+        |    / CAST(sum(CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT))
+        |        AS DOUBLE), 6) AS chars_per_token
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   )
 }
