@@ -144,6 +144,59 @@ object Behavior {
       .orderBy(col(idCol))
   }
 
+  /** Market-basket ASSOCIATION RULES over session baskets: sessionize
+    * (30-min-gap gaps-and-islands), treat each session's distinct
+    * event types as a basket, and emit every directed rule x→y with
+    * its support n_xy/n_sessions, confidence n_xy/n_x, and lift
+    * conf/(n_y/n_sessions) — the Apriori output for pair rules,
+    * computed exactly (no candidate pruning needed at itemset size 2).
+    *
+    * Shape: the sessionize window is the only pass over raw events;
+    * baskets come from a map-side-partial distinct on (user, sid,
+    * item); the pair self-join is keyed on the SESSION (its fan-out is
+    * bounded by the item vocabulary, not the event count), and every
+    * count table after that is O(|item vocab|²). Ratios are bigint
+    * products evaluated exactly in doubles, round 9.
+    */
+  def associationRules(events: DataFrame, userCol: String, typeCol: String,
+                       usCol: String, idCol: String,
+                       gapUs: Long = 1800L * 1000000L): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(usCol), col(idCol))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = events
+      .select(col(userCol), col(typeCol).as("item"), col(usCol), col(idCol))
+      .withColumn("new_s",
+        when(lag(col(usCol), 1).over(w).isNull ||
+          col(usCol) - lag(col(usCol), 1).over(w) > gapUs, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(run))
+    val baskets = sessions.select(col(userCol), col("sid"), col("item"))
+      .distinct()
+    val nSess = baskets
+      .agg(countDistinct(struct(col(userCol), col("sid"))).as("n_sessions"))
+    val ni = baskets.groupBy(col("item")).agg(count(lit(1)).as("n_i"))
+    val pairs = baskets.alias("a")
+      .join(baskets.alias("b"),
+        col(s"a.$userCol") === col(s"b.$userCol") &&
+          col("a.sid") === col("b.sid") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("x"), col("b.item").as("y"))
+      .agg(count(lit(1)).as("n_xy"))
+    val directed = pairs.select(col("x"), col("y"), col("n_xy"))
+      .union(pairs.select(col("y"), col("x"), col("n_xy")))
+    directed
+      .join(ni.select(col("item").as("x"), col("n_i").as("n_x")), "x")
+      .join(ni.select(col("item").as("y"), col("n_i").as("n_y")), "y")
+      .crossJoin(nSess)
+      .select(col("x").as("antecedent"), col("y").as("consequent"),
+        col("n_xy"),
+        round(col("n_xy").cast("double") / col("n_sessions").cast("double"), 9)
+          .as("support"),
+        round(col("n_xy").cast("double") / col("n_x").cast("double"), 9)
+          .as("confidence"),
+        round((col("n_xy") * col("n_sessions")).cast("double") /
+          (col("n_x") * col("n_y")).cast("double"), 9).as("lift"))
+      .orderBy(col("antecedent"), col("consequent"))
+  }
+
   /** Exact EQUI-WIDTH HISTOGRAM of a value column in `nBins` bins over
     * the observed [min, max]. Bin edges and assignment are all-integer
     * (cents): bin = floor((c − min)·nBins / (max − min + 1)) — the

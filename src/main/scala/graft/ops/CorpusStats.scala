@@ -91,6 +91,51 @@ object CorpusStats {
     * chars/token is a bigint ratio rounded to 6 — exact on both
     * engines.
     */
+  /** LENGTH-CURRICULUM stage assignment: each document's decile (0..
+    * nStages−1) by `lenCol`, for shortest-first curriculum schedules.
+    * Stage = how many of the nStages−1 exact discrete quantile
+    * boundaries the length strictly exceeds — ties land in the lower
+    * stage on both engines by construction.
+    *
+    * Shape: boundaries come from ONE `percentile_approx` aggregate
+    * (the mergeable GK sketch — at accuracy ≥ N it is exact and equals
+    * DuckDB's `quantile_disc`, the equivalence q104/q145 pinned); the
+    * 9-element array is a broadcast literal folded into a narrow
+    * codegen pass — no global sort, no ntile window.
+    */
+  def lengthCurriculum(df: DataFrame, idCol: String, lenCol: String,
+                       nStages: Int = 10): DataFrame = {
+    require(nStages >= 2, "need at least two stages")
+    val qs = (1 until nStages).map(_.toDouble / nStages)
+    val bounds = df.agg(percentile_approx(col(lenCol).cast("long"),
+      typedLit(qs), lit(1000000)).as("_bs"))
+    df.select(col(idCol), col(lenCol).cast("long").as(lenCol))
+      .crossJoin(broadcast(bounds))
+      .select(col(idCol), col(lenCol),
+        aggregate(col("_bs"), lit(0L),
+          (acc, q) => acc + when(col(lenCol) > q, 1L).otherwise(0L))
+          .as("stage"))
+      .orderBy(col(idCol))
+  }
+
+  /** TEMPERATURE-SCALED mixture sampling (UniMax / multilingual-LM
+    * style): allocate `total` docs across groups ∝ n_g^invTemp —
+    * invTemp 1.0 is proportional, 0.0 uniform, 0.5 the √-rebalancing
+    * that keeps small domains from drowning. The allocation and
+    * selection reuse [[TextAnalysis.mixtureSample]]'s all-integer
+    * largest-remainder machinery; the only new ingredient is the
+    * weight n_g^invTemp, a transcendental → round-9-scaled long
+    * before any arithmetic (the ln/pow discipline).
+    */
+  def temperatureMixture(df: DataFrame, groupCol: String, idCol: String,
+                         total: Long, invTemp: Double = 0.5): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n_g"))
+    val withW = df.join(counts, groupCol)
+      .withColumn("_w9", graft.util.Exact.scaled(
+        round(pow(col("_n_g").cast("double"), invTemp), 9), 9))
+    TextAnalysis.mixtureSample(withW, groupCol, idCol, col("_w9"), total)
+  }
+
   def tokenFertility(df: DataFrame, langCol: String, textCol: String)
       : DataFrame =
     df.select(col(langCol).as("lang"),

@@ -46,4 +46,33 @@ object TimeSeries {
         prefix = "locf_")
       .select(col(keyCol), col("hour"), col("locf__oval").as("value"))
   }
+
+  /** SCD TYPE-2 HISTORY build: collapse a per-key change log into
+    * validity intervals — one row per state RUN, `[valid_from_us,
+    * valid_to_us)` half-open, `valid_to_us` null on the current row.
+    * Consecutive events with an unchanged state extend the run
+    * (classic warehouse dimension-history semantics); ordering within
+    * a key is lexicographic (us, id) so equal-timestamp changes
+    * replay deterministically.
+    *
+    * Shape: two window passes over the SAME user-keyed sort — Catalyst
+    * plans one exchange + one sort, the second window reuses both; no
+    * self-join, no sessionize-style running sum. The change filter
+    * drops unchanged rows before the `lead`, so the second pass runs
+    * over the (usually far smaller) run-boundary set.
+    */
+  def scd2History(df: DataFrame, keyCol: String, stateCol: String,
+                  usCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(usCol), col(idCol))
+    val changes = df
+      .select(col(keyCol), col(stateCol), col(usCol), col(idCol))
+      .withColumn("_prev", lag(col(stateCol), 1).over(w))
+      .filter(col("_prev").isNull || col("_prev") =!= col(stateCol))
+    changes
+      .withColumn("valid_to_us", lead(col(usCol), 1).over(w))
+      .select(col(keyCol), col(stateCol),
+        col(usCol).as("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+  }
 }

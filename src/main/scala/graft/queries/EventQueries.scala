@@ -733,7 +733,26 @@ object EventQueries {
 
     // q160: exact all-integer equi-width histogram of event values.
     "q160_value_histogram" -> ((s, d) =>
-      graft.ops.Behavior.valueHistogram(Tables.events(s, d), "value", 10))
+      graft.ops.Behavior.valueHistogram(Tables.events(s, d), "value", 10)),
+
+    // q161: SCD type-2 history — per-user event-type change log
+    // collapsed to half-open validity intervals, current row open.
+    "q161_scd2_history" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      graft.ops.TimeSeries.scd2History(ev, "user_id", "event_type",
+          "us", "event_id")
+        .orderBy(col("user_id"), col("valid_from_us"))
+    }),
+
+    // q162: association rules over 30-min session baskets —
+    // support/confidence/lift for every directed event-type pair.
+    "q162_association_rules" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      graft.ops.Behavior.associationRules(ev, "user_id", "event_type",
+        "us", "event_id")
+    })
   )
 
   private val HourlySql =
@@ -1134,6 +1153,63 @@ object EventQueries {
         |  CAST(lo + floor(CAST(bin * (hi - lo + 1) AS DOUBLE) / 10.0)
         |    AS BIGINT) AS lo_cents,
         |  count(*) AS n
-        |FROM binned GROUP BY 1, 2 ORDER BY bin""".stripMargin
+        |FROM binned GROUP BY 1, 2 ORDER BY bin""".stripMargin,
+    "q161_scd2_history" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |  FROM events),
+        |ch AS (
+        |  SELECT user_id, event_type, us, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS prev
+        |  FROM ev),
+        |runs AS (
+        |  SELECT user_id, event_type, us, event_id FROM ch
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |iv AS (
+        |  SELECT user_id, event_type, us AS valid_from_us,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS valid_to_us
+        |  FROM runs)
+        |SELECT user_id, event_type, valid_from_us, valid_to_us,
+        |  valid_to_us IS NULL AS is_current
+        |FROM iv ORDER BY user_id, valid_from_us""".stripMargin,
+    "q162_association_rules" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type AS item, epoch_us(ts) AS us, event_id
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, item, us, event_id,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sids AS (
+        |  SELECT user_id, item,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f),
+        |b AS (SELECT DISTINCT user_id, sid, item FROM sids),
+        |ns AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_sessions
+        |  FROM (SELECT DISTINCT user_id, sid FROM b)),
+        |ni AS (SELECT item, CAST(count(*) AS BIGINT) AS n_i FROM b GROUP BY 1),
+        |p AS (
+        |  SELECT a.item AS x, b2.item AS y, CAST(count(*) AS BIGINT) AS n_xy
+        |  FROM b a JOIN b b2
+        |    ON a.user_id = b2.user_id AND a.sid = b2.sid AND a.item < b2.item
+        |  GROUP BY 1, 2),
+        |d AS (SELECT x, y, n_xy FROM p
+        |      UNION ALL SELECT y, x, n_xy FROM p)
+        |SELECT d.x AS antecedent, d.y AS consequent, d.n_xy,
+        |  round(CAST(d.n_xy AS DOUBLE) / CAST(ns.n_sessions AS DOUBLE), 9)
+        |    AS support,
+        |  round(CAST(d.n_xy AS DOUBLE) / CAST(nx.n_i AS DOUBLE), 9)
+        |    AS confidence,
+        |  round(CAST(d.n_xy * ns.n_sessions AS DOUBLE)
+        |    / CAST(nx.n_i * ny.n_i AS DOUBLE), 9) AS lift
+        |FROM d CROSS JOIN ns
+        |  JOIN ni nx ON nx.item = d.x
+        |  JOIN ni ny ON ny.item = d.y
+        |ORDER BY antecedent, consequent""".stripMargin
   )
 }

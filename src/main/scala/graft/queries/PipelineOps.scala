@@ -671,6 +671,20 @@ object PipelineOps {
     "q159_token_fertility" -> ((s, d) =>
       CorpusStats.tokenFertility(Tables.documents(s, d), "lang", "text")),
 
+    // Length-decile curriculum stages: exact discrete quantile
+    // boundaries from ONE mergeable percentile aggregate, broadcast
+    // into a narrow comparison fold — no ntile window, no global sort.
+    "q164_length_curriculum" -> ((s, d) =>
+      CorpusStats.lengthCurriculum(Tables.documents(s, d), "doc_id",
+        "n_chars", nStages = 10)),
+
+    // Temperature-scaled (√n) domain mixture — q127's all-integer
+    // largest-remainder allocation with round-9-scaled pow weights.
+    "q165_temperature_mixture" -> ((s, d) =>
+      CorpusStats.temperatureMixture(Tables.documents(s, d), "source",
+          "doc_id", total = 200L, invTemp = 0.5)
+        .orderBy(col("source"), col("sel_rk"))),
+
     // The TRANSFORM sibling of q125: duplicated windows merged into
     // maximal per-doc removal spans (ExactSubstr's output shape —
     // Lee et al. 2022). Gaps-and-islands running-max merge; the
@@ -2620,6 +2634,50 @@ object PipelineOps {
         |  round(CAST(sum(CAST(length(text) AS BIGINT)) AS DOUBLE)
         |    / CAST(sum(CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT))
         |        AS DOUBLE), 6) AS chars_per_token
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // q164: quantile_disc boundaries (== percentile_approx in the
+    // exact regime, the q104/q145 equivalence) + a strict-exceed fold.
+    "q164_length_curriculum" ->
+      """WITH b AS (
+        |  SELECT unnest(quantile_disc(n_chars,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) AS q
+        |  FROM documents)
+        |SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars,
+        |  CAST(sum(CASE WHEN b.q < d.n_chars THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS stage
+        |FROM documents d CROSS JOIN b
+        |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+    // q165: q127's integer largest-remainder replay with w = the
+    // round-9-scaled √(docs-per-source) temperature weight.
+    "q165_temperature_mixture" ->
+      """WITH g AS (
+        |  SELECT source, CAST(round(round(pow(CAST(count(*) AS DOUBLE), 0.5),
+        |    9) * 1000000000) AS BIGINT) AS w
+        |  FROM documents GROUP BY source),
+        |b AS (
+        |  SELECT source, w, (SELECT sum(w) FROM g) AS wsum FROM g),
+        |c AS (
+        |  SELECT source, (200 * w) // wsum AS base,
+        |         200 * w - ((200 * w) // wsum) * wsum AS rem
+        |  FROM b),
+        |e AS (
+        |  SELECT source, base, rem,
+        |    (SELECT 200 - sum(base) FROM c) AS leftover,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS rr
+        |  FROM c),
+        |alloc AS (
+        |  SELECT source,
+        |    CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |      AS alloc
+        |  FROM e),
+        |sel AS (
+        |  SELECT source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+        |      AS sel_rk
+        |  FROM documents)
+        |SELECT s.source, s.doc_id, s.sel_rk, a.alloc
+        |FROM sel s JOIN alloc a USING (source)
+        |WHERE s.sel_rk <= a.alloc ORDER BY s.source, s.sel_rk""".stripMargin
   )
 }

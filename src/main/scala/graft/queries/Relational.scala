@@ -31,6 +31,21 @@ object Relational {
       .na.fill(0L)
 
   val queries: Map[String, Q] = Map(
+    // q163: bucketed reconciliation fingerprint of lineitem — the
+    // Merkle-style anti-entropy digest (64 small rows stand in for the
+    // whole table when verifying a copy); portable 60-bit md5 row
+    // hashes over canonicalized columns, order-insensitive XOR per
+    // bucket, all partial-agg map-side.
+    "q163_table_fingerprint" -> ((s, d) =>
+      graft.ops.Reconcile.tableFingerprint(Tables.lineitem(s, d),
+        keyCols = Seq(
+          col("l_orderkey").cast("string"),
+          col("l_linenumber").cast("string")),
+        valueCols = Seq(
+          round(col("l_quantity") * 100).cast("long").cast("string"),
+          round(col("l_extendedprice") * 100).cast("long").cast("string"),
+          col("l_returnflag"), col("l_linestatus")), nBuckets = 64)),
+
     // TPC-H Q1 shape: scan → filter → hash agg with partial aggregation
     // (the combiner the reference never had — SURVEY §4). Pushdown check:
     // PushedFilters should show the shipdate range at the parquet scan.
@@ -664,6 +679,23 @@ object Relational {
         |  coalesce(l_linestatus, 'ALL') AS ls,
         |  count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-        |ORDER BY rf, ls""".stripMargin
+        |ORDER BY rf, ls""".stripMargin,
+    // The q98 portable 60-bit md5 parse, concat_ws canonical rendering,
+    // order-insensitive bit_xor per bucket.
+    "q163_table_fingerprint" ->
+      """WITH r AS (
+        |  SELECT
+        |    CAST(concat('0x', substr(md5(concat_ws('|',
+        |      CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR))),
+        |      1, 15)) AS BIGINT) AS kh,
+        |    CAST(concat('0x', substr(md5(concat_ws('|',
+        |      CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+        |      CAST(CAST(round(l_quantity*100) AS BIGINT) AS VARCHAR),
+        |      CAST(CAST(round(l_extendedprice*100) AS BIGINT) AS VARCHAR),
+        |      l_returnflag, l_linestatus)), 1, 15)) AS BIGINT) AS h
+        |  FROM lineitem)
+        |SELECT kh % 64 AS bucket, count(*) AS n_rows,
+        |  CAST(bit_xor(h) AS BIGINT) AS xor60
+        |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin
   )
 }

@@ -82,6 +82,35 @@ class BehaviorSpec extends AnyFunSuite {
     assert(rows.head.getLong(1) == 0L, "first bin starts at min cents")
   }
 
+  test("associationRules: pair counts and exact support/confidence/lift") {
+    // u1 session: {a,b}; u2 session: {a}; u3 session: {a,b}
+    // n_sessions=3, n_a=3, n_b=2, n_ab=2
+    val ev = Seq(
+      (1L, "a", 1L, 1L), (1L, "b", 2L, 2L),
+      (2L, "a", 1L, 3L),
+      (3L, "b", 1L, 4L), (3L, "a", 2L, 5L)
+    ).toDF("user_id", "event_type", "us", "event_id")
+    val got = graft.ops.Behavior.associationRules(ev, "user_id",
+        "event_type", "us", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got(("a", "b"))._1 == 2L)
+    assert(math.abs(got(("a", "b"))._2 - 2.0 / 3) < 1e-8)   // support
+    assert(math.abs(got(("a", "b"))._3 - 2.0 / 3) < 1e-8)   // conf a→b
+    assert(got(("b", "a"))._3 == 1.0)                        // conf b→a
+    assert(got(("a", "b"))._4 == 1.0)                        // lift = (2·3)/(3·2)
+  }
+
+  test("associationRules: a session gap splits baskets") {
+    val gap = 1800L * 1000000L
+    val ev = Seq(
+      (1L, "a", 0L, 1L), (1L, "b", gap + 1L, 2L) // separate sessions
+    ).toDF("user_id", "event_type", "us", "event_id")
+    val got = graft.ops.Behavior.associationRules(ev, "user_id",
+      "event_type", "us", "event_id").collect()
+    assert(got.isEmpty, "no co-occurrence across the gap")
+  }
+
   test("valueHistogram: a single distinct value collapses to one bin") {
     val ev = Seq(1.0, 1.0, 1.0).map(Tuple1(_)).toDF("value")
     val rows = Behavior.valueHistogram(ev, "value", 10).collect()

@@ -48,6 +48,32 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(moved.nonEmpty, "shard3 held some keys out of 200")
   }
 
+  test("lengthCurriculum: stages are monotone in length and cover 0..k-1") {
+    val docs = (1L to 100L).map(i => (i, i * 10)).toDF("doc_id", "n_chars")
+    val got = CorpusStats.lengthCurriculum(docs, "doc_id", "n_chars", 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+    val byId = got.toMap
+    assert(got.map(_._2).distinct.sorted.toSeq == (0L to 9L))
+    // monotone: longer docs never get a lower stage
+    val sorted = got.sortBy(_._1).map(_._2)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
+    assert(byId(1L) == 0L && byId(100L) == 9L)
+  }
+
+  test("temperatureMixture: sqrt weights allocate closer to uniform than counts") {
+    // s0: 90 docs, s1: 40 docs, draw 50. Proportional → ≈35/15;
+    // sqrt-temperature → √90:√40 ≈ 30/20 (worked largest-remainder:
+    // base 30/19, the leftover goes to s1's larger remainder).
+    val docs = ((1L to 90L).map(i => ("s0", i)) ++
+      (91L to 130L).map(i => ("s1", i))).toDF("source", "doc_id")
+    val got = CorpusStats.temperatureMixture(docs, "source", "doc_id",
+        total = 50L, invTemp = 0.5)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("s0") + got("s1") == 50L, "largest remainder is exact-total")
+    assert(got("s0") == 30L && got("s1") == 20L)
+  }
+
   test("tokenFertility: exact totals and ratio on a hand-built corpus") {
     val docs = Seq(
       ("en", "ab cd"),   // 5 chars, 2 tokens

@@ -48,4 +48,32 @@ class TimeSeriesSpec extends AnyFunSuite {
       (1L, "2026-01-01 13:00:00.0", Some(3.0)),  // 13:10 obs is after the 13:00 instant
       (2L, "2026-01-01 05:00:00.0", Some(4.0)))) // on-the-hour obs is inclusive
   }
+
+  test("scd2History: runs collapse, intervals chain half-open, last is current") {
+    val ev = Seq(
+      (1L, "A", 10L, 1L), (1L, "A", 20L, 2L), // same-state run collapses
+      (1L, "B", 30L, 3L), (1L, "A", 40L, 4L), // A again → NEW interval
+      (2L, "X", 5L, 5L)
+    ).toDF("user_id", "state", "us", "event_id")
+    val got = graft.ops.TimeSeries.scd2History(ev, "user_id", "state",
+        "us", "event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+      .sortBy(t => (t._1, t._3))
+    assert(got.toSeq == Seq(
+      (1L, "A", 10L, Some(30L), false),
+      (1L, "B", 30L, Some(40L), false),
+      (1L, "A", 40L, None, true),
+      (2L, "X", 5L, None, true)))
+  }
+
+  test("scd2History: equal-timestamp changes order by id") {
+    val ev = Seq((1L, "A", 10L, 2L), (1L, "B", 10L, 1L))
+      .toDF("user_id", "state", "us", "event_id")
+    val got = graft.ops.TimeSeries.scd2History(ev, "user_id", "state",
+        "us", "event_id")
+      .collect().map(r => (r.getString(1), r.getBoolean(4))).sortBy(_._1)
+    // B (id 1) comes first, A (id 2) is current
+    assert(got.toSeq == Seq(("A", true), ("B", false)))
+  }
 }
