@@ -144,6 +144,44 @@ object Behavior {
       .orderBy(col(idCol))
   }
 
+  /** ROLLING ACTIVE USERS: per day, the exact distinct-user counts for
+    * that day (DAU) and the trailing `windowDays` window (WAU), plus
+    * the DAU/WAU stickiness ratio. The standard engagement panel.
+    *
+    * Shape: ONE distinct over (day, user) is the only pass at event
+    * volume; the rolling window is the explode-forward trick — each
+    * (day, user) row votes for the `windowDays` target days it falls
+    * inside — so WAU is a plain count-distinct with bounded ×W
+    * amplification of the ALREADY-DEDUPED daily frame, not a
+    * sliding-window distinct over raw events (which no engine does
+    * exactly without this rewrite; sketches are the q65 path when ×W
+    * is too much). Partial windows at the range edges count what they
+    * see, full stop.
+    */
+  def rollingActiveUsers(events: DataFrame, userCol: String, tsCol: String,
+                         windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays must be positive")
+    val du = events
+      .select(to_date(col(tsCol)).as("day"), col(userCol).as("u"))
+      .distinct()
+    val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val span = du.agg(max(col("day")).as("d1"))
+    val wau = du
+      .select(explode(sequence(lit(0), lit(windowDays - 1))).as("off"),
+        col("day"), col("u"))
+      .select(date_add(col("day"), col("off")).as("day"), col("u"))
+      .crossJoin(span)
+      .filter(col("day") <= col("d1"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("u")).as("wau"))
+    dau.join(wau, "day")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau").cast("double"), 9)
+          .as("stickiness"))
+      .orderBy(col("day"))
+  }
+
   /** Market-basket ASSOCIATION RULES over session baskets: sessionize
     * (30-min-gap gaps-and-islands), treat each session's distinct
     * event types as a basket, and emit every directed rule x→y with

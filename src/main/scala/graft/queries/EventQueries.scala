@@ -752,7 +752,13 @@ object EventQueries {
         unix_micros(col("ts")).as("us"), col("event_id"))
       graft.ops.Behavior.associationRules(ev, "user_id", "event_type",
         "us", "event_id")
-    })
+    }),
+
+    // q166: DAU / trailing-7-day WAU / stickiness — exact rolling
+    // distincts via the explode-forward rewrite of the daily frame.
+    "q166_rolling_active_users" -> ((s, d) =>
+      graft.ops.Behavior.rollingActiveUsers(Tables.events(s, d),
+        "user_id", "ts", windowDays = 7))
   )
 
   private val HourlySql =
@@ -1210,6 +1216,24 @@ object EventQueries {
         |FROM d CROSS JOIN ns
         |  JOIN ni nx ON nx.item = d.x
         |  JOIN ni ny ON ny.item = d.y
-        |ORDER BY antecedent, consequent""".stripMargin
+        |ORDER BY antecedent, consequent""".stripMargin,
+    "q166_rolling_active_users" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY 1),
+        |span AS (SELECT max(day) AS d1 FROM du),
+        |tgt AS (
+        |  SELECT du.day + o.off AS day, du.user_id
+        |  FROM du CROSS JOIN
+        |    (VALUES (0),(1),(2),(3),(4),(5),(6)) AS o(off)),
+        |wau AS (
+        |  SELECT t.day, count(DISTINCT t.user_id) AS wau
+        |  FROM tgt t CROSS JOIN span
+        |  WHERE t.day <= span.d1 GROUP BY t.day)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day,
+        |  CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau,
+        |  round(CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE), 9)
+        |    AS stickiness
+        |FROM dau d JOIN wau w USING (day) ORDER BY day""".stripMargin
   )
 }

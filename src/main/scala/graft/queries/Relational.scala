@@ -46,6 +46,15 @@ object Relational {
           round(col("l_extendedprice") * 100).cast("long").cast("string"),
           col("l_returnflag"), col("l_linestatus")), nBuckets = 64)),
 
+    // q167: zone-map skip report — what a shipdate-sorted layout buys
+    // for a one-year predicate: per-4096-row-block min/max + skip flag.
+    "q167_zone_map" -> ((s, d) =>
+      graft.ops.ZoneMap.report(Tables.lineitem(s, d),
+        keyCol = date_format(col("l_shipdate"), "yyyy-MM-dd"),
+        tieCols = Seq(col("l_orderkey"), col("l_linenumber")),
+        blockSize = 4096,
+        predLo = "1995-01-01", predHi = "1996-01-01")),
+
     // TPC-H Q1 shape: scan → filter → hash agg with partial aggregation
     // (the combiner the reference never had — SURVEY §4). Pushdown check:
     // PushedFilters should show the shipdate range at the parquet scan.
@@ -696,6 +705,19 @@ object Relational {
         |  FROM lineitem)
         |SELECT kh % 64 AS bucket, count(*) AS n_rows,
         |  CAST(bit_xor(h) AS BIGINT) AS xor60
-        |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin
+        |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // Global (key, tie-string) order replayed with row_number; the tie
+    // string is identical on both engines so the total order is too.
+    "q167_zone_map" ->
+      """WITH o AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m-%d') AS k,
+        |    row_number() OVER (ORDER BY strftime(l_shipdate, '%Y-%m-%d'),
+        |      concat_ws('|', CAST(l_orderkey AS VARCHAR),
+        |        CAST(l_linenumber AS VARCHAR))) - 1 AS rn
+        |  FROM lineitem)
+        |SELECT rn // 4096 AS block, count(*) AS n_rows,
+        |  min(k) AS k_min, max(k) AS k_max,
+        |  (max(k) < '1995-01-01' OR min(k) >= '1996-01-01') AS would_skip
+        |FROM o GROUP BY 1 ORDER BY block""".stripMargin
   )
 }

@@ -74,6 +74,22 @@ class BehaviorSpec extends AnyFunSuite {
     assert(got(11L)._1.get > 3.0)
   }
 
+  test("rollingActiveUsers: WAU accumulates the trailing week; stickiness exact") {
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00"), (2L, "2024-01-01 11:00:00"),
+      (1L, "2024-01-03 10:00:00"),
+      (3L, "2024-01-09 10:00:00")
+    ).toDF("user_id", "s").withColumn("ts", to_timestamp(col("s")))
+    val got = graft.ops.Behavior.rollingActiveUsers(ev, "user_id", "ts", 7)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("2024-01-01") == ((2L, 2L)))
+    // day 3: DAU 1 (user 1); WAU = users over 12-28..01-03 = {1,2}
+    assert(got("2024-01-03") == ((1L, 2L)))
+    // day 9: only user 3 within [01-03, 01-09]? day 3 is 6 back → in window
+    assert(got("2024-01-09") == ((1L, 2L)))
+    assert(got.size == 3, "only days with DAU are reported")
+  }
+
   test("valueHistogram: all-integer bins cover min..max; max lands in the last bin") {
     val ev = (0 until 100).map(i => Tuple1(i / 100.0 * 10)).toDF("value")
     val rows = Behavior.valueHistogram(ev, "value", 10).collect()

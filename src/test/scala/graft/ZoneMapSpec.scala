@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.ZoneMap
+
+class ZoneMapSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("blocks tile the sorted order; min/max bound each block; skip flags match") {
+    // keys 000..099 shuffled in; block size 25 → 4 blocks of 25
+    val rows = scala.util.Random.shuffle((0 until 100).toList)
+      .map(i => (f"$i%03d", i.toLong)).toDF("k", "id")
+    val got = ZoneMap.report(rows, col("k"), Seq(col("id")),
+        blockSize = 25, predLo = "025", predHi = "050")
+      .collect()
+    assert(got.length == 4 && got.forall(_.getLong(1) == 25L))
+    val b = got.map(r => (r.getLong(0), r.getString(2), r.getString(3),
+      r.getBoolean(4)))
+    assert(b(0) == ((0L, "000", "024", true)),  "below the range → skip")
+    assert(b(1) == ((1L, "025", "049", false)), "inside → must read")
+    assert(b(2) == ((2L, "050", "074", true)),  "at/after predHi → skip")
+    assert(b(3) == ((3L, "075", "099", true)))
+  }
+
+  test("a straggler block keeps its true row count") {
+    val rows = (0 until 10).map(i => (f"$i%02d", i.toLong)).toDF("k", "id")
+    val got = ZoneMap.report(rows, col("k"), Seq(col("id")),
+      blockSize = 4, predLo = "00", predHi = "99").collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(4L, 4L, 2L))
+  }
+}
