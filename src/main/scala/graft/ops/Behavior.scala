@@ -182,6 +182,50 @@ object Behavior {
       .orderBy(col("day"))
   }
 
+  /** Gaps-and-islands sessionization (one user-keyed window): adds
+    * `sid` (1-based per user) and renames the type column to `item`.
+    * Shared by [[associationRules]] and [[sessionPatternMatch]]. */
+  private def sessionized(events: DataFrame, userCol: String,
+                          typeCol: String, usCol: String, idCol: String,
+                          gapUs: Long): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(usCol), col(idCol))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col(userCol), col(typeCol).as("item"), col(usCol), col(idCol))
+      .withColumn("new_s",
+        when(lag(col(usCol), 1).over(w).isNull ||
+          col(usCol) - lag(col(usCol), 1).over(w) > gapUs, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(run))
+  }
+
+  /** CEP-style SEQUENCE PATTERN MATCH (MATCH_RECOGNIZE-lite): render
+    * each 30-min session as its ordered event-type string
+    * ("view>click>purchase>…") and test a regex over it — the pattern
+    * language every complex-event-processing engine compiles to.
+    * Keep patterns inside the RE2 ∩ java.util.regex subset (no
+    * lookaround) so any engine replays them.
+    *
+    * Shape: the sessionize window plus ONE session-keyed aggregation;
+    * the collect_list is bounded by session length (the q62
+    * pack-sequences boundedness argument — a session is a human-scale
+    * artifact, not a data-scale one; a runaway key would hit the same
+    * wall in any sessionizer). Matching is a narrow codegen rlike.
+    */
+  def sessionPatternMatch(events: DataFrame, userCol: String,
+                          typeCol: String, usCol: String, idCol: String,
+                          pattern: String,
+                          gapUs: Long = 1800L * 1000000L): DataFrame =
+    sessionized(events, userCol, typeCol, usCol, idCol, gapUs)
+      .groupBy(col(userCol), col("sid"))
+      .agg(count(lit(1)).as("n_events"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(usCol), col(idCol),
+              col("item")))),
+            x => x.getField("item")), ">").as("seq"))
+      .withColumn("matched", col("seq").rlike(pattern))
+      .orderBy(col(userCol), col("sid"))
+
   /** Market-basket ASSOCIATION RULES over session baskets: sessionize
     * (30-min-gap gaps-and-islands), treat each session's distinct
     * event types as a basket, and emit every directed rule x→y with
@@ -199,15 +243,8 @@ object Behavior {
   def associationRules(events: DataFrame, userCol: String, typeCol: String,
                        usCol: String, idCol: String,
                        gapUs: Long = 1800L * 1000000L): DataFrame = {
-    val w = Window.partitionBy(col(userCol)).orderBy(col(usCol), col(idCol))
-    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sessions = events
-      .select(col(userCol), col(typeCol).as("item"), col(usCol), col(idCol))
-      .withColumn("new_s",
-        when(lag(col(usCol), 1).over(w).isNull ||
-          col(usCol) - lag(col(usCol), 1).over(w) > gapUs, 1).otherwise(0))
-      .withColumn("sid", sum(col("new_s")).over(run))
-    val baskets = sessions.select(col(userCol), col("sid"), col("item"))
+    val baskets = sessionized(events, userCol, typeCol, usCol, idCol, gapUs)
+      .select(col(userCol), col("sid"), col("item"))
       .distinct()
     val nSess = baskets
       .agg(countDistinct(struct(col(userCol), col("sid"))).as("n_sessions"))

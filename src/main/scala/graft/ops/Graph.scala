@@ -149,4 +149,53 @@ object Graph {
     tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** SYNCHRONOUS LABEL PROPAGATION (Raghavan et al. 2007) with a
+    * deterministic tie-break: every node starts labeled with its own
+    * id; each round, every node simultaneously adopts the label held
+    * by the MOST neighbors, ties to the SMALLEST label. Synchronous +
+    * deterministic-tie makes the fixed-round result a pure function
+    * of the edge set — replayable by any engine computing the same
+    * unrolled recurrence (the asynchronous/random-tie variant in the
+    * original paper is not oracle-checkable; community QUALITY is
+    * equivalent, cf. the paper's own synchronous discussion).
+    *
+    * Shape per round: one labels ⋈ edges shuffle join, one
+    * (node, label) count agg, one per-node argmax via a max-struct
+    * partial agg (count, then negated label — no row_number window
+    * over the big frame). Same BSP cache hygiene as [[pageRankExact]]:
+    * each round's labels are cached and the previous unpersisted, so
+    * round i+1 never recomputes round i.
+    *
+    * @param edges undirected input; `src`/`dst` columns, any integral
+    *              type. Symmetrized + deduped internally.
+    * @return (node LONG, community LONG) for every node with ≥1 edge.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1)
+    val e0 = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    var persisted: DataFrame = null
+    for (_ <- 1 to iters) {
+      val cur = labels.cache()
+      cur.count() // materialize the BSP step before dropping the prior
+      if (persisted != null) persisted.unpersist(blocking = false)
+      persisted = cur
+      val best = e
+        .join(cur.select(col("node").as("dst"), col("lbl")), "dst")
+        .groupBy(col("src").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("node"), (-col("m.neg")).as("lbl"))
+      labels = cur.select(col("node"), col("lbl").as("prev"))
+        .join(best, Seq("node"), "left")
+        .select(col("node"), coalesce(col("lbl"), col("prev")).as("lbl"))
+    }
+    labels.select(col("node"), col("lbl").as("community"))
+  }
 }

@@ -758,7 +758,41 @@ object EventQueries {
     // distincts via the explode-forward rewrite of the daily frame.
     "q166_rolling_active_users" -> ((s, d) =>
       graft.ops.Behavior.rollingActiveUsers(Tables.events(s, d),
-        "user_id", "ts", windowDays = 7))
+        "user_id", "ts", windowDays = 7)),
+
+    // q169: HOPPING (sliding) window counts through Structured
+    // Streaming — the remaining §2.9 window form beside q41's
+    // tumbling and q107's session windows: 2-hour windows advancing
+    // hourly, so every event lands in exactly two windows.
+    "q169_stream_hopping" -> ((s, d) => {
+      val name = s"stream_hopping_${streamId.incrementAndGet()}"
+      val src = Tables.eventsStream(s, d)
+      val agg = src
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      withStreamPartitions(s) {
+        val q = agg.writeStream.outputMode("complete")
+          .format("memory").queryName(name).start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      s.table(name)
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:00:00").as("wstart"),
+          col("event_type"), col("n_events"))
+        .orderBy(col("wstart"), col("event_type"))
+    }),
+
+    // q170: CEP-lite sequence pattern over per-session event-type
+    // strings — a view leading to a purchase through only benign
+    // intermediate steps (RE2 ∩ Java regex subset, no lookaround).
+    "q170_session_pattern" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      graft.ops.Behavior.sessionPatternMatch(ev, "user_id", "event_type",
+        "us", "event_id", "view(>(view|click|signup))*>purchase")
+    })
   )
 
   private val HourlySql =
@@ -1234,6 +1268,36 @@ object EventQueries {
         |  CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau,
         |  round(CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE), 9)
         |    AS stickiness
-        |FROM dau d JOIN wau w USING (day) ORDER BY day""".stripMargin
+        |FROM dau d JOIN wau w USING (day) ORDER BY day""".stripMargin,
+    // q169: each event votes for its two hourly-aligned 2-hour windows.
+    "q169_stream_hopping" ->
+      """SELECT strftime(date_trunc('hour', ts) - o.off * INTERVAL 1 HOUR,
+        |    '%Y-%m-%d %H:00:00') AS wstart,
+        |  event_type, count(*) AS n_events
+        |FROM events CROSS JOIN (VALUES (0), (1)) AS o(off)
+        |GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+    "q170_session_pattern" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type AS item, epoch_us(ts) AS us, event_id
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, item, us, event_id,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sids AS (
+        |  SELECT user_id, item, us, event_id,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS sid
+        |  FROM f),
+        |s AS (
+        |  SELECT user_id, sid, count(*) AS n_events,
+        |    string_agg(item, '>' ORDER BY us, event_id) AS seq
+        |  FROM sids GROUP BY 1, 2)
+        |SELECT user_id, sid, n_events, seq,
+        |  regexp_matches(seq, 'view(>(view|click|signup))*>purchase')
+        |    AS matched
+        |FROM s ORDER BY user_id, sid""".stripMargin
   )
 }

@@ -426,6 +426,18 @@ object Relational {
         .orderBy(col("node"))
     }),
 
+    // q168: synchronous label-propagation communities (3 rounds,
+    // min-label tie-break) over the same part↔supplier graph as q105 —
+    // deterministic by construction, so the unrolled recurrence is
+    // oracle-checkable.
+    "q168_label_propagation" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d).select(
+        col("l_partkey").as("src"),
+        (lit(1000000L) + col("l_suppkey")).as("dst"))
+      graft.ops.Graph.labelPropagation(edges, iters = 3)
+        .orderBy(col("node"))
+    }),
+
     // Hierarchical rollup (beyond the reference — no grouping sets
     // exist there; Catalyst's Expand covers them natively). Subtotal
     // rows keyed 'ALL' so ordering/compare is null-free.
@@ -444,6 +456,32 @@ object Relational {
     * unrolled: one CTE per iteration, same truncating integer math
     * (`//` and `div` agree on non-negative longs), dangling mass
     * redistributed uniformly. */
+  /** Unrolled synchronous LPA recurrence: per round, neighbor-label
+    * counts → per-node winner (count DESC, label ASC) → carry previous
+    * label when a node has no neighbors (never, post-symmetrization). */
+  private def lpaSql(iters: Int): String = {
+    def step(prev: String, k: Int): String =
+      s"""c$k AS (
+         |  SELECT e.src AS node, l.lbl, count(*) AS c
+         |  FROM ed e JOIN $prev l ON l.node = e.dst GROUP BY 1, 2),
+         |b$k AS (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl,
+         |      row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rk
+         |    FROM c$k) WHERE rk = 1),
+         |r$k AS (
+         |  SELECT p.node, coalesce(b.lbl, p.lbl) AS lbl
+         |  FROM $prev p LEFT JOIN b$k b USING (node))""".stripMargin
+    val steps = (1 to iters).map(i => step(s"r${i - 1}", i)).mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src,
+       |    1000000 + CAST(l_suppkey AS BIGINT) AS dst FROM lineitem),
+       |ed AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |r0 AS (SELECT DISTINCT src AS node, src AS lbl FROM ed),
+       |$steps
+       |SELECT node, lbl AS community FROM r$iters ORDER BY node""".stripMargin
+  }
+
   private def pageRankSql(iters: Int): String = {
     def step(prev: String, cur: String): String =
       s"""$cur AS (
@@ -475,6 +513,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q105_pagerank" -> pageRankSql(3),
+    "q168_label_propagation" -> lpaSql(3),
     "q78_zorder" -> {
       val z = graft.ops.ZOrder.zValueSql(
         "CAST(l_partkey AS BIGINT) % 65536", "CAST(l_suppkey AS BIGINT) % 65536")

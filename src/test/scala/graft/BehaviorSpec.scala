@@ -127,6 +127,25 @@ class BehaviorSpec extends AnyFunSuite {
     assert(got.isEmpty, "no co-occurrence across the gap")
   }
 
+  test("sessionPatternMatch: ordered session strings; only clean funnels match") {
+    val gap = 1800L * 1000000L
+    val pat = "view(>(view|click|signup))*>purchase"
+    val ev = Seq(
+      (1L, "view", 1L, 1L), (1L, "click", 2L, 2L), (1L, "purchase", 3L, 3L),
+      (2L, "view", 1L, 4L), (2L, "error", 2L, 5L), (2L, "purchase", 3L, 6L),
+      (3L, "purchase", 1L, 7L),
+      (4L, "view", 1L, 8L), (4L, "purchase", gap + 2L, 9L) // split sessions
+    ).toDF("user_id", "event_type", "us", "event_id")
+    val got = graft.ops.Behavior.sessionPatternMatch(ev, "user_id",
+        "event_type", "us", "event_id", pat)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(3), r.getBoolean(4))).toMap
+    assert(got((1L, 1L)) == (("view>click>purchase", true)))
+    assert(got((2L, 1L)) == (("view>error>purchase", false)), "error breaks it")
+    assert(got((3L, 1L)) == (("purchase", false)))
+    assert(!got((4L, 1L))._2 && !got((4L, 2L))._2, "gap split kills the chain")
+  }
+
   test("valueHistogram: a single distinct value collapses to one bin") {
     val ev = Seq(1.0, 1.0, 1.0).map(Tuple1(_)).toDF("value")
     val rows = Behavior.valueHistogram(ev, "value", 10).collect()

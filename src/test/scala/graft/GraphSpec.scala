@@ -120,4 +120,27 @@ class GraphSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("partial_sum"), plan) // map-side combine of contribs
   }
+
+  test("labelPropagation: two cliques joined by a bridge separate into two communities") {
+    import spark.implicits._
+    // clique {1,2,3}, clique {10,11,12}, bridge 3–10
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 6)
+    assert(got(1L) == got(2L) && got(2L) == got(3L), "left clique agrees")
+    assert(got(10L) == got(11L) && got(11L) == got(12L), "right clique agrees")
+    assert(got(1L) != got(10L), "the bridge does not merge the cliques")
+  }
+
+  test("labelPropagation: deterministic under repartitioning (min-label ties)") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val a = Graph.labelPropagation(edges, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = Graph.labelPropagation(edges.repartition(7), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a == b)
+  }
 }
