@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Exact ML evaluation / training primitives over integer features —
+  * the model-adjacent aggregates a data-curation cluster runs beside
+  * the pipeline: ranking quality (AUC) of a scoring signal against
+  * labels, and the information-gain decision stump that turns a
+  * quality score into a calibrated threshold.
+  *
+  * Both are EXACT under the engine's determinism discipline: AUC from
+  * integer rank sums in doubled units (tie-averaging stays integral),
+  * entropies as Σ c·ln9 scaled-long sums (the q146 tokenEntropy form)
+  * — so both replay bit-for-bit on any engine.
+  */
+object MlEval {
+
+  /** Exact AUC (Mann–Whitney U) of an integer score against a boolean
+    * label: P(score⁺ > score⁻) + ½·P(tie). Computed from per-score
+    * counts — `num2 = Σ_s n⁺(s)·(2·cumn⁻(<s) + n⁻(s))` in doubled
+    * units so tie-averaging stays integral — then one final division.
+    *
+    * Scale shape: ONE groupBy(score) shuffle compresses N rows to the
+    * distinct-score table; the prefix sum over that table runs as the
+    * canonical two-pass distributed scan (range-sort by score,
+    * per-partition totals — an O(partitions) driver array, not data —
+    * then a per-partition running fold). No global single-partition
+    * window anywhere.
+    *
+    * @return one row: (n_pos, n_neg, num2, auc). */
+  def aucExact(df: DataFrame, scoreCol: String, posCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = df.select(col(scoreCol).cast("long").as("s"),
+        col(posCol).cast("boolean").as("p"))
+      .groupBy(col("s"))
+      .agg(sum(when(col("p"), 1L).otherwise(0L)).as("np"),
+        sum(when(col("p"), 0L).otherwise(1L)).as("nn"))
+      .orderBy(col("s"))
+    val rdd = g.select(col("np"), col("nn")).rdd
+      .map(r => (r.getLong(0), r.getLong(1))).cache()
+    // pass 1: per-partition negative totals → prefix offsets (O(P))
+    val negTotals = rdd.mapPartitionsWithIndex { (i, it) =>
+      Iterator((i, it.map(_._2).sum))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = negTotals.scanLeft(0L)(_ + _)
+    // pass 2: running fold inside each partition from its offset
+    val sums = rdd.mapPartitionsWithIndex { (i, it) =>
+      var cumneg = offsets(i); var num2 = 0L; var np = 0L; var nn = 0L
+      it.foreach { case (p, n) =>
+        num2 += p * (2L * cumneg + n); cumneg += n; np += p; nn += n
+      }
+      Iterator((num2, np, nn))
+    }.reduce { case ((a1, b1, c1), (a2, b2, c2)) => (a1 + a2, b1 + b2, c1 + c2) }
+    rdd.unpersist(blocking = false)
+    val (num2, np, nn) = sums
+    // same evaluation order + HALF_UP rounding as `round(x, 9)` on
+    // both engines (Spark round == BigDecimal HALF_UP on doubles)
+    val auc = if (np == 0L || nn == 0L) 0.0
+      else BigDecimal(num2.toDouble / (2.0 * np * nn))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((np, nn, num2, auc)).toDF("n_pos", "n_neg", "num2", "auc")
+  }
+
+  /** Information-gain DECISION STUMP over an integer feature: evaluate
+    * every decile boundary of `featCol` as a split threshold and
+    * report, per threshold, the left/right class counts and the exact
+    * scaled-long gain — the caller picks the max row (or reads them
+    * all as a split-quality curve). Entropies are the Σ c·ln9 form:
+    * `ent_sum9(n, p) = −(p·ln9(p/n) + (n−p)·ln9((n−p)/n))`, already
+    * count-weighted, so `gain9 = root − (left + right)` is exact long
+    * arithmetic with no division at all.
+    *
+    * Scale shape: boundaries from ONE mergeable percentile aggregate
+    * (the q164 path); candidate evaluation is one pass amplified by
+    * the FIXED threshold count (explode of a 9-element literal), into
+    * one tiny (threshold)-keyed agg. */
+  def decisionStump(df: DataFrame, featCol: String, posCol: String,
+                    nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "need at least two bins")
+    val qs = (1 until nBins).map(_.toDouble / nBins)
+    val bounds = df.agg(percentile_approx(col(featCol).cast("long"),
+      typedLit(qs), lit(1000000)).as("_bs"))
+    // c·ln9(c/n) as an exact long; 0 when c = 0 (lim x→0 x·ln x = 0)
+    def cLn9(c: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      when(c > 0L, c * graft.util.Exact.scaled(
+        round(log(c.cast("double") / n.cast("double")), 9), 9)).otherwise(0L)
+    def entSum9(n: org.apache.spark.sql.Column, p: org.apache.spark.sql.Column) =
+      -(cLn9(p, n) + cLn9(n - p, n))
+    val perThreshold = df
+      .select(col(featCol).cast("long").as("f"),
+        col(posCol).cast("boolean").as("p"))
+      .crossJoin(broadcast(bounds))
+      .select(explode(col("_bs")).as("threshold"), col("f"), col("p"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("p"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("f") <= col("threshold"), 1L).otherwise(0L)).as("n_left"),
+        sum(when(col("f") <= col("threshold") && col("p"), 1L).otherwise(0L))
+          .as("pos_left"))
+    perThreshold
+      .select(col("threshold"), col("n_left"), col("pos_left"),
+        (col("n") - col("n_left")).as("n_right"),
+        (col("n_pos") - col("pos_left")).as("pos_right"),
+        (entSum9(col("n"), col("n_pos")) -
+          (entSum9(col("n_left"), col("pos_left")) +
+            entSum9(col("n") - col("n_left"),
+              col("n_pos") - col("pos_left")))).as("gain9"))
+      .orderBy(col("threshold"))
+  }
+}

@@ -792,6 +792,27 @@ object EventQueries {
         unix_micros(col("ts")).as("us"), col("event_id"))
       graft.ops.Behavior.sessionPatternMatch(ev, "user_id", "event_type",
         "us", "event_id", "view(>(view|click|signup))*>purchase")
+    }),
+
+    // q173: INCREMENTAL-VIEW-MAINTENANCE equivalence — the hourly
+    // rollup computed as mergeable partials over two disjoint halves
+    // of the log (split by event-id parity, standing in for old
+    // snapshot + new arrivals) and then merged. Count and exact-cents
+    // sum are commutative monoids, so partial-merge ≡ full recompute —
+    // the property that lets a 100 TB/day ingest maintain its rollups
+    // without re-reading history. Oracle = q39's, verbatim.
+    "q173_incremental_hourly" -> ((s, d) => {
+      val part = Tables.events(s, d)
+        .withColumn("h",
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00"))
+        .groupBy(col("h"), col("event_type"),
+          pmod(col("event_id"), lit(2)).as("side"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+      part.groupBy(col("h").as("hour"), col("event_type"))
+        .agg(sum(col("n")).as("n_events"),
+          (sum(col("cents")).cast("double") / 100.0).as("sum_value"))
+        .orderBy(col("hour"), col("event_type"))
     })
   )
 
@@ -1298,6 +1319,8 @@ object EventQueries {
         |SELECT user_id, sid, n_events, seq,
         |  regexp_matches(seq, 'view(>(view|click|signup))*>purchase')
         |    AS matched
-        |FROM s ORDER BY user_id, sid""".stripMargin
+        |FROM s ORDER BY user_id, sid""".stripMargin,
+    // Partial-merge must equal full recompute — same oracle as q39.
+    "q173_incremental_hourly" -> HourlySql
   )
 }

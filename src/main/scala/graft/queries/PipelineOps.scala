@@ -685,6 +685,27 @@ object PipelineOps {
           "doc_id", total = 200L, invTemp = 0.5)
         .orderBy(col("source"), col("sel_rk"))),
 
+    // q171: exact AUC of the integer norm score against the even-label
+    // class — Mann–Whitney from doubled rank sums, distributed
+    // two-pass prefix scan (no single-partition window).
+    "q171_auc_exact" -> ((s, d) => {
+      import graft.functions.VectorFunctions.normSqScaled
+      val e = Tables.embeddings(s, d).select(
+        normSqScaled(col("embedding")).as("nsq"),
+        (pmod(col("label"), lit(2)) === 0).as("pos"))
+      graft.ops.MlEval.aucExact(e, "nsq", "pos")
+    }),
+
+    // q172: information-gain decision stump over the same (score,
+    // class) pair — decile thresholds, exact Σ c·ln9 entropies.
+    "q172_decision_stump" -> ((s, d) => {
+      import graft.functions.VectorFunctions.normSqScaled
+      val e = Tables.embeddings(s, d).select(
+        normSqScaled(col("embedding")).as("nsq"),
+        (pmod(col("label"), lit(2)) === 0).as("pos"))
+      graft.ops.MlEval.decisionStump(e, "nsq", "pos", nBins = 10)
+    }),
+
     // The TRANSFORM sibling of q125: duplicated windows merged into
     // maximal per-doc removal spans (ExactSubstr's output shape —
     // Lee et al. 2022). Gaps-and-islands running-max merge; the
@@ -2678,6 +2699,65 @@ object PipelineOps {
         |  FROM documents)
         |SELECT s.source, s.doc_id, s.sel_rk, a.alloc
         |FROM sel s JOIN alloc a USING (source)
-        |WHERE s.sel_rk <= a.alloc ORDER BY s.source, s.sel_rk""".stripMargin
+        |WHERE s.sel_rk <= a.alloc ORDER BY s.source, s.sel_rk""".stripMargin,
+    "q171_auc_exact" -> (AucStumpCtes +
+      """g AS (
+        |  SELECT score,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        |  FROM t GROUP BY 1),
+        |c AS (
+        |  SELECT np, nn,
+        |    coalesce(sum(nn) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cumneg
+        |  FROM g)
+        |SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+        |  CAST(sum(nn) AS BIGINT) AS n_neg,
+        |  CAST(sum(np * (2*cumneg + nn)) AS BIGINT) AS num2,
+        |  round(CAST(CAST(sum(np * (2*cumneg + nn)) AS BIGINT) AS DOUBLE)
+        |    / (2.0 * CAST(sum(np) AS BIGINT) * CAST(sum(nn) AS BIGINT)), 9)
+        |    AS auc
+        |FROM c""".stripMargin),
+    "q172_decision_stump" -> (AucStumpCtes + {
+      def cln(c: String, n: String) =
+        s"""CASE WHEN ($c) > 0 THEN ($c) * CAST(round(round(
+           |      ln(CAST($c AS DOUBLE) / CAST($n AS DOUBLE)), 9)
+           |      * 1000000000) AS BIGINT) ELSE 0 END""".stripMargin
+      def ent(n: String, p: String) =
+        s"-(${cln(p, n)} + ${cln(s"$n - ($p)", n)})"
+      s"""b AS (
+         |  SELECT unnest(quantile_disc(score,
+         |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) AS threshold
+         |  FROM t),
+         |a AS (
+         |  SELECT b.threshold, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |    CAST(sum(CASE WHEN score <= b.threshold THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_left,
+         |    CAST(sum(CASE WHEN score <= b.threshold AND pos THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS pos_left
+         |  FROM t CROSS JOIN b GROUP BY 1)
+         |SELECT threshold, n_left, pos_left,
+         |  n - n_left AS n_right, n_pos - pos_left AS pos_right,
+         |  ${ent("n", "n_pos")}
+         |  - (${ent("n_left", "pos_left")}
+         |     + ${ent("(n - n_left)", "(n_pos - pos_left)")}) AS gain9
+         |FROM a ORDER BY threshold""".stripMargin
+    })
   )
+
+  /** Shared (score, class) derivation for q171/q172: the q44 exact
+    * integer norm as the score, even label as the positive class.
+    * (A def: it is referenced from the `oracles` val above, and object
+    * vals initialize in declaration order.) */
+  private def AucStumpCtes: String =
+    """WITH s AS (
+      |  SELECT vec_id, label,
+      |    CAST(sum(CAST(round(v*v*1000000000) AS BIGINT)) AS BIGINT) AS nsq
+      |  FROM (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v
+      |        FROM embeddings)
+      |  GROUP BY 1, 2),
+      |t AS (SELECT nsq AS score, (label % 2 = 0) AS pos FROM s),
+      |""".stripMargin
 }

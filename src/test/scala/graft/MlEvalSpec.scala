@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.MlEval
+
+class MlEvalSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def auc(rows: Seq[(Long, Boolean)]) =
+    MlEval.aucExact(rows.toDF("score", "pos"), "score", "pos")
+      .collect().head
+
+  test("aucExact: perfect separation → 1.0; reversed → 0.0; ties → ½ credit") {
+    assert(auc(Seq((3L, true), (4L, true), (1L, false), (2L, false)))
+      .getDouble(3) == 1.0)
+    assert(auc(Seq((1L, true), (2L, true), (3L, false), (4L, false)))
+      .getDouble(3) == 0.0)
+    // pos {1,2}, neg {1,3}: pairs (1,1)=½ (1,3)=0 (2,1)=1 (2,3)=0 → 1.5/4
+    val r = auc(Seq((1L, true), (2L, true), (1L, false), (3L, false)))
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 3L, "doubled numerator keeps ties integral")
+    assert(r.getDouble(3) == 0.375)
+  }
+
+  test("aucExact: invariant to partitioning (distributed prefix scan)") {
+    val rows = (1L to 500L).map(i => (i * 7 % 97, i % 3 == 0))
+    val a = MlEval.aucExact(rows.toDF("score", "pos"), "score", "pos")
+      .collect().head
+    val b = MlEval.aucExact(rows.toDF("score", "pos").repartition(17),
+      "score", "pos").collect().head
+    assert(a == b)
+  }
+
+  test("decisionStump: the perfect split earns the full root entropy") {
+    // feature 1..100, positive iff f <= 50 → threshold 50 is pure
+    val rows = (1L to 100L).map(i => (i, i <= 50L))
+    val got = MlEval.decisionStump(rows.toDF("f", "pos"), "f", "pos", 10)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(5)))
+      .toMap
+    assert(got.contains(50L), s"deciles of 1..100 include 50, got ${got.keys}")
+    assert(got(50L)._1 == 50L && got(50L)._2 == 50L)
+    // root ent_sum9 = −2·50·ln9(½) = 100·693147181; children pure → 0
+    assert(got(50L)._3 == 69314718100L)
+    assert(got.values.map(_._3).max == got(50L)._3, "50 is the best split")
+    // entropy gain is non-negative up to ln-rounding slack
+    assert(got.values.forall(_._3 >= -10L))
+  }
+}

@@ -30,6 +30,11 @@ QUERIES = ",".join([
     # entropy ((doc,term) grid shuffle), vocab growth (term first-seen)
     "q143_ivf_pq", "q144_detop_residual", "q146_token_entropy",
     "q148_vocab_growth",
+    # late round-7: association rules (session-keyed basket self-join),
+    # rolling actives (explode-forward distinct), zone map (global
+    # range sort + zipWithIndex), LPA (iterative BSP label joins)
+    "q162_association_rules", "q166_rolling_active_users",
+    "q167_zone_map", "q168_label_propagation",
 ])
 
 rnd = sys.argv[1]
