@@ -348,6 +348,63 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact-threshold Jaccard join via PREFIX FILTERING (SSJoin /
+    * PPJoin family, Chaudhuri et al. ICDE 2006) — the non-quadratic
+    * scale path that returns EXACTLY [[exactJaccardPairs]]'s output.
+    *
+    * Key fact: under any global total order on shingles, two sets with
+    * J(A,B) ≥ τ must share an element within each set's first
+    * |X| − ⌈τ·|X|⌉ + 1 shingles (else the overlap fits entirely in the
+    * suffix, capping |A∩B| below τ·|X| ≤ |A∩B| — contradiction). So
+    * joining only the short prefixes generates every qualifying pair,
+    * and the exact verify pass discards false candidates — pruning
+    * costs compute, never correctness (the same contract as LSH, but
+    * with a deterministic zero-miss guarantee instead of a
+    * probabilistic one).
+    *
+    * The canonical order is ascending global shingle frequency
+    * (rarest first, ties by hash): prefixes then hold each document's
+    * RAREST shingles, so prefix-join buckets are small by
+    * construction — the frequent shingles that make
+    * [[exactJaccardPairs]] quadratic under skew are exactly the ones
+    * pushed out of the prefix. Plan: one frequency shuffle, one
+    * per-doc window (bounded by doc shingle count), a bucket join on
+    * prefix shingles, then the linear verify join on (doc, shingle).
+    */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                         threshold: Double, shingleN: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val sh = withShingles(df, textCol, shingleN)
+      .select(col(idCol).as("id"), explode(col("shingles")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("shingle"))
+      .cache()
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val prefix = sh.join(freq, "shingle")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))))
+      .join(sizes, "id")
+      .filter(col("rk") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select(col("id"), col("shingle"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val inter = cand
+      .join(sh.select(col("id").as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "n" -> "n_a")), "id_a")
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "n" -> "n_b")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** SUBSTRING-level duplication profile — the span-granular sibling of
     * document dedup (the "exact substring deduplication" family from
     * the dedup-training-data literature): fixed-length character

@@ -198,4 +198,45 @@ object Graph {
     }
     labels.select(col("node"), col("lbl").as("community"))
   }
+
+  /** Exact minimum-hop BFS distances from `source` over the
+    * undirected view of the edge list, bounded to `maxHops` rounds —
+    * the landmark-distance kernel (graph feature engineering,
+    * crawl-depth analysis, friend-of-friend reach).
+    *
+    * Frontier formulation, not whole-set relaxation: round k joins
+    * ONLY the nodes first discovered at k−1 against the edge list and
+    * anti-joins the already-seen set, so per-round work is
+    * O(edges touched by the frontier) — the Pregel/BSP shape — instead
+    * of re-relaxing every settled node each round the way a naive
+    * `min(dist)` fixpoint does. Same cache hygiene as the other
+    * iterative kernels here: materialize each round, unpersist the
+    * superseded one, so round k never recomputes round k−1's lineage.
+    *
+    * @return (node LONG, dist LONG) for every node within `maxHops`
+    *         of `source` (the source itself at dist 0). */
+  def bfsDistances(edges: DataFrame, source: Long, maxHops: Int): DataFrame = {
+    require(maxHops >= 0)
+    val e0 = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    var seen = e.sparkSession.range(1)
+      .select(lit(source).as("node"), lit(0L).as("dist"))
+    var frontier = seen
+    val retained = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (k <- 1 to maxHops) {
+      val s = seen.cache(); val f = frontier.cache()
+      s.count(); f.count()
+      retained.foreach(_.unpersist(blocking = false))
+      retained.clear(); retained += s; retained += f
+      val fresh = e.join(f.select(col("node").as("src")), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(s, Seq("node"), "left_anti")
+        .withColumn("dist", lit(k.toLong))
+      seen = s.union(fresh)
+      frontier = fresh
+    }
+    seen
+  }
 }

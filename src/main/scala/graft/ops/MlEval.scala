@@ -109,4 +109,48 @@ object MlEval {
               col("n_pos") - col("pos_left")))).as("gain9"))
       .orderBy(col("threshold"))
   }
+
+  /** Per-group OLS trend line y = a + b·x from EXACT sufficient
+    * statistics — the distributed linear-regression formulation:
+    * everything the fit needs is five mergeable sums
+    * (n, Σx, Σy, Σxy, Σx²), so the whole regression is ONE partial
+    * aggregate per group, commutative and associative — the map-side
+    * combine does almost all the work and the shuffle carries five
+    * numbers per group regardless of data size. At 100 TB that is the
+    * only shape that works; iterative solvers and per-group collects
+    * are both non-starters for a closed-form fit.
+    *
+    * Inputs must already be integral (epoch seconds, scaled-long
+    * values); sums accumulate as DECIMAL(38,0) so cross products like
+    * Σxy stay exact far beyond Long range. The slope/intercept emit as
+    * UNROUNDED doubles derived from one decimal→double cast + one IEEE
+    * division each (deterministic bits); callers own presentation
+    * rounding — round(·,k) is only cross-engine-stable while
+    * magnitude·10^k stays within double precision, so the right k
+    * depends on the caller's units. The five exact sums emit alongside
+    * so the oracle pins the integer state bit-for-bit.
+    *
+    * @return (key, n, sx, sy, sxy, sxx, slope, icept). */
+  def olsTrend(df: DataFrame, keyCol: String, xCol: String,
+               yCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val x19 = col(xCol).cast("decimal(19,0)")
+    val y19 = col(yCol).cast("decimal(19,0)")
+    val agg = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col(xCol).cast(d38)).as("sx"),
+        sum(col(yCol).cast(d38)).as("sy"),
+        sum((x19 * y19).cast(d38)).as("sxy"),
+        sum((x19 * x19).cast(d38)).as("sxx"))
+    val nD = col("n").cast(d38)
+    val num = (nD * col("sxy") - col("sx") * col("sy")).cast(d38)
+    val den = (nD * col("sxx") - col("sx") * col("sx")).cast(d38)
+    val slope = num.cast("double") / den.cast("double")
+    val icept = (col("sy").cast("double") - slope * col("sx").cast("double")) /
+      col("n").cast("double")
+    agg.select(col(keyCol), col("n"), col("sx"), col("sy"), col("sxy"),
+        col("sxx"),
+        slope.as("slope"), icept.as("icept"))
+      .orderBy(col(keyCol))
+  }
 }

@@ -813,6 +813,33 @@ object EventQueries {
         .agg(sum(col("n")).as("n_events"),
           (sum(col("cents")).cast("double") / 100.0).as("sum_value"))
         .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // q175: per-event-type OLS trend of value over time (is the metric
+    // drifting?) — closed-form linear regression as ONE mergeable
+    // five-sum aggregate per group (MlEval.olsTrend). x = whole
+    // seconds since 2024-01-01 (integral), y = value in exact
+    // micro-units; the five decimal sums are order-independent, so the
+    // oracle pins them bit-for-bit and the slope/intercept doubles
+    // derive deterministically from them.
+    "q175_group_trend" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("event_type"),
+        (expr("unix_micros(ts) div 1000000") - lit(1704067200L)).as("xs"),
+        round(col("value") * 1000000).cast("long").as("y6"))
+      // the Σxy/Σx² sums exceed 2^53, so they cross the oracle
+      // boundary as decimal strings (exact), not doubles. Rounding:
+      // slope is O(1) in μ-units/s so 9 decimals is within double
+      // precision; the intercept is O(10^7) μ-units, so it rescales to
+      // value units (÷10^6) before its 6-decimal presentation round —
+      // round(5.7e7, 9) would ask for 17 significant digits and flip
+      // last-ulp between engines.
+      graft.ops.MlEval.olsTrend(e, "event_type", "xs", "y6")
+        .select(col("event_type"), col("n"),
+          col("sx").cast("string").as("sx"), col("sy").cast("string").as("sy"),
+          col("sxy").cast("string").as("sxy"), col("sxx").cast("string").as("sxx"),
+          round(col("slope"), 9).as("slope9"),
+          round(col("icept") / 1000000.0, 6).as("icept_v6"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -1321,6 +1348,34 @@ object EventQueries {
         |    AS matched
         |FROM s ORDER BY user_id, sid""".stripMargin,
     // Partial-merge must equal full recompute — same oracle as q39.
-    "q173_incremental_hourly" -> HourlySql
+    "q173_incremental_hourly" -> HourlySql,
+
+    // q175: the same five exact sufficient statistics (HUGEINT side)
+    // and the same one-division slope/intercept derivation. The big
+    // sums compare as VARCHAR (exact beyond 2^53).
+    "q175_group_trend" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) // 1000000 - 1704067200 AS xs,
+        |    CAST(round(value * 1000000) AS BIGINT) AS y6
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(xs) AS HUGEINT) AS sx,
+        |    CAST(sum(y6) AS HUGEINT) AS sy,
+        |    sum(CAST(xs AS HUGEINT) * y6) AS sxy,
+        |    sum(CAST(xs AS HUGEINT) * xs) AS sxx
+        |  FROM t GROUP BY 1),
+        |b AS (
+        |  SELECT *, CAST(n*sxy - sx*sy AS DOUBLE)
+        |    / CAST(n*sxx - sx*sx AS DOUBLE) AS slope
+        |  FROM a)
+        |SELECT event_type, n,
+        |  CAST(sx AS VARCHAR) AS sx, CAST(sy AS VARCHAR) AS sy,
+        |  CAST(sxy AS VARCHAR) AS sxy, CAST(sxx AS VARCHAR) AS sxx,
+        |  round(slope, 9) AS slope9,
+        |  round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) / 1000000.0, 6) AS icept_v6
+        |FROM b ORDER BY event_type""".stripMargin
   )
 }

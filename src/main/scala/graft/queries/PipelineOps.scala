@@ -69,6 +69,18 @@ object PipelineOps {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // q177: the NON-quadratic exact-Jaccard path — PPJoin-style prefix
+    // filtering (rarest ⌈(1−τ)·n⌉+1 shingles per doc under the global
+    // frequency order generate every qualifying pair; exact verify
+    // discards the rest). Same oracle as q27: identical output proven
+    // at threshold 0.5, with bucket joins instead of the all-pairs
+    // shingle join — this is the shape that survives 100 TB skew.
+    "q177_prefix_jaccard" -> ((s, d) => {
+      Dedup.prefixJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // SimHash fingerprints via the native Catalyst expression
     // (graft.functions.SimHash64, codegen'd). Rows-only.
     "q28_simhash" -> ((s, d) => {
@@ -1281,6 +1293,9 @@ object PipelineOps {
         |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
     "q26_dedup_minhash" -> NgramJaccardSql,
     "q27_ngram_jaccard" -> NgramJaccardSql,
+    // Prefix filtering is output-equivalent to the all-pairs join by
+    // the SSJoin prefix theorem — same oracle, different plan shape.
+    "q177_prefix_jaccard" -> NgramJaccardSql,
     "q52_dedup_groups" -> DedupGroupsSql,
     // Mirrors TextAnalysis.withLangId exactly: lowercased sliding
     // bigrams (n−1 windows; <2-char docs score 0 everywhere → 'de' by

@@ -449,6 +449,31 @@ object Relational {
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
           col("n"), col("sum_qty"))
         .orderBy(col("rf"), col("ls"))
+    }),
+
+    // q174: 2-D Pareto frontier of parts (maximize p_size, minimize
+    // p_retailprice) — the skyline operator. Engine plan = bucketed
+    // local-prune + global window (never a pair join); the oracle is
+    // the INDEPENDENT quadratic NOT EXISTS dominance formulation, so
+    // the check is a true cross-formulation equivalence.
+    "q174_pareto_front" -> ((s, d) => {
+      graft.ops.Skyline.pareto2D(
+          Tables.part(s, d).select(col("p_partkey"), col("p_size"),
+            col("p_retailprice")),
+          maxCol = "p_size", minCol = "p_retailprice")
+        .orderBy(col("p_partkey"))
+    }),
+
+    // q176: BFS minimum-hop distances from the landmark part node 1
+    // over the same part↔supplier graph as q105/q168 — frontier BSP
+    // with anti-join dedup; the oracle unrolls the same three rounds
+    // as min-over-union CTEs.
+    "q176_bfs_landmark" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d).select(
+        col("l_partkey").as("src"),
+        (lit(1000000L) + col("l_suppkey")).as("dst"))
+      graft.ops.Graph.bfsDistances(edges, source = 1L, maxHops = 3)
+        .orderBy(col("node"))
     })
   )
 
@@ -757,6 +782,39 @@ object Relational {
         |SELECT rn // 4096 AS block, count(*) AS n_rows,
         |  min(k) AS k_min, max(k) AS k_max,
         |  (max(k) < '1995-01-01' OR min(k) >= '1996-01-01') AS would_skip
-        |FROM o GROUP BY 1 ORDER BY block""".stripMargin
+        |FROM o GROUP BY 1 ORDER BY block""".stripMargin,
+    // Independent dominance formulation: p survives iff no q is ≥ on
+    // size, ≤ on price, and strictly better somewhere.
+    "q174_pareto_front" ->
+      """SELECT p.p_partkey, p.p_size, p.p_retailprice
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice
+        |    AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice))
+        |ORDER BY p.p_partkey""".stripMargin,
+    "q176_bfs_landmark" -> bfsSql(3)
   )
+
+  /** DuckDB mirror of [[graft.ops.Graph.bfsDistances]]: `iters`
+    * unrolled min-over-union rounds from part node 1 over the
+    * undirected part↔supplier edge list. */
+  private def bfsSql(iters: Int): String = {
+    def step(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM $prev
+         |    UNION ALL
+         |    SELECT e.dst AS node, p.dist + 1 AS dist
+         |    FROM $prev p JOIN ed e ON e.src = p.node) GROUP BY 1)""".stripMargin
+    val steps = (1 to iters).map(i => step(s"d${i - 1}", s"d$i")).mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src,
+       |    1000000 + CAST(l_suppkey AS BIGINT) AS dst FROM lineitem),
+       |ed AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |d0 AS (SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+       |$steps
+       |SELECT node, CAST(dist AS BIGINT) AS dist FROM d$iters
+       |ORDER BY node""".stripMargin
+  }
 }

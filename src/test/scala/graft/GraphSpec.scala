@@ -143,4 +143,24 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(a == b)
   }
+
+  test("bfsDistances: min-hop distances on a graph with a shortcut") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus shortcut 1-4; node 9-8 is a disconnected pair
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L),
+      (9L, 8L)).toDF("src", "dst")
+    val got = Graph.bfsDistances(edges, source = 1L, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L),
+      s"shortcut wins over the long path, disconnected pair absent: $got")
+  }
+
+  test("bfsDistances: maxHops bounds the reach; undirected traversal") {
+    import spark.implicits._
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val one = Graph.bfsDistances(chain, 3L, maxHops = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // edges point 2→3, but BFS walks both ways from 3
+    assert(one == Map(3L -> 0L, 2L -> 1L, 4L -> 1L))
+  }
 }

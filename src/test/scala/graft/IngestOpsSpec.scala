@@ -559,4 +559,19 @@ class SpanRemovalSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("prefixJaccardPairs ≡ exactJaccardPairs at several thresholds") {
+    val docs = graft.io.Tables.documents(spark, TestSession.sf)
+    for (tau <- Seq(0.3, 0.5, 0.8)) {
+      val exact = graft.ops.Dedup
+        .exactJaccardPairs(docs, "doc_id", "text", threshold = tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sorted.toSeq
+      val pruned = graft.ops.Dedup
+        .prefixJaccardPairs(docs, "doc_id", "text", threshold = tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sorted.toSeq
+      assert(pruned == exact, s"prefix filter must be lossless at tau=$tau")
+    }
+  }
 }

@@ -47,4 +47,30 @@ class MlEvalSpec extends AnyFunSuite {
     // entropy gain is non-negative up to ln-rounding slack
     assert(got.values.forall(_._3 >= -10L))
   }
+
+  test("olsTrend: recovers an exact linear relation per group") {
+    // group a: y = 3x + 7; group b: y = -2x + 100 — integer points fit
+    // exactly, so slope/intercept come out bit-exact
+    val rows = (1L to 50L).flatMap(x =>
+      Seq(("a", x, 3 * x + 7), ("b", x, -2 * x + 100)))
+    val got = MlEval.olsTrend(rows.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(r => r.getString(0) -> (r.getDouble(6), r.getDouble(7)))
+      .toMap
+    assert(got("a") == ((3.0, 7.0)) && got("b") == ((-2.0, 100.0)))
+  }
+
+  test("olsTrend: sums stay exact beyond Long range and survive repartitioning") {
+    // x ~ 3e9 → Σx² per row ~ 1e19 > Long.MaxValue: the decimal
+    // accumulator must not wrap or lose digits
+    val rows = (1L to 200L).map(i => ("g", 3000000000L + i, i * 1000L))
+    val df = rows.toDF("g", "x", "y")
+    val a = MlEval.olsTrend(df, "g", "x", "y").collect().head
+    val b = MlEval.olsTrend(df.repartition(13), "g", "x", "y").collect().head
+    assert(a == b, "order-independent")
+    val sxx = BigDecimal(a.getDecimal(5))
+    val want = rows.map(r => BigDecimal(r._2) * BigDecimal(r._2)).sum
+    assert(sxx == want, s"exact Σx²: $sxx vs $want")
+    // the planted slope is 1000 per unit x
+    assert(math.abs(a.getDouble(6) - 1000.0) < 1e-6)
+  }
 }
