@@ -148,4 +148,36 @@ object CorpusStats {
       .withColumn("chars_per_token",
         round(col("n_chars").cast("double") / col("n_tokens").cast("double"), 6))
       .orderBy(col("lang"))
+
+  /** Exact per-group rank / percent-rank feature normalization WITHOUT
+    * a per-row window: the row-level `percent_rank() OVER (PARTITION BY
+    * group ORDER BY v)` formulation evaluates a window over every row
+    * of the group — at 100 TB a billion-row-per-language sort whose
+    * final pass is serial per group. This op gets the identical result
+    * through VALUE COMPRESSION (the [[MlEval.aucExact]] shape):
+    * groupBy (group, v) counts collapse N rows to the distinct-value
+    * table, ONE window ranks that small table (rows = distinct values,
+    * not data rows), and a join fans ranks back out. Ties share the
+    * min-rank exactly as `rank()` assigns it.
+    *
+    * @return input columns + `rank` (1-based min-rank within group),
+    *         `n` (group size), `pct_rank` = (rank−1)/(n−1) rounded to
+    *         9 (0.0 for singleton groups, the SQL convention). */
+  def rankNormalize(df: DataFrame, groupCol: String, vCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = df.groupBy(col(groupCol), col(vCol))
+      .agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(vCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = cnt
+      .withColumn("rank", coalesce(sum(col("_c")).over(w), lit(0L)) + 1L)
+      .withColumn("n", sum(col("_c")).over(Window.partitionBy(col(groupCol))))
+      .drop("_c")
+    df.join(ranked, Seq(groupCol, vCol))
+      .withColumn("pct_rank",
+        when(col("n") === 1L, lit(0.0))
+          .otherwise(round((col("rank") - 1L).cast("double") /
+            (col("n") - 1L).cast("double"), 9)))
+  }
 }

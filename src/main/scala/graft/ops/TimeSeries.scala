@@ -75,4 +75,43 @@ object TimeSeries {
         col(usCol).as("valid_from_us"), col("valid_to_us"),
         col("valid_to_us").isNull.as("is_current"))
   }
+
+  /** Bounded exponential smoothing (EWMA, α = ½) in EXACT integer
+    * arithmetic — the trend-smoothing transform for metric panels,
+    * made cross-engine checkable by two choices:
+    *   - α = ½ makes every weight a power of two, so the weighted sum
+    *     is an exact integer (`Σ x_{t−j}·2^(W−1−j)`) — no float
+    *     accumulation anywhere;
+    *   - the window is BOUNDED at `w` rows, which both caps the
+    *     weight range (truncated-EWMA ≡ full EWMA to < 2^−w relative)
+    *     and keeps the per-row state O(w) — the unbounded recurrence
+    *     y_t = αx + (1−α)y_{t−1} is a serial scan per key; the bounded
+    *     form is a plain frame window, embarrassingly parallel across
+    *     keys.
+    *
+    * The smoothed value = num/den with den = 2^w − 2^(w−m)
+    * (m = rows available, so the leading edge is a properly
+    * re-normalized partial window, not a zero-padded one).
+    *
+    * @param orderCols total per-key order (ties must be broken —
+    *                  pass (ts, id)).
+    * @return input + `ewma_num` (exact long) + `ewma_den` (exact
+    *         long); callers derive the double at their unit scale. */
+  def ewmaBounded(df: DataFrame, keyCol: String, orderCols: Seq[String],
+                  valCol: String, w: Int = 20): DataFrame = {
+    require(w >= 1 && w <= 62, "integer weights need w in [1, 62]")
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(w - 1), 0)
+    df.withColumn("_xs", collect_list(col(valCol).cast("long")).over(win))
+      .withColumn("_m", size(col("_xs")))
+      .withColumn("ewma_num", expr(
+        s"aggregate(zip_with(_xs, sequence(1, _m), " +
+          s"(x, i) -> x * shiftleft(1L, ${w - 1} - _m + i)), 0L, " +
+          "(acc, v) -> acc + v)"))
+      .withColumn("ewma_den",
+        expr(s"shiftleft(1L, $w) - shiftleft(1L, $w - _m)"))
+      .drop("_xs", "_m")
+  }
 }

@@ -840,6 +840,47 @@ object EventQueries {
           round(col("slope"), 9).as("slope9"),
           round(col("icept") / 1000000.0, 6).as("icept_v6"))
         .orderBy(col("event_type"))
+    }),
+
+    // q178: per-user EWMA smoothing of spend, exact-integer form
+    // (TimeSeries.ewmaBounded: α=½ ⇒ power-of-two weights, bounded
+    // 20-row frame ⇒ parallel across keys, renormalized leading edge).
+    // The num/den longs are exact, so the presentation double is one
+    // deterministic division.
+    "q178_ewma_smooth" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      graft.ops.TimeSeries.ewmaBounded(e, "user_id", Seq("us", "event_id"),
+          "cents", w = 20)
+        .select(col("user_id"), col("event_id"), col("ewma_num"),
+          round(col("ewma_num").cast("double") / col("ewma_den").cast("double")
+            / 100.0, 6).as("ewma_v6"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // q180: inter-arrival gap statistics per user — the cadence
+    // profile (bot detection, engagement QA). One per-user lag window
+    // (state bounded by a user's history) + one mergeable agg; all
+    // gaps exact micros.
+    "q180_gap_stats" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+        .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("gap")).as("n_gaps"),
+          min(col("gap")).as("min_gap_us"),
+          max(col("gap")).as("max_gap_us"),
+          sum(col("gap")).as("sum_gap_us"))
+        // exact integral average in micros (`div`, never the double
+        // route — a rounded seconds double sits one ulp from the
+        // 6th-decimal boundary at this magnitude and flips engines)
+        .withColumn("avg_gap_us",
+          when(col("n_gaps") > 0L, expr("sum_gap_us div n_gaps")))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -1376,6 +1417,44 @@ object EventQueries {
         |  round(slope, 9) AS slope9,
         |  round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
         |    / CAST(n AS DOUBLE) / 1000000.0, 6) AS icept_v6
-        |FROM b ORDER BY event_type""".stripMargin
+        |FROM b ORDER BY event_type""".stripMargin,
+
+    // q178: the bounded-window join replay of the power-of-two EWMA —
+    // weight 2^(19−(rnₐ−rn_b)) per contributing row, den 2^20−2^(20−m).
+    "q178_ewma_smooth" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS BIGINT) AS rn
+        |  FROM events)
+        |SELECT a.user_id, a.event_id,
+        |  CAST(sum(b.cents * (CAST(1 AS BIGINT)
+        |    << CAST(19 - (a.rn - b.rn) AS INTEGER))) AS BIGINT) AS ewma_num,
+        |  round(CAST(sum(b.cents * (CAST(1 AS BIGINT)
+        |      << CAST(19 - (a.rn - b.rn) AS INTEGER))) AS DOUBLE)
+        |    / CAST((CAST(1 AS BIGINT) << 20) - (CAST(1 AS BIGINT)
+        |      << CAST(20 - least(a.rn, 20) AS INTEGER)) AS DOUBLE)
+        |    / 100.0, 6) AS ewma_v6
+        |FROM e a JOIN e b ON b.user_id = a.user_id
+        |  AND b.rn BETWEEN a.rn - 19 AND a.rn
+        |GROUP BY a.user_id, a.event_id, a.rn
+        |ORDER BY a.user_id, a.event_id""".stripMargin,
+
+    "q180_gap_stats" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS gap
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(gap) AS BIGINT) AS n_gaps,
+        |  min(gap) AS min_gap_us, max(gap) AS max_gap_us,
+        |  CAST(sum(gap) AS BIGINT) AS sum_gap_us,
+        |  CASE WHEN count(gap) > 0 THEN
+        |    CAST(CAST(sum(gap) AS BIGINT) // CAST(count(gap) AS BIGINT)
+        |      AS BIGINT)
+        |  END AS avg_gap_us
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

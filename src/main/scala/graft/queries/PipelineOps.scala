@@ -673,6 +673,20 @@ object PipelineOps {
     "q156_kl_divergence" -> ((s, d) =>
       CorpusStats.klDivergence(Tables.documents(s, d), "source", "text")),
 
+    // q179: exact per-language rank / percent-rank normalization of
+    // doc length via VALUE COMPRESSION (window over the distinct-value
+    // table, never over data rows — the scalable exact-rank shape);
+    // the oracle is the row-level rank() window it replaces.
+    "q179_rank_normalize" -> ((s, d) => {
+      CorpusStats.rankNormalize(
+          Tables.documents(s, d).select(col("doc_id"), col("lang"),
+            col("n_chars")),
+          "lang", "n_chars")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("rank"), col("n"), col("pct_rank"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Rendezvous (HRW) hashing shard placement — minimal-remap
     // consistent sharding; fully narrow codegen, zero shuffle.
     "q158_hrw_shards" -> ((s, d) =>
@@ -1296,6 +1310,20 @@ object PipelineOps {
     // Prefix filtering is output-equivalent to the all-pairs join by
     // the SSJoin prefix theorem — same oracle, different plan shape.
     "q177_prefix_jaccard" -> NgramJaccardSql,
+    // The row-level window formulation the compressed-rank plan
+    // replaces — min-rank ties, (rank−1)/(n−1), singleton → 0.
+    "q179_rank_normalize" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(rank() OVER (PARTITION BY lang ORDER BY n_chars)
+        |      AS BIGINT) AS rank,
+        |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars, rank, n,
+        |  CASE WHEN n = 1 THEN 0.0
+        |       ELSE round(CAST(rank - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE), 9)
+        |  END AS pct_rank
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q52_dedup_groups" -> DedupGroupsSql,
     // Mirrors TextAnalysis.withLangId exactly: lowercased sliding
     // bigrams (n−1 windows; <2-char docs score 0 everywhere → 'de' by

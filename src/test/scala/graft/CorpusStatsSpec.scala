@@ -86,4 +86,29 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(got("en") == ((2L, 3L, 8L, math.rint(8.0 / 3 * 1e6) / 1e6)))
     assert(got("de") == ((1L, 1L, 2L, 2.0)))
   }
+
+  test("rankNormalize ≡ the row-level rank()/percent_rank() window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 300L).map(i =>
+      (i, s"g${i % 3}", rnd.nextInt(40).toLong)) :+ (301L, "solo", 9L)
+    val df = rows.toDF("id", "g", "v")
+    val got = CorpusStats.rankNormalize(df, "g", "v")
+      .select("id", "rank", "n", "pct_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    val w = Window.partitionBy("g").orderBy("v")
+    val want = df
+      .withColumn("rank", rank().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
+      .withColumn("pct_rank", when(col("n") === 1L, lit(0.0))
+        .otherwise(round((col("rank") - 1L).cast("double") /
+          (col("n") - 1L).cast("double"), 9)))
+      .select("id", "rank", "n", "pct_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    assert(got.find(_._1 == 301L).get._4 == 0.0, "singleton group → 0.0")
+  }
 }

@@ -76,4 +76,28 @@ class TimeSeriesSpec extends AnyFunSuite {
     // B (id 1) comes first, A (id 2) is current
     assert(got.toSeq == Seq(("A", true), ("B", false)))
   }
+
+  test("ewmaBounded: hand-computed α=½ weights, renormalized leading edge") {
+    val ev = Seq((1L, 1L, 100L), (1L, 2L, 200L), (1L, 3L, 400L))
+      .toDF("k", "seq", "x")
+    val got = TimeSeries.ewmaBounded(ev, "k", Seq("seq"), "x", w = 2)
+      .collect().map(r => r.getLong(1) -> (r.getLong(3), r.getLong(4))).toMap
+    // w=2: weights (1, 2); den = 4 − 2^(2−m)
+    assert(got(1L) == ((200L, 2L)), "single row: 100·2 / 2 = 100")
+    assert(got(2L) == ((500L, 3L)), "(100·1 + 200·2) / 3")
+    assert(got(3L) == ((1000L, 3L)), "window slides: (200·1 + 400·2) / 3")
+  }
+
+  test("ewmaBounded: per-key isolation and repartition invariance") {
+    val ev = (1L to 100L).map(i => (i % 4, i, i * 7 % 50)).toDF("k", "seq", "x")
+    val a = TimeSeries.ewmaBounded(ev, "k", Seq("seq"), "x", w = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sorted
+    val b = TimeSeries.ewmaBounded(ev.repartition(11), "k", Seq("seq"), "x", w = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sorted
+    assert(a.toSeq == b.toSeq)
+    // first row of every key is its own value times 2^19 over 2^20−2^19
+    val first = a.groupBy(_._1).map { case (_, rs) => rs.minBy(_._2) }
+    first.foreach { case (k, seq, num) =>
+      assert(num == (seq * 7 % 50) * (1L << 19), s"key $k leading edge") }
+  }
 }
