@@ -149,6 +149,40 @@ object CorpusStats {
         round(col("n_chars").cast("double") / col("n_tokens").cast("double"), 6))
       .orderBy(col("lang"))
 
+  /** Zipf-law fit: the slope of ln(freq) vs ln(rank) over the top-`k`
+    * corpus terms — the vocabulary-health diagnostic (natural text
+    * sits near −1; template/boilerplate corpora flatten, spam
+    * steepens). Composes two of the engine's exact kernels: the
+    * frequency table collapses to `k` rows via TakeOrdered
+    * (per-partition heaps — the only window runs on those k rows),
+    * ln(·) enters as the house round-9 scaled long, and the fit is
+    * [[MlEval.olsTrend]]'s five-sum closed form — so the whole
+    * regression replays bit-for-bit in SQL.
+    *
+    * @return one row: corpus label, n, the five exact sums (as
+    *         strings — they exceed 2^53), slope round-9, intercept in
+    *         ln units round-6. */
+  def zipfFit(df: DataFrame, textCol: String, k: Int = 500): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = df.select(explode(toks(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val top = freq.orderBy(col("freq").desc, col("tok")).limit(k)
+    val ranked = top.withColumn("rank",
+      row_number().over(Window.orderBy(col("freq").desc, col("tok")))
+        .cast("long"))
+    val pts = ranked.select(lit("corpus").as("corpus"),
+      graft.util.Exact.scaled(round(log(col("rank").cast("double")), 9), 9)
+        .as("lnr9"),
+      graft.util.Exact.scaled(round(log(col("freq").cast("double")), 9), 9)
+        .as("lnf9"))
+    MlEval.olsTrend(pts, "corpus", "lnr9", "lnf9")
+      .select(col("corpus"), col("n"),
+        col("sx").cast("string").as("sx"), col("sy").cast("string").as("sy"),
+        col("sxy").cast("string").as("sxy"), col("sxx").cast("string").as("sxx"),
+        round(col("slope"), 9).as("zipf_slope9"),
+        round(col("icept") / 1000000000.0, 6).as("icept_ln6"))
+  }
+
   /** Exact per-group rank / percent-rank feature normalization WITHOUT
     * a per-row window: the row-level `percent_rank() OVER (PARTITION BY
     * group ORDER BY v)` formulation evaluates a window over every row

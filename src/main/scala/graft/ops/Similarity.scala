@@ -298,4 +298,50 @@ object Similarity {
         abs(col("nsq9") * lit(n) - lit(s0)).as("dev"))
       .orderBy(col("dev").desc, col(idCol)).limit(k)
   }
+
+  /** Per-label embedding CENTROID DRIFT between two halves of the
+    * data (even vs odd ids — in production: yesterday vs today, or
+    * model A vs model B): the cosine between each label's two
+    * half-centroids. The distribution-shift monitor an embedding
+    * pipeline runs per ingest batch — a label whose centroid rotates
+    * is a class whose meaning moved.
+    *
+    * Exactness: components enter as round-9 scaled longs and only the
+    * per-(label, half, dim) SUM vectors are compared — cosine is
+    * scale-invariant, so cos(Σa, Σb) IS cos(centroid_a, centroid_b)
+    * and no division by counts ever happens. Dot/norms accumulate as
+    * DECIMAL(38,0) (they pass 2^53), and one deterministic
+    * cast→sqrt→divide chain produces the presentation cosine.
+    *
+    * Scale: one narrow posexplode (×dim), one (label, half, dim)
+    * partial-agg shuffle collapsing N·dim rows to 2·labels·dim, then
+    * toy-sized joins. */
+  def centroidDrift(df: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val sums = df
+      .select(col(labelCol).as("label"), pmod(col(idCol), lit(2)).as("half"),
+        posexplode(col(vecCol)).as(Seq("i", "v")))
+      .groupBy(col("label"), col("half"), col("i"))
+      .agg(sum(round(col("v").cast("double") * 1000000000L).cast("long"))
+        .as("s9"), count(lit(1)).as("n"))
+    val a = sums.filter(col("half") === 0)
+      .select(col("label"), col("i"), col("s9").as("sa"), col("n").as("n_even"))
+    val b = sums.filter(col("half") === 1)
+      .select(col("label"), col("i"), col("s9").as("sb"), col("n").as("n_odd"))
+    a.join(b, Seq("label", "i"))
+      .groupBy(col("label"))
+      .agg(max(col("n_even")).as("n_even"), max(col("n_odd")).as("n_odd"),
+        sum((col("sa").cast(d38) * col("sb").cast(d38)).cast(d38)).as("dot"),
+        sum((col("sa").cast(d38) * col("sa").cast(d38)).cast(d38)).as("naa"),
+        sum((col("sb").cast(d38) * col("sb").cast(d38)).cast(d38)).as("nbb"))
+      .select(col("label"), col("n_even"), col("n_odd"),
+        col("dot").cast("string").as("dot"),
+        col("naa").cast("string").as("naa"),
+        col("nbb").cast("string").as("nbb"),
+        round(col("dot").cast("double") /
+          (sqrt(col("naa").cast("double")) * sqrt(col("nbb").cast("double"))), 9)
+          .as("cos9"))
+      .orderBy(col("label"))
+  }
 }

@@ -673,6 +673,21 @@ object PipelineOps {
     "q156_kl_divergence" -> ((s, d) =>
       CorpusStats.klDivergence(Tables.documents(s, d), "source", "text")),
 
+    // q181: Zipf-law fit over the top-500 corpus terms — the
+    // vocabulary-health diagnostic, composed from TakeOrdered top-k,
+    // round-9 ln scaling, and the q175 five-sum closed-form OLS. The
+    // only window runs on the 500 surviving rows.
+    "q181_zipf_fit" -> ((s, d) =>
+      CorpusStats.zipfFit(Tables.documents(s, d), "text", k = 500)),
+
+    // q182: per-label embedding centroid drift (even vs odd vec_ids as
+    // the two ingest halves) — cosine of the exact scaled-long SUM
+    // vectors (cosine is scale-invariant, so no count division
+    // exists); dot/norms pinned as decimal strings.
+    "q182_centroid_drift" -> ((s, d) =>
+      Similarity.centroidDrift(Tables.embeddings(s, d), "vec_id",
+        "embedding", "label")),
+
     // q179: exact per-language rank / percent-rank normalization of
     // doc length via VALUE COMPRESSION (window over the distinct-value
     // table, never over data rows — the scalable exact-rank shape);
@@ -1310,6 +1325,71 @@ object PipelineOps {
     // Prefix filtering is output-equivalent to the all-pairs join by
     // the SSJoin prefix theorem — same oracle, different plan shape.
     "q177_prefix_jaccard" -> NgramJaccardSql,
+    // q181: identical rank/ln9/five-sum chain; the LIMIT boundary is
+    // deterministic under the (freq DESC, tok) total order.
+    "q181_zipf_fit" ->
+      """WITH f AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1),
+        |t AS (
+        |  SELECT freq, CAST(row_number() OVER (ORDER BY freq DESC, tok)
+        |    AS BIGINT) AS rank
+        |  FROM f ORDER BY freq DESC, tok LIMIT 500),
+        |p AS (
+        |  SELECT CAST(round(round(ln(CAST(rank AS DOUBLE)), 9)
+        |      * 1000000000) AS BIGINT) AS lnr9,
+        |    CAST(round(round(ln(CAST(freq AS DOUBLE)), 9)
+        |      * 1000000000) AS BIGINT) AS lnf9
+        |  FROM t),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(lnr9) AS HUGEINT) AS sx,
+        |    CAST(sum(lnf9) AS HUGEINT) AS sy,
+        |    sum(CAST(lnr9 AS HUGEINT) * lnf9) AS sxy,
+        |    sum(CAST(lnr9 AS HUGEINT) * lnr9) AS sxx
+        |  FROM p),
+        |b AS (SELECT *, CAST(n*sxy - sx*sy AS DOUBLE)
+        |        / CAST(n*sxx - sx*sx AS DOUBLE) AS slope FROM a)
+        |SELECT 'corpus' AS corpus, n,
+        |  CAST(sx AS VARCHAR) AS sx, CAST(sy AS VARCHAR) AS sy,
+        |  CAST(sxy AS VARCHAR) AS sxy, CAST(sxx AS VARCHAR) AS sxx,
+        |  round(slope, 9) AS zipf_slope9,
+        |  round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) / 1000000000.0, 6) AS icept_ln6
+        |FROM b""".stripMargin,
+
+    // q182: the same scaled-long sum vectors and decimal dot/norm
+    // accumulation; 1-based vs 0-based dim subscripts never surface
+    // (i is only a join key within each engine).
+    "q182_centroid_drift" ->
+      """WITH ex AS (
+        |  SELECT label, vec_id % 2 AS half,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT label, half, i,
+        |    CAST(sum(CAST(round(v * 1000000000) AS BIGINT)) AS BIGINT) AS s9,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM ex GROUP BY 1, 2, 3),
+        |j AS (
+        |  SELECT a.label, max(a.n) AS n_even, max(b.n) AS n_odd,
+        |    sum(CAST(a.s9 AS HUGEINT) * b.s9) AS dot,
+        |    sum(CAST(a.s9 AS HUGEINT) * a.s9) AS naa,
+        |    sum(CAST(b.s9 AS HUGEINT) * b.s9) AS nbb
+        |  FROM s a JOIN s b ON a.label = b.label AND a.i = b.i
+        |    AND a.half = 0 AND b.half = 1
+        |  GROUP BY 1)
+        |SELECT label, n_even, n_odd,
+        |  CAST(dot AS VARCHAR) AS dot, CAST(naa AS VARCHAR) AS naa,
+        |  CAST(nbb AS VARCHAR) AS nbb,
+        |  round(CAST(dot AS DOUBLE)
+        |    / (sqrt(CAST(naa AS DOUBLE)) * sqrt(CAST(nbb AS DOUBLE))), 9)
+        |    AS cos9
+        |FROM j ORDER BY label""".stripMargin,
+
     // The row-level window formulation the compressed-rank plan
     // replaces — min-rank ties, (rank−1)/(n−1), singleton → 0.
     "q179_rank_normalize" ->

@@ -111,4 +111,17 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
     assert(got.find(_._1 == 301L).get._4 == 0.0, "singleton group → 0.0")
   }
+
+  test("zipfFit: a planted 1/rank corpus fits slope ≈ −1, repartition-invariant") {
+    import spark.implicits._
+    // term k appears ⌊240/k⌋ times → freq ∝ 1/rank by construction
+    val words = (1 to 24).flatMap(k => Seq.fill(240 / k)(f"term$k%02d"))
+    val docs = words.grouped(40).map(_.mkString(" ")).toSeq.toDF("text")
+    val r = CorpusStats.zipfFit(docs, "text", k = 24).collect().head
+    val slope = r.getDouble(6)
+    assert(slope < -0.9 && slope > -1.1, s"Zipf slope ≈ −1, got $slope")
+    val r2 = CorpusStats.zipfFit(docs.repartition(7), "text", k = 24)
+      .collect().head
+    assert(r == r2, "exact sums ⇒ partitioning-invariant fit")
+  }
 }

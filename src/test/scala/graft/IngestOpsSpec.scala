@@ -560,6 +560,23 @@ class SpanRemovalSpec extends AnyFunSuite {
     }
   }
 
+  test("centroidDrift: aligned halves → cos 1, orthogonal halves → cos 0") {
+    import spark.implicits._
+    // label 0: both halves along +x (different magnitudes — cosine is
+    // scale-invariant); label 1: even half +x, odd half +y
+    val rows = Seq(
+      (0L, 0, Array(1.0f, 0.0f)), (2L, 0, Array(3.0f, 0.0f)),
+      (1L, 0, Array(2.0f, 0.0f)),
+      (10L, 1, Array(1.0f, 0.0f)), (11L, 1, Array(0.0f, 5.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = graft.ops.Similarity
+      .centroidDrift(rows, "vec_id", "embedding", "label")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(6))).toMap
+    assert(got(0) == ((2L, 1L, 1.0)), "collinear sums → exactly 1.0")
+    assert(got(1) == ((1L, 1L, 0.0)), "orthogonal sums → exactly 0.0")
+  }
+
   test("prefixJaccardPairs ≡ exactJaccardPairs at several thresholds") {
     val docs = graft.io.Tables.documents(spark, TestSession.sf)
     for (tau <- Seq(0.3, 0.5, 0.8)) {
