@@ -221,8 +221,12 @@ object Graph {
       col("dst").cast("long").as("dst"))
     val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().cache()
+    // the seed's node column derives from range's id ATTRIBUTE (id +
+    // source, id = 0), not a literal: an all-literal seed would
+    // constant-fold the first frontier join's key and degenerate it to
+    // a BroadcastNestedLoopJoin (the q92 constant-fold effect)
     var seen = e.sparkSession.range(1)
-      .select(lit(source).as("node"), lit(0L).as("dist"))
+      .select((col("id") + lit(source)).as("node"), col("id").as("dist"))
     var frontier = seen
     val retained = scala.collection.mutable.Buffer.empty[DataFrame]
     for (k <- 1 to maxHops) {
