@@ -55,7 +55,8 @@ object Bench {
     // Verify runs them unchanged (sequentially).
     val streamingGroup = Set("q41_stream_hourly", "q42_stream_sessionize",
       "q57_stream_dedup", "q64_stream_stream_join", "q101_stream_static_join",
-      "q107_stream_session_window", "q122_stream_cdc_upsert")
+      "q107_stream_session_window", "q122_stream_cdc_upsert",
+      "q169_stream_hopping")
     // returns (per-query seconds, pass wall seconds). The pass wall is
     // what "run the whole suite" actually costs: the streaming group
     // overlaps, so it's less than the per-query sum (whose streaming

@@ -149,6 +149,50 @@ object CorpusStats {
         round(col("n_chars").cast("double") / col("n_tokens").cast("double"), 6))
       .orderBy(col("lang"))
 
+  /** Exact two-sample Kolmogorov–Smirnov statistic between the value
+    * distributions of two slices — the distribution-drift test a
+    * curation pipeline runs between ingest batches / sources
+    * (complement of [[klDivergence]]: KS needs no binning or smoothing
+    * and is sensitive anywhere in the CDF, not just where mass is).
+    *
+    * Everything is integer-exact until the final division:
+    * D = max_v |F₁(v) − F₂(v)| = max_v |c₁(v)·n₂ − c₂(v)·n₁| / (n₁·n₂),
+    * where c are cumulative counts over the UNION of distinct values —
+    * so the max runs over integer numerators and the one division is
+    * deterministic. The CDFs come from value compression (the
+    * rankNormalize shape): per-(value) counts, one window over the
+    * distinct-value table — never over data rows.
+    *
+    * @return one row: n_a, n_b, d_num (= max |c₁n₂ − c₂n₁|, exact),
+    *         ks9 = round(d_num/(n_a·n_b), 9). */
+  def ksDrift(df: DataFrame, vCol: String, inA: Column, inB: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(col(vCol).as("v"),
+        when(inA, 1L).otherwise(0L).as("a"),
+        when(inB, 1L).otherwise(0L).as("b"))
+      .filter(col("a") + col("b") > 0)
+      .groupBy(col("v"))
+      .agg(sum(col("a")).as("ca"), sum(col("b")).as("cb"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // both windows run over the COMPRESSED distinct-value table (313
+    // values here, bounded by the value domain at any scale), never
+    // over data rows
+    val wAll = Window.partitionBy(lit(0))
+    val cum = counts
+      .withColumn("fa", sum(col("ca")).over(w))
+      .withColumn("fb", sum(col("cb")).over(w))
+      .withColumn("na", max(col("fa")).over(wAll))
+      .withColumn("nb", max(col("fb")).over(wAll))
+    cum.agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        max(abs(col("fa") * col("nb") - col("fb") * col("na"))).as("d_num"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        round(col("d_num").cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 9).as("ks9"))
+  }
+
   /** Zipf-law fit: the slope of ln(freq) vs ln(rank) over the top-`k`
     * corpus terms — the vocabulary-health diagnostic (natural text
     * sits near −1; template/boilerplate corpora flatten, spam

@@ -381,14 +381,23 @@ object Dedup {
       .cache()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // one id-partitioned window pass yields BOTH the canonical-order
+    // rank and the set size (count over the same partition) — no
+    // separate sizes join on this path
     val prefix = sh.join(freq, "shingle")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))))
-      .join(sizes, "id")
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("id"))))
       .filter(col("rk") <= col("n") - ceil(col("n") * threshold) + 1)
-      .select(col("id"), col("shingle"))
+      .select(col("id"), col("shingle"), col("n"))
+    // PPJoin's LENGTH filter rides the candidate join: J ≥ τ forces
+    // τ·|A| ≤ |B| ≤ |A|/τ, so size-incompatible pairs never leave the
+    // bucket — at τ=½ this alone drops half of a uniform corpus's
+    // candidate pairs before the distinct/verify stages pay for them
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id") &&
+          col("b.n") >= ceil(col("a.n") * threshold) &&
+          col("a.n") >= ceil(col("b.n") * threshold))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val inter = cand

@@ -215,6 +215,47 @@ object Graph {
     *
     * @return (node LONG, dist LONG) for every node within `maxHops`
     *         of `source` (the source itself at dist 0). */
+  /** Bounded Bellman–Ford: exact shortest-path WEIGHT from `source`
+    * within `rounds` relaxation rounds over the undirected weighted
+    * edge list — the min-plus sibling of [[bfsDistances]] (hop counts
+    * are the w ≡ 1 special case; real weights need whole-set
+    * relaxation because a settled node can still improve through a
+    * longer-but-lighter path, which is why this does NOT use the BFS
+    * frontier optimization).
+    *
+    * Per round: one dist⋈edges shuffle join + one min-by-node key
+    * shuffle — the standard distributed Bellman–Ford plan; same cache
+    * hygiene as the other iterative kernels. Parallel edges collapse
+    * to their min weight up front.
+    *
+    * @param edges columns `src`, `dst`, `w` (integral weights).
+    * @return (node LONG, dist LONG) for nodes reachable within
+    *         `rounds` edges of `source`. */
+  def sssp(edges: DataFrame, source: Long, rounds: Int): DataFrame = {
+    require(rounds >= 0)
+    val e0 = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst"),
+        col("w")))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .cache()
+    // attribute-derived seed — see bfsDistances
+    var dist = e.sparkSession.range(1)
+      .select((col("id") + lit(source)).as("node"), col("id").as("dist"))
+    var persisted: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val cur = dist.cache()
+      cur.count()
+      if (persisted != null) persisted.unpersist(blocking = false)
+      persisted = cur
+      val relaxed = e.join(cur.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = cur.select(col("node"), col("dist")).union(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    }
+    dist
+  }
+
   def bfsDistances(edges: DataFrame, source: Long, maxHops: Int): DataFrame = {
     require(maxHops >= 0)
     val e0 = edges.select(col("src").cast("long").as("src"),

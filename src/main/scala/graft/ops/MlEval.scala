@@ -110,6 +110,39 @@ object MlEval {
       .orderBy(col("threshold"))
   }
 
+  /** Reliability-diagram (calibration) bins for a scored binary
+    * signal — the third leg of the eval family beside [[aucExact]]
+    * (ranking) and [[decisionStump]] (thresholding): does the score's
+    * LEVEL track the positive rate? Decile boundaries come from the
+    * same one-row mergeable percentile aggregate as the stump; each
+    * row's bin is the count of thresholds STRICTLY below its score
+    * (ties fall left), computed by a fold over the broadcast 9-element
+    * boundary array — no join fan-out, no window.
+    *
+    * @return per bin: bin, n, n_pos, sum_score (exact), min/max score,
+    *         pos_rate9. */
+  def calibrationBins(df: DataFrame, scoreCol: String, posCol: String,
+                      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "need at least two bins")
+    val qs = (1 until nBins).map(_.toDouble / nBins)
+    val bounds = df.agg(percentile_approx(col(scoreCol).cast("long"),
+      typedLit(qs), lit(1000000)).as("_bs"))
+    df.select(col(scoreCol).cast("long").as("f"),
+        col(posCol).cast("boolean").as("p"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        expr("aggregate(_bs, 0, (acc, t) -> acc + IF(f > t, 1, 0))")
+          .cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("p"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("f")).as("sum_score"),
+        min(col("f")).as("min_score"), max(col("f")).as("max_score"))
+      .withColumn("pos_rate9",
+        round(col("n_pos").cast("double") / col("n").cast("double"), 9))
+      .orderBy(col("bin"))
+  }
+
   /** Per-group OLS trend line y = a + b·x from EXACT sufficient
     * statistics — the distributed linear-regression formulation:
     * everything the fit needs is five mergeable sums

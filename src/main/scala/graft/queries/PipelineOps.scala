@@ -688,6 +688,29 @@ object PipelineOps {
       Similarity.centroidDrift(Tables.embeddings(s, d), "vec_id",
         "embedding", "label")),
 
+    // q183: exact two-sample Kolmogorov–Smirnov drift test between the
+    // first and second half of the source space on doc length — the
+    // binning-free distribution-shift monitor (KL's q156 complement).
+    // Integer CDF numerators end-to-end; one division at the end.
+    "q183_ks_drift" -> ((s, d) => {
+      val srcNum = expr("cast(substring(source, 4) as int)")
+      CorpusStats.ksDrift(Tables.documents(s, d), "n_chars",
+        inA = srcNum < 10, inB = srcNum >= 10)
+    }),
+
+    // q184: reliability-diagram calibration bins over the q171 score/
+    // class pair — does the score LEVEL track the positive rate, the
+    // eval leg AUC (ranking) and the stump (thresholding) don't cover.
+    // Decile bounds = the q172 one-row broadcast; bin = fold over the
+    // 9-element array, no join fan-out.
+    "q184_calibration" -> ((s, d) => {
+      import graft.functions.VectorFunctions.normSqScaled
+      val e = Tables.embeddings(s, d).select(
+        normSqScaled(col("embedding")).as("nsq"),
+        (pmod(col("label"), lit(2)) === 0).as("pos"))
+      graft.ops.MlEval.calibrationBins(e, "nsq", "pos", nBins = 10)
+    }),
+
     // q179: exact per-language rank / percent-rank normalization of
     // doc length via VALUE COMPRESSION (window over the distinct-value
     // table, never over data rows — the scalable exact-rank shape);
@@ -1325,6 +1348,47 @@ object PipelineOps {
     // Prefix filtering is output-equivalent to the all-pairs join by
     // the SSJoin prefix theorem — same oracle, different plan shape.
     "q177_prefix_jaccard" -> NgramJaccardSql,
+    // q183: the same compressed-CDF integer formulation.
+    "q183_ks_drift" ->
+      """WITH x AS (
+        |  SELECT n_chars AS v,
+        |    CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN CAST(substr(source, 4) AS INT) >= 10 THEN 1 ELSE 0 END AS b
+        |  FROM documents),
+        |c AS (SELECT v, CAST(sum(a) AS BIGINT) AS ca,
+        |        CAST(sum(b) AS BIGINT) AS cb FROM x GROUP BY 1),
+        |f AS (SELECT v,
+        |    CAST(sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS fa,
+        |    CAST(sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS fb
+        |  FROM c),
+        |t AS (SELECT max(fa) AS na, max(fb) AS nb FROM f)
+        |SELECT t.na AS n_a, t.nb AS n_b,
+        |  CAST(max(abs(f.fa * t.nb - f.fb * t.na)) AS BIGINT) AS d_num,
+        |  round(CAST(max(abs(f.fa * t.nb - f.fb * t.na)) AS DOUBLE)
+        |    / CAST(t.na * t.nb AS DOUBLE), 9) AS ks9
+        |FROM f, t GROUP BY t.na, t.nb""".stripMargin,
+
+    // q184: quantile_disc deciles (the q172 equality) + a list_filter
+    // fold for the bin, counts/sums per bin.
+    "q184_calibration" -> (AucStumpCtes +
+      """b AS (
+        |  SELECT quantile_disc(score,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+        |  FROM t),
+        |a AS (
+        |  SELECT t.score, t.pos,
+        |    CAST(len(list_filter(b.bs, th -> t.score > th)) AS BIGINT) AS bin
+        |  FROM t CROSS JOIN b)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(sum(score) AS BIGINT) AS sum_score,
+        |  min(score) AS min_score, max(score) AS max_score,
+        |  round(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 9) AS pos_rate9
+        |FROM a GROUP BY bin ORDER BY bin""".stripMargin),
+
     // q181: identical rank/ln9/five-sum chain; the LIMIT boundary is
     // deterministic under the (freq DESC, tok) total order.
     "q181_zipf_fit" ->

@@ -474,6 +474,19 @@ object Relational {
         (lit(1000000L) + col("l_suppkey")).as("dst"))
       graft.ops.Graph.bfsDistances(edges, source = 1L, maxHops = 3)
         .orderBy(col("node"))
+    }),
+
+    // q185: bounded Bellman–Ford shortest-path WEIGHTS over the same
+    // graph, edge weight = min l_quantity of the pair — the min-plus
+    // sibling of q176 (a longer-but-lighter path can beat the BFS
+    // path, so relaxation is whole-set, not frontier).
+    "q185_sssp" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d).select(
+        col("l_partkey").as("src"),
+        (lit(1000000L) + col("l_suppkey")).as("dst"),
+        col("l_quantity").cast("long").as("w"))
+      graft.ops.Graph.sssp(edges, source = 1L, rounds = 3)
+        .orderBy(col("node"))
     })
   )
 
@@ -793,8 +806,34 @@ object Relational {
         |  WHERE q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice
         |    AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice))
         |ORDER BY p.p_partkey""".stripMargin,
-    "q176_bfs_landmark" -> bfsSql(3)
+    "q176_bfs_landmark" -> bfsSql(3),
+    "q185_sssp" -> ssspSql(3)
   )
+
+  /** DuckDB mirror of [[graft.ops.Graph.sssp]]: `iters` unrolled
+    * min-plus relaxation rounds from part node 1, parallel edges
+    * pre-collapsed to their min weight. */
+  private def ssspSql(iters: Int): String = {
+    def step(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM $prev
+         |    UNION ALL
+         |    SELECT e.dst AS node, p.dist + e.w AS dist
+         |    FROM $prev p JOIN ed e ON e.src = p.node) GROUP BY 1)""".stripMargin
+    val steps = (1 to iters).map(i => step(s"d${i - 1}", s"d$i")).mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT CAST(l_partkey AS BIGINT) AS src,
+       |    1000000 + CAST(l_suppkey AS BIGINT) AS dst,
+       |    CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+       |eu AS (SELECT src, dst, w FROM e0
+       |       UNION ALL SELECT dst, src, w FROM e0),
+       |ed AS (SELECT src, dst, min(w) AS w FROM eu GROUP BY 1, 2),
+       |d0 AS (SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+       |$steps
+       |SELECT node, CAST(dist AS BIGINT) AS dist FROM d$iters
+       |ORDER BY node""".stripMargin
+  }
 
   /** DuckDB mirror of [[graft.ops.Graph.bfsDistances]]: `iters`
     * unrolled min-over-union rounds from part node 1 over the

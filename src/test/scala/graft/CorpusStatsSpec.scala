@@ -112,6 +112,29 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(got.find(_._1 == 301L).get._4 == 0.0, "singleton group → 0.0")
   }
 
+  test("ksDrift: identical halves → 0, disjoint supports → 1, hand case exact") {
+    import spark.implicits._
+    // halves 1..50 / 51..100 give the same v = i%10 histogram
+    val same = (1L to 100L).map(i => (i % 10, i <= 50))
+      .toDF("v", "isA")
+    val r0 = CorpusStats.ksDrift(same, "v", col("isA"), !col("isA"))
+      .collect().head
+    assert(r0.getLong(2) == 0L && r0.getDouble(3) == 0.0,
+      "same per-value counts → D = 0")
+    val disjoint = ((1L to 30L).map(v => (v, true)) ++
+      (100L to 150L).map(v => (v, false))).toDF("v", "isA")
+    val r1 = CorpusStats.ksDrift(disjoint, "v", col("isA"), !col("isA"))
+      .collect().head
+    assert(r1.getDouble(3) == 1.0, "disjoint supports → D = 1")
+    // A = {1,2}, B = {2,3}: CDF gap peaks at v=1: |1·2 − 0·2| = 2 → ½
+    val hand = Seq((1L, true), (2L, true), (2L, false), (3L, false))
+      .toDF("v", "isA")
+    val r2 = CorpusStats.ksDrift(hand, "v", col("isA"), !col("isA"))
+      .collect().head
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2), r2.getDouble(3)) ==
+      ((2L, 2L, 2L, 0.5)))
+  }
+
   test("zipfFit: a planted 1/rank corpus fits slope ≈ −1, repartition-invariant") {
     import spark.implicits._
     // term k appears ⌊240/k⌋ times → freq ∝ 1/rank by construction

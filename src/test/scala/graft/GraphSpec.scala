@@ -163,4 +163,19 @@ class GraphSpec extends AnyFunSuite {
     // edges point 2→3, but BFS walks both ways from 3
     assert(one == Map(3L -> 0L, 2L -> 1L, 4L -> 1L))
   }
+
+  test("sssp: a longer-but-lighter path beats the direct heavy edge") {
+    import spark.implicits._
+    // 1→3 direct costs 10; 1→2→3 costs 2+3=5; parallel 1-2 edges
+    // collapse to the min weight
+    val edges = Seq((1L, 3L, 10L), (1L, 2L, 7L), (1L, 2L, 2L), (2L, 3L, 3L))
+      .toDF("src", "dst", "w")
+    val got = Graph.sssp(edges, source = 1L, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 2L, 3L -> 5L))
+    // with a single relaxation round only the direct edge is visible
+    val one = Graph.sssp(edges, source = 1L, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(1L -> 0L, 2L -> 2L, 3L -> 10L))
+  }
 }

@@ -48,6 +48,20 @@ class MlEvalSpec extends AnyFunSuite {
     assert(got.values.forall(_._3 >= -10L))
   }
 
+  test("calibrationBins: a perfectly separable score fills clean decile bins") {
+    // scores 1..100, positive iff score > 50: bins 0-4 all-negative,
+    // bins 5-9 all-positive; every bin holds exactly 10 rows
+    val rows = (1L to 100L).map(i => (i, i > 50L))
+    val got = MlEval.calibrationBins(rows.toDF("f", "pos"), "f", "pos", 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(6))).toMap
+    assert(got.keySet == (0L to 9L).toSet)
+    (0L to 9L).foreach { b =>
+      assert(got(b)._1 == 10L, s"bin $b holds a decile")
+      assert(got(b)._3 == (if (b >= 5) 1.0 else 0.0), s"bin $b purity")
+    }
+  }
+
   test("olsTrend: recovers an exact linear relation per group") {
     // group a: y = 3x + 7; group b: y = -2x + 100 — integer points fit
     // exactly, so slope/intercept come out bit-exact

@@ -35,6 +35,11 @@ QUERIES = ",".join([
     # range sort + zipWithIndex), LPA (iterative BSP label joins)
     "q162_association_rules", "q166_rolling_active_users",
     "q167_zone_map", "q168_label_propagation",
+    # round-7 batch-4: the prefix-filtered exact Jaccard join (its
+    # whole claim is sub-quadratic growth vs the q27 all-pairs anchor,
+    # which is 2x faster at toy scale — the ratio here is the proof),
+    # the bucketed skyline, and the per-key EWMA window
+    "q177_prefix_jaccard", "q174_pareto_front", "q178_ewma_smooth",
 ])
 
 rnd = sys.argv[1]
