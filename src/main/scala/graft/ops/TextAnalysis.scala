@@ -646,4 +646,62 @@ object TextAnalysis {
       .select(col(idCol), col("n_tok"), col("ent_sum9"),
         (col("ent_sum9").cast("double") / (col("n_tok") * lit(1000000000L)))
           .as("ent"))
+
+  /** GREEDY MAX-COVERAGE document selection (the submodular
+    * facility-location family from the data-pruning literature): pick
+    * `k` documents, each maximizing the count of vocabulary tokens no
+    * earlier pick covers — the classic (1−1/e)-approximation to the
+    * NP-hard optimum, made oracle-checkable by the deterministic
+    * (gain DESC, id ASC) tie-break.
+    *
+    * Greedy is inherently sequential in k, so the loop is k driver
+    * rounds — but each round is fully distributed: one anti join
+    * against the covered set (bounded by vocabulary, not corpus) +
+    * one per-doc count + a TakeOrdered(1) argmax whose driver state is
+    * ONE row (the BpeTrainer discipline). Fully-covered docs drop out
+    * of the gains frame naturally (no uncovered tokens ⇒ no rows), so
+    * already-selected docs can never repeat.
+    *
+    * @return (sel_rank, id, gain) — k rows (fewer if coverage
+    *         saturates first). */
+  def greedyCoverage(df: DataFrame, idCol: String, textCol: String,
+                     k: Int, shingleN: Int = 3): DataFrame = {
+    require(k >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    // coverage units are word n-gram shingles (the q25–q27 kernel) —
+    // this corpus's UNIGRAM vocabulary is a few dozen template words,
+    // which one document covers entirely; the shingle space is where
+    // coverage selection has something to optimize
+    val tok = Dedup.withShingles(
+        df.select(col(idCol).cast("long").as("id"), col(textCol).as("_txt")),
+        "_txt", shingleN)
+      .select(col("id"), explode(col("shingles")).as("tok"))
+      .distinct().cache()
+    tok.count()
+    var covered = spark.emptyDataset[String].toDF("tok")
+    val sel = scala.collection.mutable.Buffer.empty[(Long, Long, Long)]
+    var persisted: DataFrame = null
+    var saturated = false
+    for (r <- 1 to k if !saturated) {
+      val cov = covered.cache()
+      cov.count()
+      if (persisted != null) persisted.unpersist(blocking = false)
+      persisted = cov
+      val top = tok.join(cov, Seq("tok"), "left_anti")
+        .groupBy(col("id")).agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("id")).limit(1)
+        .collect()
+      if (top.isEmpty) saturated = true
+      else {
+        val (id, gain) = (top(0).getLong(0), top(0).getLong(1))
+        sel += ((r.toLong, id, gain))
+        covered = cov.union(
+          tok.filter(col("id") === id).select(col("tok"))).distinct()
+      }
+    }
+    tok.unpersist(blocking = false)
+    if (persisted != null) persisted.unpersist(blocking = false)
+    sel.toSeq.toDF("sel_rank", "id", "gain")
+  }
 }

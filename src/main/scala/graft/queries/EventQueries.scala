@@ -859,6 +859,29 @@ object EventQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // q186: POINT-IN-TIME dimension lookup — the warehouse-classic
+    // fact ⋈ SCD2 join, composed from the engine's own kernels: q161's
+    // interval build feeds AsOfJoin's single-shuffle union+window plan
+    // (a containing interval is exactly the latest interval starting
+    // at-or-before the fact, once zero-width intervals are dropped —
+    // the oracle states it as the non-equi containment join instead).
+    "q186_scd2_lookup" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      val dim = graft.ops.TimeSeries.scd2History(ev, "user_id", "event_type",
+          "us", "event_id")
+        .filter(col("valid_to_us").isNull ||
+          col("valid_to_us") > col("valid_from_us"))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("valid_from_us"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("us"))
+      graft.ops.AsOfJoin.asOf(facts, dim, Seq("user_id"),
+          leftTs = "us", rightTs = "valid_from_us",
+          payload = Seq("state", "valid_from_us"), prefix = "")
+        .orderBy(col("event_id"))
+    }),
+
     // q180: inter-arrival gap statistics per user — the cadence
     // profile (bot detection, engagement QA). One per-user lag window
     // (state bounded by a user's history) + one mergeable agg; all
@@ -883,6 +906,27 @@ object EventQueries {
         .orderBy(col("user_id"))
     })
   )
+
+  /** Shared q161/q186 SCD2 interval build: per-user state runs →
+    * [valid_from, valid_to) intervals, last interval open. */
+  private val Scd2Ctes =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+      |  FROM events),
+      |ch AS (
+      |  SELECT user_id, event_type, us, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |      AS prev
+      |  FROM ev),
+      |runs AS (
+      |  SELECT user_id, event_type, us, event_id FROM ch
+      |  WHERE prev IS NULL OR prev <> event_type),
+      |iv AS (
+      |  SELECT user_id, event_type, us AS valid_from_us,
+      |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |      AS valid_to_us
+      |  FROM runs)
+      |""".stripMargin
 
   private val HourlySql =
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
@@ -1283,26 +1327,24 @@ object EventQueries {
         |    AS BIGINT) AS lo_cents,
         |  count(*) AS n
         |FROM binned GROUP BY 1, 2 ORDER BY bin""".stripMargin,
-    "q161_scd2_history" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
-        |  FROM events),
-        |ch AS (
-        |  SELECT user_id, event_type, us, event_id,
-        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
-        |      AS prev
-        |  FROM ev),
-        |runs AS (
-        |  SELECT user_id, event_type, us, event_id FROM ch
-        |  WHERE prev IS NULL OR prev <> event_type),
-        |iv AS (
-        |  SELECT user_id, event_type, us AS valid_from_us,
-        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
-        |      AS valid_to_us
-        |  FROM runs)
-        |SELECT user_id, event_type, valid_from_us, valid_to_us,
+    "q161_scd2_history" -> (Scd2Ctes +
+      """SELECT user_id, event_type, valid_from_us, valid_to_us,
         |  valid_to_us IS NULL AS is_current
-        |FROM iv ORDER BY user_id, valid_from_us""".stripMargin,
+        |FROM iv ORDER BY user_id, valid_from_us""".stripMargin),
+
+    // q186: the fact ⋈ SCD2 point-in-time lookup against the q161
+    // intervals; zero-width intervals (two state changes at one
+    // instant) can never contain a fact and are excluded identically
+    // on both sides.
+    "q186_scd2_lookup" -> (Scd2Ctes +
+      """, p AS (SELECT user_id, event_id, us FROM ev
+        |        WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.event_id, p.us,
+        |  d.event_type AS state, d.valid_from_us
+        |FROM p JOIN iv d ON d.user_id = p.user_id
+        |  AND d.valid_from_us <= p.us
+        |  AND (d.valid_to_us IS NULL OR p.us < d.valid_to_us)
+        |ORDER BY p.event_id""".stripMargin),
     "q162_association_rules" ->
       """WITH ev AS (
         |  SELECT user_id, event_type AS item, epoch_us(ts) AS us, event_id

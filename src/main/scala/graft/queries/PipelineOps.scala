@@ -70,14 +70,20 @@ object PipelineOps {
     }),
 
     // q177: the NON-quadratic exact-Jaccard path — PPJoin-style prefix
-    // filtering (rarest ⌈(1−τ)·n⌉+1 shingles per doc under the global
+    // filtering (rarest n−⌈τn⌉+1 shingles per doc under the global
     // frequency order generate every qualifying pair; exact verify
-    // discards the rest). Same oracle as q27: identical output proven
-    // at threshold 0.5, with bucket joins instead of the all-pairs
-    // shingle join — this is the shape that survives 100 TB skew.
+    // discards the rest) plus the length filter, with bucket joins
+    // instead of the all-pairs shingle join. Declared at τ=0.8, the
+    // production regime: prefix pruning power is 1−τ of each set, so
+    // high thresholds prune hard while τ=0.5 would put HALF of every
+    // doc in the prefix and was measured to explode candidates on
+    // replicated (all-near-dup) data — that regime belongs to
+    // MinHash-LSH (q26/q32). Equivalence to the all-pairs join is
+    // spec-proven at τ ∈ {0.3, 0.5, 0.8}; the oracle is q27's SQL at
+    // the 0.8 cut.
     "q177_prefix_jaccard" -> ((s, d) => {
       Dedup.prefixJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-          threshold = 0.5)
+          threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -688,6 +694,19 @@ object PipelineOps {
       Similarity.centroidDrift(Tables.embeddings(s, d), "vec_id",
         "embedding", "label")),
 
+    // q187: greedy max-coverage selection of 5 docs (submodular
+    // facility-location data pruning) — each round picks the doc
+    // covering the most still-uncovered vocabulary, (gain DESC, id)
+    // tie-break; k driver rounds of distributed anti-join + argmax,
+    // O(1) driver state per round. Oracle = the same 5 rounds
+    // unrolled as CTEs.
+    "q187_greedy_coverage" -> ((s, d) => {
+      TextAnalysis.greedyCoverage(Tables.documents(s, d), "doc_id", "text",
+          k = 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("sel_rank"))
+    }),
+
     // q183: exact two-sample Kolmogorov–Smirnov drift test between the
     // first and second half of the source space on doc length — the
     // binning-free distribution-shift monitor (KL's q156 complement).
@@ -1197,6 +1216,36 @@ object PipelineOps {
 
   // q141: the same chained iterations, then every vector's scaled-long
   // projection onto the final direction, top-k by (|proj9|, vec_id).
+  /** DuckDB mirror of [[graft.ops.TextAnalysis.greedyCoverage]]: `k`
+    * unrolled greedy rounds — round r's gains exclude everything the
+    * previous picks cover, argmax under the (gain DESC, id) order. */
+  private def greedyCoverageSql(k: Int): String = {
+    def round(r: Int): String =
+      if (r == 1)
+        """s1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+          |  FROM sh GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1),
+          |c1 AS (SELECT DISTINCT t.shingle FROM sh t
+          |  WHERE t.doc_id IN (SELECT doc_id FROM s1))""".stripMargin
+      else
+        s"""s$r AS (
+           |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS gain
+           |  FROM sh t LEFT JOIN c${r - 1} c ON t.shingle = c.shingle
+           |  WHERE c.shingle IS NULL GROUP BY 1
+           |  ORDER BY gain DESC, doc_id LIMIT 1),
+           |c$r AS (
+           |  SELECT shingle FROM c${r - 1}
+           |  UNION SELECT t.shingle FROM sh t
+           |  WHERE t.doc_id IN (SELECT doc_id FROM s$r))""".stripMargin
+    val rounds = (1 to k).map(round).mkString(",\n")
+    val out = (1 to k).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS sel_rank, doc_id, gain FROM s$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $ShingleCtes,
+       |$rounds
+       |$out
+       |ORDER BY sel_rank""".stripMargin
+  }
+
   private def powerIterProjSql(iters: Int, k: Int): String =
     powerIterCtes(iters) + s""",
         |proj AS (
@@ -1296,7 +1345,9 @@ object PipelineOps {
   // margin is ≈3.4σ — with a fixed-seed deterministic minhash the LSH
   // output equals the exact result on this corpus, so the exact SQL is
   // a valid oracle for the approximate path too), and q52 (groups).
-  private val NgramPairsCtes =
+  /** toks → sliding word 3-grams → per-doc DISTINCT shingle set
+    * (mirrors Dedup.withShingles; q26/q27 prove the equality). */
+  private val ShingleCtes =
     """toks AS (
         |  SELECT doc_id, generate_subscripts(regexp_split_to_array(text, '\s+'), 1) AS pos,
         |         unnest(regexp_split_to_array(text, '\s+')) AS tok
@@ -1304,21 +1355,26 @@ object PipelineOps {
         |), tri AS (
         |  SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
         |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-        |), sh AS (SELECT DISTINCT doc_id, shingle FROM tri WHERE shingle IS NOT NULL),
+        |), sh AS (SELECT DISTINCT doc_id, shingle FROM tri WHERE shingle IS NOT NULL)""".stripMargin
+
+  private val NgramPairsCtes = ShingleCtes +
+    """,
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)""".stripMargin
 
-  private val NgramJaccardSql =
+  private def ngramJaccardSqlAt(tau: String): String =
     "WITH " + NgramPairsCtes +
-      """
+      s"""
         |SELECT id_a, id_b,
         |  CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
         |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-        |WHERE CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
+        |WHERE CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE) >= $tau
         |ORDER BY id_a, id_b""".stripMargin
+
+  private val NgramJaccardSql = ngramJaccardSqlAt("0.5")
 
   // Dedup groups oracle: transitive closure (recursive CTE) over the
   // exact pair list, component representative = min reachable id.
@@ -1346,8 +1402,10 @@ object PipelineOps {
     "q26_dedup_minhash" -> NgramJaccardSql,
     "q27_ngram_jaccard" -> NgramJaccardSql,
     // Prefix filtering is output-equivalent to the all-pairs join by
-    // the SSJoin prefix theorem — same oracle, different plan shape.
-    "q177_prefix_jaccard" -> NgramJaccardSql,
+    // the SSJoin prefix theorem — q27's SQL at the 0.8 production cut.
+    "q177_prefix_jaccard" -> ngramJaccardSqlAt("0.8"),
+    "q187_greedy_coverage" -> greedyCoverageSql(5),
+
     // q183: the same compressed-CDF integer formulation.
     "q183_ks_drift" ->
       """WITH x AS (

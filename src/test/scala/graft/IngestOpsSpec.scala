@@ -560,6 +560,19 @@ class SpanRemovalSpec extends AnyFunSuite {
     }
   }
 
+  test("greedyCoverage: picks by marginal gain, saturates early") {
+    import spark.implicits._
+    // 3-gram shingles: doc 1 = {a b c, b c d}, doc 2 ⊂ doc 1,
+    // doc 3 = {c e f, e f g}, doc 4 too short for any shingle
+    val docs = Seq((1L, "a b c d"), (2L, "a b c"), (3L, "c e f g"),
+      (4L, "a b")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.greedyCoverage(docs, "doc_id", "text", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // round 1: doc 1 covers 2 (ties doc 3, lower id wins); round 2:
+    // doc 3 adds its 2; then saturation → only 2 rows
+    assert(got == Seq((1L, 1L, 2L), (2L, 3L, 2L)))
+  }
+
   test("centroidDrift: aligned halves → cos 1, orthogonal halves → cos 0") {
     import spark.implicits._
     // label 0: both halves along +x (different magnitudes — cosine is
