@@ -137,4 +137,35 @@ object Spectral {
         aggregate(col("r6"), lit(0L), (acc, e) => acc + e * e).as("rss12"))
       .orderBy(col("rss12").desc, col(idCol)).limit(k)
   }
+
+  /** Johnson–Lindenstrauss RANDOM PROJECTION with a seedless ±1
+    * matrix (Achlioptas 2003's database-friendly variant): target
+    * component j = Σᵢ s(i,j)·vᵢ where the sign is a pure hash of the
+    * coordinate pair — the projection matrix is never materialized,
+    * shipped, or seeded, so any engine (and any executor, with no
+    * broadcast) derives the identical matrix from md5 alone. The
+    * dimensionality-reduction sibling of PQ/SQ (quantize per-value)
+    * and PCA (data-dependent directions): data-independent, O(d·m)
+    * per vector, distance-preserving in expectation.
+    *
+    * Components stay exact scaled longs: |Σ ±v9| ≤ d·max|v9| — no
+    * float accumulation. Signs index the 1-BASED coordinate to match
+    * SQL's generate_subscripts convention.
+    *
+    * @return (id, j ∈ [0, m), proj9) — one row per target dim. */
+  def jlProject(df: DataFrame, idCol: String, vecCol: String, m: Int)
+      : DataFrame = {
+    require(m >= 1)
+    val sign = when(substring(
+        md5(concat_ws("_", col("i") + 1, col("j")).cast("binary")), 1, 1)
+        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1L)
+      .otherwise(-1L)
+    df.select(col(idCol), posexplode(col(vecCol)).as(Seq("i", "v")))
+      .select(col(idCol), col("i"),
+        round(col("v").cast("double") * 1000000000L).cast("long").as("v9"))
+      .withColumn("j", explode(sequence(lit(0L), lit((m - 1).toLong))))
+      .groupBy(col(idCol), col("j"))
+      .agg(sum(sign * col("v9")).as("proj9"))
+      .orderBy(col(idCol), col("j"))
+  }
 }

@@ -76,6 +76,40 @@ object TimeSeries {
         col("valid_to_us").isNull.as("is_current"))
   }
 
+  /** TIME-WEIGHTED average (TWAP): each observation weighted by how
+    * long it was the current value — the correct mean for irregular
+    * series (a price held for an hour counts 60× one held a minute;
+    * the plain mean q01-style aggregates compute is the per-EVENT
+    * mean). The metrics/finance standard.
+    *
+    * Exact: value (integral units) × interval (micros) products
+    * accumulate as DECIMAL(38,0) — a day-long gap alone (8.6e10 µs)
+    * puts one product past 2^53 — and the denominator is the exact
+    * span Σ gaps. One per-key lead window (state bounded by key
+    * history) + one mergeable agg; keys with a single observation
+    * span zero time and emit no row (same on both engines).
+    *
+    * @return (key, n_intervals, den_us, num [decimal string],
+    *         twap6 — num/den rescaled by `unitDiv`, round-6). */
+  def twap(df: DataFrame, keyCol: String, usCol: String, valCol: String,
+           tieCol: String, unitDiv: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(usCol), col(tieCol))
+    val gaps = df
+      .withColumn("_gap", lead(col(usCol), 1).over(w) - col(usCol))
+      .filter(col("_gap").isNotNull)
+    gaps.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("_gap")).as("den_us"),
+        sum((col(valCol).cast("decimal(19,0)") *
+          col("_gap").cast("decimal(19,0)")).cast("decimal(38,0)")).as("num"))
+      .select(col(keyCol), col("n_intervals"), col("den_us"),
+        col("num").cast("string").as("num"),
+        round(col("num").cast("double") / col("den_us").cast("double")
+          / unitDiv, 6).as("twap6"))
+      .orderBy(col(keyCol))
+  }
+
   /** Bounded exponential smoothing (EWMA, α = ½) in EXACT integer
     * arithmetic — the trend-smoothing transform for metric panels,
     * made cross-engine checkable by two choices:

@@ -859,6 +859,18 @@ object EventQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // q188: time-weighted average value per user (TWAP) — the correct
+    // mean for irregular series; exact decimal value×interval products,
+    // single lead window + mergeable agg. Single-event users span zero
+    // time and emit nothing, identically on both sides.
+    "q188_twap" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      graft.ops.TimeSeries.twap(e, "user_id", "us", "cents", "event_id",
+        unitDiv = 100.0)
+    }),
+
     // q186: POINT-IN-TIME dimension lookup — the warehouse-classic
     // fact ⋈ SCD2 join, composed from the engine's own kernels: q161's
     // interval build feeds AsOfJoin's single-shuffle union+window plan
@@ -1482,6 +1494,26 @@ object EventQueries {
         |  AND b.rn BETWEEN a.rn - 19 AND a.rn
         |GROUP BY a.user_id, a.event_id, a.rn
         |ORDER BY a.user_id, a.event_id""".stripMargin,
+
+    "q188_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, cents,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us
+        |      AS gap
+        |  FROM e),
+        |a AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+        |    CAST(sum(gap) AS BIGINT) AS den_us,
+        |    sum(CAST(cents AS HUGEINT) * gap) AS num
+        |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_intervals, den_us, CAST(num AS VARCHAR) AS num,
+        |  round(CAST(num AS DOUBLE) / CAST(den_us AS DOUBLE) / 100.0, 6)
+        |    AS twap6
+        |FROM a ORDER BY user_id""".stripMargin,
 
     "q180_gap_stats" ->
       """WITH g AS (

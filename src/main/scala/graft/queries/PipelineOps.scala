@@ -694,6 +694,15 @@ object PipelineOps {
       Similarity.centroidDrift(Tables.embeddings(s, d), "vec_id",
         "embedding", "label")),
 
+    // q189: Johnson–Lindenstrauss random projection to 8 dims with a
+    // seedless md5-sign matrix — data-independent dimensionality
+    // reduction beside PQ/SQ (quantize) and PCA (learned); the matrix
+    // is a pure hash, so no broadcast and bit-identical cross-engine.
+    "q189_jl_projection" -> ((s, d) =>
+      graft.ops.Spectral.jlProject(
+        Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", m = 8)),
+
     // q187: greedy max-coverage selection of 5 docs (submodular
     // facility-location data pruning) — each round picks the doc
     // covering the most still-uncovered vocabulary, (gain DESC, id)
@@ -1405,6 +1414,20 @@ object PipelineOps {
     // the SSJoin prefix theorem — q27's SQL at the 0.8 production cut.
     "q177_prefix_jaccard" -> ngramJaccardSqlAt("0.8"),
     "q187_greedy_coverage" -> greedyCoverageSql(5),
+
+    // q189: the same 1-based-coordinate md5 signs and scaled-long sums.
+    "q189_jl_projection" ->
+      """WITH ex AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings WHERE vec_id % 50 = 0)
+        |SELECT vec_id, j,
+        |  CAST(sum(CASE WHEN substr(md5(CAST(i AS VARCHAR) || '_'
+        |      || CAST(j AS VARCHAR)), 1, 1)
+        |    IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END
+        |    * CAST(round(v * 1000000000) AS BIGINT)) AS BIGINT) AS proj9
+        |FROM ex CROSS JOIN generate_series(0, 7) g(j)
+        |GROUP BY 1, 2 ORDER BY vec_id, j""".stripMargin,
 
     // q183: the same compressed-CDF integer formulation.
     "q183_ks_drift" ->

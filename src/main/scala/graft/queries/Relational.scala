@@ -476,6 +476,12 @@ object Relational {
         .orderBy(col("node"))
     }),
 
+    // q190: ANALYZE-style column profile of orders — per-column null
+    // count + exact distinct cardinality in one declared pass (one
+    // Expand, partial aggs, table read once); the ingest-QA report.
+    "q190_column_profile" -> ((s, d) =>
+      graft.ops.Profile.columnProfile(Tables.orders(s, d))),
+
     // q185: bounded Bellman–Ford shortest-path WEIGHTS over the same
     // graph, edge weight = min l_quantity of the pair — the min-plus
     // sibling of q176 (a longer-but-lighter path can beat the BFS
@@ -807,7 +813,21 @@ object Relational {
         |    AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice))
         |ORDER BY p.p_partkey""".stripMargin,
     "q176_bfs_landmark" -> bfsSql(3),
-    "q185_sssp" -> ssspSql(3)
+    "q185_sssp" -> ssspSql(3),
+    "q190_column_profile" -> {
+      val cols = Seq("o_custkey", "o_orderdate", "o_orderkey",
+        "o_orderpriority", "o_orderstatus", "o_totalprice")
+      val stats = cols.map(c =>
+        s"CAST(count($c) AS BIGINT) AS nn_$c, " +
+          s"CAST(count(DISTINCT $c) AS BIGINT) AS nd_$c").mkString(", ")
+      val rows = cols.map(c =>
+        s"SELECT '$c' AS column_name, n_rows, n_rows - nn_$c AS n_null, " +
+          s"nd_$c AS n_distinct FROM s").mkString("\nUNION ALL\n")
+      s"""WITH s AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_rows, $stats FROM orders)
+         |$rows
+         |ORDER BY column_name""".stripMargin
+    }
   )
 
   /** DuckDB mirror of [[graft.ops.Graph.sssp]]: `iters` unrolled

@@ -560,6 +560,41 @@ class SpanRemovalSpec extends AnyFunSuite {
     }
   }
 
+  test("jlProject: hash-sign matrix is deterministic and linear") {
+    import spark.implicits._
+    def md5sign(i: Int, j: Int): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${i}_$j".getBytes("UTF-8"))
+      val c = f"${h(0) & 0xff}%02x".charAt(0)
+      if ("89abcdef".contains(c)) 1L else -1L
+    }
+    // one-hot at coordinate 2 (0-based) → proj9(j) = s(3, j)·10^9
+    // (signs index 1-based coordinates)
+    val oneHot = Seq((7L, Array(0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.ops.Spectral.jlProject(oneHot, "vec_id", "embedding", m = 4)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    (0 to 3).foreach { j =>
+      assert(got(j.toLong) == md5sign(3, j) * 1000000000L, s"dim $j sign") }
+    // linearity: proj(2·v) = 2·proj(v)
+    val doubled = Seq((7L, Array(0.0f, 0.0f, 2.0f))).toDF("vec_id", "embedding")
+    val got2 = graft.ops.Spectral.jlProject(doubled, "vec_id", "embedding", m = 4)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    (0 to 3).foreach { j => assert(got2(j.toLong) == 2 * got(j.toLong)) }
+  }
+
+  test("columnProfile: null and distinct counts per column") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a"), 1.5), (2L, None, 1.5), (3L, Some("a"), 2.5))
+      .toDF("id", "s", "x")
+    val got = graft.ops.Profile.columnProfile(df)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("id") == ((3L, 0L, 3L)))
+    assert(got("s") == ((3L, 1L, 1L)), "null excluded from distinct")
+    assert(got("x") == ((3L, 0L, 2L)))
+  }
+
   test("greedyCoverage: picks by marginal gain, saturates early") {
     import spark.implicits._
     // 3-gram shingles: doc 1 = {a b c, b c d}, doc 2 ⊂ doc 1,

@@ -77,6 +77,21 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("A", true), ("B", false)))
   }
 
+  test("twap: holding time weights the mean; single-event keys emit nothing") {
+    val ev = Seq(
+      // key 1: value 100 held 90 µs, then 200 held 10 µs → twap 110
+      (1L, 0L, 1L, 100L), (1L, 90L, 2L, 200L), (1L, 100L, 3L, 999L),
+      // key 2: one event — zero span
+      (2L, 50L, 4L, 777L))
+      .toDF("k", "us", "id", "cents")
+    val got = TimeSeries.twap(ev, "k", "us", "cents", "id", unitDiv = 1.0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4))).toMap
+    assert(got.keySet == Set(1L))
+    assert(got(1L) == ((2L, 100L, "11000", 110.0)),
+      "(100·90 + 200·10) / 100 = 110; the last value carries no interval")
+  }
+
   test("ewmaBounded: hand-computed α=½ weights, renormalized leading edge") {
     val ev = Seq((1L, 1L, 100L), (1L, 2L, 200L), (1L, 3L, 400L))
       .toDF("k", "seq", "x")
