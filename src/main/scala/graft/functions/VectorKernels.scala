@@ -112,6 +112,52 @@ object VectorKernelsImpl {
     * than n yield one short shingle; empty text yields [""]), but
     * ~10× cheaper: the HOF chain re-splits and re-allocates per
     * offset, this builds each shingle once into a dedup set. */
+  /** Content-defined-chunking boundaries in ONE rolling pass —
+    * replaces the `filter(pos, i -> Σ element_at·pow)` HOF whose
+    * O(n·w) per-doc element_at evaluations dominated the CDC dedup
+    * wall. Semantics are bit-identical to the HOF (and to the DuckDB
+    * oracle): window hash at 1-based start i is
+    * Σ_j code(c_{i+j})·B^{w−1−j} mod M over per-char code points, a
+    * cut lands at i+w−1 when hash % maskMod == 0, and the result is
+    * distinct ascending {0, cuts…, n}. The rolling update keeps the
+    * running value congruent mod M, so every cut decision matches the
+    * direct sum exactly. */
+  def cdcBounds(text: UTF8String, w: Int, maskMod: Long): ArrayData = {
+    val M = 1000000007L
+    val B = 131L
+    val s = text.toString
+    val n = s.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any](8)
+    out += 0
+    if (n >= w) {
+      // B^(w-1) mod M for the outgoing char
+      var powTop = 1L
+      var j = 1
+      while (j < w) { powTop = powTop * B % M; j += 1 }
+      var h = 0L
+      var i = 0
+      while (i < w) { h = (h * B + s.charAt(i).toLong) % M; i += 1 }
+      // i is the 0-based index one past the window end; window start
+      // k = i - w (cut position = k + w = i)
+      // a cut equal to n would duplicate the trailing bound — skip it,
+      // the HOF's array_distinct collapses the same way
+      var k = 0
+      if (h % maskMod == 0 && w != n) out += w
+      while (i < n) {
+        val cOld = s.charAt(k).toLong
+        h = ((h + M - cOld * powTop % M) % M * B + s.charAt(i).toLong) % M
+        i += 1; k += 1
+        if (h % maskMod == 0 && i != n) out += i
+      }
+    }
+    out += n
+    // distinct ascending by construction except a possible repeat of 0
+    // (n == 0) — the HOF's array_distinct handles the same way
+    val res =
+      if (out.length >= 2 && out(0) == out(1)) out.distinct else out
+    new GenericArrayData(res.toArray)
+  }
+
   def wordShingles(text: UTF8String, n: Int): ArrayData = {
     // String.split(regex, -1) == Spark's split(str, regex) semantics
     val toks = text.toString.split("\\s+", -1)
@@ -225,6 +271,22 @@ case class SigMatches(left: Expression, right: Expression) extends BinaryExpress
 }
 
 /** Distinct word n-gram shingles of a string → array<string>. */
+/** CDC boundary array of a string (see VectorKernelsImpl.cdcBounds). */
+case class CdcBounds(child: Expression, w: Int, maskMod: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"cdc_bounds requires string, got $t")
+  }
+  override def nullSafeEval(a: Any): Any =
+    VectorKernelsImpl.cdcBounds(a.asInstanceOf[UTF8String], w, maskMod)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.VectorKernelsImpl.cdcBounds($a, $w, ${maskMod}L)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -297,4 +359,8 @@ object VectorFunctions {
   /** Distinct word n-gram shingles of a string column. */
   def wordShingles(text: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), n))
+
+  /** Content-defined-chunking boundary array of a string column. */
+  def cdcBounds(text: Column, w: Int, maskMod: Long): Column =
+    Bridge.column(CdcBounds(Bridge.expression(text), w, maskMod))
 }

@@ -556,35 +556,24 @@ object Dedup {
     * q95 modulus discipline); boundary set, chunks, and the dup decision all
     * replay in SQL (oracle).
     *
-    * Scale shape: hashing + boundary selection + chunk slicing are ONE
-    * narrow codegen pass (HOF transforms over the char array — no explode
-    * before the chunk rows exist); the dedup is the q125 two-level
+    * Scale shape: hashing + boundary selection run as ONE narrow
+    * native codegen kernel (graft.functions.CdcBounds — a rolling
+    * O(n) pass per doc; the HOF formulation it replaced re-evaluated
+    * w element_at lookups per character, O(n·w), and dominated the
+    * query wall) and chunk slicing stays a narrow transform — no
+    * explode before the chunk rows exist; the dedup is the q125 two-level
     * count-distinct partial agg + a 1:1 hash join back. O(w) literal state.
     * Output: (id, n_chunks, n_dup_chunks, dup_frac). */
   def cdcChunkDedup(df: DataFrame, idCol: String, textCol: String,
                     w: Int = 16, maskMod: Long = 64L): DataFrame = {
-    val M = 1000000007L
-    val B = 131L
-    val pows: Array[Long] = {
-      val a = new Array[Long](w); a(w - 1) = 1L
-      for (j <- (0 until w - 1).reverse) a(j) = a(j + 1) * B % M
-      a
-    }
-    def winHash(i: org.apache.spark.sql.Column) =
-      pows.zipWithIndex.map { case (p, j) =>
-        element_at(col("cs"), i + lit(j)) * lit(p)
-      }.reduce(_ + _) % M
-    val positions = when(col("n") >= w, sequence(lit(1), col("n") - lit(w - 1)))
-      .otherwise(array().cast("array<int>"))
-    val cuts = filter(col("pos"), i => winHash(i) % maskMod === 0)
+    // one-pass native rolling-hash kernel (CdcBounds, codegen) — the
+    // HOF formulation it replaces re-evaluated w element_at lookups
+    // per character and dominated the query wall (8.0 s → see
+    // cdcBoundsHof, kept as the spec-checked semantic reference)
     val withBounds = df
-      .select(col(idCol), col(textCol).as("t"),
-        length(col(textCol)).as("n"),
-        transform(split(col(textCol), ""), ch => ascii(ch).cast("long"))
-          .as("cs"))
-      .withColumn("pos", positions)
-      .withColumn("bounds", array_distinct(concat(
-        array(lit(0)), transform(cuts, i => i + lit(w - 1)), array(col("n")))))
+      .select(col(idCol), col(textCol).as("t"))
+      .withColumn("bounds",
+        graft.functions.VectorFunctions.cdcBounds(col("t"), w, maskMod))
     val chunks = withBounds
       .select(col(idCol), col("t"),
         explode(expr("transform(sequence(1, size(bounds) - 1), " +
@@ -605,6 +594,32 @@ object Dedup {
         coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"))
       .withColumn("dup_frac", when(col("n_chunks") === 0, lit(0.0)).otherwise(
         col("n_dup_chunks").cast("double") / col("n_chunks").cast("double")))
+  }
+
+  /** The original HOF formulation of the CDC boundary array — kept as
+    * the semantic reference for [[graft.functions.CdcBounds]] (an
+    * equivalence spec runs both over the real corpus). O(n·w)
+    * element_at evaluations per doc; never use on a hot path. */
+  private[graft] def cdcBoundsHof(textCol: Column, w: Int,
+                                  maskMod: Long): Column = {
+    val M = 1000000007L
+    val B = 131L
+    val pows: Array[Long] = {
+      val a = new Array[Long](w); a(w - 1) = 1L
+      for (j <- (0 until w - 1).reverse) a(j) = a(j + 1) * B % M
+      a
+    }
+    val cs = transform(split(textCol, ""), ch => ascii(ch).cast("long"))
+    val n = length(textCol)
+    def winHash(i: Column) =
+      pows.zipWithIndex.map { case (p, j) =>
+        element_at(cs, i + lit(j)) * lit(p)
+      }.reduce(_ + _) % M
+    val positions = when(n >= w, sequence(lit(1), n - lit(w - 1)))
+      .otherwise(array().cast("array<int>"))
+    val cuts = filter(positions, i => winHash(i) % maskMod === 0)
+    array_distinct(concat(
+      array(lit(0)), transform(cuts, i => i + lit(w - 1)), array(n)))
   }
 
   /** Per-group DEDUP REPORT — the monitoring rollup a corpus pipeline

@@ -677,6 +677,12 @@ object TextAnalysis {
         df.select(col(idCol).cast("long").as("id"), col(textCol).as("_txt")),
         "_txt", shingleN)
       .select(col("id"), explode(col("shingles")).as("tok"))
+      // the shingle kernel emits one TRUNCATED shingle for docs
+      // shorter than n tokens (pinned to the HOF reference chain);
+      // coverage counts only FULL n-token units so the unrolled SQL
+      // oracle — whose lead()-built shingles drop short docs — states
+      // the same selection for ANY input, not just the current corpus
+      .filter(size(split(col("tok"), " ")) === shingleN)
       .distinct().cache()
     tok.count()
     var covered = spark.emptyDataset[String].toDF("tok")

@@ -34,6 +34,19 @@ class DedupSpec extends AnyFunSuite {
     assert(bad == 0, s"$bad docs differ between kernel and HOF shingles")
   }
 
+  test("native CDC-bounds kernel == HOF rolling-hash chain (incl. edge docs)") {
+    import spark.implicits._
+    val corpus = graft.io.Tables.documents(spark, TestSession.sf)
+      .select(col("doc_id"), col("text"))
+      .union(Seq((9001L, ""), (9002L, "short"), (9003L, "x" * 16),
+        (9004L, "y" * 17)).toDF("doc_id", "text"))
+    val both = corpus.select(col("doc_id"),
+      graft.functions.VectorFunctions.cdcBounds(col("text"), 16, 64L).as("k"),
+      graft.ops.Dedup.cdcBoundsHof(col("text"), 16, 64L).as("h"))
+    val bad = both.filter(not(col("k") <=> col("h"))).count()
+    assert(bad == 0, s"$bad docs differ between kernel and HOF CDC bounds")
+  }
+
   test("dedupGroups: min-label components over chains, triangles, pairs") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3), triangle 10-11-12, isolated pair 20-21
