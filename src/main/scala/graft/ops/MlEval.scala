@@ -110,6 +110,52 @@ object MlEval {
       .orderBy(col("threshold"))
   }
 
+  /** RANK-BIASED OVERLAP (Webber et al. 2010) between two top-k
+    * rankings per group, at persistence p = ½ — the top-weighted
+    * ranking-agreement metric (how much does an approximate ranker
+    * disagree with the exact one, counting disagreement near rank 1
+    * far more than at the tail).
+    *
+    * p = ½ makes the whole metric EXACT INTEGER arithmetic:
+    * RBO@k = Σ_{d=1..k} 2^−d·o_d/d (the (1−p)/p factor is 1), and a
+    * matched item at ranks (ra, rb) contributes to every depth
+    * d ≥ max(ra, rb) — so its total contribution is the precomputed
+    * integer F[max(ra,rb)] = Σ_{d=m..k} 2^(k−d)·(lcm/d) over the
+    * common denominator D = 2^k·lcm(1..k). The metric is then ONE
+    * equi join on (group, item) + one lookup + one sum — no per-depth
+    * pass, no floats until the final division.
+    *
+    * @param a,b frames with (groupCol, itemCol, rankCol ∈ 1..k).
+    * @return (group, n_matches, rbo_num, rbo_den, rbo9); identical
+    *         rankings score 1 − 2^−k (truncated RBO's ceiling). */
+  def rboHalf(a: DataFrame, b: DataFrame, groupCol: String, itemCol: String,
+              rankCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 30, "integer weights need k in [1, 30]")
+    val lcm = (1 to k).foldLeft(1L) { (l, d) =>
+      l / BigInt(l).gcd(BigInt(d)).toLong * d }
+    val den = lcm * (1L << k)
+    val fTable: Seq[Long] =
+      (1 to k).map(m => (m to k).map(d => (1L << (k - d)) * (lcm / d)).sum)
+    val fLit = typedLit(fTable)
+    val qa = a.select(col(groupCol).as("g"), col(itemCol).as("item"),
+      col(rankCol).as("ra"))
+    val qb = b.select(col(groupCol).as("g"), col(itemCol).as("item"),
+      col(rankCol).as("rb"))
+    val sums = qa.join(qb, Seq("g", "item"))
+      .select(col("g"),
+        element_at(fLit, greatest(col("ra"), col("rb")).cast("int")).as("f"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_matches"), sum(col("f")).as("rbo_num"))
+    qa.select(col("g")).distinct()
+      .join(sums, Seq("g"), "left")
+      .select(col("g"), coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("rbo_num"), lit(0L)).as("rbo_num"),
+        lit(den).as("rbo_den"),
+        round(coalesce(col("rbo_num"), lit(0L)).cast("double") / den.toDouble,
+          9).as("rbo9"))
+      .orderBy(col("g"))
+  }
+
   /** Reliability-diagram (calibration) bins for a scored binary
     * signal — the third leg of the eval family beside [[aucExact]]
     * (ranking) and [[decisionStump]] (thresholding): does the score's

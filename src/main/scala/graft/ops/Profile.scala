@@ -21,6 +21,38 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** EXACT join-output-size prediction from per-key histograms — the
+    * planner statistic that catches fan-out blowups BEFORE running the
+    * join: |A ⋈ B on k| = Σ_v c_A(v)·c_B(v), computed from two
+    * partial-agg count shuffles and a distinct-key-sized join (never
+    * the join itself). The top contributing keys are the skew report —
+    * the keys a salted join (q67) or AQE skew split would target.
+    * NULL keys never match and are excluded on both sides.
+    *
+    * @return topN rows (rk, k, ca, cb, rows_out) + the global
+    *         (total_rows, n_join_keys) on every row (one-row scalar
+    *         aggregate broadcast). */
+  def joinCardinality(a: DataFrame, ka: String, b: DataFrame, kb: String,
+                      topN: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ca = a.filter(col(ka).isNotNull)
+      .groupBy(col(ka).cast("long").as("k")).agg(count(lit(1)).as("ca"))
+    val cb = b.filter(col(kb).isNotNull)
+      .groupBy(col(kb).cast("long").as("k")).agg(count(lit(1)).as("cb"))
+    val j = ca.join(cb, "k")
+      .withColumn("rows_out", col("ca") * col("cb"))
+    val tot = j.agg(sum(col("rows_out")).as("total_rows"),
+      count(lit(1)).as("n_join_keys"))
+    j.withColumn("rk",
+        row_number().over(Window.orderBy(col("rows_out").desc, col("k")))
+          .cast("long"))
+      .filter(col("rk") <= topN)
+      .crossJoin(broadcast(tot))
+      .select(col("rk"), col("k"), col("ca"), col("cb"), col("rows_out"),
+        col("total_rows"), col("n_join_keys"))
+      .orderBy(col("rk"))
+  }
+
   /** @return (column_name, n_rows, n_null, n_distinct) per column. */
   def columnProfile(df: DataFrame): DataFrame = {
     val names = df.schema.fieldNames.toSeq

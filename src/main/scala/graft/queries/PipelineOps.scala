@@ -694,6 +694,26 @@ object PipelineOps {
       Similarity.centroidDrift(Tables.embeddings(s, d), "vec_id",
         "embedding", "label")),
 
+    // q191: rank-biased overlap (p=½, exact-integer RBO) between two
+    // per-language top-10 rankings — longest-by-chars vs
+    // longest-by-tokens — the top-weighted agreement metric for
+    // comparing ranker arms (q123's fusion inputs, exact vs quantized
+    // ANN); one (group, item) join + an F-table lookup, no per-depth
+    // pass.
+    "q191_rbo" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val wA = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val wB = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+        .orderBy(size(split(col("text"), "\\s+")).desc, col("doc_id"))
+      val a = docs.withColumn("rk", row_number().over(wA).cast("long"))
+        .filter(col("rk") <= 10).select(col("lang"), col("doc_id"), col("rk"))
+      val b = docs.withColumn("rk", row_number().over(wB).cast("long"))
+        .filter(col("rk") <= 10).select(col("lang"), col("doc_id"), col("rk"))
+      graft.ops.MlEval.rboHalf(a, b, "lang", "doc_id", "rk", k = 10)
+        .withColumnRenamed("g", "lang")
+    }),
+
     // q189: Johnson–Lindenstrauss random projection to 8 dims with a
     // seedless md5-sign matrix — data-independent dimensionality
     // reduction beside PQ/SQ (quantize) and PCA (learned); the matrix
@@ -1225,6 +1245,43 @@ object PipelineOps {
 
   // q141: the same chained iterations, then every vector's scaled-long
   // projection onto the final direction, top-k by (|proj9|, vec_id).
+  /** DuckDB mirror of [[graft.ops.MlEval.rboHalf]] over the two
+    * per-language length rankings: the same integer F-table
+    * (F[m] = Σ_{d=m..k} 2^(k−d)·(lcm/d)) stated as a VALUES lookup. */
+  private def rboSql(k: Int): String = {
+    val lcm = (1 to k).foldLeft(1L) { (l, d) =>
+      l / BigInt(l).gcd(BigInt(d)).toLong * d }
+    val den = lcm * (1L << k)
+    val f = (1 to k).map(m =>
+      s"($m, ${(m to k).map(d => (1L << (k - d)) * (lcm / d)).sum})")
+      .mkString(", ")
+    s"""WITH a AS (
+       |  SELECT lang AS g, doc_id AS item, rn AS ra FROM (
+       |    SELECT lang, doc_id, CAST(row_number() OVER (PARTITION BY lang
+       |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rn FROM documents)
+       |  WHERE rn <= $k),
+       |b AS (
+       |  SELECT lang AS g, doc_id AS item, rn AS rb FROM (
+       |    SELECT lang, doc_id, CAST(row_number() OVER (PARTITION BY lang
+       |      ORDER BY len(regexp_split_to_array(text, '\\s+')) DESC, doc_id)
+       |      AS BIGINT) AS rn FROM documents)
+       |  WHERE rn <= $k),
+       |f AS (SELECT * FROM (VALUES $f) t(m, fv)),
+       |ms AS (
+       |  SELECT a.g, CAST(count(*) AS BIGINT) AS n_matches,
+       |    CAST(sum(f.fv) AS BIGINT) AS rbo_num
+       |  FROM a JOIN b USING (g, item)
+       |  JOIN f ON f.m = greatest(a.ra, b.rb)
+       |  GROUP BY 1),
+       |gs AS (SELECT DISTINCT g FROM a)
+       |SELECT gs.g AS lang,
+       |  coalesce(n_matches, 0) AS n_matches,
+       |  coalesce(rbo_num, 0) AS rbo_num,
+       |  CAST($den AS BIGINT) AS rbo_den,
+       |  round(CAST(coalesce(rbo_num, 0) AS DOUBLE) / $den.0, 9) AS rbo9
+       |FROM gs LEFT JOIN ms ON ms.g = gs.g ORDER BY lang""".stripMargin
+  }
+
   /** DuckDB mirror of [[graft.ops.TextAnalysis.greedyCoverage]]: `k`
     * unrolled greedy rounds — round r's gains exclude everything the
     * previous picks cover, argmax under the (gain DESC, id) order. */
@@ -1414,6 +1471,7 @@ object PipelineOps {
     // the SSJoin prefix theorem — q27's SQL at the 0.8 production cut.
     "q177_prefix_jaccard" -> ngramJaccardSqlAt("0.8"),
     "q187_greedy_coverage" -> greedyCoverageSql(5),
+    "q191_rbo" -> rboSql(10),
 
     // q189: the same 1-based-coordinate md5 signs and scaled-long sums.
     "q189_jl_projection" ->

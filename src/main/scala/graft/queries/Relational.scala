@@ -476,6 +476,16 @@ object Relational {
         .orderBy(col("node"))
     }),
 
+    // q192: exact join-size prediction from per-key histograms — the
+    // self-join fan-out predictor (Σ cnt² over l_partkey) plus the
+    // top-5 skew keys a salted join / AQE split would target; never
+    // runs the join itself.
+    "q192_join_cardinality" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      graft.ops.Profile.joinCardinality(li, "l_partkey", li, "l_partkey",
+        topN = 5)
+    }),
+
     // q190: ANALYZE-style column profile of orders — per-column null
     // count + exact distinct cardinality in one declared pass (one
     // Expand, partial aggs, table read once); the ingest-QA report.
@@ -814,6 +824,19 @@ object Relational {
         |ORDER BY p.p_partkey""".stripMargin,
     "q176_bfs_landmark" -> bfsSql(3),
     "q185_sssp" -> ssspSql(3),
+    "q192_join_cardinality" ->
+      """WITH ca AS (
+        |  SELECT CAST(l_partkey AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS ca
+        |  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+        |j AS (SELECT k, ca, ca AS cb, ca * ca AS rows_out FROM ca),
+        |t AS (SELECT CAST(sum(rows_out) AS BIGINT) AS total_rows,
+        |        CAST(count(*) AS BIGINT) AS n_join_keys FROM j),
+        |top AS (SELECT k, ca, cb, rows_out,
+        |          CAST(row_number() OVER (ORDER BY rows_out DESC, k)
+        |            AS BIGINT) AS rk
+        |        FROM j)
+        |SELECT rk, k, ca, cb, rows_out, total_rows, n_join_keys
+        |FROM top, t WHERE rk <= 5 ORDER BY rk""".stripMargin,
     "q190_column_profile" -> {
       val cols = Seq("o_custkey", "o_orderdate", "o_orderkey",
         "o_orderpriority", "o_orderstatus", "o_totalprice")

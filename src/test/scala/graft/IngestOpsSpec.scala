@@ -583,6 +583,19 @@ class SpanRemovalSpec extends AnyFunSuite {
     (0 to 3).foreach { j => assert(got2(j.toLong) == 2 * got(j.toLong)) }
   }
 
+  test("joinCardinality: predicts fan-out without running the join") {
+    import spark.implicits._
+    val a = Seq(1L, 1L, 1L, 2L, 3L).toDF("k").withColumn("ka", col("k"))
+    val b = Seq(1L, 1L, 2L, 4L).toDF("k").withColumn("kb", col("k"))
+    val got = graft.ops.Profile.joinCardinality(a, "ka", b, "kb", topN = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    // key 1: 3·2 = 6, key 2: 1·1 = 1; keys 3/4 unmatched; total 7
+    assert(got.toSeq == Seq((1L, 1L, 6L, 7L, 2L), (2L, 2L, 1L, 7L, 2L)))
+    assert(got.head._3 == a.join(b, col("ka") === col("kb")).count() - 1,
+      "prediction matches the real join size (key 1's 6 of 7 rows)")
+  }
+
   test("columnProfile: null and distinct counts per column") {
     import spark.implicits._
     val df = Seq((1L, Some("a"), 1.5), (2L, None, 1.5), (3L, Some("a"), 2.5))

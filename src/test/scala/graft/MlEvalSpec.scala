@@ -48,6 +48,27 @@ class MlEvalSpec extends AnyFunSuite {
     assert(got.values.forall(_._3 >= -10L))
   }
 
+  test("rboHalf: identical → 1−2^-k ceiling, disjoint → 0, worked partial case") {
+    def ranks(rows: (String, Long, Long)*) = rows.toSeq.toDF("g", "item", "rk")
+    val ident = ranks(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 3L))
+    val full = MlEval.rboHalf(ident, ident, "g", "item", "rk", k = 3)
+      .collect().head
+    // k=3: lcm=6, den=48; ceiling = 1 − 2^-3 = 42/48
+    assert(full.getLong(2) == 42L && full.getLong(3) == 48L)
+    assert(full.getDouble(4) == 0.875)
+    val other = ranks(("g", 7L, 1L), ("g", 8L, 2L), ("g", 9L, 3L))
+    val zero = MlEval.rboHalf(ident, other, "g", "item", "rk", k = 3)
+      .collect().head
+    assert(zero.getLong(1) == 0L && zero.getLong(2) == 0L
+      && zero.getDouble(4) == 0.0)
+    // one shared item at ranks (1, 2): contributes from depth 2 on:
+    // F[2] = 2^1·(6/2) + 2^0·(6/3) = 8 → 8/48 = 1/6
+    val partial = MlEval.rboHalf(ident,
+      ranks(("g", 9L, 1L), ("g", 1L, 2L), ("g", 8L, 3L)),
+      "g", "item", "rk", k = 3).collect().head
+    assert(partial.getLong(1) == 1L && partial.getLong(2) == 8L)
+  }
+
   test("calibrationBins: a perfectly separable score fills clean decile bins") {
     // scores 1..100, positive iff score > 50: bins 0-4 all-negative,
     // bins 5-9 all-positive; every bin holds exactly 10 rows
