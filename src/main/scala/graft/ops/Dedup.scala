@@ -646,4 +646,51 @@ object Dedup {
       .withColumn("near_frac",
         col("n_near_dup_docs").cast("double") / col("n_docs").cast("double"))
   }
+
+  /** SORTED-NEIGHBORHOOD blocking (Hernández & Stolfo 1995's
+    * merge/purge method) — the entity-resolution candidate generator
+    * that completes the blocking family: where MinHash-LSH buckets by
+    * content hashes and [[exactDuplicates]] by full equality,
+    * sorted-neighborhood SORTS the corpus by a domain key and pairs
+    * each record with its `window − 1` successors — catching the
+    * near-misses (typos, truncations) that land adjacent under a
+    * well-chosen key even when no hash bucket agrees.
+    *
+    * Scale design: the sort is Spark's distributed range sort;
+    * positions come from per-partition `zipWithIndex` offsets (the
+    * [[graft.ops.TextAnalysis.shardAssign]] discipline — an
+    * O(partitions) driver array, never a global window); pair
+    * generation is a literal `posexplode` of the `window − 1`
+    * offsets followed by ONE equi join on position — O(N·w) rows,
+    * no self-cross. Sorting is the whole trick: total cost is two
+    * lightweight passes + one join regardless of key skew.
+    *
+    * @param df      records; `keyCols` defines the neighborhood
+    *                order (ties broken by `idCol` so positions are
+    *                total and deterministic).
+    * @param window  neighborhood size w ≥ 2: record at position p
+    *                pairs with positions p+1 .. p+w−1.
+    * @return (pos_a, pos_b, off, id_a, id_b) candidate pairs,
+    *         pos ascending. */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String,
+                              keyCols: Seq[String], window: Int): DataFrame = {
+    require(window >= 2, "a neighborhood needs at least two records")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranked = df
+      .select((col(idCol).cast("long").as("id") +: keyCols.map(col)): _*)
+      .orderBy((keyCols.map(col) :+ col("id")): _*)
+      .select(col("id"))
+      .rdd.map(_.getLong(0))
+      .zipWithIndex()
+      .toDF("id", "pos")
+    val a = ranked.select(col("pos").as("pos_a"), col("id").as("id_a"))
+      .withColumn("off", explode(typedLit((1 until window).map(_.toLong))))
+      .withColumn("pos_b", col("pos_a") + col("off"))
+    a.join(ranked.select(col("pos").as("pos_b"), col("id").as("id_b")),
+        Seq("pos_b"))
+      .select(col("pos_a"), col("pos_b"), col("off"), col("id_a"),
+        col("id_b"))
+      .orderBy(col("pos_a"), col("pos_b"))
+  }
 }

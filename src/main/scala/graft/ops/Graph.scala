@@ -284,4 +284,46 @@ object Graph {
     }
     seen
   }
+
+  /** Bounded k-CORE peel (Seidman 1983's coreness; the Matula–Beck /
+    * distributed "peeling" formulation): repeatedly delete every node
+    * with degree < k, `rounds` times, over the undirected simple view
+    * of the edge list. The survivors of the converged peel are the
+    * k-core — the standard density filter for graph-shaped corpora
+    * (link-farm detection, community seeding, co-occurrence noise
+    * trimming). Bounding the rounds keeps the recurrence unrollable
+    * and oracle-checkable (the q105/q168/q176 discipline); once a
+    * round deletes nothing the remaining rounds are no-ops, so with
+    * enough rounds the output IS the exact k-core.
+    *
+    * Each round is ONE (node) key shuffle for degrees + two semi
+    * joins restricting the adjacency — the BSP shape, O(E) per round,
+    * with the same cache hygiene as the other iterative kernels here
+    * (materialize the new adjacency, then unpersist the superseded
+    * one).
+    *
+    * @return (node, deg) for surviving nodes — deg is the degree
+    *         WITHIN the surviving subgraph. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    val e0 = edges.select(col("src").cast("long").as("u"),
+        col("dst").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    var adj = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct().cache()
+    adj.count()
+    for (_ <- 1 to rounds) {
+      val keep = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("u"))
+      val next = adj.join(keep, Seq("u"), "left_semi")
+        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v")).cache()
+      next.count() // materialize before dropping the prior round
+      adj.unpersist(blocking = false)
+      adj = next
+    }
+    val out = adj.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("node"))
+    out
+  }
 }

@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hilbert curve clustering — the second multi-dimensional layout
+  * curve beside [[ZOrder]]. The Hilbert curve has strictly better
+  * locality than Morton: consecutive curve positions are ALWAYS
+  * grid-adjacent (unit steps, no Morton "seams" where the curve jumps
+  * across the square), so range reads over a Hilbert-clustered table
+  * touch fewer files for the same rectangle — which is why
+  * Delta/Iceberg grew `ORDER BY hilbert(...)` next to zorder.
+  *
+  * Implementation: the curve index is computed MSB→LSB as a 4-state
+  * machine over 2-bit quadrants — per level, the pair of coordinate
+  * bits picks the quadrant digit and the next orientation state. The
+  * two 16-entry lookup tables are NOT hand-copied constants: they are
+  * DERIVED at class-init by composing the curve's rotation/reflection
+  * transforms (identity / swap / complement-swap) closed over BFS —
+  * and the spec proves the result is a genuine Hilbert curve by its
+  * defining properties (bijectivity on the full grid + unit-step
+  * adjacency between consecutive indices), not by comparison to a
+  * second hand-written implementation.
+  *
+  * Everything is integer Column arithmetic (shift/mask/CASE) —
+  * whole-stage-codegen friendly — and [[hilbertSqlCtes]] emits the
+  * SAME state machine as engine-neutral SQL (shared `>>`/`&`/CASE
+  * syntax; one CTE per bit level so text stays linear, not
+  * exponential), so the oracle computes bit-identical indices.
+  *
+  * At 100 TB: [[clusterByHilbert]] is one range shuffle on the index
+  * + in-partition sort — identical cost shape to [[ZOrder.clusterByZ]]
+  * with strictly better pruning geometry.
+  */
+object Hilbert {
+
+  /** A state is a map q → (rx, ry): how raw coordinate bits
+    * (q = bx·2 + by) read under the current curve orientation. */
+  private type Xform = Vector[(Int, Int)]
+  private val identity: Xform =
+    Vector.tabulate(4)(q => (q >> 1, q & 1))
+  private val swapX: Xform = // (u, v) → (v, u)
+    Vector.tabulate(4)(q => (q & 1, q >> 1))
+  private val compSwap: Xform = // (u, v) → (¬v, ¬u)
+    Vector.tabulate(4)(q => (1 - (q & 1), 1 - (q >> 1)))
+
+  /** r ∘ t — apply t to raw bits, then r to the transformed pair. */
+  private def compose(r: Xform, t: Xform): Xform =
+    t.map { case (u, v) => r((u << 1) | v) }
+
+  /** BFS over reachable orientations from the canonical start; yields
+    * (digit table, next-state table, state list), each table indexed
+    * by state·4 + rawQuadrant. */
+  private val (digitTab: Vector[Int], stateTab: Vector[Int]) = {
+    val states = scala.collection.mutable.ArrayBuffer[Xform](identity)
+    val digits = scala.collection.mutable.ArrayBuffer[Int]()
+    val nexts = scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0
+    while (i < states.length) {
+      val t = states(i)
+      for (q <- 0 until 4) {
+        val (rx, ry) = t(q)
+        digits += ((3 * rx) ^ ry)
+        val r = if (ry == 1) identity else if (rx == 0) swapX else compSwap
+        val nt = compose(r, t)
+        var j = states.indexOf(nt)
+        if (j < 0) { states += nt; j = states.length - 1 }
+        nexts += j
+      }
+      i += 1
+    }
+    require(states.length == 4, s"Hilbert d2 closes over 4 states")
+    (digits.toVector, nexts.toVector)
+  }
+
+  private def caseOn(idx: Column, tab: Vector[Int]): Column =
+    tab.zipWithIndex.tail.foldLeft(when(idx === 0, lit(tab(0)))) {
+      case (acc, (v, j)) => acc.when(idx === j, lit(v))
+    }
+
+  /** Append `out` = Hilbert index of (x, y) masked to `bits` bits per
+    * dimension. Internal `_h_*` columns are dropped. */
+  def withHilbert(df: DataFrame, x: Column, y: Column, bits: Int,
+                  out: String): DataFrame = {
+    require(bits >= 1 && bits <= 31, "bits per dimension in [1, 31]")
+    val mask = (1L << bits) - 1
+    var cur = df
+      .withColumn("_h_x", x.cast("long").bitwiseAND(lit(mask)))
+      .withColumn("_h_y", y.cast("long").bitwiseAND(lit(mask)))
+      .withColumn("_h_st", lit(0))
+      .withColumn(out, lit(0L))
+    for (i <- bits - 1 to 0 by -1) {
+      val q = (shiftrightunsigned(col("_h_x"), i).bitwiseAND(lit(1L)) * 2
+        + shiftrightunsigned(col("_h_y"), i).bitwiseAND(lit(1L))).cast("int")
+      val idx = col("_h_st") * 4 + q
+      cur = cur
+        .withColumn(out,
+          col(out) + caseOn(idx, digitTab).cast("long") * lit(1L << (2 * i)))
+        .withColumn("_h_st", caseOn(idx, stateTab))
+    }
+    cur.drop("_h_x", "_h_y", "_h_st")
+  }
+
+  /** The same state machine as engine-neutral SQL: returns the CTE
+    * chain computing `d` from a base relation exposing `hx`/`hy`
+    * (already masked) plus any carried columns. One CTE per level —
+    * `h{i}` reads `st{i}`/`d{i}` and emits `st{i+1}`/`d{i+1}` — so
+    * generated text grows linearly in `bits`.
+    *
+    * @param baseCte  name of the CTE providing (carryCols, hx, hy).
+    * @param carry    column names to thread through unchanged.
+    * @return (cteText, finalCteName, finalIndexCol). */
+  def hilbertSqlCtes(baseCte: String, carry: Seq[String],
+                     bits: Int): (String, String, String) = {
+    def caseSql(idx: String, tab: Vector[Int]): String =
+      s"CASE $idx " + tab.zipWithIndex
+        .map { case (v, j) => s"WHEN $j THEN $v" }.mkString(" ") + " END"
+    val carrySel = carry.mkString(", ")
+    val first =
+      s"h${bits - 1}0 AS (SELECT $carrySel, hx, hy, 0 AS st0, " +
+        s"CAST(0 AS BIGINT) AS d0 FROM $baseCte)"
+    val steps = (bits - 1 to 0 by -1).zipWithIndex.map { case (lvl, n) =>
+      val idx = s"(st$n * 4 + ((hx >> $lvl) & 1) * 2 + ((hy >> $lvl) & 1))"
+      s"""h$n AS (SELECT $carrySel, hx, hy,
+         |  ${caseSql(idx, stateTab)} AS st${n + 1},
+         |  d$n + CAST(${caseSql(idx, digitTab)} AS BIGINT) * ${1L << (2 * lvl)}
+         |    AS d${n + 1}
+         |  FROM ${if (n == 0) s"h${bits - 1}0" else s"h${n - 1}"})""".stripMargin
+    }
+    ((first +: steps).mkString(",\n"), s"h${bits - 1}", s"d$bits")
+  }
+
+  /** Physically cluster `df` along the Hilbert curve of (x, y): range
+    * shuffle on the index + in-partition sort (the
+    * [[ZOrder.clusterByZ]] shape). */
+  def clusterByHilbert(df: DataFrame, x: Column, y: Column, bits: Int,
+                       numPartitions: Int): DataFrame = {
+    require(!df.columns.contains("_hv"), "input must not already have _hv")
+    withHilbert(df, x, y, bits, "_hv")
+      .repartitionByRange(numPartitions, col("_hv"))
+      .sortWithinPartitions(col("_hv"))
+      .drop("_hv")
+  }
+}

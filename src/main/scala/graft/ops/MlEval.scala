@@ -156,6 +156,61 @@ object MlEval {
       .orderBy(col("g"))
   }
 
+  /** NDCG@k (Järvelin & Kekäläinen 2002) per group — the graded-
+    * relevance ranking metric: how close is the system's top-k order
+    * to the best achievable order, with gains 2^rel − 1 discounted by
+    * 1/log2(rank + 1).
+    *
+    * Determinism discipline: the discount table
+    * `w9[r] = round(1/log2(r+1), 9)·10^9` is precomputed HERE as
+    * integer literals (no engine ever evaluates log2), so both DCG and
+    * ideal DCG are exact long sums Σ gain·w9[rank]; the only float op
+    * is the final one-division `round(dcg/idcg, 9)`. The ideal
+    * ranking re-ranks the FULL candidate set by (rel DESC, item ASC)
+    * — a per-group keyed window, no global sort.
+    *
+    * @param df      one row per (group, candidate): integer relevance
+    *                grade `relCol` ∈ [0, 10] and the system's rank
+    *                `rankCol` (1-based; rows ranked past k still
+    *                compete for the ideal top-k).
+    * @return (group, dcg_num, idcg_num, ndcg9); empty-gain groups
+    *         (all rel = 0) score 0. */
+  def ndcgAtK(df: DataFrame, groupCol: String, itemCol: String,
+              relCol: String, rankCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val w9: Seq[Long] = ndcgWeights9(k)
+    val wLit = typedLit(w9)
+    val base = df.select(col(groupCol).as("g"), col(itemCol).as("item"),
+      col(relCol).cast("long").as("rel"), col(rankCol).cast("long").as("rk"))
+    val gain = expr("shiftleft(CAST(1 AS BIGINT), CAST(rel AS INT)) - 1")
+    val ideal = base.withColumn("irk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("rel").desc, col("item"))))
+    ideal
+      .groupBy(col("g"))
+      .agg(
+        sum(when(col("rk").between(1L, k.toLong),
+          gain * element_at(wLit, col("rk").cast("int"))).otherwise(0L))
+          .as("dcg_num"),
+        sum(when(col("irk") <= k,
+          gain * element_at(wLit, col("irk"))).otherwise(0L))
+          .as("idcg_num"))
+      .withColumn("ndcg9", when(col("idcg_num") > 0L,
+        round(col("dcg_num").cast("double") / col("idcg_num").cast("double"),
+          9)).otherwise(lit(0.0)))
+      .orderBy(col("g"))
+  }
+
+  /** The shared scaled-long NDCG discount table — public so the
+    * DuckDB oracle embeds the SAME integers instead of re-deriving
+    * log2 in a second libm. */
+  def ndcgWeights9(k: Int): Seq[Long] =
+    (1 to k).map { r =>
+      BigDecimal(1.0 / (math.log(r + 1.0) / math.log(2.0)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .*(BigDecimal(1000000000L)).toLongExact
+    }
+
   /** Reliability-diagram (calibration) bins for a scored binary
     * signal — the third leg of the eval family beside [[aucExact]]
     * (ranking) and [[decisionStump]] (thresholding): does the score's

@@ -647,6 +647,67 @@ object TextAnalysis {
         (col("ent_sum9").cast("double") / (col("n_tok") * lit(1000000000L)))
           .as("ent"))
 
+  /** CHI-SQUARE FEATURE SELECTION (the classic text-classification
+    * term ranking — Yang & Pedersen 1997): per class, the top terms
+    * whose document-presence is most positively associated with the
+    * class, scored by the 2×2 contingency statistic
+    * χ²(t, c) = N·(AD−BC)² / ((A+B)(C+D)(A+C)(B+D)) with
+    * A = docs of class c containing t, B = other-class docs containing
+    * t, C/D their complements. Doubles as the categorical drift test
+    * beside [[graft.ops.MlEval]]'s KS (continuous) leg.
+    *
+    * Determinism: A..D are exact integer aggregates; AD−BC fits a
+    * long exactly up to ~3·10⁹ docs (and a double exactly to 2^53),
+    * so χ² is a FIXED parenthesization of long→double conversions,
+    * IEEE multiplies, and one division — identical bits on any
+    * engine; round-9 for presentation. The integer contingency rides
+    * along so the oracle pins the whole state.
+    *
+    * Scale: one narrow tokenize pass (array_distinct, no per-token
+    * shuffle) → one (term, class) agg → one (term) agg for the
+    * A+B margin; the per-class doc counts are a broadcast-sized
+    * table and N is the one O(1) driver scalar (the TfIdf.idf
+    * literal pattern). Final top-k is a per-class keyed window.
+    * Ids must be unique per row (a doc table, not a log).
+    *
+    * @return (cls, tok, a, b, c, d, chi2_9, rk) — topK rows per
+    *         class, positively-associated terms only, ranked by
+    *         (chi2_9 DESC, tok ASC). */
+  def chiSquareSelect(df: DataFrame, idCol: String, textCol: String,
+                      classCol: String, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 1, "topK must be positive")
+    val docs = df.select(col(idCol).as("id"), col(classCol).as("cls"),
+      col(textCol).as("text"))
+    val nTotal = docs.count()
+    val classDocs = docs.groupBy(col("cls")).agg(count(lit(1)).as("n_c"))
+    val docTerm = docs.select(col("cls"),
+      explode(array_distinct(toks(col("text")))).as("tok"))
+    val aTbl = docTerm.groupBy(col("tok"), col("cls"))
+      .agg(count(lit(1)).as("a"))
+    val abTbl = aTbl.groupBy(col("tok")).agg(sum(col("a")).as("ab"))
+    val grid = aTbl.join(abTbl, Seq("tok"))
+      .join(broadcast(classDocs), Seq("cls"))
+      .select(col("cls"), col("tok"), col("a"),
+        (col("ab") - col("a")).as("b"),
+        (col("n_c") - col("a")).as("c"),
+        (lit(nTotal) - col("n_c") - (col("ab") - col("a"))).as("d"))
+      .filter(col("a") * col("d") > col("b") * col("c"))
+    val diff = (col("a") * col("d") - col("b") * col("c")).cast("double")
+    val chi2 = (lit(nTotal).cast("double") * diff * diff) /
+      ((col("a") + col("b")).cast("double")
+        * (col("c") + col("d")).cast("double")
+        * (col("a") + col("c")).cast("double")
+        * (col("b") + col("d")).cast("double"))
+    grid.withColumn("chi2_9", round(chi2, 9))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("cls"))
+          .orderBy(col("chi2_9").desc, col("tok"))).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("cls"), col("tok"), col("a"), col("b"), col("c"),
+        col("d"), col("chi2_9"), col("rk"))
+      .orderBy(col("cls"), col("rk"))
+  }
+
   /** GREEDY MAX-COVERAGE document selection (the submodular
     * facility-location family from the data-pruning literature): pick
     * `k` documents, each maximizing the count of vocabulary tokens no

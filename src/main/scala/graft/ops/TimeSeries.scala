@@ -148,4 +148,40 @@ object TimeSeries {
         expr(s"shiftleft(1L, $w) - shiftleft(1L, $w - _m)"))
       .drop("_xs", "_m")
   }
+
+  /** M4 time-series downsampling (Jugel et al. 2014, VLDB "M4: A
+    * Visualization-Oriented Time Series Data Aggregation") — per
+    * (key, time bucket), keep exactly the four points a pixel column
+    * can show: first, last, min, max. M4 is the downsampler with a
+    * PROOF: rendering the 4·width retained points draws the same
+    * pixels as rendering everything, so it's the canonical
+    * 100 TB → dashboard reduction.
+    *
+    * All four retained values are exact integer aggregates — min/max
+    * of the value directly, first/last as `min/max(struct(us, tie,
+    * v))` whose lexicographic ordering makes the (us, tie) tie-break
+    * explicit — so the whole reduction is ONE mergeable partial agg
+    * per (key, bucket): map-side combine does the work and the
+    * shuffle carries a handful of scalars per bucket regardless of
+    * input size. No window, no sort.
+    *
+    * @param valCol integral (pre-scaled) value column.
+    * @param bucketUs bucket width in microseconds.
+    * @return (key, bucket, n, first_val, last_val, min_val, max_val,
+    *         min_us, max_us) — bucket = floor(us / bucketUs). */
+  def m4Downsample(df: DataFrame, keyCol: String, usCol: String,
+                   tieCol: String, valCol: String,
+                   bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, "bucket width must be positive")
+    val v = col(valCol).cast("long")
+    val pos = struct(col(usCol), col(tieCol), v.as("v"))
+    df.groupBy(col(keyCol),
+        expr(s"`$usCol` div ${bucketUs}L").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(pos).getField("v").as("first_val"),
+        max(pos).getField("v").as("last_val"),
+        min(v).as("min_val"), max(v).as("max_val"),
+        min(col(usCol)).as("min_us"), max(col(usCol)).as("max_us"))
+      .orderBy(col(keyCol), col("bucket"))
+  }
 }

@@ -916,6 +916,28 @@ object EventQueries {
         .withColumn("avg_gap_us",
           when(col("n_gaps") > 0L, expr("sum_gap_us div n_gaps")))
         .orderBy(col("user_id"))
+    }),
+
+    // q193: item-item collaborative filtering (Sarwar 2001) over the
+    // (user, props.k) interaction log — top-5 co-occurrence-cosine
+    // neighbors per item. Pairs generated PER USER with the
+    // prolific-user cap at 60 distinct items, never item×item.
+    "q193_item_item_cf" -> ((s, d) => {
+      val inter = Tables.events(s, d).select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      graft.ops.Recommend.itemItemCosine(inter, "user_id", "item",
+        maxUserItems = 60, topN = 5)
+    }),
+
+    // q198: M4 visualization downsampling (Jugel 2014 VLDB) — per
+    // (event_type, day) keep exactly first/last/min/max in ONE
+    // mergeable partial agg; the 100 TB → dashboard reduction.
+    "q198_m4_downsample" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        (round(col("value") * 100)).cast("long").as("cents"))
+      graft.ops.TimeSeries.m4Downsample(ev, "event_type", "us", "event_id",
+        "cents", bucketUs = 86400000000L)
     })
   )
 
@@ -1529,6 +1551,65 @@ object EventQueries {
         |    CAST(CAST(sum(gap) AS BIGINT) // CAST(count(gap) AS BIGINT)
         |      AS BIGINT)
         |  END AS avg_gap_us
-        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // q193: the same capped-user pairing, symmetric union, and
+    // single-sqrt cosine — `item < neighbor` pairs doubled via UNION
+    // ALL, degrees from the capped interaction set.
+    "q193_item_item_cf" ->
+      """WITH inter AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS item
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND json_extract(props, '$.k') IS NOT NULL),
+        |kept AS (
+        |  SELECT u, item FROM inter
+        |  WHERE u IN (SELECT u FROM inter GROUP BY u HAVING count(*) <= 60)),
+        |deg AS (SELECT item, CAST(count(*) AS BIGINT) AS deg
+        |        FROM kept GROUP BY 1),
+        |co AS (
+        |  SELECT a.item AS ia, b.item AS ib, CAST(count(*) AS BIGINT) AS co
+        |  FROM kept a JOIN kept b ON a.u = b.u AND a.item < b.item
+        |  GROUP BY 1, 2),
+        |sym AS (
+        |  SELECT ia AS item, ib AS neighbor, co FROM co
+        |  UNION ALL
+        |  SELECT ib AS item, ia AS neighbor, co FROM co),
+        |scored AS (
+        |  SELECT s.item, s.neighbor, s.co, di.deg AS deg_i, dn.deg AS deg_n,
+        |    round(CAST(s.co AS DOUBLE)
+        |      / sqrt(CAST(di.deg * dn.deg AS DOUBLE)), 9) AS cosine9
+        |  FROM sym s
+        |  JOIN deg di ON di.item = s.item
+        |  JOIN deg dn ON dn.item = s.neighbor)
+        |SELECT item, neighbor, co, deg_i, deg_n, cosine9,
+        |  rk FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY item
+        |      ORDER BY cosine9 DESC, co DESC, neighbor) AS BIGINT) AS rk
+        |  FROM scored)
+        |WHERE rk <= 5 ORDER BY item, rk""".stripMargin,
+
+    // q198: plain min/max for the value extremes; first/last values
+    // via the (us, event_id) row_number tie discipline.
+    "q198_m4_downsample" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS us, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type, us // 86400000000 AS bucket, us, event_id,
+        |    cents,
+        |    row_number() OVER (PARTITION BY event_type, us // 86400000000
+        |      ORDER BY us, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY event_type, us // 86400000000
+        |      ORDER BY us DESC, event_id DESC) AS rd
+        |  FROM e)
+        |SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(max(CASE WHEN ra = 1 THEN cents END) AS BIGINT) AS first_val,
+        |  CAST(max(CASE WHEN rd = 1 THEN cents END) AS BIGINT) AS last_val,
+        |  min(cents) AS min_val, max(cents) AS max_val,
+        |  min(us) AS min_us, max(us) AS max_us
+        |FROM b GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin
   )
 }

@@ -714,6 +714,38 @@ object PipelineOps {
         .withColumnRenamed("g", "lang")
     }),
 
+    // q194: NDCG@10 per language — graded-relevance quality of the
+    // chars-ranked list against token-count grades, with the scaled-
+    // long discount table precomputed once (no engine evaluates log2);
+    // the ranking-eval leg beside q191's RBO (agreement) and q171's
+    // AUC (binary).
+    "q194_ndcg" -> ((s, d) => {
+      val wSys = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("n_chars").desc, col("doc_id"))
+      val ranked = Tables.documents(s, d)
+        .withColumn("n_tok", size(split(col("text"), "\\s+")).cast("long"))
+        .withColumn("rel", least(lit(3L), expr("n_tok div 25")))
+        .withColumn("rk", row_number().over(wSys).cast("long"))
+        .select(col("lang"), col("doc_id"), col("rel"), col("rk"))
+      graft.ops.MlEval.ndcgAtK(ranked, "lang", "doc_id", "rel", "rk", k = 10)
+        .withColumnRenamed("g", "lang")
+    }),
+
+    // q195: chi-square feature selection (Yang & Pedersen 1997) — the
+    // top-5 terms most positively associated with each language by the
+    // exact 2×2 contingency statistic; doubles as the categorical
+    // drift test beside q183's KS.
+    "q195_chi2_terms" -> ((s, d) =>
+      graft.ops.TextAnalysis.chiSquareSelect(Tables.documents(s, d),
+        "doc_id", "text", "lang", topK = 5)),
+
+    // q196: sorted-neighborhood blocking (Hernández & Stolfo 1995) —
+    // entity-resolution candidate pairs from a window of 4 over the
+    // (lang, n_chars) sort; the O(N·w) complement to LSH bucketing.
+    "q196_sorted_neighborhood" -> ((s, d) =>
+      graft.ops.Dedup.sortedNeighborhoodPairs(Tables.documents(s, d),
+        "doc_id", Seq("lang", "n_chars"), window = 4)),
+
     // q189: Johnson–Lindenstrauss random projection to 8 dims with a
     // seedless md5-sign matrix — data-independent dimensionality
     // reduction beside PQ/SQ (quantize) and PCA (learned); the matrix
@@ -1282,6 +1314,43 @@ object PipelineOps {
        |FROM gs LEFT JOIN ms ON ms.g = gs.g ORDER BY lang""".stripMargin
   }
 
+  /** DuckDB mirror of [[graft.ops.MlEval.ndcgAtK]]: the SAME
+    * scaled-long discount table ([[graft.ops.MlEval.ndcgWeights9]])
+    * as a VALUES lookup, joined once for the system rank and once for
+    * the ideal rank. */
+  private def ndcgSql(k: Int): String = {
+    val w = graft.ops.MlEval.ndcgWeights9(k)
+    val vals = w.zipWithIndex.map { case (v, i) => s"(${i + 1}, $v)" }
+      .mkString(", ")
+    s"""WITH t AS (
+       |  SELECT lang, doc_id,
+       |    least(3, CAST(len(regexp_split_to_array(text, '\\s+'))
+       |      AS BIGINT) // 25) AS rel,
+       |    CAST(row_number() OVER (PARTITION BY lang
+       |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+       |  FROM documents),
+       |i AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY lang
+       |    ORDER BY rel DESC, doc_id) AS BIGINT) AS irk FROM t),
+       |w AS (SELECT * FROM (VALUES $vals) v(r, wt)),
+       |a AS (
+       |  SELECT i.lang,
+       |    CAST(sum(CASE WHEN i.rk <= $k THEN
+       |      ((CAST(1 AS BIGINT) << i.rel) - 1) * wr.wt ELSE 0 END)
+       |      AS BIGINT) AS dcg_num,
+       |    CAST(sum(CASE WHEN i.irk <= $k THEN
+       |      ((CAST(1 AS BIGINT) << i.rel) - 1) * wi.wt ELSE 0 END)
+       |      AS BIGINT) AS idcg_num
+       |  FROM i LEFT JOIN w wr ON wr.r = i.rk
+       |    LEFT JOIN w wi ON wi.r = i.irk
+       |  GROUP BY 1)
+       |SELECT lang, dcg_num, idcg_num,
+       |  CASE WHEN idcg_num > 0 THEN
+       |    round(CAST(dcg_num AS DOUBLE) / CAST(idcg_num AS DOUBLE), 9)
+       |  ELSE 0.0 END AS ndcg9
+       |FROM a ORDER BY lang""".stripMargin
+  }
+
   /** DuckDB mirror of [[graft.ops.TextAnalysis.greedyCoverage]]: `k`
     * unrolled greedy rounds — round r's gains exclude everything the
     * previous picks cover, argmax under the (gain DESC, id) order. */
@@ -1472,6 +1541,51 @@ object PipelineOps {
     "q177_prefix_jaccard" -> ngramJaccardSqlAt("0.8"),
     "q187_greedy_coverage" -> greedyCoverageSql(5),
     "q191_rbo" -> rboSql(10),
+    "q194_ndcg" -> ndcgSql(10),
+
+    // q195: the same contingency grid, positive-association filter,
+    // and FIXED double parenthesization (N·diff·diff over the four
+    // margin products) as chiSquareSelect.
+    "q195_chi2_terms" ->
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |cd AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_c
+        |       FROM documents GROUP BY 1),
+        |dt AS (SELECT DISTINCT doc_id, lang,
+        |         unnest(regexp_split_to_array(text, '\s+')) AS tok
+        |       FROM documents),
+        |a AS (SELECT tok, lang, CAST(count(*) AS BIGINT) AS a
+        |      FROM dt GROUP BY 1, 2),
+        |ab AS (SELECT tok, CAST(sum(a) AS BIGINT) AS ab FROM a GROUP BY 1),
+        |g AS (
+        |  SELECT a.lang AS cls, a.tok, a.a, ab.ab - a.a AS b,
+        |    cd.n_c - a.a AS c,
+        |    (SELECT n FROM nn) - cd.n_c - (ab.ab - a.a) AS d
+        |  FROM a JOIN ab USING (tok) JOIN cd ON cd.lang = a.lang),
+        |f AS (
+        |  SELECT cls, tok, a, b, c, d,
+        |    round((CAST((SELECT n FROM nn) AS DOUBLE)
+        |        * CAST(a * d - b * c AS DOUBLE)
+        |        * CAST(a * d - b * c AS DOUBLE))
+        |      / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+        |        * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)), 9)
+        |      AS chi2_9
+        |  FROM g WHERE a * d > b * c)
+        |SELECT cls, tok, a, b, c, d, chi2_9, rk FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY cls
+        |    ORDER BY chi2_9 DESC, tok) AS BIGINT) AS rk FROM f)
+        |WHERE rk <= 5 ORDER BY cls, rk""".stripMargin,
+
+    // q196: positions from the same total (lang, n_chars, doc_id)
+    // order; the window-w band as a position-difference join.
+    "q196_sorted_neighborhood" ->
+      """WITH r AS (
+        |  SELECT doc_id, CAST(row_number() OVER (
+        |    ORDER BY lang, n_chars, doc_id) AS BIGINT) - 1 AS pos
+        |  FROM documents)
+        |SELECT a.pos AS pos_a, b.pos AS pos_b, b.pos - a.pos AS "off",
+        |  a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM r a JOIN r b ON b.pos - a.pos BETWEEN 1 AND 3
+        |ORDER BY pos_a, pos_b""".stripMargin,
 
     // q189: the same 1-based-coordinate md5 signs and scaled-long sums.
     "q189_jl_projection" ->

@@ -476,6 +476,37 @@ object Relational {
         .orderBy(col("node"))
     }),
 
+    // q197: bounded k-core peel (Seidman 1983) over the part
+    // CO-PURCHASE graph (parts sharing an order) — 3 rounds of
+    // "delete degree < 60", the density filter of the graph family
+    // (q105 rank / q168 communities / q109 triangles); survivors
+    // report their in-core degree. The co-purchase graph keeps a
+    // similar degree distribution across scale factors (per-order
+    // basket size is SF-invariant), so the same k peels a thin,
+    // non-empty fringe everywhere.
+    "q197_kcore" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      graft.ops.Graph.kCore(edges, k = 60, rounds = 3)
+    }),
+
+    // q199: Hilbert-curve index of (l_partkey, l_suppkey) at 8 bits
+    // per dimension — the strictly-better-locality sibling of q78's
+    // Morton z-value (unit steps, no curve seams), state machine
+    // derived at init and mirrored into the oracle as linear CTEs.
+    "q199_hilbert" -> ((s, d) =>
+      graft.ops.Hilbert.withHilbert(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey")),
+        col("l_partkey"), col("l_suppkey"), bits = 8, out = "hval")
+        .select(col("l_orderkey"), col("l_linenumber"), col("hval"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
     // q192: exact join-size prediction from per-key histograms — the
     // self-join fan-out predictor (Σ cnt² over l_partkey) plus the
     // top-5 skew keys a salted join / AQE split would target; never
@@ -824,6 +855,20 @@ object Relational {
         |ORDER BY p.p_partkey""".stripMargin,
     "q176_bfs_landmark" -> bfsSql(3),
     "q185_sssp" -> ssspSql(3),
+    "q197_kcore" -> kCoreSql(60, 3),
+    "q199_hilbert" -> {
+      val (ctes, last, dcol) =
+        graft.ops.Hilbert.hilbertSqlCtes("base",
+          Seq("l_orderkey", "l_linenumber"), 8)
+      s"""WITH base AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    CAST(l_partkey AS BIGINT) & 255 AS hx,
+         |    CAST(l_suppkey AS BIGINT) & 255 AS hy
+         |  FROM lineitem),
+         |$ctes
+         |SELECT l_orderkey, l_linenumber, $dcol AS hval FROM $last
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
     "q192_join_cardinality" ->
       """WITH ca AS (
         |  SELECT CAST(l_partkey AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS ca
@@ -881,6 +926,28 @@ object Relational {
   /** DuckDB mirror of [[graft.ops.Graph.bfsDistances]]: `iters`
     * unrolled min-over-union rounds from part node 1 over the
     * undirected part↔supplier edge list. */
+  /** The same unrolled degree-peel recurrence as
+    * [[graft.ops.Graph.kCore]] over the part co-purchase graph. */
+  private def kCoreSql(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { n =>
+      s"""keep$n AS (
+         |  SELECT u FROM adj${n - 1} GROUP BY u HAVING count(*) >= $k),
+         |adj$n AS (
+         |  SELECT a.u, a.v FROM adj${n - 1} a
+         |  WHERE a.u IN (SELECT u FROM keep$n)
+         |    AND a.v IN (SELECT u FROM keep$n))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS u,
+       |    CAST(b.l_partkey AS BIGINT) AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |adj0 AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+       |$steps
+       |SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+       |FROM adj$rounds GROUP BY 1 ORDER BY node""".stripMargin
+  }
+
   private def bfsSql(iters: Int): String = {
     def step(prev: String, cur: String): String =
       s"""$cur AS (

@@ -178,4 +178,34 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(one == Map(1L -> 0L, 2L -> 2L, 3L -> 10L))
   }
+
+  test("kCore: pendant peels off, the triangle survives as the 2-core") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
+    val got = Graph.kCore(edges, k = 2, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: a star has no 2-core; cascade needs multiple rounds") {
+    import spark.implicits._
+    val star = (2L to 6L).map(l => (1L, l)).toDF("src", "dst")
+    assert(Graph.kCore(star, k = 2, rounds = 2).count() == 0L)
+    // path 1-2-3-4-5: endpoints peel first, the rest cascade round by
+    // round — after 1 round nodes 2..4 remain, after 3 nothing does
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val r1 = Graph.kCore(path, k = 2, rounds = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(r1 == Set(2L, 3L, 4L))
+    assert(Graph.kCore(path, k = 2, rounds = 3).count() == 0L)
+  }
+
+  test("kCore: duplicate/self/reversed edges collapse to the simple graph") {
+    import spark.implicits._
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 1L), (1L, 2L), (2L, 3L),
+      (3L, 1L)).toDF("src", "dst")
+    val got = Graph.kCore(messy, k = 2, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
 }

@@ -583,6 +583,40 @@ class SpanRemovalSpec extends AnyFunSuite {
     (0 to 3).foreach { j => assert(got2(j.toLong) == 2 * got(j.toLong)) }
   }
 
+  test("chiSquareSelect: 2×2 contingency hand case, positive-only, tie order") {
+    import spark.implicits._
+    val docs = Seq((1L, "A", "x y"), (2L, "A", "x z"), (3L, "B", "y z"),
+      (4L, "B", "z w")).toDF("id", "cls", "text")
+    val got = graft.ops.TextAnalysis.chiSquareSelect(docs, "id", "text",
+        "cls", topK = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(6), r.getLong(7)))
+    // x|A: a=2 b=0 c=0 d=2 → χ² = 4·16/16 = 4; y diff=0 and z|A diff<0
+    // drop; w|B and z|B tie at 4·4/12 = 1.333333333 → tok asc
+    val t = BigDecimal(4.0 * 2.0 * 2.0 / 12.0)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq(("A", "x", 2L, 4.0, 1L),
+      ("B", "w", 1L, t, 1L), ("B", "z", 2L, t, 2L)))
+  }
+
+  test("sortedNeighborhoodPairs: window pairs over the sorted order") {
+    import spark.implicits._
+    val df = Seq((10L, 1L), (40L, 10L), (20L, 2L), (30L, 3L))
+      .toDF("id", "k")
+    val got = graft.ops.Dedup.sortedNeighborhoodPairs(df, "id", Seq("k"), 3)
+      .collect().map(r => (r.getLong(3), r.getLong(4), r.getLong(2)))
+    assert(got.toSeq == Seq((10L, 20L, 1L), (10L, 30L, 2L), (20L, 30L, 1L),
+      (20L, 40L, 2L), (30L, 40L, 1L)))
+  }
+
+  test("sortedNeighborhoodPairs: ties in the key break by id (total order)") {
+    import spark.implicits._
+    val df = Seq((7L, 5L), (3L, 5L), (5L, 5L)).toDF("id", "k")
+    val got = graft.ops.Dedup.sortedNeighborhoodPairs(df, "id", Seq("k"), 2)
+      .collect().map(r => (r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((3L, 5L), (5L, 7L)))
+  }
+
   test("joinCardinality: predicts fan-out without running the join") {
     import spark.implicits._
     val a = Seq(1L, 1L, 1L, 2L, 3L).toDF("k").withColumn("ka", col("k"))

@@ -69,6 +69,32 @@ class MlEvalSpec extends AnyFunSuite {
     assert(partial.getLong(1) == 1L && partial.getLong(2) == 8L)
   }
 
+  test("ndcgAtK: hand case with an out-of-top-k high-relevance candidate") {
+    // k=3; system ranks b(rel1)=1, a(rel3)=2, c(rel0)=3; d(rel2) ranked 5
+    // — d is outside the system top-3 but competes for the ideal top-3
+    val df = Seq(("g", "a", 3L, 2L), ("g", "b", 1L, 1L), ("g", "c", 0L, 3L),
+      ("g", "d", 2L, 5L)).toDF("g", "item", "rel", "rk")
+    val w = MlEval.ndcgWeights9(3) // [1e9, 630929754, 5e8]
+    assert(w == Seq(1000000000L, 630929754L, 500000000L))
+    val r = MlEval.ndcgAtK(df, "g", "item", "rel", "rk", 3).collect().head
+    val dcg = 1L * w(0) + 7L * w(1) // b at 1, a at 2, c gains 0
+    val idcg = 7L * w(0) + 3L * w(1) + 1L * w(2) // ideal a, d, b
+    assert(r.getLong(1) == dcg && r.getLong(2) == idcg)
+    assert(r.getDouble(3) == BigDecimal(dcg.toDouble / idcg.toDouble)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("ndcgAtK: perfect ranking → 1.0; all-zero relevance → 0.0") {
+    val perfect = Seq(("g", "a", 3L, 1L), ("g", "b", 2L, 2L),
+      ("g", "c", 1L, 3L)).toDF("g", "item", "rel", "rk")
+    assert(MlEval.ndcgAtK(perfect, "g", "item", "rel", "rk", 3)
+      .collect().head.getDouble(3) == 1.0)
+    val zero = Seq(("g", "a", 0L, 1L), ("g", "b", 0L, 2L))
+      .toDF("g", "item", "rel", "rk")
+    assert(MlEval.ndcgAtK(zero, "g", "item", "rel", "rk", 3)
+      .collect().head.getDouble(3) == 0.0)
+  }
+
   test("calibrationBins: a perfectly separable score fills clean decile bins") {
     // scores 1..100, positive iff score > 50: bins 0-4 all-negative,
     // bins 5-9 all-positive; every bin holds exactly 10 rows

@@ -115,4 +115,30 @@ class TimeSeriesSpec extends AnyFunSuite {
     first.foreach { case (k, seq, num) =>
       assert(num == (seq * 7 % 50) * (1L << 19), s"key $k leading edge") }
   }
+
+  test("m4Downsample: first/last by (us, tie), min/max by value") {
+    val rows = Seq(
+      ("a", 1L, 1L, 5L), ("a", 2L, 2L, 9L), ("a", 3L, 3L, 1L),
+      ("a", 9L, 4L, 9L), ("a", 12L, 5L, 7L),
+      // exact ts tie inside one bucket: tie column decides first/last
+      ("b", 4L, 2L, 30L), ("b", 4L, 1L, 20L))
+      .toDF("k", "us", "tie", "v")
+    val got = TimeSeries.m4Downsample(rows, "k", "us", "tie", "v", 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == Seq(
+      ("a", 0L, 4L, 5L, 9L, 1L, 9L), // first=5, last=9 (us 9), min=1, max=9
+      ("a", 1L, 1L, 7L, 7L, 7L, 7L), // singleton bucket: all four equal
+      ("b", 0L, 2L, 20L, 30L, 20L, 30L))) // tie 1 first, tie 2 last
+  }
+
+  test("m4Downsample: partition-invariant (mergeable partial aggregate)") {
+    val rows = (1L to 200L).map(i => ("k", i * 13L % 97L, i, i * 7L % 31L))
+      .toDF("k", "us", "tie", "v")
+    val a = TimeSeries.m4Downsample(rows, "k", "us", "tie", "v", 10L)
+      .collect().toSeq
+    val b = TimeSeries.m4Downsample(rows.repartition(17), "k", "us", "tie",
+      "v", 10L).collect().toSeq
+    assert(a == b)
+  }
 }
