@@ -265,6 +265,51 @@ object MlEval {
     * so the oracle pins the integer state bit-for-bit.
     *
     * @return (key, n, sx, sy, sxy, sxx, slope, icept). */
+  /** THEIL–SEN robust trend slope per group — the median of all
+    * pairwise slopes (Theil 1950 / Sen 1968), the robust-regression
+    * leg beside [[olsTrend]]: a 29%-breakdown estimator a handful of
+    * outliers cannot move, where one wild point drags OLS arbitrarily.
+    *
+    * Pairs are generated per group with `xa < xb` (vertical pairs
+    * dx = 0 are skipped, the standard convention), each slope is ONE
+    * IEEE division of two exact long deltas — deterministic bits on
+    * any engine — and the median is the DISCRETE lower median: the
+    * value at row (n+1) div 2 under the slope order. Ties in the
+    * slope value make rank assignment engine-dependent but the VALUE
+    * at any rank deterministic, which is all the output exposes.
+    *
+    * Scale: the pair stage is O(Σ g²) — the irreducible Theil–Sen
+    * shape — bounded by `maxGroupSize` (groups larger than the cap
+    * are dropped before pairing, the [[graft.ops.Recommend]]
+    * prolific-key discipline; at 100 TB you run Theil–Sen per
+    * bounded entity, never on one giant series).
+    *
+    * @return (key, n_points, n_pairs, median_slope9). */
+  def theilSenSlope(df: DataFrame, keyCol: String, xCol: String,
+                    yCol: String, maxGroupSize: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxGroupSize >= 2, "pairs need at least two points")
+    val pts = df.select(col(keyCol).as("g"), col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y"))
+    val kept = pts.join(
+      pts.groupBy(col("g")).agg(count(lit(1)).as("ng"))
+        .filter(col("ng") <= maxGroupSize), Seq("g"))
+    val slopes = kept.as("a").join(kept.as("b"),
+        col("a.g") === col("b.g") && col("a.x") < col("b.x"))
+      .select(col("a.g").as("g"), col("a.ng").as("ng"),
+        ((col("b.y") - col("a.y")).cast("double") /
+          (col("b.x") - col("a.x")).cast("double")).as("slope"))
+    val ranked = slopes
+      .withColumn("np", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("g"))
+        .orderBy(col("slope"))))
+    ranked.filter(col("rk").cast("long") === expr("(np + 1L) div 2L"))
+      .select(col("g"), col("ng").as("n_points"),
+        col("np").cast("long").as("n_pairs"),
+        round(col("slope"), 9).as("median_slope9"))
+      .orderBy(col("g"))
+  }
+
   def olsTrend(df: DataFrame, keyCol: String, xCol: String,
                yCol: String): DataFrame = {
     val d38 = "decimal(38,0)"

@@ -149,6 +149,82 @@ object TimeSeries {
       .drop("_xs", "_m")
   }
 
+  /** INTERVAL-UNION coverage (the gaps-and-islands merge): collapse a
+    * per-key set of possibly-overlapping half-open intervals
+    * [start, end) into their maximal disjoint islands — the classic
+    * warehouse kernel behind "total time under incident", machine
+    * utilization, and validity-window consolidation, and the interval
+    * complement of [[scd2History]] (which builds intervals; this
+    * merges them).
+    *
+    * All integer arithmetic: one keyed window computes the running
+    * max of `end` over strictly-preceding rows under the total
+    * (start, end, tie) order; a row opens a new island iff its start
+    * exceeds that max; the island id is a running sum of the open
+    * flags; one keyed agg merges each island. Two keyed window passes
+    * + one partial agg — no self-join, no explode; at 100 TB this is
+    * the only shape that works (the naive point-in-any-interval
+    * rewrite is quadratic).
+    *
+    * @return (key, island, start, end, n_merged) — islands numbered
+    *         1.. in start order per key. */
+  def intervalCoverage(df: DataFrame, keyCol: String, startCol: String,
+                       endCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(col("g"))
+      .orderBy(col("s"), col("e"), col("t"))
+    val base = df.select(col(keyCol).as("g"), col(startCol).cast("long").as("s"),
+      col(endCol).cast("long").as("e"), col(tieCol).as("t"))
+    base
+      .withColumn("prev_max_e",
+        max(col("e")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("opens",
+        when(col("prev_max_e").isNull || col("s") > col("prev_max_e"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("opens")).over(ord))
+      .groupBy(col("g").as(keyCol), col("island"))
+      .agg(min(col("s")).as("start"), max(col("e")).as("end"),
+        count(lit(1)).as("n_merged"))
+      .orderBy(col(keyCol), col("island"))
+  }
+
+  /** CUSUM change-point statistic per key — where does a series most
+    * look like it switched regimes? For prefix sums S_i of the first
+    * i values (under the total (orderCols) order) and total S over n
+    * rows, the cut statistic is D_i = |n·S_i − i·S| — the
+    * cross-multiplied form of |S_i/i − S/n| ·(i·n), all EXACT long
+    * arithmetic with no division anywhere — maximized over
+    * i ∈ [1, n−1], earliest i on ties. The batch change-point monitor
+    * beside [[graft.ops.CorpusStats]]' KS (two known slices) — here
+    * the cut itself is unknown and searched.
+    *
+    * One keyed window pass for prefix sums + one argmax agg via
+    * lexicographic `max(struct)`; mergeable partials end to end.
+    *
+    * @return (key, n, cut_idx, dmax, s_left, s_total): dmax exact,
+    *         `s_left` the prefix sum at the best cut. */
+  def cusumChangePoint(df: DataFrame, keyCol: String,
+                       orderCols: Seq[String], valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    val pre = df
+      .withColumn("_i", row_number().over(w).cast("long"))
+      .withColumn("_si", sum(col(valCol).cast("long")).over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col(keyCol))))
+      .withColumn("_s", sum(col(valCol).cast("long"))
+        .over(Window.partitionBy(col(keyCol))))
+    pre.filter(col("_i") < col("_n"))
+      .withColumn("_d", abs(col("_n") * col("_si") - col("_i") * col("_s")))
+      .groupBy(col(keyCol))
+      .agg(max(col("_n")).cast("long").as("n"),
+        max(struct(col("_d").as("d"), (-col("_i")).as("negi"),
+          col("_si").as("si"), col("_s").as("s"))).as("_m"))
+      .select(col(keyCol), col("n"), (-col("_m.negi")).as("cut_idx"),
+        col("_m.d").as("dmax"), col("_m.si").as("s_left"),
+        col("_m.s").as("s_total"))
+      .orderBy(col(keyCol))
+  }
+
   /** M4 time-series downsampling (Jugel et al. 2014, VLDB "M4: A
     * Visualization-Oriented Time Series Data Aggregation") — per
     * (key, time bucket), keep exactly the four points a pixel column

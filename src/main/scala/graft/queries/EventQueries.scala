@@ -929,6 +929,39 @@ object EventQueries {
         maxUserItems = 60, topN = 5)
     }),
 
+    // q200: Theil–Sen robust value trend per user — the median of all
+    // pairwise slopes (cents per second), immune to the outliers that
+    // drag q175's OLS; pair stage bounded per user.
+    "q200_theil_sen" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        expr("unix_micros(ts) div 1000000L").as("xs"),
+        (round(col("value") * 100)).cast("long").as("cents"))
+      graft.ops.MlEval.theilSenSlope(ev, "user_id", "xs", "cents")
+        .withColumnRenamed("g", "user_id")
+    }),
+
+    // q201: interval-union coverage — each event opens a 10-minute
+    // [us, us+600s) window; per event_type the overlapping windows
+    // merge into maximal islands (total time "under load" per type).
+    "q201_interval_coverage" -> ((s, d) => {
+      val iv = Tables.events(s, d).select(col("event_type"),
+        unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) + 600000000L).as("e"), col("event_id"))
+      graft.ops.TimeSeries.intervalCoverage(iv, "event_type", "s", "e",
+        "event_id")
+    }),
+
+    // q202: CUSUM change-point per user — the exact integer
+    // |n·S_i − i·S| statistic over the (ts, event_id) order; where
+    // each user's value stream most looks like it switched regimes.
+    "q202_cusum" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        (round(col("value") * 100)).cast("long").as("cents"))
+      graft.ops.TimeSeries.cusumChangePoint(ev, "user_id",
+        Seq("us", "event_id"), "cents")
+    }),
+
     // q198: M4 visualization downsampling (Jugel 2014 VLDB) — per
     // (event_type, day) keep exactly first/last/min/max in ONE
     // mergeable partial agg; the 100 TB → dashboard reduction.
@@ -1588,6 +1621,79 @@ object EventQueries {
         |      ORDER BY cosine9 DESC, co DESC, neighbor) AS BIGINT) AS rk
         |  FROM scored)
         |WHERE rk <= 5 ORDER BY item, rk""".stripMargin,
+
+    // q200: same capped pairing, IEEE slope division, and lower-median
+    // row selection. Slope-tied rank assignment may differ between
+    // engines but the VALUE at the median rank cannot.
+    "q200_theil_sen" ->
+      """WITH p AS (
+        |  SELECT user_id AS g, epoch_us(ts) // 1000000 AS x,
+        |    CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events),
+        |k AS (SELECT g, CAST(count(*) AS BIGINT) AS ng FROM p
+        |      GROUP BY 1 HAVING count(*) <= 1000),
+        |pk AS (SELECT p.g, p.x, p.y, k.ng FROM p JOIN k USING (g)),
+        |s AS (
+        |  SELECT a.g, a.ng,
+        |    CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+        |  FROM pk a JOIN pk b ON a.g = b.g AND a.x < b.x),
+        |r AS (
+        |  SELECT g, ng, slope,
+        |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS np,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY slope)
+        |      AS BIGINT) AS rk
+        |  FROM s)
+        |SELECT g AS user_id, ng AS n_points, np AS n_pairs,
+        |  round(slope, 9) AS median_slope9
+        |FROM r WHERE rk = (np + 1) // 2 ORDER BY user_id""".stripMargin,
+
+    // q201: the same running-max island build under the same
+    // (s, e, event_id) total order.
+    "q201_interval_coverage" ->
+      """WITH iv AS (
+        |  SELECT event_type AS g, epoch_us(ts) AS s,
+        |    epoch_us(ts) + 600000000 AS e, event_id AS t
+        |  FROM events),
+        |m AS (
+        |  SELECT g, s, e, t,
+        |    max(e) OVER (PARTITION BY g ORDER BY s, e, t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM iv),
+        |o AS (
+        |  SELECT g, s, e, t,
+        |    CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS opens
+        |  FROM m),
+        |isl AS (
+        |  SELECT g, s, e,
+        |    CAST(sum(opens) OVER (PARTITION BY g ORDER BY s, e, t)
+        |      AS BIGINT) AS island
+        |  FROM o)
+        |SELECT g AS event_type, island, min(s) AS start, max(e) AS "end",
+        |  CAST(count(*) AS BIGINT) AS n_merged
+        |FROM isl GROUP BY 1, 2 ORDER BY event_type, island""".stripMargin,
+
+    // q202: cross-multiplied |n·S_i − i·S| over per-user prefix sums,
+    // earliest cut on ties.
+    "q202_cusum" ->
+      """WITH e AS (
+        |  SELECT user_id AS g, epoch_us(ts) AS us, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events),
+        |p AS (
+        |  SELECT g, CAST(row_number() OVER w AS BIGINT) AS i,
+        |    CAST(sum(y) OVER w AS BIGINT) AS si,
+        |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n,
+        |    CAST(sum(y) OVER (PARTITION BY g) AS BIGINT) AS s
+        |  FROM e WINDOW w AS (PARTITION BY g ORDER BY us, event_id)),
+        |d AS (SELECT g, n, i, si, s, abs(n * si - i * s) AS dd
+        |      FROM p WHERE i < n),
+        |b AS (
+        |  SELECT g, n, i, si, s, dd,
+        |    row_number() OVER (PARTITION BY g ORDER BY dd DESC, i) AS rk
+        |  FROM d)
+        |SELECT g AS user_id, n, i AS cut_idx, dd AS dmax, si AS s_left,
+        |  s AS s_total
+        |FROM b WHERE rk = 1 ORDER BY user_id""".stripMargin,
 
     // q198: plain min/max for the value extremes; first/last values
     // via the (us, event_id) row_number tie discipline.

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.io.Bucketing
+
+/** Pins the bucketing layout's whole value proposition at the plan
+  * level: co-bucketed tables join and aggregate with NO Exchange,
+  * while the identical data as plain parquet must shuffle. */
+class BucketingSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def withConf[A](k: String, v: String)(body: => A): A = {
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, v)
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(k, p)
+      case None => spark.conf.unset(k)
+    }
+  }
+
+  private lazy val dir = java.nio.file.Files
+    .createTempDirectory("graft_buckets").toString
+
+  private lazy val tables = {
+    val facts = (1L to 5000L).map(i => (i % 97, i, i * 3 % 1000))
+      .toDF("k", "id", "v")
+    val dims = (0L until 97L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    Bucketing.writeBucketed(facts, "bkt_facts", s"$dir/facts", "k", 8)
+    Bucketing.writeBucketed(dims, "bkt_dims", s"$dir/dims", "k", 8)
+    facts.write.mode("overwrite").parquet(s"$dir/facts_plain")
+    dims.write.mode("overwrite").parquet(s"$dir/dims_plain")
+    ()
+  }
+
+  test("co-bucketed equi join runs with zero Exchange; plain parquet shuffles") {
+    tables
+    withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      val bucketed = Bucketing.read(spark, "bkt_facts")
+        .join(Bucketing.read(spark, "bkt_dims"), "k")
+      assert(!bucketed.queryExecution.executedPlan.toString
+        .contains("Exchange"), "co-located join must not shuffle")
+      val plain = spark.read.parquet(s"$dir/facts_plain")
+        .join(spark.read.parquet(s"$dir/dims_plain"), "k")
+      assert(plain.queryExecution.executedPlan.toString.contains("Exchange"),
+        "the control join must shuffle — otherwise this spec proves nothing")
+      // same rows either way: layout changes cost, never semantics
+      assert(bucketed.count() == plain.count())
+    }
+  }
+
+  test("aggregation on the bucket key is exchange-free") {
+    tables
+    val agg = Bucketing.read(spark, "bkt_facts")
+      .groupBy(col("k")).agg(sum(col("v")).as("sv"))
+    assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+      "bucket spec must satisfy the aggregation's distribution")
+    val plainAgg = spark.read.parquet(s"$dir/facts_plain")
+      .groupBy(col("k")).agg(sum(col("v")).as("sv"))
+    assert(plainAgg.queryExecution.executedPlan.toString.contains("Exchange"))
+    assert(agg.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      == plainAgg.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+  }
+
+  test("in-bucket sortBy leaves each bucket file internally ordered") {
+    tables
+    val unsorted = Bucketing.read(spark, "bkt_facts")
+      .select(col("k"), spark_partition_id().as("p"))
+    // every scan partition reads whole buckets: k mod 8 groups stay
+    // together (bucket pruning/co-location depends on it)
+    val mixed = unsorted.groupBy(col("k"))
+      .agg(countDistinct(col("p")).as("np"))
+      .filter(col("np") > 1)
+    assert(mixed.count() == 0, "a key must never straddle buckets")
+  }
+}

@@ -69,6 +69,40 @@ class MlEvalSpec extends AnyFunSuite {
     assert(partial.getLong(1) == 1L && partial.getLong(2) == 8L)
   }
 
+  test("theilSenSlope: outlier cannot move the median slope; OLS moves") {
+    // y = 2x exactly, except one wild point
+    val pts = Seq((1L, 2L), (2L, 4L), (3L, 6L), (4L, 8L), (5L, 1000L))
+      .map { case (x, y) => ("k", x, y) }.toDF("k", "x", "y")
+    val ts = MlEval.theilSenSlope(pts, "k", "x", "y").collect().head
+    assert(ts.getLong(1) == 5L && ts.getLong(2) == 10L)
+    assert(ts.getDouble(3) == 2.0, "median of pairwise slopes ignores the outlier")
+    val ols = MlEval.olsTrend(pts, "k", "x", "y").collect().head
+    assert(math.abs(ols.getDouble(6) - 2.0) > 10.0, "OLS dragged by the outlier")
+  }
+
+  test("theilSenSlope: lower median on even pair counts; dx=0 pairs skipped") {
+    // points (1,1),(2,3),(3,4): slopes 2, 1.5, 1 → median 1.5
+    val pts = Seq(("k", 1L, 1L), ("k", 2L, 3L), ("k", 3L, 4L))
+      .toDF("k", "x", "y")
+    assert(MlEval.theilSenSlope(pts, "k", "x", "y")
+      .collect().head.getDouble(3) == 1.5)
+    // duplicate x never pairs with itself: (1,1),(1,5),(2,2) →
+    // slopes 1 and −3 only; lower median (rank (2+1) div 2 = 1) = −3
+    val dup = Seq(("k", 1L, 1L), ("k", 1L, 5L), ("k", 2L, 2L))
+      .toDF("k", "x", "y")
+    val r = MlEval.theilSenSlope(dup, "k", "x", "y").collect().head
+    assert(r.getLong(2) == 2L)
+    assert(r.getDouble(3) == -3.0)
+  }
+
+  test("theilSenSlope: groups beyond the cap are dropped, not mis-fit") {
+    val big = (1L to 30L).map(i => ("big", i, i)) ++
+      Seq(("ok", 1L, 1L), ("ok", 2L, 2L))
+    val got = MlEval.theilSenSlope(big.toDF("k", "x", "y"), "k", "x", "y",
+      maxGroupSize = 10).collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("ok"))
+  }
+
   test("ndcgAtK: hand case with an out-of-top-k high-relevance candidate") {
     // k=3; system ranks b(rel1)=1, a(rel3)=2, c(rel0)=3; d(rel2) ranked 5
     // — d is outside the system top-3 but competes for the ideal top-3

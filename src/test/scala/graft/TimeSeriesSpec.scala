@@ -116,6 +116,46 @@ class TimeSeriesSpec extends AnyFunSuite {
       assert(num == (seq * 7 % 50) * (1L << 19), s"key $k leading edge") }
   }
 
+  test("intervalCoverage: overlap merges, touching merges, gap splits") {
+    val iv = Seq(
+      ("a", 1L, 5L, 1L), ("a", 3L, 7L, 2L),   // overlap → island 1
+      ("a", 7L, 9L, 3L),                       // touches [.,7) → island 1
+      ("a", 20L, 25L, 4L),                     // gap → island 2
+      ("b", 2L, 4L, 5L)).toDF("k", "s", "e", "t")
+    val got = TimeSeries.intervalCoverage(iv, "k", "s", "e", "t")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(("a", 1L, 1L, 9L, 3L), ("a", 2L, 20L, 25L, 1L),
+      ("b", 1L, 2L, 4L, 1L)))
+  }
+
+  test("intervalCoverage: contained interval never extends its island") {
+    val iv = Seq(("k", 1L, 10L, 1L), ("k", 2L, 3L, 2L), ("k", 11L, 12L, 3L))
+      .toDF("k", "s", "e", "t")
+    val got = TimeSeries.intervalCoverage(iv, "k", "s", "e", "t")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 1L, 10L), (2L, 11L, 12L)))
+  }
+
+  test("cusumChangePoint: planted level shift found at the shift point") {
+    // 10 values of 100 then 10 of 200: best cut at i = 10
+    val rows = ((1L to 10L).map(i => ("k", i, 100L)) ++
+      (11L to 20L).map(i => ("k", i, 200L))).toDF("k", "seq", "v")
+    val r = TimeSeries.cusumChangePoint(rows, "k", Seq("seq"), "v")
+      .collect().head
+    assert(r.getLong(1) == 20L && r.getLong(2) == 10L)
+    // D_10 = |20·1000 − 10·3000| = 10000; s_left and s_total exact
+    assert(r.getLong(3) == 10000L && r.getLong(4) == 1000L
+      && r.getLong(5) == 3000L)
+  }
+
+  test("cusumChangePoint: constant series → dmax 0, earliest cut wins ties") {
+    val rows = (1L to 5L).map(i => ("k", i, 7L)).toDF("k", "seq", "v")
+    val r = TimeSeries.cusumChangePoint(rows, "k", Seq("seq"), "v")
+      .collect().head
+    assert(r.getLong(2) == 1L && r.getLong(3) == 0L)
+  }
+
   test("m4Downsample: first/last by (us, tie), min/max by value") {
     val rows = Seq(
       ("a", 1L, 1L, 5L), ("a", 2L, 2L, 9L), ("a", 3L, 3L, 1L),
