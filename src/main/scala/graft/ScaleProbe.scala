@@ -33,6 +33,12 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // the replica build DELETES and rewrites tables under `out` — it
+    // must never point at the driver-owned read-only testdata (or at
+    // the source itself); this guard exists because exactly that
+    // mistake once cost a testdata table
+    require(!out.startsWith("/root/testdata") && new java.io.File(out).getCanonicalPath != new java.io.File(src).getCanonicalPath,
+      s"refusing to build a replica into $out — driver-owned or equal to src")
     if (!new java.io.File(s"$out/_READY").exists()) build(spark, src, out, copies)
 
     // same warmup + measurement discipline as Bench

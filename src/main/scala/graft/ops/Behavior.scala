@@ -304,4 +304,60 @@ object Behavior {
         col("n"))
       .orderBy(col("bin"))
   }
+
+  /** KAPLAN–MEIER survival curve per cohort (Kaplan & Meier 1958) —
+    * the censoring-aware retention estimator [[cohortRetention]]'s
+    * raw counts can't give: subjects still alive at the observation
+    * boundary are CENSORED, not churned, and the product-limit
+    * estimator S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) is the textbook-correct
+    * way to count them.
+    *
+    * Determinism discipline: the curve is computed on the COMPRESSED
+    * per-(group, duration) table (one partial-agg shuffle from N
+    * subjects to ≤ distinct-duration rows per cohort); risk sets come
+    * from keyed running sums over that table; each factor's
+    * ln((n−d)/n) is round-9-scaled once and the log-survival is an
+    * exact long prefix sum (the entropy/q146 discipline), so the
+    * whole curve replays bit-for-bit — `surv9` is the one
+    * presentation exp at the end. A step where every remaining
+    * subject exits (d = n) drives S to exactly 0 from that point on
+    * (flagged, not ln(0)).
+    *
+    * @param durCol      integral duration per subject (one ROW per
+    *                    subject).
+    * @param observedCol true = the terminal event was observed;
+    *                    false = censored at `durCol`.
+    * @return per (group, t): (group, t, n_risk, d_events, c_censored,
+    *         ln_surv9, surv9) — survival AFTER time t, all duration
+    *         rows emitted (censoring-only rows keep the curve flat). */
+  def kaplanMeier(df: DataFrame, groupCol: String, durCol: String,
+                  observedCol: String): DataFrame = {
+    val per = df.select(col(groupCol).as("g"), col(durCol).cast("long").as("t"),
+        col(observedCol).cast("boolean").as("ev"))
+      .groupBy(col("g"), col("t"))
+      .agg(sum(when(col("ev"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("ev"), 0L).otherwise(1L)).as("c"))
+    val wAsc = Window.partitionBy(col("g")).orderBy(col("t"))
+    val run = wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per
+      .withColumn("n_total",
+        sum(col("d") + col("c")).over(Window.partitionBy(col("g"))))
+      .withColumn("exited_thru", sum(col("d") + col("c")).over(run))
+      .withColumn("n_risk",
+        col("n_total") - col("exited_thru") + col("d") + col("c"))
+      .withColumn("ln_f9", when(col("d") > 0L && col("d") < col("n_risk"),
+          graft.util.Exact.scaled(round(log(
+            (col("n_risk") - col("d")).cast("double") /
+              col("n_risk").cast("double")), 9), 9))
+        .otherwise(lit(0L)))
+      .withColumn("ln_surv9", sum(col("ln_f9")).over(run))
+      .withColumn("dead",
+        max(when(col("d") === col("n_risk"), 1L).otherwise(0L)).over(run))
+      .select(col("g"), col("t"), col("n_risk"), col("d").as("d_events"),
+        col("c").as("c_censored"), col("ln_surv9"),
+        when(col("dead") === 1L, lit(0.0))
+          .otherwise(round(exp(col("ln_surv9").cast("double") / 1e9), 9))
+          .as("surv9"))
+      .orderBy(col("g"), col("t"))
+  }
 }

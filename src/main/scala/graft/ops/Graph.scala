@@ -311,16 +311,25 @@ object Graph {
       .filter(col("u") =!= col("v"))
     var adj = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
       .distinct().cache()
-    adj.count()
-    for (_ <- 1 to rounds) {
+    var size = adj.count()
+    var converged = false
+    for (_ <- 1 to rounds if !converged) {
       val keep = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("u"))
       val next = adj.join(keep, Seq("u"), "left_semi")
         .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
         .select(col("u"), col("v")).cache()
-      next.count() // materialize before dropping the prior round
-      adj.unpersist(blocking = false)
-      adj = next
+      val nextSize = next.count() // materialize before dropping the prior
+      if (nextSize == size) {
+        // fixpoint: every remaining round is a no-op — skip them (the
+        // result is IDENTICAL to running all `rounds`, just cheaper)
+        next.unpersist(blocking = false)
+        converged = true
+      } else {
+        adj.unpersist(blocking = false)
+        adj = next
+        size = nextSize
+      }
     }
     val out = adj.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
       .orderBy(col("node"))

@@ -73,10 +73,10 @@ object Hilbert {
     (digits.toVector, nexts.toVector)
   }
 
+  // one O(1) literal-array lookup per level (element_at is 1-based);
+  // a 16-way CASE chain here benched 3× slower on the full scan
   private def caseOn(idx: Column, tab: Vector[Int]): Column =
-    tab.zipWithIndex.tail.foldLeft(when(idx === 0, lit(tab(0)))) {
-      case (acc, (v, j)) => acc.when(idx === j, lit(v))
-    }
+    element_at(typedLit(tab), idx + 1)
 
   /** Append `out` = Hilbert index of (x, y) masked to `bits` bits per
     * dimension. Internal `_h_*` columns are dropped. */

@@ -929,6 +929,28 @@ object EventQueries {
         maxUserItems = 60, topN = 5)
     }),
 
+    // q203: Kaplan–Meier survival per weekly cohort — censoring-aware
+    // churn: duration = hours between a user's first and last event,
+    // observed iff the user went quiet ≥ 3 days before the corpus
+    // edge; S(t) as exact scaled-ln prefix sums.
+    "q203_kaplan_meier" -> ((s, d) => {
+      val per = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("ts"))
+        .groupBy(col("user_id"))
+        .agg(min(col("us")).as("f"), max(col("us")).as("l"),
+          min(col("ts")).as("first_ts"))
+      val bounds = per.agg(max(col("l")).as("m"))
+      val subj = per.crossJoin(broadcast(bounds))
+        .select(
+          date_format(date_trunc("week", col("first_ts")).cast("date"),
+            "yyyy-MM-dd").as("cohort"),
+          expr("(l - f) div 3600000000L").as("dur_h"),
+          (col("l") < col("m") - 259200000000L).as("observed"))
+      graft.ops.Behavior.kaplanMeier(subj, "cohort", "dur_h", "observed")
+        .withColumnRenamed("g", "cohort")
+    }),
+
     // q200: Theil–Sen robust value trend per user — the median of all
     // pairwise slopes (cents per second), immune to the outliers that
     // drag q175's OLS; pair stage bounded per user.
@@ -1621,6 +1643,53 @@ object EventQueries {
         |      ORDER BY cosine9 DESC, co DESC, neighbor) AS BIGINT) AS rk
         |  FROM scored)
         |WHERE rk <= 5 ORDER BY item, rk""".stripMargin,
+
+    // q203: identical Monday-week cohorts, risk sets from keyed running
+    // sums, the q146 round-9 ln scaling per factor, and one
+    // presentation exp at the end (round-9 on both engines — the
+    // standing libm guard).
+    "q203_kaplan_meier" ->
+      """WITH per AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS f, max(epoch_us(ts)) AS l,
+        |    min(ts) AS first_ts
+        |  FROM events GROUP BY 1),
+        |mx AS (SELECT max(l) AS m FROM per),
+        |subj AS (
+        |  SELECT strftime(date_trunc('week', first_ts), '%Y-%m-%d') AS g,
+        |    (l - f) // 3600000000 AS t,
+        |    l < (SELECT m FROM mx) - 259200000000 AS ev
+        |  FROM per),
+        |p AS (
+        |  SELECT g, t,
+        |    CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT) AS c
+        |  FROM subj GROUP BY 1, 2),
+        |r AS (
+        |  SELECT g, t, d, c,
+        |    CAST(sum(d + c) OVER (PARTITION BY g) AS BIGINT) AS n_total,
+        |    CAST(sum(d + c) OVER (PARTITION BY g ORDER BY t) AS BIGINT)
+        |      AS thru
+        |  FROM p),
+        |f AS (SELECT g, t, d, c, n_total - thru + d + c AS n_risk FROM r),
+        |l9 AS (
+        |  SELECT g, t, d, c, n_risk,
+        |    CASE WHEN d > 0 AND d < n_risk THEN
+        |      CAST(round(round(ln(CAST(n_risk - d AS DOUBLE)
+        |        / CAST(n_risk AS DOUBLE)), 9) * 1000000000) AS BIGINT)
+        |    ELSE 0 END AS lf
+        |  FROM f),
+        |s AS (
+        |  SELECT g, t, n_risk, d AS d_events, c AS c_censored,
+        |    CAST(sum(lf) OVER (PARTITION BY g ORDER BY t) AS BIGINT)
+        |      AS ln_surv9,
+        |    max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY g ORDER BY t) AS dead
+        |  FROM l9)
+        |SELECT g AS cohort, t, n_risk, d_events, c_censored, ln_surv9,
+        |  CASE WHEN dead = 1 THEN 0.0
+        |  ELSE round(exp(CAST(ln_surv9 AS DOUBLE) / 1000000000.0), 9)
+        |  END AS surv9
+        |FROM s ORDER BY cohort, t""".stripMargin,
 
     // q200: same capped pairing, IEEE slope division, and lower-median
     // row selection. Slope-tied rank assignment may differ between

@@ -714,6 +714,36 @@ object PipelineOps {
         .withColumnRenamed("g", "lang")
     }),
 
+    // q205: TextRank keyword extraction (Mihalcea & Tarau 2004) —
+    // integer PageRank over the adjacent-token co-occurrence graph,
+    // top-20 terms. Pure kernel composition: one lead() window builds
+    // the bigram edges, q96's sorted dense ids label the nodes (rank
+    // is topology-determined, so any consistent id bijection agrees),
+    // q105's exact integer recurrence ranks them, TakeOrdered cuts.
+    "q205_textrank" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), "\\s+")).as(Seq("pos", "tok")))
+      val bi = toks.withColumn("nxt", lead(col("tok"), 1).over(w))
+        .filter(col("nxt").isNotNull && col("tok") =!= col("nxt"))
+        .select(col("tok").as("w1"), col("nxt").as("w2")).distinct()
+      val vocab = bi.select(col("w1").as("tok"))
+        .unionAll(bi.select(col("w2").as("tok")))
+      val ids = graft.text.Dictionary.denseIdsScalable(vocab, "tok")
+      val e0 = bi
+        .join(ids.select(col("tok").as("w1"), col("id").as("src")), "w1")
+        .join(ids.select(col("tok").as("w2"), col("id").as("dst")), "w2")
+        .select(col("src"), col("dst"))
+      val und = e0.unionAll(e0.select(col("dst").as("src"),
+        col("src").as("dst")))
+      graft.ops.Graph.pageRankExact(und, iters = 3)
+        .join(ids.select(col("id").as("node"), col("tok")), "node")
+        .select(col("tok").as("term"), col("rank").as("rank_ppt"))
+        .orderBy(col("rank_ppt").desc, col("term")).limit(20)
+    }),
+
     // q194: NDCG@10 per language — graded-relevance quality of the
     // chars-ranked list against token-count grades, with the scaled-
     // long discount table precomputed once (no engine evaluates log2);
@@ -1542,6 +1572,41 @@ object PipelineOps {
     "q187_greedy_coverage" -> greedyCoverageSql(5),
     "q191_rbo" -> rboSql(10),
     "q194_ndcg" -> ndcgSql(10),
+
+    // q205: same bigram edges, row_number ids (rank is id-invariant),
+    // and the shared q105 integer recurrence.
+    "q205_textrank" -> {
+      val rec = graft.queries.Relational.pageRankRecurrenceCtes(3)
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    generate_subscripts(regexp_split_to_array(text, '\\s+'), 1)
+         |      AS pos,
+         |    unnest(regexp_split_to_array(text, '\\s+')) AS tok
+         |  FROM documents),
+         |bi AS (
+         |  SELECT DISTINCT tok AS w1, nxt AS w2 FROM (
+         |    SELECT tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+         |      AS nxt
+         |    FROM toks)
+         |  WHERE nxt IS NOT NULL AND tok <> nxt),
+         |ids AS (
+         |  SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT)
+         |    AS id
+         |  FROM (SELECT DISTINCT w1 AS tok FROM bi
+         |        UNION SELECT DISTINCT w2 FROM bi)),
+         |e0 AS (
+         |  SELECT i1.id AS src, i2.id AS dst FROM bi
+         |  JOIN ids i1 ON i1.tok = bi.w1
+         |  JOIN ids i2 ON i2.tok = bi.w2),
+         |edges AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM e0
+         |    UNION ALL SELECT dst AS src, src AS dst FROM e0)),
+         |$rec
+         |SELECT i.tok AS term, CAST(r.pr AS BIGINT) AS rank_ppt
+         |FROM r3 r JOIN ids i ON i.id = r.node
+         |ORDER BY rank_ppt DESC, term LIMIT 20""".stripMargin
+    },
 
     // q195: the same contingency grid, positive-association filter,
     // and FIXED double parenthesization (N·diff·diff over the four

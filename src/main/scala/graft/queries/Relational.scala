@@ -19,6 +19,32 @@ import graft.util.Exact
 object Relational {
   type Q = (SparkSession, String) => DataFrame
 
+  // Part co-purchase edges (parts sharing an order, a < b, distinct) —
+  // the shared graph under q197 (k-core) and q204 (clustering
+  // coefficient); the per-order self-join + distinct is the expensive
+  // part of both, so materialize once per (session, dir) (the
+  // PipelineOps nearDupPairs discipline).
+  private val coPurchaseCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
+    coPurchaseCache.getOrElseUpdate((s, d), {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+      li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey")
+            && col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").cast("long").as("a"),
+          col("y.l_partkey").cast("long").as("b"))
+        .distinct().cache()
+    })
+
+  /** Drop the memoized co-purchase edges (see graft.util.Caches). */
+  private[graft] def clearMemo(): Unit = {
+    coPurchaseCache.values.foreach(_.unpersist(blocking = false))
+    coPurchaseCache.clear()
+  }
+
   /** Wide hourly × event-type count matrix shared by the pivot (q69)
     * and its unpivot inverse (q73) — one definition so the value list
     * and hour format can't drift apart. */
@@ -484,15 +510,10 @@ object Relational {
     // similar degree distribution across scale factors (per-order
     // basket size is SF-invariant), so the same k peels a thin,
     // non-empty fringe everywhere.
-    "q197_kcore" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey"))
-      val edges = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey")
-            && col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      graft.ops.Graph.kCore(edges, k = 60, rounds = 3)
-    }),
+    "q197_kcore" -> ((s, d) =>
+      graft.ops.Graph.kCore(
+        coPurchaseEdges(s, d).select(col("a").as("src"), col("b").as("dst")),
+        k = 60, rounds = 3)),
 
     // q199: Hilbert-curve index of (l_partkey, l_suppkey) at 8 bits
     // per dimension — the strictly-better-locality sibling of q78's
@@ -506,6 +527,28 @@ object Relational {
         col("l_partkey"), col("l_suppkey"), bits = 8, out = "hval")
         .select(col("l_orderkey"), col("l_linenumber"), col("hval"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // q204: local clustering coefficient per node — triangles over
+    // wedges, cc = 2·T(v)/(deg(v)·(deg(v)−1)) — composing q109's
+    // O(m^1.5) oriented triangle kernel with one degree agg over the
+    // q197 co-purchase graph; the per-node density signal beside
+    // global k-core membership.
+    "q204_clustering_coef" -> ((s, d) => {
+      val e = coPurchaseEdges(s, d)
+      val deg = e.select(col("a").as("node"))
+        .unionAll(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val tri = graft.ops.Graph.triangleCounts(e)
+      deg.join(tri, Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+          when(col("deg") >= 2L,
+            round((lit(2) * coalesce(col("n_triangles"), lit(0L))
+                .cast("double")) /
+              (col("deg") * (col("deg") - 1L)).cast("double"), 9))
+            .otherwise(lit(0.0)).as("cc9"))
+        .orderBy(col("node"))
+    }),
 
     // q192: exact join-size prediction from per-key histograms — the
     // self-join fan-out predictor (Σ cnt² over l_partkey) plus the
@@ -567,7 +610,12 @@ object Relational {
        |SELECT node, lbl AS community FROM r$iters ORDER BY node""".stripMargin
   }
 
-  private def pageRankSql(iters: Int): String = {
+  /** The integer-PageRank recurrence CTEs over any `edges` CTE the
+    * caller prepends (exact mirror of
+    * [[graft.ops.Graph.pageRankExact]]); returns the CTE text from
+    * `deg` through `r{iters}` — callers add their own final SELECT.
+    * Shared by q105 (part↔supplier) and q205 (TextRank word graph). */
+  private[queries] def pageRankRecurrenceCtes(iters: Int): String = {
     def step(prev: String, cur: String): String =
       s"""$cur AS (
          |  SELECT d.node, d.outdeg,
@@ -580,11 +628,7 @@ object Relational {
          |             FROM edges e JOIN $prev r ON r.node = e.src GROUP BY 1) c
          |    ON c.node = d.node)""".stripMargin
     val steps = (1 to iters).map(i => step(s"r${i - 1}", s"r$i")).mkString(",\n")
-    s"""WITH edges AS (
-       |  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src,
-       |                  1000000 + CAST(l_suppkey AS BIGINT) AS dst FROM lineitem
-       |),
-       |deg AS (
+    s"""deg AS (
        |  SELECT n.node, count(e.src) AS outdeg
        |  FROM (SELECT src AS node FROM edges UNION SELECT dst FROM edges) n
        |  LEFT JOIN edges e ON e.src = n.node GROUP BY 1
@@ -592,9 +636,16 @@ object Relational {
        |params AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
        |r0 AS (SELECT node, outdeg,
        |       1000000000000 // (SELECT n FROM params) AS pr FROM deg),
-       |$steps
-       |SELECT node, CAST(pr AS BIGINT) AS rank_ppt FROM r$iters ORDER BY node""".stripMargin
+       |$steps""".stripMargin
   }
+
+  private def pageRankSql(iters: Int): String =
+    s"""WITH edges AS (
+       |  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src,
+       |                  1000000 + CAST(l_suppkey AS BIGINT) AS dst FROM lineitem
+       |),
+       |${pageRankRecurrenceCtes(iters)}
+       |SELECT node, CAST(pr AS BIGINT) AS rank_ppt FROM r$iters ORDER BY node""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q105_pagerank" -> pageRankSql(3),
@@ -856,6 +907,33 @@ object Relational {
     "q176_bfs_landmark" -> bfsSql(3),
     "q185_sssp" -> ssspSql(3),
     "q197_kcore" -> kCoreSql(60, 3),
+
+    // q204: triangles as ordered triples u<v<w (each counted once),
+    // per-node counts via unnest, the same fixed 2·T/(deg·(deg−1))
+    // double parenthesization.
+    "q204_clustering_coef" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS u,
+        |    CAST(b.l_partkey AS BIGINT) AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+        |  GROUP BY 1),
+        |tri AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS nt FROM (
+        |    SELECT unnest([a.u, a.v, b.v]) AS node
+        |    FROM e0 a
+        |    JOIN e0 b ON b.u = a.v
+        |    JOIN e0 c ON c.u = a.u AND c.v = b.v)
+        |  GROUP BY 1)
+        |SELECT d.node, d.deg, COALESCE(t.nt, 0) AS n_triangles,
+        |  CASE WHEN d.deg >= 2 THEN
+        |    round((2 * CAST(COALESCE(t.nt, 0) AS DOUBLE))
+        |      / CAST(d.deg * (d.deg - 1) AS DOUBLE), 9)
+        |  ELSE 0.0 END AS cc9
+        |FROM deg d LEFT JOIN tri t USING (node) ORDER BY node""".stripMargin,
     "q199_hilbert" -> {
       val (ctes, last, dcol) =
         graft.ops.Hilbert.hilbertSqlCtes("base",

@@ -15,6 +15,7 @@ object Caches {
     graft.queries.TextQueries.clearMemo()
     graft.queries.Clustering.clearMemo()
     graft.queries.PipelineOps.clearMemo()
+    graft.queries.Relational.clearMemo()
     // per-call caches (Dedup shingles/signatures, K-Means inputs) are
     // catalog-level cached plans:
     spark.catalog.clearCache()

@@ -152,4 +152,35 @@ class BehaviorSpec extends AnyFunSuite {
     assert(rows.length == 1 && rows.head.getLong(0) == 0L &&
       rows.head.getLong(2) == 3L)
   }
+
+  test("kaplanMeier: textbook curve — risk sets, flat censor steps, exact lnS") {
+    // durations: 1(event), 2(censored), 3(event×2), 4(censored)
+    val subj = Seq(("g", 1L, true), ("g", 2L, false), ("g", 3L, true),
+      ("g", 3L, true), ("g", 4L, false)).toDF("g", "t", "ev")
+    val got = Behavior.kaplanMeier(subj, "g", "t", "ev")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    def ln9(x: Double): Long =
+      BigDecimal(math.log(x)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .*(BigDecimal(1000000000L)).toLongExact
+    def surv(lnS9: Long): Double =
+      BigDecimal(math.exp(lnS9.toDouble / 1e9))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s1 = ln9(4.0 / 5.0)
+    val s3 = s1 + ln9(1.0 / 3.0)
+    assert(got.toSeq == Seq(
+      (1L, 5L, 1L, 0L, s1, surv(s1)),
+      (2L, 4L, 0L, 1L, s1, surv(s1)), // censoring keeps the curve flat
+      (3L, 3L, 2L, 0L, s3, surv(s3)),
+      (4L, 1L, 0L, 1L, s3, surv(s3))))
+  }
+
+  test("kaplanMeier: exhausted risk set → survival exactly 0; all-censored → 1") {
+    val dieOut = Seq(("a", 1L, true), ("a", 2L, true)).toDF("g", "t", "ev")
+    val d = Behavior.kaplanMeier(dieOut, "g", "t", "ev").collect()
+    assert(d.last.getDouble(6) == 0.0, "d = n_risk drives S to exact zero")
+    val cens = Seq(("b", 5L, false), ("b", 9L, false)).toDF("g", "t", "ev")
+    val c = Behavior.kaplanMeier(cens, "g", "t", "ev").collect()
+    assert(c.forall(_.getDouble(6) == 1.0), "censoring alone never drops S")
+  }
 }

@@ -39,7 +39,8 @@ class PlanLintSpec extends AnyFunSuite {
   private val scalarBroadcast = Set("q156_kl_divergence",
     "q160_value_histogram", "q162_association_rules",
     "q164_length_curriculum", "q166_rolling_active_users",
-    "q172_decision_stump", "q184_calibration", "q192_join_cardinality")
+    "q172_decision_stump", "q184_calibration", "q192_join_cardinality",
+    "q203_kaplan_meier")
 
   test("no cartesian/nested-loop join in any non-baseline query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
