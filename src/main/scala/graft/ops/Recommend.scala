@@ -84,4 +84,75 @@ object Recommend {
         col("deg_n"), col("cosine9"), col("rk"))
       .orderBy(col("item"), col("rk"))
   }
+
+  /** END-TO-END recommender holdout evaluation — the temporal
+    * leave-last-NOVEL-out protocol: each user's held-out test item is
+    * the one whose FIRST interaction is latest (predicting the next
+    * new thing, the only honest target when users re-touch most of
+    * the catalog), train is everything strictly earlier, similarities
+    * come from [[itemItemCosine]] over train only, and a user's
+    * recommendations are the top-`k` unseen items by
+    * score(u, j) = Σ_{i ∈ train(u)} sim(i, j) over each train item's
+    * top-`simTopN` neighbor list.
+    *
+    * Determinism: scores sum the SCALED-LONG cosine9 (already
+    * 9-decimal by construction, so ×10⁹ is exact) — a float sum here
+    * would be partition-order dependent; ranking is
+    * (score DESC, item ASC). Scale: every stage is a keyed shuffle;
+    * the candidate fan-out is |train(u)|·simTopN per user, bounded by
+    * the same `maxUserItems` cap the similarity build uses.
+    *
+    * @return ONE row: (n_users, n_hits, hit_rate9) — users evaluated
+    *         (non-empty train after the split), users whose test item
+    *         landed in their top-`k`, and the ratio. */
+  def holdoutHitRate(df: DataFrame, userCol: String, itemCol: String,
+                     orderCol: String, tieCol: String,
+                     maxUserItems: Int, simTopN: Int, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val inter = df.select(col(userCol).cast("long").as("u"),
+        col(itemCol).cast("long").as("item"),
+        col(orderCol).cast("long").as("ord"), col(tieCol).cast("long").as("tie"))
+      .filter(col("u").isNotNull && col("item").isNotNull)
+    // first interaction per (user, item); test = the latest first
+    val firsts = inter.groupBy(col("u"), col("item"))
+      .agg(min(struct(col("ord"), col("tie"))).as("f"))
+      .select(col("u"), col("item"), col("f.ord").as("ord"),
+        col("f.tie").as("tie"))
+    val test = firsts
+      .withColumn("rn", row_number().over(Window.partitionBy(col("u"))
+        .orderBy(col("ord").desc, col("tie").desc)))
+      .filter(col("rn") === 1)
+      .select(col("u"), col("item").as("test_item"),
+        col("ord").as("t_ord"), col("tie").as("t_tie"))
+    val train = inter.join(test, Seq("u"))
+      .filter(col("ord") < col("t_ord")
+        || (col("ord") === col("t_ord") && col("tie") < col("t_tie")))
+      .select(col("u"), col("item")).distinct()
+    val sim = itemItemCosine(train, "u", "item", maxUserItems, simTopN)
+      .select(col("item"), col("neighbor"),
+        graft.util.Exact.scaled(col("cosine9"), 9).as("sim9"))
+    // candidate scores: every train item contributes its neighbor list;
+    // items the user already touched are excluded from candidacy
+    val cand = train.join(sim, Seq("item"))
+      .groupBy(col("u"), col("neighbor").as("cand"))
+      .agg(sum(col("sim9")).as("score9"))
+      .join(train.select(col("u"), col("item").as("cand"), lit(1).as("seen")),
+        Seq("u", "cand"), "left")
+      .filter(col("seen").isNull)
+    val top = cand
+      .withColumn("rk", row_number().over(Window.partitionBy(col("u"))
+        .orderBy(col("score9").desc, col("cand"))))
+      .filter(col("rk") <= k)
+    val evaluated = train.select(col("u")).distinct()
+    val hits = test.join(
+      top.select(col("u").as("tu"), col("cand")),
+      col("u") === col("tu") && col("test_item") === col("cand"),
+      "left_semi")
+    evaluated.agg(count(lit(1)).as("n_users"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .select(col("n_users"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_users").cast("double"),
+          9).as("hit_rate9"))
+  }
 }

@@ -929,6 +929,17 @@ object EventQueries {
         maxUserItems = 60, topN = 5)
     }),
 
+    // q206: end-to-end recommender holdout — temporal
+    // leave-last-NOVEL-out split, item-item CF scores over train only
+    // (scaled-long sim sums, never float accumulation), hit@5.
+    "q206_rec_holdout" -> ((s, d) => {
+      val inter = Tables.events(s, d).select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      graft.ops.Recommend.holdoutHitRate(inter, "user_id", "item",
+        "us", "event_id", maxUserItems = 60, simTopN = 10, k = 5)
+    }),
+
     // q203: Kaplan–Meier survival per weekly cohort — censoring-aware
     // churn: duration = hours between a user's first and last event,
     // observed iff the user went quiet ≥ 3 days before the corpus
@@ -1643,6 +1654,83 @@ object EventQueries {
         |      ORDER BY cosine9 DESC, co DESC, neighbor) AS BIGINT) AS rk
         |  FROM scored)
         |WHERE rk <= 5 ORDER BY item, rk""".stripMargin,
+
+    // q206: the full chain — novel-item split, q193's capped CF over
+    // train, Exact.scaled sim sums, (score DESC, cand) top-5, semi-join
+    // hits.
+    "q206_rec_holdout" ->
+      """WITH inter AS (
+        |  SELECT user_id AS u,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS item,
+        |    epoch_us(ts) AS ord, event_id AS tie
+        |  FROM events
+        |  WHERE user_id IS NOT NULL
+        |    AND json_extract(props, '$.k') IS NOT NULL),
+        |firsts AS (
+        |  SELECT u, item, ord, tie FROM (
+        |    SELECT u, item, ord, tie,
+        |      row_number() OVER (PARTITION BY u, item ORDER BY ord, tie)
+        |        AS rn
+        |    FROM inter) WHERE rn = 1),
+        |test AS (
+        |  SELECT u, item AS test_item, ord AS t_ord, tie AS t_tie FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY u
+        |      ORDER BY ord DESC, tie DESC) AS rn
+        |    FROM firsts) WHERE rn = 1),
+        |train AS (
+        |  SELECT DISTINCT i.u, i.item
+        |  FROM inter i JOIN test t ON t.u = i.u
+        |  WHERE i.ord < t.t_ord
+        |    OR (i.ord = t.t_ord AND i.tie < t.t_tie)),
+        |kept AS (
+        |  SELECT u, item FROM train
+        |  WHERE u IN (SELECT u FROM train GROUP BY u
+        |              HAVING count(*) <= 60)),
+        |deg AS (SELECT item, CAST(count(*) AS BIGINT) AS deg
+        |        FROM kept GROUP BY 1),
+        |co AS (
+        |  SELECT a.item AS ia, b.item AS ib, CAST(count(*) AS BIGINT) AS co
+        |  FROM kept a JOIN kept b ON a.u = b.u AND a.item < b.item
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT ia AS item, ib AS neighbor, co FROM co
+        |        UNION ALL SELECT ib AS item, ia AS neighbor, co FROM co),
+        |scored AS (
+        |  SELECT s.item, s.neighbor, s.co,
+        |    round(CAST(s.co AS DOUBLE)
+        |      / sqrt(CAST(di.deg * dn.deg AS DOUBLE)), 9) AS cosine9
+        |  FROM sym s
+        |  JOIN deg di ON di.item = s.item
+        |  JOIN deg dn ON dn.item = s.neighbor),
+        |sim AS (
+        |  SELECT item, neighbor,
+        |    CAST(round(cosine9 * 1000000000) AS BIGINT) AS sim9
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY item
+        |      ORDER BY cosine9 DESC, co DESC, neighbor) AS rk
+        |    FROM scored)
+        |  WHERE rk <= 10),
+        |cand AS (
+        |  SELECT tr.u, s.neighbor AS cand, CAST(sum(s.sim9) AS BIGINT)
+        |    AS score9
+        |  FROM train tr JOIN sim s ON s.item = tr.item
+        |  GROUP BY 1, 2),
+        |cand2 AS (
+        |  SELECT c.u, c.cand, c.score9 FROM cand c
+        |  LEFT JOIN train t2 ON t2.u = c.u AND t2.item = c.cand
+        |  WHERE t2.item IS NULL),
+        |topk AS (
+        |  SELECT u, cand FROM (
+        |    SELECT u, cand, row_number() OVER (PARTITION BY u
+        |      ORDER BY score9 DESC, cand) AS rk
+        |    FROM cand2) WHERE rk <= 5),
+        |ev AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_users
+        |       FROM train),
+        |h AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+        |      FROM test t JOIN topk ON topk.u = t.u
+        |        AND topk.cand = t.test_item)
+        |SELECT ev.n_users, h.n_hits,
+        |  round(CAST(h.n_hits AS DOUBLE) / CAST(ev.n_users AS DOUBLE), 9)
+        |    AS hit_rate9
+        |FROM ev, h""".stripMargin,
 
     // q203: identical Monday-week cohorts, risk sets from keyed running
     // sums, the q146 round-9 ln scaling per factor, and one

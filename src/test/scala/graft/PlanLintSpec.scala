@@ -40,7 +40,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q160_value_histogram", "q162_association_rules",
     "q164_length_curriculum", "q166_rolling_active_users",
     "q172_decision_stump", "q184_calibration", "q192_join_cardinality",
-    "q203_kaplan_meier")
+    "q203_kaplan_meier", "q206_rec_holdout")
 
   test("no cartesian/nested-loop join in any non-baseline query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -39,6 +39,45 @@ class RecommendSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("holdoutHitRate: hand-traced split, scoring, and hit decision") {
+    // u1 history: 1,2 then NOVEL 3 last → test_item 3, train {1,2}
+    // u2 history: 1,2,3 → test 3, train {1,2}
+    // u3 history: 2,3,1 → test 1, train {2,3}
+    // sims on train: u1{1,2}, u2{1,2}, u3{2,3}:
+    //   deg 1→2, 2→3, 3→1; co (1,2)=2, (2,3)=1
+    //   cos(1,2)=2/√6≈.8165, cos(2,3)=1/√3≈.5774
+    // u1 candidates: nbrs of 1 → {2 seen}; nbrs of 2 → {1 seen, 3: .5774}
+    //   → top: 3 → HIT. u2 identical → HIT.
+    // u3 candidates: nbrs of 2 → {1: .8165, 3 seen}; nbrs of 3 → {2 seen}
+    //   → top: 1 → HIT. 3/3.
+    val rows = Seq(
+      (1L, 1L, 1L, 1L), (1L, 2L, 2L, 2L), (1L, 3L, 3L, 3L),
+      (2L, 1L, 1L, 4L), (2L, 2L, 2L, 5L), (2L, 3L, 3L, 6L),
+      (3L, 2L, 1L, 7L), (3L, 3L, 2L, 8L), (3L, 1L, 3L, 9L))
+      .toDF("u", "i", "t", "e")
+    val r = Recommend.holdoutHitRate(rows, "u", "i", "t", "e",
+      maxUserItems = 10, simTopN = 5, k = 2).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L && r.getDouble(2) == 1.0)
+  }
+
+  test("holdoutHitRate: a user can also miss; repeat touches aren't novel") {
+    // u1: 1,2,3 (test 3, train {1,2}); u2: 3,1,3 → firsts: 3@1, 1@2 →
+    // test 1, train {3}; u3: 1,3,1 → test 3, train {1}
+    // sims over train {u1:{1,2}, u2:{3}, u3:{1}}: only pair (1,2) co=1,
+    //   deg 1→2, 2→1 (u2/u3 singles add deg to 3 and 1)
+    // u1: nbrs of 1→{2 seen}, nbrs of 2→{1 seen} → no candidates → MISS
+    // u2: item 3 has no neighbors → MISS; u3: nbrs of 1 → {2: cos} →
+    //   top [2], test 3 → MISS. 0/3 hits.
+    val rows = Seq(
+      (1L, 1L, 1L, 1L), (1L, 2L, 2L, 2L), (1L, 3L, 3L, 3L),
+      (2L, 3L, 1L, 4L), (2L, 1L, 2L, 5L), (2L, 3L, 3L, 6L),
+      (3L, 1L, 1L, 7L), (3L, 3L, 2L, 8L), (3L, 1L, 3L, 9L))
+      .toDF("u", "i", "t", "e")
+    val r = Recommend.holdoutHitRate(rows, "u", "i", "t", "e",
+      maxUserItems = 10, simTopN = 5, k = 2).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 0L && r.getDouble(2) == 0.0)
+  }
+
   test("itemItemCosine: no pairs → empty result, not an error") {
     // every user touches a single item — nothing to pair
     val got = Recommend.itemItemCosine(
