@@ -66,4 +66,41 @@ object Skew {
     val s = small.withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
     b.join(s, on :+ "_salt", joinType).drop("_salt")
   }
+
+  /** HYBRID skew join (PACT/Hive "skewjoin" lineage; the classic
+    * frequency-partitioned hash join): route the HEAVY keys — those
+    * holding ≥ `heavyThreshold` probe rows — through a broadcast hash
+    * join, and everything else through the ordinary shuffle join, then
+    * union. Where [[saltedJoin]] spreads a hot key over `salts`
+    * reducers but still replicates the WHOLE small side `salts`×, the
+    * hybrid moves only the heavy slice of the dimension driver-side:
+    * at 100 TB a handful of mega-keys (the null-ish defaults, the bot
+    * user, the top domain) dominate the shuffle; broadcasting just
+    * their dimension rows removes them from the exchange entirely and
+    * the residual shuffle is near-uniform.
+    *
+    * Plan shape: one partial-agg key-count shuffle over the big side
+    * (map-side combined, output = distinct keys), a broadcast semi/
+    * anti split of both inputs by heaviness (the heavy-key frame is
+    * O(#heavy) by construction — that is the broadcast invariant), a
+    * BroadcastHashJoin for the heavy slice and a shuffle join for the
+    * light slice. Result ≡ plain inner join for ANY threshold (each
+    * input row lands in exactly one slice; keys don't cross slices),
+    * which is what the q208 oracle checks.
+    *
+    * @param heavyThreshold big-side row count at and above which a key
+    *                       is routed to the broadcast path. */
+  def hybridJoin(big: DataFrame, small: DataFrame, on: Seq[String],
+                 heavyThreshold: Long): DataFrame = {
+    require(heavyThreshold >= 1)
+    val heavyKeys = big.groupBy(on.map(col): _*)
+      .agg(count(lit(1)).as("_kc"))
+      .filter(col("_kc") >= heavyThreshold)
+      .select(on.map(col): _*)
+    val heavy = big.join(broadcast(heavyKeys), on, "left_semi")
+      .join(broadcast(small.join(broadcast(heavyKeys), on, "left_semi")), on)
+    val light = big.join(broadcast(heavyKeys), on, "left_anti")
+      .join(small, on)
+    heavy.unionByName(light)
+  }
 }

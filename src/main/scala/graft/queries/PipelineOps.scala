@@ -129,6 +129,18 @@ object PipelineOps {
       dedupComponents(s, d).orderBy(col("doc_id"))
     }),
 
+    // Same pairs→groups problem solved by the web-scale algorithm:
+    // alternating large-star/small-star contraction (Kiveris SoCC'14),
+    // O(log² n) rounds on ANY topology where q52's min-label BSP pays
+    // O(diameter). Identical output contract ⇒ shares q52's
+    // transitive-closure oracle; the algorithmic equivalence is also
+    // pinned against union-find in GraphSpec.
+    "q207_cc_stars" -> ((s, d) => {
+      graft.ops.Graph.connectedComponentsStars(
+          nearDupPairs(s, d).select(col("id_a").as("src"), col("id_b").as("dst")))
+        .orderBy(col("doc_id"))
+    }),
+
     // Benchmark decontamination: training docs overlapping a probe
     // (stand-in benchmark = every 20th doc) by ≥3 distinct shingles.
     "q53_decontaminate" -> ((s, d) => {
@@ -1787,6 +1799,9 @@ object PipelineOps {
         |  END AS pct_rank
         |FROM r ORDER BY doc_id""".stripMargin,
     "q52_dedup_groups" -> DedupGroupsSql,
+    // q207: different algorithm (star contraction), same fixpoint —
+    // components are unique, so the oracle is q52's closure verbatim.
+    "q207_cc_stars" -> DedupGroupsSql,
     // Mirrors TextAnalysis.withLangId exactly: lowercased sliding
     // bigrams (n−1 windows; <2-char docs score 0 everywhere → 'de' by
     // the lang tie-break, same as the Scala sort), profile hits

@@ -464,6 +464,25 @@ object Relational {
         .orderBy(col("node"))
     }),
 
+    // HYBRID skew join: keys with ≥30 lineitem rows go through a
+    // broadcast hash join of just their part rows, the light residue
+    // through the ordinary shuffle join — the frequency-partitioned
+    // complement to q67's salting (which replicates the WHOLE dim
+    // `salts`×). Threshold 30 ≈ the sf0.01 median key frequency, so
+    // BOTH paths carry real rows here; the result provably equals the
+    // plain join, which is exactly what the oracle computes.
+    "q208_hybrid_skew_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_extendedprice"))
+      val pt = Tables.part(s, d)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      graft.ops.Skew.hybridJoin(li, pt, Seq("l_partkey"), heavyThreshold = 30L)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_cents"))
+        .orderBy(col("p_brand"))
+    }),
+
     // Hierarchical rollup (beyond the reference — no grouping sets
     // exist there; Catalyst's Expand covers them natively). Subtotal
     // rows keyed 'ALL' so ordering/compare is null-free.
@@ -649,6 +668,13 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q105_pagerank" -> pageRankSql(3),
+    // q208: the hybrid split is an implementation detail — the oracle
+    // is the PLAIN join it must equal at any threshold.
+    "q208_hybrid_skew_join" ->
+      """SELECT p_brand, count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q168_label_propagation" -> lpaSql(3),
     "q78_zorder" -> {
       val z = graft.ops.ZOrder.zValueSql(

@@ -75,4 +75,30 @@ class AqeSkewSpec extends AnyFunSuite {
         s"expected a skew-split join in the adaptive plan:\n$plan")
     }
   }
+
+  test("hybridJoin equals the plain join and routes heavy keys to broadcast") {
+    import spark.implicits._
+    // key 1 is the mega-key (500 rows); 2..50 hold 1-6 rows each
+    val big = ((1 to 500).map(i => (1L, i.toLong)) ++
+      (2L to 50L).flatMap(k => (0L until k % 7).map(i => (k, i))))
+      .toDF("key", "payload")
+    val small = (1L to 60L).map(k => (k, s"dim_$k")).toDF("key", "attr")
+    val hybrid = graft.ops.Skew.hybridJoin(big, small, Seq("key"), heavyThreshold = 10L)
+    val plain = big.join(small, Seq("key"))
+    val h = hybrid.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq
+    val p = plain.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq
+    assert(h == p)
+    // plan: one broadcast join (heavy slice) + one non-broadcast join
+    val plan = hybrid.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast path:\n$plan")
+    // equality must hold at degenerate thresholds too (all-heavy /
+    // all-light routing)
+    for (t <- Seq(1L, 1000000L)) {
+      val g = graft.ops.Skew.hybridJoin(big, small, Seq("key"), t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+      assert(g == p, s"threshold $t diverged")
+    }
+  }
 }

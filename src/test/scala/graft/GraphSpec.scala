@@ -208,4 +208,52 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
+
+  private def starsCC(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.connectedComponentsStars(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** in-memory union-find ground truth */
+  private def ufCC(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.filter(e => e._1 != e._2).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e._1, e._2)).distinct
+    // path-compress to the true min root
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  test("stars CC: long path converges well under the diameter bound") {
+    // a 40-node path has diameter 39; star contraction needs O(log²)
+    val path = (1L until 40L).map(i => (i, i + 1))
+    assert(starsCC(path) == (1L to 40L).map(_ -> 1L).toMap)
+  }
+
+  test("stars CC: two components + messy edges match union-find") {
+    val edges = Seq((5L, 9L), (9L, 2L), (2L, 5L), (5L, 5L), (9L, 5L),
+      (20L, 30L), (30L, 40L))
+    assert(starsCC(edges) == ufCC(edges))
+    assert(starsCC(edges)(40L) == 20L)
+  }
+
+  test("stars CC: seeded random graphs equal union-find AND dedupGroups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val edges = Seq.fill(400)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(e => e._1 != e._2)
+    val stars = starsCC(edges)
+    assert(stars == ufCC(edges))
+    val bsp = graft.ops.Dedup.dedupGroups(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stars == bsp)
+  }
 }
