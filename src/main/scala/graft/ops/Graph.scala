@@ -93,6 +93,74 @@ object Graph {
     ranks.select(col("node"), col("rank"))
   }
 
+  /** Exact integer PERSONALIZED PageRank — random walk with restart
+    * to a seed set (Haveliwala's topic-sensitive PageRank, WWW 2002;
+    * the similar-node / related-document primitive a curation
+    * pipeline uses to expand a trusted seed corpus, and the scoring
+    * core of pixie-style recommenders). Identical distributed shape
+    * to [[pageRankExact]] — one rank⋈edge shuffle join + one per-dst
+    * key shuffle per iteration, O(1)-row driver scalars only — but
+    * the teleport and the dangling mass return to the SEEDS instead
+    * of spreading uniformly, so rank concentrates in the seeds'
+    * neighborhood.
+    *
+    * Recurrence (non-negative longs, truncating `div`, s = |seeds|):
+    * {{{
+    *   r0(v)      = 1[v ∈ S] · (scale div s)
+    *   base(v)    = 1[v ∈ S] · (((100-damp) · scale div 100) div s)
+    *   contrib(v) = Σ_{(u,v) ∈ E} rank(u) div outdeg(u)
+    *   dangling   = Σ_{outdeg(u) = 0} rank(u)
+    *   rank'(v)   = base(v) + damp · (contrib(v)
+    *                + 1[v ∈ S] · (dangling div s)) div 100
+    * }}}
+    * All-integer ⇒ order/partitioning-invariant ⇒ the unrolled
+    * recurrence is oracle-checkable (the q105 discipline). Seeds not
+    * present in the edge set simply contribute no mass — the same on
+    * both engines.
+    *
+    * @param seeds restart set, injected as an IN-literal (O(|S|) plan
+    *              size — seeds are a handful of trusted nodes, never
+    *              a table; for table-sized seed sets join a frame
+    *              instead). */
+  def personalizedPageRankExact(edges: DataFrame, seeds: Seq[Long], iters: Int,
+                                scale: Long = 1000000000000L,
+                                damp: Int = 85): DataFrame = {
+    require(seeds.nonEmpty && iters >= 1 && damp >= 0 && damp <= 100)
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .distinct().cache()
+    val deg = e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
+      .distinct()
+      .join(e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg")),
+        Seq("node"), "left")
+      .na.fill(0L, Seq("outdeg"))
+      .cache()
+    val s = seeds.size.toLong
+    val inSeeds = s"node IN (${seeds.mkString(", ")})"
+    val base = ((100 - damp).toLong * scale / 100) / s
+
+    var ranks = deg.withColumn("rank",
+      expr(s"CASE WHEN $inSeeds THEN ${scale / s}L ELSE 0L END"))
+    var persisted: DataFrame = null
+    for (_ <- 1 to iters) {
+      val cur = ranks.cache()
+      val dangShare = cur.where(col("outdeg") === 0)
+        .agg(coalesce(sum(col("rank")), lit(0L))).first().getLong(0) / s
+      if (persisted != null) persisted.unpersist(blocking = false)
+      persisted = cur
+      val contrib = e.join(cur, e("src") === cur("node"))
+        .groupBy(col("dst").as("cnode"))
+        .agg(sum(expr("rank div outdeg")).as("contrib"))
+      ranks = deg.join(contrib, deg("node") === contrib("cnode"), "left")
+        .select(col("node"), col("outdeg"),
+          expr(s"""CASE WHEN $inSeeds THEN ${base}L ELSE 0L END
+                  | + ($damp * (coalesce(contrib, 0L)
+                  |    + CASE WHEN $inSeeds THEN ${dangShare}L ELSE 0L END)) div 100"""
+            .stripMargin.replace("\n", " ")).as("rank"))
+    }
+    ranks.select(col("node"), col("rank"))
+  }
+
   /** Per-node triangle counts over an UNDIRECTED graph — the local
     * clustering / spam-farm signal next to PageRank's authority.
     *

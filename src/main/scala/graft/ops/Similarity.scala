@@ -344,4 +344,64 @@ object Similarity {
           .as("cos9"))
       .orderBy(col("label"))
   }
+
+  /** k-CENTER GREEDY (Gonzalez 1985 farthest-point traversal) — the
+    * coreset/diverse-subset selector active-learning and data-pruning
+    * pipelines use (Sener & Savarese ICLR'18's core-set approach):
+    * pick the min-id point, then k−1 times the point FARTHEST from
+    * everything selected so far. The greedy is a 2-approximation of
+    * the optimal k-center cover — the principled "spread"
+    * counterweight to similarity-driven pruning like [[semDedup]].
+    *
+    * Distances run on SQ8 integer codes ([[Quantize.sq8]] — the q68
+    * cross-engine-pinned quantization) through the codegen
+    * [[graft.functions.CodeSqDist]] kernel: all-long, exact, so the
+    * argmax (tie → min id) is deterministic and the whole trace is
+    * oracle-replayable.
+    *
+    * Scale: each round is ONE narrow scan computing
+    * mind := least(mind, d²(·, new center)) — the classic O(n·k)
+    * farthest-point sweep, never a pairwise matrix — plus an
+    * O(1)-row TakeOrdered argmax; the new center's d-int code vector
+    * is the only driver state (codebook-sized, the [[Quantize]]
+    * invariant).
+    *
+    * @return (sel_rank, vec_id, d2) — d2 = the selected point's min
+    *         squared code-distance to the previously-selected set
+    *         (0 for the seed); the k-center radius trace. */
+  def kCenterGreedy(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1)
+    import graft.functions.VectorFunctions.codeSqDist
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cb = Quantize.codebook(df, vecCol)
+    val codes = Quantize.sq8(df, idCol, vecCol, cb)
+      .select(col(idCol).cast("long").as("id"), col("codes")).cache()
+    val seedRow = codes.orderBy(col("id")).limit(1).collect().head
+    def codeLit(r: org.apache.spark.sql.Row): Column =
+      typedlit(r.getSeq[Int](1))
+    val sel = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    sel += ((1L, seedRow.getLong(0), 0L))
+    var state = codes
+      .withColumn("mind", codeSqDist(col("codes"), codeLit(seedRow)))
+      .cache()
+    for (r <- 2 to k) {
+      val far = state.filter(!col("id").isInCollection(sel.map(_._2)))
+        .orderBy(col("mind").desc, col("id")).limit(1)
+        .select(col("id"), col("codes"), col("mind"))
+        .collect().head
+      sel += ((r.toLong, far.getLong(0), far.getLong(2)))
+      val prev = state
+      state = state
+        .withColumn("mind",
+          least(col("mind"), codeSqDist(col("codes"), codeLit(far))))
+        .cache()
+      state.count() // materialize before dropping the superseded round
+      prev.unpersist(blocking = false)
+    }
+    state.unpersist(blocking = false)
+    codes.unpersist(blocking = false)
+    sel.toSeq.toDF("sel_rank", "vec_id", "d2")
+  }
 }

@@ -771,4 +771,61 @@ object TextAnalysis {
     if (persisted != null) persisted.unpersist(blocking = false)
     sel.toSeq.toDF("sel_rank", "id", "gain")
   }
+
+  /** Interpolated KNESER–NEY smoothed bigram LM (Kneser & Ney 1995;
+    * Chen & Goodman 1999's interpolated form) — the n-gram LM that
+    * CCNet/Wikipedia-filter pipelines actually train for perplexity
+    * scoring, upgrading [[perplexityScore]]'s add-one smoothing with
+    * the continuation-probability backoff that makes low-count
+    * bigrams behave ("Francisco" is frequent but only ever follows
+    * "San" — its unseen-context probability must be tiny):
+    * {{{
+    *   P(w2|w1) = max(c(w1w2) − D, 0)/c(w1) + λ(w1)·P_cont(w2)
+    *   λ(w1)    = D·N1+(w1•)/c(w1)        (mass discounted from w1)
+    *   P_cont   = N1+(•w2)/N1+(••)        (distinct-context frequency)
+    * }}}
+    * With the classic D = 0.75 = 3/4 every term is an exact rational:
+    * {{{
+    *   num = B·max(4c₁₂ − 3, 0) + 3·t₁·l₂      den = 4·c₁·B
+    * }}}
+    * (t₁ = continuation types after w1, l₂ = left contexts of w2,
+    * B = distinct bigram types). Both engines evaluate ONE IEEE
+    * division of identical integers, so the probabilities hash-match;
+    * Σ_{w2∈V} P(w2|w1) = 1 exactly in the rationals (unseen bigrams
+    * carry num = 3·t₁·l₂), pinned in IngestOpsSpec.
+    *
+    * Scale: the same narrow bigram explode as [[perplexityScore]],
+    * three partial-agg key shuffles (w1w2 grid, w1 stats, w2
+    * contexts), B as an O(1) driver literal. No vocabulary-sized
+    * state anywhere near the driver.
+    *
+    * @return (w1, w2, c12, p_num, p_den, p_kn) for bigrams with
+    *         c12 ≥ minCount. */
+  def kneserNeyBigrams(df: DataFrame, idCol: String, textCol: String,
+                       minCount: Long = 5): DataFrame = {
+    val withArr = df.select(col(idCol).as("doc"), toks(col(textCol)).as("arr"))
+    val bi = withArr.where(size(col("arr")) >= 2)
+      .select(explode(expr("sequence(1, size(arr) - 1)")).as("i"), col("arr"))
+      .select(element_at(col("arr"), col("i")).as("w1"),
+        element_at(col("arr"), col("i") + 1).as("w2"))
+      .cache()
+    val c12 = bi.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12")).cache()
+    val ctx = bi.groupBy(col("w1"))
+      .agg(count(lit(1)).as("c1"), count_distinct(col("w2")).as("t1"))
+    val left = c12.groupBy(col("w2")).agg(count(lit(1)).as("l2"))
+    val b = c12.count() // O(1) scalar → literal (the q105 discipline)
+    val out = c12.filter(col("c12") >= minCount)
+      .join(ctx, Seq("w1"))
+      .join(left, Seq("w2"))
+      .select(col("w1"), col("w2"), col("c12"),
+        (lit(b) * greatest(lit(4) * col("c12") - 3, lit(0L)) +
+          lit(3) * col("t1") * col("l2")).as("p_num"),
+        (lit(4) * col("c1") * lit(b)).as("p_den"))
+      .withColumn("p_kn",
+        col("p_num").cast("double") / col("p_den").cast("double"))
+    // bi/c12 stay cached for the lazy consumers (ctx/left re-read bi);
+    // reclaimed by util.Caches.clearAll like perplexityScore's cache
+    out
+  }
 }

@@ -402,6 +402,16 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Interpolated Kneser–Ney bigram LM (D = 3/4) — the smoothing the
+    // CCNet-style filters actually train; every probability is an
+    // exact integer rational (num/den emitted alongside), so the
+    // cross-engine hash match covers the arithmetic, not a rounding.
+    "q210_kneser_ney" -> ((s, d) => {
+      TextAnalysis.kneserNeyBigrams(Tables.documents(s, d), "doc_id", "text",
+          minCount = 5)
+        .orderBy(col("w1"), col("w2"))
+    }),
+
     // Bigram-LM perplexity scoring (CCNet-style quality filter):
     // add-one-smoothed corpus LM, per-doc mean log-likelihood. ln
     // round-9 per bigram, exact scaled-long mean (partial-sum-order
@@ -978,6 +988,17 @@ object PipelineOps {
         .orderBy(col("vec_id"))
     }),
 
+    // k-center greedy coreset (Gonzalez farthest-point; Sener &
+    // Savarese core-set selection): 8 maximally-spread vectors, the
+    // diversity counterweight to q131's similarity pruning. Distances
+    // on q68's SQ8 integer codes → the greedy trace (argmax, tie →
+    // min id) replays exactly in SQL.
+    "q211_kcenter_coreset" -> ((s, d) => {
+      Similarity.kCenterGreedy(Tables.embeddings(s, d), "vec_id", "embedding",
+          k = 8)
+        .orderBy(col("sel_rank"))
+    }),
+
     // DSIR-style domain selection: hashed-unigram importance weights
     // ln(p_target/p_raw) (target = lang='en' docs), add-one smoothing,
     // ln round-9 per bucket + exact scaled-long doc sums, deterministic
@@ -1271,6 +1292,53 @@ object PipelineOps {
         .orderBy(col("media_id"))
     })
   )
+
+  /** Unrolled Gonzalez farthest-point trace over SQ8 codes (q211).
+    * Round r: dist-to-center-r table d_r, running min m_r, argmax s_r
+    * excluding prior picks — term-for-term Similarity.kCenterGreedy. */
+  private def kCenterSql(k: Int): String = {
+    // MATERIALIZED throughout: m_r references m_{r-1} twice (pick +
+    // merge), so un-materialized CTE inlining would blow up 2^k — the
+    // SQL twin of the lineage-truncation note in connectedComponentsStars.
+    def distCte(name: String, centerSel: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT p.vec_id, CAST(sum((p.code - q.code)*(p.code - q.code)) AS BIGINT) AS d2
+         |  FROM kc_codes p JOIN kc_codes q ON p.i = q.i AND q.vec_id = ($centerSel)
+         |  GROUP BY 1)""".stripMargin
+    val rounds = (2 to k).map { r =>
+      val prevM = if (r == 2) "m1" else s"m${r - 1}"
+      val excl = (1 until r).map(j => s"(SELECT id FROM s$j)").mkString(", ")
+      val d = distCte(s"d$r", s"SELECT id FROM s$r")
+      val pick =
+        s"""s$r AS (
+           |  SELECT vec_id AS id, mind FROM $prevM
+           |  WHERE vec_id NOT IN ($excl)
+           |  ORDER BY mind DESC, vec_id LIMIT 1)""".stripMargin
+      val m =
+        s"""m$r AS MATERIALIZED (
+           |  SELECT p.vec_id, least(p.mind, d.d2) AS mind
+           |  FROM $prevM p JOIN d$r d USING (vec_id))""".stripMargin
+      s"$pick,\n$d,\n$m"
+    }.mkString(",\n")
+    val out = (1 to k).map { r =>
+      val d2 = if (r == 1) "CAST(0 AS BIGINT)" else s"(SELECT CAST(mind AS BIGINT) FROM s$r)"
+      s"SELECT CAST($r AS BIGINT) AS sel_rank, (SELECT id FROM s$r) AS vec_id, $d2 AS d2"
+    }.mkString("\nUNION ALL ")
+    EmbCte +
+      s""", kc_cb AS (SELECT i, min(v) AS lo, max(v) AS hi FROM ex GROUP BY i),
+         |kc_codes AS MATERIALIZED (
+         |  SELECT e.vec_id, e.i,
+         |    CASE WHEN c.hi = c.lo THEN 0
+         |         ELSE CAST(round((e.v - c.lo) * 255.0 / (c.hi - c.lo)) AS BIGINT)
+         |    END AS code
+         |  FROM ex e JOIN kc_cb c ON e.i = c.i),
+         |s1 AS (SELECT min(vec_id) AS id FROM kc_codes),
+         |${distCte("d1", "SELECT id FROM s1")},
+         |m1 AS MATERIALIZED (SELECT vec_id, d2 AS mind FROM d1),
+         |$rounds
+         |$out
+         |ORDER BY sel_rank""".stripMargin
+  }
 
   private val EmbCte =
     """WITH ex AS (
@@ -1847,6 +1915,10 @@ object PipelineOps {
         |    CAST(row_number() OVER (PARTITION BY query_id
         |                            ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
         |  FROM cosd) WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin),
+    // q211: the greedy k-center trace unrolled — round r computes the
+    // running min-distance table m_r and picks its (mind DESC, id)
+    // head among unselected ids; codes/distances are q68's integers.
+    "q211_kcenter_coreset" -> kCenterSql(8),
     "q68_sq8_quantize" -> (EmbCte +
       """, cb AS (
         |  SELECT i, min(v) AS lo, max(v) AS hi FROM ex GROUP BY i
@@ -2093,6 +2165,28 @@ object PipelineOps {
         |    AS features,
         |  CAST(sum(cnt) AS BIGINT) AS n_tokens
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q210: the KN rational replayed over the same bigram extraction —
+    // num = B·max(4c₁₂−3,0) + 3·t₁·l₂, den = 4·c₁·B, one IEEE divide.
+    "q210_kneser_ney" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS arr
+        |           FROM documents),
+        |bi AS (
+        |  SELECT arr[i.x] AS w1, arr[i.x + 1] AS w2
+        |  FROM t, UNNEST(generate_series(1, len(arr) - 1)) AS i(x)
+        |  WHERE len(arr) >= 2),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+        |ctx AS (SELECT w1, count(*) AS c1, count(DISTINCT w2) AS t1
+        |        FROM bi GROUP BY 1),
+        |lft AS (SELECT w2, count(*) AS l2 FROM c12 GROUP BY 1),
+        |b AS (SELECT CAST(count(*) AS BIGINT) AS b FROM c12)
+        |SELECT w1, w2, c12,
+        |  CAST((SELECT b FROM b) * greatest(4*c12 - 3, 0)
+        |       + 3 * t1 * l2 AS BIGINT) AS p_num,
+        |  CAST(4 * c1 * (SELECT b FROM b) AS BIGINT) AS p_den,
+        |  CAST((SELECT b FROM b) * greatest(4*c12 - 3, 0) + 3 * t1 * l2 AS DOUBLE)
+        |    / CAST(4 * c1 * (SELECT b FROM b) AS DOUBLE) AS p_kn
+        |FROM c12 JOIN ctx USING (w1) JOIN lft USING (w2)
+        |WHERE c12 >= 5 ORDER BY w1, w2""".stripMargin,
     // Same recurrence as TextAnalysis.perplexityScore: bigrams via
     // positional element_at (both engines index the same split array),
     // add-one smoothing, ln round-9, exact scaled-long mean.

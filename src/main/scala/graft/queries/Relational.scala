@@ -452,6 +452,21 @@ object Relational {
         .orderBy(col("node"))
     }),
 
+    // q209: personalized PageRank — random walk restarting at three
+    // seed parts; teleport AND dangling mass return to the seeds, so
+    // rank concentrates in their join-neighborhood (seed-corpus
+    // expansion / related-item scoring). Same scaled-long discipline
+    // and graph as q105, so the unrolled recurrence is oracle-exact.
+    "q209_ppr" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d).select(
+        col("l_partkey").as("src"),
+        (lit(1000000L) + col("l_suppkey")).as("dst"))
+      graft.ops.Graph.personalizedPageRankExact(edges,
+          seeds = Seq(1L, 2L, 3L), iters = 3)
+        .select(col("node"), col("rank").as("rank_ppt"))
+        .orderBy(col("node"))
+    }),
+
     // q168: synchronous label-propagation communities (3 rounds,
     // min-label tie-break) over the same part↔supplier graph as q105 —
     // deterministic by construction, so the unrolled recurrence is
@@ -658,6 +673,42 @@ object Relational {
        |$steps""".stripMargin
   }
 
+  /** Unrolled personalized-PageRank recurrence — the q105 CTE shape
+    * with seed-gated teleport/dangling terms and divisor s = |seeds|.
+    * Must mirror Graph.personalizedPageRankExact term for term. */
+  private def pprSql(iters: Int, seeds: Seq[Long]): String = {
+    val s = seeds.size
+    val in = s"IN (${seeds.mkString(", ")})"
+    def step(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT d.node, d.outdeg,
+         |    CASE WHEN d.node $in THEN ((15 * 1000000000000) // 100) // $s
+         |         ELSE 0 END
+         |    + (85 * (COALESCE(c.contrib, 0)
+         |       + CASE WHEN d.node $in THEN
+         |           (SELECT COALESCE(sum(pr), 0) FROM $prev WHERE outdeg = 0) // $s
+         |         ELSE 0 END)) // 100 AS pr
+         |  FROM deg d
+         |  LEFT JOIN (SELECT e.dst AS node, sum(r.pr // r.outdeg) AS contrib
+         |             FROM edges e JOIN $prev r ON r.node = e.src GROUP BY 1) c
+         |    ON c.node = d.node)""".stripMargin
+    val steps = (1 to iters).map(i => step(s"r${i - 1}", s"r$i")).mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src,
+       |                  1000000 + CAST(l_suppkey AS BIGINT) AS dst FROM lineitem
+       |),
+       |deg AS (
+       |  SELECT n.node, count(e.src) AS outdeg
+       |  FROM (SELECT src AS node FROM edges UNION SELECT dst FROM edges) n
+       |  LEFT JOIN edges e ON e.src = n.node GROUP BY 1
+       |),
+       |r0 AS (SELECT node, outdeg,
+       |       CASE WHEN node $in THEN 1000000000000 // $s ELSE 0 END AS pr
+       |       FROM deg),
+       |$steps
+       |SELECT node, CAST(pr AS BIGINT) AS rank_ppt FROM r$iters ORDER BY node""".stripMargin
+  }
+
   private def pageRankSql(iters: Int): String =
     s"""WITH edges AS (
        |  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src,
@@ -668,6 +719,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q105_pagerank" -> pageRankSql(3),
+    "q209_ppr" -> pprSql(3, Seq(1L, 2L, 3L)),
     // q208: the hybrid split is an implementation detail — the oracle
     // is the PLAIN join it must equal at any threshold.
     "q208_hybrid_skew_join" ->

@@ -232,6 +232,51 @@ class GraphSpec extends AnyFunSuite {
     nodes.map(n => n -> find(n)).toMap
   }
 
+  /** PPR recurrence, plain Scala — mirrors personalizedPageRankExact. */
+  private def pprRef(edges: Seq[(Long, Long)], seeds: Seq[Long], iters: Int,
+                     scale: Long = 1000000000000L, damp: Int = 85): Map[Long, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val out = e.groupBy(_._1).map { case (u, es) => u -> es.size.toLong }
+    val s = seeds.size.toLong
+    val seedSet = seeds.toSet
+    val base = ((100 - damp).toLong * scale / 100) / s
+    var r = nodes.map(v => v -> (if (seedSet(v)) scale / s else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val dangShare = nodes.filterNot(out.contains).map(r).sum / s
+      val contrib = e.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => r(u) / out(u) }.sum
+      }
+      r = nodes.map(v => v -> ((if (seedSet(v)) base else 0L) +
+        damp * (contrib.getOrElse(v, 0L) +
+          (if (seedSet(v)) dangShare else 0L)) / 100)).toMap
+    }
+    r
+  }
+
+  test("personalized PageRank matches the reference recurrence") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(60).toLong))
+      .filter(e => e._1 != e._2)
+    for (seeds <- Seq(Seq(1L), Seq(1L, 5L, 9L))) {
+      val got = Graph.personalizedPageRankExact(edges.toDF("src", "dst"), seeds, 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == pprRef(edges, seeds, 3))
+    }
+  }
+
+  test("personalized PageRank concentrates mass at the seed side") {
+    import spark.implicits._
+    // two disjoint stars; restarting at 1 leaves the 10-star unranked
+    val edges = ((2L to 5L).map(v => (1L, v)) ++ (11L to 14L).map(v => (10L, v)))
+    val got = Graph.personalizedPageRankExact(edges.toDF("src", "dst"),
+        Seq(1L), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) > 0L && got(2L) > 0L)
+    assert((10L to 14L).forall(v => got(v) == 0L))
+  }
+
   test("stars CC: long path converges well under the diameter bound") {
     // a 40-node path has diameter 39; star contraction needs O(log²)
     val path = (1L until 40L).map(i => (i, i + 1))

@@ -686,4 +686,64 @@ class SpanRemovalSpec extends AnyFunSuite {
       assert(pruned == exact, s"prefix filter must be lossless at tau=$tau")
     }
   }
+
+  // ---- kCenterGreedy -------------------------------------------------
+
+  test("kCenterGreedy: farthest-point order on a 1-D line, ties to min id") {
+    import spark.implicits._
+    // points on a line at 0, 1, 10, 20 (encoded as 2-dim vectors):
+    // seed = id 1 (min id, at 0); farthest = 20, then 10, then 1
+    val pts = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(10.0f, 0.0f)), (4L, Seq(20.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kCenterGreedy(pts, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((1L, 1L), (2L, 4L), (3L, 3L), (4L, 2L)))
+  }
+
+  test("kCenterGreedy: selected-set min-distances are monotone non-increasing") {
+    val emb = graft.io.Tables.embeddings(spark, TestSession.sf).limit(200)
+    val d2s = Similarity.kCenterGreedy(emb, "vec_id", "embedding", k = 6)
+      .orderBy(col("sel_rank")).collect().map(_.getLong(2)).drop(1)
+    assert(d2s.zip(d2s.tail).forall { case (a, b) => a >= b },
+      s"greedy radii must not increase: ${d2s.toSeq}")
+  }
+
+  // ---- kneserNeyBigrams ----------------------------------------------
+
+  test("kneserNeyBigrams: hand-computed rational on a 3-bigram corpus") {
+    import spark.implicits._
+    // corpus: "a b", "a b", "a c"  →  c(a)=3, t1(a)=2 ({b,c}), B=2,
+    // l2(b)=1, l2(c)=1
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.kneserNeyBigrams(docs, "doc_id", "text", minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // (a,b): num = 2·max(8−3,0) + 3·2·1 = 16, den = 4·3·2 = 24
+    assert(got(("a", "b")) == ((2L, 16L, 24L)))
+    // (a,c): num = 2·max(4−3,0) + 3·2·1 = 8
+    assert(got(("a", "c")) == ((1L, 8L, 24L)))
+  }
+
+  test("kneserNeyBigrams: P(·|w1) sums to exactly 1 over the full vocab") {
+    // Σ_seen num + Σ_unseen 3·t1·l2 must equal den for every context —
+    // the smoothing conserves probability mass exactly in the rationals.
+    val docs = graft.io.Tables.documents(spark, TestSession.sf).limit(40)
+    val seen = TextAnalysis.kneserNeyBigrams(docs, "doc_id", "text", minCount = 1)
+      .collect()
+    val byW1 = seen.groupBy(_.getString(0))
+    // reconstruct l2 over the vocab and t1 per context from the output
+    val l2 = seen.groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    val bTotal = seen.length.toLong
+    byW1.foreach { case (w1, rows) =>
+      val den = rows.head.getLong(4)
+      val t1 = rows.length.toLong
+      val seenNum = rows.map(_.getLong(3)).sum
+      val seenL2 = rows.map(r => l2(r.getString(1))).sum
+      val unseenNum = 3L * t1 * (bTotal - seenL2)
+      assert(seenNum + unseenNum == den,
+        s"mass for context '$w1': ${seenNum + unseenNum} != $den")
+    }
+  }
 }
