@@ -76,6 +76,58 @@ object MlEval {
     * (the q164 path); candidate evaluation is one pass amplified by
     * the FIXED threshold count (explode of a 9-element literal), into
     * one tiny (threshold)-keyed agg. */
+  /** MANN–WHITNEY U rank-sum test statistic (Mann & Whitney 1947;
+    * Wilcoxon 1945) — the nonparametric two-sample location test an
+    * experimentation platform runs when metric distributions are
+    * skewed (where the t-test's mean is meaningless). Doubled-rank
+    * integer arithmetic keeps midpoint tie-ranks exact:
+    *
+    *   2·avgrank(v) = 2·cumBefore(v) + cnt(v) + 1
+    *   2·R₁ = Σ_v n₁(v)·(2·cumBefore(v) + cnt(v) + 1)
+    *   2·U₁ = 2·R₁ − n₁(n₁+1)          2·U₂ = 2·n₁·n₂ − 2·U₁
+    *
+    * so the statistic is an exact integer on any engine (U₁+U₂ =
+    * n₁n₂ is asserted in MlEvalSpec). The group-1 indicator follows
+    * [[aucExact]] — in fact AUC = U₁/(n₁n₂); the two share the
+    * doubled-rank trick.
+    *
+    * Scale: one (value) key shuffle collapses N rows to the distinct-
+    * value grid, then the same two-pass per-partition prefix fold as
+    * [[aucExact]] — no single-partition window, O(P) driver state.
+    *
+    * @param valueCents integer-scaled metric column (exactness needs
+    *                   an integer domain — scale doubles first).
+    * @return one row: (n1, n2, r1_x2, u1_x2, u2_x2). */
+  def mannWhitneyU(df: DataFrame, valueCents: org.apache.spark.sql.Column,
+                   inGroup1: org.apache.spark.sql.Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = df.select(valueCents.cast("long").as("v"),
+        inGroup1.cast("boolean").as("g1"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("g1"), 1L).otherwise(0L)).as("n1"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("v"))
+    val rdd = g.select(col("n1"), col("cnt")).rdd
+      .map(r => (r.getLong(0), r.getLong(1))).cache()
+    val totals = rdd.mapPartitionsWithIndex { (i, it) =>
+      Iterator((i, it.map(_._2).sum))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = totals.scanLeft(0L)(_ + _)
+    val (r1x2, n1, n) = rdd.mapPartitionsWithIndex { (i, it) =>
+      var cum = offsets(i); var r2 = 0L; var c1 = 0L; var ct = 0L
+      it.foreach { case (g1, cnt) =>
+        r2 += g1 * (2L * cum + cnt + 1L); cum += cnt; c1 += g1; ct += cnt
+      }
+      Iterator((r2, c1, ct))
+    }.reduce { case ((a1, b1, c1), (a2, b2, c2)) => (a1 + a2, b1 + b2, c1 + c2) }
+    rdd.unpersist(blocking = false)
+    val n2 = n - n1
+    val u1x2 = r1x2 - n1 * (n1 + 1L)
+    Seq((n1, n2, r1x2, u1x2, 2L * n1 * n2 - u1x2))
+      .toDF("n1", "n2", "r1_x2", "u1_x2", "u2_x2")
+  }
+
   def decisionStump(df: DataFrame, featCol: String, posCol: String,
                     nBins: Int = 10): DataFrame = {
     require(nBins >= 2, "need at least two bins")

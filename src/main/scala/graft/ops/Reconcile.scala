@@ -60,4 +60,55 @@ object Reconcile {
         col("a.xor60") =!= col("b.xor60"))
       .select(col("bucket"), col("a.n_rows").as("n_rows_a"),
         col("b.n_rows").as("n_rows_b"))
+
+  /** FELLEGI–SUNTER probabilistic record linkage scoring (Fellegi &
+    * Sunter JASA 1969 — the model behind Splink/dedupe.io): candidate
+    * pairs from a blocking key get a log-likelihood-ratio match
+    * weight, summed over per-field agreement comparisons:
+    *
+    *   w(pair) = Σ_field  agree ? log2(m/u) : log2((1−m)/(1−u))
+    *
+    * where m = P(agree | match) and u = P(agree | non-match) are
+    * model parameters. Weights enter as INTEGER centi-bits
+    * (round(100·log2(·)) — the fixed-point discipline production
+    * linkers use for exact reproducibility), so the score is an
+    * exact integer sum and the match/possible/non-match decision
+    * boundaries replay cross-engine.
+    *
+    * Scale shape: ONE equi-join on the blocking key — the blocking is
+    * what keeps FS linear-ish (O(Σ block²) bounded by the largest
+    * block, the [[graft.ops.Dedup]] banding argument); comparisons
+    * are narrow codegen scalar exprs; no state anywhere.
+    *
+    * @param pairs   candidate pairs with one boolean `agree_<field>`
+    *                column per comparison ([[blockedPairs]] output).
+    * @param weights (field, agreeCentibits, disagreeCentibits) —
+    *                round(100·log2(m/u)) / round(100·log2((1−m)/(1−u))).
+    */
+  def fsScore(pairs: DataFrame,
+              weights: Seq[(String, Long, Long)]): DataFrame = {
+    val score = weights.map { case (f, wAgree, wDisagree) =>
+      when(col(s"agree_$f"), lit(wAgree)).otherwise(lit(wDisagree))
+    }.reduce(_ + _)
+    pairs.withColumn("fs_score_cb", score)
+  }
+
+  /** Blocked candidate pairs for [[fsScore]]: self-join `df` on
+    * `blockCols` with id_a < id_b (each unordered pair once), one
+    * `agree_<name>` flag per comparison expression pair. */
+  def blockedPairs(df: DataFrame, idCol: String, blockCols: Seq[String],
+                   comparisons: Seq[(String, Column => Column)]): DataFrame = {
+    val a = df.select(col(idCol).as("id_a") +:
+      blockCols.map(col) ++:
+      comparisons.map { case (n, e) => e(col(n)).as(s"cmp_a_$n") }: _*)
+    val b = df.select(col(idCol).as("id_b") +:
+      blockCols.map(c => col(c).as(s"_b_$c")) ++:
+      comparisons.map { case (n, e) => e(col(n)).as(s"cmp_b_$n") }: _*)
+    val cond = blockCols.map(c => a(c) === b(s"_b_$c"))
+      .reduce(_ && _) && (a("id_a") < b("id_b"))
+    a.join(b, cond)
+      .select(col("id_a") +: col("id_b") +: blockCols.map(col) ++:
+        comparisons.map { case (n, _) =>
+          (col(s"cmp_a_$n") === col(s"cmp_b_$n")).as(s"agree_$n") }: _*)
+  }
 }

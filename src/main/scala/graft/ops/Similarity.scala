@@ -345,6 +345,68 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** MMR — MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell &
+    * Goldstein SIGIR'98), the diversity-aware rerank every RAG stack
+    * bolts onto its retriever: greedily pick the candidate maximizing
+    * relevance MINUS its max similarity to what's already picked, so
+    * the result list covers the query's facets instead of repeating
+    * the top hit five ways.
+    *
+    * This is the λ = ½ variant on scaled-long dot products (the
+    * [[graft.functions.DotScaled]] kernel the ANN family pins
+    * cross-engine): score(d) = rel9(d) − maxsim9(d, selected) — both
+    * sides scale by λ, so the ½ cancels and every comparison is an
+    * exact integer (argmax tie → min id ⇒ fully deterministic,
+    * oracle-replayable as an unrolled greedy).
+    *
+    * Scale: relevance is ONE narrow codegen scan + a TakeOrdered
+    * `pool` cut (the production rerank-window pattern — MMR is always
+    * run over a bounded candidate window, not the corpus); the
+    * pool×pool sim matrix is computed distributively and only
+    * O(pool²) scored pairs reach the driver for the O(k·pool) greedy
+    * — bounded by the window, independent of corpus size.
+    *
+    * @return (sel_rank, vec_id, rel9, maxsim9, mmr9) — maxsim9 = 0
+    *         for the first pick by convention (empty selected set). */
+  def mmrRerank(df: DataFrame, idCol: String, vecCol: String,
+                queryId: Long, pool: Int, k: Int): DataFrame = {
+    require(k >= 1 && pool >= k)
+    import graft.functions.VectorFunctions.dotScaled
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qRow = df.filter(col(idCol) === queryId).select(col(vecCol))
+      .collect().head
+    val qLit = typedlit(qRow.getSeq[Float](0))
+    val poolDf = df.filter(col(idCol) =!= queryId)
+      .select(col(idCol).cast("long").as("id"),
+        dotScaled(col(vecCol), qLit).as("rel9"), col(vecCol).as("vec"))
+      .orderBy(col("rel9").desc, col("id")).limit(pool)
+      .cache()
+    val sims = poolDf.select(col("id").as("ida"), col("vec").as("va"))
+      .join(poolDf.select(col("id").as("idb"), col("vec").as("vb")))
+      .filter(col("ida") =!= col("idb"))
+      .select(col("ida"), col("idb"), dotScaled(col("va"), col("vb")).as("sim9"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val cand = poolDf.select(col("id"), col("rel9"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    poolDf.unpersist(blocking = false)
+    val selected = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long)]()
+    val chosen = scala.collection.mutable.LinkedHashSet[Long]()
+    for (r <- 1 to math.min(k, cand.size)) {
+      val best = cand.keysIterator.filterNot(chosen)
+        .map { d =>
+          val ms = if (chosen.isEmpty) 0L
+            else chosen.iterator.map(s => sims((d, s))).max
+          (cand(d) - ms, d, ms)
+        }
+        // argmax score, tie → min id
+        .reduce((a, b) => if (a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)) a else b)
+      selected += ((r.toLong, best._2, cand(best._2), best._3, best._1))
+      chosen += best._2
+    }
+    selected.toSeq.toDF("sel_rank", "vec_id", "rel9", "maxsim9", "mmr9")
+  }
+
   /** k-CENTER GREEDY (Gonzalez 1985 farthest-point traversal) — the
     * coreset/diverse-subset selector active-learning and data-pruning
     * pipelines use (Sener & Savarese ICLR'18's core-set approach):

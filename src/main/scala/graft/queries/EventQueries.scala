@@ -560,6 +560,18 @@ object EventQueries {
         .orderBy(col("event_type"), col("q"))
     }),
 
+    // Mann–Whitney U rank-sum test: click vs purchase value
+    // distributions — the nonparametric A/B location test. Doubled
+    // midpoint tie-ranks on the cents grid keep the statistic an
+    // exact integer (U₁ + U₂ = n₁n₂ by construction).
+    "q214_mann_whitney" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+      graft.ops.MlEval.mannWhitneyU(ev,
+        round(col("value") * 100).cast("long"),
+        col("event_type") === "click")
+    }),
+
     // Robust outlier detection (median absolute deviation): per-type
     // discrete median, MAD = median(|v − med|), outliers beyond
     // 3×MAD — the data-cleaning filter that survives the heavy tails
@@ -1133,6 +1145,28 @@ object EventQueries {
         |  qs[t.gs] AS qv
         |FROM p, UNNEST(generate_series(1, 4)) AS t(gs)
         |ORDER BY event_type, q""".stripMargin,
+    // q214: the doubled-rank recurrence on the distinct-cents grid —
+    // cum = pooled count strictly below v, 2·avgrank = 2·cum+cnt+1.
+    "q214_mann_whitney" ->
+      """WITH f AS (
+        |  SELECT CAST(round(value*100) AS BIGINT) AS v,
+        |         (event_type = 'click') AS g1
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |g AS (SELECT v, sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS n1v,
+        |             count(*) AS cnt
+        |      FROM f GROUP BY v),
+        |w AS (SELECT v, n1v, cnt,
+        |  COALESCE(sum(cnt) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM g),
+        |t AS (SELECT CAST(sum(n1v) AS BIGINT) AS n1,
+        |             CAST(sum(cnt) - sum(n1v) AS BIGINT) AS n2,
+        |             CAST(sum(n1v * (2*cum + cnt + 1)) AS BIGINT) AS r1_x2
+        |      FROM w)
+        |SELECT n1, n2, r1_x2,
+        |  CAST(r1_x2 - n1*(n1+1) AS BIGINT) AS u1_x2,
+        |  CAST(2*n1*n2 - (r1_x2 - n1*(n1+1)) AS BIGINT) AS u2_x2
+        |FROM t""".stripMargin,
     // Discrete medians == GK exact regime (q104); abs/compare IEEE.
     "q114_mad_outliers" ->
       """WITH med AS (

@@ -988,6 +988,16 @@ object PipelineOps {
         .orderBy(col("vec_id"))
     }),
 
+    // MMR diversity rerank (Carbonell & Goldstein λ=½): vector 0 is
+    // the query, top-20 dot-product pool, greedy pick-5 maximizing
+    // rel − max-sim-to-selected — all scaled-long integers, so the
+    // greedy trace (ties → min id) replays exactly in SQL.
+    "q212_mmr_rerank" -> ((s, d) => {
+      Similarity.mmrRerank(Tables.embeddings(s, d), "vec_id", "embedding",
+          queryId = 0L, pool = 20, k = 5)
+        .orderBy(col("sel_rank"))
+    }),
+
     // k-center greedy coreset (Gonzalez farthest-point; Sener &
     // Savarese core-set selection): 8 maximally-spread vectors, the
     // diversity counterweight to q131's similarity pruning. Distances
@@ -1292,6 +1302,58 @@ object PipelineOps {
         .orderBy(col("media_id"))
     })
   )
+
+  /** Unrolled MMR greedy (q212): rel/sim as the DotScaled rational
+    * (Σ round(a·b·1e9)), pool cut, then per-round pick s_r = argmax
+    * (rel9 − maxsim9) over unselected and maxsim merge m_r — mirrors
+    * Similarity.mmrRerank. MATERIALIZED for the same 2^k-inlining
+    * reason as kCenterSql. */
+  private def mmrSql(queryId: Long, pool: Int, k: Int): String = {
+    val rounds = (2 to k).map { r =>
+      val prevM = s"m${r - 1}"
+      val excl = (1 until r).map(j => s"(SELECT id FROM s$j)").mkString(", ")
+      s"""s$r AS (
+         |  SELECT vec_id AS id, rel9, maxsim FROM $prevM
+         |  WHERE vec_id NOT IN ($excl)
+         |  ORDER BY rel9 - maxsim DESC, vec_id LIMIT 1),
+         |m$r AS MATERIALIZED (
+         |  SELECT m.vec_id, m.rel9, greatest(m.maxsim, s.sim9) AS maxsim
+         |  FROM $prevM m JOIN sim s
+         |    ON s.ida = m.vec_id AND s.idb = (SELECT id FROM s$r))""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k).map { r =>
+      val (ms, sc) =
+        if (r == 1) ("CAST(0 AS BIGINT)", "(SELECT rel9 FROM s1)")
+        else (s"(SELECT maxsim FROM s$r)", s"(SELECT rel9 - maxsim FROM s$r)")
+      s"SELECT CAST($r AS BIGINT) AS sel_rank, (SELECT id FROM s$r) AS vec_id, " +
+        s"(SELECT rel9 FROM s$r) AS rel9, $ms AS maxsim9, $sc AS mmr9"
+    }.mkString("\nUNION ALL ")
+    EmbCte +
+      s""", qv AS (SELECT i, v FROM ex WHERE vec_id = $queryId),
+         |rel AS MATERIALIZED (
+         |  SELECT e.vec_id,
+         |    CAST(sum(CAST(round(e.v * q.v * 1000000000) AS BIGINT)) AS BIGINT) AS rel9
+         |  FROM ex e JOIN qv q USING (i)
+         |  WHERE e.vec_id <> $queryId GROUP BY 1),
+         |pool AS MATERIALIZED (
+         |  SELECT vec_id, rel9 FROM rel ORDER BY rel9 DESC, vec_id LIMIT $pool),
+         |pex AS MATERIALIZED (
+         |  SELECT e.vec_id, e.i, e.v FROM ex e JOIN pool p USING (vec_id)),
+         |sim AS MATERIALIZED (
+         |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+         |    CAST(sum(CAST(round(a.v * b.v * 1000000000) AS BIGINT)) AS BIGINT) AS sim9
+         |  FROM pex a JOIN pex b ON a.i = b.i AND a.vec_id <> b.vec_id
+         |  GROUP BY 1, 2),
+         |s1 AS (SELECT vec_id AS id, rel9 FROM pool
+         |       ORDER BY rel9 DESC, vec_id LIMIT 1),
+         |m1 AS MATERIALIZED (
+         |  SELECT p.vec_id, p.rel9, s.sim9 AS maxsim
+         |  FROM pool p JOIN sim s
+         |    ON s.ida = p.vec_id AND s.idb = (SELECT id FROM s1)),
+         |$rounds
+         |$out
+         |ORDER BY sel_rank""".stripMargin
+  }
 
   /** Unrolled Gonzalez farthest-point trace over SQ8 codes (q211).
     * Round r: dist-to-center-r table d_r, running min m_r, argmax s_r
@@ -1915,6 +1977,7 @@ object PipelineOps {
         |    CAST(row_number() OVER (PARTITION BY query_id
         |                            ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
         |  FROM cosd) WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin),
+    "q212_mmr_rerank" -> mmrSql(0L, 20, 5),
     // q211: the greedy k-center trace unrolled — round r computes the
     // running min-distance table m_r and picks its (mind DESC, id)
     // head among unselected ids; codes/distances are q68's integers.

@@ -479,6 +479,25 @@ object Relational {
         .orderBy(col("node"))
     }),
 
+    // Fellegi–Sunter probabilistic record linkage over customers:
+    // block on (nation, segment), compare name-suffix and acctbal
+    // band, score = Σ integer centi-bit log-likelihood weights
+    // (m=.95/u=.01 → +340/−10 for name; m=.9/u=.2 → +220/−35 for
+    // balance band) — the Splink-style fixed-point FS model, exact.
+    "q213_fs_linkage" -> ((s, d) => {
+      val pairs = graft.ops.Reconcile.blockedPairs(
+        Tables.customer(s, d), "c_custkey",
+        blockCols = Seq("c_nationkey", "c_mktsegment"),
+        comparisons = Seq(
+          "c_name" -> (c => substring(c, -2, 2)),
+          "c_acctbal" -> (c => floor(c / 1000))))
+      graft.ops.Reconcile.fsScore(pairs,
+          weights = Seq(("c_name", 340L, -10L), ("c_acctbal", 220L, -35L)))
+        .select(col("id_a"), col("id_b"), col("agree_c_name"),
+          col("agree_c_acctbal"), col("fs_score_cb"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // HYBRID skew join: keys with ≥30 lineitem rows go through a
     // broadcast hash join of just their part rows, the light residue
     // through the ordinary shuffle join — the frequency-partitioned
@@ -720,6 +739,21 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q105_pagerank" -> pageRankSql(3),
     "q209_ppr" -> pprSql(3, Seq(1L, 2L, 3L)),
+    // q213: FS comparisons and centi-bit weights replayed literally.
+    "q213_fs_linkage" ->
+      """WITH p AS (
+        |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |    (substr(a.c_name, -2) = substr(b.c_name, -2)) AS agree_c_name,
+        |    (floor(a.c_acctbal/1000) = floor(b.c_acctbal/1000)) AS agree_c_acctbal
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey
+        |   AND a.c_mktsegment = b.c_mktsegment
+        |   AND a.c_custkey < b.c_custkey)
+        |SELECT id_a, id_b, agree_c_name, agree_c_acctbal,
+        |  CAST(CASE WHEN agree_c_name THEN 340 ELSE -10 END
+        |     + CASE WHEN agree_c_acctbal THEN 220 ELSE -35 END AS BIGINT)
+        |    AS fs_score_cb
+        |FROM p ORDER BY id_a, id_b""".stripMargin,
     // q208: the hybrid split is an implementation detail — the oracle
     // is the PLAIN join it must equal at any threshold.
     "q208_hybrid_skew_join" ->

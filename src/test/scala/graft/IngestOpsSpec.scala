@@ -687,6 +687,47 @@ class SpanRemovalSpec extends AnyFunSuite {
     }
   }
 
+  // ---- mmrRerank -----------------------------------------------------
+
+  test("mmrRerank: diversity beats redundancy on a hand-built pool") {
+    import spark.implicits._
+    // query q=(1,0); a≈b are near-duplicates close to q; c is a
+    // distinct facet. rel: a=.60 b=.59 c=.50 → plain top-2 = (a, b);
+    // MMR scores at round 2: b = .59−sim(b,a)=.59−.365=.225,
+    // c = .50−sim(c,a)=.50−.22=.28 → the redundancy penalty swaps
+    // b for c at rank 2.
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f)),          // query
+      (1L, Seq(0.6f, 0.1f)),          // a
+      (2L, Seq(0.59f, 0.11f)),        // b ≈ a
+      (3L, Seq(0.5f, -0.8f)))         // c: different direction
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(rows, "vec_id", "embedding",
+        queryId = 0L, pool = 3, k = 2)
+      .orderBy(col("sel_rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 3L)))
+  }
+
+  test("mmrRerank: rank-1 equals the plain relevance argmax on real data") {
+    import graft.functions.VectorFunctions.dotScaled
+    val emb = graft.io.Tables.embeddings(spark, TestSession.sf)
+    val out = Similarity.mmrRerank(emb, "vec_id", "embedding",
+        queryId = 0L, pool = 10, k = 3)
+      .orderBy(col("sel_rank")).collect()
+    val qv = emb.filter(col("vec_id") === 0L).select(col("embedding"))
+      .collect().head.getSeq[Float](0)
+    val top = emb.filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"), dotScaled(col("embedding"), typedlit(qv)).as("rel9"))
+      .orderBy(col("rel9").desc, col("vec_id")).limit(1)
+      .collect().head
+    assert(out(0).getLong(1) == top.getLong(0))
+    assert(out(0).getLong(2) == top.getLong(1))
+    // mmr9 scores are non-increasing is NOT guaranteed, but each row's
+    // mmr9 must equal rel9 − maxsim9 by construction
+    out.foreach(r => assert(r.getLong(4) == r.getLong(2) - r.getLong(3)))
+  }
+
   // ---- kCenterGreedy -------------------------------------------------
 
   test("kCenterGreedy: farthest-point order on a 1-D line, ties to min id") {

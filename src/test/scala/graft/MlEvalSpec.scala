@@ -168,4 +168,28 @@ class MlEvalSpec extends AnyFunSuite {
     // the planted slope is 1000 per unit x
     assert(math.abs(a.getDouble(6) - 1000.0) < 1e-6)
   }
+
+  import org.apache.spark.sql.functions.{col, round}
+
+  test("mannWhitneyU: hand-computed doubled ranks with ties") {
+    // group1 = {1,2,2}, group2 = {2,3}: tied block of three 2s gets
+    // avg rank 3 → 2·R1 = 2 + 6 + 6 = 14, 2·U1 = 14 − 12 = 2
+    val df = Seq((1L, true), (2L, true), (2L, true), (2L, false), (3L, false))
+      .toDF("v", "g1")
+    val r = MlEval.mannWhitneyU(df, col("v"), col("g1")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((3L, 2L, 14L, 2L, 10L)))
+  }
+
+  test("mannWhitneyU: U1 + U2 == n1·n2 and partition invariance on real data") {
+    val ev = graft.io.Tables.events(spark, TestSession.sf)
+      .filter(col("event_type").isin("click", "view"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      MlEval.mannWhitneyU(d, round(col("value") * 100).cast("long"),
+        col("event_type") === "click").collect().head
+    val a = run(ev)
+    assert(a.getLong(3) + a.getLong(4) == 2L * a.getLong(0) * a.getLong(1))
+    val b = run(ev.repartition(17))
+    assert(a == b)
+  }
 }
