@@ -348,6 +348,42 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Directed shingle-CONTAINMENT pairs (Broder 1997's containment
+    * coefficient |A∩B|/|A|) — the asymmetric dedup relation Jaccard
+    * structurally misses: a tweet-sized doc pasted inside a long
+    * article has tiny Jaccard (union is huge) but containment ≈ 1.
+    * Pretraining dedup wants exactly this direction — drop the
+    * contained fragment, keep the superset document.
+    *
+    * Same candidate plan as [[exactJaccardPairs]] (shingle-hash equi
+    * join — only pairs sharing ≥1 shingle are scored, the grid
+    * shuffle bound), then each unordered candidate fans into its two
+    * directed rows via a narrow union, scored against the CONTAINED
+    * side's set size only. Output: (id_a, id_b, inter, n_a,
+    * containment) where containment = inter/n_a ≥ tau — read "A is
+    * (mostly) inside B".
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       tau: Double, shingleN: Int = 3): DataFrame = {
+    val sh = withShingles(df, textCol, shingleN)
+      .select(col(idCol).as("id"), explode(col("shingles")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("shingle"))
+      .cache()
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("ia"), col("b.id").as("ib"))
+      .agg(count(lit(1)).as("inter"))
+    val directed = inter.select(col("ia").as("id_a"), col("ib").as("id_b"), col("inter"))
+      .unionByName(inter.select(col("ib").as("id_a"), col("ia").as("id_b"), col("inter")))
+    directed
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "n" -> "n_a")), "id_a")
+      .withColumn("containment",
+        col("inter").cast("double") / col("n_a").cast("double"))
+      .filter(col("containment") >= tau)
+      .select(col("id_a"), col("id_b"), col("inter"), col("n_a"), col("containment"))
+  }
+
   /** Exact-threshold Jaccard join via PREFIX FILTERING (SSJoin /
     * PPJoin family, Chaudhuri et al. ICDE 2006) — the non-quadratic
     * scale path that returns EXACTLY [[exactJaccardPairs]]'s output.

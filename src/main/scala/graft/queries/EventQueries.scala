@@ -504,6 +504,19 @@ object EventQueries {
         .orderBy(col("event_id"))
     }),
 
+    // EXACT distinct users per type through the chunked-bitmap UDAF
+    // (Roaring pattern): partials are bitmaps riding the normal
+    // partial-agg path — no Expand, no raw-key de-dup shuffle — and
+    // the popcount equals COUNT(DISTINCT) exactly, hence the shared
+    // oracle. The exact sibling of q65's HLL estimate.
+    "q215_bitmap_distinct" -> ((s, d) => {
+      val bd = udaf(new graft.functions.BitmapDistinctAggregator,
+        org.apache.spark.sql.Encoders.scalaLong)
+      Tables.events(s, d).groupBy(col("event_type"))
+        .agg(bd(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"))
+    }),
+
     // Mergeable HLL distinct sketches: per-shard partials unioned to
     // per-type estimates (the pre-aggregated-rollup pattern for
     // COUNT DISTINCT at scale). Sketch bytes aren't cross-engine —
@@ -558,6 +571,28 @@ object EventQueries {
         .select(col("event_type"),
           element_at(qsArr, col("idx") + 1).as("q"), col("qv"))
         .orderBy(col("event_type"), col("q"))
+    }),
+
+    // Classical seasonal decomposition, hour-of-day profile: per
+    // (type, hour 0–23) mean vs the type's overall mean — the
+    // additive seasonal index monitoring dashboards overlay on
+    // traffic metrics. Exact cents sums; the only doubles are final
+    // int/int divisions and one subtraction of those two results —
+    // all IEEE-deterministic cross-engine.
+    "q217_seasonal_decompose" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        hour(col("ts")).as("hod"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val byHour = ev.groupBy(col("event_type"), col("hod"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      val byType = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_t"), sum(col("cents")).as("sum_t"))
+      byHour.join(byType, "event_type")
+        .select(col("event_type"), col("hod"), col("n"),
+          (col("sum_cents").cast("double") / col("n")).as("hour_mean_cents"),
+          ((col("sum_cents").cast("double") / col("n")) -
+            (col("sum_t").cast("double") / col("n_t"))).as("seasonal_cents"))
+        .orderBy(col("event_type"), col("hod"))
     }),
 
     // Mann–Whitney U rank-sum test: click vs purchase value
@@ -1145,6 +1180,27 @@ object EventQueries {
         |  qs[t.gs] AS qv
         |FROM p, UNNEST(generate_series(1, 4)) AS t(gs)
         |ORDER BY event_type, q""".stripMargin,
+    "q217_seasonal_decompose" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(hour(ts) AS INTEGER) AS hod,
+        |         CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events),
+        |h AS (SELECT event_type, hod, count(*) AS n,
+        |             CAST(sum(cents) AS BIGINT) AS sum_cents
+        |      FROM e GROUP BY 1, 2),
+        |t AS (SELECT event_type, count(*) AS n_t,
+        |             CAST(sum(cents) AS BIGINT) AS sum_t
+        |      FROM e GROUP BY 1)
+        |SELECT h.event_type, h.hod, h.n,
+        |  CAST(h.sum_cents AS DOUBLE)/h.n AS hour_mean_cents,
+        |  CAST(h.sum_cents AS DOUBLE)/h.n - CAST(t.sum_t AS DOUBLE)/t.n_t
+        |    AS seasonal_cents
+        |FROM h JOIN t USING (event_type)
+        |ORDER BY event_type, hod""".stripMargin,
+    "q215_bitmap_distinct" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q214: the doubled-rank recurrence on the distinct-cents grid —
     // cum = pooled count strictly below v, 2·avgrank = 2·cum+cnt+1.
     "q214_mann_whitney" ->

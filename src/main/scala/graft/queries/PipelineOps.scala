@@ -141,6 +141,16 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Directed containment dedup (Broder containment |A∩B|/|A| ≥ .8):
+    // the asymmetric fragment-inside-superset relation Jaccard misses
+    // — same shingle-equi-join candidates as q27, scored against the
+    // contained side only, each pair fanned to its two directions.
+    "q216_containment_dedup" -> ((s, d) => {
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+          tau = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Benchmark decontamination: training docs overlapping a probe
     // (stand-in benchmark = every 20th doc) by ≥3 distinct shingles.
     "q53_decontaminate" -> ((s, d) => {
@@ -1683,6 +1693,21 @@ object PipelineOps {
 
   private val NgramJaccardSql = ngramJaccardSqlAt("0.5")
 
+  // q216: the same candidate grid, scored per DIRECTION against the
+  // contained side's size.
+  private val ContainmentSql =
+    "WITH " + NgramPairsCtes +
+      """,
+        |dir AS (
+        |  SELECT id_a, id_b, inter FROM inter
+        |  UNION ALL SELECT id_b, id_a, inter FROM inter)
+        |SELECT d.id_a, d.id_b, CAST(d.inter AS BIGINT) AS inter,
+        |  CAST(sa.n AS BIGINT) AS n_a,
+        |  CAST(d.inter AS DOUBLE)/CAST(sa.n AS DOUBLE) AS containment
+        |FROM dir d JOIN sizes sa ON sa.doc_id = d.id_a
+        |WHERE CAST(d.inter AS DOUBLE)/CAST(sa.n AS DOUBLE) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin
+
   // Dedup groups oracle: transitive closure (recursive CTE) over the
   // exact pair list, component representative = min reachable id.
   private val DedupGroupsSql =
@@ -1928,6 +1953,7 @@ object PipelineOps {
         |       ELSE round(CAST(rank - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE), 9)
         |  END AS pct_rank
         |FROM r ORDER BY doc_id""".stripMargin,
+    "q216_containment_dedup" -> ContainmentSql,
     "q52_dedup_groups" -> DedupGroupsSql,
     // q207: different algorithm (star contraction), same fixpoint —
     // components are unique, so the oracle is q52's closure verbatim.

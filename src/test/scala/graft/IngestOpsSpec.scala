@@ -687,6 +687,29 @@ class SpanRemovalSpec extends AnyFunSuite {
     }
   }
 
+  // ---- containmentPairs ----------------------------------------------
+
+  test("containmentPairs: fragment-in-superset found where Jaccard misses") {
+    import spark.implicits._
+    val frag = "alpha beta gamma delta epsilon"          // 3 shingles
+    val filler = (1 to 40).map(i => s"w$i").mkString(" ") // 38+ shingles
+    val docs = Seq(
+      (1L, frag),
+      (2L, s"$frag $filler"),   // superset: frag fully contained
+      (3L, "zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Dedup.containmentPairs(docs, "doc_id", "text", tau = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    // direction 1→2 passes at containment 1.0; the reverse direction
+    // (superset contained in fragment) must NOT
+    assert(got.count(t => t._1 == 1L && t._2 == 2L && t._3 == 1.0) == 1)
+    assert(!got.exists(t => t._1 == 2L && t._2 == 1L))
+    // and plain Jaccard at the same tau sees nothing
+    val jac = graft.ops.Dedup.exactJaccardPairs(docs, "doc_id", "text",
+      threshold = 0.8).count()
+    assert(jac == 0L)
+  }
+
   // ---- mmrRerank -----------------------------------------------------
 
   test("mmrRerank: diversity beats redundancy on a hand-built pool") {

@@ -133,4 +133,30 @@ class SketchesSpec extends AnyFunSuite {
     val kept = got.map(_._1).toSet
     assert(heavy.subsetOf(kept), s"missing heavy hitters: ${heavy -- kept}")
   }
+
+  test("bitmapDistinct: equals count(distinct) across chunk boundaries") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    // ids straddle several 64Ki chunks, with duplicates
+    val ids = Seq.fill(5000)(rnd.nextInt(300000).toLong) ++
+      Seq(0L, 65535L, 65536L, 131071L, 131072L)
+    val bd = udaf(new graft.functions.BitmapDistinctAggregator,
+      org.apache.spark.sql.Encoders.scalaLong)
+    val got = ids.toDF("id").repartition(7)
+      .agg(bd(col("id")).as("n")).collect().head.getLong(0)
+    assert(got == ids.distinct.size.toLong)
+  }
+
+  test("bitmapDistinct: grouped result is partitioning-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(2000)((rnd.nextInt(4).toString, rnd.nextInt(100000).toLong))
+    val bd = udaf(new graft.functions.BitmapDistinctAggregator,
+      org.apache.spark.sql.Encoders.scalaLong)
+    def run(p: Int) = rows.toDF("g", "id").repartition(p)
+      .groupBy(col("g")).agg(bd(col("id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = rows.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size.toLong).toMap
+    assert(run(1) == want && run(13) == want)
+  }
 }
