@@ -161,6 +161,67 @@ object Graph {
     ranks.select(col("node"), col("rank"))
   }
 
+  /** HITS hubs & authorities (Kleinberg JACM 1999) — the OTHER
+    * classic link-analysis fixpoint next to PageRank: authorities are
+    * pointed at by good hubs, hubs point at good authorities. On a
+    * buyer→product or crawler→host bipartite graph the two scores
+    * separate the "curators" from the "canon" — a signal pair corpus
+    * triage uses where PageRank conflates them.
+    *
+    * Exact-integer variant (the q105/q209 discipline): each half-step
+    * is a transpose-join accumulation followed by SUM-normalization
+    * to parts-per-`scale` using truncating division —
+    * {{{
+    *   a_t(v) = Σ_{(u,v)∈E} h_{t-1}(u);   a_t ← a_t·scale div Σa_t
+    *   h_t(u) = Σ_{(u,v)∈E} a_t(v);       h_t ← h_t·scale div Σh_t
+    * }}}
+    * — all long ops, order/partition-invariant, so the unrolled
+    * recurrence replays in SQL. (Classic HITS L2-normalizes; any
+    * positive rescale preserves the ranking fixpoint, and L1 keeps
+    * the integers exact.)
+    *
+    * Scale shape per iteration: two shuffle joins (edges ⋈ scores) +
+    * two key shuffles for the per-node sums; the normalizer Σ is an
+    * O(1)-row aggregate injected as a literal. Same cache hygiene as
+    * [[pageRankExact]].
+    *
+    * @return (node, hub, auth) in parts-per-`scale`. */
+  def hitsExact(edges: DataFrame, iters: Int,
+                scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1)
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .distinct().cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    var hubs = nodes.withColumn("h", lit(1L)).cache()
+    var auths: DataFrame = null
+    var persisted: Seq[DataFrame] = Seq(hubs)
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(hubs, e("src") === hubs("node"))
+        .groupBy(e("dst").as("anode")).agg(sum(col("h")).as("a"))
+      val aSum = aRaw.agg(coalesce(sum(col("a")), lit(0L))).first().getLong(0)
+      val aN = nodes.join(aRaw, nodes("node") === aRaw("anode"), "left")
+        .select(col("node"),
+          expr(s"coalesce(a, 0L) * ${scale}L div ${math.max(aSum, 1L)}L").as("a"))
+        .cache()
+      val hRaw = e.join(aN, e("dst") === aN("node"))
+        .groupBy(e("src").as("hnode")).agg(sum(col("a")).as("hs"))
+      val hSum = hRaw.agg(coalesce(sum(col("hs")), lit(0L))).first().getLong(0)
+      val hN = nodes.join(hRaw, nodes("node") === hRaw("hnode"), "left")
+        .select(col("node"),
+          expr(s"coalesce(hs, 0L) * ${scale}L div ${math.max(hSum, 1L)}L").as("h"))
+        .cache()
+      persisted.foreach(_.unpersist(blocking = false))
+      persisted = Seq(aN, hN)
+      auths = aN
+      hubs = hN
+    }
+    val out = hubs.join(auths.withColumnRenamed("a", "auth"), Seq("node"))
+      .select(col("node"), col("h").as("hub"), col("auth"))
+    out
+  }
+
   /** Per-node triangle counts over an UNDIRECTED graph — the local
     * clustering / spam-farm signal next to PageRank's authority.
     *

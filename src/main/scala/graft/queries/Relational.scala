@@ -467,6 +467,18 @@ object Relational {
         .orderBy(col("node"))
     }),
 
+    // q218: HITS hubs/authorities (Kleinberg) on the q105 graph —
+    // parts act as hubs, suppliers as authorities. Sum-normalized
+    // integer half-steps (any positive rescale preserves the HITS
+    // ranking; L1 keeps it exact), unrolled for the oracle.
+    "q218_hits" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d).select(
+        col("l_partkey").as("src"),
+        (lit(1000000L) + col("l_suppkey")).as("dst"))
+      graft.ops.Graph.hitsExact(edges, iters = 2)
+        .orderBy(col("node"))
+    }),
+
     // q168: synchronous label-propagation communities (3 rounds,
     // min-label tie-break) over the same part↔supplier graph as q105 —
     // deterministic by construction, so the unrolled recurrence is
@@ -728,6 +740,37 @@ object Relational {
        |SELECT node, CAST(pr AS BIGINT) AS rank_ppt FROM r$iters ORDER BY node""".stripMargin
   }
 
+  /** Unrolled HITS (q218): alternating transpose-accumulate +
+    * L1-normalize half-steps, term-for-term Graph.hitsExact. */
+  private def hitsSql(iters: Int, scale: Long = 1000000L): String = {
+    def half(cur: String, prev: String, fromCol: String, toCol: String,
+             valIn: String, valOut: String): String =
+      s"""${cur}r AS (
+         |  SELECT e.$toCol AS node, sum(p.$valIn) AS s
+         |  FROM edges e JOIN $prev p ON p.node = e.$fromCol GROUP BY 1),
+         |$cur AS (
+         |  SELECT n.node,
+         |    COALESCE(r.s, 0) * $scale
+         |      // greatest((SELECT COALESCE(sum(s), 0) FROM ${cur}r), 1) AS $valOut
+         |  FROM nodes n LEFT JOIN ${cur}r r ON r.node = n.node)""".stripMargin
+    val steps = (1 to iters).map { t =>
+      val hPrev = if (t == 1) "h0" else s"h${t - 1}"
+      half(s"a$t", hPrev, "src", "dst", "h", "a") + ",\n" +
+        half(s"h$t", s"a$t", "dst", "src", "a", "h")
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src,
+       |                  1000000 + CAST(l_suppkey AS BIGINT) AS dst FROM lineitem
+       |),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |h0 AS (SELECT node, 1 AS h FROM nodes),
+       |$steps
+       |SELECT n.node, CAST(h.h AS BIGINT) AS hub, CAST(a.a AS BIGINT) AS auth
+       |FROM nodes n JOIN h$iters h ON h.node = n.node
+       |JOIN a$iters a ON a.node = n.node
+       |ORDER BY n.node""".stripMargin
+  }
+
   private def pageRankSql(iters: Int): String =
     s"""WITH edges AS (
        |  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src,
@@ -739,6 +782,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q105_pagerank" -> pageRankSql(3),
     "q209_ppr" -> pprSql(3, Seq(1L, 2L, 3L)),
+    "q218_hits" -> hitsSql(2),
     // q213: FS comparisons and centi-bit weights replayed literally.
     "q213_fs_linkage" ->
       """WITH p AS (

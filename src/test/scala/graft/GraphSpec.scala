@@ -232,6 +232,40 @@ class GraphSpec extends AnyFunSuite {
     nodes.map(n => n -> find(n)).toMap
   }
 
+  /** HITS recurrence, plain Scala — mirrors hitsExact. */
+  private def hitsRef(edges: Seq[(Long, Long)], iters: Int,
+                      scale: Long = 1000000L): Map[Long, (Long, Long)] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    var h = nodes.map(_ -> 1L).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to iters) {
+      val aRaw = e.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(x => h(x._1)).sum }
+      val aSum = math.max(aRaw.values.sum, 1L)
+      a = nodes.map(v => v -> aRaw.getOrElse(v, 0L) * scale / aSum).toMap
+      val hRaw = e.groupBy(_._1).map { case (u, es) =>
+        u -> es.map(x => a(x._2)).sum }
+      val hSum = math.max(hRaw.values.sum, 1L)
+      h = nodes.map(v => v -> hRaw.getOrElse(v, 0L) * scale / hSum).toMap
+    }
+    nodes.map(v => v -> ((h(v), a(v)))).toMap
+  }
+
+  test("HITS matches the reference recurrence; bipartite roles separate") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val edges = Seq.fill(250)((rnd.nextInt(30).toLong, 100L + rnd.nextInt(40)))
+      .filter(e => e._1 != e._2)
+    val got = Graph.hitsExact(edges.toDF("src", "dst"), 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == hitsRef(edges, 2))
+    // bipartite: sources get hub mass and zero authority; sinks the reverse
+    val (srcs, dsts) = (edges.map(_._1).distinct, edges.map(_._2).distinct)
+    assert(srcs.forall(v => got(v)._2 == 0L) && dsts.forall(v => got(v)._1 == 0L))
+    assert(srcs.map(got(_)._1).sum > 0L && dsts.map(got(_)._2).sum > 0L)
+  }
+
   /** PPR recurrence, plain Scala — mirrors personalizedPageRankExact. */
   private def pprRef(edges: Seq[(Long, Long)], seeds: Seq[Long], iters: Int,
                      scale: Long = 1000000000000L, damp: Int = 85): Map[Long, Long] = {
