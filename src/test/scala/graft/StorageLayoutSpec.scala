@@ -62,4 +62,34 @@ class StorageLayoutSpec extends AnyFunSuite {
       .filter(col("l_returnflag") === "R").count()
     assert(pruned.count() == expect)
   }
+
+  test("dynamic partition pruning: a dim filter prunes the fact scan at runtime") {
+    // The 100 TB star-join workhorse: the filter lives on the DIM
+    // side, so static pruning can't help — DPP turns the dim's
+    // matched keys into a runtime IN-subquery on the fact's
+    // partition column. Fact = lineitem partitioned by returnflag;
+    // dim = a 3-row flag table filtered to one description.
+    val dir = java.nio.file.Files.createTempDirectory("dpp").toString
+    graft.io.Tables.lineitem(spark, TestSession.sf)
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+    import spark.implicits._
+    // the dim must be a REAL scan: a literal Seq folds to a
+    // LocalRelation at optimization time and PartitionPruning then
+    // sees no selective predicate to propagate
+    val dimDir = java.nio.file.Files.createTempDirectory("dpp_dim").toString
+    Seq(("R", "returned"), ("A", "ack"), ("N", "none"))
+      .toDF("flag", "descr").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val q = spark.read.parquet(dir)
+      .join(dim.filter(col("descr") === "returned"),
+        col("l_returnflag") === col("flag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("q"))
+    val n = q.collect().head.getLong(0)
+    val expect = graft.io.Tables.lineitem(spark, TestSession.sf)
+      .filter(col("l_returnflag") === "R").count()
+    assert(n == expect)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamicpruning subquery on the fact scan:\n$plan")
+  }
 }
