@@ -128,6 +128,35 @@ object MlEval {
       .toDF("n1", "n2", "r1_x2", "u1_x2", "u2_x2")
   }
 
+  /** Exact per-group lower WEIGHTED median — the robust center for
+    * weighted populations (revenue-weighted price, token-weighted doc
+    * stat) where the unweighted median ([[graft.queries]] q104/q114
+    * family) answers the wrong question. Definition: the smallest
+    * value v whose cumulative weight reaches half the total,
+    * 2·cumw(v) ≥ totw — all-integer comparisons, so the boundary is
+    * engine-exact.
+    *
+    * Scale: one (key, value) partial-agg shuffle collapses rows to
+    * the per-key value GRID, and the windows run over that grid (per
+    * key, bounded by value cardinality) — never over raw rows.
+    *
+    * @return (key, wmedian_cents, tot_weight). */
+  def weightedMedian(df: DataFrame, keyCol: String,
+                     valueCents: org.apache.spark.sql.Column,
+                     weight: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.select(col(keyCol).as("k"), valueCents.cast("long").as("v"),
+        weight.cast("long").as("w"))
+      .groupBy(col("k"), col("v")).agg(sum(col("w")).as("wv"))
+    val cum = g.withColumn("cum",
+        sum(col("wv")).over(Window.partitionBy(col("k")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("wv")).over(Window.partitionBy(col("k"))))
+    cum.filter(lit(2) * col("cum") >= col("tot"))
+      .groupBy(col("k").as(keyCol))
+      .agg(min(col("v")).as("wmedian_cents"), max(col("tot")).as("tot_weight"))
+  }
+
   def decisionStump(df: DataFrame, featCol: String, posCol: String,
                     nBins: Int = 10): DataFrame = {
     require(nBins >= 2, "need at least two bins")

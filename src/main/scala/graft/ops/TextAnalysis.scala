@@ -201,6 +201,40 @@ object TextAnalysis {
       .agg(count(lit(1)).as("doc_freq"),
         sort_array(collect_list(col(idCol))).as("postings"))
 
+  /** Positional PHRASE search — exact adjacent-term matching over a
+    * positional posting list, the classic "quoted query" the
+    * bag-of-words index ([[invertedIndex]]/[[bm25]]) cannot answer:
+    * a doc matches iff phrase term i appears at position p+i for some
+    * anchor p. This is how Lucene/ES evaluate phrase queries
+    * (positions intersect with offset), expressed as relational
+    * equi joins: tokenize with positions once, KEEP ONLY the phrase's
+    * terms (the selective filter that makes the plan linear in the
+    * phrase terms' postings, not the corpus), anchor on term 0, then
+    * one (id, position−i) equi join per remaining term. All joins are
+    * shuffle-hash on (id, p) — no windows, no per-doc quadratics.
+    *
+    * @return (id, n_occurrences, first_pos) per matching doc —
+    *         positions are 0-based token offsets. */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+                   phrase: String): DataFrame = {
+    val words = phrase.trim.split("\\s+").toSeq
+    require(words.length >= 2, "phraseSearch needs a multi-word phrase")
+    val pos = df
+      .select(col(idCol).as("id"), posexplode(toks(col(textCol))).as(Seq("p", "term")))
+      .filter(col("term").isin(words: _*))
+      .cache()
+    val anchors = words.zipWithIndex.tail.foldLeft(
+      pos.filter(col("term") === words.head).select(col("id"), col("p"))) {
+      case (acc, (w, i)) =>
+        acc.join(pos.filter(col("term") === w)
+            .select(col("id").as("_id"), (col("p") - i).as("_p")),
+          col("id") === col("_id") && col("p") === col("_p"))
+          .select(col("id"), col("p"))
+    }
+    anchors.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_occurrences"), min(col("p")).as("first_pos"))
+  }
+
   /** Fixed-size overlapping character chunks — the RAG/embedding
     * pre-processing step (split each document into `chunkSize`-char
     * windows advancing by `stride`, so consecutive chunks share

@@ -288,6 +288,17 @@ object PipelineOps {
         .orderBy(col("term"))
     }),
 
+    // Positional phrase search ("quoted query"): docs where the terms
+    // of "table value" are ADJACENT — the positions-with-offset
+    // intersection a bag-of-words index can't answer; plan = selective
+    // term filter + one (id, p−i) equi join per extra term.
+    "q219_phrase_search" -> ((s, d) => {
+      TextAnalysis.phraseSearch(Tables.documents(s, d), "doc_id", "text",
+          phrase = "table value")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Document-level co-occurrence PMI (presence counts, ln round-9).
     "q77_cooccur_pmi" -> ((s, d) => {
       TextAnalysis.coOccurrencePmi(Tables.documents(s, d), "doc_id", "text",
@@ -1954,6 +1965,18 @@ object PipelineOps {
         |  END AS pct_rank
         |FROM r ORDER BY doc_id""".stripMargin,
     "q216_containment_dedup" -> ContainmentSql,
+    // q219: positions replayed via the positional array — a match
+    // anchors at i iff a[i+j] equals phrase term j for every j.
+    "q219_phrase_search" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS a
+        |           FROM documents),
+        |m AS (
+        |  SELECT doc_id, i.x - 1 AS p
+        |  FROM t, UNNEST(generate_series(1, len(a) - 1)) AS i(x)
+        |  WHERE a[i.x] = 'table' AND a[i.x + 1] = 'value')
+        |SELECT doc_id, count(*) AS n_occurrences,
+        |  CAST(min(p) AS INTEGER) AS first_pos
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q52_dedup_groups" -> DedupGroupsSql,
     // q207: different algorithm (star contraction), same fixpoint —
     // components are unique, so the oracle is q52's closure verbatim.

@@ -491,6 +491,30 @@ object Relational {
         .orderBy(col("node"))
     }),
 
+    // Grid-density clustering (cell-based DBSCAN family): bucket
+    // lineitems into (price, quantity) cells, cells with ≥280 points
+    // are core, 8-adjacent core cells union into clusters via the
+    // q207 star-contraction CC — arbitrary-shape density clusters
+    // with ONE key shuffle and a bounded cell graph, no ε-range join.
+    "q221_grid_density" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      graft.cluster.GridDensity.clusters(li,
+          floor(round(col("l_extendedprice") * 100) / 500000),
+          floor(round(col("l_quantity")) / 5),
+          minPts = 280L)
+        .orderBy(col("cx"), col("cy"))
+    }),
+
+    // Exact quantity-weighted median price per return flag: smallest
+    // price whose cumulative quantity reaches half the total —
+    // integer boundary, windows over the (flag, cents) grid only.
+    "q220_weighted_median" -> ((s, d) => {
+      graft.ops.MlEval.weightedMedian(Tables.lineitem(s, d), "l_returnflag",
+          round(col("l_extendedprice") * 100),
+          round(col("l_quantity")))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Fellegi–Sunter probabilistic record linkage over customers:
     // block on (nation, segment), compare name-suffix and acctbal
     // band, score = Σ integer centi-bit log-likelihood weights
@@ -783,6 +807,49 @@ object Relational {
     "q105_pagerank" -> pageRankSql(3),
     "q209_ppr" -> pprSql(3, Seq(1L, 2L, 3L)),
     "q218_hits" -> hitsSql(2),
+    // q221: counts → core rule → 8-adjacency → recursive closure,
+    // cluster label = min packed cell id of the component.
+    "q221_grid_density" ->
+      """WITH RECURSIVE cells AS (
+        |  SELECT CAST(floor(CAST(round(l_extendedprice*100) AS BIGINT)/500000) AS BIGINT) AS cx,
+        |         CAST(floor(CAST(round(l_quantity) AS BIGINT)/5) AS BIGINT) AS cy,
+        |         count(*) AS n_pts
+        |  FROM lineitem GROUP BY 1, 2),
+        |core AS (
+        |  SELECT cx, cy, cx*65536 + cy AS node FROM cells WHERE n_pts >= 280),
+        |edges0 AS (
+        |  SELECT a.node AS src, b.node AS dst
+        |  FROM core a JOIN core b
+        |    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+        |   AND a.node < b.node),
+        |edges AS (
+        |  SELECT src, dst FROM edges0 UNION SELECT dst, src FROM edges0),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |rep AS (
+        |  SELECT src AS node, least(src, min(dst)) AS rep FROM reach GROUP BY src)
+        |SELECT c.cx, c.cy, c.n_pts, (c.n_pts >= 280) AS is_core,
+        |  CASE WHEN c.n_pts >= 280
+        |       THEN COALESCE(r.rep, c.cx*65536 + c.cy) END AS cluster
+        |FROM cells c
+        |LEFT JOIN rep r ON r.node = c.cx*65536 + c.cy
+        |ORDER BY c.cx, c.cy""".stripMargin,
+    "q220_weighted_median" ->
+      """WITH g AS (
+        |  SELECT l_returnflag AS k, CAST(round(l_extendedprice*100) AS BIGINT) AS v,
+        |         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS wv
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT k, v, wv,
+        |    sum(wv) OVER (PARTITION BY k ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(wv) OVER (PARTITION BY k) AS tot
+        |  FROM g)
+        |SELECT k AS l_returnflag, CAST(min(v) AS BIGINT) AS wmedian_cents,
+        |  CAST(max(tot) AS BIGINT) AS tot_weight
+        |FROM c WHERE 2*cum >= tot GROUP BY k ORDER BY k""".stripMargin,
     // q213: FS comparisons and centi-bit weights replayed literally.
     "q213_fs_linkage" ->
       """WITH p AS (

@@ -147,4 +147,26 @@ class FitAnchorSpec extends AnyFunSuite {
     assert(q21.toSeq == q119.toSeq,
       "q21 must be the q119 fit output modulo its 4-decimal display rounding")
   }
+
+  test("gridDensity: two separated blobs cluster apart; sparse cells are noise") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // blob A: an L-shape of dense cells (0,0),(0,1),(1,1) — connected
+    // through 8-adjacency; blob B: dense cell (5,5); cell (3,3) sparse
+    val pts = (Seq.fill(10)((0L, 0L)) ++ Seq.fill(10)((0L, 1L)) ++
+      Seq.fill(10)((1L, 1L)) ++ Seq.fill(10)((5L, 5L)) ++ Seq.fill(2)((3L, 3L)))
+      .toDF("cx", "cy")
+    val got = graft.cluster.GridDensity.clusters(pts, col("cx"), col("cy"),
+        minPts = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getBoolean(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    // L-shape shares one cluster label = min packed id = 0
+    assert(got((0L, 0L))._3 == 0L && got((0L, 1L))._3 == 0L
+      && got((1L, 1L))._3 == 0L)
+    // isolated dense cell forms its own singleton cluster
+    assert(got((5L, 5L))._3 == 5L * 65536L + 5L)
+    // sparse cell: present, not core, no cluster
+    assert(got((3L, 3L)) == ((2L, false, -1L)))
+  }
 }

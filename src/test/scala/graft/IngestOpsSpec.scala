@@ -687,6 +687,27 @@ class SpanRemovalSpec extends AnyFunSuite {
     }
   }
 
+  // ---- phraseSearch --------------------------------------------------
+
+  test("phraseSearch: adjacency, overlap, and repeated-term phrases") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "big data on spark big data"),   // 2 hits of "big data"
+      (2L, "data big"),                      // reversed: no hit
+      (3L, "big x data"),                    // not adjacent: no hit
+      (4L, "x x x x"))                       // overlapping "x x x": 2 hits
+      .toDF("doc_id", "text")
+    val bg = TextAnalysis.phraseSearch(docs, "doc_id", "text", "big data")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(bg == Map(1L -> ((2L, 0))))
+    val xxx = TextAnalysis.phraseSearch(docs, "doc_id", "text", "x x x")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(xxx == Map(4L -> ((2L, 0))))
+    val three = TextAnalysis.phraseSearch(docs, "doc_id", "text", "data on spark")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(three == Map(1L -> ((1L, 1))))
+  }
+
   // ---- containmentPairs ----------------------------------------------
 
   test("containmentPairs: fragment-in-superset found where Jaccard misses") {

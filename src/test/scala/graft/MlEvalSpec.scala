@@ -171,6 +171,19 @@ class MlEvalSpec extends AnyFunSuite {
 
   import org.apache.spark.sql.functions.{col, round}
 
+  test("weightedMedian: weight mass moves the boundary; unit weights = lower median") {
+    // values 1..4 with weight 10 on value 4: half of tot=13 is 6.5 →
+    // smallest v with cum·2 ≥ 13 is 4 (cum at 3 is 3)
+    val skew = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 1L), ("g", 4L, 10L))
+      .toDF("k", "v", "w")
+    val r = MlEval.weightedMedian(skew, "k", col("v"), col("w")).collect().head
+    assert((r.getLong(1), r.getLong(2)) == ((4L, 13L)))
+    // unit weights: even count takes the LOWER middle (2 of 1..4)
+    val unit = (1L to 4L).map(v => ("g", v, 1L)).toDF("k", "v", "w")
+    val u = MlEval.weightedMedian(unit, "k", col("v"), col("w")).collect().head
+    assert(u.getLong(1) == 2L)
+  }
+
   test("mannWhitneyU: hand-computed doubled ranks with ties") {
     // group1 = {1,2,2}, group2 = {2,3}: tied block of three 2s gets
     // avg rank 3 → 2·R1 = 2 + 6 + 6 = 14, 2·U1 = 14 − 12 = 2
