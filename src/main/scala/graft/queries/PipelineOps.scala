@@ -1383,10 +1383,16 @@ object PipelineOps {
     // MATERIALIZED throughout: m_r references m_{r-1} twice (pick +
     // merge), so un-materialized CTE inlining would blow up 2^k — the
     // SQL twin of the lineage-truncation note in connectedComponentsStars.
+    // the center filter must live INSIDE the join input: as a join-on
+    // conjunct the planner may hash-join the full codes table on i
+    // first (n·d × n/d rows) and post-filter — measured as a /tmp-
+    // filling spill at sf0.1
     def distCte(name: String, centerSel: String): String =
       s"""$name AS MATERIALIZED (
          |  SELECT p.vec_id, CAST(sum((p.code - q.code)*(p.code - q.code)) AS BIGINT) AS d2
-         |  FROM kc_codes p JOIN kc_codes q ON p.i = q.i AND q.vec_id = ($centerSel)
+         |  FROM kc_codes p
+         |  JOIN (SELECT i, code FROM kc_codes WHERE vec_id = ($centerSel)) q
+         |    ON p.i = q.i
          |  GROUP BY 1)""".stripMargin
     val rounds = (2 to k).map { r =>
       val prevM = if (r == 2) "m1" else s"m${r - 1}"
@@ -1755,28 +1761,28 @@ object PipelineOps {
     // and the shared q105 integer recurrence.
     "q205_textrank" -> {
       val rec = graft.queries.Relational.pageRankRecurrenceCtes(3)
-      s"""WITH toks AS (
+      s"""WITH toks AS MATERIALIZED (
          |  SELECT doc_id,
          |    generate_subscripts(regexp_split_to_array(text, '\\s+'), 1)
          |      AS pos,
          |    unnest(regexp_split_to_array(text, '\\s+')) AS tok
          |  FROM documents),
-         |bi AS (
+         |bi AS MATERIALIZED (
          |  SELECT DISTINCT tok AS w1, nxt AS w2 FROM (
          |    SELECT tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)
          |      AS nxt
          |    FROM toks)
          |  WHERE nxt IS NOT NULL AND tok <> nxt),
-         |ids AS (
+         |ids AS MATERIALIZED (
          |  SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT)
          |    AS id
          |  FROM (SELECT DISTINCT w1 AS tok FROM bi
          |        UNION SELECT DISTINCT w2 FROM bi)),
-         |e0 AS (
+         |e0 AS MATERIALIZED (
          |  SELECT i1.id AS src, i2.id AS dst FROM bi
          |  JOIN ids i1 ON i1.tok = bi.w1
          |  JOIN ids i2 ON i2.tok = bi.w2),
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT DISTINCT src, dst FROM (
          |    SELECT src, dst FROM e0
          |    UNION ALL SELECT dst AS src, src AS dst FROM e0)),

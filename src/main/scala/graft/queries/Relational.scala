@@ -705,8 +705,13 @@ object Relational {
     * `deg` through `r{iters}` — callers add their own final SELECT.
     * Shared by q105 (part↔supplier) and q205 (TextRank word graph). */
   private[queries] def pageRankRecurrenceCtes(iters: Int): String = {
+    // MATERIALIZED: each step references its predecessor more than
+    // once (contrib join + dangling scalar), so un-materialized CTE
+    // inlining duplicates the whole upstream tree ~4^iters times —
+    // harmless on a bare lineitem edge list, a 64 GB OOM when the
+    // edge CTE is itself a pipeline (q205's bigram graph).
     def step(prev: String, cur: String): String =
-      s"""$cur AS (
+      s"""$cur AS MATERIALIZED (
          |  SELECT d.node, d.outdeg,
          |    ((15 * 1000000000000) // 100) // (SELECT n FROM params)
          |    + (85 * (COALESCE(c.contrib, 0)
@@ -717,13 +722,13 @@ object Relational {
          |             FROM edges e JOIN $prev r ON r.node = e.src GROUP BY 1) c
          |    ON c.node = d.node)""".stripMargin
     val steps = (1 to iters).map(i => step(s"r${i - 1}", s"r$i")).mkString(",\n")
-    s"""deg AS (
+    s"""deg AS MATERIALIZED (
        |  SELECT n.node, count(e.src) AS outdeg
        |  FROM (SELECT src AS node FROM edges UNION SELECT dst FROM edges) n
        |  LEFT JOIN edges e ON e.src = n.node GROUP BY 1
        |),
-       |params AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
-       |r0 AS (SELECT node, outdeg,
+       |params AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+       |r0 AS MATERIALIZED (SELECT node, outdeg,
        |       1000000000000 // (SELECT n FROM params) AS pr FROM deg),
        |$steps""".stripMargin
   }
@@ -734,8 +739,13 @@ object Relational {
   private def pprSql(iters: Int, seeds: Seq[Long]): String = {
     val s = seeds.size
     val in = s"IN (${seeds.mkString(", ")})"
+    // MATERIALIZED: each step references its predecessor more than
+    // once (contrib join + dangling scalar), so un-materialized CTE
+    // inlining duplicates the whole upstream tree ~4^iters times —
+    // harmless on a bare lineitem edge list, a 64 GB OOM when the
+    // edge CTE is itself a pipeline (q205's bigram graph).
     def step(prev: String, cur: String): String =
-      s"""$cur AS (
+      s"""$cur AS MATERIALIZED (
          |  SELECT d.node, d.outdeg,
          |    CASE WHEN d.node $in THEN ((15 * 1000000000000) // 100) // $s
          |         ELSE 0 END
@@ -1203,8 +1213,13 @@ object Relational {
     * min-plus relaxation rounds from part node 1, parallel edges
     * pre-collapsed to their min weight. */
   private def ssspSql(iters: Int): String = {
+    // MATERIALIZED: each step references its predecessor more than
+    // once (contrib join + dangling scalar), so un-materialized CTE
+    // inlining duplicates the whole upstream tree ~4^iters times —
+    // harmless on a bare lineitem edge list, a 64 GB OOM when the
+    // edge CTE is itself a pipeline (q205's bigram graph).
     def step(prev: String, cur: String): String =
-      s"""$cur AS (
+      s"""$cur AS MATERIALIZED (
          |  SELECT node, min(dist) AS dist FROM (
          |    SELECT node, dist FROM $prev
          |    UNION ALL
@@ -1250,8 +1265,13 @@ object Relational {
   }
 
   private def bfsSql(iters: Int): String = {
+    // MATERIALIZED: each step references its predecessor more than
+    // once (contrib join + dangling scalar), so un-materialized CTE
+    // inlining duplicates the whole upstream tree ~4^iters times —
+    // harmless on a bare lineitem edge list, a 64 GB OOM when the
+    // edge CTE is itself a pipeline (q205's bigram graph).
     def step(prev: String, cur: String): String =
-      s"""$cur AS (
+      s"""$cur AS MATERIALIZED (
          |  SELECT node, min(dist) AS dist FROM (
          |    SELECT node, dist FROM $prev
          |    UNION ALL

@@ -20,16 +20,28 @@ if "--skip-verify" not in sys.argv:
         sys.stderr.write(r.stderr[-3000:]); sys.exit(1)
 
 import duckdb
-con = duckdb.connect()
-for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
-    p = f"{sf}/{t}.parquet"
-    if os.path.exists(p):
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+def fresh_con():
+    # A single shared connection accumulates allocator state across 200+
+    # oracle evaluations and eventually dies "Failed to allocate block"
+    # at sf0.1 (observed round 7: everything after q1xx errored). A
+    # fresh connection per query + an explicit memory limit with a
+    # spill directory keeps each oracle's footprint independent.
+    c = duckdb.connect()
+    c.execute("SET memory_limit='64GB'")
+    c.execute("SET temp_directory='/tmp/duckdb_spill'")
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        p = f"{sf}/{t}.parquet"
+        if os.path.exists(p):
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return c
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 ok = bad = 0
 for name in sorted(oracle):
     sql = oracle[name]
+    con = fresh_con()
     pq = f"{out}/{name}"
     if not glob.glob(f"{pq}/*.parquet"):
         print(f"MISS  {name}: no spark output"); bad += 1; continue
@@ -55,6 +67,7 @@ for name in sorted(oracle):
             print(f"      {c}[{idx}]: spark={g[c][idx]!r} oracle={w[c][idx]!r}")
         bad += 1; continue
     print(f"OK    {name} ({len(g)} rows)"); ok += 1
+    con.close()
 
 print(f"\n{ok} ok, {bad} bad")
 sys.exit(1 if bad else 0)

@@ -40,6 +40,14 @@ QUERIES = ",".join([
     # which is 2x faster at toy scale — the ratio here is the proof),
     # the bucketed skyline, and the per-key EWMA window
     "q177_prefix_jaccard", "q174_pareto_front", "q178_ewma_smooth",
+    # round-7 batch-5: star-contraction CC (vs q52's BSP on the same
+    # pairs), hybrid heavy-key join, Kneser-Ney LM (3 agg shuffles),
+    # exact bitmap distinct (partial-agg bitmaps), containment dedup
+    # (directed shingle grid), HITS (2 iterations, 4 shuffles), and
+    # grid-density clustering (one cell shuffle + bounded cell graph)
+    "q207_cc_stars", "q208_hybrid_skew_join", "q210_kneser_ney",
+    "q215_bitmap_distinct", "q216_containment_dedup", "q218_hits",
+    "q221_grid_density",
 ])
 
 rnd = sys.argv[1]
