@@ -57,6 +57,38 @@ object Behavior {
     * second pass over the log. Probabilities are round(cnt/total, 9) —
     * a bigint ratio both engines compute identically.
     */
+  /** RUN-LENGTH ENCODED event sequence per user — the sequence
+    * compaction step behavior-modeling pipelines run before feeding
+    * clickstreams to a sequence model: consecutive repeats of the
+    * same event type collapse to (type, run) tokens ("click×5" is
+    * one token, not five), which both shrinks the sequence and makes
+    * burst structure explicit. Classic gaps-and-islands: a lag()
+    * run-start flag, a running run index, one (user, run) rollup,
+    * then an ordered reassembly — two windows + one shuffle over the
+    * user key, output rows = users.
+    *
+    * @return (user, n_events, n_runs, rle) — rle =
+    *         "type:len,type:len,…" in event order (ties on ts break
+    *         by the id column, so the string is deterministic). */
+  def rleSequences(events: DataFrame, userCol: String, typeCol: String,
+                   tsCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val runs = events
+      .withColumn("_new",
+        when(lag(col(typeCol), 1).over(w).isNull ||
+          lag(col(typeCol), 1).over(w) =!= col(typeCol), 1L).otherwise(0L))
+      .withColumn("_run", sum(col("_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("_run"))
+      .agg(max(col(typeCol)).as("_t"), count(lit(1)).as("_len"))
+    runs.groupBy(col(userCol))
+      .agg(sum(col("_len")).as("n_events"), count(lit(1)).as("n_runs"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("_run"), col("_t"), col("_len")))),
+          e => concat(e.getField("_t"), lit(":"), e.getField("_len"))), ",")
+          .as("rle"))
+  }
+
   def markovTransitions(events: DataFrame, userCol: String, typeCol: String,
                         usCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy(col(userCol)).orderBy(col(usCol), col(idCol))

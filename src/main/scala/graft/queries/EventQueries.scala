@@ -573,6 +573,30 @@ object EventQueries {
         .orderBy(col("event_type"), col("q"))
     }),
 
+    // Run-length-encoded clickstreams: consecutive same-type events
+    // collapse to type:len tokens per user — the sequence compaction
+    // before behavior modeling; gaps-and-islands windows + one rollup.
+    "q223_rle_sequences" -> ((s, d) => {
+      graft.ops.Behavior.rleSequences(Tables.events(s, d),
+          "user_id", "event_type", "ts", "event_id")
+        .orderBy(col("user_id"))
+    }),
+
+    // Caliper nearest-score matching (propensity-matching shape):
+    // odd-id users (treated) pair with their nearest even-id user
+    // (control) by total spend cents within ±2000 — banded bucket
+    // equi join on the score axis, never an inequality join; exact
+    // integer Δ and (Δ, id) tie-break.
+    "q222_score_matching" -> ((s, d) => {
+      val scores = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("score"))
+      graft.ops.Matching.nearestScoreMatch(
+          scores.filter(col("user_id") % 2 === 1),
+          scores.filter(col("user_id") % 2 === 0),
+          "user_id", "score", caliper = 2000L)
+        .orderBy(col("treated_id"))
+    }),
+
     // Classical seasonal decomposition, hour-of-day profile: per
     // (type, hour 0–23) mean vs the type's overall mean — the
     // additive seasonal index monitoring dashboards overlay on
@@ -1180,6 +1204,45 @@ object EventQueries {
         |  qs[t.gs] AS qv
         |FROM p, UNNEST(generate_series(1, 4)) AS t(gs)
         |ORDER BY event_type, q""".stripMargin,
+    // q223: the same lag→run-index→rollup recurrence; string_agg in
+    // run order reassembles the identical token string.
+    "q223_rle_sequences" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (
+        |  SELECT user_id, event_type,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM o),
+        |g AS (SELECT user_id, run, max(event_type) AS t, count(*) AS len
+        |      FROM r GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_events,
+        |  count(*) AS n_runs,
+        |  string_agg(t || ':' || len, ',' ORDER BY run) AS rle
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q222: band join replayed as a brute inequality join (oracle
+    // scale is small); same caliper cut and (Δ, id) tie-break.
+    "q222_score_matching" ->
+      """WITH s AS (
+        |  SELECT user_id, CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+        |    AS score
+        |  FROM events GROUP BY user_id),
+        |t AS (SELECT user_id AS treated_id, score AS score_t FROM s
+        |      WHERE user_id % 2 = 1),
+        |c AS (SELECT user_id AS control_id, score AS score_c FROM s
+        |      WHERE user_id % 2 = 0),
+        |m AS (
+        |  SELECT t.treated_id, c.control_id, t.score_t, c.score_c,
+        |    abs(t.score_t - c.score_c) AS score_diff
+        |  FROM t JOIN c ON abs(t.score_t - c.score_c) <= 2000),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY treated_id
+        |        ORDER BY score_diff, control_id) AS rk FROM m)
+        |SELECT treated_id, control_id, score_t, score_c, score_diff
+        |FROM r WHERE rk = 1 ORDER BY treated_id""".stripMargin,
     "q217_seasonal_decompose" ->
       """WITH e AS (
         |  SELECT event_type, CAST(hour(ts) AS INTEGER) AS hod,

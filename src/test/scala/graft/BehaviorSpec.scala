@@ -183,4 +183,19 @@ class BehaviorSpec extends AnyFunSuite {
     val c = Behavior.kaplanMeier(cens, "g", "t", "ev").collect()
     assert(c.forall(_.getDouble(6) == 1.0), "censoring alone never drops S")
   }
+
+  test("rleSequences: runs collapse in order, ts ties break by id") {
+    // user 1: a a b a → a:2,b:1,a:1 (interleaving survives); the two
+    // events at ts=30 order by event_id, so b:1 precedes the final a
+    val ev = Seq(
+      (1L, "a", 10L, 1L), (1L, "a", 20L, 2L), (1L, "b", 30L, 3L),
+      (1L, "a", 30L, 4L),
+      (2L, "c", 5L, 5L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = Behavior.rleSequences(ev, "user_id", "event_type", "ts", "event_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) == ((4L, 3L, "a:2,b:1,a:1")))
+    assert(got(2L) == ((1L, 1L, "c:1")))
+  }
 }

@@ -184,6 +184,22 @@ class MlEvalSpec extends AnyFunSuite {
     assert(u.getLong(1) == 2L)
   }
 
+  test("nearestScoreMatch: caliper cut, nearest pick, tie to min control id") {
+    import graft.ops.Matching
+    val treated = Seq((1L, 10L), (3L, 5L), (5L, 100L)).toDF("id", "s")
+    val control = Seq((2L, 8L), (4L, 13L), (6L, 2L), (8L, 8L)).toDF("id", "s")
+    val got = Matching.nearestScoreMatch(treated, control, "id", "s", caliper = 3L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(4)))).toMap
+    // treated 1 (score 10): control 2 at |2| beats 4 at |3|; 8 ties 2
+    // on diff → min control id wins
+    assert(got(1L) == ((2L, 2L)))
+    // treated 3 (score 5): controls 2 (|3|) and 8 (|3|) tie across a
+    // bucket boundary → min id 2
+    assert(got(3L) == ((2L, 3L)))
+    // treated 5 (score 100): nothing within the caliper
+    assert(!got.contains(5L))
+  }
+
   test("mannWhitneyU: hand-computed doubled ranks with ties") {
     // group1 = {1,2,2}, group2 = {2,3}: tied block of three 2s gets
     // avg rank 3 → 2·R1 = 2 + 6 + 6 = 14, 2·U1 = 14 − 12 = 2
