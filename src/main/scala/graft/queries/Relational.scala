@@ -27,6 +27,27 @@ object Relational {
   private val coPurchaseCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  // q224's materialized view: the (returnflag, linestatus) rollup of
+  // lineitem written as a REAL parquet summary table once per
+  // (session, dir), plus the rewrite rule registered over it. The
+  // rule is memoized so repeated query invocations (bench's two
+  // passes) don't stack duplicate registrations.
+  private val mvCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.plans.SummaryRewrite]
+
+  private[graft] def lineitemMvRule(s: SparkSession, d: String): graft.plans.SummaryRewrite =
+    mvCache.getOrElseUpdate((s, d), {
+      val path = s"/tmp/graft_mv_${math.abs(d.hashCode)}/lineitem_rollup"
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(path)
+      graft.plans.SummaryRewrite("lineitem.parquet",
+        dims = Set("l_returnflag", "l_linestatus"),
+        sumMap = Map("l_quantity" -> "sum_qty"), cntCol = "cnt",
+        summary = s.read.parquet(path).queryExecution.analyzed)
+    })
+
   private def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
     coPurchaseCache.getOrElseUpdate((s, d), {
       val li = Tables.lineitem(s, d)
@@ -491,6 +512,21 @@ object Relational {
         .orderBy(col("node"))
     }),
 
+    // Materialized-view rewrite (Goldstein–Larson summary matching as
+    // a Catalyst Rule): this aggregate GROUPS COARSER than the
+    // registered (returnflag, linestatus) rollup, so the optimizer
+    // swaps the lineitem scan for a re-aggregation of the summary
+    // parquet — value-identical by SUM/COUNT re-aggregability, which
+    // the raw-table oracle certifies; MvRewriteSpec pins that the
+    // plan actually reads the summary, not the fact table.
+    "q224_mv_rewrite" -> ((s, d) => {
+      org.apache.spark.sql.graftbridge.Bridge.addOptimization(s, lineitemMvRule(s, d))
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Grid-density clustering (cell-based DBSCAN family): bucket
     // lineitems into (price, quantity) cells, cells with ≥280 points
     // are core, 8-adjacent core cells union into clusters via the
@@ -817,6 +853,11 @@ object Relational {
     "q105_pagerank" -> pageRankSql(3),
     "q209_ppr" -> pprSql(3, Seq(1L, 2L, 3L)),
     "q218_hits" -> hitsSql(2),
+    // q224: the oracle reads the RAW fact table — certifying the MV
+    // rewrite returns exactly what the un-rewritten plan would.
+    "q224_mv_rewrite" ->
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // q221: counts → core rule → 8-adjacency → recursive closure,
     // cluster label = min packed cell id of the component.
     "q221_grid_density" ->
