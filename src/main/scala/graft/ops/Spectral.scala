@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Spectral embedding statistics: the dominant right-singular direction
@@ -38,6 +38,65 @@ object Spectral {
   private def halfAway(p: BigInt, q: BigInt): Long = {
     val s = if (p.signum < 0) -1 else 1
     (s * ((p.abs * 2 + q) / (q * 2))).toLong
+  }
+
+  /** Exact pairwise Pearson CORRELATION MATRIX of the embedding
+    * dimensions — the feature-redundancy profile run before
+    * whitening/pruning (a pair at |ρ| → 1 is a wasted dimension;
+    * the multi-dim sibling of [[topDirection]]'s single axis).
+    *
+    * Every moment is an exact scaled-long sum: per-row upper-triangle
+    * products round(xᵢ·xⱼ·1e9) explode once and collapse through
+    * ordinary PARTIAL aggregation — the shuffle carries O(P·d²)
+    * combined cells, never the n·d² raw products, which is why the
+    * explode formulation IS the scalable Gram plan (the map-side
+    * combine does what a per-partition outer-product accumulator
+    * would). Cross-moment algebra runs in decimal(38,0) (n·Σxy and
+    * ΣxΣy pass 2⁶³), and ρ is one deterministic cast→sqrt→divide
+    * chain rounded to 9 decimals — the [[graft.ops.Similarity.centroidDrift]]
+    * discipline, so the whole matrix replays in SQL.
+    *
+    * @return (i, j, n, sxy9, corr9) for 1 ≤ i < j ≤ d (1-based dims,
+    *         matching SQL generate_subscripts). */
+  def correlationMatrix(df: DataFrame, vecCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val pairs = df
+      .select(explode(expr(
+        s"""flatten(transform(cast($vecCol as array<double>), (xi, i) ->
+           |  transform(slice(cast($vecCol as array<double>), i + 1,
+           |                  size($vecCol) - i), (xj, k) ->
+           |    struct(cast(i + 1 as bigint) as i,
+           |           cast(i + 1 + k as bigint) as j,
+           |           cast(round(xi * xj * 1000000000) as long) as p9))))"""
+          .stripMargin.replace("\n", " "))).as("e"))
+      .select(col("e.i"), col("e.j"), col("e.p9"))
+    val gram = pairs.groupBy(col("i"), col("j"))
+      .agg(sum(col("p9")).as("sxy9"), count(lit(1)).as("n"))
+      .cache()
+    val firsts = df
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("i0", "x")))
+      .select((col("i0") + 1).as("dim"),
+        round(col("x") * 1000000000L).cast("long").as("x9"))
+      .groupBy(col("dim")).agg(sum(col("x9")).as("s9"))
+    val diag = gram.filter(col("i") === col("j"))
+      .select(col("i").as("dim"), col("sxy9").as("sxx9"))
+    val m = firsts.join(diag, Seq("dim"))
+    // var-like term in 1e18 units: n·Σx²·1e9 − (Σx·1e9)² — decimal exact
+    def varTerm(n: Column, sxx: Column, s: Column): Column =
+      (n.cast(d38) * sxx.cast(d38) * lit(1000000000L).cast(d38)) -
+        (s.cast(d38) * s.cast(d38))
+    gram.filter(col("i") < col("j"))
+      .join(broadcast(m.withColumnsRenamed(
+        Map("dim" -> "i", "s9" -> "si9", "sxx9" -> "sii9"))), Seq("i"))
+      .join(broadcast(m.withColumnsRenamed(
+        Map("dim" -> "j", "s9" -> "sj9", "sxx9" -> "sjj9"))), Seq("j"))
+      .select(col("i"), col("j"), col("n"), col("sxy9"),
+        round(((col("n").cast(d38) * col("sxy9").cast(d38) *
+            lit(1000000000L).cast(d38)) -
+            (col("si9").cast(d38) * col("sj9").cast(d38))).cast("double") /
+          (sqrt(varTerm(col("n"), col("sii9"), col("si9")).cast("double")) *
+            sqrt(varTerm(col("n"), col("sjj9"), col("sj9")).cast("double"))), 9)
+          .as("corr9"))
   }
 
   /** Returns (dim, v9, comp): the ∞-normalized dominant direction

@@ -977,6 +977,18 @@ object PipelineOps {
         .orderBy(abs(col("proj9")).desc, col("vec_id"))
     }),
 
+    // Exact pairwise Pearson correlation of the embedding dimensions —
+    // the feature-redundancy profile run before whitening/pruning.
+    // Per-row upper-triangle products round(xᵢxⱼ·1e9) collapse through
+    // ordinary PARTIAL aggregation (the shuffle carries O(P·d²) cells,
+    // never the n·d² raw products); ρ is one decimal(38,0)-exact
+    // cast→sqrt→divide chain rounded to 9 decimals.
+    "q225_correlation_matrix" -> ((s, d) => {
+      graft.ops.Spectral.correlationMatrix(Tables.embeddings(s, d),
+          "embedding")
+        .orderBy(col("i"), col("j"))
+    }),
+
     // Deterministic shuffled-shard assignment: md5 global order →
     // round-robin deal into 8 exactly balanced shards; distributed
     // sort + zipWithIndex (q96 machinery), no single-partition window.
@@ -2596,6 +2608,39 @@ object PipelineOps {
     // matching the builder's BigInt driver math digit-for-digit.
     "q128_power_iteration" -> powerIterSql(3),
     "q141_pca_projection" -> powerIterProjSql(3, 50),
+
+    // Pearson matrix replayed from the same scaled-long moments: the
+    // exploded self-join (b.d ≥ a.d) rebuilds the upper-triangle
+    // products, HUGEINT carries n·Σxy·1e9 − ΣxΣy exactly, and the
+    // final divide/round is the engine's chain verbatim.
+    "q225_correlation_matrix" ->
+      """WITH x AS (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS d,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |g AS MATERIALIZED (
+        |  SELECT a.d AS i, b.d AS j,
+        |    CAST(sum(CAST(round(a.x * b.x * 1000000000) AS BIGINT)) AS BIGINT) AS sxy9,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.d >= a.d
+        |  GROUP BY 1, 2),
+        |m AS MATERIALIZED (
+        |  SELECT d AS dim,
+        |    CAST(sum(CAST(round(x * 1000000000) AS BIGINT)) AS BIGINT) AS s9
+        |  FROM x GROUP BY 1),
+        |diag AS (SELECT i AS dim, sxy9 AS sxx9 FROM g WHERE i = j)
+        |SELECT g.i, g.j, g.n, g.sxy9,
+        |  round(CAST(CAST(g.n AS HUGEINT) * g.sxy9 * 1000000000
+        |             - CAST(mi.s9 AS HUGEINT) * mj.s9 AS DOUBLE)
+        |    / (sqrt(CAST(CAST(g.n AS HUGEINT) * di.sxx9 * 1000000000
+        |                 - CAST(mi.s9 AS HUGEINT) * mi.s9 AS DOUBLE))
+        |     * sqrt(CAST(CAST(g.n AS HUGEINT) * dj.sxx9 * 1000000000
+        |                 - CAST(mj.s9 AS HUGEINT) * mj.s9 AS DOUBLE))), 9)
+        |    AS corr9
+        |FROM g
+        |JOIN m mi ON mi.dim = g.i JOIN m mj ON mj.dim = g.j
+        |JOIN diag di ON di.dim = g.i JOIN diag dj ON dj.dim = g.j
+        |WHERE g.i < g.j ORDER BY g.i, g.j""".stripMargin,
 
     "q144_detop_residual" -> powerIterResidualSql(3, 100),
 

@@ -187,6 +187,31 @@ class IngestOpsSpec extends AnyFunSuite {
       t2.map(_.getAs[Long]("proj9")).toSeq, "partition-invariant")
   }
 
+  test("correlationMatrix: planted linear/anti-linear pairs hit ±1, partition-invariant") {
+    // dim2 = 2·dim1 (ρ=1), dim3 = 1 − dim1 (ρ=−1); values on a 0.1
+    // grid so every scaled-long product is exact
+    val rows = (1 to 20).map { i =>
+      val x = 0.1 * (i % 7 + 1)
+      (i.toLong, Array(x, 2.0 * x, 1.0 - x))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val c = graft.ops.Spectral.correlationMatrix(df, "embedding")
+      .orderBy(col("i"), col("j")).collect()
+    assert(c.length == 3) // upper triangle of d=3
+    val byPair = c.map(r => ((r.getAs[Long]("i"), r.getAs[Long]("j")),
+      r.getAs[Double]("corr9"))).toMap
+    assert(byPair((1L, 2L)) == 1.0, s"linear pair: ${byPair((1L, 2L))}")
+    assert(byPair((1L, 3L)) == -1.0, s"anti pair: ${byPair((1L, 3L))}")
+    assert(byPair((2L, 3L)) == -1.0)
+    assert(c.forall(_.getAs[Long]("n") == 20L))
+    val c2 = graft.ops.Spectral.correlationMatrix(df.repartition(7), "embedding")
+      .orderBy(col("i"), col("j")).collect()
+    assert(c.map(_.getAs[Long]("sxy9")).toSeq ==
+      c2.map(_.getAs[Long]("sxy9")).toSeq, "scaled-long moments partition-invariant")
+    assert(c.map(_.getAs[Double]("corr9")).toSeq ==
+      c2.map(_.getAs[Double]("corr9")).toSeq)
+  }
+
   test("mixtureSample: total larger than some groups caps at group size") {
     // 3 groups of 4 rows, weights 1/1/8: group c wants 20 of 24 slots
     // but only has 4 rows — alloc is the demand; selection caps at size.
