@@ -227,6 +227,46 @@ object CorpusStats {
         round(col("icept") / 1000000000.0, 6).as("icept_ln6"))
   }
 
+  /** GINI COEFFICIENT of the token-frequency distribution per group —
+    * the standard concentration measure for corpus diagnostics: G → 0
+    * means usage spread evenly over the vocabulary, G → 1 means a few
+    * terms dominate (template/boilerplate-heavy text; pairs with
+    * [[zipfFit]]'s slope as the power-law view of the same skew).
+    *
+    * Computed on the exact sorted-rank identity over term counts
+    * x₍₁₎ ≤ … ≤ x₍ₙ₎:  G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx).
+    * Σᵢ i·x₍ᵢ₎ is invariant under permutation of tied counts (tied
+    * values occupy a fixed set of rank positions), so row_number
+    * order among ties cannot change the result. All moments are
+    * exact integers — decimal(38,0) here, HUGEINT in the oracle —
+    * and the final division is one fixed double expression, round-9.
+    *
+    * Scale: the window ranks the (group, term) COUNT table, not data
+    * rows — vocabulary-sized per group, orders of magnitude below the
+    * corpus; one tokenize shuffle + one vocab-sized window.
+    *
+    * @return (groupCol, n_terms, total_c, gini9). */
+  def giniConcentration(df: DataFrame, groupCol: String, textCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val counts = df
+      .select(col(groupCol).as("g"), explode(toks(col(textCol))).as("tok"))
+      .groupBy(col("g"), col("tok")).agg(count(lit(1)).as("c"))
+    val ranked = counts.withColumn("rk",
+      row_number().over(Window.partitionBy(col("g"))
+        .orderBy(col("c"), col("tok"))).cast("long"))
+    ranked.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("c")).as("total_c"),
+        sum(col("rk").cast(d38) * col("c").cast(d38)).as("src"))
+      .select(col("g").as(groupCol), col("n_terms"), col("total_c"),
+        round((lit(2).cast(d38) * col("src") -
+            (col("n_terms") + 1).cast(d38) * col("total_c").cast(d38))
+            .cast("double") /
+          (col("n_terms").cast("double") * col("total_c").cast("double")), 9)
+          .as("gini9"))
+  }
+
   /** Exact per-group rank / percent-rank feature normalization WITHOUT
     * a per-row window: the row-level `percent_rank() OVER (PARTITION BY
     * group ORDER BY v)` formulation evaluates a window over every row

@@ -112,6 +112,32 @@ object TextAnalysis {
       when(substring(md5(col(idCol).cast("string")), 1, 2) < valHexCeil, "val")
         .otherwise("train"))
 
+  /** LEAKAGE-SAFE train/val split — [[withSplit]]'s hash carve-out
+    * keyed on the NEAR-DUP GROUP representative instead of the doc id,
+    * so two near-duplicate documents can never straddle the
+    * train/val boundary (the classic eval-contamination hole: a
+    * paraphrase of a validation doc left in train makes held-out loss
+    * a lie). `groups` is a (doc_id, rep_id) frame — the output of
+    * [[Dedup.dedupGroups]] / [[Graph.connectedComponentsStars]];
+    * docs absent from it (singletons — the overwhelming majority)
+    * fall back to their own id, so the split stays the familiar
+    * per-doc hash wherever no duplication exists.
+    *
+    * Scale: one equi join against the (small, pairs-only) group
+    * table, then a pure codegen'd hash filter — no extra shuffle
+    * beyond what the group computation already paid. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, groups: DataFrame,
+                       valHexCeil: String = "1a"): DataFrame = {
+    val g = groups.select(col("doc_id").as("__gid"),
+      col("rep_id").as("__rep"))
+    df.join(g, df(idCol) === col("__gid"), "left")
+      .withColumn("rep_id", coalesce(col("__rep"), col(idCol)))
+      .withColumn("split",
+        when(substring(md5(col("rep_id").cast("string")), 1, 2) < valHexCeil,
+          "val").otherwise("train"))
+      .drop("__gid", "__rep")
+  }
+
   /** Deterministic stratified sampling — rebalance a training mix by
     * keeping a different fraction per stratum (language, source,
     * quality band). Same engine-portable primitive as [[withSplit]]:

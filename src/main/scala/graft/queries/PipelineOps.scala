@@ -989,6 +989,36 @@ object PipelineOps {
         .orderBy(col("i"), col("j"))
     }),
 
+    // Multinomial Naive Bayes lang classifier, trained and applied in
+    // one plan: exact Laplace-smoothed counts, round-9 scaled-long
+    // log-likelihoods, (score DESC, class ASC) argmax. Unseen-token
+    // mass handled algebraically — no doc×vocab join anywhere.
+    "q226_naive_bayes" -> ((s, d) => {
+      graft.ops.NaiveBayes.classify(Tables.documents(s, d), "doc_id",
+          "text", "lang")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Leakage-safe train/val split: q54's md5 hash carve-out keyed on
+    // the q52 near-dup group representative, so paraphrase clusters
+    // never straddle the eval boundary.
+    "q227_leakage_split" -> ((s, d) => {
+      TextAnalysis.leakageSafeSplit(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id",
+          dedupComponents(s, d))
+        .select(col("doc_id"), col("rep_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gini concentration of per-language token frequencies — the
+    // boilerplate/template-domination diagnostic; exact sorted-rank
+    // identity over the vocab-sized count table (decimal moments).
+    "q228_gini_tokens" -> ((s, d) => {
+      graft.ops.CorpusStats.giniConcentration(Tables.documents(s, d),
+          "lang", "text")
+        .orderBy(col("lang"))
+    }),
+
     // Deterministic shuffled-shard assignment: md5 global order →
     // round-robin deal into 8 exactly balanced shards; distributed
     // sort + zipWithIndex (q96 machinery), no single-partition window.
@@ -1739,7 +1769,7 @@ object PipelineOps {
 
   // Dedup groups oracle: transitive closure (recursive CTE) over the
   // exact pair list, component representative = min reachable id.
-  private val DedupGroupsSql =
+  private val DedupClosureCtes =
     "WITH RECURSIVE " + NgramPairsCtes +
       """,
         |pairs AS (
@@ -1752,9 +1782,12 @@ object PipelineOps {
         |reach AS (
         |  SELECT src, dst FROM edges
         |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-        |SELECT src AS doc_id, least(src, min(dst)) AS rep_id
-        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)""".stripMargin
+
+  private val DedupGroupsSql = DedupClosureCtes +
+    """
+      |SELECT src AS doc_id, least(src, min(dst)) AS rep_id
+      |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q25_dedup_exact" ->
@@ -1996,6 +2029,19 @@ object PipelineOps {
         |  CAST(min(p) AS INTEGER) AS first_pos
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q52_dedup_groups" -> DedupGroupsSql,
+    // q54's md5 hex carve-out applied to the q52 closure's group rep
+    // (docs outside any pair fall back to their own id).
+    "q227_leakage_split" -> (DedupClosureCtes +
+      """,
+        |grp AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS rep_id
+        |  FROM reach GROUP BY src)
+        |SELECT d.doc_id, coalesce(g.rep_id, d.doc_id) AS rep_id,
+        |  CASE WHEN substr(md5(CAST(coalesce(g.rep_id, d.doc_id)
+        |      AS VARCHAR)), 1, 2) < '1a'
+        |    THEN 'val' ELSE 'train' END AS split
+        |FROM documents d LEFT JOIN grp g ON g.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
     // q207: different algorithm (star contraction), same fixpoint —
     // components are unique, so the oracle is q52's closure verbatim.
     "q207_cc_stars" -> DedupGroupsSql,
@@ -2641,6 +2687,87 @@ object PipelineOps {
         |JOIN m mi ON mi.dim = g.i JOIN m mj ON mj.dim = g.j
         |JOIN diag di ON di.dim = g.i JOIN diag dj ON dj.dim = g.j
         |WHERE g.i < g.j ORDER BY g.i, g.j""".stripMargin,
+
+    // NB replayed end-to-end: same count tables, same round-9 scaled
+    // ln terms, same unseen-mass algebra, same (score DESC, cls ASC)
+    // row_number argmax.
+    "q226_naive_bayes" ->
+      """WITH tok AS MATERIALIZED (
+        |  SELECT doc_id AS id, lang AS cls,
+        |    unnest(regexp_split_to_array(text, '\s+')) AS term
+        |  FROM documents),
+        |dt AS MATERIALIZED (
+        |  SELECT id, term, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM tok GROUP BY 1, 2),
+        |lt AS MATERIALIZED (
+        |  SELECT cls, term, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY 1, 2),
+        |nl AS (SELECT cls, CAST(sum(c) AS BIGINT) AS n FROM lt GROUP BY 1),
+        |vt AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM lt),
+        |dl AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS dn
+        |       FROM documents GROUP BY 1),
+        |da AS (SELECT CAST(count(*) AS BIGINT) AS d_all FROM documents),
+        |ct AS (
+        |  SELECT nl.cls, nl.n, vt.v,
+        |    CAST(round(round(ln(CAST(dn AS DOUBLE) / CAST(d_all AS DOUBLE)),
+        |      9) * 1000000000) AS BIGINT) AS prior9,
+        |    CAST(round(round(ln(CAST(1 AS DOUBLE)
+        |      / CAST(nl.n + vt.v AS DOUBLE)), 9) * 1000000000) AS BIGINT)
+        |      AS log09
+        |  FROM nl, vt, dl, da WHERE dl.cls = nl.cls),
+        |model AS MATERIALIZED (
+        |  SELECT lt.cls, lt.term,
+        |    CAST(round(round(ln(CAST(lt.c + 1 AS DOUBLE)
+        |      / CAST(ct.n + ct.v AS DOUBLE)), 9) * 1000000000) AS BIGINT)
+        |      AS logp9
+        |  FROM lt JOIN ct ON ct.cls = lt.cls),
+        |tot AS (SELECT id, CAST(sum(cnt) AS BIGINT) AS t_d FROM dt GROUP BY 1),
+        |seen AS MATERIALIZED (
+        |  SELECT dt.id, model.cls,
+        |    CAST(sum(dt.cnt * model.logp9) AS BIGINT) AS seen9,
+        |    CAST(sum(dt.cnt) AS BIGINT) AS seencnt
+        |  FROM dt JOIN model ON model.term = dt.term GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT tot.id, ct.cls,
+        |    ct.prior9 + coalesce(seen.seen9, 0)
+        |      + (tot.t_d - coalesce(seen.seencnt, 0)) * ct.log09 AS score9
+        |  FROM tot CROSS JOIN ct
+        |  LEFT JOIN seen ON seen.id = tot.id AND seen.cls = ct.cls),
+        |best AS (
+        |  SELECT id, cls AS pred, score9,
+        |    row_number() OVER (PARTITION BY id
+        |      ORDER BY score9 DESC, cls) AS rk
+        |  FROM scored)
+        |SELECT d.doc_id, d.lang AS cls, b.pred, b.score9,
+        |  CAST(CASE WHEN d.lang = b.pred THEN 1 ELSE 0 END AS BIGINT)
+        |    AS correct
+        |FROM documents d JOIN best b ON b.id = d.doc_id AND b.rk = 1
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Gini by the sorted-rank identity over (lang, term) counts;
+    // HUGEINT moments mirror the engine's decimal(38,0).
+    "q228_gini_tokens" ->
+      """WITH c AS MATERIALIZED (
+        |  SELECT g, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT lang AS g,
+        |          unnest(regexp_split_to_array(text, '\s+')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT g, c, CAST(row_number() OVER (PARTITION BY g
+        |    ORDER BY c, tok) AS BIGINT) AS rk
+        |  FROM c),
+        |a AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n_terms,
+        |    CAST(sum(c) AS BIGINT) AS total_c,
+        |    sum(CAST(rk AS HUGEINT) * c) AS src
+        |  FROM r GROUP BY 1)
+        |SELECT g AS lang, n_terms, total_c,
+        |  round(CAST(2 * src - CAST(n_terms + 1 AS HUGEINT) * total_c
+        |      AS DOUBLE)
+        |    / (CAST(n_terms AS DOUBLE) * CAST(total_c AS DOUBLE)), 9)
+        |    AS gini9
+        |FROM a ORDER BY lang""".stripMargin,
 
     "q144_detop_residual" -> powerIterResidualSql(3, 100),
 

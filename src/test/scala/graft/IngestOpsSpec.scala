@@ -187,6 +187,58 @@ class IngestOpsSpec extends AnyFunSuite {
       t2.map(_.getAs[Long]("proj9")).toSeq, "partition-invariant")
   }
 
+  test("naiveBayes: separable synthetic corpus self-classifies perfectly, partition-invariant") {
+    // two classes with disjoint-but-overlapping vocab: 'a' docs say
+    // apple/fruit, 'b' docs say bolt/steel; 'the' is shared noise
+    val rows = (0 until 20).map { i =>
+      if (i % 2 == 0) (i.toLong, "the apple fruit apple", "a")
+      else (i.toLong, "the bolt steel bolt", "b")
+    }
+    val df = rows.toDF("doc_id", "text", "cls")
+    val out = graft.ops.NaiveBayes.classify(df, "doc_id", "text", "cls")
+      .orderBy(col("doc_id")).collect()
+    assert(out.length == 20)
+    assert(out.forall(_.getAs[Long]("correct") == 1L),
+      out.map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("pred"))).mkString(","))
+    val out2 = graft.ops.NaiveBayes.classify(df.repartition(7), "doc_id",
+      "text", "cls").orderBy(col("doc_id")).collect()
+    assert(out.map(_.getAs[Long]("score9")).toSeq ==
+      out2.map(_.getAs[Long]("score9")).toSeq,
+      "scaled-long log-posteriors must be partition-invariant")
+  }
+
+  test("leakageSafeSplit: group members share a side, singletons match withSplit") {
+    val docs = (0L until 50L).toDF("doc_id")
+    // groups: {0,1,2} rep 0, {10,11} rep 10; rest singleton
+    val groups = Seq((0L, 0L), (1L, 0L), (2L, 0L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "rep_id")
+    val out = TextAnalysis.leakageSafeSplit(docs, "doc_id", groups)
+      .select(col("doc_id"), col("rep_id"), col("split")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("rep_id"), r.getAs[String]("split"))).toMap
+    assert(Set(out(0L), out(1L), out(2L)).size == 1,
+      "near-dup group must land on one side of the boundary")
+    assert(out(10L) == out(11L))
+    // singletons: same assignment as the plain per-doc hash split
+    val plain = TextAnalysis.withSplit(docs, "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split"))
+      .toMap
+    for (id <- 3L until 10L) assert(out(id) == (id, plain(id)))
+  }
+
+  test("giniConcentration: uniform counts give 0, dominance raises it") {
+    // group u: 4 terms × 3 occurrences each (uniform → G = 0)
+    // group s: one term 20×, four terms 1× (heavily concentrated)
+    val df = Seq(
+      ("u", "w x y z w x y z w x y z"),
+      ("s", ("dom " * 20) + "p q r s")
+    ).toDF("g", "text")
+    val out = graft.ops.CorpusStats.giniConcentration(df, "g", "text")
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Double]("gini9")).toMap
+    assert(out("u") == 0.0, s"uniform distribution: ${out("u")}")
+    assert(out("s") > 0.5 && out("s") < 1.0, s"concentrated: ${out("s")}")
+  }
+
   test("correlationMatrix: planted linear/anti-linear pairs hit ±1, partition-invariant") {
     // dim2 = 2·dim1 (ρ=1), dim3 = 1 − dim1 (ρ=−1); values on a 0.1
     // grid so every scaled-long product is exact
