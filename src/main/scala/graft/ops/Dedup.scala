@@ -348,6 +348,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** CROSS-GROUP SHINGLE-OVERLAP MATRIX — pairwise n-gram overlap
+    * between corpus partitions (sources, snapshots, splits): for each
+    * group pair sharing ≥1 shingle, the distinct-shingle intersection
+    * plus Jaccard and containment coefficients. This is dedup /
+    * decontamination lifted to the PROVENANCE level: which crawls
+    * mirror each other, how much of a new snapshot is already in the
+    * corpus, whether a benchmark's text leaked into more than one
+    * source — the report run before choosing what to dedup against.
+    *
+    * Scale: per-group shingle SETS (one distinct over (group, hash) —
+    * set size bounded by vocabulary of the group, not doc count),
+    * then a posting-list self-join on the 64-bit shingle hash: a
+    * shingle in g groups contributes g·(g−1)/2 pair increments, and
+    * g ≤ #groups (tiny) — never a doc-level or all-pairs blowup.
+    *
+    * @return (g_a, g_b, n_a, n_b, inter, jaccard9, containment9) for
+    *         g_a < g_b; containment = inter / min(n_a, n_b). */
+  def crossGroupOverlap(df: DataFrame, groupCol: String, textCol: String,
+                        shingleN: Int = 3): DataFrame = {
+    val sh = withShingles(df, textCol, shingleN)
+      .select(col(groupCol).as("g"), explode(col("shingles")).as("s"))
+      .select(col("g"), xxhash64(col("s")).as("shingle"))
+      .distinct()
+      .cache()
+    val sizes = sh.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("g_a"), col("b.g").as("g_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.withColumnsRenamed(Map("g" -> "g_a", "n" -> "n_a"))),
+        Seq("g_a"))
+      .join(broadcast(sizes.withColumnsRenamed(Map("g" -> "g_b", "n" -> "n_b"))),
+        Seq("g_b"))
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"), col("inter"),
+        round(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"), 9)
+          .as("jaccard9"),
+        round(col("inter").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"), 9)
+          .as("containment9"))
+  }
+
   /** Directed shingle-CONTAINMENT pairs (Broder 1997's containment
     * coefficient |A∩B|/|A|) — the asymmetric dedup relation Jaccard
     * structurally misses: a tweet-sized doc pasted inside a long

@@ -76,4 +76,32 @@ object Sketches {
   def estimate(sketches: DataFrame): DataFrame =
     sketches.withColumn("approx_distinct",
       hll_sketch_estimate(col("sketch")).cast("long"))
+
+  /** SKETCH SET ALGEBRA over the per-cell sketches of
+    * [[distinctSketch]]: for every pair of `keyCol` values within a
+    * `cellCol` cell, |A|, |B|, |A∪B| straight from register math
+    * (pairwise `hll_union`), and |A∩B| by inclusion–exclusion.
+    * This is the audience-overlap / cross-segment-reach query — "how
+    * many users did both A and B" — answered from O(sketch) state
+    * with NO return to the raw data: the join runs over the tiny
+    * cell×key sketch table, so overlap across any two of K segments
+    * costs K²·sketch-size, not a re-scan of the event log.
+    *
+    * In the coupon regime (cell unions below k/4 at the chosen lgK)
+    * every estimate is the exact distinct count — the oracle anchor,
+    * same contract as the q103 cells. */
+  def setAlgebra(cells: DataFrame, keyCol: String, cellCol: String)
+      : DataFrame = {
+    val a = cells.select(col(keyCol).as("k_a"), col(cellCol),
+      col("sketch").as("sk_a"))
+    val b = cells.select(col(keyCol).as("k_b"), col(cellCol),
+      col("sketch").as("sk_b"))
+    a.join(b, Seq(cellCol)).filter(col("k_a") < col("k_b"))
+      .select(col("k_a"), col("k_b"), col(cellCol),
+        hll_sketch_estimate(col("sk_a")).cast("long").as("n_a"),
+        hll_sketch_estimate(col("sk_b")).cast("long").as("n_b"),
+        hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b")))
+          .cast("long").as("n_union"))
+      .withColumn("n_inter", col("n_a") + col("n_b") - col("n_union"))
+  }
 }

@@ -245,6 +245,65 @@ object TimeSeries {
     * @param bucketUs bucket width in microseconds.
     * @return (key, bucket, n, first_val, last_val, min_val, max_val,
     *         min_us, max_us) — bucket = floor(us / bucketUs). */
+  /** AUTOCORRELATION FUNCTION of the hourly event-count series per
+    * key, lags 1..`maxLag` — the periodicity detector that justifies
+    * (or refutes) a seasonal model: a daily cycle shows as a peak at
+    * lag 24, weekly at 168 (complements [[cusumChangePoint]]'s level
+    * shifts and the hour-of-day seasonal decomposition).
+    *
+    * Exactness: on the zero-filled hourly grid, the centered series
+    * is taken at ×n scale — y_t = n·c_t − Σc, an exact long — so
+    * numerator Σ y_t·y_{t−ℓ} and denominator Σ y_t² are exact
+    * integer moments (decimal(38,0) ↔ HUGEINT; the common n² factor
+    * cancels in the ratio). One fixed double division + round-9.
+    *
+    * Scale: the raw table collapses to (key, hour) counts in one
+    * shuffle; everything after runs on the grid (hours×keys —
+    * thousands of rows per key-year, regardless of event volume).
+    * The lag join is an equi join on (key, hr−ℓ) over that small
+    * grid; `maxLag` multiplies grid rows, not raw rows.
+    *
+    * @return (key, lag, n, npairs, acf9) — n = grid length, npairs =
+    *         n−lag overlapping pairs; acf9 NULL for a zero-variance
+    *         series. */
+  def acf(df: DataFrame, keyCol: String, tsCol: String,
+          maxLag: Int = 24): DataFrame = {
+    require(maxLag >= 1, "maxLag must be positive")
+    val d38 = "decimal(38,0)"
+    val counts = df.select(col(keyCol).as("k"),
+        expr(s"unix_micros(`$tsCol`) div 3600000000").as("hr"))
+      .groupBy(col("k"), col("hr")).agg(count(lit(1)).as("c"))
+    val bounds = counts.groupBy(col("k"))
+      .agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
+    val grid = bounds
+      .select(col("k"), explode(sequence(col("mn"), col("mx"))).as("hr"))
+      .join(counts, Seq("k", "hr"), "left")
+      .select(col("k"), col("hr"), coalesce(col("c"), lit(0L)).as("c"))
+      .cache()
+    val stats = grid.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+    val y = grid.join(broadcast(stats), Seq("k"))
+      .select(col("k"), col("hr"), col("n"),
+        (col("n") * col("c") - col("s")).as("y"))
+    val den = y.groupBy(col("k"))
+      .agg(sum(col("y").cast(d38) * col("y").cast(d38)).as("den"))
+    val lags = df.sparkSession.range(1, maxLag + 1)
+      .select(col("id").as("lag"))
+    val shifted = y.select(col("k").as("k2"), col("hr").as("hr2"),
+      col("y").as("y2"))
+    val num = y.crossJoin(broadcast(lags))
+      .join(shifted,
+        col("k") === col("k2") && col("hr2") === col("hr") - col("lag"))
+      .groupBy(col("k"), col("lag"))
+      .agg(max(col("n")).as("n"), count(lit(1)).as("npairs"),
+        sum(col("y").cast(d38) * col("y2").cast(d38)).as("num"))
+    num.join(broadcast(den), Seq("k"))
+      .select(col("k").as(keyCol), col("lag"), col("n"), col("npairs"),
+        when(col("den") === 0, lit(null))
+          .otherwise(round(col("num").cast("double") /
+            col("den").cast("double"), 9)).as("acf9"))
+  }
+
   def m4Downsample(df: DataFrame, keyCol: String, usCol: String,
                    tieCol: String, valCol: String,
                    bucketUs: Long): DataFrame = {

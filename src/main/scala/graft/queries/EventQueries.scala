@@ -582,6 +582,31 @@ object EventQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Autocorrelation of the hourly count series per type, lags 1–24:
+    // the periodicity detector behind seasonal modeling (daily cycle
+    // peaks at lag 24). Exact ×n-centered integer moments on the
+    // zero-filled grid; the lag join runs over the tiny grid table.
+    "q229_acf_hourly" -> ((s, d) => {
+      graft.ops.TimeSeries.acf(Tables.events(s, d), "event_type", "ts",
+          maxLag = 24)
+        .orderBy(col("event_type"), col("lag"))
+    }),
+
+    // Sketch set algebra: per user-bucket cell, |A|, |B|, |A∪B| from
+    // pairwise hll_union register math and |A∩B| by inclusion–
+    // exclusion — audience overlap from O(sketch) state, no re-scan.
+    // Coupon regime (unions ≤48 ≪ k/4) ⇒ estimates exact ⇒ oracle =
+    // plain distinct counts, the q103 contract.
+    "q231_hll_set_algebra" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("bucket", (col("user_id") % 64).cast("long"))
+      graft.ops.Sketches.setAlgebra(
+          graft.ops.Sketches.distinctSketch(ev, Seq("event_type", "bucket"),
+            "user_id"),
+          "event_type", "bucket")
+        .orderBy(col("k_a"), col("k_b"), col("bucket"))
+    }),
+
     // Caliper nearest-score matching (propensity-matching shape):
     // odd-id users (treated) pair with their nearest even-id user
     // (control) by total spend cents within ±2000 — banded bucket
@@ -1204,6 +1229,64 @@ object EventQueries {
         |  qs[t.gs] AS qv
         |FROM p, UNNEST(generate_series(1, 4)) AS t(gs)
         |ORDER BY event_type, q""".stripMargin,
+    // q229: the same ×n-centered integer moments on the same
+    // zero-filled hourly grid; HUGEINT mirrors decimal(38,0).
+    "q229_acf_hourly" ->
+      """WITH c AS (
+        |  SELECT event_type AS k, epoch_us(ts) // 3600000000 AS hr,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT k, min(hr) AS mn, max(hr) AS mx FROM c GROUP BY 1),
+        |g0 AS (SELECT k, unnest(generate_series(mn, mx)) AS hr FROM b),
+        |grid AS MATERIALIZED (
+        |  SELECT g0.k, g0.hr, coalesce(c.c, 0) AS c
+        |  FROM g0 LEFT JOIN c ON c.k = g0.k AND c.hr = g0.hr),
+        |st AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(c) AS BIGINT) AS s
+        |       FROM grid GROUP BY 1),
+        |y AS MATERIALIZED (
+        |  SELECT grid.k, grid.hr, st.n, st.n * grid.c - st.s AS y
+        |  FROM grid JOIN st ON st.k = grid.k),
+        |den AS (SELECT k, sum(CAST(y AS HUGEINT) * y) AS den
+        |        FROM y GROUP BY 1),
+        |num AS (
+        |  SELECT a.k, l.lag, max(a.n) AS n,
+        |    CAST(count(*) AS BIGINT) AS npairs,
+        |    sum(CAST(a.y AS HUGEINT) * b2.y) AS num
+        |  FROM y a
+        |  CROSS JOIN unnest(generate_series(1, 24)) AS l(lag)
+        |  JOIN y b2 ON b2.k = a.k AND b2.hr = a.hr - l.lag
+        |  GROUP BY 1, 2)
+        |SELECT num.k AS event_type, CAST(num.lag AS BIGINT) AS lag,
+        |  num.n, num.npairs,
+        |  CASE WHEN den.den = 0 THEN NULL
+        |       ELSE round(CAST(num.num AS DOUBLE)
+        |         / CAST(den.den AS DOUBLE), 9) END AS acf9
+        |FROM num JOIN den ON den.k = num.k
+        |ORDER BY event_type, lag""".stripMargin,
+    // q231: coupon-regime sketch algebra == exact set algebra; the
+    // intersection side is an exact pair join on (bucket, uid).
+    "q231_hll_set_algebra" ->
+      """WITH u AS MATERIALIZED (
+        |  SELECT DISTINCT event_type AS t,
+        |    CAST(user_id % 64 AS BIGINT) AS bucket, user_id AS uid
+        |  FROM events),
+        |s AS (SELECT t, bucket, CAST(count(*) AS BIGINT) AS n
+        |      FROM u GROUP BY 1, 2),
+        |ix AS (
+        |  SELECT a.t AS t_a, b.t AS t_b, a.bucket AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_inter
+        |  FROM u a JOIN u b
+        |    ON a.bucket = b.bucket AND a.uid = b.uid AND a.t < b.t
+        |  GROUP BY 1, 2, 3)
+        |SELECT sa.t AS k_a, sb.t AS k_b, sa.bucket AS bucket,
+        |  sa.n AS n_a, sb.n AS n_b,
+        |  sa.n + sb.n - coalesce(ix.n_inter, 0) AS n_union,
+        |  coalesce(ix.n_inter, 0) AS n_inter
+        |FROM s sa JOIN s sb ON sa.bucket = sb.bucket AND sa.t < sb.t
+        |LEFT JOIN ix ON ix.t_a = sa.t AND ix.t_b = sb.t
+        |  AND ix.bucket = sa.bucket
+        |ORDER BY k_a, k_b, bucket""".stripMargin,
     // q223: the same lag→run-index→rollup recurrence; string_agg in
     // run order reassembles the identical token string.
     "q223_rle_sequences" ->

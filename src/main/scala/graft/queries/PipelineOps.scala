@@ -1010,6 +1010,16 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Cross-source shingle-overlap matrix: pairwise distinct-3-gram
+    // intersection + Jaccard/containment between sources — dedup
+    // lifted to the provenance level (which crawls mirror each
+    // other). Posting-list self-join on the shingle hash; pair count
+    // bounded by #sources², never doc-level.
+    "q230_source_overlap" -> ((s, d) => {
+      Dedup.crossGroupOverlap(Tables.documents(s, d), "source", "text")
+        .orderBy(col("g_a"), col("g_b"))
+    }),
+
     // Gini concentration of per-language token frequencies — the
     // boilerplate/template-domination diagnostic; exact sorted-rank
     // identity over the vocab-sized count table (decimal moments).
@@ -2743,6 +2753,35 @@ object PipelineOps {
         |    AS correct
         |FROM documents d JOIN best b ON b.id = d.doc_id AND b.rk = 1
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Source-level shingle sets via the q27-proven 3-gram CTEs, then
+    // the same posting-list pair join at source granularity.
+    "q230_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id,
+        |    generate_subscripts(regexp_split_to_array(text, '\s+'), 1) AS pos,
+        |    unnest(regexp_split_to_array(text, '\s+')) AS tok
+        |  FROM documents),
+        |tri AS (
+        |  SELECT source, tok || ' ' || lead(tok, 1) OVER w || ' '
+        |    || lead(tok, 2) OVER w AS shingle
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |sh AS MATERIALIZED (
+        |  SELECT DISTINCT source AS g, shingle FROM tri
+        |  WHERE shingle IS NOT NULL),
+        |sizes AS (SELECT g, CAST(count(*) AS BIGINT) AS n
+        |          FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.g AS g_a, b.g AS g_b, CAST(count(*) AS BIGINT) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.g < b.g
+        |  GROUP BY 1, 2)
+        |SELECT g_a, g_b, sa.n AS n_a, sb.n AS n_b, inter,
+        |  round(CAST(inter AS DOUBLE)
+        |    / CAST(sa.n + sb.n - inter AS DOUBLE), 9) AS jaccard9,
+        |  round(CAST(inter AS DOUBLE)
+        |    / CAST(least(sa.n, sb.n) AS DOUBLE), 9) AS containment9
+        |FROM inter JOIN sizes sa ON sa.g = g_a JOIN sizes sb ON sb.g = g_b
+        |ORDER BY g_a, g_b""".stripMargin,
 
     // Gini by the sorted-rank identity over (lang, term) counts;
     // HUGEINT moments mirror the engine's decimal(38,0).

@@ -226,6 +226,24 @@ class IngestOpsSpec extends AnyFunSuite {
     for (id <- 3L until 10L) assert(out(id) == (id, plain(id)))
   }
 
+  test("crossGroupOverlap: identical groups hit jaccard 1, disjoint pairs absent") {
+    val df = Seq(
+      (1L, "a", "one two three four five"),
+      (2L, "b", "one two three four five"),   // identical to a
+      (3L, "c", "six seven eight nine ten"),  // disjoint from a/b
+      (4L, "d", "one two three zz qq")        // partial overlap with a/b
+    ).toDF("doc_id", "g", "text")
+    val out = Dedup.crossGroupOverlap(df, "g", "text")
+      .collect().map(r => (r.getAs[String]("g_a"), r.getAs[String]("g_b")) ->
+        (r.getAs[Long]("inter"), r.getAs[Double]("jaccard9"),
+          r.getAs[Double]("containment9"))).toMap
+    assert(out(("a", "b")) == ((3L, 1.0, 1.0)), s"identical: ${out(("a", "b"))}")
+    assert(!out.contains(("a", "c")) && !out.contains(("b", "c")),
+      "disjoint sources must not produce a pair row")
+    val (i, j, c) = out(("a", "d"))
+    assert(i == 1L && j > 0.0 && j < 1.0 && c > 0.0 && c < 1.0)
+  }
+
   test("giniConcentration: uniform counts give 0, dominance raises it") {
     // group u: 4 terms × 3 occurrences each (uniform → G = 0)
     // group s: one term 20×, four terms 1× (heavily concentrated)

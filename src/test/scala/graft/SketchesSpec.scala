@@ -59,6 +59,22 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("hll set algebra: coupon-regime union/intersection equal exact set ops") {
+    import spark.implicits._
+    // sets A = {1..30}, B = {21..50} within one cell; |A∪B| = 50,
+    // |A∩B| = 10 — register math + inclusion–exclusion, no raw data
+    val df = ((1L to 30L).map(("A", 0L, _)) ++ (21L to 50L).map(("B", 0L, _)))
+      .toSeq.toDF("seg", "cell", "uid")
+    val out = Sketches.setAlgebra(
+        Sketches.distinctSketch(df, Seq("seg", "cell"), "uid"), "seg", "cell")
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_a") == 30L && r.getAs[Long]("n_b") == 30L)
+    assert(r.getAs[Long]("n_union") == 50L)
+    assert(r.getAs[Long]("n_inter") == 10L)
+  }
+
   test("count-min collision-free regime: estimates == exact counts, any partitioning") {
     // the q106 anchor claim: with #distinct << width no key collides
     // in all depth rows, so the (always >=) estimate is exact — and

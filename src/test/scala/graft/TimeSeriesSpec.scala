@@ -181,4 +181,32 @@ class TimeSeriesSpec extends AnyFunSuite {
       "v", 10L).collect().toSeq
     assert(a == b)
   }
+
+  test("acf: planted period-3 series peaks at lag 3, flat series is NULL, partition-invariant") {
+    import org.apache.spark.sql.functions._
+    // key p: counts cycle 5,1,1 per hour (strong period 3); key f:
+    // constant 2/hour (zero variance after centering → acf NULL)
+    val rows = (0 until 30).flatMap { h =>
+      val base = s"2026-01-01 ${"%02d".format(h % 24)}:00:00"
+      val day = 1 + h / 24
+      val t = ts(s"2026-01-0$day ${"%02d".format(h % 24)}:10:00")
+      val np = if (h % 3 == 0) 5 else 1
+      (0 until np).map(i => ("p", t)) ++ Seq.fill(2)(("f", t))
+    }
+    val df = rows.toDF("k", "t")
+    val out = TimeSeries.acf(df, "k", "t", maxLag = 6)
+      .orderBy(col("k"), col("lag")).collect()
+    val p = out.filter(_.getString(0) == "p")
+      .map(r => r.getAs[Long]("lag") -> r.getAs[Any]("acf9")).toMap
+    assert(p(3L).asInstanceOf[Double] > 0.5, s"period-3 peak: ${p(3L)}")
+    assert(p(1L).asInstanceOf[Double] < p(3L).asInstanceOf[Double])
+    val f = out.filter(_.getString(0) == "f")
+    assert(f.forall(_.isNullAt(f.head.fieldIndex("acf9"))),
+      "zero-variance series must yield NULL acf")
+    assert(f.forall(_.getAs[Long]("n") == 30L))
+    val out2 = TimeSeries.acf(df.repartition(7), "k", "t", maxLag = 6)
+      .orderBy(col("k"), col("lag")).collect()
+    assert(out.map(_.toSeq).toSeq == out2.map(_.toSeq).toSeq,
+      "integer-moment acf must be partition-invariant")
+  }
 }
