@@ -193,6 +193,61 @@ object CorpusStats {
           (col("n_a") * col("n_b")).cast("double"), 9).as("ks9"))
   }
 
+  /** POPULATION STABILITY INDEX between two slices of a value column
+    * per group — the binned industry-standard drift monitor
+    * ([[ksDrift]]'s complement: KS is binning-free and answers "did
+    * it shift", PSI localizes WHERE mass moved and by how much):
+    * PSI = Σ_bins (p_B − p_A)·ln(p_B/p_A) over slice-A decile bins.
+    *
+    * Bin bounds are slice-A deciles per group (percentile_approx at
+    * accuracy 10⁶ — exact at gate scales, the q172/q184 boundary
+    * contract); bins fan out by the q184 array-fold, no join
+    * explosion. Laplace +1 smoothing on each observed cell (K =
+    * observed cell count per group) keeps empty-slice bins finite
+    * and both engines identical. Each bin's contribution is one
+    * fixed IEEE chain (two exact-int divisions, one round-9 ln, one
+    * product) rounded to a scaled long, so the per-group PSI is an
+    * exact integer sum.
+    *
+    * Scale: one pass to bin + one (group, bin) aggregate; the
+    * quantile sketch is mergeable state, the fold is codegen'd.
+    *
+    * @return (group, bin, c_a, c_b, contrib9, psi9) — psi9 repeated
+    *         per group (Σ contrib9). */
+  def psiDrift(df: DataFrame, groupCol: String, vCol: String,
+               inA: Column, inB: Column, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "need at least two bins")
+    val qs = (1 until nBins).map(_.toDouble / nBins)
+    val t = df.select(col(groupCol).as("g"), col(vCol).cast("long").as("v"),
+        inA.as("a"), inB.as("b"))
+      .filter(col("a") || col("b"))
+    val bounds = t.filter(col("a")).groupBy(col("g"))
+      .agg(percentile_approx(col("v"), typedLit(qs), lit(1000000)).as("_bs"))
+    val cells = t.join(broadcast(bounds), Seq("g"))
+      .withColumn("bin",
+        expr("aggregate(_bs, 0, (acc, th) -> acc + IF(v > th, 1, 0))")
+          .cast("long"))
+      .groupBy(col("g"), col("bin"))
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("b"), 1L).otherwise(0L)).as("cb"))
+    val totals = cells.groupBy(col("g"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+        count(lit(1)).as("k"))
+    val withP = cells.join(broadcast(totals), Seq("g"))
+    val pa = (withP("ca") + 1).cast("double") /
+      (withP("na") + withP("k")).cast("double")
+    val pb = (withP("cb") + 1).cast("double") /
+      (withP("nb") + withP("k")).cast("double")
+    val scored = withP.select(col("g"), col("bin"),
+      col("ca").as("c_a"), col("cb").as("c_b"),
+      round((pb - pa) * round(log(pb / pa), 9) * lit(1000000000L))
+        .cast("long").as("contrib9"))
+    val psi = scored.groupBy(col("g")).agg(sum(col("contrib9")).as("psi9"))
+    scored.join(broadcast(psi), Seq("g"))
+      .select(col("g").as(groupCol), col("bin"), col("c_a"), col("c_b"),
+        col("contrib9"), col("psi9"))
+  }
+
   /** Zipf-law fit: the slope of ln(freq) vs ln(rank) over the top-`k`
     * corpus terms — the vocabulary-health diagnostic (natural text
     * sits near −1; template/boilerplate corpora flatten, spam

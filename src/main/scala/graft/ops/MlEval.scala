@@ -325,6 +325,52 @@ object MlEval {
       .orderBy(col("bin"))
   }
 
+  /** ISOTONIC CALIBRATION over the [[calibrationBins]] reliability
+    * bins — the pool-adjacent-violators fit, computed by the exact
+    * MINIMAX characterization of isotonic regression (Barlow et al.
+    * 1972): fit_i = max_{j≤i} min_{k≥i} mean(y_j..y_k), with weighted
+    * interval means from the prefix-summed (n, n_pos) bin table.
+    * Where the raw per-bin positive rate can zig-zag on thin bins,
+    * the isotonic fit is the best monotone approximation — the map
+    * score→P(pos) actually usable as a calibrated probability.
+    *
+    * Determinism: interval means are round-9 doubles from exact
+    * integer prefix sums (one fixed IEEE division each); min/max over
+    * those quantized values is order-free. Everything after the one
+    * bins aggregation runs on O(nBins²) rows — driver-free, constant
+    * work regardless of data size.
+    *
+    * @return (bin, n, n_pos, pos_rate9, fit9) — fit9 monotone
+    *         non-decreasing in bin. */
+  def isotonicCalibration(df: DataFrame, scoreCol: String, posCol: String,
+                          nBins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bins = calibrationBins(df, scoreCol, posCol, nBins)
+      .select(col("bin"), col("n"), col("n_pos"), col("pos_rate9"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = bins.select(col("bin"), col("n"), col("n_pos"),
+      col("pos_rate9"), sum(col("n")).over(w).as("cn"),
+      sum(col("n_pos")).over(w).as("cp"))
+    val lo = pre.select(col("bin").as("j"),
+      (col("cn") - col("n")).as("cn0"), (col("cp") - col("n_pos")).as("cp0"))
+    val hi = pre.select(col("bin").as("k"), col("cn").as("cn1"),
+      col("cp").as("cp1"))
+    val iv = lo.join(hi, col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        round((col("cp1") - col("cp0")).cast("double") /
+          (col("cn1") - col("cn0")).cast("double"), 9).as("m9"))
+    val idx = bins.select(col("bin").as("i"))
+    val fit = idx
+      .join(iv, col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy(col("i"), col("j")).agg(min(col("m9")).as("lo9"))
+      .groupBy(col("i")).agg(max(col("lo9")).as("fit9"))
+    bins.join(fit, bins("bin") === fit("i"))
+      .select(col("bin"), col("n"), col("n_pos"), col("pos_rate9"),
+        col("fit9"))
+      .orderBy(col("bin"))
+  }
+
   /** Per-group OLS trend line y = a + b·x from EXACT sufficient
     * statistics — the distributed linear-regression formulation:
     * everything the fit needs is five mergeable sums

@@ -864,6 +864,32 @@ object PipelineOps {
       graft.ops.MlEval.calibrationBins(e, "nsq", "pos", nBins = 10)
     }),
 
+    // q232: the isotonic (PAV) fit over q184's reliability bins via
+    // the exact minimax characterization — fit_i = max_{j≤i} min_{k≥i}
+    // weighted-mean(j..k) on round-9 interval means from exact prefix
+    // sums; O(nBins²) rows after one aggregation, monotone output.
+    "q232_isotonic_calibration" -> ((s, d) => {
+      import graft.functions.VectorFunctions.normSqScaled
+      val e = Tables.embeddings(s, d).select(
+        normSqScaled(col("embedding")).as("nsq"),
+        (pmod(col("label"), lit(2)) === 0).as("pos"))
+      graft.ops.MlEval.isotonicCalibration(e, "nsq", "pos", nBins = 10)
+    }),
+
+    // q233: population stability index of the spend-cents distribution
+    // per event type, first half-month vs second — the binned drift
+    // monitor localizing WHERE mass moved (q183 KS = the binning-free
+    // complement). Slice-A decile bins, Laplace-smoothed cells, exact
+    // scaled-long contribution sums.
+    "q233_psi_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"),
+        dayofmonth(col("ts")).as("dom"))
+      CorpusStats.psiDrift(ev, "event_type", "cents",
+          inA = col("dom") <= 15, inB = col("dom") > 15)
+        .orderBy(col("event_type"), col("bin"))
+    }),
+
     // q179: exact per-language rank / percent-rank normalization of
     // doc length via VALUE COMPRESSION (window over the distinct-value
     // table, never over data rows — the scalable exact-rank shape);
@@ -1945,6 +1971,84 @@ object PipelineOps {
         |  round(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE), 9) AS pos_rate9
         |FROM a GROUP BY bin ORDER BY bin""".stripMargin),
+
+    // q232: q184's bins, then the minimax isotonic fit —
+    // max_{j≤i} min_{k≥i} of round-9 weighted interval means from the
+    // same exact prefix sums.
+    "q232_isotonic_calibration" -> (AucStumpCtes +
+      """b AS (
+        |  SELECT quantile_disc(score,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+        |  FROM t),
+        |a AS (
+        |  SELECT t.score, t.pos,
+        |    CAST(len(list_filter(b.bs, th -> t.score > th)) AS BIGINT) AS bin
+        |  FROM t CROSS JOIN b),
+        |bins AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np
+        |  FROM a GROUP BY bin),
+        |pre AS (
+        |  SELECT bin, n, np,
+        |    CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+        |    CAST(sum(np) OVER (ORDER BY bin) AS BIGINT) AS cp
+        |  FROM bins),
+        |iv AS (
+        |  SELECT lo.bin AS j, hi.bin AS k,
+        |    round(CAST(hi.cp - (lo.cp - lo.np) AS DOUBLE)
+        |      / CAST(hi.cn - (lo.cn - lo.n) AS DOUBLE), 9) AS m9
+        |  FROM pre lo JOIN pre hi ON lo.bin <= hi.bin),
+        |inner_ AS (
+        |  SELECT p.bin AS i, iv.j, min(iv.m9) AS lo9
+        |  FROM pre p JOIN iv ON iv.j <= p.bin AND iv.k >= p.bin
+        |  GROUP BY 1, 2),
+        |fit AS (SELECT i, max(lo9) AS fit9 FROM inner_ GROUP BY 1)
+        |SELECT pre.bin, pre.n, pre.np AS n_pos,
+        |  round(CAST(pre.np AS DOUBLE) / CAST(pre.n AS DOUBLE), 9)
+        |    AS pos_rate9,
+        |  fit.fit9
+        |FROM pre JOIN fit ON fit.i = pre.bin ORDER BY pre.bin""".stripMargin),
+
+    // q233: slice-A deciles per type (quantile_disc == the exact-
+    // regime percentile_approx), q184's list_filter fold for the bin,
+    // Laplace-smoothed cells, identical IEEE contribution chain.
+    "q233_psi_drift" ->
+      """WITH t AS (
+        |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v,
+        |    EXTRACT(day FROM ts) <= 15 AS a, EXTRACT(day FROM ts) > 15 AS b
+        |  FROM events),
+        |bs AS (
+        |  SELECT g, quantile_disc(v,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+        |  FROM t WHERE a GROUP BY 1),
+        |x AS (
+        |  SELECT t.g,
+        |    CAST(len(list_filter(bs.bs, th -> t.v > th)) AS BIGINT) AS bin,
+        |    t.a, t.b
+        |  FROM t JOIN bs ON bs.g = t.g),
+        |cells AS (
+        |  SELECT g, bin,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM x GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT g, CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb, CAST(count(*) AS BIGINT) AS k
+        |  FROM cells GROUP BY 1),
+        |c2 AS (
+        |  SELECT cells.g, cells.bin, ca, cb,
+        |    CAST(round((CAST(cb + 1 AS DOUBLE) / CAST(nb + k AS DOUBLE)
+        |        - CAST(ca + 1 AS DOUBLE) / CAST(na + k AS DOUBLE))
+        |      * round(ln((CAST(cb + 1 AS DOUBLE) / CAST(nb + k AS DOUBLE))
+        |          / (CAST(ca + 1 AS DOUBLE) / CAST(na + k AS DOUBLE))), 9)
+        |      * 1000000000) AS BIGINT) AS contrib9
+        |  FROM cells JOIN tot ON tot.g = cells.g),
+        |p AS (SELECT g, CAST(sum(contrib9) AS BIGINT) AS psi9
+        |      FROM c2 GROUP BY 1)
+        |SELECT c2.g AS event_type, c2.bin, c2.ca AS c_a, c2.cb AS c_b,
+        |  c2.contrib9, p.psi9
+        |FROM c2 JOIN p ON p.g = c2.g
+        |ORDER BY event_type, bin""".stripMargin,
 
     // q181: identical rank/ln9/five-sum chain; the LIMIT boundary is
     // deterministic under the (freq DESC, tok) total order.

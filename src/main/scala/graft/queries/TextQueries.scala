@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.io.Tables
@@ -74,6 +74,24 @@ object TextQueries {
       graft.text.Dictionary.denseIdsScalable(
           toks(s, d).select(col("token").as("term")), "term")
         .orderBy(col("term"))
+    }),
+
+    // A2, append-only evolution: the doc_id<400 corpus's dictionary is
+    // FROZEN; the newer docs contribute only their genuinely-new terms
+    // at ids max+1.. (sort+zipWithIndex on the delta only). Stable-id
+    // maintenance — the re-run-and-renumber failure mode q12 would hit
+    // on a growing corpus.
+    // Keys are word BIGRAMS (the q27-proven shingle kernel at n=2) so
+    // the batch really carries unseen keys at this corpus.
+    "q234_dictionary_delta" -> ((s, d) => {
+      def bigrams(f: Column) = graft.ops.Dedup.withShingles(
+          Tables.documents(s, d).filter(f), "text", 2)
+        .select(explode(col("shingles")).as("term")).distinct()
+      val existing = graft.text.Dictionary.denseIdsScalable(
+        bigrams(col("doc_id") < 400), "term")
+      graft.text.Dictionary.mergeDelta(existing,
+          bigrams(col("doc_id") >= 400), "term")
+        .orderBy(col("id"))
     }),
 
     // A3: TF = cnt / Σcnt per doc (task1_4_1.java).
@@ -198,6 +216,36 @@ object TextQueries {
       """SELECT term, CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS id
         |FROM (SELECT DISTINCT term FROM kept) ORDER BY term""".stripMargin),
     // Same contract, distributed implementation — same oracle.
+    // Frozen old dictionary + delta ids past the old max, is_new flag.
+    "q234_dictionary_delta" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(regexp_split_to_array(text, '\s+'), 1) AS pos,
+        |    unnest(regexp_split_to_array(text, '\s+')) AS tok
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, tok || ' ' || lead(tok) OVER
+        |    (PARTITION BY doc_id ORDER BY pos) AS term
+        |  FROM tk),
+        |t1 AS (
+        |  SELECT DISTINCT term FROM bi
+        |  WHERE term IS NOT NULL AND doc_id < 400),
+        |d1 AS (
+        |  SELECT term, CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS id
+        |  FROM t1),
+        |t2 AS (
+        |  SELECT DISTINCT term FROM bi
+        |  WHERE term IS NOT NULL AND doc_id >= 400),
+        |nw AS (SELECT term FROM t2 WHERE term NOT IN (SELECT term FROM t1)),
+        |mx AS (SELECT CAST(coalesce(max(id), 0) AS BIGINT) AS m FROM d1),
+        |d2 AS (
+        |  SELECT term,
+        |    CAST(mx.m + row_number() OVER (ORDER BY term) AS BIGINT) AS id
+        |  FROM nw, mx)
+        |SELECT term, id, CAST(0 AS BIGINT) AS is_new FROM d1
+        |UNION ALL
+        |SELECT term, id, CAST(1 AS BIGINT) AS is_new FROM d2
+        |ORDER BY id""".stripMargin,
     "q96_term_dictionary_scalable" -> (TokCte +
       """SELECT term, CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS id
         |FROM (SELECT DISTINCT term FROM kept) ORDER BY term""".stripMargin),

@@ -35,4 +35,32 @@ object Dictionary {
       .map { case (k, i) => (k, i + 1) }
       .toDF(keyCol, "id")
   }
+
+  /** INCREMENTAL dictionary maintenance — extend an existing
+    * (key, id) dictionary with a new batch's keys WITHOUT renumbering:
+    * existing ids are frozen (downstream feature tables, embedding
+    * rows, and model vocabularies keyed on them stay valid), and only
+    * genuinely new keys get ids `max_id+1..` in key order. This is
+    * the lakehouse answer to "the dictionary is append-only state,
+    * not a per-run artifact": re-running [[denseIds]] on the grown
+    * corpus would reshuffle every id on any vocabulary change.
+    *
+    * Scale: the batch anti-joins the existing dictionary (one equi
+    * join), and only the DELTA — vocabulary growth, sublinear in
+    * corpus growth — pays the [[denseIdsScalable]] sort+zipWithIndex.
+    *
+    * @return (keyCol, id, is_new) — old rows verbatim with is_new=0,
+    *         delta rows offset past the old max with is_new=1. */
+  def mergeDelta(existing: DataFrame, batch: DataFrame,
+                 keyCol: String): DataFrame = {
+    val newKeys = batch.select(col(keyCol)).distinct()
+      .join(existing.select(col(keyCol)), Seq(keyCol), "left_anti")
+    val base = existing.agg(coalesce(max(col("id")), lit(0L)).as("_base"))
+    val delta = denseIdsScalable(newKeys, keyCol)
+      .crossJoin(broadcast(base))
+      .select(col(keyCol), (col("_base") + col("id")).as("id"),
+        lit(1L).as("is_new"))
+    existing.select(col(keyCol), col("id"), lit(0L).as("is_new"))
+      .union(delta)
+  }
 }

@@ -147,4 +147,40 @@ class CorpusStatsSpec extends AnyFunSuite {
       .collect().head
     assert(r == r2, "exact sums ⇒ partitioning-invariant fit")
   }
+
+  test("psiDrift: identical slices score 0, a shifted slice scores positive") {
+    // group 'same': A and B draw the identical value multiset → every
+    // cell has ca == cb and na == nb → contrib exactly 0.
+    // group 'shift': B's values displaced upward → psi > 0.
+    val rows =
+      (0 until 100).map(i => ("same", (i % 10).toLong, i < 50)) ++
+        (0 until 100).map(i =>
+          if (i < 50) ("shift", (i % 10).toLong, true)
+          else ("shift", (i % 10 + 7).toLong, false))
+    val df = rows.toDF("g", "v", "inA")
+    val out = CorpusStats.psiDrift(df, "g", "v",
+        inA = col("inA"), inB = !col("inA"))
+      .select(col("g"), col("psi9")).distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("same") == 0L, s"identical slices: psi9=${out("same")}")
+    assert(out("shift") > 100000000L, // psi > 0.1
+      s"shifted slice: psi9=${out("shift")}")
+    val out2 = CorpusStats.psiDrift(df.repartition(7), "g", "v",
+        inA = col("inA"), inB = !col("inA"))
+      .select(col("g"), col("psi9")).distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == out2, "scaled-long contributions ⇒ partition-invariant")
+  }
+
+  test("mergeDelta: existing ids frozen, new keys appended past max in order") {
+    import spark.implicits._
+    val existing = Seq(("apple", 1L), ("pear", 2L)).toDF("term", "id")
+    val batch = Seq("pear", "cherry", "apple", "banana").toDF("term")
+    val out = graft.text.Dictionary.mergeDelta(existing, batch, "term")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("id"), r.getAs[Long]("is_new"))).toMap
+    assert(out == Map(
+      "apple" -> (1L, 0L), "pear" -> (2L, 0L),
+      "banana" -> (3L, 1L), "cherry" -> (4L, 1L)), out.toString)
+  }
 }

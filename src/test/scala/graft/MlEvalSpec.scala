@@ -221,4 +221,28 @@ class MlEvalSpec extends AnyFunSuite {
     val b = run(ev.repartition(17))
     assert(a == b)
   }
+
+  test("isotonicCalibration: PAV merges the violating bins, fit is monotone") {
+    import org.apache.spark.sql.functions.col
+    // scores 1/2/3 × 10 rows; positive counts 4, 2, 6 → raw rates
+    // 0.4, 0.2, 0.6 zig-zag; PAV pools bins 0,1 → 0.3, 0.3, 0.6
+    val rows = (0 until 30).map { i =>
+      val s = 1L + i / 10
+      val pos = (i / 10) match {
+        case 0 => i % 10 < 4
+        case 1 => i % 10 < 2
+        case _ => i % 10 < 6
+      }
+      (s, pos)
+    }
+    val out = MlEval.isotonicCalibration(rows.toDF("score", "pos"),
+        "score", "pos", nBins = 3)
+      .orderBy(col("bin")).collect()
+    assert(out.length == 3)
+    val fits = out.map(_.getAs[Double]("fit9")).toSeq
+    assert(fits == Seq(0.3, 0.3, 0.6), fits.mkString(","))
+    assert(fits == fits.sorted, "isotonic fit must be monotone")
+    val rates = out.map(_.getAs[Double]("pos_rate9")).toSeq
+    assert(rates == Seq(0.4, 0.2, 0.6))
+  }
 }
