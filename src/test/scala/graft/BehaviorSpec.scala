@@ -198,4 +198,20 @@ class BehaviorSpec extends AnyFunSuite {
     assert(got(1L) == ((4L, 3L, "a:2,b:1,a:1")))
     assert(got(2L) == ((1L, 1L, "c:1")))
   }
+
+  test("markovEval: deterministic cycle self-predicts perfectly; minority transitions flagged") {
+    // users cycle a→b→a→b…, one user throws in a→c once: the model
+    // predicts b after a (majority), so the a→c cell is the one error
+    val ev =
+      (1 to 3).flatMap(u => (0 until 6).map(i =>
+        (u.toLong, if (i % 2 == 0) "a" else "b", i.toLong * 10, i.toLong))) ++
+        Seq((9L, "a", 0L, 0L), (9L, "c", 10L, 1L))
+    val out = Behavior.markovEval(ev.toDF("user_id", "event_type", "ts", "event_id"),
+        "user_id", "event_type", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getString(2), r.getAs[Long]("n"), r.getAs[Long]("correct"))).toMap
+    assert(out(("a", "b")) == (("b", 9L, 1L)))
+    assert(out(("b", "a")) == (("a", 6L, 1L)))
+    assert(out(("a", "c")) == (("b", 1L, 0L)), "minority transition must be a miss")
+  }
 }

@@ -737,6 +737,44 @@ class SpanRemovalSpec extends AnyFunSuite {
     assert(got("x") == ((3L, 0L, 2L)))
   }
 
+  test("momentsProfile: symmetric two-point mass → skew 0, kurt 1; shape detects outliers") {
+    import spark.implicits._
+    // sym: 50×(+10), 50×(−10) → var 100, skew 0, kurtosis exactly 1
+    // tail: 99×0 with one huge outlier → kurtosis ≈ n (heavy tail)
+    val rows = (0 until 50).map(i => ("sym", 10L)) ++
+      (0 until 50).map(i => ("sym", -10L)) ++
+      (0 until 99).map(i => ("tail", 0L)) ++ Seq(("tail", 1000L))
+    val out = graft.ops.Profile.momentsProfile(rows.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("var9"), r.getAs[Double]("skew9"),
+          r.getAs[Double]("kurt9"))).toMap
+    assert(out("sym") == ((100.0, 0.0, 1.0)), out("sym").toString)
+    val (_, sk, ku) = out("tail")
+    assert(sk > 5.0 && ku > 50.0, s"heavy tail: skew=$sk kurt=$ku")
+    val out2 = graft.ops.Profile.momentsProfile(
+        rows.toDF("g", "v").repartition(7), "g", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("var9"), r.getAs[Double]("skew9"),
+          r.getAs[Double]("kurt9"))).toMap
+    assert(out == out2, "integer power sums ⇒ partition-invariant")
+  }
+
+  test("pngAverageHash: exact mean split, duplicates collide, zero-variance all-dark") {
+    import spark.implicits._
+    // text bytes are the pixels: 'a'*64 + 'z'*64 → low half 0s, high
+    // half 1s; a duplicate payload must produce the identical hash
+    val t = ("a" * 64) + ("z" * 64)
+    val df = Seq((1L, t), (2L, t), (3L, "b" * 128)).toDF("doc_id", "text")
+    val out = graft.ops.Multimodal.pngAverageHash(df, "doc_id", "text",
+        width = 16, height = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_set"), r.getAs[String]("ahash"))).toMap
+    assert(out(1L)._1 == 64L)
+    assert(out(1L)._2 == ("0" * 64) + ("1" * 64))
+    assert(out(1L) == out(2L), "identical images must collide")
+    assert(out(3L)._1 == 0L, "constant image: no pixel exceeds the mean")
+  }
+
   test("greedyCoverage: picks by marginal gain, saturates early") {
     import spark.implicits._
     // 3-gram shingles: doc 1 = {a b c, b c d}, doc 2 ⊂ doc 1,

@@ -222,6 +222,26 @@ class MlEvalSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("poissonBootstrap: deterministic replicates, weights near Poisson(1), invariant") {
+    import org.apache.spark.sql.functions._
+    val df = (0 until 400).map(i => ("g", i.toLong, 100L + i % 7))
+      .toDF("g", "id", "x")
+    val out = MlEval.poissonBootstrap(df, "g", "id", "x", reps = 20)
+      .orderBy(col("rep")).collect()
+    assert(out.length == 20)
+    // E[Σw] = n per replicate; across 20 reps the total stays near n
+    val effs = out.map(_.getAs[Long]("n_eff"))
+    assert(math.abs(effs.sum / 20.0 - 400.0) < 20.0, s"mean n_eff=${effs.sum / 20.0}")
+    // replicate means stay near the true mean (100..106 → ~103)
+    val means = out.map(_.getAs[Double]("mean9"))
+    assert(means.forall(m => m > 100.0 && m < 106.0))
+    assert(means.distinct.length > 1, "replicates must actually differ")
+    val out2 = MlEval.poissonBootstrap(df.repartition(7), "g", "id", "x", 20)
+      .orderBy(col("rep")).collect()
+    assert(out.map(_.toSeq).toSeq == out2.map(_.toSeq).toSeq,
+      "hash-derandomized weights must be partition-invariant")
+  }
+
   test("isotonicCalibration: PAV merges the violating bins, fit is monotone") {
     import org.apache.spark.sql.functions.col
     // scores 1/2/3 × 10 rows; positive counts 4, 2, 6 → raw rates
