@@ -193,6 +193,37 @@ object CorpusStats {
           (col("n_a") * col("n_b")).cast("double"), 9).as("ks9"))
   }
 
+  /** LEAVE-ONE-GROUP-OUT INFLUENCE of each group on the global mean
+    * of a value column — the cheapest data-valuation diagnostic:
+    * delta(g) = mean(all) − mean(all \ g) says how much source g
+    * drags the corpus statistic, computed in O(1) algebra per group
+    * from sufficient statistics (no second pass, no per-group
+    * re-aggregation — the closed-form LOO trick). A source with
+    * outsized |delta| is either gold or poison; either way it gets
+    * audited first.
+    *
+    * One groupBy pass → (n_g, s_g) per group; the global (N, S) is a
+    * broadcast single row; every division is a fixed IEEE chain on
+    * exact integers, round-9.
+    *
+    * @return (group, n_g, s_g, mean_wo9, delta9) — NULL when the
+    *         group IS the corpus. */
+  def leaveOneGroupOut(df: DataFrame, groupCol: String, vCol: String)
+      : DataFrame = {
+    val per = df.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n_g"), sum(col(vCol).cast("long")).as("s_g"))
+    val tot = per.agg(sum(col("n_g")).as("nn"), sum(col("s_g")).as("ss"))
+    per.crossJoin(broadcast(tot))
+      .select(col("g").as(groupCol), col("n_g"), col("s_g"),
+        when(col("nn") === col("n_g"), lit(null)).otherwise(
+          round((col("ss") - col("s_g")).cast("double") /
+            (col("nn") - col("n_g")).cast("double"), 9)).as("mean_wo9"),
+        when(col("nn") === col("n_g"), lit(null)).otherwise(
+          round(col("ss").cast("double") / col("nn").cast("double") -
+            (col("ss") - col("s_g")).cast("double") /
+              (col("nn") - col("n_g")).cast("double"), 9)).as("delta9"))
+  }
+
   /** POPULATION STABILITY INDEX between two slices of a value column
     * per group — the binned industry-standard drift monitor
     * ([[ksDrift]]'s complement: KS is binning-free and answers "did

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** ANALYZE-style table profiling: per-column null counts and exact
@@ -67,6 +67,57 @@ object Profile {
         (col("n_rows") - col("n_non_null")).as("n_null"), col("n_distinct"))
       .orderBy(col("column_name"))
   }
+
+  /** DATA-QUALITY CONSTRAINT CHECKS (the Deequ/expectation-suite
+    * shape): declared row-level rules, key-uniqueness, and
+    * referential-integrity constraints evaluated as EXACT violation
+    * counts in one aggregate pass per table — the gate a pipeline
+    * runs before promoting a batch. Each check is a single mergeable
+    * aggregation (row rules share ONE pass per table via multi-agg),
+    * so the whole suite costs one scan per table at any scale; the
+    * report is a handful of rows.
+    *
+    * Output contract (all three helpers): (table_name, check_name,
+    * n_rows, n_violations, passed). Union them into the suite. */
+  def rowRuleChecks(df: DataFrame, table: String,
+                    rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val aggs = count(lit(1)).as("n_rows") +: rules.map { case (nm, pred) =>
+      sum(when(!pred, 1L).otherwise(0L)).as(s"v_$nm")
+    }
+    val stackArgs = rules.map { case (nm, _) => s"'$nm', v_$nm" }
+      .mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr("n_rows",
+        s"stack(${rules.length}, $stackArgs) AS (check_name, n_violations)")
+      .select(lit(table).as("table_name"), col("check_name"),
+        col("n_rows"), col("n_violations").cast("long").as("n_violations"),
+        when(col("n_violations") === 0, 1L).otherwise(0L).as("passed"))
+  }
+
+  /** Key-uniqueness check: violations = n_rows − distinct keys. */
+  def uniqueCheck(df: DataFrame, table: String, keyCol: String): DataFrame =
+    df.agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - countDistinct(col(keyCol))).as("nv"))
+      .select(lit(table).as("table_name"),
+        lit(s"unique_$keyCol").as("check_name"), col("n_rows"),
+        col("nv").cast("long").as("n_violations"),
+        when(col("nv") === 0, 1L).otherwise(0L).as("passed"))
+
+  /** Referential-integrity check: child rows whose `fk` has no match
+    * in the parent's `pk` (broadcast the distinct parent keys when
+    * dimension-sized). */
+  def refIntegrityCheck(child: DataFrame, fk: String, parent: DataFrame,
+                        pk: String, table: String): DataFrame =
+    child.select(col(fk).as("_fk"))
+      .join(broadcast(parent.select(col(pk).as("_pk")).distinct()),
+        col("_fk") === col("_pk"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("_pk").isNull, 1L).otherwise(0L)).as("nv"))
+      .select(lit(table).as("table_name"),
+        lit(s"ref_${fk}").as("check_name"), col("n_rows"),
+        col("nv").cast("long").as("n_violations"),
+        when(col("nv") === 0, 1L).otherwise(0L).as("passed"))
 
   /** EXACT SKEWNESS / KURTOSIS per group from integer power sums —
     * the distribution-shape profile ([[columnProfile]]'s missing

@@ -138,6 +138,30 @@ object TextAnalysis {
       .drop("__gid", "__rep")
   }
 
+  /** GROUP-AWARE K-FOLD cross-validation assignment — the k-way
+    * generalization of [[leakageSafeSplit]]: fold = portable-hash of
+    * the near-dup group representative mod k, so a duplicate cluster
+    * lands in exactly one fold and no fold ever validates on a
+    * paraphrase of another fold's training doc. Hash-deterministic
+    * (no RNG state), stable when the corpus grows: existing docs
+    * never change folds, which makes CV runs comparable across
+    * corpus snapshots. Same scale shape as the split: one equi join
+    * against the pairs-only group table + a codegen'd hash.
+    *
+    * @return df + (rep_id, fold) with fold ∈ [0, k). */
+  def groupKFold(df: DataFrame, idCol: String, groups: DataFrame,
+                 k: Int): DataFrame = {
+    require(k >= 2, "need at least two folds")
+    val g = groups.select(col("doc_id").as("__gid"),
+      col("rep_id").as("__rep"))
+    df.join(g, df(idCol) === col("__gid"), "left")
+      .withColumn("rep_id", coalesce(col("__rep"), col(idCol)))
+      .withColumn("fold", expr(
+        "cast(conv(substring(md5(cast(rep_id as string)), 1, 15), 16, 10) " +
+          s"as bigint) % $k"))
+      .drop("__gid", "__rep")
+  }
+
   /** Deterministic stratified sampling — rebalance a training mix by
     * keeping a different fraction per stratum (language, source,
     * quality band). Same engine-portable primitive as [[withSplit]]:

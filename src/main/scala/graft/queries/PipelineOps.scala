@@ -1046,6 +1046,26 @@ object PipelineOps {
         .orderBy(col("g_a"), col("g_b"))
     }),
 
+    // Group-aware k-fold CV assignment: fold = portable hash of the
+    // q52 group rep mod 5 — duplicate clusters stay within one fold,
+    // existing docs never change folds as the corpus grows.
+    "q241_group_kfold" -> ((s, d) => {
+      TextAnalysis.groupKFold(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id",
+          dedupComponents(s, d), k = 5)
+        .select(col("doc_id"), col("rep_id"), col("fold"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Leave-one-source-out influence on the global mean doc length —
+    // closed-form data valuation from sufficient statistics; the
+    // outsized-|delta| sources get audited first.
+    "q242_source_influence" -> ((s, d) => {
+      CorpusStats.leaveOneGroupOut(Tables.documents(s, d), "source",
+          "n_chars")
+        .orderBy(col("source"))
+    }),
+
     // Gini concentration of per-language token frequencies — the
     // boilerplate/template-domination diagnostic; exact sorted-rank
     // identity over the vocab-sized count table (decimal moments).
@@ -2163,6 +2183,37 @@ object PipelineOps {
         |  CAST(min(p) AS INTEGER) AS first_pos
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q52_dedup_groups" -> DedupGroupsSql,
+    // q241: the q52 closure's rep hashed into 5 folds with the
+    // portable 60-bit md5 idiom.
+    "q241_group_kfold" -> (DedupClosureCtes +
+      """,
+        |grp AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS rep_id
+        |  FROM reach GROUP BY src)
+        |SELECT d.doc_id, coalesce(g.rep_id, d.doc_id) AS rep_id,
+        |  CAST('0x' || substr(md5(CAST(coalesce(g.rep_id, d.doc_id)
+        |    AS VARCHAR)), 1, 15) AS BIGINT) % 5 AS fold
+        |FROM documents d LEFT JOIN grp g ON g.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
+
+    // q242: closed-form LOO deltas from (n_g, s_g) + the global row.
+    "q242_source_influence" ->
+      """WITH per AS (
+        |  SELECT source AS g, CAST(count(*) AS BIGINT) AS n_g,
+        |    CAST(sum(n_chars) AS BIGINT) AS s_g
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS nn,
+        |          CAST(sum(s_g) AS BIGINT) AS ss FROM per)
+        |SELECT per.g AS source, per.n_g, per.s_g,
+        |  CASE WHEN tot.nn = per.n_g THEN NULL
+        |       ELSE round(CAST(tot.ss - per.s_g AS DOUBLE)
+        |         / CAST(tot.nn - per.n_g AS DOUBLE), 9) END AS mean_wo9,
+        |  CASE WHEN tot.nn = per.n_g THEN NULL
+        |       ELSE round(CAST(tot.ss AS DOUBLE) / CAST(tot.nn AS DOUBLE)
+        |         - CAST(tot.ss - per.s_g AS DOUBLE)
+        |           / CAST(tot.nn - per.n_g AS DOUBLE), 9) END AS delta9
+        |FROM per, tot ORDER BY source""".stripMargin,
+
     // q54's md5 hex carve-out applied to the q52 closure's group rep
     // (docs outside any pair fall back to their own id).
     "q227_leakage_split" -> (DedupClosureCtes +

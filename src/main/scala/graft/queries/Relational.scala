@@ -691,6 +691,29 @@ object Relational {
     "q190_column_profile" -> ((s, d) =>
       graft.ops.Profile.columnProfile(Tables.orders(s, d))),
 
+    // q239: expectation-suite batch gate over the star schema — row
+    // rules, key uniqueness, referential integrity, each ONE exact
+    // aggregate pass; includes checks that genuinely fail on this
+    // data (value≤100, n_chars≥100) so the violation counting is
+    // exercised, not decorative.
+    "q239_quality_checks" -> ((s, d) => {
+      import graft.ops.Profile._
+      val suite = rowRuleChecks(Tables.lineitem(s, d), "lineitem", Seq(
+          "quantity_range" -> col("l_quantity").between(1, 50)))
+        .union(rowRuleChecks(Tables.events(s, d), "events", Seq(
+          "value_positive" -> (col("value") > 0),
+          "value_le_100" -> (col("value") <= 100),
+          "known_type" -> col("event_type").isin(
+            "click", "view", "purchase", "signup", "error"))))
+        .union(rowRuleChecks(Tables.documents(s, d), "documents", Seq(
+          "nonempty_text" -> (length(col("text")) > 0),
+          "min_chars_100" -> (col("n_chars") >= 100))))
+        .union(uniqueCheck(Tables.orders(s, d), "orders", "o_orderkey"))
+        .union(refIntegrityCheck(Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey", "orders"))
+      suite.orderBy(col("table_name"), col("check_name"))
+    }),
+
     // q185: bounded Bellman–Ford shortest-path WEIGHTS over the same
     // graph, edge weight = min l_quantity of the pair — the min-plus
     // sibling of q176 (a longer-but-lighter path can beat the BFS
@@ -1234,6 +1257,51 @@ object Relational {
         |        FROM j)
         |SELECT rk, k, ca, cb, rows_out, total_rows, n_join_keys
         |FROM top, t WHERE rk <= 5 ORDER BY rk""".stripMargin,
+    // q239: every check as a one-row aggregate, unioned.
+    "q239_quality_checks" ->
+      """WITH checks AS (
+        |  SELECT 'lineitem' AS table_name, 'quantity_range' AS check_name,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1
+        |      END) AS BIGINT) AS n_violations
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'events', 'value_positive', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN value > 0 THEN 0 ELSE 1 END) AS BIGINT)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'events', 'value_le_100', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN value <= 100 THEN 0 ELSE 1 END) AS BIGINT)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'events', 'known_type', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN event_type IN
+        |      ('click', 'view', 'purchase', 'signup', 'error')
+        |      THEN 0 ELSE 1 END) AS BIGINT)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'documents', 'nonempty_text', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN len(text) > 0 THEN 0 ELSE 1 END) AS BIGINT)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'documents', 'min_chars_100', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN n_chars >= 100 THEN 0 ELSE 1 END) AS BIGINT)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'orders', 'unique_o_orderkey', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders', 'ref_o_custkey', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON c.c_custkey = o.o_custkey)
+        |SELECT table_name, check_name, n_rows, n_violations,
+        |  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS passed
+        |FROM checks ORDER BY table_name, check_name""".stripMargin,
+
     "q190_column_profile" -> {
       val cols = Seq("o_custkey", "o_orderdate", "o_orderkey",
         "o_orderpriority", "o_orderstatus", "o_totalprice")

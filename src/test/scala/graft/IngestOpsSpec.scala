@@ -737,6 +737,49 @@ class SpanRemovalSpec extends AnyFunSuite {
     assert(got("x") == ((3L, 0L, 2L)))
   }
 
+  test("quality checks: violation counts exact, uniqueness and ref integrity flag bad rows") {
+    import spark.implicits._
+    import graft.ops.Profile._
+    val t = Seq((1L, 5L), (2L, -3L), (2L, 60L)).toDF("k", "v")
+    val rows = rowRuleChecks(t, "t", Seq(
+        "v_pos" -> (col("v") > 0), "v_le_50" -> (col("v") <= 50)))
+      .collect().map(r => r.getString(1) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(rows("v_pos") == ((1L, 0L)) && rows("v_le_50") == ((1L, 0L)))
+    val u = uniqueCheck(t, "t", "k").collect().head
+    assert(u.getLong(3) == 1L && u.getLong(4) == 0L, "duplicate key 2 counted")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val ri = refIntegrityCheck(Seq(1L, 3L, 3L).toDF("fk"), "fk",
+      parent, "pk", "t").collect().head
+    assert(ri.getLong(3) == 2L, "two orphan rows on fk=3")
+  }
+
+  test("groupKFold: cluster-mates share a fold, folds cover [0,k)") {
+    import spark.implicits._
+    val docs = (0L until 200L).toDF("doc_id")
+    val groups = Seq((0L, 0L), (1L, 0L), (2L, 0L), (50L, 50L), (51L, 50L))
+      .toDF("doc_id", "rep_id")
+    val out = TextAnalysis.groupKFold(docs, "doc_id", groups, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("fold")).toMap
+    assert(out(0L) == out(1L) && out(1L) == out(2L),
+      "dup cluster must stay within one fold")
+    assert(out(50L) == out(51L))
+    assert(out.values.toSet == Set(0L, 1L, 2L, 3L, 4L),
+      s"200 docs should cover all 5 folds: ${out.values.toSet}")
+  }
+
+  test("leaveOneGroupOut: closed-form deltas match a direct recomputation") {
+    import spark.implicits._
+    val df = Seq(("a", 10L), ("a", 20L), ("b", 100L), ("c", 40L))
+      .toDF("g", "v")
+    val out = graft.ops.CorpusStats.leaveOneGroupOut(df, "g", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("mean_wo9"), r.getAs[Double]("delta9"))).toMap
+    // all mean = 42.5; without a → 70, without b → 23.333333333
+    assert(out("a") == ((70.0, -27.5)))
+    assert(out("b")._1 == 23.333333333)
+    assert(math.abs(out("b")._2 - (42.5 - 23.333333333)) < 1e-9)
+  }
+
   test("momentsProfile: symmetric two-point mass → skew 0, kurt 1; shape detects outliers") {
     import spark.implicits._
     // sym: 50×(+10), 50×(−10) → var 100, skew 0, kurtosis exactly 1
