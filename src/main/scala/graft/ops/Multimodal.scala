@@ -263,6 +263,50 @@ object Multimodal {
       }.toDF("media_id", "n_set", "ahash")
   }
 
+  /** IMAGE NEAR-DUP PAIRS by aHash Hamming distance — the perceptual
+    * dedup join over [[pngAverageHash]] fingerprints: pairs with ≤
+    * `maxHamming` differing bits of the `bits`-bit hash. Candidate
+    * generation is PIGEONHOLE-EXACT banding (the SimHash discipline):
+    * the hash splits into maxHamming+1 contiguous bands, and any pair
+    * within distance maxHamming must agree EXACTLY on ≥1 band — so an
+    * equi join on (band, band-substring) finds every qualifying pair
+    * with zero false negatives, and the exact Hamming verify prunes
+    * the rest. No all-pairs comparison anywhere; cost tracks true
+    * near-dup density, the property that keeps image dedup feasible
+    * at billions of images.
+    *
+    * @return (id_a, id_b, hamming) for id_a < id_b. */
+  def ahashPairs(fps: DataFrame, idCol: String, hashCol: String,
+                 maxHamming: Int = 8, bits: Int = 128): DataFrame = {
+    require(maxHamming >= 0 && bits > maxHamming,
+      "need more bits than the distance bound")
+    val bands = maxHamming + 1
+    val base = bits / bands
+    val extra = bits % bands
+    def len(b: Int) = base + (if (b < extra) 1 else 0)
+    val starts = (0 until bands).scanLeft(0)((acc, b) => acc + len(b))
+    val f = fps.select(col(idCol).as("id"), col(hashCol).as("h"))
+    val cand = f.select(col("id"), col("h"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            substring(col("h"), starts(b) + 1, len(b)).as("key"))
+        }: _*)).as("bk"))
+      .select(col("id"), col("h"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+    val pairs = cand.as("a").join(cand.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.h").as("h_a"), col("b.h").as("h_b"))
+      .distinct()
+    pairs.withColumn("hamming", expr(
+        s"aggregate(sequence(0, ${bits - 1}), 0, (acc, i) -> acc + " +
+          "IF(substring(h_a, i+1, 1) = substring(h_b, i+1, 1), 0, 1))")
+        .cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Deterministic frame-sampling shape: pick every `stride`-th chunk
     * of `chunkBytes` from the payload (a video frame-sample stand-in).
     * Output one row per sampled chunk with its offset. */

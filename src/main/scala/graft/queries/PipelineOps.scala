@@ -1431,6 +1431,17 @@ object PipelineOps {
         .orderBy(col("media_id"))
     }),
 
+    // Image near-dup pairs over the q238 fingerprints: pigeonhole-
+    // exact 9-band equi join + exact Hamming verify at ≤8 of 128
+    // bits — no all-pairs anywhere; the image analog of q29.
+    "q240_image_neardup" -> ((s, d) => {
+      Multimodal.ahashPairs(
+          Multimodal.pngAverageHash(Tables.documents(s, d), "doc_id",
+            "text", width = 16, height = 8),
+          "media_id", "ahash", maxHamming = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Poisson bootstrap (Chamandy 2012): 50 derandomized replicates of
     // mean n_chars per lang in one pass — weights from the Poisson
     // inverse-CDF of the portable md5 24-bit uniform; CI = quantiles
@@ -1808,6 +1819,29 @@ object PipelineOps {
         |  SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
         |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
         |), sh AS (SELECT DISTINCT doc_id, shingle FROM tri WHERE shingle IS NOT NULL)""".stripMargin
+
+  /** q121's byte replay lifted to the aHash bits: payload bytes from
+    * hex, per-image sum, pixel·n-vs-Σ bit per position, bits joined
+    * in source order. Shared by q238 (fingerprints) and q240 (pairs). */
+  private val AhashCtes =
+    """WITH b0 AS (
+      |  SELECT doc_id, hex(encode(text)) AS h FROM documents
+      |  WHERE octet_length(encode(text)) >= 128
+      |), by AS (
+      |  SELECT doc_id, i,
+      |    (strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1))-1)*16
+      |    + (strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1))-1) AS b
+      |  FROM b0, unnest(range(0, 128)) AS u(i)
+      |), s AS (
+      |  SELECT doc_id, CAST(sum(b) AS BIGINT) AS t FROM by GROUP BY 1
+      |), ah AS (
+      |  SELECT by.doc_id AS media_id,
+      |    CAST(sum(CASE WHEN by.b * 128 > s.t THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_set,
+      |    string_agg(CASE WHEN by.b * 128 > s.t THEN '1' ELSE '0' END, ''
+      |      ORDER BY by.i) AS ahash
+      |  FROM by JOIN s ON s.doc_id = by.doc_id
+      |  GROUP BY by.doc_id)""".stripMargin
 
   private val NgramPairsCtes = ShingleCtes +
     """,
@@ -3730,24 +3764,24 @@ object PipelineOps {
 
     // q238: the q121 byte replay → exact pixel-vs-mean bits in source
     // order; only matches if the engine's decode is pixel-exact.
-    "q238_image_ahash" ->
-      """WITH b0 AS (
-        |  SELECT doc_id, hex(encode(text)) AS h FROM documents
-        |  WHERE octet_length(encode(text)) >= 128
-        |), by AS (
-        |  SELECT doc_id, i,
-        |    (strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1))-1)*16
-        |    + (strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1))-1) AS b
-        |  FROM b0, unnest(range(0, 128)) AS u(i)
-        |), s AS (
-        |  SELECT doc_id, CAST(sum(b) AS BIGINT) AS t FROM by GROUP BY 1)
-        |SELECT by.doc_id AS media_id,
-        |  CAST(sum(CASE WHEN by.b * 128 > s.t THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_set,
-        |  string_agg(CASE WHEN by.b * 128 > s.t THEN '1' ELSE '0' END, ''
-        |    ORDER BY by.i) AS ahash
-        |FROM by JOIN s ON s.doc_id = by.doc_id
-        |GROUP BY by.doc_id ORDER BY media_id""".stripMargin,
+    "q238_image_ahash" -> (AhashCtes +
+      """
+        |SELECT media_id, n_set, ahash FROM ah ORDER BY media_id"""
+      .stripMargin),
+
+    // q240: the same rebuilt bits, all-pairs exact Hamming at ≤8 (the
+    // quadratic oracle baseline; the engine side is the banded join).
+    "q240_image_neardup" -> (AhashCtes +
+      """,
+        |pr AS (
+        |  SELECT x.media_id AS id_a, y.media_id AS id_b,
+        |    CAST(len(list_filter(range(128), i ->
+        |      substr(x.ahash, CAST(i+1 AS INT), 1)
+        |        <> substr(y.ahash, CAST(i+1 AS INT), 1))) AS BIGINT)
+        |      AS hamming
+        |  FROM ah x JOIN ah y ON x.media_id < y.media_id)
+        |SELECT id_a, id_b, hamming FROM pr
+        |WHERE hamming <= 8 ORDER BY id_a, id_b""".stripMargin),
 
     // q235: identical md5 24-bit uniforms, the SAME quantized
     // threshold table (one JVM computes both sides), identical

@@ -818,6 +818,28 @@ class SpanRemovalSpec extends AnyFunSuite {
     assert(out(3L)._1 == 0L, "constant image: no pixel exceeds the mean")
   }
 
+  test("ahashPairs: pigeonhole banding finds every pair within the bound, none beyond") {
+    import spark.implicits._
+    // hashes: h1/h2 differ in 3 bits, h1/h3 in 30 — threshold 8 keeps
+    // only (1,2); a duplicate of h1 pairs at distance 0
+    val h1 = "01" * 64
+    def flip(s: String, ps: Int*): String = ps.foldLeft(s) { (acc, p) =>
+      acc.updated(p, if (acc(p) == '0') '1' else '0')
+    }
+    val h2 = flip(h1, 5, 60, 100)       // 3 differing bits
+    val h3 = flip(h1, 0 until 30: _*)   // 30 differing bits
+    val fps = Seq((1L, h1), (2L, h2), (3L, h3), (4L, h1))
+      .toDF("media_id", "ahash")
+    val out = graft.ops.Multimodal.ahashPairs(fps, "media_id", "ahash",
+        maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.contains((1L, 4L)) && out((1L, 4L)) == 0L, "exact dup at 0")
+    assert(out.contains((1L, 2L)) && out((1L, 2L)) == 3L, out.toString)
+    assert(out.contains((2L, 4L)) && out((2L, 4L)) == 3L)
+    assert(!out.keys.exists(p => p._1 == 3L || p._2 == 3L),
+      "distance-30 pair must not survive")
+  }
+
   test("greedyCoverage: picks by marginal gain, saturates early") {
     import spark.implicits._
     // 3-gram shingles: doc 1 = {a b c, b c d}, doc 2 ⊂ doc 1,
