@@ -316,6 +316,51 @@ object Similarity {
     * Scale: one narrow posexplode (×dim), one (label, half, dim)
     * partial-agg shuffle collapsing N·dim rows to 2·labels·dim, then
     * toy-sized joins. */
+  /** MARGIN-BASED MUTUAL NEAREST NEIGHBORS between two embedding sets
+    * — the bitext-mining alignment criterion (Artetxe & Schwenk 2019):
+    * a pair qualifies only if each side is the other's top-1 across
+    * the boundary, scored by the RATIO MARGIN cos(a,b)·k / Σ top-k
+    * cos — raw cosine overrates "hub" vectors that are close to
+    * everything; dividing by the neighborhood mean normalizes that
+    * away. The aligned-pair miner for parallel-corpus construction,
+    * cross-modal (text↔image) linking, and translation-pair QA.
+    *
+    * Exactness: cosines are the scaled-long rational; the margin
+    * denominator is a FIXED left-assoc sum of the k ranked values
+    * (pivoted by rank — never an order-free float aggregation), so
+    * every margin replays bit-for-bit.
+    *
+    * Scale: each direction is [[bruteForceTopK]] (broadcast probe
+    * side); for two web-scale sides, bucket both through the IVF
+    * index first and run this per probed bucket. Mutual filter is
+    * one equi join on the two top-1 maps.
+    *
+    * @return (id_a, id_b, cos, margin_ab9, margin_ba9) — one row per
+    *         mutual pair, `a` drawn from the first set. */
+  def marginMutualNN(a: DataFrame, b: DataFrame, idCol: String,
+                     vecCol: String, k: Int = 4): DataFrame = {
+    require(k >= 2, "margin needs at least 2 neighbors")
+    def side(qs: DataFrame, corpus: DataFrame) = {
+      val cs = (1 to k).map(r =>
+        max(when(col("rk") === r, col("cos"))).as(s"c$r"))
+      val aggs = max(when(col("rk") === 1, col("neighbor_id"))).as("nn") +: cs
+      val denom = (2 to k).foldLeft(col("c1"): Column)((acc, r) =>
+        acc + col(s"c$r"))
+      bruteForceTopK(corpus, qs, idCol, vecCol, k)
+        .groupBy(col("query_id"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("query_id"), col("nn"), col("c1").as("cos"),
+          round(col("c1") * k / denom, 9).as("margin9"))
+    }
+    val ab = side(a, b).select(col("query_id").as("id_a"),
+      col("nn").as("id_b"), col("cos"), col("margin9").as("margin_ab9"))
+    val ba = side(b, a).select(col("query_id").as("_b"),
+      col("nn").as("_a"), col("margin9").as("margin_ba9"))
+    ab.join(ba, col("id_a") === col("_a") && col("id_b") === col("_b"))
+      .select(col("id_a"), col("id_b"), col("cos"), col("margin_ab9"),
+        col("margin_ba9"))
+  }
+
   def centroidDrift(df: DataFrame, idCol: String, vecCol: String,
                     labelCol: String): DataFrame = {
     val d38 = "decimal(38,0)"

@@ -1431,6 +1431,19 @@ object PipelineOps {
         .orderBy(col("media_id"))
     }),
 
+    // Margin-based mutual-NN alignment (Artetxe & Schwenk bitext
+    // mining) between the even- and odd-label embedding sets: each
+    // side must be the other's cross-boundary top-1, scored by the
+    // ratio margin over the top-4 neighborhood.
+    "q243_mutual_nn_align" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.ops.Similarity.marginMutualNN(
+          e.filter(pmod(col("label"), lit(2)) === 0),
+          e.filter(pmod(col("label"), lit(2)) === 1),
+          "vec_id", "embedding", k = 4)
+        .orderBy(col("id_a"))
+    }),
+
     // Image near-dup pairs over the q238 fingerprints: pigeonhole-
     // exact 9-band equi join + exact Hamming verify at ≤8 of 128
     // bits — no all-pairs anywhere; the image analog of q29.
@@ -1591,6 +1604,47 @@ object PipelineOps {
       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
       |  FROM cosd)
       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
+  // q243: cross-side cosine table (both directions at once via the
+  // side-inequality join), rank windows, rank-pivoted margin with the
+  // FIXED left-assoc denominator, mutual top-1 equi join; the output
+  // lists each pair once from the even side.
+  private val MutualNnSql = EmbCte +
+    """, lb AS (SELECT vec_id, label % 2 AS s FROM embeddings),
+      |dots AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    CAST(sum(CAST(round(q.v*c.v*1000000000) AS BIGINT)) AS BIGINT) AS draw
+      |  FROM ex q JOIN ex c ON q.i = c.i AND q.vec_id <> c.vec_id
+      |  JOIN lb lq ON lq.vec_id = q.vec_id
+      |  JOIN lb lc ON lc.vec_id = c.vec_id AND lq.s <> lc.s
+      |  GROUP BY 1, 2),
+      |cosd AS (
+      |  SELECT query_id, neighbor_id,
+      |    (CAST(draw AS DOUBLE)/1000000000.0)/(sqrt(nq.nsq)*sqrt(nc.nsq)) AS cos
+      |  FROM dots JOIN sn nq ON nq.vec_id = query_id
+      |  JOIN sn nc ON nc.vec_id = neighbor_id),
+      |rkd AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, neighbor_id) AS rk
+      |  FROM cosd),
+      |piv AS (
+      |  SELECT query_id,
+      |    max(CASE WHEN rk = 1 THEN neighbor_id END) AS nn,
+      |    max(CASE WHEN rk = 1 THEN cos END) AS c1,
+      |    max(CASE WHEN rk = 2 THEN cos END) AS c2,
+      |    max(CASE WHEN rk = 3 THEN cos END) AS c3,
+      |    max(CASE WHEN rk = 4 THEN cos END) AS c4
+      |  FROM rkd WHERE rk <= 4 GROUP BY 1),
+      |m AS (
+      |  SELECT query_id, nn, c1 AS cos,
+      |    round(c1 * 4 / (c1 + c2 + c3 + c4), 9) AS margin9
+      |  FROM piv)
+      |SELECT a.query_id AS id_a, a.nn AS id_b, a.cos,
+      |  a.margin9 AS margin_ab9, b.margin9 AS margin_ba9
+      |FROM m a JOIN m b ON b.query_id = a.nn AND b.nn = a.query_id
+      |JOIN lb la ON la.vec_id = a.query_id AND la.s = 0
+      |ORDER BY id_a""".stripMargin
 
   // q128's oracle: `iters` power iterations unrolled as chained CTEs.
   // The recurrence is the builder's exactly: dot9 = Σ round(x·v·1e9),
@@ -3771,6 +3825,8 @@ object PipelineOps {
 
     // q240: the same rebuilt bits, all-pairs exact Hamming at ≤8 (the
     // quadratic oracle baseline; the engine side is the banded join).
+    "q243_mutual_nn_align" -> MutualNnSql,
+
     "q240_image_neardup" -> (AhashCtes +
       """,
         |pr AS (

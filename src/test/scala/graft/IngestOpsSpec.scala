@@ -226,6 +226,24 @@ class IngestOpsSpec extends AnyFunSuite {
     for (id <- 3L until 10L) assert(out(id) == (id, plain(id)))
   }
 
+  test("marginMutualNN: planted aligned pairs are mutual; one-sided attraction is not") {
+    // A-side 1 ↔ B-side 11 share axis e1; A 2 ↔ B 12 share e2.
+    // A 3 points between e1/e2 — its top-1 (11 or 12) prefers its own
+    // partner, so 3 must not emerge as a mutual pair.
+    val a = Seq(
+      (1L, Array(1.0, 0.1, 0.0)), (2L, Array(0.1, 1.0, 0.0)),
+      (3L, Array(0.6, 0.6, 0.1))).toDF("vec_id", "embedding")
+    val b = Seq(
+      (11L, Array(1.0, 0.0, 0.1)), (12L, Array(0.0, 1.0, 0.1)),
+      (13L, Array(0.0, 0.0, 1.0))).toDF("vec_id", "embedding")
+    val out = graft.ops.Similarity.marginMutualNN(a, b, "vec_id",
+        "embedding", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.get(1L).contains(11L), out.toString)
+    assert(out.get(2L).contains(12L))
+    assert(!out.contains(3L), "one-sided neighbor must fail the mutual filter")
+  }
+
   test("crossGroupOverlap: identical groups hit jaccard 1, disjoint pairs absent") {
     val df = Seq(
       (1L, "a", "one two three four five"),
