@@ -48,6 +48,12 @@ QUERIES = ",".join([
     "q207_cc_stars", "q208_hybrid_skew_join", "q210_kneser_ney",
     "q215_bitmap_distinct", "q216_containment_dedup", "q218_hits",
     "q221_grid_density",
+    # round-7 batch-6: Naive Bayes (doc-term ⋈ V·L model join), the
+    # cross-source shingle posting self-join, ACF (grid lag joins),
+    # Poisson bootstrap (50x generated fan-out, map-side collapsed),
+    # ahash banded image pairs, and the two-sided mutual-NN align
+    "q226_naive_bayes", "q230_source_overlap", "q229_acf_hourly",
+    "q235_poisson_bootstrap", "q240_image_neardup", "q243_mutual_nn_align",
 ])
 
 rnd = sys.argv[1]
