@@ -587,6 +587,138 @@ object TextAnalysis {
     * sort + per-partition `zipWithIndex` offsets (one lightweight
     * count job) — the q96 dense-id machinery, NO single-partition
     * window. Output: (id, gpos, shard, shard_pos). */
+  /** T5-STYLE SPAN CORRUPTION (Raffel et al. 2020 §3.1.4's denoising
+    * objective) — the (inputs, targets) pair builder for masked-span
+    * pretraining, DERANDOMIZED: token positions partition into
+    * fixed-size blocks, each COMPLETE block masks one `spanLen`-run
+    * at an offset drawn from the portable md5 of (doc, block) — so
+    * spans never overlap by construction, the corruption rate is
+    * spanLen/blockLen exactly, and every engine regenerates the
+    * identical pairs (no RNG state to checkpoint across a 100 TB
+    * run). Masked runs are replaced by `<extra_id_{block}>` sentinels
+    * in the input and emitted after their sentinel in the target —
+    * the standard seq2seq denoising layout.
+    *
+    * Shape: one tokenize-explode, one (doc, block) count, one join,
+    * two conditional ordered-collect aggregations. All narrow past
+    * the first shuffle.
+    *
+    * @return (id, n_tok, n_masked, input, target). */
+  def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
+                  blockLen: Int = 10, spanLen: Int = 2): DataFrame = {
+    require(spanLen >= 1 && blockLen > spanLen,
+      "need spanLen < blockLen")
+    val offMod = blockLen - spanLen + 1
+    val tok = df.select(col(idCol).as("id"),
+        posexplode(toks(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("block", expr(s"pos div $blockLen"))
+    val spans = tok.groupBy(col("id"), col("block"))
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("mstart",
+        when(col("bn") === blockLen,
+          col("block") * blockLen + expr(
+            "cast(conv(substring(md5(concat(id, ':', block)), 1, 6), " +
+              s"16, 10) as bigint) % $offMod")))
+    val parts = tok.join(spans, Seq("id", "block"))
+      .withColumn("masked", col("mstart").isNotNull &&
+        col("pos") >= col("mstart") && col("pos") < col("mstart") + spanLen)
+      .withColumn("sent", concat(lit("<extra_id_"), col("block"), lit(">")))
+      .withColumn("in_part",
+        when(!col("masked"), col("tok"))
+          .when(col("pos") === col("mstart"), col("sent")))
+      .withColumn("tgt_part",
+        when(col("pos") === col("mstart"),
+          concat(col("sent"), lit(" "), col("tok")))
+          .when(col("masked"), col("tok")))
+    parts.groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(col("masked").cast("long")).as("n_masked"),
+        array_join(transform(array_sort(collect_list(
+            when(col("in_part").isNotNull,
+              struct(col("pos"), col("in_part").as("p"))))),
+          e => e.getField("p")), " ").as("input"),
+        array_join(transform(array_sort(collect_list(
+            when(col("tgt_part").isNotNull,
+              struct(col("pos"), col("tgt_part").as("p"))))),
+          e => e.getField("p")), " ").as("target"))
+  }
+
+  /** NEXT-TOKEN TRAINING WINDOWS — the token-level LM dataset builder
+    * ([[chunkDocuments]]'s char-level sibling): overlapping contexts
+    * of `ctx` tokens at the given stride, each labeled with the token
+    * that follows. Pure narrow generation (one HOF over the token
+    * array per doc, no join, no window shuffle); windows never cross
+    * document boundaries.
+    *
+    * @return (id, win_id, start, context, target). */
+  def lmWindows(df: DataFrame, idCol: String, textCol: String,
+                ctx: Int = 8, stride: Int = 4): DataFrame = {
+    require(ctx >= 1 && stride >= 1, "need positive ctx and stride")
+    val t = df.select(col(idCol).as("id"), toks(col(textCol)).as("tk"))
+      .withColumn("n", size(col("tk")))
+      .filter(col("n") > ctx)
+      .withColumn("nwin",
+        ((col("n") - ctx - 1) / stride).cast("long") + 1)
+    t.select(col("id"),
+        posexplode(transform(sequence(lit(0L), col("nwin") - 1),
+          i => struct((i * stride).as("start"),
+            array_join(slice(col("tk"), (i * stride).cast("int") + 1,
+              lit(ctx)), " ").as("context"),
+            element_at(col("tk"), (i * stride).cast("int") + ctx + 1)
+              .as("target")))).as(Seq("win_id", "w")))
+      .select(col("id").as(idCol), col("win_id").cast("long").as("win_id"),
+        col("w.start").as("start"), col("w.context").as("context"),
+        col("w.target").as("target"))
+  }
+
+  /** CONTRASTIVE PAIR CONSTRUCTION — (anchor, positive, negative)
+    * triples for embedding training (the SimCSE/DPR data shape):
+    * positive = the next non-overlapping chunk of the same document
+    * (adjacent text shares topic), negative = the chunk that follows
+    * the anchor in GLOBAL md5 order (cyclic successor — a
+    * derandomized shuffle, so negatives are topic-uncorrelated and
+    * reshuffle-stable with zero RNG state; at hash-adjacency odds a
+    * same-doc negative is possible and accepted). Global order =
+    * distributed sort + zipWithIndex (q129's machinery), one
+    * successor self-join.
+    *
+    * @return (id, chunk_id, anchor, positive, neg_key, negative). */
+  def contrastivePairs(df: DataFrame, idCol: String, textCol: String,
+                       chunkChars: Int = 100): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val chunks = chunkDocuments(df, idCol, textCol, chunkChars, chunkChars)
+      .select(col(idCol).cast("long").as("id"),
+        col("chunk_id").cast("long").as("cid"), col("chunk"))
+    val keyed = chunks
+      .withColumn("key", concat(col("id"), lit(":"), col("cid")))
+      .withColumn("h", md5(col("key")))
+    val ordered = keyed.select(col("key"), col("h"))
+      .orderBy(col("h"), col("key"))
+      .rdd.map(_.getString(0)).zipWithIndex()
+      .toDF("key", "gpos")
+    // materialize the keyed+positioned chunk table once, then derive
+    // every role through FRESH aliases — self-joins on shared lineage
+    // degenerate ('id == id' trivially-true resolution)
+    val g = keyed.join(ordered, Seq("key"))
+      .select(col("id").as("a_id"), col("cid").as("a_cid"),
+        col("chunk").as("a_chunk"), col("key").as("a_key"),
+        col("gpos").as("a_gpos"))
+      .cache()
+    val n = g.count()
+    // row at gpos p serves as the negative for the anchor at p−1
+    // (cyclically): anchor.gpos === sp ⇒ negative.gpos = anchor.gpos+1
+    val succ = g.select(((col("a_gpos") + n - 1) % n).as("sp"),
+      col("a_key").as("neg_key"), col("a_chunk").as("negative"))
+    val pos = g.select(col("a_id").as("p_id"),
+      (col("a_cid") - 1).as("p_cid"), col("a_chunk").as("positive"))
+    g.join(pos, col("a_id") === col("p_id") && col("a_cid") === col("p_cid"))
+      .join(succ, col("a_gpos") === col("sp"))
+      .select(col("a_id").as(idCol), col("a_cid").as("chunk_id"),
+        col("a_chunk").as("anchor"), col("positive"), col("neg_key"),
+        col("negative"))
+  }
+
   def shardAssign(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
     require(nShards >= 1, "need at least one shard")
     val spark = df.sparkSession

@@ -1431,6 +1431,33 @@ object PipelineOps {
         .orderBy(col("media_id"))
     }),
 
+    // T5-style span corruption (Raffel 2020 §3.1.4), derandomized:
+    // one masked 2-run per complete 10-block at a hashed offset —
+    // exact 20% corruption, sentinel-separated (inputs, targets).
+    "q244_span_corrupt" -> ((s, d) => {
+      TextAnalysis.spanCorrupt(Tables.documents(s, d), "doc_id", "text",
+          blockLen = 10, spanLen = 2)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Contrastive (anchor, positive, negative) triples: positive =
+    // the next same-doc chunk, negative = the cyclic successor in
+    // global md5 order (derandomized shuffle, zero RNG state).
+    "q245_contrastive_pairs" -> ((s, d) => {
+      TextAnalysis.contrastivePairs(Tables.documents(s, d), "doc_id",
+          "text", chunkChars = 100)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // Next-token LM training windows: 8-token contexts at stride 4,
+    // labeled with the following token; narrow HOF generation, no
+    // window shuffle, never crossing doc boundaries.
+    "q246_lm_windows" -> ((s, d) => {
+      TextAnalysis.lmWindows(Tables.documents(s, d), "doc_id", "text",
+          ctx = 8, stride = 4)
+        .orderBy(col("doc_id"), col("win_id"))
+    }),
+
     // Margin-based mutual-NN alignment (Artetxe & Schwenk bitext
     // mining) between the even- and odd-label embedding sets: each
     // side must be the other's cross-boundary top-1, scored by the
@@ -3826,6 +3853,85 @@ object PipelineOps {
     // q240: the same rebuilt bits, all-pairs exact Hamming at ≤8 (the
     // quadratic oracle baseline; the engine side is the banded join).
     "q243_mutual_nn_align" -> MutualNnSql,
+
+    // q244: same blocks, same md5 offsets, string_agg ignoring the
+    // NULL parts exactly as collect_list skips null structs.
+    "q244_span_corrupt" ->
+      """WITH tk AS (
+        |  SELECT doc_id AS id,
+        |    generate_subscripts(regexp_split_to_array(text, '\s+'), 1) - 1
+        |      AS pos,
+        |    unnest(regexp_split_to_array(text, '\s+')) AS tok
+        |  FROM documents),
+        |tb AS (SELECT id, pos, tok, pos // 10 AS block FROM tk),
+        |sp AS (
+        |  SELECT id, block, count(*) AS bn,
+        |    CASE WHEN count(*) = 10 THEN block * 10 +
+        |      CAST('0x' || substr(md5(CAST(id AS VARCHAR) || ':'
+        |        || CAST(block AS VARCHAR)), 1, 6) AS BIGINT) % 9
+        |    END AS mstart
+        |  FROM tb GROUP BY 1, 2),
+        |p AS (
+        |  SELECT tb.id, tb.pos, tb.tok, sp.mstart,
+        |    sp.mstart IS NOT NULL AND tb.pos >= sp.mstart
+        |      AND tb.pos < sp.mstart + 2 AS masked,
+        |    '<extra_id_' || CAST(tb.block AS VARCHAR) || '>' AS sent
+        |  FROM tb JOIN sp ON sp.id = tb.id AND sp.block = tb.block)
+        |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |  CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_masked,
+        |  string_agg(CASE WHEN NOT masked THEN tok
+        |                  WHEN pos = mstart THEN sent END,
+        |    ' ' ORDER BY pos) AS input,
+        |  string_agg(CASE WHEN pos = mstart THEN sent || ' ' || tok
+        |                  WHEN masked THEN tok END,
+        |    ' ' ORDER BY pos) AS target
+        |FROM p GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // q245: the q99 chunk formula at stride == size, global md5
+    // order via row_number, cyclic successor join.
+    "q245_contrastive_pairs" ->
+      """WITH ch AS (
+        |  SELECT doc_id AS id, i AS cid,
+        |    substr(text, CAST(i * 100 + 1 AS INT), 100) AS chunk
+        |  FROM documents, unnest(generate_series(0,
+        |    CASE WHEN len(text) <= 100 THEN 0
+        |         ELSE CAST(ceil((len(text) - 100) / 100.0) AS BIGINT)
+        |    END)) AS u(i)),
+        |k AS (
+        |  SELECT id, cid, chunk,
+        |    CAST(id AS VARCHAR) || ':' || CAST(cid AS VARCHAR) AS key,
+        |    md5(CAST(id AS VARCHAR) || ':' || CAST(cid AS VARCHAR)) AS h
+        |  FROM ch),
+        |o AS (SELECT key, row_number() OVER (ORDER BY h, key) - 1 AS gpos
+        |      FROM k),
+        |g AS (SELECT k.id, k.cid, k.chunk, k.key, o.gpos
+        |      FROM k JOIN o ON o.key = k.key),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g)
+        |SELECT a.id AS doc_id, a.cid AS chunk_id, a.chunk AS anchor,
+        |  p.chunk AS positive, s.key AS neg_key, s.chunk AS negative
+        |FROM g a
+        |JOIN g p ON p.id = a.id AND p.cid = a.cid + 1
+        |JOIN nn ON true
+        |JOIN g s ON s.gpos = (a.gpos + 1) % nn.n
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // q246: list_slice windows over the same token arrays.
+    "q246_lm_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id, regexp_split_to_array(text, '\s+') AS tk,
+        |    len(regexp_split_to_array(text, '\s+')) AS n
+        |  FROM documents),
+        |w AS (
+        |  SELECT id, i AS win_id, i * 4 AS start,
+        |    array_to_string(list_slice(tk, CAST(i * 4 + 1 AS BIGINT),
+        |      CAST(i * 4 + 8 AS BIGINT)), ' ') AS context,
+        |    tk[CAST(i * 4 + 9 AS INT)] AS target
+        |  FROM t, unnest(generate_series(0, (n - 9) // 4)) AS u(i)
+        |  WHERE n > 8)
+        |SELECT id AS doc_id, CAST(win_id AS BIGINT) AS win_id,
+        |  CAST(start AS BIGINT) AS start, context, target
+        |FROM w ORDER BY doc_id, win_id""".stripMargin,
 
     "q240_image_neardup" -> (AhashCtes +
       """,

@@ -226,6 +226,61 @@ class IngestOpsSpec extends AnyFunSuite {
     for (id <- 3L until 10L) assert(out(id) == (id, plain(id)))
   }
 
+  test("spanCorrupt: masked spans round-trip — splicing targets back rebuilds the doc") {
+    val text = (1 to 25).map(i => s"w$i").mkString(" ") // 25 toks: 2 full blocks
+    val df = Seq((7L, text)).toDF("doc_id", "text")
+    val r = TextAnalysis.spanCorrupt(df, "doc_id", "text",
+      blockLen = 10, spanLen = 2).collect().head
+    assert(r.getAs[Long]("n_tok") == 25L)
+    assert(r.getAs[Long]("n_masked") == 4L, "two complete blocks × span 2")
+    val input = r.getAs[String]("input")
+    val target = r.getAs[String]("target")
+    // target: "<extra_id_a> wX wY <extra_id_b> wZ wW" — splice back
+    val spans = target.split("<extra_id_").filter(_.nonEmpty)
+      .map { s => val i = s.indexOf('>'); (s.take(i).toInt, s.drop(i + 1).trim) }
+      .toMap
+    val rebuilt = input.split(" ").flatMap { t =>
+      if (t.startsWith("<extra_id_"))
+        spans(t.stripPrefix("<extra_id_").stripSuffix(">").toInt).split(" ")
+      else Array(t)
+    }.mkString(" ")
+    assert(rebuilt == text, s"round-trip failed:\n$rebuilt\n$text")
+    assert(input.contains("<extra_id_0>") && input.contains("<extra_id_1>"))
+    // partial third block (5 tokens) stays unmasked
+    assert((21 to 25).count(i => input.contains(s"w$i")) == 5)
+  }
+
+  test("lmWindows: stride windows with next-token labels, none crossing the doc") {
+    val df = Seq((1L, (1 to 13).map(i => s"t$i").mkString(" ")), (2L, "a b"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lmWindows(df, "doc_id", "text", ctx = 8, stride = 4)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("win_id")) ->
+        (r.getAs[String]("context"), r.getAs[String]("target"))).toMap
+    // doc 1: 13 tokens → windows at 0 and 4
+    assert(out.size == 2, out.keys.toString)
+    assert(out((1L, 0L)) == (((1 to 8).map("t" + _).mkString(" "), "t9")))
+    assert(out((1L, 1L)) == (((5 to 12).map("t" + _).mkString(" "), "t13")))
+  }
+
+  test("contrastivePairs: positive is the next chunk, negative is deterministic and never the anchor") {
+    val docs = (0 until 30).map(i => (i.toLong, ("x" * 90 + s" d$i ") * 3))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.contrastivePairs(docs, "doc_id", "text", 100)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (id, cid) = (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"))
+      assert(r.getAs[String]("neg_key") != s"$id:$cid",
+        "negative must not be the anchor itself")
+      assert(r.getAs[String]("anchor") != r.getAs[String]("positive"))
+    }
+    val out2 = TextAnalysis.contrastivePairs(docs.repartition(7), "doc_id",
+      "text", 100).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getString(4))).sorted.toSeq ==
+      out2.map(r => (r.getLong(0), r.getLong(1), r.getString(4))).sorted.toSeq,
+      "hash-order negatives must be partition-invariant")
+  }
+
   test("marginMutualNN: planted aligned pairs are mutual; one-sided attraction is not") {
     // A-side 1 ↔ B-side 11 share axis e1; A 2 ↔ B 12 share e2.
     // A 3 points between e1/e2 — its top-1 (11 or 12) prefers its own
