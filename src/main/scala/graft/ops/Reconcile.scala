@@ -111,4 +111,35 @@ object Reconcile {
         comparisons.map { case (n, _) =>
           (col(s"cmp_a_$n") === col(s"cmp_b_$n")).as(s"agree_$n") }: _*)
   }
+
+  /** SNAPSHOT TABLE DIFF — key-level change classification between
+    * two versions of a table (the data-ops "what changed since the
+    * last load" audit, [[tableFingerprint]]'s row-level companion):
+    * one full-outer equi join on the key, each row labeled
+    * added / removed / changed / same with the exact list of columns
+    * that differ (null-safe comparisons). One shuffle; at 100 TB
+    * bucket both versions on the key and the join is co-located.
+    *
+    * @return (keyCol, status, changed_cols) — changed_cols empty
+    *         except for status = changed. */
+  def tableDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+                cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one compare column")
+    val o = oldDf.select(col(keyCol).as("_ok") +:
+      cols.map(c => col(c).as(s"_o_$c")): _*)
+    val n = newDf.select(col(keyCol).as("_nk") +:
+      cols.map(c => col(c).as(s"_n_$c")): _*)
+    val diffs = cols.map(c =>
+      when(col(s"_o_$c") <=> col(s"_n_$c"), lit(null))
+        .otherwise(lit(c)))
+    o.join(n, col("_ok") === col("_nk"), "full_outer")
+      .withColumn("status",
+        when(col("_nk").isNull, "removed")
+          .when(col("_ok").isNull, "added")
+          .when(concat_ws(",", diffs: _*) === "", "same")
+          .otherwise("changed"))
+      .select(coalesce(col("_ok"), col("_nk")).as(keyCol), col("status"),
+        when(col("status") === "changed", concat_ws(",", diffs: _*))
+          .otherwise(lit("")).as("changed_cols"))
+  }
 }

@@ -77,6 +77,38 @@ object Sketches {
     sketches.withColumn("approx_distinct",
       hll_sketch_estimate(col("sketch")).cast("long"))
 
+  /** ROLLING DISTINCT via sketch-window rollup — the 24-hour sliding
+    * COUNT(DISTINCT) answered from per-hour HLL cells instead of the
+    * raw log: build one sketch per (key, hour) — O(sketch) state each
+    * — then `hll_union_agg` over a 23-PRECEDING row window of the
+    * tiny hourly-cell table. The raw data is touched once; the
+    * window slides over cells, so a year of log at any volume costs
+    * 8760 sketch merges per key, not 24 re-scans per hour. In the
+    * coupon regime every rolling estimate is the exact distinct
+    * count (the q103/q231 contract).
+    *
+    * @return (key, hr, rolling_distinct) per populated hour. */
+  def rollingDistinct(df: DataFrame, keyCol: String, tsCol: String,
+                      valueCol: String, hours: Int = 24,
+                      lgK: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df
+      .select(col(keyCol).as("k"),
+        expr(s"unix_micros(`$tsCol`) div 3600000000").as("hr"),
+        col(valueCol).as("v"))
+      .groupBy(col("k"), col("hr"))
+      .agg(hll_sketch_agg(col("v"), lit(lgK)).as("sketch"))
+    // RANGE frame on the hour index: 24 CLOCK hours — an empty hour
+    // narrows the merge set instead of silently stretching the window
+    val w = Window.partitionBy(col("k")).orderBy(col("hr"))
+      .rangeBetween(-(hours - 1), Window.currentRow)
+    cells
+      .withColumn("rolling_distinct",
+        hll_sketch_estimate(hll_union_agg(col("sketch")).over(w))
+          .cast("long"))
+      .select(col("k").as(keyCol), col("hr"), col("rolling_distinct"))
+  }
+
   /** SKETCH SET ALGEBRA over the per-cell sketches of
     * [[distinctSketch]]: for every pair of `keyCol` values within a
     * `cellCol` cell, |A|, |B|, |A∪B| straight from register math

@@ -310,6 +310,43 @@ object TextAnalysis {
         col("chunk"), length(col("chunk")).as("chunk_len"))
   }
 
+  /** DELTA-ENCODED POSTING LISTS — the inverted-index compression
+    * layout (gap + varint, the Lucene/PForDelta family): per term,
+    * sorted doc ids become first-id-then-gaps, and the varint byte
+    * cost quantifies the compression a real index would realize
+    * (frequent terms → dense postings → tiny gaps → ~1 byte/doc vs 8
+    * raw). Byte sizes via an integer threshold ladder (128, 2^14,
+    * 2^21, 2^28) — no log2, no libm boundary risk.
+    *
+    * One distinct (term, doc) shuffle; the gap window runs per term
+    * over its posting list (vocab-keyed, never a global sort).
+    *
+    * @return (term, doc_freq, gaps, varint_bytes, raw_bytes, ratio9). */
+  def deltaPostings(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val td = df.select(col(idCol).cast("long").as("doc"),
+        explode(toks(col(textCol))).as("term"))
+      .filter(col("term") =!= "").distinct()
+    val w = Window.partitionBy(col("term")).orderBy(col("doc"))
+    val g = td
+      .withColumn("gap",
+        col("doc") - coalesce(lag(col("doc"), 1).over(w), lit(0L)))
+      .withColumn("vb",
+        when(col("gap") < 128, 1L).when(col("gap") < 16384, 2L)
+          .when(col("gap") < 2097152, 3L)
+          .when(col("gap") < 268435456, 4L).otherwise(5L))
+    g.groupBy(col("term"))
+      .agg(count(lit(1)).as("doc_freq"),
+        array_join(transform(array_sort(collect_list(
+            struct(col("doc"), col("gap").cast("string").as("g")))),
+          e => e.getField("g")), ",").as("gaps"),
+        sum(col("vb")).as("varint_bytes"))
+      .withColumn("raw_bytes", col("doc_freq") * 8)
+      .withColumn("ratio9", round(col("varint_bytes").cast("double") /
+        col("raw_bytes").cast("double"), 9))
+  }
+
   /** Document-level co-occurrence with pointwise mutual information:
     * for every unordered token pair present together in ≥ `minPairDocs`
     * documents, PMI = ln(N·c_ab / (c_a·c_b)) over document frequencies

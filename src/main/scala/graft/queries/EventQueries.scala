@@ -607,6 +607,18 @@ object EventQueries {
         .orderBy(col("k_a"), col("k_b"), col("bucket"))
     }),
 
+    // Rolling 24h distinct users per type from HOURLY HLL CELLS — the
+    // sliding COUNT(DISTINCT) answered by sketch-window merges over
+    // the tiny cell table (RANGE frame on the hour index: clock
+    // hours, not populated rows), raw log touched once; coupon
+    // regime ⇒ every estimate exact ⇒ the oracle is the true
+    // sliding distinct.
+    "q247_rolling_distinct" -> ((s, d) => {
+      graft.ops.Sketches.rollingDistinct(Tables.events(s, d),
+          "event_type", "ts", "user_id", hours = 24)
+        .orderBy(col("event_type"), col("hr"))
+    }),
+
     // Caliper nearest-score matching (propensity-matching shape):
     // odd-id users (treated) pair with their nearest even-id user
     // (control) by total spend cents within ±2000 — banded bucket
@@ -1251,6 +1263,18 @@ object EventQueries {
         |  qs[t.gs] AS qv
         |FROM p, UNNEST(generate_series(1, 4)) AS t(gs)
         |ORDER BY event_type, q""".stripMargin,
+    // q247: the true sliding distinct via an hour-range join over the
+    // distinct (type, hour, user) cells.
+    "q247_rolling_distinct" ->
+      """WITH u AS MATERIALIZED (
+        |  SELECT DISTINCT event_type AS k,
+        |    epoch_us(ts) // 3600000000 AS hr, user_id AS v
+        |  FROM events),
+        |hrs AS (SELECT DISTINCT k, hr FROM u)
+        |SELECT h.k AS event_type, CAST(h.hr AS BIGINT) AS hr,
+        |  CAST(count(DISTINCT u.v) AS BIGINT) AS rolling_distinct
+        |FROM hrs h JOIN u ON u.k = h.k AND u.hr BETWEEN h.hr - 23 AND h.hr
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q229: the same ×n-centered integer moments on the same
     // zero-filled hourly grid; HUGEINT mirrors decimal(38,0).
     "q229_acf_hourly" ->

@@ -1431,6 +1431,14 @@ object PipelineOps {
         .orderBy(col("media_id"))
     }),
 
+    // Delta-encoded posting lists with varint byte accounting — the
+    // q76 inverted index in its compressed storage layout (gap +
+    // varint, integer threshold ladder — no libm).
+    "q248_delta_postings" -> ((s, d) => {
+      TextAnalysis.deltaPostings(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("term"))
+    }),
+
     // T5-style span corruption (Raffel 2020 §3.1.4), derandomized:
     // one masked 2-run per complete 10-block at a hashed offset —
     // exact 20% corruption, sentinel-separated (inputs, targets).
@@ -3853,6 +3861,31 @@ object PipelineOps {
     // q240: the same rebuilt bits, all-pairs exact Hamming at ≤8 (the
     // quadratic oracle baseline; the engine side is the banded join).
     "q243_mutual_nn_align" -> MutualNnSql,
+
+    // q248: the same gap = id − coalesce(lag, 0) recurrence and the
+    // same varint threshold ladder.
+    "q248_delta_postings" ->
+      """WITH td AS (
+        |  SELECT DISTINCT doc_id AS doc,
+        |    unnest(regexp_split_to_array(text, '\s+')) AS term
+        |  FROM documents),
+        |td2 AS (SELECT doc, term FROM td WHERE term <> ''),
+        |g AS (
+        |  SELECT term, doc,
+        |    doc - coalesce(lag(doc) OVER (PARTITION BY term ORDER BY doc),
+        |      0) AS gap
+        |  FROM td2)
+        |SELECT term, CAST(count(*) AS BIGINT) AS doc_freq,
+        |  string_agg(CAST(gap AS VARCHAR), ',' ORDER BY doc) AS gaps,
+        |  CAST(sum(CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+        |    WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4
+        |    ELSE 5 END) AS BIGINT) AS varint_bytes,
+        |  CAST(count(*) * 8 AS BIGINT) AS raw_bytes,
+        |  round(CAST(sum(CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+        |    WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4
+        |    ELSE 5 END) AS DOUBLE) / CAST(count(*) * 8 AS DOUBLE), 9)
+        |    AS ratio9
+        |FROM g GROUP BY term ORDER BY term""".stripMargin,
 
     // q244: same blocks, same md5 offsets, string_agg ignoring the
     // NULL parts exactly as collect_list skips null structs.

@@ -714,6 +714,24 @@ object Relational {
       suite.orderBy(col("table_name"), col("check_name"))
     }),
 
+    // q249: snapshot table diff — key-level added/removed/changed/
+    // same classification with exact changed-column lists, against a
+    // deterministic synthetic "new version" (every %11 key dropped,
+    // every %7 price bumped, every %13 key re-added shifted). One
+    // full-outer join; bucket both sides on the key at scale.
+    "q249_table_diff" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+      val neu = base.filter(col("o_orderkey") % 11 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")))
+        .unionByName(base.filter(col("o_orderkey") % 13 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000))
+      graft.ops.Reconcile.tableDiff(base, neu, "o_orderkey",
+          Seq("o_custkey", "o_totalprice", "o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // q185: bounded Bellman–Ford shortest-path WEIGHTS over the same
     // graph, edge weight = min l_quantity of the pair — the min-plus
     // sibling of q176 (a longer-but-lighter path can beat the BFS
@@ -1257,6 +1275,45 @@ object Relational {
         |        FROM j)
         |SELECT rk, k, ca, cb, rows_out, total_rows, n_join_keys
         |FROM top, t WHERE rk <= 5 ORDER BY rk""".stripMargin,
+    // q249: the same synthetic new version, full-outer join,
+    // null-safe per-column comparisons.
+    "q249_table_diff" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k, o_custkey AS oc, o_totalprice AS op,
+        |    o_orderstatus AS os
+        |  FROM orders),
+        |n AS (
+        |  SELECT o_orderkey AS k, o_custkey AS nc,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+        |         ELSE o_totalprice END AS np,
+        |    o_orderstatus AS ns
+        |  FROM orders WHERE o_orderkey % 11 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice,
+        |    o_orderstatus
+        |  FROM orders WHERE o_orderkey % 13 = 0),
+        |j AS (
+        |  SELECT coalesce(o.k, n.k) AS key, o.k AS ok, n.k AS nk,
+        |    oc, nc, op, np, os, ns
+        |  FROM o FULL OUTER JOIN n ON n.k = o.k),
+        |c AS (
+        |  SELECT key, ok, nk,
+        |    CASE WHEN nk IS NULL THEN 'removed'
+        |         WHEN ok IS NULL THEN 'added'
+        |         WHEN oc IS NOT DISTINCT FROM nc
+        |          AND op IS NOT DISTINCT FROM np
+        |          AND os IS NOT DISTINCT FROM ns THEN 'same'
+        |         ELSE 'changed' END AS status,
+        |    concat_ws(',',
+        |      CASE WHEN oc IS DISTINCT FROM nc THEN 'o_custkey' END,
+        |      CASE WHEN op IS DISTINCT FROM np THEN 'o_totalprice' END,
+        |      CASE WHEN os IS DISTINCT FROM ns THEN 'o_orderstatus' END)
+        |      AS cc
+        |  FROM j)
+        |SELECT key AS o_orderkey, status,
+        |  CASE WHEN status = 'changed' THEN cc ELSE '' END AS changed_cols
+        |FROM c ORDER BY o_orderkey""".stripMargin,
+
     // q239: every check as a one-row aggregate, unioned.
     "q239_quality_checks" ->
       """WITH checks AS (

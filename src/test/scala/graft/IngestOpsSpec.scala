@@ -810,6 +810,34 @@ class SpanRemovalSpec extends AnyFunSuite {
     assert(got("x") == ((3L, 0L, 2L)))
   }
 
+  test("deltaPostings: gaps reconstruct sorted ids, varint ladder byte-exact") {
+    import spark.implicits._
+    val df = Seq((5L, "apple"), (7L, "apple"), (200L, "apple"), (3L, "pear"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.deltaPostings(df, "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("doc_freq"), r.getAs[String]("gaps"),
+          r.getAs[Long]("varint_bytes"))).toMap
+    // apple: ids 5,7,200 → gaps 5,2,193; bytes 1+1+2 = 4
+    assert(out("apple") == ((3L, "5,2,193", 4L)), out("apple").toString)
+    assert(out("pear") == ((1L, "3", 1L)))
+  }
+
+  test("tableDiff: added/removed/changed/same with exact changed-column lists") {
+    import spark.implicits._
+    val o = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "s", "v")
+    val n = Seq((1L, "a", 10L), (2L, "B", 25L), (4L, "d", 40L))
+      .toDF("k", "s", "v")
+    val out = graft.ops.Reconcile.tableDiff(o, n, "k", Seq("s", "v"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2))).toMap
+    assert(out(1L) == (("same", "")))
+    assert(out(2L) == (("changed", "s,v")))
+    assert(out(3L) == (("removed", "")))
+    assert(out(4L) == (("added", "")))
+  }
+
   test("quality checks: violation counts exact, uniqueness and ref integrity flag bad rows") {
     import spark.implicits._
     import graft.ops.Profile._

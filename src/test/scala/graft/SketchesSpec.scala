@@ -75,6 +75,26 @@ class SketchesSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_inter") == 10L)
   }
 
+  test("rollingDistinct: range frame counts clock hours across an empty-hour gap") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(h: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:30:00")
+    // users 1..3 in hour 0, 3..5 in hour 1, hour 2 EMPTY, 9 in hour 3
+    val df = (Seq(1L, 2L, 3L).map(u => ("k", ts(0), u)) ++
+        Seq(3L, 4L, 5L).map(u => ("k", ts(1), u)) ++
+        Seq(9L).map(u => ("k", ts(3), u)))
+      .toDF("k", "t", "u")
+    val out = Sketches.rollingDistinct(df, "k", "t", "u", hours = 2)
+      .collect().map(r => r.getAs[Long]("hr") -> r.getAs[Long]("rolling_distinct"))
+      .toMap
+    val h0 = out.keys.min
+    assert(out(h0) == 3L)
+    assert(out(h0 + 1) == 5L, "union of hours 0+1 = {1..5}")
+    // hour 3's 2-hour window covers hours 2..3; hour 2 is empty → just {9}
+    assert(out(h0 + 3) == 1L,
+      "RANGE frame must not stretch across the empty hour")
+  }
+
   test("count-min collision-free regime: estimates == exact counts, any partitioning") {
     // the q106 anchor claim: with #distinct << width no key collides
     // in all depth rows, so the (always >=) estimate is exact — and
