@@ -714,6 +714,94 @@ object Relational {
       suite.orderBy(col("table_name"), col("check_name"))
     }),
 
+    // q250: TPC-H Q3 (shipping priority) adapted to this schema —
+    // the classic 3-way join + revenue rollup + top-k: segment-
+    // filtered customers ⋈ pre-cutoff orders ⋈ post-cutoff lineitems,
+    // exact scaled-long revenue, (revenue DESC, orderkey) top-10 via
+    // TakeOrdered. Both fact-side filters push to the parquet scans;
+    // the customer side broadcasts.
+    "q250_tpch_q3" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1998-01-01"))
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(Exact.sumExact(
+          col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // q251: TPC-H Q5 (local supplier volume): the 6-way star join
+    // where customer and supplier must sit in the SAME nation, region
+    // = ASIA, one-year order window; revenue per nation. Dimension
+    // chain broadcasts; the orders/lineitem join is the only big
+    // shuffle.
+    "q251_tpch_q5" -> ((s, d) => {
+      val dims = broadcast(Tables.nation(s, d)
+        .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name")))
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(dims, col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(Exact.sumExact(
+          col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // q252: TPC-H Q10 (returned-item reporting): customers ranked by
+    // revenue lost to returns in one quarter — orders window filter,
+    // returnflag filter, 4-way join, exact revenue, top-20.
+    "q252_tpch_q10" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-10-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val c = Tables.customer(s, d)
+      val n = broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name")))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"),
+          col("c_acctbal"), col("n_name"))
+        .agg(Exact.sumExact(
+          col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // q249: snapshot table diff — key-level added/removed/changed/
     // same classification with exact changed-column lists, against a
     // deterministic synthetic "new version" (every %11 key dropped,
@@ -1275,6 +1363,50 @@ object Relational {
         |        FROM j)
         |SELECT rk, k, ca, cb, rows_out, total_rows, n_join_keys
         |FROM top, t WHERE rk <= 5 ORDER BY rk""".stripMargin,
+    // q250/q251/q252: the classic TPC-H shapes with the engine's
+    // exact scaled-long revenue on both sides.
+    "q250_tpch_q3" ->
+      """SELECT l.l_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  o.o_orderpriority,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+        |    * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < DATE '1998-01-01'
+        |  AND l.l_shipdate > DATE '1998-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q251_tpch_q5" ->
+      """SELECT n.n_name,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+        |    * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  AND s.s_nationkey = c.c_nationkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |JOIN region r ON r.r_regionkey = n.n_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= DATE '1997-01-01'
+        |  AND o.o_orderdate < DATE '1998-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "q252_tpch_q10" ->
+      """SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+        |    * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= DATE '1997-10-01'
+        |  AND o.o_orderdate < DATE '1998-01-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
     // q249: the same synthetic new version, full-outer join,
     // null-safe per-column comparisons.
     "q249_table_diff" ->

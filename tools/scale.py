@@ -54,6 +54,8 @@ QUERIES = ",".join([
     # ahash banded image pairs, and the two-sided mutual-NN align
     "q226_naive_bayes", "q230_source_overlap", "q229_acf_hourly",
     "q235_poisson_bootstrap", "q240_image_neardup", "q243_mutual_nn_align",
+    # classic TPC-H multi-way join + rollup shapes (Q3/Q5/Q10 adapted)
+    "q250_tpch_q3", "q251_tpch_q5", "q252_tpch_q10",
 ])
 
 rnd = sys.argv[1]
