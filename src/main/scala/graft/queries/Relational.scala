@@ -731,8 +731,11 @@ object Relational {
       val l = Tables.lineitem(s, d)
         .filter(col("l_shipdate") > lit("1998-01-01"))
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      // nation/region are the only FIXED-size dims; customer grows
+      // with SF (not broadcastable at 100 TB) — AQE picks broadcast
+      // at small scale, shuffle join at large
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
           col("o_orderpriority"))
@@ -764,9 +767,11 @@ object Relational {
       val l = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_suppkey"),
           col("l_extendedprice"), col("l_discount"))
+      // customer/supplier scale with SF — no hard broadcast hints;
+      // only the fixed nation⋈region chain is pinned broadcast
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .join(dims, col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
@@ -791,7 +796,7 @@ object Relational {
       val n = broadcast(Tables.nation(s, d)
         .select(col("n_nationkey"), col("n_name")))
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(n, col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"),
           col("c_acctbal"), col("n_name"))
