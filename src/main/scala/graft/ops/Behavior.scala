@@ -144,6 +144,47 @@ object Behavior {
         when(col("actual_type") === col("pred_type"), 1L).otherwise(0L))
   }
 
+  /** LINEAR MULTI-TOUCH ATTRIBUTION — every touch before a conversion
+    * shares the credit equally (the multi-touch counterpart of
+    * [[lastTouchAttribution]]): per conversion with k touches, each
+    * gets ⌊10⁶/k⌋ parts-per-million, the remainder dealt to the
+    * EARLIEST touches (largest-remainder, deterministic) so every
+    * conversion distributes exactly 1,000,000 — integer credit sums
+    * that reconcile to conversions × 10⁶ on any engine or
+    * partitioning.
+    *
+    * Shape: one per-user touches⋈conversions temporal join (fan-out
+    * bounded by touches-per-user × conversions-per-user — what every
+    * attribution system pays), one rank window per conversion, one
+    * rollup. Conversions with no prior touch drop (the 'direct'
+    * bucket is [[lastTouchAttribution]]'s concern).
+    *
+    * @return (touch_type, n_touches, credit_ppm) per touch type. */
+  def linearAttribution(events: DataFrame, userCol: String,
+                        typeCol: String, usCol: String, idCol: String,
+                        touchTypes: Seq[String],
+                        convType: String): DataFrame = {
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("cu"), col(usCol).as("cus"),
+        col(idCol).as("cid"))
+    val touch = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("tu"), col(typeCol).as("touch_type"),
+        col(usCol).as("tus"), col(idCol).as("tid"))
+    val joined = touch.join(conv,
+      col("tu") === col("cu") && col("tus") < col("cus"))
+    val w = Window.partitionBy(col("cu"), col("cid"))
+    val ranked = joined
+      .withColumn("k", count(lit(1)).over(w))
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("tus"), col("tid"))))
+      .withColumn("credit",
+        (lit(1000000L) / col("k")).cast("long") +
+          when(col("rk") <= lit(1000000L) % col("k"), 1L).otherwise(0L))
+    ranked.groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit")).as("credit_ppm"))
+  }
+
   /** LAST-TOUCH ATTRIBUTION: credit each conversion event to the most
     * recent strictly-earlier touch event (any type in `touchTypes`) by
     * the same user, then roll revenue up per touch type. Conversions

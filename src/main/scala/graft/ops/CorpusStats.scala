@@ -193,6 +193,38 @@ object CorpusStats {
           (col("n_a") * col("n_b")).cast("double"), 9).as("ks9"))
   }
 
+  /** TRENDING TERMS between two corpus slices — the week-over-week
+    * "what's new in the crawl" monitor: per term, occurrence counts
+    * in slice A (before) and slice B (after), ranked by the
+    * add-one-smoothed rise ratio (c_B+1)/(c_A+1) (terms absent from A
+    * surface instead of dividing by zero). [[psiDrift]] says THAT the
+    * distribution moved; this names the vocabulary doing the moving.
+    * One tokenize shuffle, a vocab-sized TakeOrdered cut.
+    *
+    * @return top `k` rows (term, c_a, c_b, ratio9, rk) by
+    *         (ratio DESC, c_b DESC, term). */
+  def trendingTerms(df: DataFrame, textCol: String, inA: Column,
+                    inB: Column, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(explode(toks(col(textCol))).as("tok"),
+        when(inA, 1L).otherwise(0L).as("a"),
+        when(inB, 1L).otherwise(0L).as("b"))
+      .filter((col("a") + col("b")) > 0 && col("tok") =!= "")
+      .groupBy(col("tok"))
+      .agg(sum(col("a")).as("c_a"), sum(col("b")).as("c_b"))
+      .withColumn("ratio9",
+        round((col("c_b") + 1).cast("double") /
+          (col("c_a") + 1).cast("double"), 9))
+    counts
+      .orderBy(col("ratio9").desc, col("c_b").desc, col("tok"))
+      .limit(k)
+      .withColumn("rk", row_number().over(Window.orderBy(
+        col("ratio9").desc, col("c_b").desc, col("tok"))).cast("long"))
+      .select(col("tok").as("term"), col("c_a"), col("c_b"),
+        col("ratio9"), col("rk"))
+  }
+
   /** LEAVE-ONE-GROUP-OUT INFLUENCE of each group on the global mean
     * of a value column — the cheapest data-valuation diagnostic:
     * delta(g) = mean(all) − mean(all \ g) says how much source g

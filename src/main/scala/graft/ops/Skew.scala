@@ -103,4 +103,39 @@ object Skew {
       .join(small, on)
     heavy.unionByName(light)
   }
+
+  /** JOIN-KEY SKEW ADVISOR — the diagnostic that decides BETWEEN this
+    * file's remedies: for each candidate key column, exact row count,
+    * distinct keys, the heaviest key and its share. Verdict by share
+    * of the hottest key: ≥ `saltShare` → salt ([[saltedJoin]]) —
+    * one key floods a partition; ≥ `hybridShare` → hybrid
+    * ([[hybridJoin]]) — a few heavy keys, broadcast just those;
+    * else plain shuffle. One aggregate pass per column; the argmax
+    * is a TakeOrdered(1) with a (cnt DESC, key ASC) tie-break.
+    *
+    * @return (table_name, column_name, n_rows, n_distinct, top_key,
+    *         top_cnt, top_share9, verdict). */
+  def skewAdvisor(df: DataFrame, table: String, cols: Seq[String],
+                  saltShare: Double = 0.2, hybridShare: Double = 0.02)
+      : DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    cols.map { c =>
+      val counts = df.groupBy(col(c).cast("string").as("k"))
+        .agg(count(lit(1)).as("cnt"))
+      val top = counts.orderBy(col("cnt").desc, col("k")).limit(1)
+        .select(col("k").as("top_key"), col("cnt").as("top_cnt"))
+      val tot = counts.agg(sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_distinct"))
+      tot.crossJoin(top)
+        .select(lit(table).as("table_name"), lit(c).as("column_name"),
+          col("n_rows"), col("n_distinct"), col("top_key"), col("top_cnt"),
+          round(col("top_cnt").cast("double") / col("n_rows").cast("double"),
+            9).as("top_share9"),
+          when(col("top_cnt").cast("double") >=
+              col("n_rows").cast("double") * saltShare, "salt")
+            .when(col("top_cnt").cast("double") >=
+              col("n_rows").cast("double") * hybridShare, "hybrid")
+            .otherwise("plain").as("verdict"))
+    }.reduce(_.unionByName(_))
+  }
 }

@@ -843,6 +843,30 @@ object EventQueries {
         .orderBy(col("event_type"))
     }),
 
+    // q254: join-key skew advisor over the two big fact tables — the
+    // diagnostic that picks between q67 salting, q208 hybrid, and a
+    // plain shuffle, from exact per-column key histogram summaries.
+    "q254_skew_advisor" -> ((s, d) => {
+      graft.ops.Skew.skewAdvisor(Tables.events(s, d), "events",
+          Seq("user_id", "event_type"))
+        .unionByName(graft.ops.Skew.skewAdvisor(Tables.lineitem(s, d),
+          "lineitem", Seq("l_orderkey", "l_suppkey")))
+        .orderBy(col("table_name"), col("column_name"))
+    }),
+
+    // q255: linear multi-touch attribution — every prior view/click
+    // shares a purchase's credit equally in exact ppm (largest-
+    // remainder to the earliest touches, so each conversion
+    // distributes exactly 10⁶); q155's last-touch counterpart.
+    "q255_linear_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      graft.ops.Behavior.linearAttribution(ev, "user_id", "event_type",
+          "us", "event_id", touchTypes = Seq("view", "click"),
+          convType = "purchase")
+        .orderBy(col("touch_type"))
+    }),
+
     // q155: last-touch attribution — each purchase credits the most
     // recent strictly-earlier view/click by the same user.
     "q155_attribution" -> ((s, d) => {
@@ -1263,6 +1287,65 @@ object EventQueries {
         |  qs[t.gs] AS qv
         |FROM p, UNNEST(generate_series(1, 4)) AS t(gs)
         |ORDER BY event_type, q""".stripMargin,
+    // q254: per-column exact histograms + (cnt DESC, key) argmax +
+    // the same share thresholds.
+    "q254_skew_advisor" ->
+      """WITH cols AS (
+        |  SELECT 'events' AS t, 'user_id' AS c,
+        |    CAST(user_id AS VARCHAR) AS k FROM events
+        |  UNION ALL SELECT 'events', 'event_type', event_type FROM events
+        |  UNION ALL SELECT 'lineitem', 'l_orderkey',
+        |    CAST(l_orderkey AS VARCHAR) FROM lineitem
+        |  UNION ALL SELECT 'lineitem', 'l_suppkey',
+        |    CAST(l_suppkey AS VARCHAR) FROM lineitem),
+        |h AS (SELECT t, c, k, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM cols GROUP BY 1, 2, 3),
+        |tot AS (SELECT t, c, CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |          CAST(count(*) AS BIGINT) AS n_distinct
+        |        FROM h GROUP BY 1, 2),
+        |top AS (
+        |  SELECT t, c, k AS top_key, cnt AS top_cnt FROM (
+        |    SELECT t, c, k, cnt,
+        |      row_number() OVER (PARTITION BY t, c
+        |        ORDER BY cnt DESC, k) AS rn
+        |    FROM h) WHERE rn = 1)
+        |SELECT tot.t AS table_name, tot.c AS column_name, tot.n_rows,
+        |  tot.n_distinct, top.top_key, top.top_cnt,
+        |  round(CAST(top.top_cnt AS DOUBLE) / CAST(tot.n_rows AS DOUBLE), 9)
+        |    AS top_share9,
+        |  CASE WHEN CAST(top.top_cnt AS DOUBLE)
+        |         >= CAST(tot.n_rows AS DOUBLE) * 0.2 THEN 'salt'
+        |       WHEN CAST(top.top_cnt AS DOUBLE)
+        |         >= CAST(tot.n_rows AS DOUBLE) * 0.02 THEN 'hybrid'
+        |       ELSE 'plain' END AS verdict
+        |FROM tot JOIN top ON top.t = tot.t AND top.c = tot.c
+        |ORDER BY table_name, column_name""".stripMargin,
+    // q255: the same temporal fan-out join, per-conversion rank, and
+    // ⌊10⁶/k⌋ + largest-remainder credit.
+    "q255_linear_attribution" ->
+      """WITH conv AS (
+        |  SELECT user_id AS cu, epoch_us(ts) AS cus, event_id AS cid
+        |  FROM events WHERE event_type = 'purchase'),
+        |touch AS (
+        |  SELECT user_id AS tu, event_type AS touch_type,
+        |    epoch_us(ts) AS tus, event_id AS tid
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |j AS (
+        |  SELECT touch.*, conv.cu, conv.cus, conv.cid
+        |  FROM touch JOIN conv ON conv.cu = touch.tu
+        |    AND touch.tus < conv.cus),
+        |r AS (
+        |  SELECT touch_type,
+        |    count(*) OVER (PARTITION BY cu, cid) AS k,
+        |    row_number() OVER (PARTITION BY cu, cid
+        |      ORDER BY tus, tid) AS rk
+        |  FROM j)
+        |SELECT touch_type, CAST(count(*) AS BIGINT) AS n_touches,
+        |  CAST(sum(1000000 // k
+        |    + CASE WHEN rk <= 1000000 % k THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS credit_ppm
+        |FROM r GROUP BY 1 ORDER BY touch_type""".stripMargin,
+
     // q247: the true sliding distinct via an hour-range join over the
     // distinct (type, hour, user) cells.
     "q247_rolling_distinct" ->

@@ -1431,6 +1431,16 @@ object PipelineOps {
         .orderBy(col("media_id"))
     }),
 
+    // Trending terms between the two crawl halves (q183's source
+    // split): add-one rise ratio, top-20 — names the vocabulary
+    // behind a drift signal.
+    "q253_trending_terms" -> ((s, d) => {
+      val srcNum = expr("cast(substring(source, 4) as int)")
+      CorpusStats.trendingTerms(Tables.documents(s, d), "text",
+          inA = srcNum < 10, inB = srcNum >= 10, k = 20)
+        .orderBy(col("rk"))
+    }),
+
     // Delta-encoded posting lists with varint byte accounting — the
     // q76 inverted index in its compressed storage layout (gap +
     // varint, integer threshold ladder — no libm).
@@ -3861,6 +3871,26 @@ object PipelineOps {
     // q240: the same rebuilt bits, all-pairs exact Hamming at ≤8 (the
     // quadratic oracle baseline; the engine side is the banded join).
     "q243_mutual_nn_align" -> MutualNnSql,
+
+    // q253: same smoothed ratio, same (ratio, c_b, term) cut.
+    "q253_trending_terms" ->
+      """WITH t AS (
+        |  SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok,
+        |    CASE WHEN CAST(substring(source, 4) AS INT) < 10 THEN 1
+        |         ELSE 0 END AS a,
+        |    CASE WHEN CAST(substring(source, 4) AS INT) >= 10 THEN 1
+        |         ELSE 0 END AS b
+        |  FROM documents),
+        |c AS (
+        |  SELECT tok, CAST(sum(a) AS BIGINT) AS c_a,
+        |    CAST(sum(b) AS BIGINT) AS c_b,
+        |    round(CAST(sum(b) + 1 AS DOUBLE)
+        |      / CAST(sum(a) + 1 AS DOUBLE), 9) AS ratio9
+        |  FROM t WHERE tok <> '' GROUP BY 1)
+        |SELECT tok AS term, c_a, c_b, ratio9,
+        |  CAST(row_number() OVER (ORDER BY ratio9 DESC, c_b DESC, tok)
+        |    AS BIGINT) AS rk
+        |FROM c ORDER BY ratio9 DESC, c_b DESC, tok LIMIT 20""".stripMargin,
 
     // q248: the same gap = id − coalesce(lag, 0) recurrence and the
     // same varint threshold ladder.

@@ -199,6 +199,26 @@ class BehaviorSpec extends AnyFunSuite {
     assert(got(2L) == ((1L, 1L, "c:1")))
   }
 
+  test("linearAttribution: exact ppm split with largest-remainder, reconciles to conversions") {
+    // user 1: 3 touches (view, view, click) then purchase → each gets
+    // 333333 ppm, first view takes the remainder (+1)
+    // user 2: 1 click then purchase → 1000000
+    val ev = Seq(
+      (1L, "view", 10L, 1L), (1L, "view", 20L, 2L), (1L, "click", 30L, 3L),
+      (1L, "purchase", 40L, 4L),
+      (2L, "click", 5L, 5L), (2L, "purchase", 9L, 6L),
+      (3L, "purchase", 1L, 7L)) // no touches → drops
+      .toDF("user_id", "event_type", "us", "event_id")
+    val out = Behavior.linearAttribution(ev, "user_id", "event_type",
+        "us", "event_id", Seq("view", "click"), "purchase")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_touches"), r.getAs[Long]("credit_ppm"))).toMap
+    assert(out("view") == ((2L, 666667L)), out.toString)   // 333334 + 333333
+    assert(out("click") == ((2L, 1333333L)))               // 333333 + 1000000
+    assert(out.values.map(_._2).sum == 2000000L,
+      "total credit must reconcile to conversions × 1e6")
+  }
+
   test("markovEval: deterministic cycle self-predicts perfectly; minority transitions flagged") {
     // users cycle a→b→a→b…, one user throws in a→c once: the model
     // predicts b after a (majority), so the a→c cell is the one error

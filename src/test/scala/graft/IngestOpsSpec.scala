@@ -810,6 +810,39 @@ class SpanRemovalSpec extends AnyFunSuite {
     assert(got("x") == ((3L, 0L, 2L)))
   }
 
+  test("skewAdvisor: verdicts flip at the declared share thresholds") {
+    import spark.implicits._
+    // col 'hot': one key holds 50% → salt; col 'warm': top 5% → hybrid;
+    // col 'cold': uniform → plain
+    val df = (0 until 100).map { i =>
+      (if (i < 50) 0L else i.toLong,            // hot
+        if (i < 5) 0L else i.toLong,            // warm
+        i.toLong)                               // cold
+    }.toDF("hot", "warm", "cold")
+    val out = graft.ops.Skew.skewAdvisor(df, "t", Seq("hot", "warm", "cold"))
+      .collect().map(r => r.getString(1) ->
+        (r.getAs[Long]("top_cnt"), r.getString(7))).toMap
+    assert(out("hot") == ((50L, "salt")))
+    assert(out("warm") == ((5L, "hybrid")))
+    assert(out("cold") == ((1L, "plain")))
+  }
+
+  test("trendingTerms: a term absent from slice A tops the rise ranking") {
+    import spark.implicits._
+    val df = Seq(
+      ("old", "alpha beta beta"), ("old", "alpha beta"),
+      ("new", "alpha nova nova nova"), ("new", "nova beta")
+    ).toDF("crawl", "text")
+    val out = graft.ops.CorpusStats.trendingTerms(df, "text",
+        inA = col("crawl") === "old", inB = col("crawl") === "new", k = 3)
+      .collect()
+    assert(out.head.getAs[String]("term") == "nova",
+      out.map(_.getString(0)).mkString(","))
+    assert(out.head.getAs[Long]("c_a") == 0L &&
+      out.head.getAs[Long]("c_b") == 4L)
+    assert(out.head.getAs[Double]("ratio9") == 5.0) // (4+1)/(0+1)
+  }
+
   test("deltaPostings: gaps reconstruct sorted ids, varint ladder byte-exact") {
     import spark.implicits._
     val df = Seq((5L, "apple"), (7L, "apple"), (200L, "apple"), (3L, "pear"))
