@@ -68,6 +68,116 @@ object Profile {
       .orderBy(col("column_name"))
   }
 
+  /** V-OPTIMAL HISTOGRAM (Jagadish et al. VLDB'98) — the
+    * minimum-variance bucketing query optimizers actually want for
+    * selectivity estimation, where equi-width/equi-depth merely
+    * approximate: choose `buckets` boundaries minimizing total
+    * within-bucket SSE, by dynamic programming over a PRE-BINNED
+    * domain (the one full-data pass: an equi-width quantization to
+    * `preBins` cells with exact (count, sum, sumsq) integer partials;
+    * the DP then runs on ≤ preBins rows — constant work at any data
+    * volume).
+    *
+    * Determinism: interval SSE = ss − s²/c is ONE fixed IEEE chain on
+    * exact integers, round-2-scaled to a long (SSE magnitudes reach ~10^18·cents²; 2 decimals keeps the scaled cost in long range with sub-ulp quantization); DP costs are integer
+    * sums of those; every argmin tie-breaks on the smaller split
+    * point. The min-plus recurrence runs as `buckets` declarative
+    * rounds (join candidate splits → per-endpoint window argmin),
+    * and the backtrack is `buckets` O(preBins)-row joins.
+    *
+    * @return one row per final bucket: (bucket, lo_bin, hi_bin,
+    *         bin_lo_value, bin_hi_value, n, sse9) ordered by bucket;
+    *         bins are equi-width cells of [min, max]. */
+  def vOptimalHistogram(df: DataFrame, vCol: String, preBins: Int = 64,
+                        buckets: Int = 4): DataFrame = {
+    require(buckets >= 1 && preBins >= buckets,
+      "need preBins >= buckets >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val t = df.select(col(vCol).cast("long").as("v"))
+    val mmRow = t.agg(min(col("v")), max(col("v"))).head()
+    val lo = mmRow.getLong(0)
+    val hi = mmRow.getLong(1)
+    val width = math.max(1L, (hi - lo) / preBins + 1)
+    val binCol = least(lit(preBins - 1L), expr(s"(v - ${lo}L) div ${width}L"))
+    val bins = t.groupBy(binCol.as("bin"))
+      .agg(count(lit(1)).as("c"), sum(col("v")).as("s"),
+        sum(col("v").cast(d38) * col("v").cast(d38)).as("ss"))
+    // rank present bins 1..m; prefix sums over the ≤preBins-row table
+    val wAll = Window.orderBy(col("bin"))
+    val pre = bins
+      .withColumn("i", row_number().over(wAll).cast("long"))
+      .withColumn("cc", sum(col("c")).over(wAll))
+      .withColumn("cs", sum(col("s")).over(wAll))
+      .withColumn("css", sum(col("ss")).over(wAll))
+      .select(col("i"), col("bin"), col("c"), col("cc"), col("cs"),
+        col("css"))
+      .cache()
+    val m = pre.count()
+    val zero = pre.sparkSession.range(1).select(lit(0L).as("i"),
+      lit(0L).as("cc"), lit(0L).as("cs"), lit(0).cast(d38).as("css"))
+    val pfx = pre.select(col("i"), col("cc"), col("cs"), col("css"))
+      .unionByName(zero)
+    val a = pfx.select(col("i").as("j"), col("cc").as("c0"),
+      col("cs").as("s0"), col("css").as("ss0"))
+    val b = pfx.filter(col("i") > 0).select(col("i"), col("cc").as("c1"),
+      col("cs").as("s1"), col("css").as("ss1"))
+    // sse9 of the half-open interval (j, i]
+    val iv = a.join(b, col("j") < col("i"))
+      .select(col("j"), col("i"),
+        graft.util.Exact.scaled(round(
+          (col("ss1") - col("ss0")).cast("double") -
+            (col("s1") - col("s0")).cast("double") *
+            (col("s1") - col("s0")).cast("double") /
+            (col("c1") - col("c0")).cast("double"), 2), 2).as("sse2"))
+      .cache()
+    // DP rounds: dp_b(i) = min_j dp_{b-1}(j) + sse9(j, i)
+    var dp = iv.filter(col("j") === 0)
+      .select(col("i"), col("sse2").as("cost"), lit(0L).as("arg"))
+    val args = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    args += dp
+    for (bkt <- 2 to buckets) {
+      val cand = dp.select(col("i").as("j"), col("cost").as("pc"))
+        .join(iv, Seq("j"))
+        .filter(col("j") >= bkt - 1)
+        .select(col("i"), (col("pc") + col("sse2")).as("cost"),
+          col("j").as("arg"))
+      val w = Window.partitionBy(col("i"))
+        .orderBy(col("cost"), col("arg"))
+      dp = cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn").cache()
+      args += dp
+    }
+    // backtrack: bucket k covers (split_{k-1}, split_k]
+    var hiI = m
+    val bounds = new Array[Long](buckets + 1)
+    bounds(buckets) = m
+    for (bkt <- buckets to 1 by -1) {
+      val j = args(bkt - 1).filter(col("i") === hiI)
+        .select(col("arg")).head().getLong(0)
+      bounds(bkt - 1) = j
+      hiI = j
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val segs = (1 to buckets).map(k =>
+      (k.toLong, bounds(k - 1), bounds(k))).toDF("bucket", "jlo", "jhi")
+    segs.join(iv, col("jlo") === col("j") && col("jhi") === col("i"))
+      .join(pfx.select(col("i").as("jhi2"), col("cc").as("chi")),
+        col("jhi") === col("jhi2"))
+      .join(pfx.select(col("i").as("jlo2"), col("cc").as("clo")),
+        col("jlo") === col("jlo2"))
+      .join(pre.select(col("i").as("ilo"), col("bin").as("lo_bin")),
+        col("jlo") + 1 === col("ilo"))
+      .join(pre.select(col("i").as("ihi"), col("bin").as("hi_bin")),
+        col("jhi") === col("ihi"))
+      .select(col("bucket"), col("lo_bin"), col("hi_bin"),
+        (lit(lo) + col("lo_bin") * width).as("bin_lo_value"),
+        (lit(lo) + (col("hi_bin") + 1) * width - 1).as("bin_hi_value"),
+        (col("chi") - col("clo")).as("n"), col("sse2"))
+      .orderBy(col("bucket"))
+  }
+
   /** DATA-QUALITY CONSTRAINT CHECKS (the Deequ/expectation-suite
     * shape): declared row-level rules, key-uniqueness, and
     * referential-integrity constraints evaluated as EXACT violation

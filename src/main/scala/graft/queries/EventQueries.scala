@@ -843,6 +843,18 @@ object EventQueries {
         .orderBy(col("event_type"))
     }),
 
+    // q256: V-optimal histogram of spend cents (Jagadish VLDB'98) —
+    // the minimum-SSE bucketing optimizers want for selectivity: one
+    // equi-width pre-binning pass (exact integer partials), then the
+    // min-plus DP over ≤64 cells as declarative rounds; round-2
+    // scaled SSE keeps every DP cost an exact long.
+    "q256_voptimal_histogram" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(round(col("value") * 100).cast("long").as("cents"))
+      graft.ops.Profile.vOptimalHistogram(ev, "cents", preBins = 64,
+          buckets = 4)
+    }),
+
     // q254: join-key skew advisor over the two big fact tables — the
     // diagnostic that picks between q67 salting, q208 hybrid, and a
     // plain shuffle, from exact per-column key histogram summaries.
@@ -1287,6 +1299,85 @@ object EventQueries {
         |  qs[t.gs] AS qv
         |FROM p, UNNEST(generate_series(1, 4)) AS t(gs)
         |ORDER BY event_type, q""".stripMargin,
+    // q256: the DP unrolled — same pre-bins, same round-9 scaled
+    // interval SSEs, four argmin rounds, explicit backtrack joins.
+    "q256_voptimal_histogram" ->
+      """WITH t AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |mm AS (
+        |  SELECT min(v) AS lo, max(v) AS hi,
+        |    greatest(1, (max(v) - min(v)) // 64 + 1) AS width
+        |  FROM t),
+        |binned AS (
+        |  SELECT least(63, (t.v - mm.lo) // mm.width) AS bin, t.v,
+        |    mm.lo AS lo, mm.width AS width
+        |  FROM t, mm),
+        |bins AS (
+        |  SELECT bin, max(lo) AS lo, max(width) AS width,
+        |    CAST(count(*) AS BIGINT) AS c, CAST(sum(v) AS BIGINT) AS s,
+        |    sum(CAST(v AS HUGEINT) * v) AS ss
+        |  FROM binned GROUP BY 1),
+        |pre AS MATERIALIZED (
+        |  SELECT bin, lo, width, c,
+        |    CAST(row_number() OVER (ORDER BY bin) AS BIGINT) AS i,
+        |    CAST(sum(c) OVER (ORDER BY bin) AS BIGINT) AS cc,
+        |    CAST(sum(s) OVER (ORDER BY bin) AS BIGINT) AS cs,
+        |    sum(ss) OVER (ORDER BY bin) AS css
+        |  FROM bins),
+        |pfx AS MATERIALIZED (
+        |  SELECT i, cc, cs, css FROM pre
+        |  UNION ALL SELECT 0, 0, 0, CAST(0 AS HUGEINT)),
+        |iv AS MATERIALIZED (
+        |  SELECT a.i AS j, b.i AS i,
+        |    CAST(round(round(CAST(b.css - a.css AS DOUBLE)
+        |      - CAST(b.cs - a.cs AS DOUBLE) * CAST(b.cs - a.cs AS DOUBLE)
+        |        / CAST(b.cc - a.cc AS DOUBLE), 2) * 100) AS BIGINT)
+        |      AS sse2
+        |  FROM pfx a JOIN pfx b ON a.i < b.i),
+        |dp1 AS MATERIALIZED (
+        |  SELECT i, sse2 AS cost, CAST(0 AS BIGINT) AS arg
+        |  FROM iv WHERE j = 0),
+        |dp2 AS MATERIALIZED (
+        |  SELECT i, cost, arg FROM (
+        |    SELECT iv.i, d.cost + iv.sse2 AS cost, iv.j AS arg,
+        |      row_number() OVER (PARTITION BY iv.i
+        |        ORDER BY d.cost + iv.sse2, iv.j) AS rn
+        |    FROM dp1 d JOIN iv ON iv.j = d.i AND iv.j >= 1) WHERE rn = 1),
+        |dp3 AS MATERIALIZED (
+        |  SELECT i, cost, arg FROM (
+        |    SELECT iv.i, d.cost + iv.sse2 AS cost, iv.j AS arg,
+        |      row_number() OVER (PARTITION BY iv.i
+        |        ORDER BY d.cost + iv.sse2, iv.j) AS rn
+        |    FROM dp2 d JOIN iv ON iv.j = d.i AND iv.j >= 2) WHERE rn = 1),
+        |dp4 AS MATERIALIZED (
+        |  SELECT i, cost, arg FROM (
+        |    SELECT iv.i, d.cost + iv.sse2 AS cost, iv.j AS arg,
+        |      row_number() OVER (PARTITION BY iv.i
+        |        ORDER BY d.cost + iv.sse2, iv.j) AS rn
+        |    FROM dp3 d JOIN iv ON iv.j = d.i AND iv.j >= 3) WHERE rn = 1),
+        |mx AS (SELECT max(i) AS m FROM pre),
+        |s4 AS (SELECT dp4.arg AS b3 FROM dp4, mx WHERE dp4.i = mx.m),
+        |s3 AS (SELECT dp3.arg AS b2 FROM dp3, s4 WHERE dp3.i = s4.b3),
+        |s2 AS (SELECT dp2.arg AS b1 FROM dp2, s3 WHERE dp2.i = s3.b2),
+        |segs AS (
+        |  SELECT 1 AS bucket, CAST(0 AS BIGINT) AS jlo, s2.b1 AS jhi
+        |  FROM s2
+        |  UNION ALL SELECT 2, s2.b1, s3.b2 FROM s2, s3
+        |  UNION ALL SELECT 3, s3.b2, s4.b3 FROM s3, s4
+        |  UNION ALL SELECT 4, s4.b3, mx.m FROM s4, mx)
+        |SELECT CAST(segs.bucket AS BIGINT) AS bucket, plo.bin AS lo_bin,
+        |  phi.bin AS hi_bin,
+        |  plo.lo + plo.bin * plo.width AS bin_lo_value,
+        |  phi.lo + (phi.bin + 1) * phi.width - 1 AS bin_hi_value,
+        |  chi.cc - clo.cc AS n, iv.sse2
+        |FROM segs
+        |JOIN iv ON iv.j = segs.jlo AND iv.i = segs.jhi
+        |JOIN pre plo ON plo.i = segs.jlo + 1
+        |JOIN pre phi ON phi.i = segs.jhi
+        |JOIN pfx chi ON chi.i = segs.jhi
+        |JOIN pfx clo ON clo.i = segs.jlo
+        |ORDER BY bucket""".stripMargin,
+
     // q254: per-column exact histograms + (cnt DESC, key) argmax +
     // the same share thresholds.
     "q254_skew_advisor" ->

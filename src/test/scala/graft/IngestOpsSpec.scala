@@ -810,6 +810,25 @@ class SpanRemovalSpec extends AnyFunSuite {
     assert(got("x") == ((3L, 0L, 2L)))
   }
 
+  test("vOptimalHistogram: buckets land on the planted cluster gaps, zero within-SSE") {
+    import spark.implicits._
+    // three tight clusters far apart: the 3-bucket V-optimal solution
+    // is exactly one cluster per bucket with SSE 0 in each
+    val vals = Seq.fill(40)(100L) ++ Seq.fill(30)(5000L) ++ Seq.fill(30)(9900L)
+    val df = vals.toDF("v")
+    val out = graft.ops.Profile.vOptimalHistogram(df, "v", preBins = 16,
+      buckets = 3).collect()
+    assert(out.length == 3)
+    assert(out.map(_.getAs[Long]("n")).toSeq == Seq(40L, 30L, 30L),
+      out.map(_.getAs[Long]("n")).mkString(","))
+    assert(out.forall(_.getAs[Long]("sse2") == 0L),
+      "single-valued clusters must have zero within-bucket SSE")
+    // bucket ranges must cover each cluster's value
+    val r1 = out(0)
+    assert(r1.getAs[Long]("bin_lo_value") <= 100L &&
+      r1.getAs[Long]("bin_hi_value") >= 100L)
+  }
+
   test("skewAdvisor: verdicts flip at the declared share thresholds") {
     import spark.implicits._
     // col 'hot': one key holds 50% → salt; col 'warm': top 5% → hybrid;
