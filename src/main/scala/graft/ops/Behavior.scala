@@ -106,6 +106,42 @@ object Behavior {
       .orderBy(col("prev_type"), col("next_type"))
   }
 
+  /** RFM FEATURES — the classic per-entity behavioral feature triple
+    * (recency / frequency / monetary) plus quintile scores, the
+    * feature-engineering table every churn/LTV model starts from.
+    * Exact integers throughout (recency in whole days from the
+    * corpus max timestamp — an O(1) driver literal, the TfIdf.idf
+    * pattern); quintiles by `ntile(5)` with explicit (metric, user)
+    * tie-breaks so both engines deal identical buckets; score 1 =
+    * best (most recent / most frequent / highest spend).
+    *
+    * One per-user aggregate + three windows over the ENTITY table
+    * (users ≪ events — feature-table-sized, not log-sized).
+    *
+    * @return (user, recency_days, frequency, monetary, r_q, f_q,
+    *         m_q, rfm). */
+  def rfmFeatures(events: DataFrame, userCol: String, usCol: String,
+                  centsCol: String): DataFrame = {
+    val per = events.groupBy(col(userCol).as("u"))
+      .agg(max(col(usCol)).as("last_us"), count(lit(1)).as("frequency"),
+        sum(col(centsCol)).as("monetary"))
+      .cache()
+    val gmax = per.agg(max(col("last_us"))).head().getLong(0)
+    val f = per.withColumn("recency_days",
+      expr(s"(${gmax}L - last_us) div 86400000000"))
+    val rq = ntile(5).over(org.apache.spark.sql.expressions.Window
+      .orderBy(col("recency_days"), col("u")))
+    val fq = ntile(5).over(org.apache.spark.sql.expressions.Window
+      .orderBy(col("frequency").desc, col("u")))
+    val mq = ntile(5).over(org.apache.spark.sql.expressions.Window
+      .orderBy(col("monetary").desc, col("u")))
+    f.select(col("u").as(userCol), col("recency_days"), col("frequency"),
+        col("monetary"), rq.cast("long").as("r_q"), fq.cast("long").as("f_q"),
+        mq.cast("long").as("m_q"))
+      .withColumn("rfm",
+        concat(col("r_q"), col("f_q"), col("m_q")))
+  }
+
   /** MARKOV NEXT-EVENT PREDICTION EVAL — train the first-order model
     * ([[markovTransitions]]'s counts) and score it against the same
     * stream's actual transitions (the resubstitution confusion

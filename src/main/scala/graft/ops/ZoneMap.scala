@@ -47,4 +47,57 @@ object ZoneMap {
         col("k_max") < lit(predLo) || col("k_min") >= lit(predHi))
       .orderBy(col("block"))
   }
+
+  /** LAYOUT-SKIPPING COMPARISON — the A/B the Z-order family exists
+    * to win, measured instead of asserted: the SAME rows laid out
+    * (a) lexicographically by (x, y) and (b) by the Z-interleave of
+    * (x, y), each cut into `blockSize` blocks with (x, y) min/max
+    * zone maps, scored against one 2-D predicate box. Lexicographic
+    * order makes y-ranges within a block span the whole domain once
+    * x repeats — only the leading column prunes; the space-filling
+    * curve keeps BOTH dimensions locally bounded, so the same box
+    * skips far more blocks. Output is the offline justification for
+    * a table-layout rewrite.
+    *
+    * Same machinery as [[report]]: one distributed sort +
+    * zipWithIndex per layout, block-keyed partial aggs.
+    *
+    * @return one row per layout: (layout, n_blocks, n_skipped,
+    *         skip_ratio9, rows_scanned). */
+  def layoutSkipping(df: DataFrame, xCol: Column, yCol: Column,
+                     tieCols: Seq[Column], blockSize: Int,
+                     xLo: Long, xHi: Long, yLo: Long, yHi: Long)
+      : DataFrame = {
+    require(blockSize >= 1, "blockSize must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"),
+      concat_ws("|", tieCols.map(_.cast("string")): _*).as("tie"))
+    def run(layout: String, okey: Column): DataFrame = {
+      val blocks = base
+        .withColumn("ok", okey)
+        .orderBy(col("ok"), col("tie"))
+        .rdd.map(r => (r.getLong(0), r.getLong(1)))
+        .zipWithIndex()
+        .map { case ((x, y), i) => (i / blockSize, x, y) }
+        .toDF("blk", "x", "y")
+      blocks.groupBy(col("blk"))
+        .agg(count(lit(1)).as("c"), min(col("x")).as("x0"),
+          max(col("x")).as("x1"), min(col("y")).as("y0"),
+          max(col("y")).as("y1"))
+        .withColumn("skipped",
+          col("x1") < xLo || col("x0") > xHi ||
+            col("y1") < yLo || col("y0") > yHi)
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(col("skipped").cast("long")).as("n_skipped"),
+          sum(when(!col("skipped"), col("c")).otherwise(0L))
+            .as("rows_scanned"))
+        .select(lit(layout).as("layout"), col("n_blocks"), col("n_skipped"),
+          round(col("n_skipped").cast("double") /
+            col("n_blocks").cast("double"), 9).as("skip_ratio9"),
+          col("rows_scanned"))
+    }
+    run("lex", col("x") * 65536L + col("y"))
+      .unionByName(run("zorder", ZOrder.zValue(col("x"), col("y"))))
+  }
 }

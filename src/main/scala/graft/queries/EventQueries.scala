@@ -843,6 +843,17 @@ object EventQueries {
         .orderBy(col("event_type"))
     }),
 
+    // q259: RFM behavioral features per user — recency/frequency/
+    // monetary + ntile quintiles with explicit tie-breaks (score 1 =
+    // best); the churn/LTV feature table.
+    "q259_rfm_features" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      graft.ops.Behavior.rfmFeatures(ev, "user_id", "us", "cents")
+        .orderBy(col("user_id"))
+    }),
+
     // q256: V-optimal histogram of spend cents (Jagadish VLDB'98) —
     // the minimum-SSE bucketing optimizers want for selectivity: one
     // equi-width pre-binning pass (exact integer partials), then the
@@ -1299,6 +1310,31 @@ object EventQueries {
         |  qs[t.gs] AS qv
         |FROM p, UNNEST(generate_series(1, 4)) AS t(gs)
         |ORDER BY event_type, q""".stripMargin,
+    // q259: same per-user aggregate, same global-max literal shape,
+    // same tie-broken ntiles.
+    "q259_rfm_features" ->
+      """WITH per AS (
+        |  SELECT user_id AS u, max(epoch_us(ts)) AS last_us,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS monetary
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT max(last_us) AS gmax FROM per),
+        |f AS (
+        |  SELECT u, (g.gmax - last_us) // 86400000000 AS recency_days,
+        |    frequency, monetary
+        |  FROM per, g)
+        |SELECT u AS user_id, CAST(recency_days AS BIGINT) AS recency_days,
+        |  frequency, monetary,
+        |  CAST(ntile(5) OVER (ORDER BY recency_days, u) AS BIGINT) AS r_q,
+        |  CAST(ntile(5) OVER (ORDER BY frequency DESC, u) AS BIGINT) AS f_q,
+        |  CAST(ntile(5) OVER (ORDER BY monetary DESC, u) AS BIGINT) AS m_q,
+        |  CAST(ntile(5) OVER (ORDER BY recency_days, u) AS VARCHAR)
+        |    || CAST(ntile(5) OVER (ORDER BY frequency DESC, u) AS VARCHAR)
+        |    || CAST(ntile(5) OVER (ORDER BY monetary DESC, u) AS VARCHAR)
+        |    AS rfm
+        |FROM f ORDER BY user_id""".stripMargin,
+
     // q256: the DP unrolled — same pre-bins, same round-9 scaled
     // interval SSEs, four argmin rounds, explicit backtrack joins.
     "q256_voptimal_histogram" ->

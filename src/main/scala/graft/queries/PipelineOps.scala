@@ -1431,6 +1431,26 @@ object PipelineOps {
         .orderBy(col("media_id"))
     }),
 
+    // Term provenance: which document/source introduced each term
+    // (first-seen attribution by doc id) and how far it spread —
+    // the vocabulary-lineage view of the corpus.
+    "q257_term_provenance" -> ((s, d) => {
+      val td = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), "\\s+")).as("term"))
+        .filter(col("term") =!= "").distinct()
+      val first = td.groupBy(col("term"))
+        .agg(min(col("doc_id")).as("first_doc"),
+          countDistinct(col("source")).as("n_sources"),
+          count(lit(1)).as("n_docs"))
+      first.join(td.select(col("doc_id").as("first_doc"),
+          col("term"), col("source").as("first_source")),
+          Seq("term", "first_doc"))
+        .select(col("term"), col("first_doc"), col("first_source"),
+          col("n_docs"), col("n_sources"))
+        .orderBy(col("term"))
+    }),
+
     // Trending terms between the two crawl halves (q183's source
     // split): add-one rise ratio, top-20 — names the vocabulary
     // behind a drift signal.
@@ -3871,6 +3891,23 @@ object PipelineOps {
     // q240: the same rebuilt bits, all-pairs exact Hamming at ≤8 (the
     // quadratic oracle baseline; the engine side is the banded join).
     "q243_mutual_nn_align" -> MutualNnSql,
+
+    // q257: first-seen join back on (term, min doc).
+    "q257_term_provenance" ->
+      """WITH td AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    unnest(regexp_split_to_array(text, '\s+')) AS term
+        |  FROM documents),
+        |td2 AS (SELECT * FROM td WHERE term <> ''),
+        |f AS (
+        |  SELECT term, min(doc_id) AS first_doc,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |    CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM td2 GROUP BY 1)
+        |SELECT f.term, f.first_doc, td2.source AS first_source,
+        |  f.n_docs, f.n_sources
+        |FROM f JOIN td2 ON td2.term = f.term AND td2.doc_id = f.first_doc
+        |ORDER BY f.term""".stripMargin,
 
     // q253: same smoothed ratio, same (ratio, c_b, term) cut.
     "q253_trending_terms" ->

@@ -714,6 +714,24 @@ object Relational {
       suite.orderBy(col("table_name"), col("check_name"))
     }),
 
+    // q258: layout-skipping A/B — the same lineitem rows blocked
+    // under (a) lexicographic (partkey, suppkey) order and (b) their
+    // Z-interleave, zone-mapped, scored against one 2-D predicate
+    // box. Measures what q78's curve actually buys: only the leading
+    // column prunes under lex; both prune under Z.
+    "q258_layout_skipping" -> ((s, d) => {
+      graft.ops.ZoneMap.layoutSkipping(Tables.lineitem(s, d),
+          xCol = pmod(col("l_partkey"), lit(65536)),
+          yCol = pmod(col("l_suppkey"), lit(65536)),
+          tieCols = Seq(col("l_orderkey"), col("l_linenumber")),
+          blockSize = 1024,
+          // box restricts ONLY the second dim: the lex layout is
+          // blind to it (leading column unconstrained), the curve
+          // is not — the contrast the A/B exists to show
+          xLo = 0L, xHi = 65535L, yLo = 0L, yHi = 10L)
+        .orderBy(col("layout"))
+    }),
+
     // q250: TPC-H Q3 (shipping priority) adapted to this schema —
     // the classic 3-way join + revenue rollup + top-k: segment-
     // filtered customers ⋈ pre-cutoff orders ⋈ post-cutoff lineitems,
@@ -1368,6 +1386,45 @@ object Relational {
         |        FROM j)
         |SELECT rk, k, ca, cb, rows_out, total_rows, n_join_keys
         |FROM top, t WHERE rk <= 5 ORDER BY rk""".stripMargin,
+    // q258: both orderings replayed with row_number (the z key via
+    // the shared zValueSql bit math), block min/max, same box test.
+    "q258_layout_skipping" -> {
+      val z = graft.ops.ZOrder.zValueSql("x", "y")
+      s"""WITH t AS (
+         |  SELECT l_partkey % 65536 AS x, l_suppkey % 65536 AS y,
+         |    concat_ws('|', CAST(l_orderkey AS VARCHAR),
+         |      CAST(l_linenumber AS VARCHAR)) AS tie
+         |  FROM lineitem),
+         |lx AS (
+         |  SELECT x, y,
+         |    (row_number() OVER (ORDER BY x * 65536 + y, tie) - 1) // 1024
+         |      AS blk
+         |  FROM t),
+         |zx AS (
+         |  SELECT x, y,
+         |    (row_number() OVER (ORDER BY $z, tie) - 1) // 1024 AS blk
+         |  FROM t),
+         |lb AS (
+         |  SELECT 'lex' AS layout, blk, count(*) AS c, min(x) AS x0,
+         |    max(x) AS x1, min(y) AS y0, max(y) AS y1
+         |  FROM lx GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'zorder', blk, count(*), min(x), max(x), min(y), max(y)
+         |  FROM zx GROUP BY 2),
+         |sk AS (
+         |  SELECT layout, c,
+         |    (x1 < 0 OR x0 > 65535 OR y1 < 0 OR y0 > 10) AS skipped
+         |  FROM lb)
+         |SELECT layout, CAST(count(*) AS BIGINT) AS n_blocks,
+         |  CAST(sum(CASE WHEN skipped THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_skipped,
+         |  round(CAST(sum(CASE WHEN skipped THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 9) AS skip_ratio9,
+         |  CAST(sum(CASE WHEN skipped THEN 0 ELSE c END) AS BIGINT)
+         |    AS rows_scanned
+         |FROM sk GROUP BY 1 ORDER BY layout""".stripMargin
+    },
+
     // q250/q251/q252: the classic TPC-H shapes with the engine's
     // exact scaled-long revenue on both sides.
     "q250_tpch_q3" ->

@@ -219,6 +219,27 @@ class BehaviorSpec extends AnyFunSuite {
       "total credit must reconcile to conversions × 1e6")
   }
 
+  test("rfmFeatures: exact metrics, quintiles deal evenly, score 1 is best") {
+    val day = 86400000000L
+    val ev = (1 to 10).flatMap { u =>
+      // user u: u events, last event (10-u) days before the corpus max,
+      // spend 100·u cents each
+      (1 to u).map(i => (u.toLong, (10L - u) * -day + i, 100L * u))
+    }.toDF("user_id", "us", "cents")
+    val out = Behavior.rfmFeatures(ev, "user_id", "us", "cents")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("recency_days"), r.getAs[Long]("frequency"),
+          r.getAs[Long]("monetary"), r.getAs[Long]("r_q"),
+          r.getAs[Long]("f_q"), r.getAs[Long]("m_q"))).toMap
+    // user 10: most recent, most frequent, highest spend → 1,1,1
+    assert(out(10L)._4 == 1L && out(10L)._5 == 1L && out(10L)._6 == 1L)
+    assert(out(1L)._4 == 5L && out(1L)._5 == 5L && out(1L)._6 == 5L)
+    assert(out(10L)._2 == 10L && out(10L)._3 == 10000L)
+    assert(out(1L)._1 == 9L, "9 whole days stale")
+    // ntile(5) over 10 users → exactly 2 per bucket per dimension
+    assert(out.values.groupBy(_._4).values.forall(_.size == 2))
+  }
+
   test("markovEval: deterministic cycle self-predicts perfectly; minority transitions flagged") {
     // users cycle a→b→a→b…, one user throws in a→c once: the model
     // predicts b after a (majority), so the a→c cell is the one error

@@ -30,4 +30,20 @@ class ZoneMapSpec extends AnyFunSuite {
       blockSize = 4, predLo = "00", predHi = "99").collect()
     assert(got.map(_.getLong(1)).toSeq == Seq(4L, 4L, 2L))
   }
+
+  test("layoutSkipping: a second-dim box skips under z-order, not under lex") {
+    // 64×64 grid, one row per cell: lex blocks sweep full y ranges,
+    // z blocks stay locally bounded in both dims
+    val df = (0 until 64).flatMap(x => (0 until 64).map(y =>
+      (x.toLong, y.toLong, x.toLong * 64 + y))).toDF("x", "y", "id")
+    val out = ZoneMap.layoutSkipping(df, col("x"), col("y"),
+        Seq(col("id")), blockSize = 256,
+        xLo = 0L, xHi = 63L, yLo = 0L, yHi = 3L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_skipped"), r.getAs[Long]("rows_scanned"))).toMap
+    assert(out("lex")._1 == 0L,
+      "lex can't skip when the leading column is unconstrained")
+    assert(out("zorder")._1 > 0L, s"z-order must skip: ${out("zorder")}")
+    assert(out("zorder")._2 < out("lex")._2)
+  }
 }
