@@ -680,6 +680,43 @@ object TextAnalysis {
           e => e.getField("p")), " ").as("target"))
   }
 
+  /** PADDING-WASTE REPORT — what length-sorted batching saves: the
+    * same docs batched (a) in arrival (id) order and (b) sorted by
+    * token length, each padded to its batch max (what a fixed-shape
+    * training step actually allocates). Sorted batching puts like
+    * lengths together, collapsing the padded-token overhead — the
+    * standard batching optimization, here QUANTIFIED so the data
+    * team can see the step-time it buys. Global orders via the q129
+    * sort+zipWithIndex machinery (no single-partition window).
+    *
+    * @return one row per strategy: (strategy, n_batches,
+    *         total_tokens, padded_tokens, waste_ratio9). */
+  def paddingWaste(df: DataFrame, idCol: String, textCol: String,
+                   batchSize: Int = 32): DataFrame = {
+    require(batchSize >= 1, "batchSize must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lens = df.select(col(idCol).cast("long").as("id"),
+      size(toks(col(textCol))).cast("long").as("len"))
+    def run(strategy: String, ordered: DataFrame): DataFrame =
+      ordered.rdd.map(r => r.getLong(1))
+        .zipWithIndex()
+        .map { case (len, i) => (i / batchSize, len) }
+        .toDF("batch", "len")
+        .groupBy(col("batch"))
+        .agg(count(lit(1)).as("bn"), max(col("len")).as("mx"),
+          sum(col("len")).as("s"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("s")).as("total_tokens"),
+          sum(col("bn") * col("mx")).as("padded_tokens"))
+        .select(lit(strategy).as("strategy"), col("n_batches"),
+          col("total_tokens"), col("padded_tokens"),
+          round((col("padded_tokens") - col("total_tokens")).cast("double") /
+            col("padded_tokens").cast("double"), 9).as("waste_ratio9"))
+    run("arrival", lens.orderBy(col("id")))
+      .unionByName(run("sorted", lens.orderBy(col("len"), col("id"))))
+  }
+
   /** NEXT-TOKEN TRAINING WINDOWS — the token-level LM dataset builder
     * ([[chunkDocuments]]'s char-level sibling): overlapping contexts
     * of `ctx` tokens at the given stride, each labeled with the token

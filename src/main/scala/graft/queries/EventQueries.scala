@@ -843,6 +843,26 @@ object EventQueries {
         .orderBy(col("event_type"))
     }),
 
+    // q260: Simpson's-paradox check — the aggregate value-vs-time
+    // trend against each type's own trend (q175's exact five-sum
+    // machinery at both granularities): a sign flip means the pooled
+    // slope misleads and the breakdown is mandatory.
+    "q260_simpson_check" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("event_type"),
+        (expr("unix_micros(ts) div 1000000") - lit(1704067200L)).as("xs"),
+        round(col("value") * 1000000).cast("long").as("y6"))
+      val per = graft.ops.MlEval.olsTrend(e, "event_type", "xs", "y6")
+        .select(col("event_type"), round(col("slope"), 9).as("slope9"))
+      val overall = graft.ops.MlEval
+        .olsTrend(e.withColumn("scope", lit("all")), "scope", "xs", "y6")
+        .select(round(col("slope"), 9).as("overall_slope9"))
+      per.crossJoin(broadcast(overall))
+        .withColumn("sign_flip",
+          when(signum(col("slope9")) =!= signum(col("overall_slope9")), 1L)
+            .otherwise(0L))
+        .orderBy(col("event_type"))
+    }),
+
     // q259: RFM behavioral features per user — recency/frequency/
     // monetary + ntile quintiles with explicit tie-breaks (score 1 =
     // best); the churn/LTV feature table.
@@ -1310,6 +1330,37 @@ object EventQueries {
         |  qs[t.gs] AS qv
         |FROM p, UNNEST(generate_series(1, 4)) AS t(gs)
         |ORDER BY event_type, q""".stripMargin,
+    // q260: q175's five-sum slope at both granularities, sign test.
+    "q260_simpson_check" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) // 1000000 - 1704067200 AS xs,
+        |    CAST(round(value * 1000000) AS BIGINT) AS y6
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(xs) AS HUGEINT) AS sx,
+        |    CAST(sum(y6) AS HUGEINT) AS sy,
+        |    sum(CAST(xs AS HUGEINT) * y6) AS sxy,
+        |    sum(CAST(xs AS HUGEINT) * xs) AS sxx
+        |  FROM t GROUP BY 1),
+        |o AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(xs) AS HUGEINT) AS sx,
+        |    CAST(sum(y6) AS HUGEINT) AS sy,
+        |    sum(CAST(xs AS HUGEINT) * y6) AS sxy,
+        |    sum(CAST(xs AS HUGEINT) * xs) AS sxx
+        |  FROM t),
+        |sl AS (
+        |  SELECT event_type, round(CAST(n*sxy - sx*sy AS DOUBLE)
+        |    / CAST(n*sxx - sx*sx AS DOUBLE), 9) AS slope9 FROM a),
+        |ov AS (
+        |  SELECT round(CAST(n*sxy - sx*sy AS DOUBLE)
+        |    / CAST(n*sxx - sx*sx AS DOUBLE), 9) AS overall_slope9 FROM o)
+        |SELECT sl.event_type, sl.slope9, ov.overall_slope9,
+        |  CAST(CASE WHEN sign(sl.slope9) <> sign(ov.overall_slope9)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS sign_flip
+        |FROM sl, ov ORDER BY event_type""".stripMargin,
     // q259: same per-user aggregate, same global-max literal shape,
     // same tie-broken ntiles.
     "q259_rfm_features" ->

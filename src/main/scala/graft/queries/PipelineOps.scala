@@ -1431,6 +1431,27 @@ object PipelineOps {
         .orderBy(col("media_id"))
     }),
 
+    // Langid confusion matrix: the q36 predictor scored against the
+    // labeled lang — names which languages the bigram profile
+    // mistakes for which (the eval q36's histogram can't give).
+    "q261_langid_confusion" -> ((s, d) => {
+      TextAnalysis.withLangId(Tables.documents(s, d), "text")
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("correct",
+          when(col("lang") === col("lang_pred"), 1L).otherwise(0L))
+        .orderBy(col("lang"), col("lang_pred"))
+    }),
+
+    // Padding-waste A/B: arrival-order vs length-sorted batching,
+    // padded to each batch max — quantifies the step-time the
+    // standard sorted-batching optimization buys.
+    "q262_padding_waste" -> ((s, d) => {
+      TextAnalysis.paddingWaste(Tables.documents(s, d), "doc_id", "text",
+          batchSize = 32)
+        .orderBy(col("strategy"))
+    }),
+
     // Term provenance: which document/source introduced each term
     // (first-seen attribution by doc id) and how far it spread —
     // the vocabulary-lineage view of the corpus.
@@ -2018,6 +2039,42 @@ object PipelineOps {
       |SELECT src AS doc_id, least(src, min(dst)) AS rep_id
       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
+  /** q36's bigram langid predictor as shared CTEs ending in
+    * pred(doc_id, lang_pred) — reused by q36 and q261. */
+  private val LangIdPredCtes =
+    """WITH base AS (
+        |  SELECT doc_id, text, lower(text) AS t FROM documents
+        |), bg AS (
+        |  SELECT doc_id, substr(t, CAST(i AS INT), 2) AS big
+        |  FROM base, unnest(range(1, length(t))) AS u(i)
+        |), prof(lang, big) AS (
+        |  VALUES ('en','th'),('en','he'),('en','in'),('en','er'),('en','an'),
+        |         ('en','re'),('en','on'),('en','at'),('en','en'),('en','nd'),
+        |         ('de','en'),('de','er'),('de','ch'),('de','de'),('de','ei'),
+        |         ('de','nd'),('de','te'),('de','in'),('de','ie'),('de','ge'),
+        |         ('es','de'),('es','la'),('es','os'),('es','en'),('es','el'),
+        |         ('es','es'),('es','ar'),('es','ue'),('es','ra'),('es','as'),
+        |         ('fr','es'),('fr','le'),('fr','de'),('fr','en'),('fr','re'),
+        |         ('fr','nt'),('fr','on'),('fr','er'),('fr','ou'),('fr','ai')
+        |), scores AS (
+        |  SELECT d.doc_id, l.lang, count(p.big) AS cnt
+        |  FROM base d
+        |  CROSS JOIN (SELECT DISTINCT lang FROM prof) l
+        |  LEFT JOIN bg ON bg.doc_id = d.doc_id
+        |  LEFT JOIN prof p ON p.lang = l.lang AND p.big = bg.big
+        |  GROUP BY d.doc_id, l.lang
+        |), ranked AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, lang) AS rk
+        |  FROM scores
+        |), pred AS (
+        |  SELECT b.doc_id,
+        |    CASE WHEN b.text IS NULL OR length(b.text) = 0 THEN 'und'
+        |         WHEN regexp_matches(b.text, '\p{Han}') THEN 'zh'
+        |         ELSE r.lang END AS lang_pred
+        |  FROM base b JOIN ranked r ON r.doc_id = b.doc_id AND r.rk = 1
+        |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q25_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -2451,41 +2508,20 @@ object PipelineOps {
       """SELECT doc_id, md5(nfc_normalize(text)) AS norm_hash,
         |  nfc_normalize(text) = text AS is_nfc
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "q36_langid" ->
-      """WITH base AS (
-        |  SELECT doc_id, text, lower(text) AS t FROM documents
-        |), bg AS (
-        |  SELECT doc_id, substr(t, CAST(i AS INT), 2) AS big
-        |  FROM base, unnest(range(1, length(t))) AS u(i)
-        |), prof(lang, big) AS (
-        |  VALUES ('en','th'),('en','he'),('en','in'),('en','er'),('en','an'),
-        |         ('en','re'),('en','on'),('en','at'),('en','en'),('en','nd'),
-        |         ('de','en'),('de','er'),('de','ch'),('de','de'),('de','ei'),
-        |         ('de','nd'),('de','te'),('de','in'),('de','ie'),('de','ge'),
-        |         ('es','de'),('es','la'),('es','os'),('es','en'),('es','el'),
-        |         ('es','es'),('es','ar'),('es','ue'),('es','ra'),('es','as'),
-        |         ('fr','es'),('fr','le'),('fr','de'),('fr','en'),('fr','re'),
-        |         ('fr','nt'),('fr','on'),('fr','er'),('fr','ou'),('fr','ai')
-        |), scores AS (
-        |  SELECT d.doc_id, l.lang, count(p.big) AS cnt
-        |  FROM base d
-        |  CROSS JOIN (SELECT DISTINCT lang FROM prof) l
-        |  LEFT JOIN bg ON bg.doc_id = d.doc_id
-        |  LEFT JOIN prof p ON p.lang = l.lang AND p.big = bg.big
-        |  GROUP BY d.doc_id, l.lang
-        |), ranked AS (
-        |  SELECT doc_id, lang,
-        |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, lang) AS rk
-        |  FROM scores
-        |), pred AS (
-        |  SELECT b.doc_id,
-        |    CASE WHEN b.text IS NULL OR length(b.text) = 0 THEN 'und'
-        |         WHEN regexp_matches(b.text, '\p{Han}') THEN 'zh'
-        |         ELSE r.lang END AS lang_pred
-        |  FROM base b JOIN ranked r ON r.doc_id = b.doc_id AND r.rk = 1
-        |)
+    "q36_langid" -> (LangIdPredCtes +
+      """
         |SELECT lang_pred, count(*) AS n_docs FROM pred
-        |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
+        |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin),
+    // q261: the same predictor joined to the labeled lang — the
+    // confusion matrix naming which languages the bigram profile
+    // mistakes for which.
+    "q261_langid_confusion" -> (LangIdPredCtes +
+      """
+        |SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(CASE WHEN d.lang = p.lang_pred THEN 1 ELSE 0 END AS BIGINT)
+        |    AS correct
+        |FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+        |GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin),
     "q55_pii_redact" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
@@ -3891,6 +3927,30 @@ object PipelineOps {
     // q240: the same rebuilt bits, all-pairs exact Hamming at ≤8 (the
     // quadratic oracle baseline; the engine side is the banded join).
     "q243_mutual_nn_align" -> MutualNnSql,
+
+    // q262: both batchings replayed with row_number orders.
+    "q262_padding_waste" ->
+      """WITH lens AS (
+        |  SELECT doc_id AS id,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS len
+        |  FROM documents),
+        |ao AS (SELECT len, (row_number() OVER (ORDER BY id) - 1) // 32
+        |         AS batch FROM lens),
+        |so AS (SELECT len, (row_number() OVER (ORDER BY len, id) - 1) // 32
+        |         AS batch FROM lens),
+        |b AS (
+        |  SELECT 'arrival' AS strategy, batch, count(*) AS bn,
+        |    max(len) AS mx, sum(len) AS s
+        |  FROM ao GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'sorted', batch, count(*), max(len), sum(len)
+        |  FROM so GROUP BY 2)
+        |SELECT strategy, CAST(count(*) AS BIGINT) AS n_batches,
+        |  CAST(sum(s) AS BIGINT) AS total_tokens,
+        |  CAST(sum(bn * mx) AS BIGINT) AS padded_tokens,
+        |  round(CAST(sum(bn * mx) - sum(s) AS DOUBLE)
+        |    / CAST(sum(bn * mx) AS DOUBLE), 9) AS waste_ratio9
+        |FROM b GROUP BY 1 ORDER BY strategy""".stripMargin,
 
     // q257: first-seen join back on (term, min doc).
     "q257_term_provenance" ->

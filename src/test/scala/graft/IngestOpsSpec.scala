@@ -810,6 +810,23 @@ class SpanRemovalSpec extends AnyFunSuite {
     assert(got("x") == ((3L, 0L, 2L)))
   }
 
+  test("paddingWaste: sorted batching never wastes more than arrival order") {
+    import spark.implicits._
+    // alternating short/long docs: arrival batches mix them (waste
+    // high), sorted batches separate them (waste 0 — all equal within)
+    val docs = (0 until 64).map(i =>
+      (i.toLong, if (i % 2 == 0) "a b" else (1 to 20).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.paddingWaste(docs, "doc_id", "text", batchSize = 32)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("total_tokens"), r.getAs[Long]("padded_tokens"))).toMap
+    assert(out("arrival")._1 == out("sorted")._1, "totals identical")
+    assert(out("sorted")._2 == out("sorted")._1,
+      "equal lengths within sorted batches ⇒ zero padding")
+    assert(out("arrival")._2 > out("arrival")._1,
+      "mixed batches must pad")
+  }
+
   test("vOptimalHistogram: buckets land on the planted cluster gaps, zero within-SSE") {
     import spark.implicits._
     // three tight clusters far apart: the 3-bucket V-optimal solution
