@@ -152,10 +152,54 @@ case class JaroWinkler(left: Expression, right: Expression) extends BinaryExpres
     copy(left = l, right = r)
 }
 
+/** Hamming distance between '0'/'1' bit strings — the verify kernel
+  * of the perceptual-hash dedup join (q240), where the banded
+  * candidate set still needs one exact distance per pair: byte-wise
+  * over the UTF8 bytes (one branchless pass, no per-position lambda
+  * dispatch — the interpreted HOF formulation evaluates a lambda per
+  * bit per pair). A length mismatch counts the overhang as
+  * all-different (defensive; callers compare fixed-width
+  * fingerprints). */
+object BitHammingImpl {
+  def hamming(a: UTF8String, b: UTF8String): Long = {
+    val ba = a.getBytes
+    val bb = b.getBytes
+    val n = math.min(ba.length, bb.length)
+    var d = math.abs(ba.length - bb.length).toLong
+    var i = 0
+    while (i < n) {
+      if (ba(i) != bb(i)) d += 1
+      i += 1
+    }
+    d
+  }
+}
+
+case class BitStringHamming(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"bit_hamming requires (string, string), got ($l, $r)")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    BitHammingImpl.hamming(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.BitHammingImpl.hamming($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 object StringSimFunctions {
   def jaroWinkler(a: Column, b: Column): Column =
     Bridge.column(JaroWinkler(Bridge.expression(a), Bridge.expression(b)))
 
   def damerauLevenshtein(a: Column, b: Column): Column =
     Bridge.column(DamerauLevenshtein(Bridge.expression(a), Bridge.expression(b)))
+
+  def bitHamming(a: Column, b: Column): Column =
+    Bridge.column(BitStringHamming(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -299,10 +299,11 @@ object Multimodal {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.h").as("h_a"), col("b.h").as("h_b"))
       .distinct()
-    pairs.withColumn("hamming", expr(
-        s"aggregate(sequence(0, ${bits - 1}), 0, (acc, i) -> acc + " +
-          "IF(substring(h_a, i+1, 1) = substring(h_b, i+1, 1), 0, 1))")
-        .cast("long"))
+    // native codegen kernel — one branchless byte pass per pair (the
+    // interpreted HOF equivalent dispatches a lambda per bit; their
+    // equality is pinned in IngestOpsSpec)
+    pairs.withColumn("hamming",
+        graft.functions.StringSimFunctions.bitHamming(col("h_a"), col("h_b")))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }

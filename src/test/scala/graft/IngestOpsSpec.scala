@@ -988,6 +988,29 @@ class SpanRemovalSpec extends AnyFunSuite {
     assert(out(3L)._1 == 0L, "constant image: no pixel exceeds the mean")
   }
 
+  test("bitHamming kernel == interpreted HOF fold on random bit strings") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val rows = (0 until 50).map { i =>
+      (Seq.fill(128)(if (rng.nextBoolean()) '1' else '0').mkString,
+        Seq.fill(128)(if (rng.nextBoolean()) '1' else '0').mkString)
+    }
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+        graft.functions.StringSimFunctions.bitHamming(col("a"), col("b"))
+          .as("k"),
+        expr("aggregate(sequence(0, 127), 0L, (acc, i) -> acc + " +
+          "IF(substring(a, i+1, 1) = substring(b, i+1, 1), 0L, 1L))")
+          .as("h"))
+      .collect()
+    assert(got.forall(r => r.getLong(0) == r.getLong(1)))
+    // length-mismatch overhang counts as all-different
+    val m = Seq(("0101", "01")).toDF("a", "b").select(
+      graft.functions.StringSimFunctions.bitHamming(col("a"), col("b")))
+      .head().getLong(0)
+    assert(m == 2L)
+  }
+
   test("ahashPairs: pigeonhole banding finds every pair within the bound, none beyond") {
     import spark.implicits._
     // hashes: h1/h2 differ in 3 bits, h1/h3 in 30 — threshold 8 keeps
