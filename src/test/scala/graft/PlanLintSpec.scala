@@ -28,7 +28,10 @@ class PlanLintSpec extends AnyFunSuite {
   // evaluation per corpus row — LINEAR in the corpus, not a pair
   // explosion. Allowlisted separately from the true quadratics.
   private val broadcastProbeScan = Set("q112_ann_quantized_rerank",
-    "q123_hybrid_rrf", "q126_hard_negatives")
+    "q123_hybrid_rrf", "q126_hard_negatives",
+    // both mutual-NN directions run the documented broadcast-probe
+    // bruteForceTopK (≤250-row probe side; IVF-bucket at web scale)
+    "q243_mutual_nn_align")
 
   // Scalar-aggregate broadcasts: a crossJoin whose build side is a
   // ONE-ROW aggregate (global min/max, corpus total, quantile
@@ -40,13 +43,30 @@ class PlanLintSpec extends AnyFunSuite {
     "q160_value_histogram", "q162_association_rules",
     "q164_length_curriculum", "q166_rolling_active_users",
     "q172_decision_stump", "q184_calibration", "q192_join_cardinality",
-    "q203_kaplan_meier", "q206_rec_holdout")
+    "q203_kaplan_meier", "q206_rec_holdout",
+    // same shape, round-7 additions: vocab-size/corpus-total/class
+    // table (O(#classes) rows) in Naive Bayes, the dictionary max-id
+    // row, the global-mean row for LOO influence, the per-column
+    // total×top rows of the skew advisor, the overall-trend row of
+    // the Simpson check
+    "q226_naive_bayes", "q234_dictionary_delta", "q242_source_influence",
+    "q254_skew_advisor", "q260_simpson_check")
+
+  // Bounded-cell DP / generator fan-outs: every nested-loop input here
+  // is a CELL TABLE whose size is a fixed parameter, not data volume —
+  // the 24-row lag generator against the hourly grid (q229), interval
+  // minimax over ≤10 calibration bins (q232), and the min-plus DP over
+  // ≤64 pre-bins (q256). Work is cells², constant at any SF; the one
+  // full-data pass in each query is the partial-agg that BUILDS the
+  // cell table.
+  private val boundedCellDp = Set("q229_acf_hourly",
+    "q232_isotonic_calibration", "q256_voptimal_histogram")
 
   test("no cartesian/nested-loop join in any non-baseline query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) =>
         quadraticByDesign(name) || broadcastProbeScan(name) ||
-          scalarBroadcast(name) }
+          scalarBroadcast(name) || boundedCellDp(name) }
       .flatMap { case (name, fn) =>
         val plan = fn(spark, TestSession.sf).queryExecution.executedPlan.toString
         val bad = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
