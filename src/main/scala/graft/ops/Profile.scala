@@ -245,7 +245,10 @@ object Profile {
     * cents-scaled values to ~10⁹ rows per group; beyond that, shard
     * the group and merge the integer partials.
     *
-    * @return (groupCol, n, s1, var9, skew9, kurt9) — skew/kurt NULL
+    * @return (groupCol, n, s1, var2, skew9, kurt9) — variance at 2
+    *         decimals (its cents² magnitude makes a 9-decimal round ask
+    *         for >15 significant digits, beyond double; skew/kurt are
+    *         O(1) and keep round-9) — skew/kurt NULL
     *         for zero-variance groups. */
   def momentsProfile(df: DataFrame, groupCol: String, vCol: String)
       : DataFrame = {
@@ -266,7 +269,7 @@ object Profile {
       lit(3).cast(d38) * s1 * s1 * s1 * s1
     agg.select(col("g").as(groupCol), col("n"), col("s1"),
       round(m2.cast("double") /
-        (col("n").cast("double") * col("n").cast("double")), 9).as("var9"),
+        (col("n").cast("double") * col("n").cast("double")), 2).as("var2"),
       when(m2 === lit(0).cast(d38), lit(null)).otherwise(
         round(m3.cast("double") /
           (m2.cast("double") * sqrt(m2.cast("double"))), 9)).as("skew9"),

