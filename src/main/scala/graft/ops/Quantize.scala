@@ -67,6 +67,34 @@ object Quantize {
     * codebook convention as Similarity.semDedup (production trains
     * per-subspace K-Means; the plan shape is unchanged). O(nCodes·d)
     * driver state. Returns (subDim, entries (s, j, subvec)). */
+  /** SQ8 RECONSTRUCTION-ERROR report — the index-tuning measurement
+    * behind every "is 4× compression acceptable" decision: per
+    * vector, the exact squared reconstruction error of the
+    * quantize→dequantize round trip and its ratio to the vector's
+    * energy. Errors are per-element round-9 scaled longs (exact,
+    * order-free sums); the codebook/codes/dequantize chain is the
+    * same deterministic arithmetic the q68/q112 oracles replay.
+    *
+    * @return (id, sse9, norm9, rel9) — rel9 = sse/‖x‖² round-9,
+    *         NULL for a zero vector. */
+  def sq8ReconError(df: DataFrame, idCol: String, vecCol: String)
+      : DataFrame = {
+    val cb = codebook(df, vecCol)
+    val codes = sq8(df, idCol, vecCol, cb)
+    val deq = dequantize(codes, idCol, cb)
+    df.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .join(deq, Seq(idCol))
+      .select(col(idCol),
+        expr("aggregate(zip_with(v, vec_q, (a, b) -> " +
+          "cast(round((a - b) * (a - b) * 1000000000) as long)), " +
+          "0L, (acc, e) -> acc + e)").as("sse9"),
+        expr("aggregate(v, 0L, (acc, a) -> " +
+          "acc + cast(round(a * a * 1000000000) as long))").as("norm9"))
+      .withColumn("rel9", when(col("norm9") === 0, lit(null))
+        .otherwise(round(col("sse9").cast("double") /
+          col("norm9").cast("double"), 9)))
+  }
+
   private def pqCodebook(df: DataFrame, idCol: String, vecCol: String,
                          m: Int, nCodes: Int): (Int, Seq[(Int, Long, Seq[Float])]) = {
     val cents = df.filter(col(idCol) < nCodes)

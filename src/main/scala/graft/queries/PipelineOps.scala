@@ -1278,6 +1278,15 @@ object PipelineOps {
     // float32 → uint8 codes against per-dim [min,max]). Codes are
     // exact integer math from comparison-only stats → cross-engine
     // hash-checked via per-vector code rollups.
+    // SQ8 reconstruction-error report: exact per-vector squared
+    // round-trip error + energy ratio — the measurement behind the
+    // "is 4x compression acceptable" index decision.
+    "q264_sq8_error" -> ((s, d) => {
+      graft.ops.Quantize.sq8ReconError(Tables.embeddings(s, d), "vec_id",
+          "embedding")
+        .orderBy(col("vec_id"))
+    }),
+
     "q68_sq8_quantize" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val cb = graft.ops.Quantize.codebook(emb, "embedding")
@@ -2490,6 +2499,38 @@ object PipelineOps {
     // running min-distance table m_r and picks its (mind DESC, id)
     // head among unselected ids; codes/distances are q68's integers.
     "q211_kcenter_coreset" -> kCenterSql(8),
+    // q264: the q68 codebook/code chain + lower-edge dequantize, then
+    // exact per-element round-9 error and energy sums.
+    "q264_sq8_error" -> (EmbCte +
+      """, cb AS (
+        |  SELECT i, min(v) AS lo, max(v) AS hi FROM ex GROUP BY i
+        |), cx AS (
+        |  SELECT e.vec_id, e.v, c.lo, c.hi,
+        |    CASE WHEN c.hi = c.lo THEN 0
+        |         ELSE CAST(round((e.v - c.lo) * 255.0 / (c.hi - c.lo))
+        |           AS INTEGER)
+        |    END AS code
+        |  FROM ex e JOIN cb c ON e.i = c.i
+        |), dq AS (
+        |  SELECT vec_id, v,
+        |    CASE WHEN hi = lo THEN lo
+        |         ELSE lo + code * (hi - lo) / 255.0 END AS xq
+        |  FROM cx)
+        |SELECT vec_id,
+        |  CAST(sum(CAST(round((v - xq) * (v - xq) * 1000000000) AS BIGINT))
+        |    AS BIGINT) AS sse9,
+        |  CAST(sum(CAST(round(v * v * 1000000000) AS BIGINT)) AS BIGINT)
+        |    AS norm9,
+        |  CASE WHEN sum(CAST(round(v * v * 1000000000) AS BIGINT)) = 0
+        |       THEN NULL
+        |       ELSE round(
+        |         CAST(sum(CAST(round((v - xq) * (v - xq) * 1000000000)
+        |           AS BIGINT)) AS DOUBLE)
+        |         / CAST(sum(CAST(round(v * v * 1000000000) AS BIGINT))
+        |           AS DOUBLE), 9)
+        |  END AS rel9
+        |FROM dq GROUP BY vec_id ORDER BY vec_id""".stripMargin),
+
     "q68_sq8_quantize" -> (EmbCte +
       """, cb AS (
         |  SELECT i, min(v) AS lo, max(v) AS hi FROM ex GROUP BY i

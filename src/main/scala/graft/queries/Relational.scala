@@ -714,6 +714,19 @@ object Relational {
       suite.orderBy(col("table_name"), col("check_name"))
     }),
 
+    // q263: column-level lineage extracted from the engine's OWN
+    // analyzed Catalyst plans (never SQL-text regexing) for two
+    // declared queries — the governance/impact-analysis table; the
+    // oracle is the PINNED expected mapping, so any plan-construction
+    // drift that changes provenance flips the correctness gate.
+    "q263_column_lineage" -> ((s, d) => {
+      graft.plans.Lineage.lineageDf(s, "q01_pricing_summary",
+          queries("q01_pricing_summary")(s, d))
+        .unionByName(graft.plans.Lineage.lineageDf(s, "q03_segment_revenue",
+          queries("q03_segment_revenue")(s, d)))
+        .orderBy(col("query_name"), col("out_col"))
+    }),
+
     // q258: layout-skipping A/B — the same lineitem rows blocked
     // under (a) lexicographic (partkey, suppkey) order and (b) their
     // Z-interleave, zone-mapped, scored against one 2-D predicate
@@ -1386,6 +1399,26 @@ object Relational {
         |        FROM j)
         |SELECT rk, k, ca, cb, rows_out, total_rows, n_join_keys
         |FROM top, t WHERE rk <= 5 ORDER BY rk""".stripMargin,
+    // q263: the pinned expected provenance — hand-derived from the
+    // query definitions; any plan-construction drift flips the gate.
+    "q263_column_lineage" ->
+      """SELECT * FROM (VALUES
+        |  ('q01_pricing_summary', 'avg_disc', 'lineitem.l_discount'),
+        |  ('q01_pricing_summary', 'avg_qty', 'lineitem.l_quantity'),
+        |  ('q01_pricing_summary', 'count_order', ''),
+        |  ('q01_pricing_summary', 'l_linestatus', 'lineitem.l_linestatus'),
+        |  ('q01_pricing_summary', 'l_returnflag', 'lineitem.l_returnflag'),
+        |  ('q01_pricing_summary', 'sum_base_price',
+        |     'lineitem.l_extendedprice'),
+        |  ('q01_pricing_summary', 'sum_disc_price',
+        |     'lineitem.l_discount,lineitem.l_extendedprice'),
+        |  ('q01_pricing_summary', 'sum_qty', 'lineitem.l_quantity'),
+        |  ('q03_segment_revenue', 'c_mktsegment', 'customer.c_mktsegment'),
+        |  ('q03_segment_revenue', 'n_orders', ''),
+        |  ('q03_segment_revenue', 'revenue', 'orders.o_totalprice')
+        |) AS t(query_name, out_col, source_cols)
+        |ORDER BY query_name, out_col""".stripMargin,
+
     // q258: both orderings replayed with row_number (the z key via
     // the shared zValueSql bit math), block min/max, same box test.
     "q258_layout_skipping" -> {

@@ -988,6 +988,32 @@ class SpanRemovalSpec extends AnyFunSuite {
     assert(out(3L)._1 == 0L, "constant image: no pixel exceeds the mean")
   }
 
+  test("columnLineage: aliases fold reference sources, pass-throughs reach the leaf") {
+    import spark.implicits._
+    val docs = graft.io.Tables.documents(spark, TestSession.sf)
+    val q = docs.filter(col("n_chars") > 10)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars") * length(col("source"))).as("mix"))
+    val lin = graft.plans.Lineage.columnLineage(q).toMap
+    assert(lin("lang") == Seq("documents.lang"))
+    assert(lin("n") == Seq())
+    assert(lin("mix") == Seq("documents.n_chars", "documents.source"))
+  }
+
+  test("sq8ReconError: grid-aligned vectors reconstruct exactly, off-grid do not") {
+    import spark.implicits._
+    // dims span [0, 255]: integer values sit exactly on the 255-step
+    // grid → zero loss; a fractional value cannot
+    val df = Seq(
+      (1L, Array(0.0f, 255.0f)), (2L, Array(255.0f, 0.0f)),
+      (3L, Array(128.0f, 10.5f))).toDF("vec_id", "embedding")
+    val out = graft.ops.Quantize.sq8ReconError(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("sse9")).toMap
+    assert(out(1L) == 0L && out(2L) == 0L, out.toString)
+    assert(out(3L) > 0L, "off-grid component must lose precision")
+  }
+
   test("bitHamming kernel == interpreted HOF fold on random bit strings") {
     import spark.implicits._
     val rng = new scala.util.Random(42)
