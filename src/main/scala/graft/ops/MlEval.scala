@@ -325,6 +325,38 @@ object MlEval {
       .orderBy(col("bin"))
   }
 
+  /** PER-GROUP exact AUC — [[aucExact]] stratified by a segment
+    * column (the fairness/segment-quality report: a score can rank
+    * well globally while failing one language or cohort): identical
+    * doubled-rank integer statistic per group, with the prefix fold
+    * expressed as a per-group window over the VALUE-COMPRESSED
+    * (group, score) count table — rows = distinct scores per group,
+    * never data rows.
+    *
+    * @return (group, n_pos, n_neg, num2, auc) per group; auc 0.0 for
+    *         single-class groups (the [[aucExact]] convention). */
+  def aucExactByGroup(df: DataFrame, groupCol: String, scoreCol: String,
+                      posCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.select(col(groupCol).as("g"),
+        col(scoreCol).cast("long").as("s"),
+        col(posCol).cast("boolean").as("p"))
+      .groupBy(col("g"), col("s"))
+      .agg(sum(when(col("p"), 1L).otherwise(0L)).as("np"),
+        sum(when(col("p"), 0L).otherwise(1L)).as("nn"))
+    val w = Window.partitionBy(col("g")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cumneg", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .groupBy(col("g"))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("np") * (lit(2L) * col("cumneg") + col("nn"))).as("num2"))
+      .select(col("g").as(groupCol), col("n_pos"), col("n_neg"),
+        col("num2"),
+        when(col("n_pos") === 0 || col("n_neg") === 0, 0.0)
+          .otherwise(round(col("num2").cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")), 9)).as("auc"))
+  }
+
   /** Poisson(1) inverse-CDF thresholds quantized to 24 bits — the
     * replicate-weight table shared verbatim by the engine plan and
     * the oracle SQL (same JVM computes both, so the double→int

@@ -864,6 +864,20 @@ object PipelineOps {
       graft.ops.MlEval.calibrationBins(e, "nsq", "pos", nBins = 10)
     }),
 
+    // q265: the q171 AUC stratified by label segment — the fairness/
+    // per-cohort ranking-quality report a global AUC hides; same
+    // doubled-rank integer statistic per group over the value-
+    // compressed score table.
+    "q265_group_auc" -> ((s, d) => {
+      import graft.functions.VectorFunctions.normSqScaled
+      val e = Tables.embeddings(s, d).select(
+        pmod(col("label"), lit(4)).cast("long").as("segment"),
+        normSqScaled(col("embedding")).as("nsq"),
+        (pmod(col("label"), lit(2)) === 0).as("pos"))
+      graft.ops.MlEval.aucExactByGroup(e, "segment", "nsq", "pos")
+        .orderBy(col("segment"))
+    }),
+
     // q232: the isotonic (PAV) fit over q184's reliability bins via
     // the exact minimax characterization — fit_i = max_{j≤i} min_{k≥i}
     // weighted-mean(j..k) on round-9 interval means from exact prefix
@@ -4262,6 +4276,34 @@ object PipelineOps {
         |SELECT s.source, s.doc_id, s.sel_rk, a.alloc
         |FROM sel s JOIN alloc a USING (source)
         |WHERE s.sel_rk <= a.alloc ORDER BY s.source, s.sel_rk""".stripMargin,
+    // q265: the same doubled-rank recurrence per label segment.
+    "q265_group_auc" -> (AucStumpCtes +
+      """tg AS (
+        |  SELECT CAST(label % 4 AS BIGINT) AS segment, nsq AS score,
+        |    (label % 2 = 0) AS pos
+        |  FROM s),
+        |c AS (
+        |  SELECT segment, score,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        |  FROM tg GROUP BY 1, 2),
+        |r AS (
+        |  SELECT segment, np, nn,
+        |    CAST(coalesce(sum(nn) OVER (PARTITION BY segment ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cumneg
+        |  FROM c),
+        |a AS (
+        |  SELECT segment, CAST(sum(np) AS BIGINT) AS n_pos,
+        |    CAST(sum(nn) AS BIGINT) AS n_neg,
+        |    CAST(sum(np * (2 * cumneg + nn)) AS BIGINT) AS num2
+        |  FROM r GROUP BY 1)
+        |SELECT segment, n_pos, n_neg, num2,
+        |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0.0
+        |       ELSE round(CAST(num2 AS DOUBLE) / (2.0 * n_pos * n_neg), 9)
+        |  END AS auc
+        |FROM a ORDER BY segment""".stripMargin),
+
     "q171_auc_exact" -> (AucStumpCtes +
       """g AS (
         |  SELECT score,

@@ -222,6 +222,34 @@ class MlEvalSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("aucExactByGroup: per-group values equal global aucExact on each slice") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 300).map { i =>
+      val g = i % 3
+      val pos = rng.nextBoolean()
+      // group 0: informative score; group 1: anti-informative; group 2: noise
+      val s = g match {
+        case 0 => (if (pos) 60 else 40) + rng.nextInt(20)
+        case 1 => (if (pos) 40 else 60) + rng.nextInt(20)
+        case _ => rng.nextInt(100)
+      }
+      (g.toLong, s.toLong, pos)
+    }
+    val df = rows.toDF("g", "score", "pos")
+    val grouped = MlEval.aucExactByGroup(df, "g", "score", "pos")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("num2"), r.getAs[Double]("auc"))).toMap
+    for (g <- 0L to 2L) {
+      val single = MlEval.aucExact(df.filter(col("g") === g), "score", "pos")
+        .collect().head
+      assert(grouped(g)._1 == single.getAs[Long]("num2"),
+        s"group $g integer statistic must equal the global kernel's")
+      assert(grouped(g)._2 == single.getAs[Double]("auc"))
+    }
+    assert(grouped(0L)._2 > 0.7 && grouped(1L)._2 < 0.3)
+  }
+
   test("poissonBootstrap: deterministic replicates, weights near Poisson(1), invariant") {
     import org.apache.spark.sql.functions._
     val df = (0 until 400).map(i => ("g", i.toLong, 100L + i % 7))
