@@ -500,11 +500,22 @@ object Similarity {
         .collect().head
       sel += ((r.toLong, far.getLong(0), far.getLong(2)))
       val prev = state
-      state = state
+      val next = state
         .withColumn("mind",
           least(col("mind"), codeSqDist(col("codes"), codeLit(far))))
-        .cache()
-      state.count() // materialize before dropping the superseded round
+      // Graph.scala's checkpoint policy: the per-round `withColumn`
+      // grows the ANALYZED plan linearly in k (caching skips
+      // re-execution, not re-planning), so every CheckpointEvery
+      // rounds the lineage is cut to a leaf; depth stays O(N), total
+      // planning O(k) instead of O(k²). Eager checkpoint doubles as
+      // the materialization barrier.
+      state =
+        if (r % graft.util.LineageGuard.CheckpointEvery == 0)
+          next.localCheckpoint(true)
+        else {
+          val c = next.cache(); c.count(); c
+        }
+      graft.util.LineageGuard.record("kCenterGreedy", state)
       prev.unpersist(blocking = false)
     }
     state.unpersist(blocking = false)

@@ -1055,6 +1055,12 @@ object TextAnalysis {
         sel += ((r.toLong, id, gain))
         covered = cov.union(
           tok.filter(col("id") === id).select(col("tok"))).distinct()
+        // Graph.scala checkpoint policy (see LineageGuard): the
+        // union-distinct chain grows one plan level per round; cut
+        // the lineage every N rounds so planning stays linear in k.
+        if (r % graft.util.LineageGuard.CheckpointEvery == 0)
+          covered = covered.localCheckpoint(true)
+        graft.util.LineageGuard.record("greedyCoverage", covered)
       }
     }
     tok.unpersist(blocking = false)

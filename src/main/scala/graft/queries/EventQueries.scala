@@ -311,7 +311,13 @@ object EventQueries {
     // Iceberg upsert) on plain parquet.
     "q122_stream_cdc_upsert" -> ((s, d) => {
       import org.apache.spark.sql.DataFrame
-      val tmp = java.nio.file.Files.createTempDirectory("graft_cdc_").toString
+      // Fixed per-dataset workspace, wiped at the start of each
+      // invocation — repeated bench/verify passes REUSE one directory
+      // instead of leaking a fresh createTempDirectory per pass (the
+      // returned DataFrame reads `state`, so the dir must outlive the
+      // query; next invocation is the natural cleanup point).
+      val tmp = s"/tmp/graft_cdc_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       val srcDir = s"$tmp/src"
       val state = s"$tmp/state"
       Tables.events(s, d)

@@ -37,7 +37,9 @@ object Relational {
 
   private[graft] def lineitemMvRule(s: SparkSession, d: String): graft.plans.SummaryRewrite =
     mvCache.getOrElseUpdate((s, d), {
-      val path = s"/tmp/graft_mv_${math.abs(d.hashCode)}/lineitem_rollup"
+      // Full-path slug, not hashCode: two dataset dirs can collide on
+      // abs(hashCode) and would then share (and clobber) one MV.
+      val path = s"/tmp/graft_mv_${d.replaceAll("[^A-Za-z0-9]", "_")}/lineitem_rollup"
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
