@@ -1553,6 +1553,24 @@ object PipelineOps {
         .orderBy(col("id_a"))
     }),
 
+    // The same mutual-NN alignment through IVF inverted lists — the
+    // declared WEB-SCALE arm (round-8 verdict ask #1): both sides
+    // bucket against a deterministic 8-list codebook and each query
+    // scores only its 3 probed lists, so candidate work is
+    // ~nProbe/lists of q243's broadcast brute force. The fixed
+    // codebook + scaled-long centroid distances make the PRUNED path
+    // itself oracle-replayable (assignment, probe set, margins, and
+    // mutual filter all exact) — stronger than the full-probe-only
+    // q75/q93 anchor pattern.
+    "q266_mutual_nn_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.ops.Similarity.marginMutualNNBucketed(
+          e.filter(pmod(col("label"), lit(2)) === 0),
+          e.filter(pmod(col("label"), lit(2)) === 1),
+          "vec_id", "embedding", k = 4, lists = 8, nProbe = 3)
+        .orderBy(col("id_a"))
+    }),
+
     // Image near-dup pairs over the q238 fingerprints: pigeonhole-
     // exact 9-band equi join + exact Hamming verify at ≤8 of 128
     // bits — no all-pairs anywhere; the image analog of q29.
@@ -1748,6 +1766,72 @@ object PipelineOps {
       |m AS (
       |  SELECT query_id, nn, c1 AS cos,
       |    round(c1 * 4 / (c1 + c2 + c3 + c4), 9) AS margin9
+      |  FROM piv)
+      |SELECT a.query_id AS id_a, a.nn AS id_b, a.cos,
+      |  a.margin9 AS margin_ab9, b.margin9 AS margin_ba9
+      |FROM m a JOIN m b ON b.query_id = a.nn AND b.nn = a.query_id
+      |JOIN lb la ON la.vec_id = a.query_id AND la.s = 0
+      |ORDER BY id_a""".stripMargin
+
+  // q266: the PRUNED IVF arm replayed end-to-end — fixed codebook =
+  // the `lists` lowest-vec_id vectors (bucket = rank in id order),
+  // per-vector centroid distance as per-element round-9 scaled longs
+  // (ties to the lower bucket), assignment pr = 1 / probes pr <=
+  // nProbe, candidates from the probe ⋈ assignment bucket join, then
+  // exactly the q243 margin machinery with the cnt/coalesce guard for
+  // neighborhoods the probes leave short of k.
+  private def mutualNnIvfSql(lists: Int, nProbe: Int): String = EmbCte +
+    s""", lb AS (SELECT vec_id, label % 2 AS s FROM embeddings),
+      |cb AS MATERIALIZED (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS bucket, vec_id
+      |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $lists)),
+      |cbe AS MATERIALIZED (
+      |  SELECT cb.bucket, ex.i, ex.v FROM cb JOIN ex USING (vec_id)),
+      |d2 AS MATERIALIZED (
+      |  SELECT e.vec_id, c.bucket,
+      |    CAST(sum(CAST(round((e.v - c.v)*(e.v - c.v)*1000000000) AS BIGINT)) AS BIGINT) AS d29
+      |  FROM ex e JOIN cbe c ON c.i = e.i GROUP BY 1, 2),
+      |rkb AS MATERIALIZED (
+      |  SELECT vec_id, bucket,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d29, bucket) AS pr
+      |  FROM d2),
+      |cand AS MATERIALIZED (
+      |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+      |  FROM rkb p JOIN lb lq ON lq.vec_id = p.vec_id
+      |  JOIN rkb a ON a.bucket = p.bucket AND a.pr = 1
+      |  JOIN lb lc ON lc.vec_id = a.vec_id AND lc.s <> lq.s
+      |  WHERE p.pr <= $nProbe),
+      |dots AS MATERIALIZED (
+      |  SELECT cd.query_id, cd.neighbor_id,
+      |    CAST(sum(CAST(round(q.v*c.v*1000000000) AS BIGINT)) AS BIGINT) AS draw
+      |  FROM cand cd JOIN ex q ON q.vec_id = cd.query_id
+      |  JOIN ex c ON c.vec_id = cd.neighbor_id AND c.i = q.i
+      |  GROUP BY 1, 2),
+      |cosd AS (
+      |  SELECT query_id, neighbor_id,
+      |    (CAST(draw AS DOUBLE)/1000000000.0)/(sqrt(nq.nsq)*sqrt(nc.nsq)) AS cos
+      |  FROM dots JOIN sn nq ON nq.vec_id = query_id
+      |  JOIN sn nc ON nc.vec_id = neighbor_id),
+      |rkd AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, neighbor_id) AS rk
+      |  FROM cosd),
+      |piv AS (
+      |  SELECT query_id,
+      |    max(CASE WHEN rk = 1 THEN neighbor_id END) AS nn,
+      |    max(CASE WHEN rk = 1 THEN cos END) AS c1,
+      |    max(CASE WHEN rk = 2 THEN cos END) AS c2,
+      |    max(CASE WHEN rk = 3 THEN cos END) AS c3,
+      |    max(CASE WHEN rk = 4 THEN cos END) AS c4
+      |  FROM rkd WHERE rk <= 4 GROUP BY 1),
+      |m AS (
+      |  SELECT query_id, nn, c1 AS cos,
+      |    round(c1 * (1 + CAST(c2 IS NOT NULL AS INT)
+      |                  + CAST(c3 IS NOT NULL AS INT)
+      |                  + CAST(c4 IS NOT NULL AS INT))
+      |      / (c1 + coalesce(c2, 0) + coalesce(c3, 0) + coalesce(c4, 0)),
+      |      9) AS margin9
       |  FROM piv)
       |SELECT a.query_id AS id_a, a.nn AS id_b, a.cos,
       |  a.margin9 AS margin_ab9, b.margin9 AS margin_ba9
@@ -3982,6 +4066,7 @@ object PipelineOps {
     // q240: the same rebuilt bits, all-pairs exact Hamming at ≤8 (the
     // quadratic oracle baseline; the engine side is the banded join).
     "q243_mutual_nn_align" -> MutualNnSql,
+    "q266_mutual_nn_ivf" -> mutualNnIvfSql(lists = 8, nProbe = 3),
 
     // q262: both batchings replayed with row_number orders.
     "q262_padding_waste" ->

@@ -299,6 +299,27 @@ class IngestOpsSpec extends AnyFunSuite {
     assert(!out.contains(3L), "one-sided neighbor must fail the mutual filter")
   }
 
+  test("marginMutualNNBucketed: full probe equals the brute-force arm exactly") {
+    // nProbe = lists makes every query's candidate set the whole other
+    // side, so the bucketed plan must reproduce marginMutualNN
+    // value-for-value — the same provable-equality anchor as q75/q93,
+    // here for the mutual-NN machinery (q266 then declares the PRUNED
+    // configuration under its own oracle).
+    val e = graft.io.Tables.embeddings(spark, TestSession.sf)
+    val ev = e.filter(col("label") % 2 === 0)
+    val od = e.filter(col("label") % 2 === 1)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    val brute = graft.ops.Similarity.marginMutualNN(ev, od, "vec_id",
+      "embedding", k = 4).collect().map(key).sorted.toSeq
+    val full = graft.ops.Similarity.marginMutualNNBucketed(ev, od, "vec_id",
+      "embedding", k = 4, lists = 8, nProbe = 8).collect().map(key).sorted.toSeq
+    assert(full == brute, s"full-probe bucketed (${full.size}) != brute (${brute.size})")
+    val pruned = graft.ops.Similarity.marginMutualNNBucketed(ev, od, "vec_id",
+      "embedding", k = 4, lists = 8, nProbe = 3).collect()
+    assert(pruned.nonEmpty, "pruned probe found no mutual pairs")
+  }
+
   test("crossGroupOverlap: identical groups hit jaccard 1, disjoint pairs absent") {
     val df = Seq(
       (1L, "a", "one two three four five"),
