@@ -179,6 +179,53 @@ object Similarity {
       .distinct()
   }
 
+  /** [[lshNearDupPairs]] at a FIXED, engine-neutral plane set
+    * (round-8 verdict ask #6): hyperplane p's component for dim i is
+    * the Rademacher sign ±1 drawn from the md5 parity of "p_i" — the
+    * portable randomness idiom the q98 SimHash anchor uses — and the
+    * projection is the all-integer Σ sign·round(v_i·1e9), so bucket
+    * assignment, the bucket-local candidate join, AND the exact-cosine
+    * verify all replay bit-for-bit in an external engine. This makes
+    * the LSH PAIR machinery oracle-checkable on a genuinely pruned
+    * configuration (q92's planes = 0 anchor only certifies the
+    * degenerate single-bucket case); [[lshNearDupPairs]] remains the
+    * production variant with seeded Gaussian-free planes.
+    *
+    * Same scale shape as the parent: one narrow projection scan, one
+    * equi join on `bucket`, exact verify — never an all-pairs join. */
+  def lshNearDupPairsPortable(df: DataFrame, idCol: String, vecCol: String,
+                              threshold: Double, planes: Int): DataFrame = {
+    require(planes >= 1 && planes <= 30, "portable LSH wants 1..30 planes")
+    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(p: Int, i: Int): Long = {
+      val hex = md.digest(s"${p}_${i}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
+    }
+    // dims are keyed 1-based to line up with SQL generate_subscripts
+    val signs = Array.tabulate(planes, dim)((p, i) => sign(p, i + 1))
+    val r9 = transform(col(vecCol),
+      x => round(x.cast("double") * lit(1e9)).cast("long"))
+    val bucketCol = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(col("r9"), typedlit(signs(p).toSeq), (a, s) => a * s),
+        lit(0L), (acc, x) => acc + x)
+      (proj > 0).cast("long") * lit(1L << p)
+    }.reduce(_ + _)
+    val bucketed = fanOut(df).select(col(idCol), col(vecCol),
+        sqrt(normSqExact(col(vecCol))).as("nrm"), r9.as("r9"))
+      .select(col(idCol), col(vecCol), col("nrm"), bucketCol.as("bucket"))
+    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"),
+      col(vecCol).as("va"), col("nrm").as("na"))
+    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", dotExact(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** HARD-NEGATIVE mining for embedding-model training: for each query
     * vector, the top-k most-similar corpus vectors with a DIFFERENT
     * label, excluding near-identical vectors (cos ≥ `maxCos` — those

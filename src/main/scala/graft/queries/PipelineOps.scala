@@ -98,10 +98,17 @@ object PipelineOps {
 
     // SimHash near-dup pairs by banded fingerprint equi-join (Manku
     // et al.) — pigeonhole-exact at maxHamming=8 (9 bands), no cross
-    // join, scales as bucket joins. Rows-only (xxhash64-based).
+    // join, scales as bucket joins. Declared over the PORTABLE md5
+    // kernel (q98's fingerprints) since round 8 so the banded PAIR
+    // machinery — not just the fingerprint — gets a DuckDB replay
+    // (all-pairs Hamming as the quadratic oracle baseline, the q240
+    // pattern); the xxhash64 production kernel keeps its q28
+    // declaration, and SimHashSpec pins the two kernels' structural
+    // equivalence.
     "q29_simhash_pairs" -> ((s, d) => {
       val fp = Tables.documents(s, d)
-        .select(col("doc_id"), SimHash.simhash64(split(col("text"), "\\s+")).as("fp"))
+        .select(col("doc_id"),
+          SimHash.simhashPortable60(split(col("text"), "\\s+")).as("fp"))
       Dedup.simhashPairs(fp, "doc_id", "fp", maxHamming = 8)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -1269,9 +1276,14 @@ object PipelineOps {
         .orderBy(col("split"), col("shard"), col("pack_bin"))
     }),
 
-    // LSH-bucketed ANN — the scale path (bucket-local joins). Rows-only.
+    // LSH-bucketed ANN — the scale path (bucket-local joins).
+    // Oracle-green since round 8: declared at the FIXED md5-Rademacher
+    // plane set, whose all-integer projections let DuckDB replay
+    // bucket assignment, the bucket join, and the exact-cosine verify;
+    // the seeded-random-plane variant stays library code under
+    // PropertySpec/SimilaritySpec coverage.
     "q32_ann_lsh" -> ((s, d) => {
-      Similarity.lshNearDupPairs(Tables.embeddings(s, d), "vec_id",
+      Similarity.lshNearDupPairsPortable(Tables.embeddings(s, d), "vec_id",
           "embedding", threshold = 0.3, planes = 6)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -1697,6 +1709,33 @@ object PipelineOps {
          |$out
          |ORDER BY sel_rank""".stripMargin
   }
+
+  // The q98 portable-SimHash fingerprint pipeline (md5 60-bit token
+  // hash → Charikar bit votes → fingerprint), shared by the q29
+  // banded-pair oracle; `allfp` carries every document (token-less
+  // docs fold to fp = 0, matching the kernel).
+  private val PortableFpCte =
+    """WITH toks AS (
+      |  SELECT doc_id, t.tok
+      |  FROM documents, UNNEST(string_split_regex(text, '\s+')) AS t(tok)
+      |  WHERE length(t.tok) > 0
+      |), hashes AS (
+      |  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      |  FROM toks
+      |), votes AS (
+      |  SELECT doc_id, b.bit,
+      |    sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM hashes, UNNEST(generate_series(0, 59)) AS b(bit)
+      |  GROUP BY 1, 2
+      |), fps AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS fp
+      |  FROM votes GROUP BY doc_id
+      |), allfp AS (
+      |  SELECT d.doc_id, CAST(coalesce(f.fp, 0) AS BIGINT) AS fp
+      |  FROM documents d LEFT JOIN fps f ON d.doc_id = f.doc_id
+      |)
+      |""".stripMargin
 
   private val EmbCte =
     """WITH ex AS (
@@ -2734,6 +2773,41 @@ object PipelineOps {
     // the verify step computes the same scaled-long cosine — the exact
     // near-dup SQL is a valid oracle for the degenerate LSH run.
     "q92_ann_lsh_full" -> EmbNearDupSql,
+    // q32: the pruned LSH path replayed in full — md5-parity plane
+    // signs, integer projections Σ s·round(v·1e9), sign-bit bucket,
+    // bucket-local pair join, exact-cosine verify at the threshold.
+    "q32_ann_lsh" -> (EmbCte +
+      """, r9 AS (
+        |  SELECT vec_id, i, CAST(round(v*1000000000) AS BIGINT) AS r FROM ex),
+        |sg AS MATERIALIZED (
+        |  SELECT t.p, d.i,
+        |    CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(t.p AS VARCHAR),
+        |      '_', CAST(d.i AS VARCHAR))), 1, 15)) AS BIGINT) % 2 = 0
+        |      THEN 1 ELSE -1 END AS s
+        |  FROM range(0, 6) t(p), (SELECT DISTINCT i FROM ex) d),
+        |proj AS MATERIALIZED (
+        |  SELECT r9.vec_id, sg.p, CAST(sum(r9.r * sg.s) AS BIGINT) AS pj
+        |  FROM r9 JOIN sg ON sg.i = r9.i GROUP BY 1, 2),
+        |bkt AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN pj > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM proj GROUP BY 1),
+        |pr AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |dots AS MATERIALIZED (
+        |  SELECT pr.id_a, pr.id_b,
+        |    CAST(sum(CAST(round(q.v*c.v*1000000000) AS BIGINT)) AS BIGINT) AS draw
+        |  FROM pr JOIN ex q ON q.vec_id = pr.id_a
+        |  JOIN ex c ON c.vec_id = pr.id_b AND c.i = q.i
+        |  GROUP BY 1, 2),
+        |cosd AS (
+        |  SELECT id_a, id_b,
+        |    (CAST(draw AS DOUBLE)/1000000000.0)/(sqrt(na.nsq)*sqrt(nb.nsq)) AS cos
+        |  FROM dots JOIN sn na ON na.vec_id = id_a
+        |  JOIN sn nb ON nb.vec_id = id_b)
+        |SELECT id_a, id_b, cos FROM cosd WHERE cos >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin),
     "q31_ann_topk" -> annTopKSql("q.vec_id < 5"),
     // Probing every list makes IVF's candidate set the full corpus →
     // identical to the exact brute-force top-k (same scaled-long dot,
@@ -3920,27 +3994,20 @@ object PipelineOps {
     // chars of md5 parsed as a 60-bit int (engine-neutral); docs with
     // no tokens keep fp=0 via the left join, ties (vote==0) are 0 in
     // both engines (strict >).
-    "q98_simhash_portable" ->
-      """WITH toks AS (
-        |  SELECT doc_id, t.tok
-        |  FROM documents, UNNEST(string_split_regex(text, '\s+')) AS t(tok)
-        |  WHERE length(t.tok) > 0
-        |), hashes AS (
-        |  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
-        |  FROM toks
-        |), votes AS (
-        |  SELECT doc_id, b.bit,
-        |    sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
-        |  FROM hashes, UNNEST(generate_series(0, 59)) AS b(bit)
-        |  GROUP BY 1, 2
-        |), fps AS (
-        |  SELECT doc_id,
-        |    CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS fp
-        |  FROM votes GROUP BY doc_id
-        |)
-        |SELECT d.doc_id, CAST(coalesce(f.fp, 0) AS BIGINT) AS fp
-        |FROM documents d LEFT JOIN fps f ON d.doc_id = f.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+    "q98_simhash_portable" -> (PortableFpCte +
+      """
+        |SELECT doc_id, fp FROM allfp ORDER BY doc_id""".stripMargin),
+    // q29 (oracle-green since round 8): the banded-pair join replayed
+    // as the quadratic all-pairs Hamming baseline over the SAME
+    // portable fingerprints — pigeonhole-exactness of the 9-band
+    // split means the two must agree identically at maxHamming = 8.
+    "q29_simhash_pairs" -> (PortableFpCte +
+      """
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+        |FROM allfp a JOIN allfp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 8
+        |ORDER BY id_a, id_b""".stripMargin),
     // Exact-regime ground truth: plain GROUP BY count, top-20 by
     // (cnt desc, term asc) — the same deterministic order as the
     // aggregator's finish; err is identically 0 when nothing evicts.
