@@ -50,6 +50,31 @@ object Relational {
         summary = s.read.parquet(path).queryExecution.analyzed)
     })
 
+  // q273's bucketed fact layout: lineitem and orders written ONCE per
+  // (session, dir) as co-bucketed external parquet tables on the
+  // order key — the pay-one-shuffle-at-write, join-forever-free
+  // storage contract (io/Bucketing). Memoized like the MV above so
+  // bench's repeated passes reuse the layout instead of rewriting it.
+  private val bucketedCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, String)]
+
+  private def bucketedFacts(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val (ln, on) = bucketedCache.getOrElseUpdate((s, d), {
+      val slug = d.replaceAll("[^A-Za-z0-9]", "_")
+      val lname = s"bkt_lineitem_$slug"
+      val oname = s"bkt_orders_$slug"
+      graft.io.Bucketing.writeBucketed(
+        Tables.lineitem(s, d).select(col("l_orderkey"),
+          col("l_extendedprice"), col("l_discount")),
+        lname, s"/tmp/graft_bkt_$slug/lineitem", "l_orderkey", 8)
+      graft.io.Bucketing.writeBucketed(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+        oname, s"/tmp/graft_bkt_$slug/orders", "o_orderkey", 8)
+      (lname, oname)
+    })
+    (graft.io.Bucketing.read(s, ln), graft.io.Bucketing.read(s, on))
+  }
+
   private def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
     coPurchaseCache.getOrElseUpdate((s, d), {
       val li = Tables.lineitem(s, d)
@@ -840,6 +865,109 @@ object Relational {
         .limit(20)
     }),
 
+    // q270: TPC-H Q17 (small-quantity-order revenue) adapted — the
+    // correlated-aggregate-against-the-fact-table stress shape: every
+    // lineitem compares its quantity to 20% of ITS part's average,
+    // stated division-free (5·qty·cnt < Σqty — integral doubles, so
+    // the per-part aggregate is order-exact) and grouped per brand.
+    // Plan: one partial-agg shuffle on l_partkey builds the per-part
+    // profile, AQE joins it back to the fact scan (fact-fact), the
+    // part dim broadcasts.
+    "q270_tpch_q17" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val pq = l.groupBy(col("l_partkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+      val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
+      l.join(pq, Seq("l_partkey"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .filter(col("l_quantity") * 5 * col("cnt") < col("sum_qty"))
+        .groupBy(col("p_brand"))
+        .agg(Exact.sumExact(col("l_extendedprice"), 4).as("rev"))
+        .select(col("p_brand"), (col("rev") / 7.0).as("avg_yearly"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // q271: TPC-H Q20 (part promotion) adapted to a schema without
+    // partsupp — the nested semi-join + correlated-agg shape intact:
+    // suppliers (in one nation) shipping MORE THAN TWICE the fair
+    // per-supplier share of some red part (sup_qty·n_suppliers >
+    // 2·part_qty — cross-multiplied exact integers). Inner: two
+    // aggregations over the name-filtered fact slice joined on the
+    // part key; outer: one left-semi against the supplier dim.
+    "q271_tpch_q20" -> ((s, d) => {
+      val lr = Tables.lineitem(s, d)
+        .join(Tables.part(s, d).filter(col("p_name").like("%red%"))
+          .select(col("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      val pt = lr.groupBy(col("l_partkey"))
+        .agg(sum(col("l_quantity")).as("part_qty"),
+          countDistinct(col("l_suppkey")).as("ns"))
+      val sp = lr.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("sup_qty"))
+      val dominant = sp.join(pt, Seq("l_partkey"))
+        .filter(col("sup_qty") * col("ns") > col("part_qty") * 2)
+        .select(col("l_suppkey")).distinct()
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .filter(col("n_name") === "NATION_3")
+          .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_name"), col("s_acctbal"))
+        .orderBy(col("s_name"))
+    }),
+
+    // q272: TPC-H Q21 (suppliers who kept orders waiting) adapted —
+    // the multi-EXISTS self-join stress shape on the fact table with
+    // l_returnflag = 'R' standing in for the missing receipt/commit
+    // dates: a supplier "kept order waiting" iff its line was
+    // returned on a finished multi-supplier order where NO other
+    // supplier's line was returned. One semi + one anti self-join,
+    // both equi on l_orderkey (never a cartesian), then the supplier
+    // rollup and deterministic top-100.
+    "q272_tpch_q21" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      val l1 = li.filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"))
+      val l2 = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val l3 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+      l1.join(l2, col("l_orderkey") === col("o2")
+          && col("l_suppkey") =!= col("s2"), "left_semi")
+        .join(l3, col("l_orderkey") === col("o3")
+          && col("l_suppkey") =!= col("s3"), "left_anti")
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
+
+    // q273: the STORAGE-PARTITIONED JOIN declared end-to-end (round-8
+    // verdict ask #8): both fact tables are written co-bucketed on
+    // the order key (8 buckets, in-bucket sorted), so the merge-
+    // hinted join AND the per-order rollup reuse the bucket spec as
+    // their distribution — the whole scan→join→agg pipeline plans
+    // with ZERO Exchange (asserted in BucketingSpec), which at 100 TB
+    // is the never-reshuffle-the-fact-table contract. Revenue is the
+    // exact scaled-long idiom; top-10 via TakeOrdered.
+    "q273_bucketed_join" -> ((s, d) => {
+      val (l, o) = bucketedFacts(s, d)
+      l.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(max(col("o_orderpriority")).as("o_orderpriority"),
+          count(lit(1)).as("n_lines"),
+          Exact.sumExact(
+            col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
     // q249: snapshot table diff — key-level added/removed/changed/
     // same classification with exact changed-column lists, against a
     // deterministic synthetic "new version" (every %11 key dropped,
@@ -1503,6 +1631,63 @@ object Relational {
         |  AND o.o_orderdate < DATE '1998-01-01'
         |GROUP BY 1, 2, 3, 4
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    // q270/q271/q272: the round-8 optimizer stress shapes — the same
+    // division-free correlated-agg comparisons and semi/anti
+    // structure, revenue through the scaled-long idiom.
+    "q270_tpch_q17" ->
+      """WITH pq AS (
+        |  SELECT l_partkey, sum(l_quantity) AS sum_qty, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1)
+        |SELECT p.p_brand,
+        |  CAST(sum(CAST(round(l.l_extendedprice * 10000) AS BIGINT)) AS DOUBLE)
+        |    / 10000.0 / 7.0 AS avg_yearly
+        |FROM lineitem l
+        |JOIN pq ON pq.l_partkey = l.l_partkey
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE l.l_quantity * 5 * pq.cnt < pq.sum_qty
+        |GROUP BY 1 ORDER BY p_brand""".stripMargin,
+    "q271_tpch_q20" ->
+      """WITH lr AS (
+        |  SELECT l.l_partkey, l.l_suppkey, l.l_quantity
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE p.p_name LIKE '%red%'),
+        |pt AS (SELECT l_partkey, sum(l_quantity) AS part_qty,
+        |         count(DISTINCT l_suppkey) AS ns FROM lr GROUP BY 1),
+        |sp AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS sup_qty
+        |       FROM lr GROUP BY 1, 2),
+        |dom AS (SELECT DISTINCT sp.l_suppkey
+        |        FROM sp JOIN pt ON pt.l_partkey = sp.l_partkey
+        |        WHERE sp.sup_qty * pt.ns > 2 * pt.part_qty)
+        |SELECT s.s_name, s.s_acctbal
+        |FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE n.n_name = 'NATION_3'
+        |  AND s.s_suppkey IN (SELECT l_suppkey FROM dom)
+        |ORDER BY s_name""".stripMargin,
+    "q272_tpch_q21" ->
+      """SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM lineitem l1
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+        |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+
+    // q273: layout changes cost, never semantics — the oracle is the
+    // plain join + rollup.
+    "q273_bucketed_join" ->
+      """SELECT l.l_orderkey, max(o.o_orderpriority) AS o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+        |    * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
 
     // q249: the same synthetic new version, full-outer join,
     // null-safe per-column comparisons.

@@ -64,6 +64,20 @@ class BucketingSpec extends AnyFunSuite {
       == plainAgg.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
   }
 
+  test("q273: the declared bucketed join + rollup plans with zero Exchange") {
+    // The round-8 verdict ask #8 criterion, pinned on the DECLARED
+    // query (not a synthetic fixture): scan → merge join → per-key
+    // aggregate all reuse the written bucket spec, so the full plan
+    // carries no shuffle (TakeOrdered handles the top-10 without an
+    // Exchange node).
+    val df = graft.SparkEntry.queries("q273_bucketed_join")(
+      spark, TestSession.sf)
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      "bucketed fact join must not shuffle:\n" +
+        df.queryExecution.executedPlan.toString.take(4000))
+    assert(df.count() == 10)
+  }
+
   test("in-bucket sortBy leaves each bucket file internally ordered") {
     tables
     val unsorted = Bucketing.read(spark, "bkt_facts")
