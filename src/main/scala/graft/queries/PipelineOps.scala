@@ -1456,6 +1456,21 @@ object PipelineOps {
         .orderBy(col("media_id"))
     }),
 
+    // FULL BASELINE JPEG PIXEL DECODE under oracle (round-8 verdict
+    // ask #3, closing the last flagged multimodal gap): payload bytes
+    // → deterministic quantized DCT coefficients → a REAL baseline
+    // JFIF stream (Annex K Huffman/quant tables, DC prediction,
+    // ZRL/EOB run-length, byte stuffing) → the engine's own
+    // marker-walk + entropy decode + dequantize + fixed-point integer
+    // IDCT. DuckDB replays coefficients AND pixels straight from the
+    // source bytes with the same injected basis/zigzag/quant
+    // literals, so one wrong Huffman bit or IDCT rounding breaks the
+    // hash. JpegSpec pins the entropy structures on fixtures.
+    "q267_jpeg_pixel_decode" -> ((s, d) => {
+      Multimodal.jpegPixelFeatures(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("media_id"))
+    }),
+
     // Perceptual average-hash over the SAME decode round-trip as q121:
     // 128 exact pixel-vs-mean bits (pixel·n > Σ — no float mean) per
     // image — the image-dedup fingerprint; every bit certifies a
@@ -2109,6 +2124,64 @@ object PipelineOps {
   /** q121's byte replay lifted to the aHash bits: payload bytes from
     * hex, per-image sum, pixel·n-vs-Σ bit per position, bits joined
     * in source order. Shared by q238 (fingerprints) and q240 (pairs). */
+  // q267's oracle: the deterministic coefficient synthesis and the
+  // decoder's own integer-IDCT constants injected as literals (the
+  // PoissonThresholds24 pattern) — zigzag j → (u, v, quant) and the
+  // 64-value fixed-point basis come from graft.ops.Jpeg itself, so
+  // oracle and engine share one source of truth for the transform.
+  private lazy val JpegDecodeSql: String = {
+    import graft.ops.Jpeg
+    val zzRows = (0 until 64).map { j =>
+      val n = Jpeg.ZigZag(j)
+      s"($j, ${n % 8}, ${n / 8}, ${Jpeg.QuantLuma(n)})"
+    }.mkString(", ")
+    val bsRows = (for (u <- 0 until 8; x <- 0 until 8)
+      yield s"($u, $x, ${Jpeg.Basis(u)(x)})").mkString(", ")
+    s"""WITH b0 AS (
+       |  SELECT doc_id, hex(encode(text)) AS h FROM documents
+       |  WHERE octet_length(encode(text)) >= 64
+       |), by AS (
+       |  SELECT doc_id, i,
+       |    (strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1))-1)*16
+       |    + (strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1))-1) AS b
+       |  FROM b0, unnest(range(0, 64)) AS u(i)
+       |), zz AS (
+       |  SELECT * FROM (VALUES $zzRows) AS t(j, u, v, qz)
+       |), bs AS (
+       |  SELECT * FROM (VALUES $bsRows) AS t(u, x, bv)
+       |), cf AS MATERIALIZED (
+       |  SELECT doc_id, CAST(i // 32 AS INT) AS k, CAST(i % 32 AS INT) AS j,
+       |    CASE WHEN i % 32 = 0 THEN (b % 101) - 50 ELSE (b % 21) - 10 END AS q
+       |  FROM by
+       |), dq AS MATERIALIZED (
+       |  SELECT cf.doc_id, cf.k, zz.u, zz.v, CAST(cf.q * zz.qz AS BIGINT) AS dv
+       |  FROM cf JOIN zz ON zz.j = cf.j
+       |), px AS MATERIALIZED (
+       |  SELECT dq.doc_id, dq.k, bx.x, byy.x AS y,
+       |    CAST(sum(dv * bx.bv * byy.bv) AS BIGINT) AS s
+       |  FROM dq JOIN bs bx ON bx.u = dq.u JOIN bs byy ON byy.u = dq.v
+       |  GROUP BY 1, 2, 3, 4
+       |), pv AS (
+       |  SELECT doc_id, k, x, y,
+       |    greatest(0, least(255,
+       |      128 + ((s + 8388608 + 1099511627776) // 16777216) - 65536)) AS p
+       |  FROM px
+       |), pck AS (
+       |  SELECT doc_id,
+       |    CAST(sum(p * (((y * 16 + k * 8 + x) % 31) + 1)) AS BIGINT)
+       |      AS pixel_checksum
+       |  FROM pv GROUP BY 1
+       |), cck AS (
+       |  SELECT doc_id,
+       |    CAST(sum(q * (k * 64 + j + 1)) AS BIGINT) AS coef_checksum
+       |  FROM cf GROUP BY 1
+       |)
+       |SELECT b0.doc_id AS media_id, CAST(16 AS INT) AS width,
+       |  CAST(8 AS INT) AS height, cck.coef_checksum, pck.pixel_checksum
+       |FROM b0 JOIN cck USING (doc_id) JOIN pck USING (doc_id)
+       |ORDER BY media_id""".stripMargin
+  }
+
   private val AhashCtes =
     """WITH b0 AS (
       |  SELECT doc_id, hex(encode(text)) AS h FROM documents
@@ -4122,6 +4195,14 @@ object PipelineOps {
         |  CAST(sum(CASE WHEN i < 16 THEN b ELSE 0 END) AS BIGINT) AS row0_sum,
         |  CAST(sum(b * ((i % 31)+1)) AS BIGINT) AS pixel_checksum
         |FROM by GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    // q267: the JPEG decode replayed from source bytes — coefficient
+    // rules (DC (b%101)−50, AC (b%21)−10, zero tail), dequantization
+    // through the zigzag/quant literal, and the SAME fixed-point
+    // integer IDCT basis the decoder uses (injected 64-value table;
+    // the bias keeps the shifted numerator positive so `//` matches
+    // the JVM's arithmetic shift).
+    "q267_jpeg_pixel_decode" -> JpegDecodeSql,
 
     // q238: the q121 byte replay → exact pixel-vs-mean bits in source
     // order; only matches if the engine's decode is pixel-exact.

@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Jpeg
+
+/** Pins the baseline JPEG codec the same way PngSpec pins the PNG
+  * one: coefficient-domain round-trips (the identity a lossy codec
+  * DOES guarantee), the specific entropy-coding structures (ZRL runs,
+  * EOB, byte stuffing, DC prediction across blocks), and the integer
+  * IDCT's block raster. The end-to-end decode is oracle-checked as
+  * q267.
+  */
+class JpegSpec extends AnyFunSuite {
+
+  private def block(f: Int => Int): Array[Int] = Array.tabulate(64)(f)
+
+  test("coefficient round-trip: decode(encode(c)) == c, dims from SOF0") {
+    val blocks = Array(
+      block(j => if (j == 0) -37 else if (j < 32) ((j * 7) % 19) - 9 else 0),
+      block(j => if (j == 0) 50 else if (j % 5 == 0 && j < 40) 10 - j % 21 else 0))
+    val img = Jpeg.decodeGray(Jpeg.encodeGrayFromCoeffs(blocks, 2, 1))
+    assert(img.width == 16 && img.height == 8)
+    assert(img.coeffs.map(_.toSeq).toSeq == blocks.map(_.toSeq).toSeq)
+  }
+
+  test("ZRL: a >15 zero run inside a block survives the round-trip") {
+    val b = block(j => if (j == 0) 12 else if (j == 21) 5 else if (j == 60) -3 else 0)
+    val img = Jpeg.decodeGray(Jpeg.encodeGrayFromCoeffs(Array(b), 1, 1))
+    assert(img.coeffs(0).toSeq == b.toSeq)
+  }
+
+  test("DC prediction chains across many blocks") {
+    val blocks = Array.tabulate(8)(k => block(j => if (j == 0) k * 13 - 40 else 0))
+    val img = Jpeg.decodeGray(Jpeg.encodeGrayFromCoeffs(blocks, 8, 1))
+    assert(img.coeffs.map(_(0)).toSeq == blocks.map(_(0)).toSeq)
+    assert(img.width == 64 && img.height == 8)
+  }
+
+  test("byte stuffing: streams containing FF00 still round-trip") {
+    // sweep seeds until the entropy data actually contains a stuffed
+    // FF00 (scan section only), then verify that stream decodes
+    val found = (0 until 200).exists { seed =>
+      val rnd = new scala.util.Random(seed)
+      val blocks = Array.fill(4)(block(j =>
+        if (j == 0) rnd.nextInt(101) - 50
+        else if (j < 32) rnd.nextInt(21) - 10 else 0))
+      val bytes = Jpeg.encodeGrayFromCoeffs(blocks, 4, 1)
+      val scan = bytes.drop(2).dropRight(2)
+      val stuffed = scan.indices.dropRight(1).exists(i =>
+        (scan(i) & 0xff) == 0xff && (scan(i + 1) & 0xff) == 0x00)
+      if (!stuffed) false
+      else {
+        val img = Jpeg.decodeGray(bytes)
+        img.coeffs.map(_.toSeq).toSeq == blocks.map(_.toSeq).toSeq
+      }
+    }
+    assert(found, "no seed produced a stuffed byte — stuffing untested")
+  }
+
+  test("DC-only block rasters to a constant 8x8 tile") {
+    val img = Jpeg.decodeGray(Jpeg.encodeGrayFromCoeffs(
+      Array(block(j => if (j == 0) 4 else 0)), 1, 1))
+    val px = img.pixels.map(_ & 0xff).toSet
+    assert(px.size == 1, s"DC-only block must be flat, got $px")
+    // d = 4·16 (quant) = 64 ≈ 8 steps above mid-gray through the /8 DC
+    // gain: 128 + round(64·1448²/2²⁴) = 136
+    assert(px.head == 136)
+  }
+
+  test("idct basis is the fixed published table (spot values)") {
+    assert(Jpeg.Basis(0)(0) == 1448)  // 2048/sqrt(2)
+    assert(Jpeg.Basis(1)(0) == 2009)  // 2048·cos(pi/16)
+    assert(Jpeg.Basis(4)(0) == 1448)  // 2048·cos(pi/4)
+    assert(Jpeg.Basis(1)(7) == -2009) // symmetry
+  }
+
+  test("synthCoeffs: byte rules, zero tail, and the ≥64-byte contract") {
+    val bytes = Array.tabulate(64)(i => ((i * 37 + 11) % 256).toByte)
+    val cs = Jpeg.synthCoeffs(bytes, 2)
+    assert(cs.length == 2 && cs.forall(_.length == 64))
+    assert(cs(0)(0) == ((bytes(0) & 0xff) % 101) - 50)
+    assert(cs(1)(5) == ((bytes(37) & 0xff) % 21) - 10)
+    assert(cs.forall(b => (32 until 64).forall(j => b(j) == 0)))
+  }
+
+  test("decoder rejects progressive streams instead of mis-decoding") {
+    val ok = Jpeg.encodeGrayFromCoeffs(
+      Array(block(j => if (j == 0) 1 else 0)), 1, 1)
+    // flip SOF0 (FFC0) into SOF2 (FFC2 = progressive)
+    val bad = ok.clone()
+    val at = bad.indices.indexWhere(i =>
+      (bad(i) & 0xff) == 0xff && (bad(i + 1) & 0xff) == 0xc0)
+    bad(at + 1) = 0xc2.toByte
+    intercept[IllegalArgumentException] { Jpeg.decodeGray(bad) }
+    ()
+  }
+}
