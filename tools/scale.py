@@ -56,6 +56,20 @@ QUERIES = ",".join([
     "q235_poisson_bootstrap", "q240_image_neardup", "q243_mutual_nn_align",
     # classic TPC-H multi-way join + rollup shapes (Q3/Q5/Q10 adapted)
     "q250_tpch_q3", "q251_tpch_q5", "q252_tpch_q10",
+    # round-8 (verdict ask #2): the 9 slowest bench rows that had no
+    # 100x reading — iterative BSP graph loops (k-core, clustering
+    # coefficient, LPA-adjacent), the stream-CDC upsert, the
+    # correlation matrix, rec holdout, and the remaining driver-loop
+    # shapes
+    "q204_clustering_coef", "q197_kcore", "q225_correlation_matrix",
+    "q206_rec_holdout", "q122_stream_cdc_upsert", "q139_dedup_canonical",
+    "q200_theil_sen", "q205_textrank", "q187_greedy_coverage",
+    # round-8 new shapes: IVF-bucketed mutual-NN (the q243 ratio fix),
+    # the multi-semi/anti TPC-H Q21, the zero-Exchange bucketed join,
+    # the banded portable SimHash pair join, and the JPEG decode
+    # (narrow per-row kernel control)
+    "q266_mutual_nn_ivf", "q272_tpch_q21", "q273_bucketed_join",
+    "q29_simhash_pairs", "q267_jpeg_pixel_decode",
 ])
 
 rnd = sys.argv[1]
