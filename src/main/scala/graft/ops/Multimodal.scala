@@ -320,6 +320,49 @@ object Multimodal {
       }.toDF("media_id", "width", "height", "coef_checksum", "pixel_checksum")
   }
 
+  /** FULL WAV PCM SAMPLE DECODE under oracle — the audio analog of
+    * [[pngPixelFeatures]]/[[jpegPixelFeatures]], closing the
+    * "audio samples header-only" gap for the lossless format: payload
+    * bytes → deterministic int16 samples ([[Wav.synthSamples]]) → a
+    * real RIFF/WAVE PCM16 stream → the engine's OWN chunk-walk +
+    * sample decode ([[Wav.decodePcm16]]) → integer audio features
+    * over the DECODED samples: zero-crossing count (the classic
+    * voiced/unvoiced + silence discriminator), total absolute
+    * amplitude (integer energy), and a position-weighted sample
+    * checksum — all exact integer arithmetic an external engine
+    * replays from the source bytes. Narrow per-row mapPartitions,
+    * no shuffle.
+    *
+    * @return (media_id, n_samples, sample_rate, zero_crossings,
+    *         abs_energy, sample_checksum). */
+  def wavSampleFeatures(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.where(octet_length(col(textCol)) >= 64)
+      .select(col(idCol).cast("long").as("media_id"),
+        substring(col(textCol).cast("binary"), 1, 64).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val wav = Wav.encodePcm16Mono(
+            Wav.synthSamples(bytes, n = 32), sampleRate = 8000)
+          val audio = Wav.decodePcm16(wav)
+          val s = audio.samples
+          var zc = 0L; var en = 0L; var ck = 0L
+          var i = 0
+          while (i < s.length) {
+            if (i > 0 && ((s(i) >= 0) != (s(i - 1) >= 0))) zc += 1
+            en += math.abs(s(i).toLong)
+            ck += s(i).toLong * ((i % 31) + 1)
+            i += 1
+          }
+          (id, s.length.toLong, audio.sampleRate, zc, en, ck)
+        }
+      }.toDF("media_id", "n_samples", "sample_rate", "zero_crossings",
+        "abs_energy", "sample_checksum")
+  }
+
   /** IMAGE NEAR-DUP PAIRS by aHash Hamming distance — the perceptual
     * dedup join over [[pngAverageHash]] fingerprints: pairs with ≤
     * `maxHamming` differing bits of the `bits`-bit hash. Candidate

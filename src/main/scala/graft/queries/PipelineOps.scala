@@ -1471,6 +1471,17 @@ object PipelineOps {
         .orderBy(col("media_id"))
     }),
 
+    // FULL WAV PCM SAMPLE DECODE under oracle — the audio sibling of
+    // q121/q267 (PCM is lossless, so unlike MP3/AAC it is exactly
+    // replayable): payload bytes → int16 samples → a real RIFF/WAVE
+    // stream → the engine's own chunk walk + sample decode → integer
+    // zero-crossing / energy / checksum features. One wrong chunk
+    // offset or endianness slip breaks the hash.
+    "q274_wav_sample_decode" -> ((s, d) => {
+      Multimodal.wavSampleFeatures(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("media_id"))
+    }),
+
     // Perceptual average-hash over the SAME decode round-trip as q121:
     // 128 exact pixel-vs-mean bits (pixel·n > Σ — no float mean) per
     // image — the image-dedup fingerprint; every bit certifies a
@@ -1582,19 +1593,23 @@ object PipelineOps {
 
     // The same mutual-NN alignment through IVF inverted lists — the
     // declared WEB-SCALE arm (round-8 verdict ask #1): both sides
-    // bucket against a deterministic 8-list codebook and each query
-    // scores only its 3 probed lists, so candidate work is
-    // ~nProbe/lists of q243's broadcast brute force. The fixed
-    // codebook + scaled-long centroid distances make the PRUNED path
-    // itself oracle-replayable (assignment, probe set, margins, and
-    // mutual filter all exact) — stronger than the full-probe-only
-    // q75/q93 anchor pattern.
+    // bucket against a deterministic 32-list codebook and each query
+    // scores only its 4 probed lists — candidate work is
+    // nProbe/lists = 1/8 of q243's broadcast brute force, and the
+    // list count (production IVF sizes nlist ~ sqrt(N)) keeps the
+    // bucket join's key space wide enough to parallelize (an 8-list
+    // first cut measured WORSE than brute at sf1 — 32x vs 13x —
+    // because 8 join keys cap shuffle parallelism at 8 partitions).
+    // The fixed codebook + scaled-long centroid distances make the
+    // PRUNED path itself oracle-replayable (assignment, probe set,
+    // margins, and mutual filter all exact) — stronger than the
+    // full-probe-only q75/q93 anchor pattern.
     "q266_mutual_nn_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       graft.ops.Similarity.marginMutualNNBucketed(
           e.filter(pmod(col("label"), lit(2)) === 0),
           e.filter(pmod(col("label"), lit(2)) === 1),
-          "vec_id", "embedding", k = 4, lists = 8, nProbe = 3)
+          "vec_id", "embedding", k = 4, lists = 32, nProbe = 4)
         .orderBy(col("id_a"))
     }),
 
@@ -4196,6 +4211,37 @@ object PipelineOps {
         |  CAST(sum(b * ((i % 31)+1)) AS BIGINT) AS pixel_checksum
         |FROM by GROUP BY doc_id ORDER BY media_id""".stripMargin,
 
+    // q274: samples rebuilt from source bytes (signed LE int16 from
+    // byte pairs), crossings via a per-doc lag window, integer
+    // energy/checksum sums.
+    "q274_wav_sample_decode" ->
+      """WITH b0 AS (
+        |  SELECT doc_id, hex(encode(text)) AS h FROM documents
+        |  WHERE octet_length(encode(text)) >= 64
+        |), by AS (
+        |  SELECT doc_id, i,
+        |    (strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1))-1)*16
+        |    + (strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1))-1) AS b
+        |  FROM b0, unnest(range(0, 64)) AS u(i)
+        |), sm AS (
+        |  SELECT lo.doc_id, lo.i // 2 AS si,
+        |    CASE WHEN lo.b + 256*hi.b >= 32768 THEN lo.b + 256*hi.b - 65536
+        |         ELSE lo.b + 256*hi.b END AS s
+        |  FROM by lo JOIN by hi ON hi.doc_id = lo.doc_id AND hi.i = lo.i + 1
+        |  WHERE lo.i % 2 = 0
+        |), f AS (
+        |  SELECT doc_id, si, s,
+        |    lag(s) OVER (PARTITION BY doc_id ORDER BY si) AS prev
+        |  FROM sm
+        |)
+        |SELECT doc_id AS media_id, CAST(32 AS BIGINT) AS n_samples,
+        |  CAST(8000 AS INT) AS sample_rate,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND ((s >= 0) <> (prev >= 0))
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+        |  CAST(sum(abs(s)) AS BIGINT) AS abs_energy,
+        |  CAST(sum(s * ((si % 31) + 1)) AS BIGINT) AS sample_checksum
+        |FROM f GROUP BY 1 ORDER BY media_id""".stripMargin,
+
     // q267: the JPEG decode replayed from source bytes — coefficient
     // rules (DC (b%101)−50, AC (b%21)−10, zero tail), dequantization
     // through the zigzag/quant literal, and the SAME fixed-point
@@ -4214,7 +4260,7 @@ object PipelineOps {
     // q240: the same rebuilt bits, all-pairs exact Hamming at ≤8 (the
     // quadratic oracle baseline; the engine side is the banded join).
     "q243_mutual_nn_align" -> MutualNnSql,
-    "q266_mutual_nn_ivf" -> mutualNnIvfSql(lists = 8, nProbe = 3),
+    "q266_mutual_nn_ivf" -> mutualNnIvfSql(lists = 32, nProbe = 4),
 
     // q262: both batchings replayed with row_number orders.
     "q262_padding_waste" ->

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Wav
+
+/** Pins the WAV PCM codec's structural behaviors the q274 oracle diff
+  * can't name: chunk-walk robustness (unknown chunks, RIFF odd-size
+  * padding), format enforcement, endianness, and the exact sample
+  * round-trip.
+  */
+class WavSpec extends AnyFunSuite {
+
+  private val tone: Array[Short] =
+    Array.tabulate(48)(i => ((i % 7) * 4001 - 12000).toShort)
+
+  test("PCM16 round-trip: decode(encode(s)) == s, rate preserved") {
+    val a = Wav.decodePcm16(Wav.encodePcm16Mono(tone, 44100))
+    assert(a.sampleRate == 44100 && a.channels == 1)
+    assert(a.samples.toSeq == tone.toSeq)
+  }
+
+  test("negative samples survive the little-endian round-trip") {
+    val s = Array[Short](-1, -32768, 32767, 0, -255, 256)
+    assert(Wav.decodePcm16(Wav.encodePcm16Mono(s, 8000)).samples.toSeq == s.toSeq)
+  }
+
+  test("chunk walk skips unknown chunks (incl. odd-size RIFF padding)") {
+    val base = Wav.encodePcm16Mono(tone, 8000)
+    // splice a 5-byte (odd → padded) LIST chunk between WAVE and fmt
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base, 0, 12)
+    out.write("LIST".getBytes("US-ASCII"))
+    out.write(Array[Byte](5, 0, 0, 0)) // little-endian size 5
+    out.write(Array[Byte](1, 2, 3, 4, 5, 0)) // body + pad byte
+    out.write(base, 12, base.length - 12)
+    val spliced = out.toByteArray
+    // fix the RIFF size field (bytes 4..7) for the added 14 bytes
+    val grown = spliced.length - 8
+    spliced(4) = (grown & 0xff).toByte
+    spliced(5) = ((grown >> 8) & 0xff).toByte
+    val a = Wav.decodePcm16(spliced)
+    assert(a.samples.toSeq == tone.toSeq && a.sampleRate == 8000)
+  }
+
+  test("non-PCM and stereo streams are rejected, not mis-decoded") {
+    val base = Wav.encodePcm16Mono(tone, 8000)
+    val float = base.clone(); float(20) = 3 // fmt tag: IEEE float
+    intercept[IllegalArgumentException] { Wav.decodePcm16(float) }
+    val stereo = base.clone(); stereo(22) = 2 // channel count
+    intercept[IllegalArgumentException] { Wav.decodePcm16(stereo) }
+    ()
+  }
+
+  test("synthSamples: signed LE int16 from byte pairs") {
+    val bytes = Array[Byte](0x34, 0x12, 0xff.toByte, 0xff.toByte, 0x00, 0x80.toByte)
+    val s = Wav.synthSamples(bytes, 3)
+    assert(s.toSeq == Seq[Short](0x1234, -1, -32768))
+  }
+}

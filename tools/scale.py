@@ -88,15 +88,35 @@ if no_jvm:
         shutil.rmtree(p, ignore_errors=True)
 
 
-def probe(src, out, copies):
+import os
+
+def probe_chunk(src, out, copies, qcsv):
+    env = {**os.environ, "SPARK_DRIVER_MEM": "16g"}
     r = subprocess.run(
-        ["sbt", f"runMain graft.ScaleProbe {src} {out} {copies} {queries}"],
-        capture_output=True, text=True, cwd="/root/repo")
+        ["sbt", f"runMain graft.ScaleProbe {src} {out} {copies} {qcsv}"],
+        capture_output=True, text=True, cwd="/root/repo", env=env)
     lines = [l for l in r.stdout.splitlines() if '"metric":"scaleprobe"' in l]
     if not lines:
         sys.stderr.write(r.stdout[-3000:] + "\n" + r.stderr[-2000:])
         sys.exit(1)
     return json.loads(lines[-1][lines[-1].index("{"):])
+
+
+def probe(src, out, copies):
+    # One 50+-query pass in a single JVM accumulates per-query caches
+    # (memoized pair lists, loop state, bucket layouts) past the probe
+    # heap — observed as a cumulative OOM at sf1 when the round-8 set
+    # grew to 51. Chunked invocations keep each JVM's resident set to
+    # its own ~20 queries; timings are per-query min-of-two either way.
+    names = queries.split(",")
+    merged = None
+    for i in range(0, len(names), 20):
+        part = probe_chunk(src, out, copies, ",".join(names[i:i + 20]))
+        if merged is None:
+            merged = part
+        else:
+            merged["queries"].update(part["queries"])
+    return merged
 
 
 small = probe("/root/testdata/sf0.01", "/tmp/scale_sf001", 1)
