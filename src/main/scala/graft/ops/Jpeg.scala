@@ -242,6 +242,10 @@ object Jpeg {
       val diff = blk(0) - pred
       pred = blk(0)
       val s = bitSize(diff)
+      // T.81 bounds for 8-bit baseline: DC difference category <= 11.
+      // Out-of-range input would look up an UNSET code and emit a
+      // silently corrupt stream — fail loudly instead.
+      require(s <= 11, s"DC difference $diff exceeds the baseline range")
       bw.write(dcH.codeOf(s), dcH.lenOf(s))
       if (s > 0)
         bw.write(if (diff < 0) diff + (1 << s) - 1 else diff, s)
@@ -255,6 +259,7 @@ object Jpeg {
             bw.write(acH.codeOf(0xf0), acH.lenOf(0xf0)); run -= 16
           }
           val sz = bitSize(c)
+          require(sz <= 10, s"AC coefficient $c exceeds the baseline range")
           val rs = (run << 4) | sz
           bw.write(acH.codeOf(rs), acH.lenOf(rs))
           bw.write(if (c < 0) c + (1 << sz) - 1 else c, sz)

@@ -57,6 +57,31 @@ class JpegSpec extends AnyFunSuite {
     assert(found, "no seed produced a stuffed byte — stuffing untested")
   }
 
+  test("round-trip sweep: large coefficients exercise the long Huffman codes") {
+    // the q267 synthesis keeps |AC| <= 10 (category <= 4); this sweep
+    // pushes AC category up to 10 (|AC| to 1023) and DC so its
+    // DIFFERENCES reach category 11, covering the rare long-code rows
+    // of the Annex K table plus both extension signs at every size.
+    // (DC stays within ±1023 so chained differences respect the
+    // baseline ±2047 bound — the first sweep deliberately violated it
+    // and exposed a silent-corruption path, now an encoder require.)
+    for (seed <- 0 until 50) {
+      val rnd = new scala.util.Random(seed)
+      val blocks = Array.fill(3)(block { j =>
+        if (j == 0) rnd.nextInt(2047) - 1023
+        else rnd.nextInt(5) match {
+          case 0 => 0
+          case 1 => rnd.nextInt(21) - 10
+          case 2 => rnd.nextInt(2047) - 1023
+          case _ => if (rnd.nextBoolean()) rnd.nextInt(7) - 3 else 0
+        }
+      })
+      val img = Jpeg.decodeGray(Jpeg.encodeGrayFromCoeffs(blocks, 3, 1))
+      assert(img.coeffs.map(_.toSeq).toSeq == blocks.map(_.toSeq).toSeq,
+        s"round-trip diverged at seed $seed")
+    }
+  }
+
   test("DC-only block rasters to a constant 8x8 tile") {
     val img = Jpeg.decodeGray(Jpeg.encodeGrayFromCoeffs(
       Array(block(j => if (j == 0) 4 else 0)), 1, 1))
@@ -81,6 +106,17 @@ class JpegSpec extends AnyFunSuite {
     assert(cs(0)(0) == ((bytes(0) & 0xff) % 101) - 50)
     assert(cs(1)(5) == ((bytes(37) & 0xff) % 21) - 10)
     assert(cs.forall(b => (32 until 64).forall(j => b(j) == 0)))
+  }
+
+  test("encoder rejects out-of-baseline-range coefficients loudly") {
+    intercept[IllegalArgumentException] {
+      Jpeg.encodeGrayFromCoeffs(Array(block(j => if (j == 0) 3000 else 0)), 1, 1)
+    }
+    intercept[IllegalArgumentException] {
+      Jpeg.encodeGrayFromCoeffs(
+        Array(block(j => if (j == 5) 1500 else 0)), 1, 1)
+    }
+    ()
   }
 
   test("decoder rejects progressive streams instead of mis-decoding") {
