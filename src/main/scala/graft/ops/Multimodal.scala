@@ -363,6 +363,74 @@ object Multimodal {
         "abs_energy", "sample_checksum")
   }
 
+  /** FULL BMP PIXEL DECODE under oracle — the uncompressed member of
+    * the decoder family: payload bytes → a real 8-bit palettized BMP
+    * (bottom-up rows, 4-byte padding, 256×4 BGRA palette) →
+    * [[Bmp.decodeGray]]'s own header walk + row reassembly →
+    * statistics over the DECODED pixels. width is chosen non-multiple
+    * of 4 so the row padding is actually exercised; the first-COLUMN
+    * sum (vs q121's first-row) additionally certifies the bottom-up →
+    * top-down row reordering. Narrow per-row mapPartitions, zero
+    * shuffle — the scan→decode→featurize shape at 100 TB. */
+  def bmpPixelFeatures(df: DataFrame, idCol: String, textCol: String,
+                       width: Int, height: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = width * height
+    df.where(octet_length(col(textCol)) >= n)
+      .select(col(idCol).cast("long").as("media_id"),
+        substring(col(textCol).cast("binary"), 1, n).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val bmp = Bmp.encodeGray(bytes, width, height)
+          val img = Bmp.decodeGray(bmp)
+          var col0 = 0L; var ck = 0L; var i = 0
+          while (i < img.pixels.length) {
+            val b = img.pixels(i) & 0xff
+            if (i % img.width == 0) col0 += b
+            ck += b.toLong * ((i % 31) + 1)
+            i += 1
+          }
+          (id, img.width, img.height, col0, ck)
+        }
+      }.toDF("media_id", "width", "height", "col0_sum", "pixel_checksum")
+  }
+
+  /** FULL GIF PIXEL DECODE under oracle — the dictionary-coded member
+    * of the decoder family: payload bytes → a real GIF87a stream
+    * (gray global color table + genuine LZW image data) →
+    * [[Gif.decodeGray]]'s own descriptor walk + LZW decompression
+    * (variable 9→12-bit codes, early change, KwKwK) → statistics over
+    * the DECODED pixels. GIF LZW is lossless, so the oracle computes
+    * the same statistics straight from the source bytes; one wrong
+    * code boundary or dictionary entry breaks the hash. Narrow
+    * per-row mapPartitions, zero shuffle. */
+  def gifPixelFeatures(df: DataFrame, idCol: String, textCol: String,
+                       width: Int, height: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = width * height
+    df.where(octet_length(col(textCol)) >= n)
+      .select(col(idCol).cast("long").as("media_id"),
+        substring(col(textCol).cast("binary"), 1, n).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val gif = Gif.encodeGray(bytes, width, height)
+          val img = Gif.decodeGray(gif)
+          var sum = 0L; var ck = 0L; var i = 0
+          while (i < img.pixels.length) {
+            val b = img.pixels(i) & 0xff
+            sum += b
+            ck += b.toLong * ((i % 31) + 1)
+            i += 1
+          }
+          (id, img.width, img.height, sum, ck)
+        }
+      }.toDF("media_id", "width", "height", "pixel_sum", "pixel_checksum")
+  }
+
   /** IMAGE NEAR-DUP PAIRS by aHash Hamming distance — the perceptual
     * dedup join over [[pngAverageHash]] fingerprints: pairs with ≤
     * `maxHamming` differing bits of the `bits`-bit hash. Candidate

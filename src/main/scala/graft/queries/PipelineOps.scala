@@ -1482,6 +1482,32 @@ object PipelineOps {
         .orderBy(col("media_id"))
     }),
 
+    // FULL BMP PIXEL DECODE under oracle — the uncompressed member of
+    // the decoder family (PNG q121 / JPEG q267 / WAV q274 / GIF q288):
+    // payload bytes → real 8-bit palettized BMP (bottom-up rows,
+    // 4-byte padding at width 10, BGRA palette) → the engine's own
+    // header walk + row reassembly. The first-COLUMN sum certifies
+    // the bottom-up reordering; DuckDB replays both statistics from
+    // source bytes.
+    "q287_bmp_pixel_decode" -> ((s, d) => {
+      Multimodal.bmpPixelFeatures(Tables.documents(s, d), "doc_id", "text",
+          width = 10, height = 6)
+        .orderBy(col("media_id"))
+    }),
+
+    // FULL GIF PIXEL DECODE under oracle — the dictionary-coded
+    // member: payload bytes → real GIF87a with genuine LZW
+    // (variable-width codes, early change, KwKwK) → the engine's own
+    // LZW decompression. Lossless, so DuckDB replays the pixel
+    // statistics from source bytes; one wrong code boundary breaks
+    // the hash. GifSpec pins the 512/1024-entry width-change
+    // boundaries and the KwKwK case on fixtures.
+    "q288_gif_pixel_decode" -> ((s, d) => {
+      Multimodal.gifPixelFeatures(Tables.documents(s, d), "doc_id", "text",
+          width = 12, height = 5)
+        .orderBy(col("media_id"))
+    }),
+
     // Perceptual average-hash over the SAME decode round-trip as q121:
     // 128 exact pixel-vs-mean bits (pixel·n > Σ — no float mean) per
     // image — the image-dedup fingerprint; every bit certifies a
@@ -4241,6 +4267,43 @@ object PipelineOps {
         |  CAST(sum(abs(s)) AS BIGINT) AS abs_energy,
         |  CAST(sum(s * ((si % 31) + 1)) AS BIGINT) AS sample_checksum
         |FROM f GROUP BY 1 ORDER BY media_id""".stripMargin,
+
+    // q287: the BMP decode replayed from source bytes — identical
+    // byte-expansion machinery to q121; col0 picks i%10==0 positions.
+    "q287_bmp_pixel_decode" ->
+      """WITH b0 AS (
+        |  SELECT doc_id, hex(encode(text)) AS h FROM documents
+        |  WHERE octet_length(encode(text)) >= 60
+        |), by AS (
+        |  SELECT doc_id, i,
+        |    (strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1))-1)*16
+        |    + (strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1))-1) AS b
+        |  FROM b0, unnest(range(0, 60)) AS u(i)
+        |)
+        |SELECT doc_id AS media_id, CAST(10 AS INTEGER) AS width,
+        |  CAST(6 AS INTEGER) AS height,
+        |  CAST(sum(CASE WHEN i % 10 = 0 THEN b ELSE 0 END) AS BIGINT)
+        |    AS col0_sum,
+        |  CAST(sum(b * ((i % 31)+1)) AS BIGINT) AS pixel_checksum
+        |FROM by GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    // q288: the GIF decode replayed from source bytes (LZW is
+    // lossless, so the pixel stream IS the payload prefix).
+    "q288_gif_pixel_decode" ->
+      """WITH b0 AS (
+        |  SELECT doc_id, hex(encode(text)) AS h FROM documents
+        |  WHERE octet_length(encode(text)) >= 60
+        |), by AS (
+        |  SELECT doc_id, i,
+        |    (strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1))-1)*16
+        |    + (strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1))-1) AS b
+        |  FROM b0, unnest(range(0, 60)) AS u(i)
+        |)
+        |SELECT doc_id AS media_id, CAST(12 AS INTEGER) AS width,
+        |  CAST(5 AS INTEGER) AS height,
+        |  CAST(sum(b) AS BIGINT) AS pixel_sum,
+        |  CAST(sum(b * ((i % 31)+1)) AS BIGINT) AS pixel_checksum
+        |FROM by GROUP BY doc_id ORDER BY media_id""".stripMargin,
 
     // q267: the JPEG decode replayed from source bytes — coefficient
     // rules (DC (b%101)−50, AC (b%21)−10, zero tail), dequantization

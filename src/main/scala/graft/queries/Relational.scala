@@ -997,6 +997,313 @@ object Relational {
         col("l_quantity").cast("long").as("w"))
       graft.ops.Graph.sssp(edges, source = 1L, rounds = 3)
         .orderBy(col("node"))
+    }),
+
+    // q275: TPC-H Q4 (order-priority checking) — the EXISTS-semi-join
+    // report: orders in one quarter having at least one returned line
+    // (returnflag 'R' standing in for the missing receipt/commit
+    // lateness), counted per priority. The quarter filter pushes to
+    // the orders scan; the probe side projects one column before the
+    // semi join, so the shuffle carries only (orderkey).
+    "q275_tpch_q4" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-07-01") &&
+          col("o_orderdate") < lit("1997-10-01"))
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val ret = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+      o.join(ret, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // q276: TPC-H Q7 (volume shipping) — bilateral trade between two
+    // nations: supplier in one, customer in the other, BOTH
+    // directions, revenue per (supp_nation, cust_nation, ship-year).
+    // The two-nation filter lands on the DIMENSIONS (supplier/customer
+    // shrink ~12.5× before touching the fact), the pair condition on
+    // the joined result; nation broadcasts, the rest is AQE's choice.
+    "q276_tpch_q7" -> ((s, d) => {
+      val n = broadcast(Tables.nation(s, d)
+        .filter(col("n_name").isin("NATION_1", "NATION_2")))
+      val sup = Tables.supplier(s, d)
+        .join(n.select(col("n_nationkey"), col("n_name").as("supp_nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cust = Tables.customer(s, d)
+        .join(n.select(col("n_nationkey").as("cnk"),
+          col("n_name").as("cust_nation")), col("c_nationkey") === col("cnk"))
+        .select(col("c_custkey"), col("cust_nation"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1999-01-01"))
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+          col("l_extendedprice"), col("l_discount"))
+      l.join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(Exact.sumExact(
+          col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // q277: TPC-H Q8 (national market share) — NATION_1 suppliers'
+    // share of PROMO-part revenue sold to EUROPE customers, per order
+    // year. Numerator and denominator are both exact scaled-long sums;
+    // the share is one double division of two exact doubles, so it is
+    // bit-identical cross-engine without rounding.
+    "q277_tpch_q8" -> ((s, d) => {
+      val eur = broadcast(Tables.nation(s, d)
+        .join(Tables.region(s, d).filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("eur_nk")))
+      val cust = Tables.customer(s, d)
+        .join(eur, col("c_nationkey") === col("eur_nk"))
+        .select(col("c_custkey"))
+      val supn = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val promo = Tables.part(s, d)
+        .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(promo, col("l_partkey") === col("p_partkey"))
+        .join(supn, col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          Exact.sumExact(when(col("supp_nation") === "NATION_1", rev)
+            .otherwise(lit(0.0)), 4).as("nation_volume"),
+          Exact.sumExact(rev, 4).as("volume"))
+        .select(col("o_year"), col("nation_volume"), col("volume"),
+          (col("nation_volume") / col("volume")).as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
+    // q278: TPC-H Q9 (product-type profit) adapted to a schema with
+    // no partsupp: unit cost proxied by 10% of the part's retail
+    // price, so profit = rev − qty·retail/10 — all scaled-long exact
+    // (retail has one decimal → deci-units; qty is an integral
+    // double). Profit per (supplier nation, order year) over STANDARD
+    // parts; the classic 5-way snowflake rollup.
+    "q278_tpch_q9" -> ((s, d) => {
+      val p = Tables.part(s, d).filter(col("p_type") === "STANDARD")
+        .select(col("p_partkey"), col("p_retailprice"))
+      val supn = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name").as("nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("nation"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
+      val amountScaled =
+        Exact.scaled(col("l_extendedprice") * (lit(1) - col("l_discount")), 4) -
+          Exact.scaled(col("p_retailprice"), 1) *
+            col("l_quantity").cast("long") * lit(100L)
+      Tables.lineitem(s, d)
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(supn, col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg((sum(amountScaled).cast("double") / 10000.0).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // q279: TPC-H Q11 (important stock) — the scalar-subquery HAVING:
+    // per-part lineitem value over a supplier slice, keeping parts
+    // above 2× the mean part value. Division-free cross-multiply
+    // (v·n_parts > 2·total — exact cents longs) makes the threshold
+    // scale-invariant, so the query returns a thin non-empty set at
+    // every SF. The one-row total attaches via broadcast crossJoin
+    // (PlanLint scalarBroadcast class).
+    "q279_tpch_q11" -> ((s, d) => {
+      val sup = Tables.supplier(s, d)
+        .filter(col("s_nationkey") < 12).select(col("s_suppkey"))
+      val perPart = Tables.lineitem(s, d)
+        .join(sup, col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"))
+        .agg(sum(Exact.scaled(col("l_extendedprice"), 2)).as("value_cents"))
+      val total = perPart
+        .agg(sum(col("value_cents")).as("tot_cents"),
+          count(lit(1)).as("n_parts"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("value_cents") * col("n_parts") >
+          col("tot_cents") * 2)
+        .select(col("l_partkey"),
+          (col("value_cents").cast("double") / 100.0).as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    }),
+
+    // q280: TPC-H Q13 (customer distribution) — the left-outer
+    // histogram: orders per customer INCLUDING zero-order customers
+    // (the outer join preserves them through the first rollup), then
+    // the distribution of those counts. Priority filter stands in for
+    // the comment NOT LIKE.
+    "q280_tpch_q13" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey"))
+      val per = Tables.customer(s, d).select(col("c_custkey"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_custkey")).as("c_count"))
+      per.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // q281: TPC-H Q14 (promotion effect) per ship month — conditional
+    // share of PROMO-part revenue. Both sums exact scaled-long; the
+    // percentage is (100·promo)/total in that exact association order
+    // on both engines.
+    "q281_tpch_q14" -> ((s, d) => {
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d).select(col("p_partkey"), col("p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+        .agg(
+          Exact.sumExact(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0.0)), 4).as("promo_rev"),
+          Exact.sumExact(rev, 4).as("total_rev"))
+        .select(col("ship_month"), col("promo_rev"), col("total_rev"),
+          (lit(100.0) * col("promo_rev") / col("total_rev"))
+            .as("promo_pct"))
+        .orderBy(col("ship_month"))
+    }),
+
+    // q282: TPC-H Q18 (large-volume customers) — group-HAVING on the
+    // fact table feeding a dimension join: orders whose total quantity
+    // exceeds 250 (p99 of per-order quantity in this data), reported
+    // with their customer, top-100 by order value. The HAVING runs as
+    // one partial-agg shuffle BEFORE any join — the fact never joins
+    // unfiltered.
+    "q282_tpch_q18" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      big.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // q283: TPC-H Q19 (discounted revenue) — the disjunctive bracket
+    // predicate: three OR'd (brand, size-range, quantity-range)
+    // brackets that Catalyst must keep join-pushable (the part
+    // conjuncts prune the dimension, the quantity conjuncts the fact
+    // scan). Revenue per bracket brand.
+    "q283_tpch_q19" -> ((s, d) => {
+      val p = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 30)))
+        .groupBy(col("p_brand"))
+        .agg(Exact.sumExact(
+          col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // q284: TPC-H Q22 (global sales opportunity) — the scalar-average
+    // + anti-join shape: customers in low-key nations with above-
+    // average positive balance and no URGENT order (every customer in
+    // this data has SOME order, so the textbook no-orders test would
+    // be vacuous; the priority-sliced anti join keeps the shape and a
+    // real selectivity — 2/31/373 rows at the three SFs). The average
+    // compare is division-free (bal_cents·n_pos > tot_cents — exact
+    // longs); the missing-order test is a left anti join, never NOT
+    // IN. One-row aggregate attaches via broadcast crossJoin
+    // (scalarBroadcast).
+    "q284_tpch_q22" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .filter(col("c_nationkey") < 10)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      val avgRow = cust.filter(col("c_acctbal") > 0.0)
+        .agg(sum(Exact.scaled(col("c_acctbal"), 2)).as("tot_cents"),
+          count(lit(1)).as("n_pos"))
+      cust
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .crossJoin(broadcast(avgRow))
+        .filter(Exact.scaled(col("c_acctbal"), 2) * col("n_pos") >
+          col("tot_cents"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          (sum(Exact.scaled(col("c_acctbal"), 2)).cast("double") / 100.0)
+            .as("totacctbal"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // q285: TPC-H Q16 (parts/supplier relationship) — distinct-count
+    // after an anti join: suppliers per (brand, type, size) over a
+    // size IN-list and brand exclusion, excluding negative-balance
+    // suppliers (the complaints stand-in). countDistinct plans as a
+    // two-phase Expand aggregate — no per-group sets on the driver.
+    "q285_tpch_q16" -> ((s, d) => {
+      val badSup = Tables.supplier(s, d)
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      val p = Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#1" &&
+          col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29, 33, 37, 41, 45, 49))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(badSup, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // q286: TPC-H Q12 (shipping modes / critical orders) — the
+    // conditional-count pivot: per linestatus (shipmode stand-in),
+    // lines shipped in 1997 split into critical (URGENT/HIGH order
+    // priority) vs other. The year filter pushes to the fact scan;
+    // orders attaches by equi join.
+    "q286_tpch_q12" -> ((s, d) => {
+      val crit = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+        .select(col("l_orderkey"), col("l_linestatus"))
+        .join(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(crit, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(crit, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_linestatus"))
     })
   )
 
@@ -1772,6 +2079,176 @@ object Relational {
         |  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT)
         |    AS passed
         |FROM checks ORDER BY table_name, check_name""".stripMargin,
+
+    "q275_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= DATE '1997-07-01'
+        |  AND o.o_orderdate < DATE '1997-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q276_tpch_q7" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  year(l.l_shipdate) AS l_year,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+        |    * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+        |FROM lineitem l
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        |WHERE l.l_shipdate >= DATE '1997-01-01'
+        |  AND l.l_shipdate < DATE '1999-01-01'
+        |  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        |    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q277_tpch_q8" ->
+      """SELECT year(o.o_orderdate) AS o_year,
+        |  CAST(sum(CAST(round((CASE WHEN sn.n_name = 'NATION_1'
+        |      THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END)
+        |    * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS nation_volume,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+        |    * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS volume,
+        |  (CAST(sum(CAST(round((CASE WHEN sn.n_name = 'NATION_1'
+        |      THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END)
+        |    * 10000) AS BIGINT)) AS DOUBLE) / 10000.0)
+        |  / (CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+        |    * 10000) AS BIGINT)) AS DOUBLE) / 10000.0) AS mkt_share
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        |JOIN region r ON r.r_regionkey = cn.n_regionkey
+        |  AND r.r_name = 'EUROPE'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q278_tpch_q9" ->
+      """SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+        |  CAST(sum(
+        |    CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+        |      AS BIGINT)
+        |    - CAST(round(p.p_retailprice * 10) AS BIGINT)
+        |      * CAST(l.l_quantity AS BIGINT) * 100
+        |  ) AS DOUBLE) / 10000.0 AS sum_profit
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'STANDARD'
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q279_tpch_q11" ->
+      """WITH pp AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS value_cents
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+        |                      WHERE s_nationkey < 12)
+        |  GROUP BY 1),
+        |t AS (SELECT sum(value_cents) AS tot_cents, count(*) AS n_parts
+        |      FROM pp)
+        |SELECT pp.l_partkey,
+        |  CAST(pp.value_cents AS DOUBLE) / 100.0 AS value
+        |FROM pp, t
+        |WHERE pp.value_cents * t.n_parts > t.tot_cents * 2
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+
+    "q280_tpch_q13" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (
+        |  SELECT c.c_custkey, CAST(count(o.o_custkey) AS BIGINT) AS c_count
+        |  FROM customer c
+        |  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |    AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q281_tpch_q14" ->
+      """SELECT strftime(l.l_shipdate, '%Y-%m') AS ship_month,
+        |  CAST(sum(CAST(round((CASE WHEN p.p_type = 'PROMO'
+        |      THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END)
+        |    * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS promo_rev,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+        |    * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS total_rev,
+        |  100.0 * (CAST(sum(CAST(round((CASE WHEN p.p_type = 'PROMO'
+        |      THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END)
+        |    * 10000) AS BIGINT)) AS DOUBLE) / 10000.0)
+        |  / (CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+        |    * 10000) AS BIGINT)) AS DOUBLE) / 10000.0) AS promo_pct
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q282_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey,
+        |  strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  o.o_totalprice, big.sum_qty
+        |FROM big
+        |JOIN orders o ON o.o_orderkey = big.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100""".stripMargin,
+
+    "q283_tpch_q19" ->
+      """SELECT p.p_brand,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+        |    * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+        |    AND l.l_quantity BETWEEN 1 AND 11)
+        |  OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+        |    AND l.l_quantity BETWEEN 10 AND 20)
+        |  OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+        |    AND l.l_quantity BETWEEN 20 AND 30)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q284_tpch_q22" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer WHERE c_nationkey < 10),
+        |a AS (SELECT sum(bal_cents) AS tot_cents, count(*) AS n_pos
+        |      FROM cust WHERE bal_cents > 0)
+        |SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(sum(c.bal_cents) AS DOUBLE) / 100.0 AS totacctbal
+        |FROM cust c, a
+        |WHERE c.bal_cents * a.n_pos > a.tot_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q285_tpch_q16" ->
+      """SELECT p.p_brand, p.p_type, p.p_size,
+        |  CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand <> 'Brand#1'
+        |  AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29, 33, 37, 41, 45, 49)
+        |  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                          WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q286_tpch_q12" ->
+      """SELECT l.l_linestatus,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE l.l_shipdate >= DATE '1997-01-01'
+        |  AND l.l_shipdate < DATE '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q190_column_profile" -> {
       val cols = Seq("o_custkey", "o_orderdate", "o_orderkey",

@@ -50,7 +50,10 @@ class PlanLintSpec extends AnyFunSuite {
     // total×top rows of the skew advisor, the overall-trend row of
     // the Simpson check
     "q226_naive_bayes", "q234_dictionary_delta", "q242_source_influence",
-    "q254_skew_advisor", "q260_simpson_check")
+    "q254_skew_advisor", "q260_simpson_check",
+    // round-8 TPC-H shapes: Q11's global-total row and Q22's global
+    // positive-balance average row — the textbook scalar subqueries
+    "q279_tpch_q11", "q284_tpch_q22")
 
   // Bounded-cell DP / generator fan-outs: every nested-loop input here
   // is a CELL TABLE whose size is a fixed parameter, not data volume —
