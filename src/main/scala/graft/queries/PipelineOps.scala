@@ -1518,6 +1518,33 @@ object PipelineOps {
         .orderBy(col("media_id"))
     }),
 
+    // Cohen's kappa between the q36 langid predictor and the labeled
+    // lang — the chance-corrected agreement statistic the q261
+    // confusion matrix doesn't compute (raw accuracy flatters any
+    // predictor when the label distribution is skewed). Division-free
+    // core: kappa = (agree·N − Σ row_c·col_c) / (N² − Σ row_c·col_c)
+    // with every term an exact long, so the single double division is
+    // bit-identical cross-engine. The class-marginal join is O(#langs)
+    // rows; scalar one-row frames attach via broadcast crossJoin
+    // (PlanLint scalarBroadcast).
+    "q290_cohens_kappa" -> ((s, d) => {
+      val preds = TextAnalysis.withLangId(Tables.documents(s, d), "text")
+        .select(col("lang"), col("lang_pred"))
+      val base = preds.agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lang") === col("lang_pred"), 1L).otherwise(0L))
+          .as("n_agree"))
+      val rowM = preds.groupBy(col("lang")).agg(count(lit(1)).as("row_n"))
+      val colM = preds.groupBy(col("lang_pred").as("lang"))
+        .agg(count(lit(1)).as("col_n"))
+      val peNum = rowM.join(colM, "lang")
+        .agg(sum(col("row_n") * col("col_n")).as("pe_num"))
+      base.crossJoin(broadcast(peNum))
+        .select(col("n_docs"), col("n_agree"), col("pe_num"),
+          ((col("n_agree") * col("n_docs") - col("pe_num")).cast("double") /
+            (col("n_docs") * col("n_docs") - col("pe_num")).cast("double"))
+            .as("kappa"))
+    }),
+
     // Langid confusion matrix: the q36 predictor scored against the
     // labeled lang — names which languages the bigram profile
     // mistakes for which (the eval q36's histogram can't give).
@@ -2814,6 +2841,25 @@ object PipelineOps {
         |    AS correct
         |FROM pred p JOIN documents d ON d.doc_id = p.doc_id
         |GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin),
+
+    // q290: same prediction CTEs, then the exact-integer kappa core.
+    "q290_cohens_kappa" -> (LangIdPredCtes +
+      """
+        |, j AS (SELECT d.lang, p.lang_pred
+        |        FROM pred p JOIN documents d ON d.doc_id = p.doc_id),
+        |b AS (SELECT count(*) AS n_docs,
+        |        sum(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END) AS n_agree
+        |      FROM j),
+        |rm AS (SELECT lang, count(*) AS row_n FROM j GROUP BY 1),
+        |cm AS (SELECT lang_pred AS lang, count(*) AS col_n FROM j GROUP BY 1),
+        |pe AS (SELECT sum(row_n * col_n) AS pe_num
+        |       FROM rm JOIN cm USING (lang))
+        |SELECT CAST(b.n_docs AS BIGINT) AS n_docs,
+        |  CAST(b.n_agree AS BIGINT) AS n_agree,
+        |  CAST(pe.pe_num AS BIGINT) AS pe_num,
+        |  CAST(b.n_agree * b.n_docs - pe.pe_num AS DOUBLE)
+        |    / CAST(b.n_docs * b.n_docs - pe.pe_num AS DOUBLE) AS kappa
+        |FROM b, pe""".stripMargin),
     "q55_pii_redact" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,

@@ -1304,6 +1304,76 @@ object Relational {
         .agg(sum(when(crit, 1L).otherwise(0L)).as("high_line_count"),
           sum(when(crit, 0L).otherwise(1L)).as("low_line_count"))
         .orderBy(col("l_linestatus"))
+    }),
+
+    // q289: k-anonymity / l-diversity audit — the privacy-QA gate a
+    // training corpus runs before release (Sweeney 2002; Machanavajjhala
+    // 2007): group customers by quasi-identifier (segment, balance
+    // K-bucket), report each equivalence class's size, its sensitive-
+    // attribute (nation) diversity, and the k<5 / l<3 violation flags.
+    // One partial-agg shuffle; the flags are plain integer compares.
+    "q289_k_anonymity" -> ((s, d) => {
+      Tables.customer(s, d)
+        .groupBy(col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bucket"))
+        .agg(count(lit(1)).as("class_size"),
+          countDistinct(col("c_nationkey")).as("n_distinct_nation"))
+        .select(col("c_mktsegment"), col("bal_bucket"), col("class_size"),
+          col("n_distinct_nation"),
+          when(col("class_size") >= 5L, 1L).otherwise(0L).as("k_anonymous"),
+          when(col("n_distinct_nation") >= 3L, 1L).otherwise(0L)
+            .as("l_diverse"))
+        .orderBy(col("c_mktsegment"), col("bal_bucket"))
+    }),
+
+    // q291: in-pass QA counters via the OBSERVE API (CollectMetrics) —
+    // the zero-extra-scan ingest audit: row count, exact value total,
+    // high-discount count and max quantity ride the SAME physical pass
+    // as the (discarded) main action instead of a second scan — at
+    // 100 TB the difference between auditing for free and re-reading
+    // the lake. The declared output is the observed metrics row; the
+    // oracle computes the same aggregates declaratively.
+    "q291_observe_metrics" -> ((s, d) => {
+      val obs = org.apache.spark.sql.Observation()
+      val od = Tables.lineitem(s, d).observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(Exact.scaled(col("l_extendedprice"), 2)).as("price_cents"),
+        sum(when(col("l_discount") >= 0.06, 1L).otherwise(0L))
+          .as("n_high_discount"),
+        max(col("l_quantity")).as("max_qty"))
+      od.foreach(_ => ()) // the one real pass; metrics piggyback on it
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long],
+        m("price_cents").asInstanceOf[Long],
+        m("n_high_discount").asInstanceOf[Long],
+        m("max_qty").asInstanceOf[Double]))
+        .toDF("n_rows", "price_cents", "n_high_discount", "max_qty")
+    }),
+
+    // q292: the rank-function family Spark's §2.6 coverage had not yet
+    // exercised — ntile / percent_rank / cume_dist over a TOTAL order
+    // (quantity, orderkey, linenumber — no tie nondeterminism inside
+    // ntile), summarized per (returnflag, quartile). percent_rank and
+    // cume_dist are single divisions of exact integer ranks, rounded
+    // at 9 (O(1) magnitudes).
+    "q292_rank_family" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"),
+          col("l_linenumber"))
+        .withColumn("tile", ntile(4).over(w).cast("long"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .groupBy(col("l_returnflag"), col("tile"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("pr")), 9).as("min_pr9"),
+          round(max(col("pr")), 9).as("max_pr9"),
+          round(max(col("cd")), 9).as("max_cd9"),
+          sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag"), col("tile"))
     })
   )
 
@@ -2249,6 +2319,40 @@ object Relational {
         |WHERE l.l_shipdate >= DATE '1997-01-01'
         |  AND l.l_shipdate < DATE '1998-01-01'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q289_k_anonymity" ->
+      """SELECT c_mktsegment,
+        |  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+        |  CAST(count(*) AS BIGINT) AS class_size,
+        |  CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_distinct_nation,
+        |  CAST(CASE WHEN count(*) >= 5 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS k_anonymous,
+        |  CAST(CASE WHEN count(DISTINCT c_nationkey) >= 3 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS l_diverse
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q291_observe_metrics" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  CAST(sum(CASE WHEN l_discount >= 0.06 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_high_discount,
+        |  max(l_quantity) AS max_qty
+        |FROM lineitem""".stripMargin,
+
+    "q292_rank_family" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    CAST(ntile(4) OVER w AS BIGINT) AS tile,
+        |    percent_rank() OVER w AS pr,
+        |    cume_dist() OVER w AS cd
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_returnflag
+        |               ORDER BY l_quantity, l_orderkey, l_linenumber))
+        |SELECT l_returnflag, tile, CAST(count(*) AS BIGINT) AS n,
+        |  round(min(pr), 9) AS min_pr9, round(max(pr), 9) AS max_pr9,
+        |  round(max(cd), 9) AS max_cd9, sum(l_quantity) AS sum_qty
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q190_column_profile" -> {
       val cols = Seq("o_custkey", "o_orderdate", "o_orderkey",

@@ -53,7 +53,9 @@ class PlanLintSpec extends AnyFunSuite {
     "q254_skew_advisor", "q260_simpson_check",
     // round-8 TPC-H shapes: Q11's global-total row and Q22's global
     // positive-balance average row — the textbook scalar subqueries
-    "q279_tpch_q11", "q284_tpch_q22")
+    "q279_tpch_q11", "q284_tpch_q22",
+    // kappa: two one-row aggregates (agree/N and Σ row·col) attach
+    "q290_cohens_kappa")
 
   // Bounded-cell DP / generator fan-outs: every nested-loop input here
   // is a CELL TABLE whose size is a fixed parameter, not data volume —
