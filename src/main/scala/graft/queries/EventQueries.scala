@@ -1209,6 +1209,36 @@ object EventQueries {
         (round(col("value") * 100)).cast("long").as("cents"))
       graft.ops.TimeSeries.m4Downsample(ev, "event_type", "us", "event_id",
         "cents", bucketUs = 86400000000L)
+    }),
+
+    // q294: off-policy IPS evaluation (Horvitz–Thompson inverse
+    // propensity scoring, the standard counterfactual estimate for "what
+    // value would THIS policy have logged") — target policy =
+    // deterministic rule (purchase for user_id%3==0 else click),
+    // behavior propensity = the logged action's empirical marginal
+    // cnt_a/N. Per action the estimate factors as
+    // matched_cents·N/cnt_a — propensity constant within the group, so
+    // the only division is ONE double op over exact longs per output
+    // row (a cross-engine-exact IPS; per-row ratio sums would not
+    // be). One partial-agg pass; the N row attaches via broadcast
+    // crossJoin (scalarBroadcast).
+    "q294_offpolicy_ips" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val tot = ev.agg(count(lit(1)).as("n_total"))
+      val pol = when(col("user_id") % 3 === 0, "purchase").otherwise("click")
+      ev.withColumn("matched", (col("event_type") === pol).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_logged"),
+          sum(col("matched")).as("n_matched"),
+          sum(col("matched") * col("cents")).as("matched_cents"))
+        .crossJoin(broadcast(tot))
+        .select(col("event_type"), col("n_logged"), col("n_matched"),
+          col("matched_cents"),
+          ((col("matched_cents") * col("n_total")).cast("double")
+            / col("n_logged").cast("double") / 100.0).as("ips_value"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -2487,6 +2517,23 @@ object EventQueries {
         |  CAST(max(CASE WHEN rd = 1 THEN cents END) AS BIGINT) AS last_val,
         |  min(cents) AS min_val, max(cents) AS max_val,
         |  min(us) AS min_us, max(us) AS max_us
-        |FROM b GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin
+        |FROM b GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+
+    // q294: same grouping, same single-division factorization.
+    "q294_offpolicy_ips" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CASE WHEN event_type = (CASE WHEN user_id % 3 = 0
+        |      THEN 'purchase' ELSE 'click' END) THEN 1 ELSE 0 END AS m
+        |  FROM events),
+        |t AS (SELECT count(*) AS n_total FROM e)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_logged,
+        |  CAST(sum(e.m) AS BIGINT) AS n_matched,
+        |  CAST(sum(e.m * e.cents) AS BIGINT) AS matched_cents,
+        |  CAST(CAST(sum(e.m * e.cents) AS BIGINT) * t.n_total AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) / 100.0 AS ips_value
+        |FROM e, t GROUP BY e.event_type, t.n_total
+        |ORDER BY e.event_type""".stripMargin
   )
 }

@@ -1374,6 +1374,33 @@ object Relational {
           round(max(col("cd")), 9).as("max_cd9"),
           sum(col("l_quantity")).as("sum_qty"))
         .orderBy(col("l_returnflag"), col("tile"))
+    }),
+
+    // q293: incremental view maintenance by PARTIAL-STATE MERGE — the
+    // 100 TB refresh pattern behind q224's materialized view: when a
+    // delta batch arrives, re-aggregate ONLY the delta and merge its
+    // (sum, count) partials with the stored base partials, instead of
+    // rescanning the base. Declared as base-slice partials ∪ delta
+    // partials → merge, which provably equals the full rollup (sums
+    // and counts are commutative monoids) — exactly what the oracle
+    // computes in one pass. At scale the base partials are a stored
+    // O(groups) table, so refresh cost is O(delta), not O(base).
+    "q293_incremental_rollup" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      def partials(df: DataFrame): DataFrame =
+        df.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(Exact.scaled(col("l_extendedprice"), 2)).as("price_cents"),
+            count(lit(1)).as("cnt"))
+      val base = partials(li.filter(col("l_orderkey") % 10 =!= 0))
+      val delta = partials(li.filter(col("l_orderkey") % 10 === 0))
+      base.unionByName(delta)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("price_cents")).as("merged_cents"),
+          sum(col("cnt")).as("n_rows"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          (col("merged_cents").cast("double") / 100.0).as("total_price"),
+          col("n_rows"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
     })
   )
 
@@ -2353,6 +2380,14 @@ object Relational {
         |  round(min(pr), 9) AS min_pr9, round(max(pr), 9) AS max_pr9,
         |  round(max(cd), 9) AS max_cd9, sum(l_quantity) AS sum_qty
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q293: the merge provably equals the one-pass rollup.
+    "q293_incremental_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS total_price,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q190_column_profile" -> {
       val cols = Seq("o_custkey", "o_orderdate", "o_orderkey",

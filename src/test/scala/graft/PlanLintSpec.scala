@@ -55,7 +55,9 @@ class PlanLintSpec extends AnyFunSuite {
     // positive-balance average row — the textbook scalar subqueries
     "q279_tpch_q11", "q284_tpch_q22",
     // kappa: two one-row aggregates (agree/N and Σ row·col) attach
-    "q290_cohens_kappa")
+    "q290_cohens_kappa",
+    // IPS: the global-N row attaches to the O(#actions) group table
+    "q294_offpolicy_ips")
 
   // Bounded-cell DP / generator fan-outs: every nested-loop input here
   // is a CELL TABLE whose size is a fixed parameter, not data volume —
