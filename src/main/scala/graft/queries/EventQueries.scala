@@ -1239,6 +1239,46 @@ object EventQueries {
           ((col("matched_cents") * col("n_total")).cast("double")
             / col("n_logged").cast("double") / 100.0).as("ips_value"))
         .orderBy(col("event_type"))
+    }),
+
+    // q295: split-conformal prediction intervals (Vovk; Lei et al.) —
+    // the distribution-free uncertainty wrapper an eval pipeline puts
+    // around ANY point model. Calibration half fits the per-type mean;
+    // the conformal quantile is the k-th smallest absolute residual
+    // with k = ⌈0.9·(n+1)⌉ computed DIVISION-FREE ((9(n+1)+9) div 10),
+    // and residuals stay exact longs by comparing |v·n − Σ| instead of
+    // |v − Σ/n| (n constant per type, so the order is identical).
+    // Coverage on the held-out half is then exact counting. Every join
+    // is O(#event-types) rows; no scalar crossJoin, no driver state.
+    "q295_conformal_interval" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val cal = ev.filter(col("event_id") % 2 === 0)
+      val hold = ev.filter(col("event_id") % 2 =!= 0)
+      val model = cal.groupBy(col("event_type"))
+        .agg(sum(col("cents")).as("sum_cents"), count(lit(1)).as("n_cal"))
+      val wq = Window.partitionBy(col("event_type"))
+        .orderBy(col("r"), col("event_id"))
+      val ranked = cal.join(model, "event_type")
+        .select(col("event_type"), col("event_id"),
+          abs(col("cents") * col("n_cal") - col("sum_cents")).as("r"))
+        .withColumn("rk", row_number().over(wq))
+      val thr = ranked
+        .join(model.select(col("event_type"), col("n_cal").as("nc")),
+          "event_type")
+        .where(col("rk") === expr("(9 * (nc + 1) + 9) div 10"))
+        .select(col("event_type"), col("r").as("thr_r"))
+      val cov = hold.join(model, "event_type").join(thr, "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_eval"),
+          sum(when(abs(col("cents") * col("n_cal") - col("sum_cents"))
+            <= col("thr_r"), 1L).otherwise(0L)).as("n_covered"))
+      model.join(thr, "event_type").join(cov, "event_type")
+        .select(col("event_type"), col("n_cal"), col("thr_r"),
+          col("n_eval"), col("n_covered"),
+          (col("n_covered").cast("double") / col("n_eval").cast("double"))
+            .as("coverage"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -2534,6 +2574,45 @@ object EventQueries {
         |  CAST(CAST(sum(e.m * e.cents) AS BIGINT) * t.n_total AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) / 100.0 AS ips_value
         |FROM e, t GROUP BY e.event_type, t.n_total
-        |ORDER BY e.event_type""".stripMargin
+        |ORDER BY e.event_type""".stripMargin,
+
+    // q295: same split, same division-free quantile index, same exact
+    // residual ordering.
+    "q295_conformal_interval" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |cal AS (SELECT * FROM e WHERE event_id % 2 = 0),
+        |hold AS (SELECT * FROM e WHERE event_id % 2 <> 0),
+        |m AS (SELECT event_type, sum(cents) AS sum_cents,
+        |        count(*) AS n_cal
+        |      FROM cal GROUP BY 1),
+        |r AS (
+        |  SELECT c.event_type, abs(c.cents * m.n_cal - m.sum_cents) AS r,
+        |    row_number() OVER (PARTITION BY c.event_type
+        |      ORDER BY abs(c.cents * m.n_cal - m.sum_cents), c.event_id)
+        |      AS rk
+        |  FROM cal c JOIN m ON m.event_type = c.event_type),
+        |thr AS (
+        |  SELECT r.event_type, r.r AS thr_r
+        |  FROM r JOIN m ON m.event_type = r.event_type
+        |  WHERE r.rk = (9 * (m.n_cal + 1) + 9) // 10),
+        |cov AS (
+        |  SELECT h.event_type, count(*) AS n_eval,
+        |    sum(CASE WHEN abs(h.cents * m.n_cal - m.sum_cents) <= t.thr_r
+        |        THEN 1 ELSE 0 END) AS n_covered
+        |  FROM hold h
+        |  JOIN m ON m.event_type = h.event_type
+        |  JOIN thr t ON t.event_type = h.event_type
+        |  GROUP BY 1)
+        |SELECT m.event_type, CAST(m.n_cal AS BIGINT) AS n_cal,
+        |  CAST(t.thr_r AS BIGINT) AS thr_r,
+        |  CAST(c.n_eval AS BIGINT) AS n_eval,
+        |  CAST(c.n_covered AS BIGINT) AS n_covered,
+        |  CAST(c.n_covered AS DOUBLE) / CAST(c.n_eval AS DOUBLE) AS coverage
+        |FROM m JOIN thr t ON t.event_type = m.event_type
+        |JOIN cov c ON c.event_type = m.event_type
+        |ORDER BY m.event_type""".stripMargin
   )
 }

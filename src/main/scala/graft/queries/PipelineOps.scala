@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.ops.{CorpusStats, Dedup, Similarity, TextAnalysis, Multimodal}
@@ -85,6 +86,145 @@ object PipelineOps {
       Dedup.prefixJaccardPairs(Tables.documents(s, d), "doc_id", "text",
           threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // q296: sorted-neighborhood CANDIDATE→VERIFY end-to-end — the
+    // verify-stage complement of q196 (which generates SNM candidates
+    // over a (lang, n_chars) sort via a global zipWithIndex pass):
+    // here the sort key is the CONTENT prefix (first 24 lowered
+    // chars), adjacency comes from a lead() window running INSIDE
+    // 2-char key-prefix partitions (fully distributed — no
+    // zipWithIndex, no single-partition window; cross-prefix
+    // adjacencies share < 2 key chars and are not near-sorted, the
+    // documented SNM trade), and every candidate is VERIFIED with
+    // exact token-set Jaccard — the same candidates→exact-verify
+    // ladder the LSH family declares as q26→q27. Candidate count is
+    // exactly n − #blocks: LINEAR, the whole point of SNM.
+    "q296_sorted_neighborhood" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), lower(substring(col("text"), 1, 24)).as("key"),
+          expr("filter(split(text, '\\\\s+'), x -> x != '')").as("ts"))
+        .withColumn("blk", substring(col("key"), 1, 2))
+      val w = Window.partitionBy(col("blk"))
+        .orderBy(col("key"), col("doc_id"))
+      docs
+        .withColumn("next_id", lead(col("doc_id"), 1).over(w))
+        .withColumn("next_ts", lead(col("ts"), 1).over(w))
+        .where(col("next_id").isNotNull)
+        .select(col("doc_id").as("id_a"), col("next_id").as("id_b"),
+          size(array_distinct(col("ts"))).as("n_a"),
+          size(array_distinct(col("next_ts"))).as("n_b"),
+          size(array_intersect(col("ts"), col("next_ts"))).as("inter"))
+        .select(col("id_a"), col("id_b"),
+          col("n_a").cast("long").as("n_a"),
+          col("n_b").cast("long").as("n_b"),
+          col("inter").cast("long").as("inter"),
+          when(col("n_a") + col("n_b") - col("inter") > 0,
+            col("inter").cast("double") /
+              (col("n_a") + col("n_b") - col("inter")).cast("double"))
+            .otherwise(lit(0.0)).as("jaccard"),
+          when(col("inter") * 2 >= (col("n_a") + col("n_b") - col("inter")),
+            1L).otherwise(0L).as("is_dup"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // q297: BUDGETED CURATION — greedy highest-lexical-diversity
+    // selection under a global token budget (the knapsack relaxation
+    // every "best N tokens" curation run uses): rank docs by
+    // distinct/total token ratio, take while the cumulative token
+    // count stays ≤ 50k, report the kept set per source. The cumsum
+    // window runs over O(docs) DOC-LEVEL rows (the token explosion is
+    // already aggregated away), so the global ordered window is a
+    // range-sort of the small profile table, not of the corpus.
+    "q297_budget_select" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          expr("filter(split(text, '\\\\s+'), x -> x != '')").as("ts"))
+        .select(col("doc_id"), col("source"),
+          size(col("ts")).cast("long").as("n_tokens"),
+          size(array_distinct(col("ts"))).cast("long").as("n_distinct"))
+        .where(col("n_tokens") > 0)
+      val ordW = Window.orderBy(
+        (col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+          .desc, col("doc_id"))
+      toks.withColumn("cum_tokens", sum(col("n_tokens")).over(ordW))
+        .where(col("cum_tokens") <= 50000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("tot_tokens"),
+          sum(col("n_distinct")).as("tot_distinct"))
+        .orderBy(col("source"))
+    }),
+
+    // q298: LABEL-NOISE DETECTION by k-NN disagreement (the
+    // confident-learning heuristic): a vector whose 5 nearest
+    // neighbors mostly carry a DIFFERENT label is a mislabel suspect.
+    // Probe side bounded to 200 rows (broadcast probe scan, the q112
+    // class); at web scale both sides route through the IVF lists
+    // (the q266 pattern). Exact scaled-long cosine, so the oracle
+    // replays the whole ranking.
+    "q298_label_noise_knn" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val knn = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 200), "vec_id", "embedding", k = 5)
+      val lbl = emb.select(col("vec_id"), col("label"))
+      knn
+        .join(lbl.select(col("vec_id").as("query_id"),
+          col("label").as("own_label")), "query_id")
+        .join(lbl.select(col("vec_id").as("neighbor_id"),
+          col("label").as("nb_label")), "neighbor_id")
+        .groupBy(col("query_id"), col("own_label"))
+        .agg(sum(when(col("nb_label") =!= col("own_label"), 1L)
+          .otherwise(0L)).as("n_disagree"))
+        .select(col("query_id"), col("own_label"), col("n_disagree"),
+          when(col("n_disagree") >= 3L, 1L).otherwise(0L).as("suspect"))
+        .orderBy(col("query_id"))
+    }),
+
+    // q299: EMBEDDING-SPACE OUTLIERS by distance to own class
+    // centroid — the other half of the label-QA pair (q298 finds
+    // points whose neighborhood disagrees; this finds points far from
+    // their class mass). Exactness trick: comparing Σ(x − S/n)² across
+    // one class equals comparing Σ(n·x − S)² (n constant per class),
+    // so the d4-quantized coordinates keep every distance an exact
+    // long — no float accumulation anywhere. Top-20 per class by
+    // (distance DESC, vec_id). Two partial-agg shuffles + a per-class
+    // rank window; at 100× the n²-scaled longs near overflow — swap
+    // to the d2 kernel there (documented, same structure).
+    "q299_class_outliers" -> ((s, d) => {
+      val ex = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("i", "v")))
+        .select(col("vec_id"), col("label"), col("i"),
+          round(col("v").cast("double") * 10000).cast("long").as("x"))
+      val cls = ex.groupBy(col("label"), col("i"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      val diff = col("n") * col("x") - col("sx")
+      val dist = ex.join(cls, Seq("label", "i"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(sum(diff * diff).as("dist2n2"), max(col("n")).as("class_n"))
+      val w = Window.partitionBy(col("label"))
+        .orderBy(col("dist2n2").desc, col("vec_id"))
+      dist.withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 20)
+        .select(col("label"), col("rk"), col("vec_id"), col("dist2n2"),
+          col("class_n"))
+        .orderBy(col("label"), col("rk"))
+    }),
+
+    // q300: DEDUP-THRESHOLD TUNING HISTOGRAM — the pair-similarity
+    // distribution (0.1-wide Jaccard bins above 0.3) that tells an
+    // operator where to SET the dedup threshold before running it.
+    // Built on the exact all-pairs baseline (quadratic BY DESIGN, the
+    // q27/q30 anchor class — at scale this audit runs on a hash
+    // sample, the curve is what matters, and the memoized pair build
+    // is shared with q27).
+    "q300_dedup_sim_histogram" -> ((s, d) => {
+      Dedup.exactJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.3)
+        .groupBy(floor(col("jaccard") * 10).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("bin"))
     }),
 
     // SimHash fingerprints via the native Catalyst expression
@@ -2368,6 +2508,144 @@ object PipelineOps {
         |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
     "q26_dedup_minhash" -> NgramJaccardSql,
     "q27_ngram_jaccard" -> NgramJaccardSql,
+
+    // q298: the q31 ranking chain at the 200-query cut, joined to
+    // labels, disagreement counted per query.
+    "q298_label_noise_knn" -> (EmbCte +
+      """, dots AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(sum(CAST(round(q.v*c.v*1000000000) AS BIGINT)) AS BIGINT)
+        |      AS draw
+        |  FROM ex q JOIN ex c ON q.i = c.i AND q.vec_id < 200
+        |    AND q.vec_id <> c.vec_id
+        |  GROUP BY 1, 2),
+        |cosd AS (
+        |  SELECT query_id, neighbor_id,
+        |    (CAST(draw AS DOUBLE)/1000000000.0)/(sqrt(nq.nsq)*sqrt(nc.nsq))
+        |      AS cos
+        |  FROM dots JOIN sn nq ON nq.vec_id = query_id
+        |  JOIN sn nc ON nc.vec_id = neighbor_id),
+        |knn AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, neighbor_id) AS rk
+        |    FROM cosd) WHERE rk <= 5)
+        |SELECT k.query_id, lq.label AS own_label,
+        |  CAST(sum(CASE WHEN lc.label <> lq.label THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_disagree,
+        |  CAST(CASE WHEN sum(CASE WHEN lc.label <> lq.label THEN 1 ELSE 0
+        |    END) >= 3 THEN 1 ELSE 0 END AS BIGINT) AS suspect
+        |FROM knn k
+        |JOIN embeddings lq ON lq.vec_id = k.query_id
+        |JOIN embeddings lc ON lc.vec_id = k.neighbor_id
+        |GROUP BY 1, 2 ORDER BY query_id""".stripMargin),
+
+    // q299: the d4 coordinate grid, per-(class, dim) sums, the
+    // n-scaled exact squared distance, per-class rank cut.
+    "q299_class_outliers" ->
+      """WITH ex AS (
+        |  SELECT e.vec_id, e.label, generate_subscripts(e.embedding, 1) AS i,
+        |    CAST(round(CAST(unnest(e.embedding) AS DOUBLE) * 10000)
+        |      AS BIGINT) AS x
+        |  FROM embeddings e),
+        |cls AS (SELECT label, i, sum(x) AS sx, count(*) AS n
+        |        FROM ex GROUP BY 1, 2),
+        |dist AS (
+        |  SELECT ex.vec_id, ex.label,
+        |    sum((cls.n * ex.x - cls.sx) * (cls.n * ex.x - cls.sx))
+        |      AS dist2n2,
+        |    max(cls.n) AS class_n
+        |  FROM ex JOIN cls ON cls.label = ex.label AND cls.i = ex.i
+        |  GROUP BY 1, 2),
+        |rkd AS (
+        |  SELECT label, vec_id, dist2n2, class_n,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY dist2n2 DESC, vec_id) AS rk
+        |  FROM dist)
+        |SELECT label, CAST(rk AS BIGINT) AS rk, vec_id,
+        |  CAST(dist2n2 AS BIGINT) AS dist2n2,
+        |  CAST(class_n AS BIGINT) AS class_n
+        |FROM rkd WHERE rk <= 20 ORDER BY label, rk""".stripMargin,
+
+    // q300: the q27 pair grid binned at 0.1 Jaccard above the 0.3 cut.
+    "q300_dedup_sim_histogram" -> ("WITH " + NgramPairsCtes +
+      """
+        |, jac AS (
+        |  SELECT CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE)
+        |    AS j
+        |  FROM inter JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE)
+        |    >= 0.3)
+        |SELECT CAST(floor(j * 10) AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM jac GROUP BY 1 ORDER BY bin""".stripMargin),
+
+    // q296: lead() pairs inside the same prefix blocks, token-grid
+    // join for the exact set intersection (left join keeps inter=0
+    // candidates).
+    "q296_sorted_neighborhood" ->
+      """WITH k AS (
+        |  SELECT doc_id, lower(substr(text, 1, 24)) AS key FROM documents),
+        |p AS (
+        |  SELECT doc_id, lead(doc_id) OVER w AS next_id
+        |  FROM k WINDOW w AS (PARTITION BY substr(key, 1, 2)
+        |                      ORDER BY key, doc_id)),
+        |c AS (SELECT doc_id AS id_a, next_id AS id_b FROM p
+        |      WHERE next_id IS NOT NULL),
+        |tok0 AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(regexp_split_to_array(text, '\s+')) AS tok
+        |  FROM documents),
+        |tok2 AS (SELECT doc_id, tok FROM tok0 WHERE tok <> ''),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tok2 GROUP BY 1),
+        |iv AS (
+        |  SELECT c.id_a, c.id_b, count(*) AS inter
+        |  FROM c JOIN tok2 a ON a.doc_id = c.id_a
+        |  JOIN tok2 b ON b.doc_id = c.id_b AND b.tok = a.tok
+        |  GROUP BY 1, 2)
+        |SELECT c.id_a AS id_a, c.id_b AS id_b,
+        |  CAST(coalesce(sa.n, 0) AS BIGINT) AS n_a,
+        |  CAST(coalesce(sb.n, 0) AS BIGINT) AS n_b,
+        |  CAST(coalesce(iv.inter, 0) AS BIGINT) AS inter,
+        |  CASE WHEN coalesce(sa.n, 0) + coalesce(sb.n, 0)
+        |      - coalesce(iv.inter, 0) > 0
+        |    THEN CAST(coalesce(iv.inter, 0) AS DOUBLE)
+        |      / CAST(coalesce(sa.n, 0) + coalesce(sb.n, 0)
+        |        - coalesce(iv.inter, 0) AS DOUBLE)
+        |    ELSE 0.0 END AS jaccard,
+        |  CAST(CASE WHEN coalesce(iv.inter, 0) * 2 >=
+        |      coalesce(sa.n, 0) + coalesce(sb.n, 0) - coalesce(iv.inter, 0)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+        |FROM c
+        |LEFT JOIN sz sa ON sa.doc_id = c.id_a
+        |LEFT JOIN sz sb ON sb.doc_id = c.id_b
+        |LEFT JOIN iv ON iv.id_a = c.id_a AND iv.id_b = c.id_b
+        |ORDER BY 1, 2""".stripMargin,
+
+    // q297: same doc profile, same ratio-ordered RANGE cumsum cut.
+    "q297_budget_select" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    unnest(regexp_split_to_array(text, '\s+')) AS tok
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, source, tok FROM tok WHERE tok <> ''),
+        |prof AS (
+        |  SELECT doc_id, source, count(*) AS n_tokens,
+        |    count(DISTINCT tok) AS n_distinct
+        |  FROM t2 GROUP BY 1, 2),
+        |sel AS (
+        |  SELECT source, n_tokens, n_distinct,
+        |    sum(n_tokens) OVER (
+        |      ORDER BY CAST(n_distinct AS DOUBLE)/CAST(n_tokens AS DOUBLE)
+        |        DESC, doc_id) AS cum_tokens
+        |  FROM prof)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+        |  CAST(sum(n_distinct) AS BIGINT) AS tot_distinct
+        |FROM sel WHERE cum_tokens <= 50000 GROUP BY 1
+        |ORDER BY source""".stripMargin,
     // Prefix filtering is output-equivalent to the all-pairs join by
     // the SSJoin prefix theorem — q27's SQL at the 0.8 production cut.
     "q177_prefix_jaccard" -> ngramJaccardSqlAt("0.8"),

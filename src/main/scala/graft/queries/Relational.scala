@@ -1019,21 +1019,30 @@ object Relational {
     }),
 
     // q276: TPC-H Q7 (volume shipping) — bilateral trade between two
-    // nations: supplier in one, customer in the other, BOTH
-    // directions, revenue per (supp_nation, cust_nation, ship-year).
-    // The two-nation filter lands on the DIMENSIONS (supplier/customer
-    // shrink ~12.5× before touching the fact), the pair condition on
-    // the joined result; nation broadcasts, the rest is AQE's choice.
+    // blocs: supplier in one, customer in the other, BOTH directions,
+    // revenue per (supp bloc, cust bloc, ship-year). Lifted from
+    // nation pairs to REGION pairs (ASIA↔EUROPE): at sf0.001 only 10
+    // suppliers exist across 25 nations, so any specific nation pair
+    // is empty — a region pair is populated at every SF with the
+    // identical join/filter shape. The two-bloc filter lands on the
+    // DIMENSIONS (supplier/customer shrink ~60% before touching the
+    // fact), the pair condition on the joined result; the fixed
+    // nation⋈region chains broadcast, the rest is AQE's choice.
     "q276_tpch_q7" -> ((s, d) => {
-      val n = broadcast(Tables.nation(s, d)
-        .filter(col("n_name").isin("NATION_1", "NATION_2")))
+      val blocs = Tables.nation(s, d)
+        .join(Tables.region(s, d)
+          .filter(col("r_name").isin("ASIA", "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("r_name"))
       val sup = Tables.supplier(s, d)
-        .join(n.select(col("n_nationkey"), col("n_name").as("supp_nation")),
+        .join(broadcast(blocs.select(col("n_nationkey"),
+          col("r_name").as("supp_nation"))),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("supp_nation"))
       val cust = Tables.customer(s, d)
-        .join(n.select(col("n_nationkey").as("cnk"),
-          col("n_name").as("cust_nation")), col("c_nationkey") === col("cnk"))
+        .join(broadcast(blocs.select(col("n_nationkey").as("cnk"),
+          col("r_name").as("cust_nation"))),
+          col("c_nationkey") === col("cnk"))
         .select(col("c_custkey"), col("cust_nation"))
       val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
       val l = Tables.lineitem(s, d)
@@ -1044,10 +1053,10 @@ object Relational {
       l.join(sup, col("l_suppkey") === col("s_suppkey"))
         .join(o, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
-        .filter((col("supp_nation") === "NATION_1" &&
-            col("cust_nation") === "NATION_2") ||
-          (col("supp_nation") === "NATION_2" &&
-            col("cust_nation") === "NATION_1"))
+        .filter((col("supp_nation") === "ASIA" &&
+            col("cust_nation") === "EUROPE") ||
+          (col("supp_nation") === "EUROPE" &&
+            col("cust_nation") === "ASIA"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).cast("long").as("l_year"))
         .agg(Exact.sumExact(
@@ -2188,20 +2197,22 @@ object Relational {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q276_tpch_q7" ->
-      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      """SELECT sr.r_name AS supp_nation, cr.r_name AS cust_nation,
         |  year(l.l_shipdate) AS l_year,
         |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
         |    * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
         |FROM lineitem l
         |JOIN supplier s ON s.s_suppkey = l.l_suppkey
         |JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        |JOIN region sr ON sr.r_regionkey = sn.n_regionkey
         |JOIN orders o ON o.o_orderkey = l.l_orderkey
         |JOIN customer c ON c.c_custkey = o.o_custkey
         |JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        |JOIN region cr ON cr.r_regionkey = cn.n_regionkey
         |WHERE l.l_shipdate >= DATE '1997-01-01'
         |  AND l.l_shipdate < DATE '1999-01-01'
-        |  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
-        |    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        |  AND ((sr.r_name = 'ASIA' AND cr.r_name = 'EUROPE')
+        |    OR (sr.r_name = 'EUROPE' AND cr.r_name = 'ASIA'))
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "q277_tpch_q8" ->

@@ -21,7 +21,10 @@ class PlanLintSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
 
   private val quadraticByDesign =
-    Set("q30_embed_neardup", "q31_ann_topk", "q92_ann_lsh_full")
+    Set("q30_embed_neardup", "q31_ann_topk", "q92_ann_lsh_full",
+      // the threshold-tuning histogram runs on the exact q27 pair
+      // grid by declaration (sample-scale audit)
+      "q300_dedup_sim_histogram")
 
   // Broadcast k-query probe scans: stream side = corpus, broadcast
   // side = O(1) query rows, so the nested-loop operator is one kernel
@@ -31,7 +34,9 @@ class PlanLintSpec extends AnyFunSuite {
     "q123_hybrid_rrf", "q126_hard_negatives",
     // both mutual-NN directions run the documented broadcast-probe
     // bruteForceTopK (≤250-row probe side; IVF-bucket at web scale)
-    "q243_mutual_nn_align")
+    "q243_mutual_nn_align",
+    // label-noise kNN: 200-row probe side through the same kernel
+    "q298_label_noise_knn")
 
   // Scalar-aggregate broadcasts: a crossJoin whose build side is a
   // ONE-ROW aggregate (global min/max, corpus total, quantile

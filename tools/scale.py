@@ -70,6 +70,14 @@ QUERIES = ",".join([
     # (narrow per-row kernel control)
     "q266_mutual_nn_ivf", "q272_tpch_q21", "q273_bucketed_join",
     "q29_simhash_pairs", "q267_jpeg_pixel_decode",
+    # round-8 continuation: the fact-heaviest new TPC-H shapes (Q7
+    # 6-way nation-pair join, Q18 group-HAVING semi, Q16
+    # distinct-after-anti), the GIF LZW decode (narrow per-row kernel
+    # control), the SNM window dedup (prefix-partitioned sort), and
+    # conformal intervals (per-type rank windows)
+    "q276_tpch_q7", "q282_tpch_q18", "q285_tpch_q16",
+    "q288_gif_pixel_decode", "q296_sorted_neighborhood",
+    "q295_conformal_interval",
 ])
 
 rnd = sys.argv[1]
