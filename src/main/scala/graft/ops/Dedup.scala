@@ -70,6 +70,58 @@ object Dedup {
       .distinct()
   }
 
+  /** LSH band keys of a signature frame: one (band, key) row per band,
+    * key = xxhash64 of that band's signature slice — the banding step
+    * shared by [[lshCandidatePairs]] (self-join dedup) and
+    * [[incrementalNearDupPairs]] (cross-side dedup). */
+  private def banded(sigs: DataFrame, idCol: String,
+                     bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(col(idCol),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        j => xxhash64(slice(col("sig"), j * rowsPerBand + lit(1), lit(rowsPerBand)))))
+        .as(Seq("band", "key")))
+
+  /** INCREMENTAL near-dup detection: a new `delta` batch checked
+    * against the existing `corpus` WITHOUT re-pairing the corpus with
+    * itself — the daily-crawl ingestion shape. Both sides go through
+    * the same shingle → minhash → band pipeline as
+    * [[nearDuplicatePairs]], but the bucket join is CROSS-SIDE only
+    * (corpus × delta), so a batch of Δ docs against an N-doc corpus
+    * costs O(Δ + collisions), never O(N²) — and at 100 TB the corpus
+    * band table is a STORED index partitioned by (band, key) that the
+    * delta's bands probe, the same pay-once layout as the IVF lists
+    * (ops/IvfIndex): signature/banding work for the corpus is
+    * amortized across every future batch. Survivors are verified with
+    * exact Jaccard, so output = exactly the cross-side pairs at
+    * `threshold` (given band-collision recall, the q26 argument:
+    * at 64 bands × 2 rows a J=0.5 pair collides with p ≈ 1−10⁻⁸).
+    *
+    * Output: (id_a = corpus id, id_b = delta id, jaccard). Id spaces
+    * must be disjoint (enforced by the caller's split). */
+  def incrementalNearDupPairs(corpus: DataFrame, delta: DataFrame,
+                              idCol: String, textCol: String,
+                              threshold: Double = 0.5, shingleN: Int = 3,
+                              numHashes: Int = 128, bands: Int = 64,
+                              rowsPerBand: Int = 2,
+                              estMargin: Double = 0.15): DataFrame = {
+    val shC = withShingles(corpus, textCol, shingleN)
+    val shD = withShingles(delta, textCol, shingleN)
+    val sigC = withMinhashSignature(shC, numHashes).select(col(idCol), col("sig"))
+    val sigD = withMinhashSignature(shD, numHashes).select(col(idCol), col("sig"))
+    val cands = banded(sigC, idCol, bands, rowsPerBand)
+      .select(col("band"), col("key"), col(idCol).as("id_a"))
+      .join(banded(sigD, idCol, bands, rowsPerBand)
+        .select(col("band"), col("key"), col(idCol).as("id_b")),
+        Seq("band", "key"))
+      .select(col("id_a"), col("id_b")).distinct()
+    // the union is safe (disjoint id spaces) and lets the estimate
+    // filter + verify stages run unchanged from the self-join path
+    val sigs = sigC.unionByName(sigD)
+    val strong = sigEstimateFilter(cands, sigs, idCol, numHashes,
+      minEst = math.max(0.0, threshold - estMargin))
+    verifyJaccard(strong, shC.unionByName(shD), idCol, threshold)
+  }
+
   /** Exact Jaccard over candidate pairs: join each side's shingle set
     * back and compute |A∩B| / |A∪B| with array built-ins. */
   def verifyJaccard(pairs: DataFrame, shingled: DataFrame, idCol: String,

@@ -465,6 +465,59 @@ object Graph {
     out
   }
 
+  /** Newman–Girvan MODULARITY decomposition of a community assignment
+    * ("Finding and evaluating community structure in networks", Phys.
+    * Rev. E 69, 2004): per community c, Q_c = e_c/m − (d_c/2m)² where
+    * e_c = intra-community edges, d_c = Σ member degrees, m = |E| —
+    * the standard "was this clustering better than chance" score for
+    * [[labelPropagation]]'s output. Everything is kept EXACT: the
+    * per-community numerator 4·m·e_c − d_c² is integer (Q_c times the
+    * constant 4m², so community ranking and the global sum replay
+    * cross-engine bit-for-bit); Q itself is one double division at
+    * the end. Overflow headroom: d_c ≤ 2m, so the numerator is
+    * bounded by 4m² — safe in a long up to m ≈ 1.5·10⁹ edges, far
+    * past any per-partition community scale (shard the graph first,
+    * as every modularity pipeline at 100 TB does).
+    *
+    * Shape: one distinct on the edge list, one degree agg, two
+    * broadcast-size joins of (node → community), one per-community
+    * agg, and the 1-row m scalar attached by cross join (the
+    * scalar-subquery class). Never a pair join.
+    *
+    * @param edges undirected; `src`/`dst`, any integral type.
+    *              Symmetrized + deduped internally.
+    * @param communities (node, community) as produced by
+    *                    [[labelPropagation]].
+    * @return one row per community: (community, n_nodes, intra_edges,
+    *         total_deg, contrib_num = 4·m·e_c − d_c², m). */
+  def modularity(edges: DataFrame, communities: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct().cache()
+    val m = und.agg(count(lit(1)).as("m"))
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val comm = communities.select(col("node"), col("community"))
+    val dc = deg.join(comm, Seq("node"))
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("total_deg"))
+    val intra = und
+      .join(comm.select(col("node").as("a"), col("community").as("ca")), "a")
+      .join(comm.select(col("node").as("b"), col("community").as("cb")), "b")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("intra_edges"))
+    dc.join(intra, Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("total_deg"),
+        (lit(4L) * col("m") * coalesce(col("intra_edges"), lit(0L))
+          - col("total_deg") * col("total_deg")).as("contrib_num"),
+        col("m"))
+  }
+
   /** Connected components by alternating LARGE-STAR / SMALL-STAR
     * rounds — the Kiveris–Lattanzi–Mirrokni–Rastogi–Vassilvitskii
     * algorithm ("Connected Components in MapReduce and Beyond", SoCC

@@ -227,6 +227,85 @@ object PipelineOps {
         .orderBy(col("bin"))
     }),
 
+    // q304: PMI COLLOCATIONS — pointwise mutual information of
+    // adjacent word pairs (Church & Hanks 1990), the classic
+    // multiword-expression extractor a tokenizer-training pipeline
+    // runs to decide merge candidates. Counts are three partial-agg
+    // shuffles (bigrams, unigrams, and the two 1-row totals attached
+    // by broadcast — the scalar-subquery class); the min-count ≥ 5
+    // cut bounds the output by vocabulary, not corpus. The PMI ratio
+    // multiplies the exact longs in ONE fixed left-assoc double
+    // chain before the single ln (IEEE ops are exactly rounded, so
+    // the input to ln is bit-identical cross-engine; ln itself is the
+    // q14 precedent), rounded at 9.
+    "q304_pmi_collocations" -> ((s, d) => {
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        posexplode(expr("filter(split(text, '\\\\s+'), x -> x != '')"))
+          .as(Seq("pos", "tok")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val bi = toks.withColumn("nxt", lead(col("tok"), 1).over(w))
+        .where(col("nxt").isNotNull)
+        .groupBy(col("tok").as("w1"), col("nxt").as("w2"))
+        .agg(count(lit(1)).as("c_ab"))
+      val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val tot = uni.agg(sum(col("c")).as("n_uni"))
+        .crossJoin(bi.agg(sum(col("c_ab")).as("n_bi")))
+      bi.where(col("c_ab") >= 5L)
+        .join(uni.select(col("tok").as("w1"), col("c").as("c_a")), "w1")
+        .join(uni.select(col("tok").as("w2"), col("c").as("c_b")), "w2")
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+          round(log(
+            col("c_ab").cast("double") * col("n_uni") * col("n_uni") /
+              (col("n_bi").cast("double") * col("c_a") * col("c_b"))), 9)
+            .as("pmi9"))
+        .orderBy(col("w1"), col("w2"))
+    }),
+
+    // q305: INCREMENTAL DEDUP — a new batch (top fifth of doc ids,
+    // the ingestion-order split) near-dup-checked against the
+    // existing corpus through cross-side LSH banding: the corpus band
+    // table is the pay-once stored index (the IvfIndex layout
+    // argument), the delta probes it, and only cross-side collisions
+    // reach the exact-Jaccard verify — O(Δ) per batch, never O(N²)
+    // and never re-pairing the corpus with itself. Output is EXACT
+    // (verify stage), so the quadratic cross-side baseline replays it.
+    "q305_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      // 1-row bound lookup (the argmax-collect class): the split
+      // point is data-dependent but O(1) driver state.
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val cut = 4L * maxId / 5L
+      Dedup.incrementalNearDupPairs(
+          docs.filter(col("doc_id") < cut),
+          docs.filter(col("doc_id") >= cut),
+          "doc_id", "text", threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // q306: ANN RECALL AUDIT — the measurement an operator runs
+    // before trusting an approximate index at scale: every TRUE
+    // near-dup pair (exact cosine ≥ 0.3, the quadratic-by-design
+    // anchor class) flagged with whether the production q32 LSH
+    // configuration (6 fixed md5-Rademacher planes) actually finds it
+    // (= the pair shares a bucket; the verify stage never drops a
+    // true pair). Recall/miss counts are one agg away; the pair-level
+    // table is declared so the oracle checks WHICH pairs are missed,
+    // not just how many. At 100 TB the truth side runs on a hash
+    // sample — the recall estimate is what matters.
+    "q306_ann_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val truth = Similarity.nearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.3)
+      val found = Similarity.lshNearDupPairsPortable(emb, "vec_id",
+          "embedding", threshold = 0.3, planes = 6)
+        .select(col("id_a"), col("id_b"), lit(1L).as("found"))
+      truth.join(found, Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"), col("cos"),
+          coalesce(col("found"), lit(0L)).as("found"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // SimHash fingerprints via the native Catalyst expression
     // (graft.functions.SimHash64, codegen'd). Rows-only.
     "q28_simhash" -> ((s, d) => {
@@ -2581,6 +2660,91 @@ object PipelineOps {
         |SELECT CAST(floor(j * 10) AS BIGINT) AS bin,
         |  CAST(count(*) AS BIGINT) AS n_pairs
         |FROM jac GROUP BY 1 ORDER BY bin""".stripMargin),
+
+    // q304: same tokenization (empties dropped, order preserved),
+    // same adjacency, same count cuts, same one-division-one-ln
+    // left-assoc PMI chain.
+    "q304_pmi_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(regexp_split_to_array(text, '\s+'), 1) AS pos,
+        |    unnest(regexp_split_to_array(text, '\s+')) AS tok
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, pos, tok FROM toks WHERE tok <> ''),
+        |bi AS (
+        |  SELECT tok AS w1, lead(tok, 1) OVER w AS w2
+        |  FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |bic AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab
+        |  FROM bi WHERE w2 IS NOT NULL GROUP BY 1, 2),
+        |uni AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1),
+        |tot AS (
+        |  SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS n_uni,
+        |         (SELECT CAST(sum(c_ab) AS BIGINT) FROM bic) AS n_bi)
+        |SELECT b.w1, b.w2, b.c_ab, ua.c AS c_a, ub.c AS c_b,
+        |  round(ln(CAST(b.c_ab AS DOUBLE) * t.n_uni * t.n_uni
+        |    / (CAST(t.n_bi AS DOUBLE) * ua.c * ub.c)), 9) AS pmi9
+        |FROM bic b
+        |JOIN uni ua ON ua.tok = b.w1
+        |JOIN uni ub ON ub.tok = b.w2
+        |CROSS JOIN tot t
+        |WHERE b.c_ab >= 5
+        |ORDER BY b.w1, b.w2""".stripMargin,
+
+    // q305: the exact cross-side pair grid at the same ingestion-order
+    // split — the quadratic baseline the banded incremental path
+    // provably equals.
+    "q305_incremental_dedup" -> ("WITH " + NgramPairsCtes +
+      """
+        |, cutv AS (SELECT (4 * max(doc_id)) // 5 AS c FROM documents)
+        |SELECT id_a, id_b,
+        |  CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |CROSS JOIN cutv
+        |WHERE id_a < cutv.c AND id_b >= cutv.c
+        |  AND CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    // q306: exact all-pairs truth at 0.3 (the q30 chain), found =
+    // same-bucket under the q32 fixed-plane assignment (the verify
+    // stage never drops a true pair, so bucket equality IS the recall
+    // decision).
+    "q306_ann_recall" -> (EmbCte +
+      """, r9 AS (
+        |  SELECT vec_id, i, CAST(round(v*1000000000) AS BIGINT) AS r FROM ex),
+        |sg AS MATERIALIZED (
+        |  SELECT t.p, d.i,
+        |    CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(t.p AS VARCHAR),
+        |      '_', CAST(d.i AS VARCHAR))), 1, 15)) AS BIGINT) % 2 = 0
+        |      THEN 1 ELSE -1 END AS s
+        |  FROM range(0, 6) t(p), (SELECT DISTINCT i FROM ex) d),
+        |proj AS MATERIALIZED (
+        |  SELECT r9.vec_id, sg.p, CAST(sum(r9.r * sg.s) AS BIGINT) AS pj
+        |  FROM r9 JOIN sg ON sg.i = r9.i GROUP BY 1, 2),
+        |bkt AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN pj > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM proj GROUP BY 1),
+        |dots AS MATERIALIZED (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    CAST(sum(CAST(round(a.v*b.v*1000000000) AS BIGINT)) AS BIGINT) AS draw
+        |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2),
+        |truth AS (
+        |  SELECT id_a, id_b,
+        |    (CAST(draw AS DOUBLE)/1000000000.0)/(sqrt(na.nsq)*sqrt(nb.nsq)) AS cos
+        |  FROM dots JOIN sn na ON na.vec_id = id_a
+        |  JOIN sn nb ON nb.vec_id = id_b
+        |  WHERE (CAST(draw AS DOUBLE)/1000000000.0)/(sqrt(na.nsq)*sqrt(nb.nsq)) >= 0.3)
+        |SELECT t.id_a, t.id_b, t.cos,
+        |  CAST(CASE WHEN ba.bucket = bb.bucket THEN 1 ELSE 0 END AS BIGINT) AS found
+        |FROM truth t
+        |JOIN bkt ba ON ba.vec_id = t.id_a
+        |JOIN bkt bb ON bb.vec_id = t.id_b
+        |ORDER BY t.id_a, t.id_b""".stripMargin),
 
     // q296: lead() pairs inside the same prefix blocks, token-grid
     // join for the exact set intersection (left join keeps inter=0

@@ -1410,6 +1410,102 @@ object Relational {
           (col("merged_cents").cast("double") / 100.0).as("total_price"),
           col("n_rows"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // q301: TPC-H Q6 (forecasting revenue change) — the pure
+    // scan-side query: every predicate pushes to the parquet scan,
+    // zero joins, one partial agg. The discount band compares the
+    // EXACT cent value (round(d·100) ∈ [5,7]) so both engines make
+    // the same in/out decision on every row regardless of how 0.05
+    // rounds in binary; revenue is the usual scaled-long sum.
+    "q301_tpch_q6" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01") &&
+          round(col("l_discount") * 100).cast("long").between(5L, 7L) &&
+          col("l_quantity") < 24)
+        .agg(Exact.sumExact(col("l_extendedprice") * col("l_discount"), 4)
+            .as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // q302: TPC-H Q2 (minimum-cost supplier) adapted to a schema with
+    // no partsupp: the supply relation is derived from the fact table
+    // (cheapest line offer per (part, supplier), exact cents), and
+    // the classic correlated-min subquery keeps its shape — only
+    // (part, supplier) offers MATCHING the part's minimum ASIA-region
+    // cost survive. The region filter lands on the 100-row supplier
+    // dimension (broadcast); the supply build is one partial agg over
+    // the fact; the per-part minimum is a second O(parts) agg joined
+    // back by (part, cost) equality — never a theta join.
+    "q302_tpch_q2" -> ((s, d) => {
+      val supply = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(Exact.scaled(col("l_extendedprice"), 2)).as("cost_cents"))
+      val asiaSup = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          col("n_name"))
+      val asiaSupply = supply
+        .join(asiaSup, col("l_suppkey") === col("s_suppkey"))
+      val minCost = asiaSupply
+        .groupBy(col("l_partkey").as("mp"))
+        .agg(min(col("cost_cents")).as("min_cost_cents"))
+      asiaSupply
+        .join(minCost, col("l_partkey") === col("mp") &&
+          col("cost_cents") === col("min_cost_cents"))
+        .join(Tables.part(s, d)
+          .filter(col("p_type") === "PROMO" && col("p_size") <= 25)
+          .select(col("p_partkey"), col("p_brand"), col("p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .select(Exact.scaled(col("s_acctbal"), 2).as("acctbal_cents"),
+          col("s_name"), col("n_name"), col("p_partkey"), col("p_brand"),
+          col("p_size"), col("cost_cents"))
+        .orderBy(col("acctbal_cents").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+    }),
+
+    // q303: TPC-H Q15 (top supplier) — the revenue-view + scalar-max
+    // shape: per-supplier 3-month revenue as an exact scaled-long,
+    // winners selected by EQUALITY against the 1-row global max
+    // (broadcast; ties all surface, exactly the spec's semantics —
+    // no nondeterministic pick). Completes the 22/22 TPC-H sweep
+    // together with q301/q302.
+    "q303_tpch_q15" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1997-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(Exact.scaled(
+          col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+          .as("rev_du"))
+      rev
+        .join(broadcast(rev.agg(max(col("rev_du")).as("mx"))),
+          col("rev_du") === col("mx"))
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          (col("rev_du").cast("double") / 10000.0).as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // q307: Newman–Girvan modularity of q168's label-propagation
+    // communities over the same part↔supplier graph — the "was this
+    // clustering better than chance" score every community pipeline
+    // reports. Per-community numerator 4·m·e_c − d_c² stays integer
+    // (exact cross-engine); the graph family's quality metric beside
+    // q105 rank / q168 membership / q197 density.
+    "q307_modularity" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d).select(
+        col("l_partkey").as("src"),
+        (lit(1000000L) + col("l_suppkey")).as("dst"))
+      val comm = graft.ops.Graph.labelPropagation(edges, iters = 3)
+      graft.ops.Graph.modularity(edges, comm)
+        .orderBy(col("community"))
     })
   )
 
@@ -1420,7 +1516,14 @@ object Relational {
   /** Unrolled synchronous LPA recurrence: per round, neighbor-label
     * counts → per-node winner (count DESC, label ASC) → carry previous
     * label when a node has no neighbors (never, post-symmetrization). */
-  private def lpaSql(iters: Int): String = {
+  private def lpaSql(iters: Int): String =
+    s"""WITH ${lpaCtes(iters)}
+       |SELECT node, lbl AS community FROM r$iters ORDER BY node""".stripMargin
+
+  /** The LPA recurrence as a reusable CTE chain (`e0`/`ed`/`r0`…
+    * `r{iters}`) — shared by q168 (membership) and q307 (modularity
+    * scored on the same communities). */
+  private def lpaCtes(iters: Int): String = {
     def step(prev: String, k: Int): String =
       s"""c$k AS (
          |  SELECT e.src AS node, l.lbl, count(*) AS c
@@ -1434,13 +1537,12 @@ object Relational {
          |  SELECT p.node, coalesce(b.lbl, p.lbl) AS lbl
          |  FROM $prev p LEFT JOIN b$k b USING (node))""".stripMargin
     val steps = (1 to iters).map(i => step(s"r${i - 1}", i)).mkString(",\n")
-    s"""WITH e0 AS (
+    s"""e0 AS (
        |  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src,
        |    1000000 + CAST(l_suppkey AS BIGINT) AS dst FROM lineitem),
        |ed AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
        |r0 AS (SELECT DISTINCT src AS node, src AS lbl FROM ed),
-       |$steps
-       |SELECT node, lbl AS community FROM r$iters ORDER BY node""".stripMargin
+       |$steps""".stripMargin
   }
 
   /** The integer-PageRank recurrence CTEs over any `edges` CTE the
@@ -2413,6 +2515,88 @@ object Relational {
          |  SELECT CAST(count(*) AS BIGINT) AS n_rows, $stats FROM orders)
          |$rows
          |ORDER BY column_name""".stripMargin
+    },
+
+    "q301_tpch_q6" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000)
+        |    AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '1997-01-01'
+        |  AND l_shipdate < DATE '1998-01-01'
+        |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q302_tpch_q2" ->
+      """WITH supply AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |asup AS (
+        |  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+        |  FROM supplier s
+        |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |  JOIN region r ON r.r_regionkey = n.n_regionkey
+        |    AND r.r_name = 'ASIA'),
+        |asupply AS (
+        |  SELECT sp.l_partkey, sp.cost_cents, a.s_suppkey, a.s_name,
+        |    a.s_acctbal, a.n_name
+        |  FROM supply sp JOIN asup a ON a.s_suppkey = sp.l_suppkey)
+        |SELECT CAST(round(a.s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+        |  a.s_name, a.n_name, p.p_partkey, p.p_brand, p.p_size,
+        |  a.cost_cents
+        |FROM asupply a
+        |JOIN part p ON p.p_partkey = a.l_partkey
+        |  AND p.p_type = 'PROMO' AND p.p_size <= 25
+        |WHERE a.cost_cents = (SELECT min(x.cost_cents) FROM asupply x
+        |                      WHERE x.l_partkey = a.l_partkey)
+        |ORDER BY acctbal_cents DESC, a.n_name, a.s_name,
+        |  p.p_partkey""".stripMargin,
+
+    "q303_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+        |      AS BIGINT)) AS rev_du
+        |  FROM lineitem
+        |  WHERE l_shipdate >= DATE '1997-01-01'
+        |    AND l_shipdate < DATE '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name,
+        |  CAST(r.rev_du AS DOUBLE) / 10000.0 AS total_revenue
+        |FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        |WHERE r.rev_du = (SELECT max(rev_du) FROM rev)
+        |ORDER BY s.s_suppkey""".stripMargin,
+
+    // q307: the q168 LPA recurrence (same CTE chain) + the exact
+    // modularity decomposition over the simple undirected edge list.
+    "q307_modularity" -> {
+      s"""WITH ${lpaCtes(3)},
+         |comm AS (SELECT node, lbl AS community FROM r3),
+         |ud AS (SELECT src AS a, dst AS b FROM e0),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ud),
+         |degs AS (
+         |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT a AS node FROM ud UNION ALL SELECT b AS node FROM ud)
+         |  GROUP BY 1),
+         |dc AS (
+         |  SELECT c.community, CAST(count(*) AS BIGINT) AS n_nodes,
+         |    CAST(sum(d.deg) AS BIGINT) AS total_deg
+         |  FROM comm c JOIN degs d USING (node) GROUP BY 1),
+         |intra AS (
+         |  SELECT ca.community, CAST(count(*) AS BIGINT) AS intra_edges
+         |  FROM ud
+         |  JOIN comm ca ON ca.node = ud.a
+         |  JOIN comm cb ON cb.node = ud.b AND cb.community = ca.community
+         |  GROUP BY 1)
+         |SELECT dc.community, dc.n_nodes,
+         |  CAST(coalesce(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+         |  dc.total_deg,
+         |  CAST(4 * mm.m * coalesce(i.intra_edges, 0)
+         |    - dc.total_deg * dc.total_deg AS BIGINT) AS contrib_num,
+         |  mm.m
+         |FROM dc LEFT JOIN intra i USING (community) CROSS JOIN mm
+         |ORDER BY dc.community""".stripMargin
     }
   )
 

@@ -24,7 +24,11 @@ class PlanLintSpec extends AnyFunSuite {
     Set("q30_embed_neardup", "q31_ann_topk", "q92_ann_lsh_full",
       // the threshold-tuning histogram runs on the exact q27 pair
       // grid by declaration (sample-scale audit)
-      "q300_dedup_sim_histogram")
+      "q300_dedup_sim_histogram",
+      // recall audit: the TRUTH side is the exact all-pairs grid by
+      // declaration (hash-sampled at scale); the found side is the
+      // linted q32 bucket join
+      "q306_ann_recall")
 
   // Broadcast k-query probe scans: stream side = corpus, broadcast
   // side = O(1) query rows, so the nested-loop operator is one kernel
@@ -62,7 +66,13 @@ class PlanLintSpec extends AnyFunSuite {
     // kappa: two one-row aggregates (agree/N and Σ row·col) attach
     "q290_cohens_kappa",
     // IPS: the global-N row attaches to the O(#actions) group table
-    "q294_offpolicy_ips")
+    "q294_offpolicy_ips",
+    // PMI: the (n_uni, n_bi) 1-row totals attach to the O(vocab²)
+    // bigram table
+    "q304_pmi_collocations",
+    // modularity: the 1-row edge-count m attaches to the O(#communities)
+    // table
+    "q307_modularity")
 
   // Bounded-cell DP / generator fan-outs: every nested-loop input here
   // is a CELL TABLE whose size is a fixed parameter, not data volume —
