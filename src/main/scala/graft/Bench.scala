@@ -56,7 +56,8 @@ object Bench {
     val streamingGroup = Set("q41_stream_hourly", "q42_stream_sessionize",
       "q57_stream_dedup", "q64_stream_stream_join", "q101_stream_static_join",
       "q107_stream_session_window", "q122_stream_cdc_upsert",
-      "q169_stream_hopping")
+      "q169_stream_hopping", "q309_stream_dedup_bounded",
+      "q310_stream_transform_state")
     // returns (per-query seconds, pass wall seconds). The pass wall is
     // what "run the whole suite" actually costs: the streaming group
     // overlaps, so it's less than the per-query sum (whose streaming

@@ -4,11 +4,43 @@ import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import graft.io.Tables
 
 /** Per-user session state carried across streaming micro-batches. */
 case class UserSessState(lastUs: Long, nSessions: Long, nEvents: Long)
+
+/** q42's gap-sessionization recurrence expressed in the Spark 4
+  * ARBITRARY-STATE V2 API (transformWithState / StatefulProcessor):
+  * typed `ValueState` in the RocksDB state store instead of
+  * flatMapGroupsWithState's opaque GroupState blob. Same fold, same
+  * deterministic per-batch event order, so q42's oracle replays it —
+  * what v2 buys at 100 TB is the state backend contract: RocksDB
+  * changelog checkpointing (state restore cost ∝ changes, not store
+  * size), per-state TTL (TTLConfig) instead of hand-rolled timeout
+  * code, and composable named state variables per key. */
+class SessionizeProcessor
+    extends StatefulProcessor[Long, (Long, Long, Long), (Long, Long, Long)] {
+  @transient private var st: ValueState[UserSessState] = _
+  private val GapUs = 1800L * 1000000L // 30 min, = EventQueries.SessionGapUs
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[UserSessState]("sess",
+      org.apache.spark.sql.Encoders.product[UserSessState], TTLConfig.NONE)
+
+  override def handleInputRows(uid: Long, rows: Iterator[(Long, Long, Long)],
+                               tv: TimerValues): Iterator[(Long, Long, Long)] = {
+    var s = if (st.exists()) st.get() else UserSessState(Long.MinValue, 0L, 0L)
+    rows.toSeq.sortBy(e => (e._3, e._2)).foreach { e =>
+      val newSession = s.lastUs == Long.MinValue || e._3 - s.lastUs > GapUs
+      s = UserSessState(e._3,
+        s.nSessions + (if (newSession) 1 else 0), s.nEvents + 1)
+    }
+    st.update(s)
+    Iterator((uid, s.nSessions, s.nEvents))
+  }
+}
 
 /** Event-stream analytics over the `events` table: tumbling-window
   * rollups, gap-based sessionization, and the same windowed aggregation
@@ -366,6 +398,66 @@ object EventQueries {
       val src = Tables.eventsStream(s, d)
         .withWatermark("ts", "1 hour")
         .dropDuplicates("user_id", "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+      withStreamPartitions(s) {
+        val q = src.writeStream.outputMode("complete")
+          .format("memory").queryName(name).start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      s.table(name).orderBy(col("event_type"))
+    }),
+
+    // q310: ARBITRARY STATE V2 — q42's sessionization re-expressed as
+    // a transformWithState StatefulProcessor (typed ValueState, the
+    // RocksDB backend the API requires): the modern replacement for
+    // flatMapGroupsWithState, declared so the engine covers BOTH
+    // custom-state APIs. Identical recurrence ⇒ identical oracle
+    // (SessionizeSql). See [[SessionizeProcessor]] for the 100 TB
+    // state-backend argument (changelog checkpointing, native TTL).
+    "q310_stream_transform_state" -> ((s, d) => {
+      import s.implicits._
+      val name = s"stream_tws_${streamId.incrementAndGet()}"
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProvider = s.conf.get(providerKey, "")
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val src = Tables.eventsStream(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("us")).as[(Long, Long, Long)]
+        val sess = src.groupByKey(_._1)
+          .transformWithState(new SessionizeProcessor,
+            TimeMode.None(), OutputMode.Update())
+          .toDF("user_id", "n_sessions", "n_events")
+        withStreamPartitions(s) {
+          val q = sess.writeStream.outputMode("update")
+            .format("memory").queryName(name).start()
+          q.processAllAvailable()
+          q.stop()
+        }
+      } finally {
+        if (prevProvider.isEmpty) s.conf.unset(providerKey)
+        else s.conf.set(providerKey, prevProvider)
+      }
+      s.table(name).orderBy(col("user_id"))
+    }),
+
+    // q309: BOUNDED-STATE streaming dedup — dropDuplicatesWithinWatermark,
+    // the API that makes streaming dedup viable at 100 TB: unlike
+    // q57's dropDuplicates (whose key state grows forever), state here
+    // is EVICTED once the watermark passes a key's event time + delay.
+    // Declared with the delay (45 days) covering the corpus span
+    // (30 days), where the within-horizon guarantee makes the result
+    // exactly q57's full dedup — so the batch COUNT(DISTINCT) oracle
+    // replays it; in production the horizon is the dedup contract
+    // ("exactly-once within N hours"), and state stays O(keys-per-N).
+    "q309_stream_dedup_bounded" -> ((s, d) => {
+      val name = s"stream_dedupw_${streamId.incrementAndGet()}"
+      val src = Tables.eventsStream(s, d)
+        .withWatermark("ts", "45 days")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_users"))
       withStreamPartitions(s) {
@@ -1801,6 +1893,8 @@ object EventQueries {
     "q40_sessionize" -> SessionizeSql,
     "q109_triangles" -> TrianglesSql,
     "q42_stream_sessionize" -> SessionizeSql,
+    // q310: same recurrence as q42 through the state-v2 API — same oracle.
+    "q310_stream_transform_state" -> SessionizeSql,
     "q80_locf_resample" ->
       """WITH b AS (
         |  SELECT user_id, date_trunc('hour', min(ts)) AS h0,
@@ -1885,6 +1979,11 @@ object EventQueries {
         |FROM events e JOIN c USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q57_stream_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q309: within the declared horizon the bounded-state dedup equals
+    // the full dedup — same oracle as q57.
+    "q309_stream_dedup_bounded" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q58_topk_agg" ->

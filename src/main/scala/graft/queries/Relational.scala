@@ -1506,6 +1506,27 @@ object Relational {
       val comm = graft.ops.Graph.labelPropagation(edges, iters = 3)
       graft.ops.Graph.modularity(edges, comm)
         .orderBy(col("community"))
+    }),
+
+    // q308: LEAVE-ONE-OUT TARGET ENCODING — the standard
+    // high-cardinality categorical feature for tabular models, with
+    // the own-row response excluded so the encoding never leaks the
+    // label it will predict (the q181/q228 leakage-safe-split
+    // discipline applied to feature construction). One O(categories)
+    // partial agg broadcast back onto the stream side; the encoding
+    // (S−x)/((n−1)·100) is one double division of exact longs.
+    "q308_target_encoding" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderpriority"),
+        Exact.scaled(col("o_totalprice"), 2).as("cents"))
+      val g = o.groupBy(col("o_orderpriority"))
+        .agg(sum(col("cents")).as("grp_sum"), count(lit(1)).as("grp_n"))
+      o.join(broadcast(g), Seq("o_orderpriority"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ((col("grp_sum") - col("cents")).cast("double") /
+            ((col("grp_n") - lit(1L)) * lit(100L)).cast("double"))
+            .as("loo_enc"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -2597,7 +2618,22 @@ object Relational {
          |  mm.m
          |FROM dc LEFT JOIN intra i USING (community) CROSS JOIN mm
          |ORDER BY dc.community""".stripMargin
-    }
+    },
+
+    "q308_target_encoding" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |g AS (
+        |  SELECT o_orderpriority, CAST(sum(cents) AS BIGINT) AS grp_sum,
+        |    CAST(count(*) AS BIGINT) AS grp_n
+        |  FROM t GROUP BY 1)
+        |SELECT t.o_orderkey, t.o_orderpriority,
+        |  CAST(g.grp_sum - t.cents AS DOUBLE)
+        |    / CAST((g.grp_n - 1) * 100 AS DOUBLE) AS loo_enc
+        |FROM t JOIN g USING (o_orderpriority)
+        |ORDER BY t.o_orderkey""".stripMargin
   )
 
   /** DuckDB mirror of [[graft.ops.Graph.sssp]]: `iters` unrolled

@@ -78,6 +78,15 @@ QUERIES = ",".join([
     "q276_tpch_q7", "q282_tpch_q18", "q285_tpch_q16",
     "q288_gif_pixel_decode", "q296_sorted_neighborhood",
     "q295_conformal_interval",
+    # round-8 continuation 2: the remaining TPC-H classics (Q2's
+    # supply-agg + correlated min, Q15's scalar-max view), the
+    # incremental delta-vs-corpus dedup (its WHOLE claim is O(delta) —
+    # the ratio must track the delta, not the corpus pair grid), PMI
+    # collocations (vocab-bounded output over corpus-sized counts),
+    # modularity (LPA + two community joins), and LOO target encoding
+    # (O(categories) broadcast back over the stream side)
+    "q302_tpch_q2", "q303_tpch_q15", "q305_incremental_dedup",
+    "q304_pmi_collocations", "q307_modularity", "q308_target_encoding",
 ])
 
 rnd = sys.argv[1]
