@@ -52,6 +52,76 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(spark.table("sess_batches").count() >= 2)
   }
 
+  test("transformWithState (state v2) session counts survive multiple batches " +
+    "and match the flatMapGroupsWithState fold") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stream_tws").toString
+    // same fixture as the fMGWS test: one session in batch 1, a
+    // second opened by batch 2 — state must carry across batches
+    // through the RocksDB ValueState
+    Seq((1L, 1L, 0L), (1L, 2L, 600L * 1000000L))
+      .toDF("user_id", "event_id", "us").repartition(1)
+      .write.parquet(s"$dir/b1")
+    Seq((1L, 3L, 7800L * 1000000L))
+      .toDF("user_id", "event_id", "us").repartition(1)
+      .write.parquet(s"$dir/b2")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(providerKey, "")
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/*/")
+        .as[(Long, Long, Long)]
+      val sess = src.groupByKey(_._1)
+        .transformWithState(new graft.queries.SessionizeProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "n_sessions", "n_events")
+      val q = sess.writeStream.outputMode("update")
+        .format("memory").queryName("tws_batches").start()
+      q.processAllAvailable()
+      q.stop()
+    } finally {
+      if (prev.isEmpty) spark.conf.unset(providerKey)
+      else spark.conf.set(providerKey, prev)
+    }
+    val last = spark.table("tws_batches").collect().last
+    assert(last.getLong(1) == 2L && last.getLong(2) == 3L)
+    assert(spark.table("tws_batches").count() >= 2)
+  }
+
+  test("dropDuplicatesWithinWatermark dedups within the horizon across batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stream_ddw").toString
+    val h = 3600L * 1000000L
+    // batch 1: key A at 10:00 (plus an in-batch duplicate), key B
+    Seq((1L, "A", 10 * h), (2L, "A", 10 * h + 60L * 1000000L),
+        (3L, "B", 10 * h))
+      .toDF("event_id", "k", "us").repartition(1).write.parquet(s"$dir/b1")
+    // batch 2: duplicate of A 30 min later — inside the 2 h horizon,
+    // so the carried state drops it; new key C survives
+    Seq((4L, "A", 10 * h + h / 2), (5L, "C", 11 * h))
+      .toDF("event_id", "k", "us").repartition(1).write.parquet(s"$dir/b2")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*/")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("k")
+    val q = src.writeStream.outputMode("append")
+      .format("memory").queryName("ddw_batches").start()
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("ddw_batches").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("k"))).toSet
+    // exactly one A (the first), one B, one C — the cross-batch
+    // duplicate was dropped by carried state, not batch-local dedup
+    assert(kept == Set((1L, "A"), (3L, "B"), (5L, "C")))
+  }
+
   test("session_window boundary is inclusive: gap == size still merges") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("stream_swin").toString
