@@ -1,0 +1,236 @@
+package graft.io
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream,
+  DataOutputStream, EOFException, File, FileInputStream, FileOutputStream}
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
+  TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition,
+  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
+  SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `grec` — a minimal self-describing binary record format plus its
+  * DataSource V2 READ connector, the remaining Spark-extension
+  * quadrant beside the engine's Expressions / UDAFs / Generator /
+  * optimizer Rule / planner Strategy: a custom `TableProvider` whose
+  * scans infer the schema from the file header, plan one input
+  * partition per file, and implement `SupportsPushDownRequiredColumns`
+  * so Catalyst's column pruning reaches the byte decoder — pruned
+  * columns are SKIPPED during deserialization (strings by their
+  * length prefix), never materialized.
+  *
+  * File layout (all big-endian via DataOutputStream):
+  *   magic "GRC1" | nCols:int | per col { nameLen:int, nameUtf8,
+  *   type:byte (0=long 1=double 2=string) } | records until EOF,
+  *   each record = fields in schema order (long/double fixed 8 bytes,
+  *   string = len:int + utf8).
+  *
+  * Scale notes: one file = one partition (the format is deliberately
+  * not block-splittable — like row-oriented Avro without sync
+  * markers, parallelism comes from file count, which the writer
+  * controls via the input's partitioning). The writer here runs
+  * executor-side (one file per partition, task-local I/O); a
+  * production write path would sit behind Spark's file commit
+  * protocol for atomicity/retries — the declared capability is the
+  * READ connector.
+  */
+object GraftRec {
+  val Magic = 0x47524331 // "GRC1"
+
+  private def typeCode(dt: DataType): Byte = dt match {
+    case LongType => 0
+    case DoubleType => 1
+    case StringType => 2
+    case other => throw new IllegalArgumentException(
+      s"grec supports long/double/string, got $other")
+  }
+
+  private[io] def typeOf(code: Byte): DataType = code match {
+    case 0 => LongType
+    case 1 => DoubleType
+    case 2 => StringType
+    case c => throw new IllegalArgumentException(s"bad grec type code $c")
+  }
+
+  /** Write `df` (long/double/string columns only) as one grec file per
+    * partition under `dir`. Executor-side, task-local I/O. */
+  def write(df: DataFrame, dir: String): Unit = {
+    val schema = df.schema
+    schema.fields.foreach(f => typeCode(f.dataType)) // validate early
+    val names = schema.fields.map(_.name)
+    val codes = schema.fields.map(f => typeCode(f.dataType))
+    val d = new File(dir)
+    if (d.exists()) {
+      d.listFiles().foreach(_.delete()); d.delete()
+    }
+    d.mkdirs()
+    df.rdd.foreachPartition { it =>
+      if (it.hasNext) {
+        val f = new File(dir, s"part-${UUID.randomUUID()}.grec")
+        val out = new DataOutputStream(
+          new BufferedOutputStream(new FileOutputStream(f), 1 << 16))
+        try {
+          out.writeInt(Magic)
+          out.writeInt(names.length)
+          names.indices.foreach { i =>
+            val nb = names(i).getBytes(StandardCharsets.UTF_8)
+            out.writeInt(nb.length); out.write(nb); out.writeByte(codes(i))
+          }
+          it.foreach { row =>
+            var i = 0
+            while (i < codes.length) {
+              codes(i) match {
+                case 0 => out.writeLong(row.getLong(i))
+                case 1 => out.writeDouble(row.getDouble(i))
+                case 2 =>
+                  val sb = row.getString(i).getBytes(StandardCharsets.UTF_8)
+                  out.writeInt(sb.length); out.write(sb)
+              }
+              i += 1
+            }
+          }
+        } finally out.close()
+      }
+    }
+  }
+
+  private[graft] def listFiles(dir: String): Array[File] = {
+    val fs = Option(new File(dir).listFiles()).getOrElse(Array.empty)
+    fs.filter(_.getName.endsWith(".grec")).sortBy(_.getName)
+  }
+
+  private[io] def readHeader(in: DataInputStream): StructType = {
+    require(in.readInt() == Magic, "not a grec file")
+    val n = in.readInt()
+    StructType((0 until n).map { _ =>
+      val len = in.readInt()
+      val nb = new Array[Byte](len); in.readFully(nb)
+      StructField(new String(nb, StandardCharsets.UTF_8), typeOf(in.readByte()))
+    })
+  }
+}
+
+/** The DSv2 entry point: `spark.read.format("graft.io.GraftRecSource")
+  * .load(dir)`. */
+class GraftRecSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val dir = options.get("path")
+    require(dir != null, "grec needs a path")
+    val files = GraftRec.listFiles(dir)
+    require(files.nonEmpty, s"no .grec files under $dir")
+    val in = new DataInputStream(
+      new BufferedInputStream(new FileInputStream(files.head)))
+    try GraftRec.readHeader(in) finally in.close()
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new GraftRecTable(properties.get("path"), schema)
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+class GraftRecTable(dir: String, tschema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"grec:$dir"
+  override def schema(): StructType = tschema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftRecScanBuilder(dir, tschema)
+}
+
+class GraftRecScanBuilder(dir: String, full: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  // Catalyst hands us the pruned schema; keep the FILE's field order
+  // so the reader can stream fields sequentially and skip the rest.
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = StructType(
+      full.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+  override def build(): Scan = new GraftRecScan(dir, full, required)
+}
+
+class GraftRecScan(dir: String, full: StructType, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    GraftRec.listFiles(dir).map(f => GraftRecPartition(f.getAbsolutePath))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftRecReaderFactory(full.fields.map(f => f.name),
+      full.fields.map(f => f.dataType match {
+        case LongType => 0: Byte; case DoubleType => 1: Byte; case _ => 2: Byte
+      }),
+      required.fieldNames)
+}
+
+case class GraftRecPartition(path: String) extends InputPartition
+
+class GraftRecReaderFactory(names: Array[String], codes: Array[Byte],
+                            wanted: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new GraftRecReader(p.asInstanceOf[GraftRecPartition].path,
+      names, codes, wanted)
+}
+
+/** Streams one grec file; pruned columns are SKIPPED byte-wise. */
+class GraftRecReader(path: String, names: Array[String], codes: Array[Byte],
+                     wanted: Array[String])
+    extends PartitionReader[InternalRow] {
+  private val in = new DataInputStream(
+    new BufferedInputStream(new FileInputStream(path), 1 << 16))
+  GraftRec.readHeader(in) // validate + position after header
+  // output slot per file column (-1 = pruned → skip bytes)
+  private val slot: Array[Int] = names.map(n => wanted.indexOf(n))
+  private var row: GenericInternalRow = _
+
+  override def next(): Boolean = {
+    // Explicit one-byte EOF peek at each record boundary: skip-based
+    // EOF detection is unsound here because FileInputStream.skip will
+    // happily move PAST the end of the file (so a fully-pruned record
+    // "skips" at EOF without error and the next read blows up
+    // mid-record). mark/read/reset on the BufferedInputStream is the
+    // reliable probe; after it, any EOF below is real corruption and
+    // should propagate.
+    in.mark(1)
+    if (in.read() == -1) return false
+    in.reset()
+    val vals = new Array[Any](wanted.length)
+    var i = 0
+    while (i < codes.length) {
+      codes(i) match {
+        case 0 =>
+          if (slot(i) >= 0) vals(slot(i)) = in.readLong()
+          else in.skipNBytes(8L)
+        case 1 =>
+          if (slot(i) >= 0) vals(slot(i)) = in.readDouble()
+          else in.skipNBytes(8L)
+        case 2 =>
+          val len = in.readInt()
+          if (slot(i) >= 0) {
+            val b = new Array[Byte](len); in.readFully(b)
+            vals(slot(i)) = UTF8String.fromBytes(b)
+          } else in.skipNBytes(len.toLong)
+      }
+      i += 1
+    }
+    row = new GenericInternalRow(vals)
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
+}

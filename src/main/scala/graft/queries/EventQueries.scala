@@ -469,6 +469,55 @@ object EventQueries {
       s.table(name).orderBy(col("event_type"))
     }),
 
+    // q311: STREAM-STREAM LEFT OUTER join — the semantics the inner
+    // join (q64) cannot express: a click with NO purchase in its
+    // window must still emit, and in streaming that null row can only
+    // be produced when the WATERMARK proves no matching purchase can
+    // arrive anymore (state eviction in the no-data micro-batch that
+    // follows the final data batch). The declared output restricts to
+    // the PROVABLY-FINAL frontier — clicks at least (delay 2 h +
+    // range 1 h + 1 h margin) before the corpus max — because rows
+    // newer than the final watermark have not had their null verdict
+    // decided; the batch oracle applies the identical cutoff, so the
+    // check is exact. Outer-join tail-finality is the operational
+    // contract every streaming outer join ships with at 100 TB.
+    "q311_stream_outer_join" -> ((s, d) => {
+      val name = s"stream_soj_${streamId.incrementAndGet()}"
+      // 1-row bound lookup (the argmax-collect class)
+      val maxUs = Tables.events(s, d)
+        .agg(max(unix_micros(col("ts").cast("timestamp")))).head().getLong(0)
+      val cutoffUs = maxUs - 4L * 3600L * 1000000L
+      def src = Tables.eventsStream(s, d)
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user_id"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+      val joinedS = clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+          col("p_ts") <= col("c_ts"),
+        "leftOuter")
+      withStreamPartitions(s, parts = 4) {
+        val q = joinedS.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      // nulls encoded as -1 so the total order is engine-neutral
+      // (Spark sorts nulls first ASC, DuckDB last)
+      s.table(name)
+        .where(unix_micros(col("c_ts")) <= cutoffUs)
+        .select(col("click_id"), col("user_id"),
+          unix_micros(col("c_ts")).as("c_us"),
+          coalesce(col("purchase_id"), lit(-1L)).as("purchase_key"),
+          coalesce(unix_micros(col("p_ts")), lit(-1L)).as("p_us"))
+        .orderBy(col("click_id"), col("purchase_key"))
+    }),
+
     // STREAM-STREAM inner join: clicks ⋈ same-user purchases within
     // the preceding hour, with watermarks on BOTH sides so join state
     // is evicted once the time-range condition can no longer match
@@ -1997,6 +2046,23 @@ object EventQueries {
         |FROM ranked WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin,
     "q59_asof_join" -> AsOfSql,
     "q63_asof_native" -> AsOfSql,
+    // q311: identical join + the provably-final cutoff on both sides.
+    "q311_stream_outer_join" ->
+      """WITH mx AS (SELECT max(ts) AS m FROM events),
+        |c AS (SELECT event_id AS click_id, user_id, ts AS c_ts
+        |      FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id AS pu, ts AS p_ts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.click_id, c.user_id, epoch_us(c.c_ts) AS c_us,
+        |  coalesce(p.purchase_id, -1) AS purchase_key,
+        |  CASE WHEN p.purchase_id IS NULL THEN -1
+        |       ELSE epoch_us(p.p_ts) END AS p_us
+        |FROM c
+        |LEFT JOIN p ON p.pu = c.user_id
+        |  AND p.p_ts >= c.c_ts - INTERVAL 1 HOUR AND p.p_ts <= c.c_ts
+        |CROSS JOIN mx
+        |WHERE c.c_ts <= mx.m - INTERVAL 4 HOUR
+        |ORDER BY c.click_id, purchase_key""".stripMargin,
     "q64_stream_stream_join" ->
       """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
         |  c.user_id, epoch_us(c.ts) AS c_us, epoch_us(p.ts) AS p_us

@@ -75,6 +75,22 @@ object Relational {
     (graft.io.Bucketing.read(s, ln), graft.io.Bucketing.read(s, on))
   }
 
+  // q312's custom-format table: a lineitem projection written ONCE per
+  // (session, dir) in the engine's own `grec` binary format, read back
+  // through the DataSource V2 connector (graft.io.GraftRecSource).
+  private val grecCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  private def grecDir(s: SparkSession, d: String): String =
+    grecCache.getOrElseUpdate((s, d), {
+      val dir = s"/tmp/graft_grec_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.io.GraftRec.write(
+        Tables.lineitem(s, d).select(col("l_orderkey").cast("long"),
+          col("l_quantity"), col("l_extendedprice"), col("l_returnflag")),
+        dir)
+      dir
+    })
+
   private def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
     coPurchaseCache.getOrElseUpdate((s, d), {
       val li = Tables.lineitem(s, d)
@@ -1527,6 +1543,24 @@ object Relational {
             ((col("grp_n") - lit(1L)) * lit(100L)).cast("double"))
             .as("loo_enc"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // q312: CUSTOM DATASOURCE V2 — the engine's own `grec` binary
+    // record format read back through a from-scratch TableProvider
+    // (schema inferred from the file header, one partition per file,
+    // SupportsPushDownRequiredColumns so the byte decoder SKIPS pruned
+    // columns — l_orderkey below never deserializes). The remaining
+    // Spark-extension quadrant beside Expression/UDAF/Generator/Rule/
+    // Strategy; the oracle reads the SAME rows from parquet, so the
+    // whole connector (header walk, record decode, pruning) is under
+    // the correctness gate, not just a spec.
+    "q312_custom_source" -> ((s, d) => {
+      s.read.format("graft.io.GraftRecSource").load(grecDir(s, d))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).as("sum_qty"),
+          Exact.sumExact(col("l_extendedprice"), 2).as("revenue"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -2633,7 +2667,16 @@ object Relational {
         |  CAST(g.grp_sum - t.cents AS DOUBLE)
         |    / CAST((g.grp_n - 1) * 100 AS DOUBLE) AS loo_enc
         |FROM t JOIN g USING (o_orderpriority)
-        |ORDER BY t.o_orderkey""".stripMargin
+        |ORDER BY t.o_orderkey""".stripMargin,
+
+    // q312: the grec table is a projection of lineitem — the parquet
+    // replay checks the connector's decode end-to-end.
+    "q312_custom_source" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS revenue
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** DuckDB mirror of [[graft.ops.Graph.sssp]]: `iters` unrolled

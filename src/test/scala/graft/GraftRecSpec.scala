@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `grec` binary format + its DataSource V2 connector: round-trip
+  * fidelity, schema inference from the header, column pruning reaching
+  * the scan (and the byte decoder), multi-file partition planning. */
+class GraftRecSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import graft.io.GraftRec
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("grec").toString + "/t"
+
+  test("round-trip: long/double/string rows survive write → DSv2 read") {
+    import spark.implicits._
+    val dir = tmp()
+    val df = Seq(
+      (1L, 1.5, "alpha"), (2L, -2.25, ""), (3L, 0.0, "βπ — utf8"),
+      (Long.MinValue, Double.MaxValue, "x" * 1000))
+      .toDF("id", "v", "s")
+    GraftRec.write(df, dir)
+    val back = spark.read.format("graft.io.GraftRecSource").load(dir)
+    // the header does not record nullability — compare names + types
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.collect().toSet == df.collect().toSet)
+  }
+
+  test("multi-file: one partition per file, all rows read") {
+    import spark.implicits._
+    val dir = tmp()
+    val df = (1 to 1000).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+      .repartition(7)
+    GraftRec.write(df, dir)
+    val back = spark.read.format("graft.io.GraftRecSource").load(dir)
+    assert(back.rdd.getNumPartitions == GraftRec.listFiles(dir).length)
+    assert(back.count() == 1000)
+    assert(back.agg(sum("id")).head().getLong(0) == 500500L)
+  }
+
+  test("column pruning reaches the scan: projecting one column narrows " +
+    "the BatchScan output to exactly that column") {
+    import spark.implicits._
+    val dir = tmp()
+    GraftRec.write(Seq((1L, 9.0, "a"), (2L, 8.0, "b")).toDF("id", "v", "s"),
+      dir)
+    val q = spark.read.format("graft.io.GraftRecSource").load(dir)
+      .select(col("v"))
+    val scans = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }
+    assert(scans.nonEmpty)
+    assert(scans.head.output.map(_.name) == Seq("v"))
+    assert(q.as[Double].collect().sorted.toSeq == Seq(8.0, 9.0))
+  }
+
+  test("pruned strings are skipped correctly: values around them decode") {
+    import spark.implicits._
+    val dir = tmp()
+    // string column in the MIDDLE so skipping its length prefix is on
+    // the path of every subsequent read
+    GraftRec.write(Seq((10L, "long-middle-string-" * 50, 1.25),
+        (20L, "", -3.5)).toDF("a", "mid", "b"), dir)
+    val back = spark.read.format("graft.io.GraftRecSource").load(dir)
+      .select(col("a"), col("b"))
+    assert(back.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      Set((10L, 1.25), (20L, -3.5)))
+  }
+
+  test("unsupported column types are rejected at write time") {
+    import spark.implicits._
+    val dir = tmp()
+    val bad = Seq((1, "x")).toDF("i", "s") // Int, not Long
+    intercept[IllegalArgumentException](GraftRec.write(bad, dir))
+  }
+}
