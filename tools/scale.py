@@ -87,6 +87,10 @@ QUERIES = ",".join([
     # (O(categories) broadcast back over the stream side)
     "q302_tpch_q2", "q303_tpch_q15", "q305_incremental_dedup",
     "q304_pmi_collocations", "q307_modularity", "q308_target_encoding",
+    # late round-8: the custom DSv2 connector (write + pruned scan —
+    # one partition per file, parallelism tracks the writer's
+    # partitioning)
+    "q312_custom_source",
 ])
 
 rnd = sys.argv[1]
