@@ -58,12 +58,14 @@ object Bench {
       "q107_stream_session_window", "q122_stream_cdc_upsert",
       "q169_stream_hopping", "q309_stream_dedup_bounded",
       "q310_stream_transform_state", "q311_stream_outer_join")
-    // returns (per-query seconds, pass wall seconds). The pass wall is
-    // what "run the whole suite" actually costs: the streaming group
-    // overlaps, so it's less than the per-query sum (whose streaming
-    // entries each still report their own start→finish wall, slightly
-    // inflated by running beside the other three).
-    def timedPass(): (Seq[(String, Double)], Double) = {
+    // returns (per-query seconds, pass wall seconds, streaming group
+    // wall seconds). The pass wall is what "run the whole suite"
+    // actually costs: the streaming group overlaps, so it's less than
+    // the per-query sum (whose streaming entries each still report
+    // their own start→finish wall, inflated by running beside the
+    // other ten — the GROUP wall is the attributable number for the
+    // concurrent block; see streaming_isolated for per-query nets).
+    def timedPass(): (Seq[(String, Double)], Double, Double) = {
       val w0 = System.nanoTime()
       val (streamQ, batchQ) =
         SparkEntry.queries.toSeq.sortBy(_._1).partition(q => streamingGroup(q._1))
@@ -74,8 +76,10 @@ object Bench {
         Future.sequence(streamQ.map { case (name, fn) =>
           Future(timedOne(spark.newSession(), name, fn))
         }), Duration.Inf)
+      val streamWall = (System.nanoTime() - w0) / 1e9
       val batched = batchQ.map { case (name, fn) => timedOne(spark, name, fn) }
-      ((streamed ++ batched).sortBy(_._1), (System.nanoTime() - w0) / 1e9)
+      ((streamed ++ batched).sortBy(_._1), (System.nanoTime() - w0) / 1e9,
+        streamWall)
     }
     def gcSettle(): Unit = { System.gc(); Thread.sleep(2000); System.gc() }
     // two timed passes with a GC settle between, report the per-query MIN:
@@ -85,10 +89,21 @@ object Bench {
     // while still charging real per-query cost (caches are cleared between
     // passes so the second pass re-pays cache builds, not just reads)
     gcSettle()
-    val (pass1, wall1) = timedPass()
+    val (pass1, wall1, sWall1) = timedPass()
     graft.util.Caches.clearAll(spark)
     gcSettle()
-    val (pass2, wall2) = timedPass()
+    val (pass2, wall2, sWall2) = timedPass()
+    graft.util.Caches.clearAll(spark)
+    // diagnostic third mini-pass: the streaming group SEQUENTIALLY,
+    // one query at a time, so each row's wall is attributable (the
+    // concurrent group's per-query walls mutually inflate — a real
+    // regression in one streaming query can hide inside that). Not
+    // part of the headline numbers (those stay concurrent min-of-two,
+    // comparable with earlier rounds).
+    gcSettle()
+    val streamingIsolated = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => streamingGroup(q._1))
+      .map { case (name, fn) => timedOne(spark.newSession(), name, fn) }
     graft.util.Caches.clearAll(spark)
     val results = pass1.zip(pass2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -113,9 +128,20 @@ object Bench {
     val times = results.map(_._2).sorted
     val slowest = results.sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+    // control row (q02 = trivial filter-project): a fixed-shape query
+    // whose drift across rounds isolates host/environment speed from
+    // per-query regressions. streaming_group_wall = the attributable
+    // cost of the concurrent streaming block; streaming_isolated =
+    // per-query walls with no concurrent siblings.
+    val control = results.toMap.getOrElse("q02_filter_project", -1.0)
+    val isoJson = streamingIsolated
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     val summary = s""""summary":{"n":${results.size},"total_sec":$total,""" +
       f""""median_sec":${times(times.size / 2)}%.3f,""" +
       f""""max_sec":${times.last}%.3f,"slowest":$slowest,""" +
+      f""""control_q02_sec":$control%.3f,""" +
+      f""""streaming_group_wall_sec":${math.min(sWall1, sWall2)}%.2f,""" +
+      s""""streaming_isolated":$isoJson,""" +
       s""""n_errors":${errors.size}}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson,$summary}""")
     spark.stop()

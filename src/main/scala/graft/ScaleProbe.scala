@@ -125,10 +125,26 @@ object ScaleProbe {
       all.write.mode("overwrite").parquet(s"$out/events.parquet")
     }
     repEvents()
+    // Replica documents get TOKEN-LEVEL noise, not a single appended
+    // suffix token: with only a suffix, every replica pair is a true
+    // Jaccard≈1 / Hamming-0 near-dup, so similarity/dedup probes
+    // (q26/q29/q177/q216/q240/q305) measure a quadratically-growing
+    // OUTPUT artifact of the replication instead of the plan (the
+    // round-8 verdict's degenerate-replica finding). Replacing ~25% of
+    // tokens (deterministic xxhash64 coin per (token, position, copy))
+    // puts cross-copy Jaccard near 0.4 — ordinary corpus background,
+    // not a clique — while copy 0 stays byte-identical to the source.
     rep("documents", (df, i) => {
       val d = shift("doc_id", big)(df, i)
       if (i == 0) d
-      else d.withColumn("text", concat(col("text"), lit(s" copytoken$i")))
+      else d.withColumn("text",
+        array_join(
+          transform(split(col("text"), " "), (t, p) =>
+            when(pmod(xxhash64(t, p, lit(i)), lit(4)) === 0,
+              concat(lit(s"cp${i}x"),
+                pmod(xxhash64(p, lit(i)), lit(997)).cast("string")))
+              .otherwise(t)),
+          " "))
     })
     rep("embeddings", shift("vec_id", big))
     new java.io.File(s"$out/_READY").createNewFile()

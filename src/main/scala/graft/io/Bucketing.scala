@@ -28,10 +28,10 @@ object Bucketing {
     * explicit location — the metastore entry only carries the bucket
     * spec that makes later scans report hash partitioning. */
   def writeBucketed(df: DataFrame, name: String, path: String, key: String,
-                    buckets: Int): Unit = {
+                    buckets: Int, extraSort: Seq[String] = Nil): Unit = {
     require(buckets >= 1, "need at least one bucket")
     df.write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, key).sortBy(key)
+      .bucketBy(buckets, key).sortBy(key, extraSort: _*)
       .option("path", path)
       .saveAsTable(name)
   }

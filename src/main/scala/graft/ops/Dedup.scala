@@ -58,12 +58,9 @@ object Dedup {
     * Collision threshold ≈ (1/bands)^(1/rowsPerBand). */
   def lshCandidatePairs(sigs: DataFrame, idCol: String,
                         bands: Int = 32, rowsPerBand: Int = 4): DataFrame = {
-    val banded = sigs.select(col(idCol),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          j => xxhash64(slice(col("sig"), j * rowsPerBand + lit(1), lit(rowsPerBand)))))
-          .as(Seq("band", "key")))
-    val a = banded.as("a")
-    val b = banded.as("b")
+    val bd = banded(sigs, idCol, bands, rowsPerBand)
+    val a = bd.as("a")
+    val b = bd.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))

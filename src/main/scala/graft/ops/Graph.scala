@@ -229,20 +229,23 @@ object Graph {
     * combined with EDGE-LOCAL adjacency intersection (Cohen's
     * MapReduce triangle join): orient each edge from its (degree,
     * id)-smaller endpoint — capping every out-degree at O(√m) even on
-    * hub-heavy distributions — then, instead of MATERIALIZING the
-    * O(m^{3/2}) wedge set and joining it against closing edges (the
-    * shape this kernel shipped with through round 8; measured 16 s on
-    * the 1.2 M-edge co-purchase graph), attach each endpoint's
-    * out-neighbor list to the edge and count the sorted-array
-    * intersection: for the oriented edge u→v, every w ∈ N⁺(u)∩N⁺(v)
-    * closes the triangle {u,v,w} exactly once (u→v is its unique
-    * base edge), so per-edge work is O(|N⁺(u)|+|N⁺(v)|) inside one
-    * codegen'd projection and the wedge volume never hits the
-    * shuffle (same 1.2 M-edge graph: 4 s). Adjacency rows are
-    * bounded by the orientation cap — O(√m) entries ≈ a few MB per
-    * hub row at 10¹¹ edges, safely inside an executor page.
-    * Shapes: degree agg, adjacency agg, two equi joins of the edge
-    * list against the O(n)-row adjacency table, one count agg.
+    * hub-heavy distributions — then for the oriented edge u→v count
+    * the sorted intersection N⁺(u)∩N⁺(v): every common w closes the
+    * triangle {u,v,w} exactly once (u→v is its unique base edge), so
+    * per-edge work is O(|N⁺(u)|+|N⁺(v)|) and the O(m^{3/2}) wedge set
+    * is never materialized (the pre-round-8 wedge join measured 16 s
+    * on the 1.2 M-edge co-purchase graph; the intersection, 4 s).
+    *
+    * TWO physical kernels behind one gate (round 9): graphs whose
+    * adjacency fits a broadcast run [[orientedKernelBroadcast]] — the
+    * compact slot-encoded adjacency ships once and a narrow
+    * mapPartitions merge-intersects per edge, no array ever crossing
+    * an exchange (the round-8 all-shuffle kernel moved ~0.6 GB of
+    * neighbor arrays through its second join at sf0.1, which thrashed
+    * under the driver's 310-query storage pressure: 8 s quiet-local
+    * became 51 s in the driver bench). Larger graphs take
+    * [[orientedKernelShuffle]] — the same intersection as distributed
+    * equi joins, unbounded scale-out, higher constant.
     *
     * @param edges undirected; `a`/`b` columns, any integral type.
     *              Self-loops dropped, duplicates (either direction)
@@ -250,26 +253,147 @@ object Graph {
     * @return (node LONG, n_triangles LONG) for nodes in ≥1 triangle.
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    // cached: three consumers (deg, keyed) would otherwise re-run the
-    // caller's edge derivation — often an expensive join — per use;
-    // reclaimed by util.Caches.clearAll like every per-call cache
+    // localCheckpoint, not cache: truncates the caller's (often
+    // join-expensive) edge-derivation lineage AND is disk-backed, so
+    // storage pressure from a long query sweep can spill it but never
+    // force a recompute through the derivation — the round-8 driver
+    // regression was exactly that recompute. No CacheManager entry
+    // also means a second measured pass re-pays materialization
+    // honestly instead of silently reusing pass-1 blocks.
     val und = edges
       .select(least(col("a"), col("b")).cast("long").as("a"),
         greatest(col("a"), col("b")).cast("long").as("b"))
-      .where(col("a") =!= col("b")).distinct().cache()
+      .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    val m = und.count() // free: the eager checkpoint just materialized
     val deg = und.select(col("a").as("node")).union(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    // total orientation order: (deg, node)
+    // total orientation order: (deg, node). Degrees are one row per
+    // node — broadcast them below the size gate so orientation is two
+    // map-side hash joins instead of two edge shuffles.
+    val degK = if (m <= BroadcastAdjEntries) broadcast(deg) else deg
     val keyed = und
-      .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), "a")
-      .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), "b")
+      .join(degK.select(col("node").as("a"), col("deg").as("deg_a")), "a")
+      .join(degK.select(col("node").as("b"), col("deg").as("deg_b")), "b")
     val o = keyed.select(
         when(struct(col("deg_a"), col("a")) < struct(col("deg_b"), col("b")),
           struct(col("a").as("src"), col("b").as("dst")))
           .otherwise(struct(col("b").as("src"), col("a").as("dst")))
           .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .cache()
+    triangleCountsOriented(o, m)
+  }
+
+  /** Size gate for the broadcast-adjacency triangle kernel: oriented
+    * adjacency entries = |E|, stored as one int slot each (~4 B) plus
+    * the node/offset tables — 16M edges ≈ 80 MB broadcast, inside a
+    * production executor's broadcast budget. Above the gate the
+    * all-shuffle intersection plan runs instead (unbounded scale-out,
+    * higher constant). */
+  private[graft] val BroadcastAdjEntries = 16L * 1000 * 1000
+
+  /** Per-node triangle counts over an already degree-ORIENTED edge
+    * list (`src`/`dst` LONG, each undirected edge exactly once,
+    * oriented smaller-(deg,id) → larger). Exposed so callers holding a
+    * pre-oriented artifact (the bucketed co-purchase layout: degrees
+    * stored per row, orientation = one narrow filter, adjacency
+    * grouping exchange-free on the bucket key) can skip the degree
+    * aggregation and orientation joins entirely.
+    *
+    * @param m oriented edge count (the broadcast-vs-shuffle gate).
+    */
+  def triangleCountsOriented(o: DataFrame, m: Long): DataFrame =
+    if (m <= BroadcastAdjEntries) orientedKernelBroadcast(o)
+    else orientedKernelShuffle(o)
+
+  /** Broadcast-adjacency kernel: the oriented adjacency is compacted
+    * driver-side into three flat arrays — sorted node ids, per-slot
+    * offsets, and neighbor SLOTS (int, not long: slot rank is a
+    * monotone map of node id, so per-node neighbor lists stay sorted
+    * and intersections compare ints) — broadcast once, then one
+    * NARROW mapPartitions over the oriented edges does a two-pointer
+    * sorted-merge per edge and accumulates per-node counts in a
+    * per-partition array. Zero array-carrying shuffles (the round-8
+    * shuffle kernel moved |N⁺(u)|-sized rows through an exchange —
+    * GBs at sf0.1 under the driver's storage pressure); the only
+    * exchanges left are the adjacency groupBy and the O(nodes)
+    * partial-count sum. Per-partition scratch is O(n) longs — bounded
+    * by the same gate that bounds the broadcast. */
+  private def orientedKernelBroadcast(o: DataFrame): DataFrame = {
+    val spark = o.sparkSession
+    import spark.implicits._
+    // one row per non-sink node; total payload = |E| neighbor ids —
+    // the same bytes any broadcast of the adjacency must move
+    val adjRows = o.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      .collect()
+    // node universe: sources ∪ all neighbors, sorted; slot = rank
+    val nodeSet = new java.util.TreeSet[java.lang.Long]()
+    adjRows.foreach { r =>
+      nodeSet.add(r.getLong(0))
+      r.getSeq[Long](1).foreach(v => nodeSet.add(v))
+    }
+    val nodes = new Array[Long](nodeSet.size)
+    locally {
+      var i = 0; val it = nodeSet.iterator()
+      while (it.hasNext) { nodes(i) = it.next(); i += 1 }
+    }
+    val n = nodes.length
+    val off = new Array[Int](n + 1)
+    val degOf = new Array[Int](n)
+    adjRows.foreach { r =>
+      degOf(java.util.Arrays.binarySearch(nodes, r.getLong(0))) =
+        r.getSeq[Long](1).length
+    }
+    locally {
+      var i = 0; while (i < n) { off(i + 1) = off(i) + degOf(i); i += 1 }
+    }
+    val flat = new Array[Int](off(n))
+    adjRows.foreach { r =>
+      val s = java.util.Arrays.binarySearch(nodes, r.getLong(0))
+      var p = off(s)
+      r.getSeq[Long](1).foreach { v =>
+        flat(p) = java.util.Arrays.binarySearch(nodes, v); p += 1
+      }
+    }
+    val bcNodes = spark.sparkContext.broadcast(nodes)
+    val bcOff = spark.sparkContext.broadcast(off)
+    val bcFlat = spark.sparkContext.broadcast(flat)
+    // narrow pass: o recomputes from the und checkpoint through
+    // map-side joins — no second materialization needed
+    val partials = o.select(col("src"), col("dst")).as[(Long, Long)]
+      .mapPartitions { it =>
+        val nd = bcNodes.value; val of = bcOff.value; val fl = bcFlat.value
+        val counts = new Array[Long](nd.length)
+        it.foreach { case (u, v) =>
+          val su = java.util.Arrays.binarySearch(nd, u)
+          val sv = java.util.Arrays.binarySearch(nd, v)
+          if (su >= 0 && sv >= 0) {
+            var i = of(su); val iEnd = of(su + 1)
+            var j = of(sv); val jEnd = of(sv + 1)
+            var hits = 0L
+            while (i < iEnd && j < jEnd) {
+              val a = fl(i); val b = fl(j)
+              if (a == b) { counts(a) += 1L; hits += 1L; i += 1; j += 1 }
+              else if (a < b) i += 1
+              else j += 1
+            }
+            if (hits > 0L) { counts(su) += hits; counts(sv) += hits }
+          }
+        }
+        (0 until nd.length).iterator
+          .filter(s => counts(s) > 0L)
+          .map(s => (nd(s), counts(s)))
+      }
+    partials.toDF("node", "c")
+      .groupBy(col("node")).agg(sum(col("c")).as("n_triangles"))
+  }
+
+  /** All-shuffle intersection kernel (the unbounded-scale path): edge
+    * rows carry both endpoints' neighbor lists through equi joins and
+    * count the sorted intersection — per-edge work O(|N⁺(u)|+|N⁺(v)|),
+    * wedge volume never materialized. */
+  private def orientedKernelShuffle(o0: DataFrame): DataFrame = {
+    val o = o0.localCheckpoint(true) // three consumers below
     // oriented adjacency (sorted for run-to-run determinism of the
     // intermediate; counts are order-free)
     val adj = o.groupBy(col("src"))
@@ -448,12 +572,21 @@ object Graph {
     * @return (node, deg) for surviving nodes — deg is the degree
     *         WITHIN the surviving subgraph. */
   def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    require(k >= 1 && rounds >= 1)
     val e0 = edges.select(col("src").cast("long").as("u"),
         col("dst").cast("long").as("v"))
       .filter(col("u") =!= col("v"))
-    var adj = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
-      .distinct().cache()
+    kCoreSym(e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct(), k, rounds)
+  }
+
+  /** [[kCore]] over an already-SYMMETRIZED simple adjacency (`u`/`v`
+    * LONG, both directions present, no self-loops/duplicates) — the
+    * entry for callers holding the bucketed co-purchase artifact,
+    * whose first-round degree agg and semi join are then exchange-free
+    * on the bucket key. */
+  def kCoreSym(sym: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    var adj = sym.cache()
     var size = adj.count()
     var converged = false
     for (_ <- 1 to rounds if !converged) {

@@ -146,12 +146,69 @@ object IvfIndex {
     probedTopK(indexed, probes, idCol, vecCol, k, broadcastProbes = false)
   }
 
-  /** train + index + search in one call (the q47 entry point). */
+  /** train + index + search in one call. */
   def topK(df: DataFrame, queriesFilter: Column, idCol: String,
            vecCol: String, k: Int, lists: Int, nProbe: Int,
            seed: Long = 42L): DataFrame = {
     val cs = train(df, vecCol, lists, seed = seed)
     val indexed = index(df, vecCol, cs)
     search(indexed, df.filter(queriesFilter), idCol, vecCol, cs, k, nProbe)
+  }
+
+  /** PORTABLE probed top-k (the q47 entry point since round 9): same
+    * IVF plan as [[topK]] — assignment to 1 of `lists` inverted lists,
+    * probe join over only `nProbe` lists per query — but with a FIXED
+    * deterministic codebook (the `lists` lowest-id vectors, the q266
+    * discipline) and all-integer scaled-long centroid distances, so
+    * the PRUNED path itself replays cross-engine: list assignment, the
+    * probe set, the candidate join, and the final cosine ranking are
+    * each an exact recurrence a SQL oracle reproduces bit-for-bit.
+    * Lloyd-trained centroids ([[topK]]) give better list balance in
+    * production; the full-probe q75/q93 anchors certify that path,
+    * this one puts the PRUNING itself under the correctness gate. */
+  def topKPortable(df: DataFrame, queriesFilter: Column, idCol: String,
+                   vecCol: String, k: Int, lists: Int,
+                   nProbe: Int): DataFrame = {
+    require(lists >= 1 && nProbe >= 1 && nProbe <= lists)
+    val cents = df.orderBy(col(idCol)).limit(lists)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble))
+      .zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+    val csLit = typedlit(cents)
+    val diff2 = zip_with(col("vec"), col("c._2"), (x, y) =>
+      round((x.cast("double") - y) * (x.cast("double") - y) * lit(1e9))
+        .cast("long"))
+    val w = Window.partitionBy(col("id")).orderBy(col("d29"), col("bucket"))
+    // one ranked table serves both sides: pr = 1 is the assignment,
+    // pr <= nProbe the probe plan
+    val ranked = df
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        sqrt(Similarity.normSqExact(col(vecCol))).as("nrm"),
+        queriesFilter.as("isq"))
+      .select(col("id"), col("vec"), col("nrm"), col("isq"),
+        explode(csLit).as("c"))
+      .withColumn("d29", aggregate(diff2, lit(0L), (acc, x) => acc + x))
+      .select(col("id"), col("vec"), col("nrm"), col("isq"),
+        col("c._1").as("bucket"), col("d29"))
+      .withColumn("pr", row_number().over(w))
+      .localCheckpoint(true) // two consumers below
+    val corpus = ranked.filter(col("pr") === 1)
+      .select(col("bucket"), col("id").as("neighbor_id"),
+        col("vec").as("cvec"), col("nrm").as("cnorm"))
+    val queries = ranked.filter(col("isq") && col("pr") <= nProbe)
+      .select(col("bucket"), col("id").as("query_id"),
+        col("vec").as("qvec"), col("nrm").as("qnorm"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    // each corpus vector lives in exactly one list, so a query never
+    // meets a candidate through two probes — no post-join dedup
+    corpus.join(broadcast(queries), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        Similarity.dotExact(col("qvec"), col("cvec"))
+          / (col("qnorm") * col("cnorm")))
+      .withColumn("rk", row_number().over(wq).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos"))
   }
 }

@@ -20,11 +20,15 @@ package graft.ops
   * deterministic variant is what makes the decode oracle-checkable,
   * which no float IDCT could be.
   *
-  * Scope: baseline DCT, 8-bit, single grayscale component, no
-  * subsampling, no restart intervals — the shape the multimodal
-  * pipeline's synthesized payloads use. Progressive/chroma streams
-  * still surface through [[Multimodal.HeaderDecoder]]'s real SOFn
-  * header parse with `format`-level features only.
+  * Scope: baseline DCT, 8-bit, in TWO component layouts — single
+  * grayscale ([[decodeGray]], q267) and, since round 9, interleaved
+  * 3-component YCbCr 4:2:0 ([[decodeColor420]], q314: per-component
+  * quant/Huffman tables, per-MCU Y₀Y₁Y₂Y₃CbCr entropy order,
+  * replication chroma upsampling, fixed-point color transform) — the
+  * two shapes that cover the overwhelming share of real web-crawl
+  * JPEGs. No restart intervals; progressive streams still surface
+  * through [[Multimodal.HeaderDecoder]]'s real SOFn header parse with
+  * `format`-level features only (honest boundary).
   */
 object Jpeg {
 
@@ -47,6 +51,29 @@ object Jpeg {
     49, 64, 78, 87, 103, 121, 120, 101,
     72, 92, 95, 98, 112, 100, 103, 99)
 
+  /** Annex K.2 chrominance quantization table, natural (row-major)
+    * order. */
+  val QuantChroma: Array[Int] = Array(
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99)
+
+  /** Fixed-point JFIF/BT.601 YCbCr→RGB constants, round(c·2¹⁶):
+    * R = Y + 1.402·(Cr−128), G = Y − 0.344136·(Cb−128) −
+    * 0.714136·(Cr−128), B = Y + 1.772·(Cb−128). Each chroma term is
+    * computed as ((k·d + 2¹⁵ + 2³⁰) >> 16) − 2¹⁴ — the same
+    * keep-the-numerator-positive bias trick as [[idct]], so the shift
+    * replays as truncating division cross-engine. */
+  val CrR = 91881L   // round(1.402    * 65536)
+  val CbG = 22554L   // round(0.344136 * 65536)
+  val CrG = 46802L   // round(0.714136 * 65536)
+  val CbB = 116130L  // round(1.772    * 65536)
+
   // Annex K.3.1 / K.3.2 luminance Huffman specs: (BITS counts for code
   // lengths 1..16, HUFFVAL symbol list).
   private val DcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
@@ -68,6 +95,29 @@ object Jpeg {
     0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
     0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
     0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa).map(_.toByte))
+
+  // Annex K.3.2 chrominance Huffman specs (Tables K.4 and K.6).
+  private val DcChromaBits = Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val DcChromaVals = (0 to 11).map(_.toByte).toArray
+  private val AcChromaBits = Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119)
+  private val AcChromaVals: Array[Byte] = (Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15,
+    0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17,
+    0x18, 0x19, 0x1a, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5,
+    0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+    0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9,
+    0xda, 0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa).map(_.toByte))
+  require(AcChromaVals.length == AcChromaBits.sum,
+    "chroma AC Huffman spec out of sync")
 
   /** Fixed-point IDCT basis: B[u][x] = round(C(u)·cos((2x+1)uπ/16)·2¹¹),
     * C(0) = 1/√2, else 1 (StrictMath for platform determinism). Shared
@@ -274,6 +324,84 @@ object Jpeg {
     out.toByteArray
   }
 
+  /** Encode an INTERLEAVED 4:2:0 YCbCr baseline JFIF stream from
+    * quantized zigzag coefficient blocks — the dominant web-crawl
+    * JPEG shape (3 components, luma sampled 2×2 per chroma sample).
+    * `blocks` holds `6·mcusX·mcusY` blocks in T.81 interleaved MCU
+    * order: Y₀ Y₁ Y₂ Y₃ (raster within the 16×16 MCU) then Cb, Cr.
+    * Luma uses the Annex K.1 table + K.3.1/K.3.2 luma Huffman codes,
+    * chroma K.2 + the K.4/K.6 chroma codes, per-component DC
+    * predictors — exactly the table layout every libjpeg-compatible
+    * encoder emits. Image = 16·mcusX × 16·mcusY. */
+  def encodeColor420FromCoeffs(blocks: Array[Array[Int]], mcusX: Int,
+                               mcusY: Int): Array[Byte] = {
+    require(blocks.length == 6 * mcusX * mcusY, "need 6 blocks per MCU")
+    require(blocks.forall(_.length == 64), "blocks must carry 64 coefs")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8) // SOI
+    seg(out, 0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    seg(out, 0xdb, (Array(0x00) ++ ZigZag.map(QuantLuma)).map(_.toByte))
+    seg(out, 0xdb, (Array(0x01) ++ ZigZag.map(QuantChroma)).map(_.toByte))
+    // SOF0: 3 components — Y id 1 sampling 2x2 Tq0, Cb/Cr id 2/3 1x1 Tq1
+    val h = 16 * mcusY; val w = 16 * mcusX
+    seg(out, 0xc0, Array(8, (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff,
+      w & 0xff, 3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1).map(_.toByte))
+    seg(out, 0xc4, (Array(0x00) ++ DcBits ++ DcVals.map(_ & 0xff)).map(_.toByte))
+    seg(out, 0xc4, (Array(0x10) ++ AcBits ++ AcVals.map(_ & 0xff)).map(_.toByte))
+    seg(out, 0xc4, (Array(0x01) ++ DcChromaBits ++ DcChromaVals.map(_ & 0xff))
+      .map(_.toByte))
+    seg(out, 0xc4, (Array(0x11) ++ AcChromaBits ++ AcChromaVals.map(_ & 0xff))
+      .map(_.toByte))
+    // SOS: Y → tables 0/0, Cb/Cr → tables 1/1
+    seg(out, 0xda, Array(3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0).map(_.toByte))
+    val dcY = new HuffEncoder(DcBits, DcVals)
+    val acY = new HuffEncoder(AcBits, AcVals)
+    val dcC = new HuffEncoder(DcChromaBits, DcChromaVals)
+    val acC = new HuffEncoder(AcChromaBits, AcChromaVals)
+    val bw = new BitWriter(out)
+    val pred = new Array[Int](3) // per-component DC predictor
+    def encBlock(blk: Array[Int], comp: Int): Unit = {
+      val (dcH, acH) = if (comp == 0) (dcY, acY) else (dcC, acC)
+      val diff = blk(0) - pred(comp)
+      pred(comp) = blk(0)
+      val s = bitSize(diff)
+      require(s <= 11, s"DC difference $diff exceeds the baseline range")
+      bw.write(dcH.codeOf(s), dcH.lenOf(s))
+      if (s > 0)
+        bw.write(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      var j = 1; var run = 0
+      while (j < 64) {
+        val c = blk(j)
+        if (c == 0) run += 1
+        else {
+          while (run > 15) {
+            bw.write(acH.codeOf(0xf0), acH.lenOf(0xf0)); run -= 16
+          }
+          val sz = bitSize(c)
+          require(sz <= 10, s"AC coefficient $c exceeds the baseline range")
+          val rs = (run << 4) | sz
+          bw.write(acH.codeOf(rs), acH.lenOf(rs))
+          bw.write(if (c < 0) c + (1 << sz) - 1 else c, sz)
+          run = 0
+        }
+        j += 1
+      }
+      if (run > 0) bw.write(acH.codeOf(0x00), acH.lenOf(0x00)) // EOB
+    }
+    var mcu = 0
+    while (mcu < mcusX * mcusY) {
+      var i = 0
+      while (i < 6) {
+        encBlock(blocks(mcu * 6 + i), if (i < 4) 0 else if (i == 4) 1 else 2)
+        i += 1
+      }
+      mcu += 1
+    }
+    bw.flush()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
   // ---- decoder ------------------------------------------------------
 
   final case class GrayJpeg(width: Int, height: Int,
@@ -391,6 +519,201 @@ object Jpeg {
     }
     GrayJpeg(width, height, blocks, pixels)
   }
+
+  final case class ColorJpeg(width: Int, height: Int,
+                             coeffs: Array[Array[Int]], // 6/MCU, zigzag, quantized
+                             r: Array[Byte], g: Array[Byte], b: Array[Byte])
+
+  /** Decode a baseline INTERLEAVED 4:2:0 YCbCr JPEG (the web-crawl
+    * shape [[encodeColor420FromCoeffs]] emits): full marker walk with
+    * per-component quant/Huffman table ids read from the stream,
+    * per-MCU entropy decode (Y₀Y₁Y₂Y₃ Cb Cr, per-component DC
+    * prediction), integer [[idct]] per block, chroma upsampled by
+    * SAMPLE REPLICATION (each chroma sample covers its 2×2 luma
+    * quad — T.81 leaves the upsampling filter to the decoder; pinning
+    * replication, libjpeg's -nosmooth variant, is what keeps the
+    * pixels an exact integer function of the coefficients), then the
+    * fixed-point [[CrR]]/[[CbG]]/[[CrG]]/[[CbB]] color transform with
+    * positive-bias shifts. Pure integers end-to-end → replayable. */
+  def decodeColor420(data: Array[Byte]): ColorJpeg = {
+    require((data(0) & 0xff) == 0xff && (data(1) & 0xff) == 0xd8, "not a JPEG")
+    var pos = 2
+    val quant = new Array[Array[Int]](4)
+    val dcTabs = new Array[HuffDecoder](4)
+    val acTabs = new Array[HuffDecoder](4)
+    var width = 0; var height = 0
+    val compTq = new Array[Int](3) // by component index (0=Y, 1=Cb, 2=Cr)
+    val compDc = new Array[Int](3)
+    val compAc = new Array[Int](3)
+    def u16(o: Int) = ((data(o) & 0xff) << 8) | (data(o + 1) & 0xff)
+    var scanAt = -1
+    while (scanAt < 0) {
+      require((data(pos) & 0xff) == 0xff, f"expected marker at $pos")
+      val m = data(pos + 1) & 0xff
+      val len = u16(pos + 2)
+      val body = pos + 4
+      m match {
+        case 0xdb =>
+          var o = body
+          while (o < pos + 2 + len) {
+            val pq = (data(o) & 0xf0) >> 4; val tq = data(o) & 0x0f
+            require(pq == 0, "only 8-bit quant tables")
+            quant(tq) = Array.tabulate(64)(j => data(o + 1 + j) & 0xff)
+            o += 65
+          }
+        case 0xc4 =>
+          var o = body
+          while (o < pos + 2 + len) {
+            val cls = (data(o) & 0xf0) >> 4; val id = data(o) & 0x0f
+            val bits = Array.tabulate(16)(i => data(o + 1 + i) & 0xff)
+            val n = bits.sum
+            val vals = Array.tabulate(n)(i => data(o + 17 + i))
+            val dec = new HuffDecoder(bits, vals)
+            if (cls == 0) dcTabs(id) = dec else acTabs(id) = dec
+            o += 17 + n
+          }
+        case 0xc0 =>
+          require((data(body) & 0xff) == 8, "only 8-bit precision")
+          height = u16(body + 1); width = u16(body + 3)
+          require((data(body + 5) & 0xff) == 3, "YCbCr decoder wants 3 components")
+          for (c <- 0 until 3) {
+            val o = body + 6 + 3 * c
+            require((data(o) & 0xff) == c + 1, "component ids must be 1,2,3")
+            val samp = data(o + 1) & 0xff
+            require(samp == (if (c == 0) 0x22 else 0x11),
+              f"4:2:0 decoder: component ${c + 1} has sampling $samp%02x")
+            compTq(c) = data(o + 2) & 0xff
+          }
+        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+             0xcb | 0xcd | 0xce | 0xcf =>
+          throw new IllegalArgumentException(f"unsupported SOF marker FF$m%02x")
+        case 0xda =>
+          require((data(body) & 0xff) == 3, "three-component scan expected")
+          for (c <- 0 until 3) {
+            val o = body + 1 + 2 * c
+            require((data(o) & 0xff) == c + 1, "scan order must be 1,2,3")
+            compDc(c) = (data(o + 1) & 0xf0) >> 4
+            compAc(c) = data(o + 1) & 0x0f
+          }
+          scanAt = pos + 2 + len
+        case _ => ()
+      }
+      if (scanAt < 0) pos += 2 + len
+    }
+    require(width > 0 && height > 0, "missing SOF0 before SOS")
+    require(width % 16 == 0 && height % 16 == 0,
+      "4:2:0 decoder expects MCU-aligned dimensions")
+    val mcusX = width / 16; val mcusY = height / 16
+    val br = new BitReader(data, scanAt)
+    val coeffs = new Array[Array[Int]](6 * mcusX * mcusY)
+    val yPlane = new Array[Int](width * height)
+    val cw = width / 2; val ch = height / 2
+    val cbPlane = new Array[Int](cw * ch)
+    val crPlane = new Array[Int](cw * ch)
+    val pred = new Array[Int](3)
+    def decBlock(comp: Int): (Array[Int], Array[Int]) = {
+      val dcT = dcTabs(compDc(comp)); val acT = acTabs(compAc(comp))
+      val q = quant(compTq(comp))
+      require(dcT != null && acT != null && q != null, "missing tables")
+      val zz = new Array[Int](64)
+      val s = dcT.decode(br)
+      pred(comp) += extend(br.read(s), s)
+      zz(0) = pred(comp)
+      var j = 1; var done = false
+      while (j < 64 && !done) {
+        val rs = acT.decode(br)
+        val r = rs >> 4; val sz = rs & 0x0f
+        if (sz == 0) {
+          if (r == 15) j += 16 else done = true
+        } else {
+          j += r
+          require(j < 64, "AC index overrun")
+          zz(j) = extend(br.read(sz), sz)
+          j += 1
+        }
+      }
+      val nat = new Array[Int](64)
+      var j2 = 0
+      while (j2 < 64) { nat(ZigZag(j2)) = zz(j2) * q(j2); j2 += 1 }
+      (zz, idct(nat))
+    }
+    var mcu = 0
+    while (mcu < mcusX * mcusY) {
+      val mx = mcu % mcusX; val my = mcu / mcusX
+      var i = 0
+      while (i < 6) {
+        val comp = if (i < 4) 0 else if (i == 4) 1 else 2
+        val (zz, px) = decBlock(comp)
+        coeffs(mcu * 6 + i) = zz
+        if (i < 4) { // luma block i at (i%2, i/2) within the MCU
+          val ox = mx * 16 + (i % 2) * 8; val oy = my * 16 + (i / 2) * 8
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              yPlane((oy + y) * width + (ox + x)) = px(y * 8 + x); x += 1
+            }
+            y += 1
+          }
+        } else {
+          val plane = if (i == 4) cbPlane else crPlane
+          val ox = mx * 8; val oy = my * 8
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              plane((oy + y) * cw + (ox + x)) = px(y * 8 + x); x += 1
+            }
+            y += 1
+          }
+        }
+        i += 1
+      }
+      mcu += 1
+    }
+    val r = new Array[Byte](width * height)
+    val g = new Array[Byte](width * height)
+    val b = new Array[Byte](width * height)
+    def clamp(v: Long): Byte =
+      (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+    var py = 0
+    while (py < height) {
+      var px2 = 0
+      while (px2 < width) {
+        val yv = yPlane(py * width + px2).toLong
+        val ci = (py / 2) * cw + (px2 / 2)
+        val dcb = cbPlane(ci).toLong - 128L
+        val dcr = crPlane(ci).toLong - 128L
+        val bias = 32768L + (1L << 30)
+        val rT = ((CrR * dcr + bias) >> 16) - (1L << 14)
+        val gT = ((CbG * dcb + CrG * dcr + bias) >> 16) - (1L << 14)
+        val bT = ((CbB * dcb + bias) >> 16) - (1L << 14)
+        val o = py * width + px2
+        r(o) = clamp(yv + rT)
+        g(o) = clamp(yv - gT)
+        b(o) = clamp(yv + bT)
+        px2 += 1
+      }
+      py += 1
+    }
+    ColorJpeg(width, height, coeffs, r, g, b)
+  }
+
+  /** Deterministic coefficient synthesis for the q314 color payloads:
+    * 6 blocks per MCU (Y₀..Y₃, Cb, Cr), block k drawing its 16
+    * leading zigzag coefficients from payload bytes 16k..16k+15 —
+    * DC = (b mod 101) − 50, AC_j = (b mod 21) − 10, rest zero.
+    * Replayed verbatim by the oracle SQL. */
+  def synthCoeffs420(bytes: Array[Byte], blocks: Int): Array[Array[Int]] =
+    Array.tabulate(blocks) { k =>
+      Array.tabulate(64) { j =>
+        if (j >= 16) 0
+        else {
+          val b = bytes(16 * k + j) & 0xff
+          if (j == 0) (b % 101) - 50 else (b % 21) - 10
+        }
+      }
+    }
 
   /** Deterministic coefficient synthesis for the q267 payloads: block
     * k draws its 32 leading zigzag coefficients from payload bytes

@@ -320,6 +320,56 @@ object Multimodal {
       }.toDF("media_id", "width", "height", "coef_checksum", "pixel_checksum")
   }
 
+  /** FULL 4:2:0 YCbCr JPEG DECODE under oracle — the round-9 chroma
+    * extension of [[jpegPixelFeatures]] (which certifies the grayscale
+    * baseline): payload bytes → deterministic quantized coefficients
+    * for one interleaved MCU (4 luma + Cb + Cr,
+    * [[Jpeg.synthCoeffs420]]) → a REAL 3-component baseline JFIF
+    * stream with Annex K luma+chroma quant/Huffman tables
+    * ([[Jpeg.encodeColor420FromCoeffs]]) → the engine's own marker
+    * walk, interleaved entropy decode, per-component dequant + integer
+    * IDCT, replication upsampling, and fixed-point YCbCr→RGB
+    * ([[Jpeg.decodeColor420]]) → position-weighted integer checksums
+    * of the R/G/B planes. Everything after the payload bytes is exact
+    * integer arithmetic, so DuckDB replays coefficients AND all three
+    * color planes from source bytes. Narrow per-row mapPartitions. */
+  def jpegColorPixelFeatures(df: DataFrame, idCol: String,
+                             textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.where(octet_length(col(textCol)) >= 96)
+      .select(col(idCol).cast("long").as("media_id"),
+        substring(col(textCol).cast("binary"), 1, 96).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val jpg = Jpeg.encodeColor420FromCoeffs(
+            Jpeg.synthCoeffs420(bytes, blocks = 6), mcusX = 1, mcusY = 1)
+          val img = Jpeg.decodeColor420(jpg)
+          var cck = 0L
+          var k = 0
+          while (k < img.coeffs.length) {
+            var j = 0
+            while (j < 64) {
+              cck += img.coeffs(k)(j).toLong * (k * 64 + j + 1)
+              j += 1
+            }
+            k += 1
+          }
+          var rck = 0L; var gck = 0L; var bck = 0L; var i = 0
+          while (i < img.r.length) {
+            val wgt = ((i % 31) + 1).toLong
+            rck += (img.r(i) & 0xff).toLong * wgt
+            gck += (img.g(i) & 0xff).toLong * wgt
+            bck += (img.b(i) & 0xff).toLong * wgt
+            i += 1
+          }
+          (id, img.width, img.height, cck, rck, gck, bck)
+        }
+      }.toDF("media_id", "width", "height", "coef_checksum",
+        "r_checksum", "g_checksum", "b_checksum")
+  }
+
   /** FULL WAV PCM SAMPLE DECODE under oracle — the audio analog of
     * [[pngPixelFeatures]]/[[jpegPixelFeatures]], closing the
     * "audio samples header-only" gap for the lossless format: payload

@@ -167,4 +167,68 @@ object Sketches {
           .cast("long").as("n_union"))
       .withColumn("n_inter", col("n_a") + col("n_b") - col("n_union"))
   }
+
+  /** PORTABLE HLL registers (Flajolet et al. 2007, the classic
+    * HyperLogLog recurrence) over a cross-engine-replayable hash — the
+    * q29/q32/q47 "portable md5" discipline applied to the sketch
+    * family, so the ESTIMATION regime itself can sit under the DuckDB
+    * oracle (the DataSketches path in [[distinctSketch]] stays the
+    * production variant; its bytes aren't cross-engine).
+    *
+    * Hash = 60-bit md5 prefix of the value's string form; bucket = low
+    * `lgK` bits' modulus, w = the remaining 60−lgK bits, rho(w) =
+    * leading-zero rank in that window (w = 0 → width+1). Registers
+    * are per-(group, bucket) MAX — associative and order-free, so
+    * shard partials max-merge into any coarser rollup exactly like
+    * the DataSketches union (and the oracle replays the same max).
+    *
+    * One shuffle: groupBy(groupCols :+ bucket) over a narrow hash
+    * projection, partial-agg map-side. */
+  def portableHllRegisters(df: DataFrame, groupCols: Seq[String],
+                           valueCol: String, lgK: Int = 12): DataFrame = {
+    require(lgK >= 4 && lgK <= 16)
+    val m = 1 << lgK
+    val width = 60 - lgK // bits left for the rho window
+    val h = conv(substring(md5(col(valueCol).cast("string").cast("binary")),
+      1, 15), 16, 10).cast("long")
+    df.withColumn("_h", h)
+      .withColumn("bucket", pmod(col("_h"), lit(m.toLong)))
+      .withColumn("_w", expr(s"_h div $m"))
+      .withColumn("_rho",
+        when(col("_w") === 0, lit(width + 1))
+          .otherwise(lit(width + 1) - length(bin(col("_w")))))
+      .groupBy((groupCols.map(col) :+ col("bucket")): _*)
+      .agg(max(col("_rho")).as("reg"))
+  }
+
+  /** The HLL estimate from [[portableHllRegisters]] registers, kept
+    * cross-engine-deterministic: the harmonic sum Σ2^(−Mj) is EXACT
+    * integer math (Σ 2^(width+1−Mj) in a long, empty buckets at
+    * 2^(width+1)), and the only floating steps are the fixed literal
+    * expression α·m²·2^(width+1)/S plus Flajolet's small-range linear
+    * count m·ln(m/V) — IEEE-deterministic given identical structure,
+    * with ln's 1-ulp libm drift absorbed by round(·, 4). */
+  def portableHllEstimate(regs: DataFrame, groupCols: Seq[String],
+                          lgK: Int = 12): DataFrame = {
+    require(lgK >= 4 && lgK <= 16)
+    val m = 1 << lgK
+    val width = 60 - lgK
+    val emptyTerm = 1L << (width + 1)
+    // α_m · m² · 2^(width+1): same literal structure as the oracle SQL
+    val num = (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))) *
+      lit(m.toDouble * m.toDouble) * lit(emptyTerm.toDouble)
+    regs.groupBy(groupCols.map(col): _*)
+      .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${width + 1} - reg)"))
+          .as("s_occ"),
+        count(lit(1)).as("occ"))
+      .withColumn("s_all",
+        col("s_occ") + (lit(m.toLong) - col("occ")) * lit(emptyTerm))
+      .withColumn("v", lit(m.toLong) - col("occ"))
+      .withColumn("e_raw", num / col("s_all").cast("double"))
+      .withColumn("approx_distinct",
+        round(when(col("e_raw") <= lit(2.5 * m) && col("v") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("v").cast("double")))
+          .otherwise(col("e_raw")), 4))
+      .select((groupCols.map(col) :+ col("approx_distinct")): _*)
+  }
 }

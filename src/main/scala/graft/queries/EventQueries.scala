@@ -23,7 +23,8 @@ case class UserSessState(lastUs: Long, nSessions: Long, nEvents: Long)
 class SessionizeProcessor
     extends StatefulProcessor[Long, (Long, Long, Long), (Long, Long, Long)] {
   @transient private var st: ValueState[UserSessState] = _
-  private val GapUs = 1800L * 1000000L // 30 min, = EventQueries.SessionGapUs
+  // ONE source of truth with the q42 recurrence and its shared oracle
+  private val GapUs = EventQueries.SessionGapUs
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     st = getHandle.getValueState[UserSessState]("sess",
@@ -56,7 +57,7 @@ object EventQueries {
   type Q = (SparkSession, String) => DataFrame
 
   private val streamId = new AtomicInteger(0)
-  private val SessionGapUs = 1800L * 1000000L // 30 min
+  private[queries] val SessionGapUs = 1800L * 1000000L // 30 min
 
   /** Stateful-stream shuffle parallelism: the state-store count is
     * pinned to `spark.sql.shuffle.partitions` at query start, and each
@@ -664,20 +665,26 @@ object EventQueries {
         .orderBy(col("event_type"))
     }),
 
-    // Mergeable HLL distinct sketches: per-shard partials unioned to
-    // per-type estimates (the pre-aggregated-rollup pattern for
-    // COUNT DISTINCT at scale). Sketch bytes aren't cross-engine —
-    // rows-only here; SketchesSpec asserts merge-exactness and error
-    // bounds vs exact.
+    // Mergeable HLL distinct in the ESTIMATION regime — redeclared
+    // round 9 on the PORTABLE register recurrence (60-bit md5 hash,
+    // per-(type, shard, bucket) max-rho partials, shard registers
+    // max-MERGED to the type rollup, Flajolet estimate + small-range
+    // linear counting), so the approximate path itself is
+    // oracle-green: DuckDB replays registers exactly (integer max)
+    // and the estimate deterministically (fixed literal structure,
+    // ln drift absorbed by round 4). The DataSketches production
+    // variant stays under SketchesSpec + the q103 coupon-exact cells.
     "q65_hll_distinct" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select(col("event_type"), col("user_id"),
           (col("event_id") % 16).as("shard"))
-      graft.ops.Sketches.estimate(graft.ops.Sketches.mergeSketches(
-          graft.ops.Sketches.distinctSketch(ev, Seq("event_type", "shard"),
-            "user_id"),
-          Seq("event_type")))
-        .select(col("event_type"), col("approx_distinct"))
+      val regs = graft.ops.Sketches.portableHllRegisters(ev,
+        Seq("event_type", "shard"), "user_id", lgK = 12)
+      // shard partials merge by register max — the mergeability claim
+      val merged = regs.groupBy(col("event_type"), col("bucket"))
+        .agg(max(col("reg")).as("reg"))
+      graft.ops.Sketches.portableHllEstimate(merged, Seq("event_type"),
+          lgK = 12)
         .orderBy(col("event_type"))
     }),
 
@@ -1926,6 +1933,48 @@ object EventQueries {
       """SELECT CAST(user_id % 100 AS BIGINT) AS bucket,
         |       count(*) AS est
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q65 (green since round 9): the portable HLL recurrence replayed
+    // register-for-register — 60-bit md5 hash, bucket = h mod 4096,
+    // rho from the 48-bit remainder's bit length, shard-max then
+    // type-max registers, exact integer harmonic sum (Σ 2^(49−reg) in
+    // BIGINT, empty buckets at 2^49), then the identical literal
+    // α·m²·2^49/S expression and small-range m·ln(m/V); round 4
+    // absorbs ln's 1-ulp libm drift.
+    "q65_hll_distinct" ->
+      """WITH h AS (
+        |  SELECT event_type, event_id % 16 AS shard,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM events),
+        |b AS (SELECT event_type, shard, h % 4096 AS bucket,
+        |        h // 4096 AS w FROM h),
+        |r AS (SELECT event_type, shard, bucket,
+        |        CASE WHEN w = 0 THEN 49
+        |             ELSE 49 - length(bin(w)) END AS rho FROM b),
+        |reg AS (SELECT event_type, shard, bucket, max(rho) AS reg
+        |        FROM r GROUP BY 1, 2, 3),
+        |mrg AS (SELECT event_type, bucket, max(reg) AS reg
+        |        FROM reg GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT event_type,
+        |    sum(CAST(1 AS BIGINT) << (49 - reg)) AS s_occ,
+        |    CAST(count(*) AS BIGINT) AS occ
+        |  FROM mrg GROUP BY 1),
+        |est AS (
+        |  SELECT event_type,
+        |    CAST(s_occ + (4096 - occ) * (CAST(1 AS BIGINT) << 49)
+        |      AS BIGINT) AS s_all,
+        |    4096 - occ AS v
+        |  FROM agg)
+        |SELECT event_type,
+        |  round(CASE WHEN e_raw <= 10240.0 AND v > 0
+        |    THEN 4096.0 * ln(4096.0 / CAST(v AS DOUBLE)) ELSE e_raw END,
+        |    4) AS approx_distinct
+        |FROM (SELECT event_type, v,
+        |  ((0.7213 / (1.0 + 1.079 / 4096.0)) * 16777216.0)
+        |    * 562949953421312.0 / CAST(s_all AS DOUBLE) AS e_raw
+        |  FROM est)
+        |ORDER BY event_type""".stripMargin,
     // Exact because every cell is in the sketch's coupon regime — the
     // ground truth is plain COUNT(DISTINCT) per cell.
     "q103_hll_cells" ->

@@ -130,4 +130,77 @@ class JpegSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Jpeg.decodeGray(bad) }
     ()
   }
+
+  // ---- 4:2:0 YCbCr (round 9) ----------------------------------------
+
+  test("color 4:2:0: coefficient round-trip across interleaved MCUs") {
+    // 2x1 MCUs = 12 blocks; distinct values per block exercise the
+    // per-component DC predictors and both Huffman table pairs
+    val blocks = Array.tabulate(12)(k =>
+      block(j => if (j == 0) k * 9 - 40
+      else if (j < 24) ((j * (k + 3)) % 19) - 9 else 0))
+    val img = Jpeg.decodeColor420(Jpeg.encodeColor420FromCoeffs(blocks, 2, 1))
+    assert(img.width == 32 && img.height == 16)
+    assert(img.coeffs.map(_.toSeq).toSeq == blocks.map(_.toSeq).toSeq)
+  }
+
+  test("color 4:2:0: neutral chroma (Cb=Cr=128) decodes R=G=B=Y") {
+    // Y DC = 16 -> luma 128+16*qDC*basis... use DC-only blocks; chroma
+    // DC 0 dequantizes to 0 -> IDCT gives 128 (neutral)
+    val blocks = Array.tabulate(6)(k =>
+      block(j => if (j == 0 && k < 4) 3 else 0))
+    val img = Jpeg.decodeColor420(Jpeg.encodeColor420FromCoeffs(blocks, 1, 1))
+    val n = img.width * img.height
+    // neutral chroma: the color transform's chroma terms are the bias
+    // constants only -> R=G=B=Y everywhere
+    assert((0 until n).forall(i => img.r(i) == img.g(i) && img.g(i) == img.b(i)))
+    // and Y is the constant DC tile: 128 + round-trip of 3*16 via IDCT
+    val y0 = img.r(0)
+    assert((0 until n).forall(i => img.r(i) == y0))
+  }
+
+  test("color 4:2:0: red chroma shifts R up and G/B down vs neutral") {
+    val neutral = Jpeg.decodeColor420(Jpeg.encodeColor420FromCoeffs(
+      Array.tabulate(6)(k => block(j => if (j == 0 && k < 4) 5 else 0)), 1, 1))
+    // positive Cr DC -> dcr > 0 -> R rises, G falls, B unchanged
+    val red = Jpeg.decodeColor420(Jpeg.encodeColor420FromCoeffs(
+      Array.tabulate(6)(k => block(j =>
+        if (j == 0 && k < 4) 5 else if (j == 0 && k == 5) 2 else 0)), 1, 1))
+    assert((red.r(0) & 0xff) > (neutral.r(0) & 0xff))
+    assert((red.g(0) & 0xff) < (neutral.g(0) & 0xff))
+    assert((red.b(0) & 0xff) == (neutral.b(0) & 0xff))
+  }
+
+  test("color 4:2:0: chroma upsampling replicates each sample to a 2x2 quad") {
+    // one non-DC Cb coefficient makes the chroma plane non-constant;
+    // every 2x2 luma quad must still share one chroma contribution.
+    // Y constant => any R/G/B variation comes from chroma alone.
+    val img = Jpeg.decodeColor420(Jpeg.encodeColor420FromCoeffs(
+      Array.tabulate(6)(k => block(j =>
+        if (j == 0 && k < 4) 5 else if (k == 4 && j == 1) 7 else 0)), 1, 1))
+    for (qy <- 0 until 8; qx <- 0 until 8) {
+      val quad = for (dy <- 0 to 1; dx <- 0 to 1)
+        yield (img.b((qy * 2 + dy) * 16 + qx * 2 + dx) & 0xff)
+      assert(quad.distinct.size == 1, s"quad ($qx,$qy) not uniform: $quad")
+    }
+    ()
+  }
+
+  test("color 4:2:0: synthCoeffs420 byte rules and zero tail") {
+    val bytes = Array.tabulate(96)(i => ((i * 37 + 11) % 251).toByte)
+    val cs = Jpeg.synthCoeffs420(bytes, 6)
+    assert(cs.length == 6 && cs.forall(_.length == 64))
+    assert(cs(0)(0) == ((bytes(0) & 0xff) % 101) - 50)
+    assert(cs(5)(3) == ((bytes(83) & 0xff) % 21) - 10)
+    assert(cs.forall(b => (16 until 64).forall(j => b(j) == 0)))
+  }
+
+  test("color 4:2:0: grayscale decoder refuses color streams and vice versa") {
+    val color = Jpeg.encodeColor420FromCoeffs(
+      Array.tabulate(6)(_ => block(_ => 0)), 1, 1)
+    intercept[IllegalArgumentException] { Jpeg.decodeGray(color) }
+    val gray = Jpeg.encodeGrayFromCoeffs(Array(block(_ => 0)), 1, 1)
+    intercept[IllegalArgumentException] { Jpeg.decodeColor420(gray) }
+    ()
+  }
 }

@@ -34,6 +34,11 @@ artifact = {
     "max_sec": round(max(secs), 3) if secs else None,
     "queries": {k: round(v, 3) for k, v in sorted(qs.items())},
 }
+# round-9 attribution fields: environment control + streaming walls
+summ = j.get("summary", {})
+for k in ("control_q02_sec", "streaming_group_wall_sec", "streaming_isolated"):
+    if k in summ:
+        artifact[k] = summ[k]
 if errors:
     artifact["errors"] = errors
 path = f"/root/repo/BENCH_LOCAL_r{rnd:02d}.json"

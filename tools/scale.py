@@ -10,6 +10,10 @@ Usage: tools/scale.py <round> [queryCsv]
 import json, subprocess, sys
 
 QUERIES = ",".join([
+    # environment CONTROL (round-9 verdict ask #3): a trivial fixed
+    # filter-project whose cross-round drift isolates host speed from
+    # plan regressions — read it first when comparing rounds
+    "q02_filter_project",
     "q01_pricing_summary", "q04_nation_revenue", "q08_running_qty",
     "q26_dedup_minhash", "q52_dedup_groups", "q78_zorder",
     "q80_locf_resample", "q93_ann_distributed", "q105_pagerank",
@@ -148,6 +152,15 @@ artifact = {
     "metric": "scale_100x",
     "round": int(rnd),
     "sf_small": "sf0.01", "sf_big": "sf1 (10x sf0.1 key-offset replication)",
+    "discipline": "min-of-two passes per query, GC settle between, "
+                  "caches cleared between passes; replica documents carry "
+                  "~25% token-level noise per copy (cross-copy Jaccard ~0.4, "
+                  "not the pre-round-9 suffix-only Jaccard-1 cliques)",
+    "control_q02_ratio": ratios.get("q02_filter_project"),
+    "control_q02_sec": {
+        "small": small["queries"].get("q02_filter_project"),
+        "big": big["queries"].get("q02_filter_project"),
+    },
     "seconds_small": {k: round(v, 3) for k, v in small["queries"].items()},
     "seconds_big": {k: round(v, 3) for k, v in big["queries"].items()},
     "ratio_100x": ratios,
