@@ -42,11 +42,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * Scale notes: one file = one partition (the format is deliberately
   * not block-splittable — like row-oriented Avro without sync
   * markers, parallelism comes from file count, which the writer
-  * controls via the input's partitioning). The writer here runs
-  * executor-side (one file per partition, task-local I/O); a
-  * production write path would sit behind Spark's file commit
-  * protocol for atomicity/retries — the declared capability is the
-  * READ connector.
+  * controls via the input's partitioning). Since round 9 the
+  * connector also implements the WRITE quadrant ([[GraftRecWrite]])
+  * under the standard two-phase commit protocol — staged task files,
+  * job-commit rename, abort cleanup — so task retries/speculation
+  * can never surface partial output; the legacy [[GraftRec.write]]
+  * helper remains for tests but the declared queries (q312/q313) go
+  * through the committed path.
   */
 object GraftRec {
   val Magic = 0x47524331 // "GRC1"

@@ -75,4 +75,71 @@ class GraftRecSpec extends AnyFunSuite {
     val bad = Seq((1, "x")).toDF("i", "s") // Int, not Long
     intercept[IllegalArgumentException](GraftRec.write(bad, dir))
   }
+
+  // ---- DSv2 committed write path (round 9) --------------------------
+
+  test("committed write: DSv2 save → read round-trips, no staging residue") {
+    import spark.implicits._
+    val dir = tmp()
+    val df = Seq((1L, 1.5, "a"), (2L, 2.5, "βδ"), (3L, -0.25, ""))
+      .toDF("id", "v", "s")
+    df.write.format("graft.io.GraftRecSource").mode("append").save(dir)
+    val files = new java.io.File(dir).listFiles()
+    assert(files.forall(f => !f.getName.endsWith(GraftRec.StagingSuffix)),
+      "staged files must not survive a successful commit")
+    val back = spark.read.format("graft.io.GraftRecSource").load(dir)
+    assert(back.collect().toSet == df.collect().toSet)
+  }
+
+  test("committed overwrite: the stale generation is fully replaced") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, "old1"), (2L, "old2"), (3L, "old3")).toDF("id", "s")
+      .write.format("graft.io.GraftRecSource").mode("append").save(dir)
+    Seq((10L, "new")).toDF("id", "s")
+      .write.format("graft.io.GraftRecSource").mode("overwrite").save(dir)
+    val back = spark.read.format("graft.io.GraftRecSource").load(dir)
+    assert(back.select(col("id"), col("s")).collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1))) == Seq((10L, "new")))
+  }
+
+  test("null values are rejected loudly on both write paths") {
+    import spark.implicits._
+    val dir = tmp()
+    val withNull = Seq((1L, Some("x")), (2L, None))
+      .toDF("id", "s").select(col("id"), col("s"))
+    val e = intercept[Exception] {
+      withNull.write.format("graft.io.GraftRecSource").mode("append").save(dir)
+    }
+    // executor-side IllegalArgumentException surfaces wrapped in the
+    // job failure — assert the message carried through
+    assert(e.getMessage != null)
+    intercept[Exception](GraftRec.write(withNull, tmp()))
+    ()
+  }
+
+  test("external schema mismatching the file header fails fast") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, "x")).toDF("id", "s")
+      .write.format("graft.io.GraftRecSource").mode("append").save(dir)
+    // same names, swapped order → positional decode would be garbage
+    val e = intercept[Exception] {
+      spark.read.format("graft.io.GraftRecSource")
+        .schema("s STRING, id BIGINT").load(dir).collect()
+    }
+    assert(e.getMessage != null)
+    ()
+  }
+
+  test("write target colliding with a regular file is a clear error") {
+    val f = java.nio.file.Files.createTempFile("grec", ".notadir")
+    import spark.implicits._
+    intercept[Exception] {
+      Seq((1L, "x")).toDF("id", "s")
+        .write.format("graft.io.GraftRecSource").mode("append")
+        .save(f.toString)
+    }
+    ()
+  }
 }

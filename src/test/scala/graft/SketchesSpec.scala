@@ -202,4 +202,50 @@ class SketchesSpec extends AnyFunSuite {
     val want = rows.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size.toLong).toMap
     assert(run(1) == want && run(13) == want)
   }
+
+  // ---- portable (oracle-replayable) HLL, round 9 --------------------
+
+  test("portable HLL: registers match a scalar reference implementation") {
+    import spark.implicits._
+    val ids = (1L to 500L).map(_ * 37 % 1009)
+    val regs = Sketches.portableHllRegisters(
+        ids.toDF("id").withColumn("g", lit("a")), Seq("g"), "id", lgK = 12)
+      .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    // reference: same md5-prefix hash, bucket, rho — computed scalar
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = scala.collection.mutable.Map.empty[Long, Int]
+    ids.distinct.foreach { v =>
+      val hex = md.digest(v.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val bucket = h % 4096
+      val w = h / 4096
+      val rho = if (w == 0) 49 else 49 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      want(bucket) = math.max(want.getOrElse(bucket, 0), rho)
+    }
+    assert(regs == want.toMap, "register table must replay exactly")
+  }
+
+  test("portable HLL: estimate within 5% of exact; shard merge == global") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(20000)(
+      (rnd.nextInt(3).toString, rnd.nextInt(5000).toLong, rnd.nextInt(16)))
+    val df = rows.toDF("g", "id", "shard")
+    val exact = rows.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.size.toLong).toMap
+    val global = Sketches.portableHllEstimate(
+        Sketches.portableHllRegisters(df, Seq("g"), "id"), Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    global.foreach { case (g, est) =>
+      assert(math.abs(est - exact(g)) / exact(g) < 0.05,
+        s"group $g: est $est vs exact ${exact(g)}")
+    }
+    // shard partials max-merged == the single global register table
+    val sharded = Sketches.portableHllRegisters(df, Seq("g", "shard"), "id")
+      .groupBy(col("g"), col("bucket")).agg(max(col("reg")).as("reg"))
+    val merged = Sketches.portableHllEstimate(sharded, Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(merged == global, "register max-merge must be lossless")
+  }
 }
