@@ -26,8 +26,13 @@ package graft.ops
   * quant/Huffman tables, per-MCU Y₀Y₁Y₂Y₃CbCr entropy order,
   * replication chroma upsampling, fixed-point color transform) — the
   * two shapes that cover the overwhelming share of real web-crawl
-  * JPEGs. No restart intervals; progressive streams still surface
-  * through [[Multimodal.HeaderDecoder]]'s real SOFn header parse with
+  * JPEGs — plus RESTART INTERVALS since round 9 (DRI/RSTn, T.81
+  * §B.2.4.4/E.2.4: the error-resilience markers cameras and encoders
+  * emit so a bit error can't corrupt the rest of the scan; the
+  * decoder must byte-align, consume the cyclic RST marker, and reset
+  * every DC predictor — exactly the machinery [[decodeGray]] now
+  * runs, q316). Progressive streams still surface through
+  * [[Multimodal.HeaderDecoder]]'s real SOFn header parse with
   * `format`-level features only (honest boundary).
   */
 object Jpeg {
@@ -227,6 +232,18 @@ object Jpeg {
 
   private final class BitReader(data: Array[Byte], var pos: Int) {
     private var acc = 0; private var n = 0
+    /** Consume an expected RSTm marker at a restart boundary: discard
+      * the pad bits of the current byte (the entropy segment before a
+      * restart is byte-aligned by 1-padding, T.81 §B.2.4.4) and verify
+      * the cyclic marker index — a demuxer that loses sync here would
+      * silently misattribute every following MCU. */
+    def expectRestart(m: Int): Unit = {
+      n = 0 // byte-align: drop the pad bits
+      require(pos + 1 < data.length && (data(pos) & 0xff) == 0xff &&
+        (data(pos + 1) & 0xff) == (0xd0 | m),
+        f"expected RST$m at $pos, got ${data(pos) & 0xff}%02x${data(pos + 1) & 0xff}%02x")
+      pos += 2
+    }
     def readBit(): Int = {
       if (n == 0) {
         val b = data(pos) & 0xff; pos += 1
@@ -265,11 +282,16 @@ object Jpeg {
 
   /** Encode `blocks` (each 64 QUANTIZED coefficients in ZIGZAG order)
     * as a baseline JFIF grayscale stream of `mcusX`×`mcusY` blocks
-    * (width = 8·mcusX, height = 8·mcusY), Annex K tables. */
+    * (width = 8·mcusX, height = 8·mcusY), Annex K tables. A positive
+    * `restartInterval` emits a DRI segment and the T.81 §E.2.4 restart
+    * machinery: after every `restartInterval` MCUs the entropy segment
+    * is byte-aligned (1-padded), a cyclic RST0..RST7 marker is
+    * written, and the DC predictor resets to 0. */
   def encodeGrayFromCoeffs(blocks: Array[Array[Int]], mcusX: Int,
-                           mcusY: Int): Array[Byte] = {
+                           mcusY: Int, restartInterval: Int = 0): Array[Byte] = {
     require(blocks.length == mcusX * mcusY, "block count != MCU grid")
     require(blocks.forall(_.length == 64), "blocks must carry 64 coefs")
+    require(restartInterval >= 0, "negative restart interval")
     val out = new java.io.ByteArrayOutputStream()
     out.write(0xff); out.write(0xd8) // SOI
     seg(out, 0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
@@ -282,13 +304,25 @@ object Jpeg {
     // DHT: DC class 0 id 0, AC class 1 id 0
     seg(out, 0xc4, (Array(0x00) ++ DcBits ++ DcVals.map(_ & 0xff)).map(_.toByte))
     seg(out, 0xc4, (Array(0x10) ++ AcBits ++ AcVals.map(_ & 0xff)).map(_.toByte))
+    if (restartInterval > 0) // DRI: MCUs between restart markers
+      seg(out, 0xdd, Array((restartInterval >> 8) & 0xff,
+        restartInterval & 0xff).map(_.toByte))
     // SOS: 1 component (id 1, DC table 0 / AC table 0), Ss/Se/AhAl
     seg(out, 0xda, Array(1, 1, 0x00, 0, 63, 0).map(_.toByte))
     val dcH = new HuffEncoder(DcBits, DcVals)
     val acH = new HuffEncoder(AcBits, AcVals)
     val bw = new BitWriter(out)
     var pred = 0
+    var mcuIdx = 0
+    var rstIdx = 0
     for (blk <- blocks) {
+      if (restartInterval > 0 && mcuIdx > 0 && mcuIdx % restartInterval == 0) {
+        bw.flush() // byte-align the segment, then the cyclic marker
+        out.write(0xff); out.write(0xd0 | rstIdx)
+        rstIdx = (rstIdx + 1) & 7
+        pred = 0 // predictors reset at every restart (T.81 E.2.4)
+      }
+      mcuIdx += 1
       val diff = blk(0) - pred
       pred = blk(0)
       val s = bitSize(diff)
@@ -420,6 +454,7 @@ object Jpeg {
     val acTabs = new Array[HuffDecoder](4)
     var width = 0; var height = 0
     var compDc = 0; var compAc = 0; var compTq = 0
+    var restartInterval = 0
     def u16(o: Int) = ((data(o) & 0xff) << 8) | (data(o + 1) & 0xff)
     var scanAt = -1
     while (scanAt < 0) {
@@ -457,6 +492,8 @@ object Jpeg {
         case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
              0xcb | 0xcd | 0xce | 0xcf =>
           throw new IllegalArgumentException(f"unsupported SOF marker FF$m%02x")
+        case 0xdd => // DRI: restart interval in MCUs
+          restartInterval = u16(body)
         case 0xda => // SOS
           val ns = data(body) & 0xff
           require(ns == 1, "single-component scan expected")
@@ -476,8 +513,14 @@ object Jpeg {
     val blocks = new Array[Array[Int]](mcusX * mcusY)
     val pixels = new Array[Byte](width * height)
     var pred = 0
+    var rstIdx = 0
     var b = 0
     while (b < blocks.length) {
+      if (restartInterval > 0 && b > 0 && b % restartInterval == 0) {
+        br.expectRestart(rstIdx) // byte-align + verify the cyclic marker
+        rstIdx = (rstIdx + 1) & 7
+        pred = 0 // DC predictor resets at every restart
+      }
       val zz = new Array[Int](64)
       val s = dcT.decode(br)
       pred += extend(br.read(s), s)

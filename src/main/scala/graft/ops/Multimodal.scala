@@ -526,9 +526,105 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** RESTART-INTERVAL JPEG DECODE under oracle — the round-9 DRI/RSTn
+    * extension of [[jpegPixelFeatures]]: payload bytes → 4 blocks of
+    * deterministic quantized coefficients → a REAL baseline stream
+    * carrying a DRI segment and cyclic RST markers every 2 MCUs
+    * (T.81 §E.2.4 — the error-resilience machinery real encoders
+    * emit) → the engine's own decode, which must byte-align at each
+    * boundary, verify the cyclic marker index, and RESET the DC
+    * predictor. Restart never changes the coefficients, so DuckDB
+    * replays them (and the pixels) exactly as for q267 — but a decoder
+    * that failed to reset predictors or lost bit alignment would
+    * decode different DC values and break the hash. Narrow per-row
+    * mapPartitions, zero shuffle. */
+  def jpegRestartPixelFeatures(df: DataFrame, idCol: String,
+                               textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.where(octet_length(col(textCol)) >= 128)
+      .select(col(idCol).cast("long").as("media_id"),
+        substring(col(textCol).cast("binary"), 1, 128).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val jpg = Jpeg.encodeGrayFromCoeffs(
+            Jpeg.synthCoeffs(bytes, blocks = 4), mcusX = 4, mcusY = 1,
+            restartInterval = 2)
+          val img = Jpeg.decodeGray(jpg)
+          var cck = 0L
+          var k = 0
+          while (k < img.coeffs.length) {
+            var j = 0
+            while (j < 64) {
+              cck += img.coeffs(k)(j).toLong * (k * 64 + j + 1)
+              j += 1
+            }
+            k += 1
+          }
+          var pck = 0L; var i = 0
+          while (i < img.pixels.length) {
+            pck += (img.pixels(i) & 0xff).toLong * ((i % 31) + 1)
+            i += 1
+          }
+          (id, img.width, img.height, cck, pck)
+        }
+      }.toDF("media_id", "width", "height", "coef_checksum", "pixel_checksum")
+  }
+
+  /** VIDEO FRAME SAMPLING from a REAL container — retires the
+    * [[sampleChunks]] stand-in's claim to be the video path: payload
+    * bytes → 4 single-block grayscale JPEG frames ([[Jpeg.synthCoeffs]]
+    * slices) → a standard single-stream MJPEG AVI
+    * ([[Avi.encodeMjpeg]]: avih/strh/strf headers, LIST movi of 00dc
+    * chunks, idx1) → the engine's own RIFF chunk walk + demux
+    * ([[Avi.decodeMjpeg]]) → every `stride`-th frame decoded with the
+    * in-house baseline JPEG decoder → per-frame integer checksums.
+    * Container and codec are separate layers exactly as in a
+    * production demuxer, and everything after the payload bytes is
+    * exact integer arithmetic, so DuckDB replays the sampled frames'
+    * coefficients AND pixels from source bytes. Narrow per-row
+    * mapPartitions (one row in, `frames/stride` rows out), zero
+    * shuffle — the scan→demux→sample→decode shape at 100 TB. */
+  def aviFrameFeatures(df: DataFrame, idCol: String, textCol: String,
+                       stride: Int = 2): DataFrame = {
+    require(stride >= 1, "stride must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.where(octet_length(col(textCol)) >= 128)
+      .select(col(idCol).cast("long").as("media_id"),
+        substring(col(textCol).cast("binary"), 1, 128).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val coeffs = Jpeg.synthCoeffs(bytes, blocks = 4)
+          val frames = coeffs.map(blk =>
+            Jpeg.encodeGrayFromCoeffs(Array(blk), mcusX = 1, mcusY = 1))
+          val avi = Avi.encodeMjpeg(frames, width = 8, height = 8,
+            microSecPerFrame = 100000) // 10 fps
+          val video = Avi.decodeMjpeg(avi)
+          Iterator.range(0, video.frames.length, stride).map { f =>
+            val img = Jpeg.decodeGray(video.frames(f))
+            var cck = 0L; var j = 0
+            while (j < 64) {
+              cck += img.coeffs(0)(j).toLong * (j + 1); j += 1
+            }
+            var pck = 0L; var i = 0
+            while (i < img.pixels.length) {
+              pck += (img.pixels(i) & 0xff).toLong * ((i % 31) + 1)
+              i += 1
+            }
+            (id, f, video.frames.length, img.width, img.height, cck, pck)
+          }
+        }
+      }.toDF("media_id", "frame_idx", "n_frames", "width", "height",
+        "coef_checksum", "pixel_checksum")
+  }
+
   /** Deterministic frame-sampling shape: pick every `stride`-th chunk
-    * of `chunkBytes` from the payload (a video frame-sample stand-in).
-    * Output one row per sampled chunk with its offset. */
+    * of `chunkBytes` from the payload (a video frame-sample stand-in;
+    * [[aviFrameFeatures]] is the real container+codec path since
+    * round 9). Output one row per sampled chunk with its offset. */
   def sampleChunks(records: Dataset[MediaRecord], chunkBytes: Int,
                    stride: Int): DataFrame = {
     val spark = records.sparkSession

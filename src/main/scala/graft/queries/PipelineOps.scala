@@ -1711,6 +1711,35 @@ object PipelineOps {
         .orderBy(col("media_id"))
     }),
 
+    // VIDEO FRAME SAMPLING from a REAL container — payload bytes →
+    // 4 single-block JPEG frames → a standard MJPEG AVI (avih/strh/
+    // strf, LIST movi of 00dc chunks, idx1) → the engine's own RIFF
+    // chunk walk + demux → every 2nd frame decoded with the in-house
+    // baseline JPEG decoder → per-frame integer checksums. Container
+    // and codec are separate layers exactly as in a production
+    // demuxer; DuckDB replays the sampled frames' coefficients AND
+    // pixels from source bytes, so a misparsed chunk boundary (which
+    // would hand the codec the wrong bytes) breaks the hash.
+    "q315_video_frame_sample" -> ((s, d) => {
+      Multimodal.aviFrameFeatures(Tables.documents(s, d), "doc_id", "text",
+          stride = 2)
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    // RESTART-INTERVAL JPEG DECODE under oracle — the DRI/RSTn
+    // error-resilience machinery real encoders emit (T.81 §E.2.4):
+    // 4 MCUs with restart markers every 2, so the engine must
+    // byte-align at each boundary, verify the cyclic marker index,
+    // and reset the DC predictor. The coefficients are restart-
+    // invariant, so DuckDB replays them exactly as for q267 — but a
+    // decoder that failed to reset predictors or lost alignment
+    // would decode different DC values and break the hash.
+    "q316_jpeg_restart_decode" -> ((s, d) => {
+      Multimodal.jpegRestartPixelFeatures(Tables.documents(s, d), "doc_id",
+          "text")
+        .orderBy(col("media_id"))
+    }),
+
     // FULL WAV PCM SAMPLE DECODE under oracle — the audio sibling of
     // q121/q267 (PCM is lossless, so unlike MP3/AAC it is exactly
     // replayable): payload bytes → int16 samples → a real RIFF/WAVE
@@ -2488,6 +2517,129 @@ object PipelineOps {
        |  CAST(8 AS INT) AS height, cck.coef_checksum, pck.pixel_checksum
        |FROM b0 JOIN cck USING (doc_id) JOIN pck USING (doc_id)
        |ORDER BY media_id""".stripMargin
+  }
+
+  // q316's oracle: q267's coefficient/IDCT replay over FOUR blocks
+  // (128 payload bytes, a 32×8 image, restart markers every 2 MCUs on
+  // the engine side). Restart never changes the coefficients — it
+  // only resets DC predictors and byte-aligns the entropy segment —
+  // so the oracle replays the same synthesis; an engine decoder that
+  // failed to reset predictors or lost alignment at an RST boundary
+  // would decode different DC values and break the hash.
+  private lazy val JpegRestartDecodeSql: String = {
+    import graft.ops.Jpeg
+    val zzRows = (0 until 64).map { j =>
+      val n = Jpeg.ZigZag(j)
+      s"($j, ${n % 8}, ${n / 8}, ${Jpeg.QuantLuma(n)})"
+    }.mkString(", ")
+    val bsRows = (for (u <- 0 until 8; x <- 0 until 8)
+      yield s"($u, $x, ${Jpeg.Basis(u)(x)})").mkString(", ")
+    s"""WITH b0 AS (
+       |  SELECT doc_id, hex(encode(text)) AS h FROM documents
+       |  WHERE octet_length(encode(text)) >= 128
+       |), by AS (
+       |  SELECT doc_id, i,
+       |    (strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1))-1)*16
+       |    + (strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1))-1) AS b
+       |  FROM b0, unnest(range(0, 128)) AS u(i)
+       |), zz AS (
+       |  SELECT * FROM (VALUES $zzRows) AS t(j, u, v, qz)
+       |), bs AS (
+       |  SELECT * FROM (VALUES $bsRows) AS t(u, x, bv)
+       |), cf AS MATERIALIZED (
+       |  SELECT doc_id, CAST(i // 32 AS INT) AS k, CAST(i % 32 AS INT) AS j,
+       |    CASE WHEN i % 32 = 0 THEN (b % 101) - 50 ELSE (b % 21) - 10 END AS q
+       |  FROM by
+       |), dq AS MATERIALIZED (
+       |  SELECT cf.doc_id, cf.k, zz.u, zz.v, CAST(cf.q * zz.qz AS BIGINT) AS dv
+       |  FROM cf JOIN zz ON zz.j = cf.j
+       |), px AS MATERIALIZED (
+       |  SELECT dq.doc_id, dq.k, bx.x, byy.x AS y,
+       |    CAST(sum(dv * bx.bv * byy.bv) AS BIGINT) AS s
+       |  FROM dq JOIN bs bx ON bx.u = dq.u JOIN bs byy ON byy.u = dq.v
+       |  GROUP BY 1, 2, 3, 4
+       |), pv AS (
+       |  SELECT doc_id, k, x, y,
+       |    greatest(0, least(255,
+       |      128 + ((s + 8388608 + 1099511627776) // 16777216) - 65536)) AS p
+       |  FROM px
+       |), pck AS (
+       |  SELECT doc_id,
+       |    CAST(sum(p * (((y * 32 + k * 8 + x) % 31) + 1)) AS BIGINT)
+       |      AS pixel_checksum
+       |  FROM pv GROUP BY 1
+       |), cck AS (
+       |  SELECT doc_id,
+       |    CAST(sum(q * (k * 64 + j + 1)) AS BIGINT) AS coef_checksum
+       |  FROM cf GROUP BY 1
+       |)
+       |SELECT b0.doc_id AS media_id, CAST(32 AS INT) AS width,
+       |  CAST(8 AS INT) AS height, cck.coef_checksum, pck.pixel_checksum
+       |FROM b0 JOIN cck USING (doc_id) JOIN pck USING (doc_id)
+       |ORDER BY media_id""".stripMargin
+  }
+
+  // q315's oracle: the sampled MJPEG frames replayed from source bytes
+  // — frame f is one 8×8 block drawing its 32 leading zigzag
+  // coefficients from payload bytes 32f..32f+31 (the q267 synthesis),
+  // the demuxer samples stride 2 → frames 0 and 2, and each sampled
+  // frame's coefficient/pixel checksums run the same injected
+  // zigzag/quant/IDCT-basis literals per (doc, frame). The container
+  // walk has no arithmetic of its own — a demuxer that misparsed a
+  // chunk boundary would hand the codec the wrong frame bytes and
+  // break the per-frame hash.
+  private lazy val AviFrameSampleSql: String = {
+    import graft.ops.Jpeg
+    val zzRows = (0 until 64).map { j =>
+      val n = Jpeg.ZigZag(j)
+      s"($j, ${n % 8}, ${n / 8}, ${Jpeg.QuantLuma(n)})"
+    }.mkString(", ")
+    val bsRows = (for (u <- 0 until 8; x <- 0 until 8)
+      yield s"($u, $x, ${Jpeg.Basis(u)(x)})").mkString(", ")
+    s"""WITH b0 AS (
+       |  SELECT doc_id, hex(encode(text)) AS h FROM documents
+       |  WHERE octet_length(encode(text)) >= 128
+       |), by AS (
+       |  SELECT doc_id, i,
+       |    (strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1))-1)*16
+       |    + (strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1))-1) AS b
+       |  FROM b0, unnest(range(0, 128)) AS u(i)
+       |), zz AS (
+       |  SELECT * FROM (VALUES $zzRows) AS t(j, u, v, qz)
+       |), bs AS (
+       |  SELECT * FROM (VALUES $bsRows) AS t(u, x, bv)
+       |), cf AS MATERIALIZED (
+       |  SELECT doc_id, CAST(i // 32 AS INT) AS k, CAST(i % 32 AS INT) AS j,
+       |    CASE WHEN i % 32 = 0 THEN (b % 101) - 50 ELSE (b % 21) - 10 END AS q
+       |  FROM by WHERE (i // 32) % 2 = 0
+       |), dq AS MATERIALIZED (
+       |  SELECT cf.doc_id, cf.k, zz.u, zz.v, CAST(cf.q * zz.qz AS BIGINT) AS dv
+       |  FROM cf JOIN zz ON zz.j = cf.j
+       |), px AS MATERIALIZED (
+       |  SELECT dq.doc_id, dq.k, bx.x, byy.x AS y,
+       |    CAST(sum(dv * bx.bv * byy.bv) AS BIGINT) AS s
+       |  FROM dq JOIN bs bx ON bx.u = dq.u JOIN bs byy ON byy.u = dq.v
+       |  GROUP BY 1, 2, 3, 4
+       |), pv AS (
+       |  SELECT doc_id, k, x, y,
+       |    greatest(0, least(255,
+       |      128 + ((s + 8388608 + 1099511627776) // 16777216) - 65536)) AS p
+       |  FROM px
+       |), pck AS (
+       |  SELECT doc_id, k,
+       |    CAST(sum(p * (((y * 8 + x) % 31) + 1)) AS BIGINT)
+       |      AS pixel_checksum
+       |  FROM pv GROUP BY 1, 2
+       |), cck AS (
+       |  SELECT doc_id, k,
+       |    CAST(sum(q * (j + 1)) AS BIGINT) AS coef_checksum
+       |  FROM cf GROUP BY 1, 2
+       |)
+       |SELECT cck.doc_id AS media_id, CAST(cck.k AS INT) AS frame_idx,
+       |  CAST(4 AS INT) AS n_frames, CAST(8 AS INT) AS width,
+       |  CAST(8 AS INT) AS height, cck.coef_checksum, pck.pixel_checksum
+       |FROM cck JOIN pck ON pck.doc_id = cck.doc_id AND pck.k = cck.k
+       |ORDER BY media_id, frame_idx""".stripMargin
   }
 
   // q314's oracle: the full 4:2:0 color pipeline replayed — synth
@@ -4950,6 +5102,8 @@ object PipelineOps {
     // the JVM's arithmetic shift).
     "q267_jpeg_pixel_decode" -> JpegDecodeSql,
     "q314_jpeg_color_decode" -> JpegColorDecodeSql,
+    "q315_video_frame_sample" -> AviFrameSampleSql,
+    "q316_jpeg_restart_decode" -> JpegRestartDecodeSql,
 
     // q238: the q121 byte replay → exact pixel-vs-mean bits in source
     // order; only matches if the engine's decode is pixel-exact.

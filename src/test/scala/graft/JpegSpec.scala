@@ -203,4 +203,70 @@ class JpegSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Jpeg.decodeColor420(gray) }
     ()
   }
+
+  // ---- restart intervals (DRI/RSTn, T.81 §E.2.4) --------------------
+
+  private def restartBlocks(n: Int): Array[Array[Int]] =
+    Array.tabulate(n)(k => block(j =>
+      if (j == 0) k * 17 - 40 else if (j < 20 && (j + k) % 4 == 0) 6 - j % 13
+      else 0))
+
+  test("restart: coefficients and pixels identical to the no-restart stream") {
+    val blocks = restartBlocks(6)
+    val plain = Jpeg.decodeGray(Jpeg.encodeGrayFromCoeffs(blocks, 6, 1))
+    val rst = Jpeg.decodeGray(Jpeg.encodeGrayFromCoeffs(blocks, 6, 1,
+      restartInterval = 2))
+    assert(rst.coeffs.map(_.toSeq).toSeq == blocks.map(_.toSeq).toSeq)
+    assert(rst.pixels.toSeq == plain.pixels.toSeq)
+  }
+
+  test("restart: DRI segment and byte-aligned RST markers are in the stream") {
+    val bytes = Jpeg.encodeGrayFromCoeffs(restartBlocks(6), 6, 1,
+      restartInterval = 2)
+    def hasMarker(m: Int) = bytes.indices.dropRight(1).exists(i =>
+      (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == m)
+    assert(hasMarker(0xdd), "missing DRI segment")
+    assert(hasMarker(0xd0) && hasMarker(0xd1),
+      "missing cyclic RST markers") // 6 MCUs / interval 2 → RST0, RST1
+    val plain = Jpeg.encodeGrayFromCoeffs(restartBlocks(6), 6, 1)
+    assert(bytes.length > plain.length, "restart stream must carry markers")
+  }
+
+  test("restart: interval not dividing the MCU count still round-trips") {
+    val blocks = restartBlocks(5)
+    val img = Jpeg.decodeGray(Jpeg.encodeGrayFromCoeffs(blocks, 5, 1,
+      restartInterval = 2))
+    assert(img.coeffs.map(_.toSeq).toSeq == blocks.map(_.toSeq).toSeq)
+  }
+
+  test("restart: marker index wraps past RST7 (cyclic modulo 8)") {
+    val blocks = restartBlocks(12) // interval 1 → RST0..RST7, RST0, …
+    val img = Jpeg.decodeGray(Jpeg.encodeGrayFromCoeffs(blocks, 12, 1,
+      restartInterval = 1))
+    assert(img.coeffs.map(_.toSeq).toSeq == blocks.map(_.toSeq).toSeq)
+  }
+
+  test("restart: an out-of-sequence RST marker is rejected loudly") {
+    val bytes = Jpeg.encodeGrayFromCoeffs(restartBlocks(6), 6, 1,
+      restartInterval = 2)
+    // flip the FIRST restart marker (RST0) to RST5: a demuxer that
+    // lost a whole restart segment would see exactly this skew
+    val i = bytes.indices.dropRight(1).find(i =>
+      (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xd0).get
+    val corrupt = bytes.clone()
+    corrupt(i + 1) = 0xd5.toByte
+    intercept[IllegalArgumentException] { Jpeg.decodeGray(corrupt) }
+    ()
+  }
+
+  test("restart: DC prediction must RESET at the boundary, not chain") {
+    // Two identical-DC blocks straddling the restart: with reset the
+    // second block's diff re-encodes the full DC; a decoder that kept
+    // chaining the predictor would read a diff of 0 and decode a
+    // different (doubled) DC. Round-trip equality proves the reset.
+    val blocks = Array.fill(2)(block(j => if (j == 0) 33 else 0))
+    val img = Jpeg.decodeGray(Jpeg.encodeGrayFromCoeffs(blocks, 2, 1,
+      restartInterval = 1))
+    assert(img.coeffs.map(_(0)).toSeq == Seq(33, 33))
+  }
 }

@@ -95,6 +95,9 @@ QUERIES = ",".join([
     # one partition per file, parallelism tracks the writer's
     # partitioning)
     "q312_custom_source",
+    # round-9 continuation: the AVI/MJPEG container demux + per-frame
+    # JPEG decode (narrow per-row kernel control, like q267/q288)
+    "q315_video_frame_sample",
 ])
 
 rnd = sys.argv[1]
