@@ -742,6 +742,270 @@ object Jpeg {
     ColorJpeg(width, height, coeffs, r, g, b)
   }
 
+  // ---- progressive (SOF2) grayscale --------------------------------
+
+  /** Encode `blocks` (64 QUANTIZED zigzag coefficients each) as a
+    * PROGRESSIVE (SOF2) grayscale JFIF stream — T.81 Annex G, the
+    * multi-scan shape web images use so a partial download renders a
+    * coarse preview. Four scans exercising BOTH progressive
+    * mechanisms: spectral selection (the AC band splits 1–5 / 6–63)
+    * and DC successive approximation (scan 1 sends DC>>1 with
+    * DPCM+Huffman at Al=1, scan 2 refines with one RAW BIT per block
+    * at Al=0 — no entropy coding in refinement scans, G.1.2.1). AC
+    * band scans code end-of-band with EOB0 per block (the Annex K
+    * AC table defines no EOBn>0 symbols — aggregated EOBRUN needs
+    * custom tables, which real progressive encoders ship; the decoder
+    * below handles general EOBRUN anyway). */
+  def encodeGrayProgressiveFromCoeffs(blocks: Array[Array[Int]], mcusX: Int,
+                                      mcusY: Int): Array[Byte] = {
+    require(blocks.length == mcusX * mcusY, "block count != MCU grid")
+    require(blocks.forall(_.length == 64), "blocks must carry 64 coefs")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8) // SOI
+    seg(out, 0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    seg(out, 0xdb, (Array(0x00) ++ ZigZag.map(QuantLuma)).map(_.toByte))
+    // SOF2: progressive DCT, same body layout as SOF0
+    val h = 8 * mcusY; val w = 8 * mcusX
+    seg(out, 0xc2, Array(8, (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff,
+      w & 0xff, 1, 1, 0x11, 0).map(_.toByte))
+    seg(out, 0xc4, (Array(0x00) ++ DcBits ++ DcVals.map(_ & 0xff)).map(_.toByte))
+    seg(out, 0xc4, (Array(0x10) ++ AcBits ++ AcVals.map(_ & 0xff)).map(_.toByte))
+    val dcH = new HuffEncoder(DcBits, DcVals)
+    val acH = new HuffEncoder(AcBits, AcVals)
+
+    def sos(ss: Int, se: Int, ah: Int, al: Int): Unit =
+      seg(out, 0xda, Array(1, 1, 0x00, ss, se, (ah << 4) | al).map(_.toByte))
+
+    // Scan 1 — DC first pass: DPCM over the point transform DC>>Al
+    // (arithmetic shift, G.1.2.1), Huffman-coded like a baseline scan.
+    sos(0, 0, ah = 0, al = 1)
+    locally {
+      val bw = new BitWriter(out)
+      var pred = 0
+      for (blk <- blocks) {
+        val v = blk(0) >> 1
+        val diff = v - pred
+        pred = v
+        val s = bitSize(diff)
+        require(s <= 11, s"DC difference $diff exceeds the baseline range")
+        bw.write(dcH.codeOf(s), dcH.lenOf(s))
+        if (s > 0)
+          bw.write(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      }
+      bw.flush()
+    }
+
+    // Scan 2 — DC refinement: ONE raw bit per block (bit Al=0 of the
+    // coefficient), no entropy coding.
+    sos(0, 0, ah = 1, al = 0)
+    locally {
+      val bw = new BitWriter(out)
+      for (blk <- blocks) bw.write(blk(0) & 1, 1)
+      bw.flush()
+    }
+
+    // Scans 3 & 4 — AC spectral bands at full precision (Ah=0, Al=0):
+    // run-length + EOB0 within each block's band.
+    for ((ss, se) <- Seq((1, 5), (6, 63))) {
+      sos(ss, se, ah = 0, al = 0)
+      val bw = new BitWriter(out)
+      for (blk <- blocks) {
+        var last = -1
+        var j = ss
+        while (j <= se) { if (blk(j) != 0) last = j; j += 1 }
+        if (last < 0) {
+          bw.write(acH.codeOf(0x00), acH.lenOf(0x00)) // EOB0: empty band
+        } else {
+          var run = 0
+          j = ss
+          while (j <= last) {
+            val c = blk(j)
+            if (c == 0) run += 1
+            else {
+              while (run > 15) {
+                bw.write(acH.codeOf(0xf0), acH.lenOf(0xf0)); run -= 16
+              }
+              val sz = bitSize(c)
+              require(sz <= 10, s"AC coefficient $c exceeds the baseline range")
+              bw.write(acH.codeOf((run << 4) | sz), acH.lenOf((run << 4) | sz))
+              bw.write(if (c < 0) c + (1 << sz) - 1 else c, sz)
+              run = 0
+            }
+            j += 1
+          }
+          if (last < se)
+            bw.write(acH.codeOf(0x00), acH.lenOf(0x00)) // EOB0: zero tail
+        }
+      }
+      bw.flush()
+    }
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Decode a PROGRESSIVE (SOF2) grayscale JPEG: multi-scan marker
+    * walk, per-scan spectral window (Ss..Se) and successive-
+    * approximation state (Ah/Al), DC first+refinement passes, AC band
+    * scans with GENERAL end-of-band runs (EOBn: run = (1<<r) + r raw
+    * bits of extension, shared across consecutive blocks — the
+    * mechanism progressive encoders with custom tables lean on), then
+    * one dequantize + integer [[idct]] over the accumulated
+    * coefficients. AC successive-approximation refinement scans
+    * (Ss>0, Ah>0) are rejected explicitly — the correction-bit
+    * protocol is a documented boundary, not a silent mis-decode. */
+  def decodeGrayProgressive(data: Array[Byte]): GrayJpeg = {
+    require((data(0) & 0xff) == 0xff && (data(1) & 0xff) == 0xd8, "not a JPEG")
+    var pos = 2
+    val quant = new Array[Array[Int]](4)
+    val dcTabs = new Array[HuffDecoder](4)
+    val acTabs = new Array[HuffDecoder](4)
+    var width = 0; var height = 0; var compTq = 0
+    var coeffs: Array[Array[Int]] = null
+    var sawEoi = false
+    def u16(o: Int) = ((data(o) & 0xff) << 8) | (data(o + 1) & 0xff)
+    while (!sawEoi) {
+      require((data(pos) & 0xff) == 0xff, f"expected marker at $pos")
+      val m = data(pos + 1) & 0xff
+      if (m == 0xd9) { sawEoi = true }
+      else {
+        val len = u16(pos + 2)
+        val body = pos + 4
+        m match {
+          case 0xdb =>
+            var o = body
+            while (o < pos + 2 + len) {
+              val pq = (data(o) & 0xf0) >> 4; val tq = data(o) & 0x0f
+              require(pq == 0, "only 8-bit quant tables")
+              quant(tq) = Array.tabulate(64)(j => data(o + 1 + j) & 0xff)
+              o += 65
+            }
+            pos += 2 + len
+          case 0xc4 =>
+            var o = body
+            while (o < pos + 2 + len) {
+              val cls = (data(o) & 0xf0) >> 4; val id = data(o) & 0x0f
+              val bits = Array.tabulate(16)(i => data(o + 1 + i) & 0xff)
+              val n = bits.sum
+              val vals = Array.tabulate(n)(i => data(o + 17 + i))
+              val dec = new HuffDecoder(bits, vals)
+              if (cls == 0) dcTabs(id) = dec else acTabs(id) = dec
+              o += 17 + n
+            }
+            pos += 2 + len
+          case 0xc2 => // SOF2 progressive
+            require((data(body) & 0xff) == 8, "only 8-bit precision")
+            height = u16(body + 1); width = u16(body + 3)
+            require((data(body + 5) & 0xff) == 1,
+              "grayscale progressive decoder expects 1 component")
+            require((data(body + 7) & 0xff) == 0x11, "no subsampling supported")
+            compTq = data(body + 8) & 0xff
+            coeffs = Array.fill((width + 7) / 8 * ((height + 7) / 8))(
+              new Array[Int](64))
+            pos += 2 + len
+          case 0xc0 | 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+               0xcb | 0xcd | 0xce | 0xcf =>
+            throw new IllegalArgumentException(
+              f"progressive decoder: unsupported SOF marker FF$m%02x")
+          case 0xda => // one scan of the progressive sequence
+            require(coeffs != null, "SOS before SOF2")
+            require((data(body) & 0xff) == 1, "single-component scan expected")
+            val td = (data(body + 2) & 0xf0) >> 4
+            val ta = data(body + 2) & 0x0f
+            val ss = data(body + 3) & 0xff
+            val se = data(body + 4) & 0xff
+            val ah = (data(body + 5) & 0xf0) >> 4
+            val al = data(body + 5) & 0x0f
+            require(ss <= se && se <= 63, "bad spectral window")
+            val br = new BitReader(data, pos + 2 + len)
+            if (ss == 0) {
+              require(se == 0, "DC scan must be Ss=Se=0 (T.81 G.1.1.1)")
+              if (ah == 0) { // DC first pass: DPCM at point transform Al
+                val dcT = dcTabs(td); require(dcT != null, "missing DC table")
+                var pred = 0
+                var b = 0
+                while (b < coeffs.length) {
+                  val s = dcT.decode(br)
+                  pred += extend(br.read(s), s)
+                  coeffs(b)(0) = pred << al
+                  b += 1
+                }
+              } else { // DC refinement: one raw bit per block at Al
+                var b = 0
+                while (b < coeffs.length) {
+                  if (br.readBit() == 1) coeffs(b)(0) |= 1 << al
+                  b += 1
+                }
+              }
+            } else {
+              require(ah == 0, "AC successive-approximation refinement " +
+                "scans are not supported (documented boundary)")
+              val acT = acTabs(ta); require(acT != null, "missing AC table")
+              var eobRun = 0
+              var b = 0
+              while (b < coeffs.length) {
+                if (eobRun > 0) { eobRun -= 1 } // whole band stays zero
+                else {
+                  var k = ss
+                  var done = false
+                  while (k <= se && !done) {
+                    val rs = acT.decode(br)
+                    val r = rs >> 4; val sz = rs & 0x0f
+                    if (sz == 0) {
+                      if (r == 15) k += 16 // ZRL
+                      else { // EOBn: (1<<r) + r extension bits bands
+                        eobRun = (1 << r) + (if (r > 0) br.read(r) else 0) - 1
+                        done = true
+                      }
+                    } else {
+                      k += r
+                      require(k <= se, "AC band overrun")
+                      coeffs(b)(k) = extend(br.read(sz), sz) << al
+                      k += 1
+                    }
+                  }
+                }
+                b += 1
+              }
+            }
+            // the next marker follows the entropy segment: skip pad
+            // bytes and any 0xFF00 stuffing remnants
+            var p = br.pos
+            while (p + 1 < data.length &&
+              !((data(p) & 0xff) == 0xff && (data(p + 1) & 0xff) != 0x00))
+              p += 1
+            pos = p
+          case _ => pos += 2 + len // APPn / COM: skip
+        }
+      }
+    }
+    require(coeffs != null, "no SOF2 frame before EOI")
+    val q = quant(compTq); require(q != null, "missing DQT")
+    val mcusX = (width + 7) / 8; val mcusY = (height + 7) / 8
+    val pixels = new Array[Byte](width * height)
+    var b = 0
+    while (b < coeffs.length) {
+      val nat = new Array[Int](64)
+      var j = 0
+      while (j < 64) { nat(ZigZag(j)) = coeffs(b)(j) * q(j); j += 1 }
+      val px = idct(nat)
+      val bx = b % mcusX; val by = b / mcusX
+      var y = 0
+      while (y < 8) {
+        val iy = by * 8 + y
+        var x = 0
+        while (x < 8) {
+          val ix = bx * 8 + x
+          if (ix < width && iy < height)
+            pixels(iy * width + ix) = px(y * 8 + x).toByte
+          x += 1
+        }
+        y += 1
+      }
+      b += 1
+    }
+    GrayJpeg(width, height, coeffs, pixels)
+  }
+
   /** Deterministic coefficient synthesis for the q314 color payloads:
     * 6 blocks per MCU (Y₀..Y₃, Cb, Cr), block k drawing its 16
     * leading zigzag coefficients from payload bytes 16k..16k+15 —

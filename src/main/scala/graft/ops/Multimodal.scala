@@ -413,6 +413,56 @@ object Multimodal {
         "abs_energy", "sample_checksum")
   }
 
+  /** STEREO WAV CHANNEL DECODE under oracle — the round-9 two-channel
+    * extension of [[wavSampleFeatures]]: payload bytes → 32 left
+    * samples (bytes 0..63) + 32 right samples (bytes 64..127) →
+    * a real CHANNEL-INTERLEAVED stereo RIFF/WAVE stream (L R L R
+    * frames, block align 4) → the engine's own chunk walk + decode →
+    * DE-INTERLEAVING back into channels → per-channel integer
+    * zero-crossing / energy / checksum features, one row per
+    * (media, channel). A decoder that mixed up the interleave order
+    * or block align would swap samples across channels and break the
+    * per-channel hash. Narrow per-row mapPartitions, zero shuffle. */
+  def wavStereoChannelFeatures(df: DataFrame, idCol: String,
+                               textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.where(octet_length(col(textCol)) >= 128)
+      .select(col(idCol).cast("long").as("media_id"),
+        substring(col(textCol).cast("binary"), 1, 128).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val left = Wav.synthSamples(bytes, n = 32)
+          val right = Wav.synthSamples(
+            java.util.Arrays.copyOfRange(bytes, 64, 128), n = 32)
+          val inter = new Array[Short](64)
+          var i = 0
+          while (i < 32) { // L R L R … frames
+            inter(2 * i) = left(i); inter(2 * i + 1) = right(i); i += 1
+          }
+          val audio = Wav.decodePcm16(
+            Wav.encodePcm16(inter, sampleRate = 8000, channels = 2))
+          (0 until audio.channels).iterator.map { c =>
+            var zc = 0L; var en = 0L; var ck = 0L
+            var si = 0
+            val nFrames = audio.samples.length / audio.channels
+            var prev = 0
+            while (si < nFrames) {
+              val s = audio.samples(si * audio.channels + c).toInt
+              if (si > 0 && ((s >= 0) != (prev >= 0))) zc += 1
+              en += math.abs(s.toLong)
+              ck += s.toLong * ((si % 31) + 1)
+              prev = s
+              si += 1
+            }
+            (id, c, nFrames.toLong, audio.sampleRate, zc, en, ck)
+          }
+        }
+      }.toDF("media_id", "channel", "n_samples", "sample_rate",
+        "zero_crossings", "abs_energy", "sample_checksum")
+  }
+
   /** FULL BMP PIXEL DECODE under oracle — the uncompressed member of
     * the decoder family: payload bytes → a real 8-bit palettized BMP
     * (bottom-up rows, 4-byte padding, 256×4 BGRA palette) →
@@ -552,6 +602,53 @@ object Multimodal {
             Jpeg.synthCoeffs(bytes, blocks = 4), mcusX = 4, mcusY = 1,
             restartInterval = 2)
           val img = Jpeg.decodeGray(jpg)
+          var cck = 0L
+          var k = 0
+          while (k < img.coeffs.length) {
+            var j = 0
+            while (j < 64) {
+              cck += img.coeffs(k)(j).toLong * (k * 64 + j + 1)
+              j += 1
+            }
+            k += 1
+          }
+          var pck = 0L; var i = 0
+          while (i < img.pixels.length) {
+            pck += (img.pixels(i) & 0xff).toLong * ((i % 31) + 1)
+            i += 1
+          }
+          (id, img.width, img.height, cck, pck)
+        }
+      }.toDF("media_id", "width", "height", "coef_checksum", "pixel_checksum")
+  }
+
+  /** PROGRESSIVE (SOF2) JPEG DECODE under oracle — closes the LAST
+    * flagged multimodal boundary (every round since 7: "progressive
+    * stays header-only"): payload bytes → 4 blocks of deterministic
+    * quantized coefficients → a REAL multi-scan progressive stream
+    * (T.81 Annex G: DC scan at Al=1, DC refinement scan of raw bits,
+    * AC spectral bands 1–5 and 6–63 with end-of-band coding) → the
+    * engine's own multi-scan decode accumulating coefficients across
+    * scans, then one dequant + integer IDCT. Progressive decode∘encode
+    * is STILL identity on coefficients, so DuckDB replays coefficients
+    * and pixels exactly as for q267/q316 — a decoder that mixed up a
+    * spectral window, the point transform, or a refinement bit would
+    * land different coefficients and break the hash. AC
+    * successive-approximation refinement stays a documented boundary.
+    * Narrow per-row mapPartitions, zero shuffle. */
+  def jpegProgressivePixelFeatures(df: DataFrame, idCol: String,
+                                   textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.where(octet_length(col(textCol)) >= 128)
+      .select(col(idCol).cast("long").as("media_id"),
+        substring(col(textCol).cast("binary"), 1, 128).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val jpg = Jpeg.encodeGrayProgressiveFromCoeffs(
+            Jpeg.synthCoeffs(bytes, blocks = 4), mcusX = 4, mcusY = 1)
+          val img = Jpeg.decodeGrayProgressive(jpg)
           var cck = 0L
           var k = 0
           while (k < img.coeffs.length) {

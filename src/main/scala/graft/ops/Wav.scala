@@ -36,8 +36,14 @@ object Wav {
     out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
   }
 
-  /** Encode mono PCM16 samples as a canonical RIFF/WAVE stream. */
-  def encodePcm16Mono(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+  /** Encode PCM16 samples as a canonical RIFF/WAVE stream. For
+    * `channels = 2` the samples are CHANNEL-INTERLEAVED L R L R …
+    * frames (the RIFF/WAVE layout) with block align 2·channels. */
+  def encodePcm16(samples: Array[Short], sampleRate: Int,
+                  channels: Int): Array[Byte] = {
+    require(channels == 1 || channels == 2, s"mono/stereo only, got $channels")
+    require(samples.length % channels == 0,
+      "interleaved sample count must be a whole number of frames")
     val out = new java.io.ByteArrayOutputStream()
     val dataLen = samples.length * 2
     out.write("RIFF".getBytes("US-ASCII"))
@@ -46,10 +52,10 @@ object Wav {
     out.write("fmt ".getBytes("US-ASCII"))
     putLe32(out, 16)                    // PCM fmt chunk size
     putLe16(out, 1)                     // audio format: PCM
-    putLe16(out, 1)                     // channels
+    putLe16(out, channels)
     putLe32(out, sampleRate)
-    putLe32(out, sampleRate * 2)        // byte rate
-    putLe16(out, 2)                     // block align
+    putLe32(out, sampleRate * 2 * channels) // byte rate
+    putLe16(out, 2 * channels)          // block align
     putLe16(out, 16)                    // bits per sample
     out.write("data".getBytes("US-ASCII"))
     putLe32(out, dataLen)
@@ -57,9 +63,16 @@ object Wav {
     out.toByteArray
   }
 
+  /** Encode mono PCM16 samples as a canonical RIFF/WAVE stream. */
+  def encodePcm16Mono(samples: Array[Short], sampleRate: Int): Array[Byte] =
+    encodePcm16(samples, sampleRate, channels = 1)
+
   /** Decode a PCM16 WAV: chunk walk (unknown chunks skipped by size,
-    * odd sizes padded per RIFF), `fmt ` validated as PCM/16-bit,
-    * samples from `data` little-endian. */
+    * odd sizes padded per RIFF), `fmt ` validated as PCM/16-bit with
+    * byte-rate/block-align consistency, samples from `data`
+    * little-endian. Mono or stereo; stereo samples stay
+    * channel-interleaved in the returned array (frame i = samples
+    * 2i/2i+1), exactly as they sit in the stream. */
   def decodePcm16(bytes: Array[Byte]): PcmAudio = {
     require(bytes.length >= 44, "truncated WAV")
     require(new String(bytes.slice(0, 4), "US-ASCII") == "RIFF" &&
@@ -77,8 +90,11 @@ object Wav {
           val fmt = le16(bytes, pos + 8)
           require(fmt == 1, s"only PCM supported, got format $fmt")
           channels = le16(bytes, pos + 10)
-          require(channels == 1, s"mono decoder, got $channels channels")
+          require(channels == 1 || channels == 2,
+            s"mono/stereo decoder, got $channels channels")
           sampleRate = le32(bytes, pos + 12)
+          require(le16(bytes, pos + 20) == 2 * channels,
+            "block align inconsistent with channel count")
           bits = le16(bytes, pos + 22)
           require(bits == 16, s"16-bit PCM expected, got $bits")
         case "data" =>
@@ -91,6 +107,8 @@ object Wav {
     }
     require(sampleRate > 0, "missing fmt chunk")
     require(samples != null, "missing data chunk")
+    if (channels == 2)
+      require(samples.length % 2 == 0, "stereo data must be whole frames")
     PcmAudio(sampleRate, channels, samples)
   }
 

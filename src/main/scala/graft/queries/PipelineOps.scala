@@ -1726,6 +1726,20 @@ object PipelineOps {
         .orderBy(col("media_id"), col("frame_idx"))
     }),
 
+    // PROGRESSIVE (SOF2) JPEG DECODE under oracle — the LAST flagged
+    // multimodal boundary closed: a real multi-scan stream (DC scan
+    // at Al=1, DC refinement raw bits, AC spectral bands 1–5 and
+    // 6–63 with end-of-band coding) decoded by accumulating
+    // coefficients across scans. Progressive decode∘encode is still
+    // identity on coefficients, so the q316 replay certifies the
+    // whole multi-scan machinery; AC successive-approximation
+    // refinement stays a documented boundary.
+    "q318_jpeg_progressive_decode" -> ((s, d) => {
+      Multimodal.jpegProgressivePixelFeatures(Tables.documents(s, d),
+          "doc_id", "text")
+        .orderBy(col("media_id"))
+    }),
+
     // RESTART-INTERVAL JPEG DECODE under oracle — the DRI/RSTn
     // error-resilience machinery real encoders emit (T.81 §E.2.4):
     // 4 MCUs with restart markers every 2, so the engine must
@@ -1749,6 +1763,20 @@ object PipelineOps {
     "q274_wav_sample_decode" -> ((s, d) => {
       Multimodal.wavSampleFeatures(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("media_id"))
+    }),
+
+    // STEREO WAV CHANNEL DECODE under oracle — the two-channel
+    // extension of q274: payload bytes → left/right int16 samples →
+    // a real CHANNEL-INTERLEAVED stereo stream (L R L R frames,
+    // block align 4) → the engine's own chunk walk + decode →
+    // de-interleave → per-channel integer features, one row per
+    // (media, channel). A decoder that mixed up the interleave order
+    // or block align would swap samples across channels and break
+    // the per-channel hash.
+    "q317_wav_stereo_decode" -> ((s, d) => {
+      Multimodal.wavStereoChannelFeatures(Tables.documents(s, d), "doc_id",
+          "text")
+        .orderBy(col("media_id"), col("channel"))
     }),
 
     // FULL BMP PIXEL DECODE under oracle — the uncompressed member of
@@ -5057,6 +5085,39 @@ object PipelineOps {
         |  CAST(sum(s * ((si % 31) + 1)) AS BIGINT) AS sample_checksum
         |FROM f GROUP BY 1 ORDER BY media_id""".stripMargin,
 
+    // q317: the stereo decode replayed from source bytes — channel c
+    // sample si is the signed LE int16 of bytes (64c+2si, 64c+2si+1);
+    // crossings/energy/checksum per (doc, channel) exactly as q274.
+    "q317_wav_stereo_decode" ->
+      """WITH b0 AS (
+        |  SELECT doc_id, hex(encode(text)) AS h FROM documents
+        |  WHERE octet_length(encode(text)) >= 128
+        |), by AS (
+        |  SELECT doc_id, i,
+        |    (strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1))-1)*16
+        |    + (strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1))-1) AS b
+        |  FROM b0, unnest(range(0, 128)) AS u(i)
+        |), sm AS (
+        |  SELECT lo.doc_id, CAST(lo.i // 64 AS INT) AS c,
+        |    (lo.i % 64) // 2 AS si,
+        |    CASE WHEN lo.b + 256*hi.b >= 32768 THEN lo.b + 256*hi.b - 65536
+        |         ELSE lo.b + 256*hi.b END AS s
+        |  FROM by lo JOIN by hi ON hi.doc_id = lo.doc_id AND hi.i = lo.i + 1
+        |  WHERE lo.i % 2 = 0
+        |), f AS (
+        |  SELECT doc_id, c, si, s,
+        |    lag(s) OVER (PARTITION BY doc_id, c ORDER BY si) AS prev
+        |  FROM sm
+        |)
+        |SELECT doc_id AS media_id, c AS channel,
+        |  CAST(32 AS BIGINT) AS n_samples,
+        |  CAST(8000 AS INT) AS sample_rate,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND ((s >= 0) <> (prev >= 0))
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+        |  CAST(sum(abs(s)) AS BIGINT) AS abs_energy,
+        |  CAST(sum(s * ((si % 31) + 1)) AS BIGINT) AS sample_checksum
+        |FROM f GROUP BY 1, 2 ORDER BY media_id, channel""".stripMargin,
+
     // q287: the BMP decode replayed from source bytes — identical
     // byte-expansion machinery to q121; col0 picks i%10==0 positions.
     "q287_bmp_pixel_decode" ->
@@ -5104,6 +5165,12 @@ object PipelineOps {
     "q314_jpeg_color_decode" -> JpegColorDecodeSql,
     "q315_video_frame_sample" -> AviFrameSampleSql,
     "q316_jpeg_restart_decode" -> JpegRestartDecodeSql,
+    // q318 shares q316's replay verbatim: same synthesis, same 4-block
+    // 32×8 geometry, same checksums — only the ENGINE path differs
+    // (multi-scan progressive vs restart-marker sequential), which is
+    // exactly what makes the shared oracle a differential test of the
+    // progressive machinery.
+    "q318_jpeg_progressive_decode" -> JpegRestartDecodeSql,
 
     // q238: the q121 byte replay → exact pixel-vs-mean bits in source
     // order; only matches if the engine's decode is pixel-exact.

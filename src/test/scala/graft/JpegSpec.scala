@@ -259,6 +259,64 @@ class JpegSpec extends AnyFunSuite {
     ()
   }
 
+  // ---- progressive (SOF2, T.81 Annex G) -----------------------------
+
+  test("progressive: coefficients round-trip and pixels equal sequential") {
+    val blocks = Array(
+      block(j => if (j == 0) -37 else if (j < 32) ((j * 7) % 19) - 9 else 0),
+      block(j => if (j == 0) 50 else if (j % 5 == 0 && j < 40) 10 - j % 21 else 0),
+      block(j => if (j == 0) -3 else 0), // odd negative DC: refinement bit
+      block(_ => 0))
+    val prog = Jpeg.decodeGrayProgressive(
+      Jpeg.encodeGrayProgressiveFromCoeffs(blocks, 4, 1))
+    val seq = Jpeg.decodeGray(Jpeg.encodeGrayFromCoeffs(blocks, 4, 1))
+    assert(prog.coeffs.map(_.toSeq).toSeq == blocks.map(_.toSeq).toSeq)
+    assert(prog.pixels.toSeq == seq.pixels.toSeq,
+      "progressive and sequential must decode identical pixels")
+    assert(prog.width == 32 && prog.height == 8)
+  }
+
+  test("progressive: the stream is genuinely multi-scan (SOF2 + 4 SOS)") {
+    val bytes = Jpeg.encodeGrayProgressiveFromCoeffs(
+      Array.fill(2)(block(j => if (j == 0) 12 else if (j == 3) 4 else 0)), 2, 1)
+    def countMarker(m: Int) = bytes.indices.dropRight(1).count(i =>
+      (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == m)
+    assert(countMarker(0xc2) == 1, "missing SOF2")
+    assert(countMarker(0xc0) == 0, "must not carry SOF0")
+    assert(countMarker(0xda) == 4,
+      "expected 4 scans: DC, DC refine, AC 1-5, AC 6-63")
+  }
+
+  test("progressive: DC successive approximation covers odd/negative DCs") {
+    // every (sign, parity) combination — the refinement bit must OR
+    // into the arithmetic-shifted first-pass value correctly
+    val dcs = Seq(-4, -3, 0, 1, 7, 33, -33, 2)
+    val blocks = dcs.map(v => block(j => if (j == 0) v else 0)).toArray
+    val img = Jpeg.decodeGrayProgressive(
+      Jpeg.encodeGrayProgressiveFromCoeffs(blocks, 8, 1))
+    assert(img.coeffs.map(_(0)).toSeq == dcs)
+  }
+
+  test("progressive: ZRL inside a spectral band survives") {
+    // nonzeros at zigzag 6 and 60: the 6..63 band carries a >16-zero
+    // run between them → ZRL + run-length coding inside the band
+    val b = block(j => if (j == 0) 9 else if (j == 6) 5 else if (j == 60) -2 else 0)
+    val img = Jpeg.decodeGrayProgressive(
+      Jpeg.encodeGrayProgressiveFromCoeffs(Array(b), 1, 1))
+    assert(img.coeffs(0).toSeq == b.toSeq)
+  }
+
+  test("progressive decoder rejects sequential streams and vice versa") {
+    val blocks = Array(block(j => if (j == 0) 5 else 0))
+    intercept[IllegalArgumentException] {
+      Jpeg.decodeGrayProgressive(Jpeg.encodeGrayFromCoeffs(blocks, 1, 1))
+    }
+    intercept[IllegalArgumentException] {
+      Jpeg.decodeGray(Jpeg.encodeGrayProgressiveFromCoeffs(blocks, 1, 1))
+    }
+    ()
+  }
+
   test("restart: DC prediction must RESET at the boundary, not chain") {
     // Two identical-DC blocks straddling the restart: with reset the
     // second block's diff re-encodes the full DC; a decoder that kept

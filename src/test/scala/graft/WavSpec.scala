@@ -42,12 +42,45 @@ class WavSpec extends AnyFunSuite {
     assert(a.samples.toSeq == tone.toSeq && a.sampleRate == 8000)
   }
 
-  test("non-PCM and stereo streams are rejected, not mis-decoded") {
+  test("non-PCM and block-align-inconsistent streams are rejected") {
     val base = Wav.encodePcm16Mono(tone, 8000)
     val float = base.clone(); float(20) = 3 // fmt tag: IEEE float
     intercept[IllegalArgumentException] { Wav.decodePcm16(float) }
-    val stereo = base.clone(); stereo(22) = 2 // channel count
-    intercept[IllegalArgumentException] { Wav.decodePcm16(stereo) }
+    // claiming stereo while block align still says mono must fail —
+    // a decoder that trusted the channel count alone would de-frame
+    // every sample after the first
+    val badAlign = base.clone(); badAlign(22) = 2 // channel count only
+    intercept[IllegalArgumentException] { Wav.decodePcm16(badAlign) }
+    // >2 channels stays outside the decoder's declared scope
+    val surround = Wav.encodePcm16Mono(tone, 8000).clone()
+    surround(22) = 6; surround(32) = 12 // channels + matching align
+    intercept[IllegalArgumentException] { Wav.decodePcm16(surround) }
+    ()
+  }
+
+  test("stereo round-trip: interleaved frames, block align 4, rate kept") {
+    val inter = Array.tabulate(48)(i =>
+      (if (i % 2 == 0) i * 331 - 7000 else 9000 - i * 173).toShort)
+    val a = Wav.decodePcm16(Wav.encodePcm16(inter, 22050, channels = 2))
+    assert(a.channels == 2 && a.sampleRate == 22050)
+    assert(a.samples.toSeq == inter.toSeq)
+  }
+
+  test("stereo de-interleave: even positions are L, odd are R") {
+    val left = Array.tabulate(8)(i => (i * 1000).toShort)
+    val right = Array.tabulate(8)(i => (-i * 1000).toShort)
+    val inter = new Array[Short](16)
+    for (i <- 0 until 8) { inter(2 * i) = left(i); inter(2 * i + 1) = right(i) }
+    val a = Wav.decodePcm16(Wav.encodePcm16(inter, 8000, channels = 2))
+    val l = (0 until 8).map(i => a.samples(2 * i))
+    val r = (0 until 8).map(i => a.samples(2 * i + 1))
+    assert(l == left.toSeq && r == right.toSeq)
+  }
+
+  test("stereo encoder rejects a half-frame (odd interleaved count)") {
+    intercept[IllegalArgumentException] {
+      Wav.encodePcm16(new Array[Short](7), 8000, channels = 2)
+    }
     ()
   }
 
