@@ -747,15 +747,18 @@ object Jpeg {
   /** Encode `blocks` (64 QUANTIZED zigzag coefficients each) as a
     * PROGRESSIVE (SOF2) grayscale JFIF stream — T.81 Annex G, the
     * multi-scan shape web images use so a partial download renders a
-    * coarse preview. Four scans exercising BOTH progressive
-    * mechanisms: spectral selection (the AC band splits 1–5 / 6–63)
-    * and DC successive approximation (scan 1 sends DC>>1 with
-    * DPCM+Huffman at Al=1, scan 2 refines with one RAW BIT per block
-    * at Al=0 — no entropy coding in refinement scans, G.1.2.1). AC
-    * band scans code end-of-band with EOB0 per block (the Annex K
-    * AC table defines no EOBn>0 symbols — aggregated EOBRUN needs
-    * custom tables, which real progressive encoders ship; the decoder
-    * below handles general EOBRUN anyway). */
+    * coarse preview. Six scans exercising EVERY progressive mechanism:
+    * spectral selection (the AC band splits 1–5 / 6–63), DC successive
+    * approximation (DC>>1 DPCM at Al=1, then one RAW BIT per block at
+    * Al=0 — refinement scans carry no DC entropy coding, G.1.2.1),
+    * and AC successive approximation (first passes at Al=1 coding the
+    * magnitude point transform sign·(|c|>>1), then the G.1.2.3
+    * CORRECTION-BIT refinement protocol: newly-significant ±1
+    * coefficients as (run,1)+sign, correction bits for every
+    * already-nonzero coefficient buffered and appended after each
+    * symbol's bits). End-of-band is coded as EOB0 per block (the
+    * Annex K AC table defines no EOBn>0 symbols — aggregated EOBRUN
+    * needs custom tables; the decoder handles general EOBRUN anyway). */
   def encodeGrayProgressiveFromCoeffs(blocks: Array[Array[Int]], mcusX: Int,
                                       mcusY: Int): Array[Byte] = {
     require(blocks.length == mcusX * mcusY, "block count != MCU grid")
@@ -775,6 +778,11 @@ object Jpeg {
 
     def sos(ss: Int, se: Int, ah: Int, al: Int): Unit =
       seg(out, 0xda, Array(1, 1, 0x00, ss, se, (ah << 4) | al).map(_.toByte))
+
+    // the AC point transform is the MAGNITUDE shift sign·(|c|>>Al)
+    // (toward zero), unlike DC's arithmetic shift (T.81 A.4)
+    def acPt(c: Int, al: Int): Int =
+      if (c < 0) -((-c) >> al) else c >> al
 
     // Scan 1 — DC first pass: DPCM over the point transform DC>>Al
     // (arithmetic shift, G.1.2.1), Huffman-coded like a baseline scan.
@@ -804,22 +812,23 @@ object Jpeg {
       bw.flush()
     }
 
-    // Scans 3 & 4 — AC spectral bands at full precision (Ah=0, Al=0):
-    // run-length + EOB0 within each block's band.
+    // Scans 3 & 4 — AC spectral-band FIRST passes at Al=1: run-length
+    // + EOB0 over the point-transformed values (|c|==1 coefficients
+    // are invisible here; they arrive in the refinement scans).
     for ((ss, se) <- Seq((1, 5), (6, 63))) {
-      sos(ss, se, ah = 0, al = 0)
+      sos(ss, se, ah = 0, al = 1)
       val bw = new BitWriter(out)
       for (blk <- blocks) {
         var last = -1
         var j = ss
-        while (j <= se) { if (blk(j) != 0) last = j; j += 1 }
+        while (j <= se) { if (acPt(blk(j), 1) != 0) last = j; j += 1 }
         if (last < 0) {
           bw.write(acH.codeOf(0x00), acH.lenOf(0x00)) // EOB0: empty band
         } else {
           var run = 0
           j = ss
           while (j <= last) {
-            val c = blk(j)
+            val c = acPt(blk(j), 1)
             if (c == 0) run += 1
             else {
               while (run > 15) {
@@ -839,6 +848,52 @@ object Jpeg {
       }
       bw.flush()
     }
+
+    // Scans 5 & 6 — AC refinement (Ah=1, Al=0), the G.1.2.3 protocol:
+    // runs count ZERO-HISTORY positions only; already-nonzero
+    // coefficients crossed by a run contribute buffered correction
+    // bits (|c| bit 0) emitted after the symbol's own bits; a
+    // zero-history coefficient turning ±1 is coded as (run,1)+sign.
+    for ((ss, se) <- Seq((1, 5), (6, 63))) {
+      sos(ss, se, ah = 1, al = 0)
+      val bw = new BitWriter(out)
+      for (blk <- blocks) {
+        // the segment since the last emitted symbol, in position order:
+        // -1 = a zero-history zero, 0/1 = a correction bit for an
+        // already-nonzero coefficient. The split matters: a ZRL's
+        // advance consumes correction bits only up to its 16th zero,
+        // so bits after that zero belong to the NEXT symbol's bits.
+        val seg = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var j = ss
+        while (j <= se) {
+          val c = blk(j)
+          val hist = acPt(c, 1) // what the first pass delivered
+          if (hist != 0) seg += (math.abs(c) & 1)
+          else if (c == 0) seg += -1
+          else { // |c| == 1: newly significant in this scan
+            while (seg.count(_ == -1) > 15) {
+              bw.write(acH.codeOf(0xf0), acH.lenOf(0xf0)) // ZRL
+              var zeros = 0
+              while (zeros < 16) { // consume the 16-zero prefix + its bits
+                val e = seg.remove(0)
+                if (e == -1) zeros += 1 else bw.write(e, 1)
+              }
+            }
+            val r = seg.count(_ == -1)
+            bw.write(acH.codeOf((r << 4) | 1), acH.lenOf((r << 4) | 1))
+            bw.write(if (c > 0) 1 else 0, 1) // sign: 1 → +1<<Al
+            seg.foreach(e => if (e != -1) bw.write(e, 1)) // crossed bits
+            seg.clear()
+          }
+          j += 1
+        }
+        if (seg.nonEmpty) {
+          bw.write(acH.codeOf(0x00), acH.lenOf(0x00)) // EOB0
+          seg.foreach(e => if (e != -1) bw.write(e, 1)) // tail bits
+        }
+      }
+      bw.flush()
+    }
     out.write(0xff); out.write(0xd9) // EOI
     out.toByteArray
   }
@@ -848,11 +903,13 @@ object Jpeg {
     * approximation state (Ah/Al), DC first+refinement passes, AC band
     * scans with GENERAL end-of-band runs (EOBn: run = (1<<r) + r raw
     * bits of extension, shared across consecutive blocks — the
-    * mechanism progressive encoders with custom tables lean on), then
-    * one dequantize + integer [[idct]] over the accumulated
-    * coefficients. AC successive-approximation refinement scans
-    * (Ss>0, Ah>0) are rejected explicitly — the correction-bit
-    * protocol is a documented boundary, not a silent mis-decode. */
+    * mechanism progressive encoders with custom tables lean on), AND
+    * the AC successive-approximation REFINEMENT protocol (G.1.2.3:
+    * runs over zero-history positions, newly-significant ±1<<Al
+    * placements, one correction bit per already-nonzero coefficient
+    * crossed — including every nonzero coefficient of blocks inside
+    * an EOB run), then one dequantize + integer [[idct]] over the
+    * accumulated coefficients. */
   def decodeGrayProgressive(data: Array[Byte]): GrayJpeg = {
     require((data(0) & 0xff) == 0xff && (data(1) & 0xff) == 0xd8, "not a JPEG")
     var pos = 2
@@ -936,9 +993,7 @@ object Jpeg {
                   b += 1
                 }
               }
-            } else {
-              require(ah == 0, "AC successive-approximation refinement " +
-                "scans are not supported (documented boundary)")
+            } else if (ah == 0) { // AC spectral first pass
               val acT = acTabs(ta); require(acT != null, "missing AC table")
               var eobRun = 0
               var b = 0
@@ -961,6 +1016,70 @@ object Jpeg {
                       require(k <= se, "AC band overrun")
                       coeffs(b)(k) = extend(br.read(sz), sz) << al
                       k += 1
+                    }
+                  }
+                }
+                b += 1
+              }
+            } else { // AC refinement (G.1.2.3): correction-bit protocol
+              val acT = acTabs(ta); require(acT != null, "missing AC table")
+              val p1 = 1 << al; val m1 = -1 << al
+              // one correction bit per already-nonzero coefficient
+              // encountered — grow toward ±(next magnitude) on a 1 bit
+              def correct(b: Int, k: Int): Unit =
+                if (br.readBit() == 1) {
+                  if (coeffs(b)(k) > 0) coeffs(b)(k) += p1
+                  else coeffs(b)(k) -= p1
+                }
+              var eobRun = 0
+              var b = 0
+              while (b < coeffs.length) {
+                if (eobRun > 0) {
+                  // blocks inside an EOB run still refine every
+                  // already-nonzero coefficient in the band
+                  var k = ss
+                  while (k <= se) {
+                    if (coeffs(b)(k) != 0) correct(b, k)
+                    k += 1
+                  }
+                  eobRun -= 1
+                } else {
+                  var k = ss
+                  var done = false
+                  while (k <= se && !done) {
+                    val rs = acT.decode(br)
+                    val r = rs >> 4; val sz = rs & 0x0f
+                    if (sz == 0 && r != 15) { // EOBn: refine the tail
+                      eobRun = (1 << r) + (if (r > 0) br.read(r) else 0) - 1
+                      while (k <= se) {
+                        if (coeffs(b)(k) != 0) correct(b, k)
+                        k += 1
+                      }
+                      done = true
+                    } else {
+                      require(sz == 1 || (sz == 0 && r == 15),
+                        "refinement scans carry only size-1 or ZRL symbols")
+                      val newval =
+                        if (sz == 1) { if (br.readBit() == 1) p1 else m1 }
+                        else 0
+                      // advance past `r` ZERO-HISTORY positions (16 for
+                      // ZRL), refining nonzero-history ones on the way
+                      var skip = if (sz == 0) 16 else r
+                      var placed = sz == 0 // ZRL places nothing
+                      while (k <= se && !placed) {
+                        if (coeffs(b)(k) != 0) { correct(b, k); k += 1 }
+                        else if (skip == 0) {
+                          coeffs(b)(k) = newval; k += 1; placed = true
+                        } else { skip -= 1; k += 1 }
+                      }
+                      if (sz == 0) { // ZRL: consume exactly 16 zeros
+                        while (k <= se && skip > 0) {
+                          if (coeffs(b)(k) != 0) correct(b, k)
+                          else skip -= 1
+                          k += 1
+                        }
+                      }
+                      require(placed || sz == 0, "refinement band overrun")
                     }
                   }
                 }

@@ -626,16 +626,17 @@ object Multimodal {
     * flagged multimodal boundary (every round since 7: "progressive
     * stays header-only"): payload bytes → 4 blocks of deterministic
     * quantized coefficients → a REAL multi-scan progressive stream
-    * (T.81 Annex G: DC scan at Al=1, DC refinement scan of raw bits,
-    * AC spectral bands 1–5 and 6–63 with end-of-band coding) → the
-    * engine's own multi-scan decode accumulating coefficients across
-    * scans, then one dequant + integer IDCT. Progressive decode∘encode
-    * is STILL identity on coefficients, so DuckDB replays coefficients
-    * and pixels exactly as for q267/q316 — a decoder that mixed up a
-    * spectral window, the point transform, or a refinement bit would
-    * land different coefficients and break the hash. AC
-    * successive-approximation refinement stays a documented boundary.
-    * Narrow per-row mapPartitions, zero shuffle. */
+    * (T.81 Annex G, all three mechanisms: DC scan at Al=1 + raw-bit DC
+    * refinement, AC spectral bands 1–5 and 6–63 first-passed at Al=1,
+    * then AC successive-approximation REFINEMENT scans running the
+    * G.1.2.3 correction-bit protocol) → the engine's own multi-scan
+    * decode accumulating coefficients across scans, then one dequant +
+    * integer IDCT. Progressive decode∘encode is STILL identity on
+    * coefficients, so DuckDB replays coefficients and pixels exactly
+    * as for q267/q316 — a decoder that mixed up a spectral window, a
+    * point transform, or one correction bit would land different
+    * coefficients and break the hash. Narrow per-row mapPartitions,
+    * zero shuffle. */
   def jpegProgressivePixelFeatures(df: DataFrame, idCol: String,
                                    textCol: String): DataFrame = {
     val spark = df.sparkSession

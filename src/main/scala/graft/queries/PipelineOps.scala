@@ -1727,13 +1727,14 @@ object PipelineOps {
     }),
 
     // PROGRESSIVE (SOF2) JPEG DECODE under oracle — the LAST flagged
-    // multimodal boundary closed: a real multi-scan stream (DC scan
-    // at Al=1, DC refinement raw bits, AC spectral bands 1–5 and
-    // 6–63 with end-of-band coding) decoded by accumulating
-    // coefficients across scans. Progressive decode∘encode is still
-    // identity on coefficients, so the q316 replay certifies the
-    // whole multi-scan machinery; AC successive-approximation
-    // refinement stays a documented boundary.
+    // multimodal boundary closed: a real 6-scan stream exercising
+    // every progressive mechanism (DC scan at Al=1, DC refinement
+    // raw bits, AC spectral bands 1–5/6–63 first-passed at Al=1,
+    // then AC successive-approximation refinement via the G.1.2.3
+    // correction-bit protocol) decoded by accumulating coefficients
+    // across scans. Progressive decode∘encode is still identity on
+    // coefficients, so the q316 replay certifies the whole
+    // multi-scan machinery differentially.
     "q318_jpeg_progressive_decode" -> ((s, d) => {
       Multimodal.jpegProgressivePixelFeatures(Tables.documents(s, d),
           "doc_id", "text")

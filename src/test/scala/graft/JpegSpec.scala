@@ -276,15 +276,55 @@ class JpegSpec extends AnyFunSuite {
     assert(prog.width == 32 && prog.height == 8)
   }
 
-  test("progressive: the stream is genuinely multi-scan (SOF2 + 4 SOS)") {
+  test("progressive: the stream is genuinely multi-scan (SOF2 + 6 SOS)") {
     val bytes = Jpeg.encodeGrayProgressiveFromCoeffs(
       Array.fill(2)(block(j => if (j == 0) 12 else if (j == 3) 4 else 0)), 2, 1)
     def countMarker(m: Int) = bytes.indices.dropRight(1).count(i =>
       (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == m)
     assert(countMarker(0xc2) == 1, "missing SOF2")
     assert(countMarker(0xc0) == 0, "must not carry SOF0")
-    assert(countMarker(0xda) == 4,
-      "expected 4 scans: DC, DC refine, AC 1-5, AC 6-63")
+    assert(countMarker(0xda) == 6,
+      "expected 6 scans: DC, DC refine, 2 AC first passes, 2 AC refines")
+  }
+
+  test("progressive AC refinement: ±1 coefficients arrive only in the refine scan") {
+    // |c| == 1 is invisible to the Al=1 first pass (point transform
+    // zeroes it); only the correction-bit scan can place it
+    val b = block(j => if (j == 0) 4 else if (j == 2) 1 else if (j == 9) -1 else 0)
+    val img = Jpeg.decodeGrayProgressive(
+      Jpeg.encodeGrayProgressiveFromCoeffs(Array(b), 1, 1))
+    assert(img.coeffs(0).toSeq == b.toSeq)
+  }
+
+  test("progressive AC refinement: odd magnitudes need their correction bit") {
+    // ±odd values with |c|>=2 survive only if the refinement bit is
+    // generated AND applied with the right sign direction
+    val b = block(j => if (j == 0) 0 else if (j < 16) Seq(3, -7, 2, -2, 9, -9, 5, 0)(j % 8) else 0)
+    val img = Jpeg.decodeGrayProgressive(
+      Jpeg.encodeGrayProgressiveFromCoeffs(Array(b), 1, 1))
+    assert(img.coeffs(0).toSeq == b.toSeq)
+  }
+
+  test("progressive AC refinement: ZRL splits correction bits at its 16th zero") {
+    // band 6–63: nonzero-history at 6 and 24, a 20-zero gap, and a
+    // newly-significant +1 at 28 — the ZRL's advance must consume only
+    // the correction bits interleaved before its 16th zero, the (4,1)
+    // symbol the rest; a flat flush desyncs the whole scan
+    val b = block(j =>
+      if (j == 6) 5 else if (j == 24) 9 else if (j == 28) 1 else 0)
+    val img = Jpeg.decodeGrayProgressive(
+      Jpeg.encodeGrayProgressiveFromCoeffs(Array(b), 1, 1))
+    assert(img.coeffs(0).toSeq == b.toSeq)
+  }
+
+  test("progressive AC refinement: tail correction bits ride the EOB symbol") {
+    // nonzero-history coefficients AFTER the last newly-significant
+    // one get their bits appended after EOB0 — and must come back
+    val b = block(j =>
+      if (j == 1) 1 else if (j == 40) 6 else if (j == 50) 7 else 0)
+    val img = Jpeg.decodeGrayProgressive(
+      Jpeg.encodeGrayProgressiveFromCoeffs(Array(b), 1, 1))
+    assert(img.coeffs(0).toSeq == b.toSeq)
   }
 
   test("progressive: DC successive approximation covers odd/negative DCs") {
