@@ -57,7 +57,8 @@ object Bench {
       "q57_stream_dedup", "q64_stream_stream_join", "q101_stream_static_join",
       "q107_stream_session_window", "q122_stream_cdc_upsert",
       "q169_stream_hopping", "q309_stream_dedup_bounded",
-      "q310_stream_transform_state", "q311_stream_outer_join")
+      "q310_stream_transform_state", "q311_stream_outer_join",
+      "q319_stream_chained_agg")
     // returns (per-query seconds, pass wall seconds, streaming group
     // wall seconds). The pass wall is what "run the whole suite"
     // actually costs: the streaming group overlaps, so it's less than

@@ -497,6 +497,41 @@ object Multimodal {
       }.toDF("media_id", "width", "height", "col0_sum", "pixel_checksum")
   }
 
+  /** RLE8-COMPRESSED BMP DECODE under oracle — the round-9 extension
+    * of [[bmpPixelFeatures]] past the BI_RGB boundary: payload bytes
+    * quantized to their high nibble (so genuine runs appear) → a real
+    * BI_RLE8 stream ([[Bmp.encodeGrayRle8]]: encoded runs, absolute
+    * literal blocks with WORD padding, end-of-line/end-of-bitmap
+    * escapes) → the engine's own RLE8 grammar walk. Lossless, so
+    * DuckDB replays both statistics from the quantized source bytes —
+    * one wrong run length, absolute-block pad, or row-escape slip
+    * breaks the hash. Narrow per-row mapPartitions, zero shuffle. */
+  def bmpRlePixelFeatures(df: DataFrame, idCol: String, textCol: String,
+                          width: Int, height: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = width * height
+    df.where(octet_length(col(textCol)) >= n)
+      .select(col(idCol).cast("long").as("media_id"),
+        substring(col(textCol).cast("binary"), 1, n).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val px = bytes.map(b => ((b & 0xff) & 0xf0).toByte)
+          val bmp = Bmp.encodeGrayRle8(px, width, height)
+          val img = Bmp.decodeGray(bmp)
+          var col0 = 0L; var ck = 0L; var i = 0
+          while (i < img.pixels.length) {
+            val b = img.pixels(i) & 0xff
+            if (i % img.width == 0) col0 += b
+            ck += b.toLong * ((i % 31) + 1)
+            i += 1
+          }
+          (id, img.width, img.height, col0, ck)
+        }
+      }.toDF("media_id", "width", "height", "col0_sum", "pixel_checksum")
+  }
+
   /** FULL GIF PIXEL DECODE under oracle — the dictionary-coded member
     * of the decoder family: payload bytes → a real GIF87a stream
     * (gray global color table + genuine LZW image data) →

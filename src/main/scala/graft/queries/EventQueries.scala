@@ -519,6 +519,49 @@ object EventQueries {
         .orderBy(col("click_id"), col("purchase_key"))
     }),
 
+    // CHAINED STATEFUL OPERATORS — two windowed aggregations in ONE
+    // streaming query (hourly counts re-aggregated into daily
+    // summaries), the multi-stateful-operator capability Spark gained
+    // in 3.4: the day window only finalizes once the watermark passes
+    // its end, by which point every hour window of that day has
+    // already emitted — so the chain is exact, with state bounded by
+    // the watermark at BOTH levels. Without chaining this is two
+    // separate streaming jobs and an intermediate topic; at 100 TB/day
+    // the one-query form halves the state I/O and removes the
+    // intermediate storage. Append mode (required for chained
+    // stateful ops); finality handled exactly like q311: both engine
+    // and oracle apply the same conservative cutoff (watermark delay
+    // + 1 h margin before the corpus max), so the withheld tail can't
+    // differ between them.
+    "q319_stream_chained_agg" -> ((s, d) => {
+      val name = s"stream_chain_${streamId.incrementAndGet()}"
+      // 1-row bound lookup (the argmax-collect class)
+      val maxUs = Tables.events(s, d)
+        .agg(max(unix_micros(col("ts").cast("timestamp")))).head().getLong(0)
+      val cutoffUs = maxUs - 2L * 3600L * 1000000L
+      val src = Tables.eventsStream(s, d)
+      val hourly = src.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      val daily = hourly
+        .groupBy(window(col("window"), "1 day"), col("event_type"))
+        .agg(sum(col("n_events")).as("n_events_day"),
+          max(col("n_events")).as("peak_hour_events"),
+          count(lit(1)).as("n_hours"))
+      withStreamPartitions(s) {
+        val q = daily.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      s.table(name)
+        .where(unix_micros(col("window.end")) <= cutoffUs)
+        .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n_events_day"), col("peak_hour_events"),
+          col("n_hours"))
+        .orderBy(col("day"), col("event_type"))
+    }),
+
     // STREAM-STREAM inner join: clicks ⋈ same-user purchases within
     // the preceding hour, with watermarks on BOTH sides so join state
     // is evicted once the time-range condition can no longer match
@@ -1543,6 +1586,24 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     "q39_event_hourly" -> HourlySql,
     "q41_stream_hourly" -> HourlySql,
+    // q319: the chained hourly→daily aggregation replayed in batch,
+    // with the SAME conservative finality cutoff the engine applies
+    // (complete days ending ≥ 2 h before the corpus max — watermark
+    // delay + margin, the q311 discipline).
+    "q319_stream_chained_agg" ->
+      """WITH mx AS (SELECT max(ts) AS mt FROM events),
+        |hourly AS (
+        |  SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT strftime(date_trunc('day', h), '%Y-%m-%d') AS day,
+        |  event_type,
+        |  CAST(sum(n) AS BIGINT) AS n_events_day,
+        |  CAST(max(n) AS BIGINT) AS peak_hour_events,
+        |  count(*) AS n_hours
+        |FROM hourly, mx
+        |WHERE date_trunc('day', h) + INTERVAL 1 DAY <= mt - INTERVAL 2 HOUR
+        |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     // Exact because accuracy >> group size: the GK summary holds all
     // samples, and both engines pick the same discrete boundary
     // element.

@@ -1793,6 +1793,19 @@ object PipelineOps {
         .orderBy(col("media_id"))
     }),
 
+    // RLE8-COMPRESSED BMP DECODE under oracle — past q287's BI_RGB
+    // boundary: high-nibble-quantized payload pixels (so genuine runs
+    // appear) → a real BI_RLE8 stream (encoded runs, absolute literal
+    // blocks with WORD padding, end-of-line/end-of-bitmap escapes) →
+    // the engine's own RLE8 grammar walk. Lossless ⇒ DuckDB replays
+    // the statistics from the quantized source bytes; one wrong run
+    // length or block pad breaks the hash.
+    "q320_bmp_rle_decode" -> ((s, d) => {
+      Multimodal.bmpRlePixelFeatures(Tables.documents(s, d), "doc_id",
+          "text", width = 10, height = 6)
+        .orderBy(col("media_id"))
+    }),
+
     // FULL GIF PIXEL DECODE under oracle — the dictionary-coded
     // member: payload bytes → real GIF87a with genuine LZW
     // (variable-width codes, early change, KwKwK) → the engine's own
@@ -5129,6 +5142,28 @@ object PipelineOps {
         |  SELECT doc_id, i,
         |    (strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1))-1)*16
         |    + (strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1))-1) AS b
+        |  FROM b0, unnest(range(0, 60)) AS u(i)
+        |)
+        |SELECT doc_id AS media_id, CAST(10 AS INTEGER) AS width,
+        |  CAST(6 AS INTEGER) AS height,
+        |  CAST(sum(CASE WHEN i % 10 = 0 THEN b ELSE 0 END) AS BIGINT)
+        |    AS col0_sum,
+        |  CAST(sum(b * ((i % 31)+1)) AS BIGINT) AS pixel_checksum
+        |FROM by GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    // q320: the RLE8 decode replayed from source bytes — the pixel at
+    // position i is the HIGH NIBBLE of payload byte i ((b//16)*16,
+    // the quantization that makes runs appear); RLE8 is lossless so
+    // the statistics replay exactly.
+    "q320_bmp_rle_decode" ->
+      """WITH b0 AS (
+        |  SELECT doc_id, hex(encode(text)) AS h FROM documents
+        |  WHERE octet_length(encode(text)) >= 60
+        |), by AS (
+        |  SELECT doc_id, i,
+        |    ((strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1))-1)*16
+        |    + (strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1))-1))
+        |    // 16 * 16 AS b
         |  FROM b0, unnest(range(0, 60)) AS u(i)
         |)
         |SELECT doc_id AS media_id, CAST(10 AS INTEGER) AS width,

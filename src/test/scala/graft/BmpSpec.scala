@@ -55,7 +55,72 @@ class BmpSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Bmp.decodeGray(notBmp) }
     val bpp24 = bmp.clone(); bpp24(28) = 24
     intercept[IllegalArgumentException] { Bmp.decodeGray(bpp24) }
-    val rle = bmp.clone(); rle(30) = 1 // BI_RLE8
-    intercept[IllegalArgumentException] { Bmp.decodeGray(rle) }
+    val rle4 = bmp.clone(); rle4(30) = 2 // BI_RLE4: still out of scope
+    intercept[IllegalArgumentException] { Bmp.decodeGray(rle4) }
+  }
+
+  // ---- BI_RLE8 ------------------------------------------------------
+
+  test("RLE8 round-trip: runs, literal stretches, and mixed rows") {
+    val runs = Array.tabulate(60)(i => ((i / 7) * 16).toByte) // long runs
+    assert(Bmp.decodeGray(Bmp.encodeGrayRle8(runs, 10, 6)).pixels.toSeq
+      == runs.toSeq)
+    val lits = px(60) // all-distinct neighbors → absolute blocks
+    assert(Bmp.decodeGray(Bmp.encodeGrayRle8(lits, 10, 6)).pixels.toSeq
+      == lits.toSeq)
+    val mixed = Array.tabulate(60)(i =>
+      (if ((i / 10) % 2 == 0) 42 else (i * 53) % 251).toByte)
+    assert(Bmp.decodeGray(Bmp.encodeGrayRle8(mixed, 10, 6)).pixels.toSeq
+      == mixed.toSeq)
+  }
+
+  test("RLE8 compresses constant images and marks biCompression = 1") {
+    val flat = Array.fill(400)(7.toByte)
+    val rle = Bmp.encodeGrayRle8(flat, 20, 20)
+    val raw = Bmp.encodeGray(flat, 20, 20)
+    assert(rle.length < raw.length, "RLE8 must beat BI_RGB on a flat image")
+    assert((rle(30) & 0xff) == 1 && (raw(30) & 0xff) == 0)
+    assert(Bmp.decodeGray(rle).pixels.toSeq == flat.toSeq)
+  }
+
+  test("RLE8 odd-length absolute blocks are WORD-padded") {
+    // width 5 of distinct values → one absolute block of 5 (odd) per
+    // row; a decoder that forgot the pad byte desyncs at row 2
+    val p = Array.tabulate(15)(i => ((i * 31 + i / 5) % 251).toByte)
+    assert(Bmp.decodeGray(Bmp.encodeGrayRle8(p, 5, 3)).pixels.toSeq == p.toSeq)
+  }
+
+  test("RLE8 delta escape skips pixels, leaving palette index 0") {
+    // hand-built stream: row bottom: run of 3 '5's, delta (2,1) —
+    // skips 2 px and jumps a row — then a run of 2 '9's, EOL, EOB
+    val base = Bmp.encodeGrayRle8(Array.fill(12)(0.toByte), 4, 3)
+    val dataOffset = 14 + 40 + 256 * 4
+    val body = Array[Byte](
+      3, 5,          // 3 pixels of index 5 on bottom row
+      0, 2, 2, 1,    // delta: dx=2, dy=1 (→ middle row, x=1? no: x=3+2=... clipped by require)
+      0, 0,          // end of line
+      0, 1)          // end of bitmap
+    // dx=2 from x=3 overruns width 4 → the decoder must reject it
+    val bad = base.take(dataOffset) ++ body
+    // fix bfSize field is not validated; decode walks from dataOffset
+    intercept[IllegalArgumentException] { Bmp.decodeGray(bad) }
+    // a legal delta: 1 pixel, delta (1,1), run of 2 on the next row
+    val ok = base.take(dataOffset) ++ Array[Byte](
+      1, 5, 0, 2, 1, 1, 2, 9, 0, 0, 0, 1)
+    val img = Bmp.decodeGray(ok)
+    // bottom row: [5,0,0,0]; middle row starts at x=2 after the delta:
+    // [0,0,9,9]; top row untouched: zeros (palette[0] = 0)
+    assert(img.pixels.toSeq == Seq[Byte](
+      0, 0, 0, 0,   // top image row (bottom-up row 2)
+      0, 0, 9, 9,   // middle row
+      5, 0, 0, 0))  // bottom image row
+  }
+
+  test("RLE8 early end-of-bitmap leaves the remaining raster at zero") {
+    val base = Bmp.encodeGrayRle8(Array.fill(12)(0.toByte), 4, 3)
+    val dataOffset = 14 + 40 + 256 * 4
+    val body = Array[Byte](4, 8, 0, 1) // one full bottom row, then EOB
+    val img = Bmp.decodeGray(base.take(dataOffset) ++ body)
+    assert(img.pixels.toSeq == Seq[Byte](0, 0, 0, 0, 0, 0, 0, 0, 8, 8, 8, 8))
   }
 }

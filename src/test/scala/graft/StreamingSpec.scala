@@ -248,4 +248,41 @@ class TokenizerAntiJoinSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(a == b && a.nonEmpty)
   }
+
+  test("chained stateful aggs: complete days emit exact, watermark " +
+    "withholds the open tail (q319's mechanics)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stream_chain").toString
+    val h = 3600L * 1000000L
+    val day = 24L * h
+    // day 0: events in hours 0 (x2) and 5 (x1); day 1: hour 2 (x1);
+    // a sentinel far in day 3 pushes the watermark past day 1's end,
+    // leaving only day 3 itself open
+    Seq((1L, 0L), (2L, 10L * 60L * 1000000L), (3L, 5L * h),
+        (4L, day + 2L * h), (5L, 3L * day + 2L * h))
+      .toDF("event_id", "us").repartition(1).write.parquet(s"$dir/b1")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val src = spark.readStream.schema(schema).parquet(s"$dir/*/")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val hourly = src.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+    val daily = hourly
+      .groupBy(window(col("window"), "1 day"))
+      .agg(sum(col("n")).as("n_day"), max(col("n")).as("peak"),
+        count(lit(1)).as("n_hours"))
+    val q = daily.writeStream.outputMode("append")
+      .format("memory").queryName("chain_batches").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("chain_batches").collect()
+      .map(r => (r.getAs[org.apache.spark.sql.Row]("window")
+        .getAs[java.sql.Timestamp]("start").getTime / 86400000L,
+        r.getAs[Long]("n_day"), r.getAs[Long]("peak"),
+        r.getAs[Long]("n_hours"))).toSet
+    // days 0 and 1 are final (watermark = day3+2h−1h > their ends);
+    // day 3 is still open and must be withheld
+    assert(rows == Set((0L, 3L, 2L, 2L), (1L, 1L, 1L, 1L)),
+      s"unexpected chained-agg emissions: $rows")
+  }
 }
