@@ -221,6 +221,44 @@ object Multimodal {
       }.toDF("media_id", "width", "height", "row0_sum", "pixel_checksum")
   }
 
+  /** ADAM7-INTERLACED PNG DECODE under oracle — the round-9 extension
+    * of [[pngPixelFeatures]] past the sequential-transmission
+    * boundary: the SAME payload pixels re-encoded in the seven-pass
+    * Adam7 order (RFC 2083 §2.6 — each pass filtered as its own
+    * sub-image against pass-local neighbors, one shared zlib stream,
+    * empty passes absent) and decoded by the engine's own pass walk +
+    * lattice scatter. Filters cycle per (pass, row) so every filter
+    * type runs against pass-geometry neighbors. Lossless ⇒ the q121
+    * byte replay certifies the interlaced path differentially: one
+    * misplaced lattice cell or pass-boundary slip breaks the hash.
+    * Narrow per-row mapPartitions, zero shuffle. */
+  def pngInterlacedPixelFeatures(df: DataFrame, idCol: String,
+                                 textCol: String, width: Int,
+                                 height: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = width * height
+    df.where(octet_length(col(textCol)) >= n)
+      .select(col(idCol).cast("long").as("media_id"),
+        substring(col(textCol).cast("binary"), 1, n).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val png = Png.encodeGrayAdam7(bytes, width, height,
+            (p, r) => (p + r) % 5)
+          val img = Png.decodeGray(png)
+          var row0 = 0L; var ck = 0L; var i = 0
+          while (i < img.pixels.length) {
+            val b = img.pixels(i) & 0xff
+            if (i < img.width) row0 += b
+            ck += b.toLong * ((i % 31) + 1)
+            i += 1
+          }
+          (id, img.width, img.height, row0, ck)
+        }
+      }.toDF("media_id", "width", "height", "row0_sum", "pixel_checksum")
+  }
+
   /** PERCEPTUAL AVERAGE-HASH (aHash) of the decoded grayscale image —
     * the classic image near-dup fingerprint: each pixel compares
     * against the image mean (exactly, via pixel·n vs Σpixels — no

@@ -1680,6 +1680,18 @@ object PipelineOps {
         .orderBy(col("media_id"))
     }),
 
+    // ADAM7-INTERLACED PNG DECODE under oracle — q121's pixels
+    // re-encoded in the seven-pass progressive order (RFC 2083 §2.6:
+    // pass-local filtering, one shared zlib stream, empty passes
+    // absent) and decoded by the engine's own pass walk + 8×8-lattice
+    // scatter. Lossless ⇒ q121's byte replay certifies the interlaced
+    // path differentially; one misplaced lattice cell breaks the hash.
+    "q321_png_interlaced_decode" -> ((s, d) => {
+      Multimodal.pngInterlacedPixelFeatures(Tables.documents(s, d),
+          "doc_id", "text", width = 16, height = 8)
+        .orderBy(col("media_id"))
+    }),
+
     // FULL BASELINE JPEG PIXEL DECODE under oracle (round-8 verdict
     // ask #3, closing the last flagged multimodal gap): payload bytes
     // → deterministic quantized DCT coefficients → a REAL baseline
@@ -2560,6 +2572,24 @@ object PipelineOps {
        |FROM b0 JOIN cck USING (doc_id) JOIN pck USING (doc_id)
        |ORDER BY media_id""".stripMargin
   }
+
+  // q121/q321's oracle: decoded-pixel statistics replayed from source
+  // bytes (PNG is lossless, sequential or interlaced).
+  private val PngDecodeSql: String =
+    """WITH b0 AS (
+      |  SELECT doc_id, hex(encode(text)) AS h FROM documents
+      |  WHERE octet_length(encode(text)) >= 128
+      |), by AS (
+      |  SELECT doc_id, i,
+      |    (strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1))-1)*16
+      |    + (strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1))-1) AS b
+      |  FROM b0, unnest(range(0, 128)) AS u(i)
+      |)
+      |SELECT doc_id AS media_id, CAST(16 AS INTEGER) AS width,
+      |  CAST(8 AS INTEGER) AS height,
+      |  CAST(sum(CASE WHEN i < 16 THEN b ELSE 0 END) AS BIGINT) AS row0_sum,
+      |  CAST(sum(b * ((i % 31)+1)) AS BIGINT) AS pixel_checksum
+      |FROM by GROUP BY doc_id ORDER BY media_id""".stripMargin
 
   // q316's oracle: q267's coefficient/IDCT replay over FOUR blocks
   // (128 payload bytes, a 32×8 image, restart markers every 2 MCUs on
@@ -5052,21 +5082,12 @@ object PipelineOps {
     // filtered in both engines by octet_length), so row-0 sum and the
     // position-weighted checksum computed here must equal what Spark
     // extracts from the inflated+unfiltered PNG.
-    "q121_png_pixel_decode" ->
-      """WITH b0 AS (
-        |  SELECT doc_id, hex(encode(text)) AS h FROM documents
-        |  WHERE octet_length(encode(text)) >= 128
-        |), by AS (
-        |  SELECT doc_id, i,
-        |    (strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1))-1)*16
-        |    + (strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1))-1) AS b
-        |  FROM b0, unnest(range(0, 128)) AS u(i)
-        |)
-        |SELECT doc_id AS media_id, CAST(16 AS INTEGER) AS width,
-        |  CAST(8 AS INTEGER) AS height,
-        |  CAST(sum(CASE WHEN i < 16 THEN b ELSE 0 END) AS BIGINT) AS row0_sum,
-        |  CAST(sum(b * ((i % 31)+1)) AS BIGINT) AS pixel_checksum
-        |FROM by GROUP BY doc_id ORDER BY media_id""".stripMargin,
+    "q121_png_pixel_decode" -> PngDecodeSql,
+    // q321 shares q121's replay verbatim: same pixels, same
+    // statistics — only the ENGINE path differs (Adam7 seven-pass
+    // interlaced vs sequential), which is what makes the shared
+    // oracle a differential test of the interlace machinery.
+    "q321_png_interlaced_decode" -> PngDecodeSql,
 
     // q274: samples rebuilt from source bytes (signed LE int16 from
     // byte pairs), crossings via a per-doc lag window, integer

@@ -106,5 +106,60 @@ class PngSpec extends AnyFunSuite {
     val bad = handBuilt(1, 1, Array(0, 1))
     bad(8 + 8 + 9) = 2 // IHDR color-type byte
     intercept[IllegalArgumentException] { Png.decodeGray(bad) }
+    // interlace method 2 (not a PNG method) refused
+    val badI = handBuilt(1, 1, Array(0, 1))
+    badI(8 + 8 + 12) = 2 // IHDR interlace byte
+    intercept[IllegalArgumentException] { Png.decodeGray(badI) }
+  }
+
+  // ---- Adam7 interlacing (RFC 2083 §2.6) ----------------------------
+
+  test("Adam7 round-trip at lattice-aligned and ragged sizes") {
+    for ((w, h) <- Seq((16, 8), (8, 8), (5, 3), (9, 10), (1, 1), (3, 1),
+        (1, 9), (17, 13))) {
+      val p = Array.tabulate(w * h)(i => ((i * 37 + w + 11) % 256).toByte)
+      val img = Png.decodeGray(Png.encodeGrayAdam7(p, w, h))
+      assert(img.width == w && img.height == h, s"dims at ${w}x$h")
+      assert(img.pixels.toSeq == p.toSeq, s"pixels at ${w}x$h")
+    }
+  }
+
+  test("Adam7 round-trip with per-pass cycling filters") {
+    val p = Array.tabulate(16 * 8)(i => ((i * 53 + 7) % 256).toByte)
+    val img = Png.decodeGray(
+      Png.encodeGrayAdam7(p, 16, 8, (pass, r) => (pass + r) % 5))
+    assert(img.pixels.toSeq == p.toSeq)
+  }
+
+  test("Adam7 stream declares interlace 1 and differs from sequential") {
+    val p = Array.tabulate(16 * 8)(i => ((i * 37 + 11) % 256).toByte)
+    val seq = Png.encodeGray(p, 16, 8)
+    val adam = Png.encodeGrayAdam7(p, 16, 8)
+    assert((seq(8 + 8 + 12) & 0xff) == 0 && (adam(8 + 8 + 12) & 0xff) == 1)
+    assert(!java.util.Arrays.equals(seq, adam),
+      "interlaced stream must reorder the scanlines")
+    // both decode to the same image — the transmission order is the
+    // only difference
+    assert(Png.decodeGray(seq).pixels.toSeq == Png.decodeGray(adam).pixels.toSeq)
+  }
+
+  test("Adam7 pass geometry: empty passes vanish (no filter bytes)") {
+    // 1×1: only pass 1 has a pixel; raw stream = 1 filter byte + 1
+    // pixel byte → 2 bytes before compression
+    assert(Png.adam7Dims(1, 1, 0) == (1, 1))
+    for (pass <- 1 until 7) {
+      val (pw, ph) = Png.adam7Dims(1, 1, pass)
+      assert(pw == 0 || ph == 0, s"pass ${pass + 1} must be empty at 1x1")
+    }
+    // 8×8 lattice counts: the seven passes tile the image exactly
+    val total = (0 until 7).map { p =>
+      val (pw, ph) = Png.adam7Dims(8, 8, p); pw * ph
+    }.sum
+    assert(total == 64)
+    // 5×3 ragged: per-pass pixel counts still tile the image
+    val ragged = (0 until 7).map { p =>
+      val (pw, ph) = Png.adam7Dims(5, 3, p); pw * ph
+    }.sum
+    assert(ragged == 15)
   }
 }
