@@ -501,6 +501,54 @@ object Multimodal {
         "zero_crossings", "abs_energy", "sample_checksum")
   }
 
+  /** G.711 COMPANDED AUDIO DECODE under oracle — the first LOSSY
+    * audio member of the decoder family (PCM q274/q317 is lossless):
+    * payload bytes → 32 deterministic int16 samples → µ-law AND A-law
+    * 8-bit code streams (the Sun g711.c formulation of ITU-T G.711,
+    * see [[Wav.mulawEncode]]) → real RIFF/WAVE streams with format
+    * tags 7/6 → the engine's own chunk walk + per-law table EXPANSION
+    * back to PCM16 → integer features over the DECODED (quantized)
+    * samples plus the total companding error Σ|orig − decoded|.
+    * G.711 quantizes each sample independently, so unlike MP3/AAC the
+    * lossy path is a closed-form integer map an external engine
+    * replays per sample — the oracle checks the QUANTIZER itself, not
+    * just the container walk. One row per (media, law); narrow
+    * per-row mapPartitions, zero shuffle. */
+  def g711CompandFeatures(df: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.where(octet_length(col(textCol)) >= 64)
+      .select(col(idCol).cast("long").as("media_id"),
+        substring(col(textCol).cast("binary"), 1, 64).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val orig = Wav.synthSamples(bytes, n = 32)
+          Seq(("alaw", Wav.FormatAlaw), ("ulaw", Wav.FormatMulaw)).iterator
+            .map { case (law, tag) =>
+              val codes =
+                if (tag == Wav.FormatMulaw) orig.map(Wav.mulawEncode)
+                else orig.map(Wav.alawEncode)
+              val audio = Wav.decodeG711(
+                Wav.encodeG711(codes, sampleRate = 8000, formatTag = tag))
+              val s = audio.samples
+              var zc = 0L; var en = 0L; var ck = 0L; var qe = 0L
+              var i = 0
+              while (i < s.length) {
+                if (i > 0 && ((s(i) >= 0) != (s(i - 1) >= 0))) zc += 1
+                en += math.abs(s(i).toLong)
+                ck += s(i).toLong * ((i % 31) + 1)
+                qe += math.abs(s(i).toLong - orig(i).toLong)
+                i += 1
+              }
+              (id, law, s.length.toLong, audio.sampleRate, zc, en, ck, qe)
+            }
+        }
+      }.toDF("media_id", "law", "n_samples", "sample_rate",
+        "zero_crossings", "abs_energy", "sample_checksum", "quant_err")
+  }
+
   /** FULL BMP PIXEL DECODE under oracle — the uncompressed member of
     * the decoder family: payload bytes → a real 8-bit palettized BMP
     * (bottom-up rows, 4-byte padding, 256×4 BGRA palette) →

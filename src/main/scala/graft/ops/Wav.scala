@@ -116,4 +116,153 @@ object Wav {
     * little-endian int16 of payload bytes (2i, 2i+1). */
   def synthSamples(bytes: Array[Byte], n: Int): Array[Short] =
     Array.tabulate(n)(i => le16(bytes, 2 * i).toShort)
+
+  // --------------------------------------------------------------------
+  // G.711 companding (µ-law / A-law) — the first LOSSY audio member of
+  // the decoder family that is still exactly replayable: unlike MP3/AAC
+  // (transform codecs needing float DSP), G.711 quantizes each sample
+  // INDEPENDENTLY through a pure integer segment/mantissa map, so
+  // decode∘encode is a closed-form integer function an external engine
+  // can replay per sample. The variant pinned here is the canonical
+  // public-domain Sun Microsystems g711.c formulation of ITU-T G.711
+  // (BIAS 0x84, µ CLIP 8159 in the 14-bit domain, A-law on the 13-bit
+  // domain, transmitted-code inversions included).
+  // --------------------------------------------------------------------
+
+  /** WAVE format tag for G.711 A-law (WAVE_FORMAT_ALAW). */
+  final val FormatAlaw = 6
+  /** WAVE format tag for G.711 µ-law (WAVE_FORMAT_MULAW). */
+  final val FormatMulaw = 7
+
+  private final val Bias = 0x84  // 132
+  private final val MuClip = 8159 // µ-law clip in the 14-bit domain
+
+  // segment end tables (Sun g711.c): smallest seg with value <= end(seg)
+  private final val MuSegEnd =
+    Array(0x3f, 0x7f, 0xff, 0x1ff, 0x3ff, 0x7ff, 0xfff, 0x1fff)
+  private final val ASegEnd =
+    Array(0x1f, 0x3f, 0x7f, 0xff, 0x1ff, 0x3ff, 0x7ff, 0xfff)
+
+  private def segOf(v: Int, ends: Array[Int]): Int = {
+    var s = 0
+    while (s < 8 && v > ends(s)) s += 1
+    s
+  }
+
+  /** 16-bit PCM → 8-bit µ-law code (Sun linear2ulaw: >>2 to the
+    * 14-bit domain, clip 8159, bias 33, segment/mantissa pack, code
+    * inversion — positive mask 0xFF, negative 0x7F). */
+  def mulawEncode(s: Short): Byte = {
+    val p = s >> 2 // arithmetic shift into the 14-bit domain
+    val (mag, mask) = if (p < 0) (-p, 0x7f) else (p, 0xff)
+    val v = math.min(mag, MuClip) + (Bias >> 2) // + 33
+    val seg = segOf(v, MuSegEnd)
+    val uval =
+      if (seg >= 8) 0x7f
+      else (seg << 4) | ((v >> (seg + 1)) & 0xf)
+    ((uval ^ mask) & 0xff).toByte
+  }
+
+  /** 8-bit µ-law code → 16-bit PCM (Sun ulaw2linear). */
+  def mulawDecode(code: Byte): Short = {
+    val u = ~code & 0xff
+    var t = ((u & 0xf) << 3) + Bias
+    t <<= (u & 0x70) >> 4
+    (if ((u & 0x80) != 0) Bias - t else t - Bias).toShort
+  }
+
+  /** 16-bit PCM → 8-bit A-law code (Sun linear2alaw: >>3 to the
+    * 13-bit domain, negative magnitude −p−1, segment/mantissa pack
+    * with the seg<2 half-step, even-bit toggle 0x55 and sign 0x80
+    * folded into the masks 0xD5/0x55). */
+  def alawEncode(s: Short): Byte = {
+    val p = s >> 3 // arithmetic shift into the 13-bit domain
+    val (mag, mask) = if (p >= 0) (p, 0xd5) else (-p - 1, 0x55)
+    val seg = segOf(mag, ASegEnd)
+    val aval =
+      if (seg >= 8) 0x7f
+      else (seg << 4) | ((mag >> (if (seg < 2) 1 else seg)) & 0xf)
+    ((aval ^ mask) & 0xff).toByte
+  }
+
+  /** 8-bit A-law code → 16-bit PCM (Sun alaw2linear). */
+  def alawDecode(code: Byte): Short = {
+    val a = (code ^ 0x55) & 0xff
+    var t = (a & 0xf) << 4
+    val seg = (a & 0x70) >> 4
+    if (seg == 0) t += 8
+    else if (seg == 1) t += 0x108
+    else { t += 0x108; t <<= seg - 1 }
+    (if ((a & 0x80) != 0) t else -t).toShort
+  }
+
+  /** Encode 8-bit G.711 codes as a canonical RIFF/WAVE stream with
+    * format tag [[FormatMulaw]] or [[FormatAlaw]] (bits 8, block
+    * align = channels, byte rate = rate·channels). */
+  def encodeG711(codes: Array[Byte], sampleRate: Int,
+                 formatTag: Int): Array[Byte] = {
+    require(formatTag == FormatAlaw || formatTag == FormatMulaw,
+      s"G.711 format tag must be 6 (A-law) or 7 (mu-law), got $formatTag")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII"))
+    putLe32(out, 36 + codes.length + (codes.length & 1))
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII"))
+    putLe32(out, 16)
+    putLe16(out, formatTag)
+    putLe16(out, 1)                     // mono
+    putLe32(out, sampleRate)
+    putLe32(out, sampleRate)            // byte rate: 1 byte/sample
+    putLe16(out, 1)                     // block align
+    putLe16(out, 8)                     // bits per sample
+    out.write("data".getBytes("US-ASCII"))
+    putLe32(out, codes.length)
+    out.write(codes)
+    if ((codes.length & 1) == 1) out.write(0) // RIFF pads odd chunks
+    out.toByteArray
+  }
+
+  /** Decode a G.711 WAV: same chunk walk as [[decodePcm16]], but the
+    * `fmt ` chunk must carry tag 6/7 with 8-bit samples, and each
+    * `data` byte EXPANDS through the matching law's decode map into a
+    * 16-bit PCM sample. Rejects PCM streams — the caller chose a
+    * companded decode, silently passing raw PCM16 through a law table
+    * would decode garbage. */
+  def decodeG711(bytes: Array[Byte]): PcmAudio = {
+    require(bytes.length >= 44, "truncated WAV")
+    require(new String(bytes.slice(0, 4), "US-ASCII") == "RIFF" &&
+      new String(bytes.slice(8, 12), "US-ASCII") == "WAVE", "not RIFF/WAVE")
+    var pos = 12
+    var sampleRate = 0; var formatTag = -1
+    var samples: Array[Short] = null
+    var data: Array[Byte] = null
+    while (pos + 8 <= bytes.length) {
+      val id = new String(bytes.slice(pos, pos + 4), "US-ASCII")
+      val len = le32(bytes, pos + 4)
+      require(len >= 0 && pos + 8 + len <= bytes.length,
+        s"chunk '$id' overruns the stream")
+      id match {
+        case "fmt " =>
+          formatTag = le16(bytes, pos + 8)
+          require(formatTag == FormatAlaw || formatTag == FormatMulaw,
+            s"G.711 decoder: format tag must be 6/7, got $formatTag")
+          require(le16(bytes, pos + 10) == 1, "G.711 decoder is mono")
+          sampleRate = le32(bytes, pos + 12)
+          require(le16(bytes, pos + 20) == 1,
+            "block align must be 1 for 8-bit mono G.711")
+          require(le16(bytes, pos + 22) == 8,
+            "G.711 carries 8-bit codes")
+        case "data" =>
+          data = java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + len)
+        case _ => () // LIST / fact / cue …: skip
+      }
+      pos += 8 + len + (len & 1)
+    }
+    require(sampleRate > 0, "missing fmt chunk")
+    require(data != null, "missing data chunk")
+    samples =
+      if (formatTag == FormatMulaw) data.map(mulawDecode)
+      else data.map(alawDecode)
+    PcmAudio(sampleRate, 1, samples)
+  }
 }

@@ -1792,6 +1792,21 @@ object PipelineOps {
         .orderBy(col("media_id"), col("channel"))
     }),
 
+    // G.711 COMPANDED AUDIO DECODE under oracle — the first LOSSY
+    // audio codec in the family: payload bytes → int16 samples →
+    // µ-law AND A-law 8-bit streams in real RIFF/WAVE containers
+    // (format tags 7/6) → the engine's own chunk walk + law-table
+    // expansion → features over the QUANTIZED samples + total
+    // companding error. G.711 quantizes samples independently, so
+    // the lossy map is a closed-form integer function DuckDB replays
+    // per sample — one wrong segment boundary, bias, or mantissa
+    // shift breaks the hash.
+    "q322_g711_compand_decode" -> ((s, d) => {
+      Multimodal.g711CompandFeatures(Tables.documents(s, d), "doc_id",
+          "text")
+        .orderBy(col("media_id"), col("law"))
+    }),
+
     // FULL BMP PIXEL DECODE under oracle — the uncompressed member of
     // the decoder family (PNG q121 / JPEG q267 / WAV q274 / GIF q288):
     // payload bytes → real 8-bit palettized BMP (bottom-up rows,
@@ -5152,6 +5167,87 @@ object PipelineOps {
         |  CAST(sum(abs(s)) AS BIGINT) AS abs_energy,
         |  CAST(sum(s * ((si % 31) + 1)) AS BIGINT) AS sample_checksum
         |FROM f GROUP BY 1, 2 ORDER BY media_id, channel""".stripMargin,
+
+    // q322: the G.711 companding quantizer replayed per sample from
+    // source bytes — Sun g711.c decode∘encode as a closed-form
+    // integer map (code inversions cancel algebraically, so the SQL
+    // computes segment/mantissa/expansion directly): µ-law via the
+    // 14-bit magnitude + bias-33 + segment table, A-law via the
+    // 13-bit magnitude with the −p−1 negative fold and seg<2
+    // half-step. Features over the quantized samples + Σ|orig−dec|.
+    "q322_g711_compand_decode" ->
+      """WITH b0 AS (
+        |  SELECT doc_id, hex(encode(text)) AS h FROM documents
+        |  WHERE octet_length(encode(text)) >= 64
+        |), by AS (
+        |  SELECT doc_id, i,
+        |    (strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1))-1)*16
+        |    + (strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1))-1) AS b
+        |  FROM b0, unnest(range(0, 64)) AS u(i)
+        |), sm AS (
+        |  SELECT lo.doc_id, lo.i // 2 AS si,
+        |    CASE WHEN lo.b + 256*hi.b >= 32768 THEN lo.b + 256*hi.b - 65536
+        |         ELSE lo.b + 256*hi.b END AS s
+        |  FROM by lo JOIN by hi ON hi.doc_id = lo.doc_id AND hi.i = lo.i + 1
+        |  WHERE lo.i % 2 = 0
+        |), mu0 AS (             -- mu-law: 14-bit magnitude, clip 8159, +33
+        |  SELECT doc_id, si, s,
+        |    least(least(CASE WHEN s >= 0 THEN s // 4
+        |                     ELSE ((-s) + 3) // 4 END, 8159) + 33,
+        |          8191) AS v    -- 8191 folds the seg>=8 saturation code
+        |  FROM sm
+        |), mu1 AS (
+        |  SELECT doc_id, si, s, v,
+        |    CASE WHEN v <= 63 THEN 0 WHEN v <= 127 THEN 1
+        |         WHEN v <= 255 THEN 2 WHEN v <= 511 THEN 3
+        |         WHEN v <= 1023 THEN 4 WHEN v <= 2047 THEN 5
+        |         WHEN v <= 4095 THEN 6 ELSE 7 END AS seg
+        |  FROM mu0
+        |), mu AS (
+        |  SELECT doc_id, si, s,
+        |    (CASE WHEN s >= 0 THEN 1 ELSE -1 END)
+        |    * ((((v // (1 << (seg + 1))) % 16) * 8 + 132) * (1 << seg)
+        |       - 132) AS dec
+        |  FROM mu1
+        |), al0 AS (             -- A-law: 13-bit magnitude, -p-1 fold
+        |  SELECT doc_id, si, s,
+        |    CASE WHEN s >= 0 THEN s // 8 ELSE ((-s) + 7) // 8 - 1 END AS m
+        |  FROM sm
+        |), al1 AS (
+        |  SELECT doc_id, si, s, m,
+        |    CASE WHEN m <= 31 THEN 0 WHEN m <= 63 THEN 1
+        |         WHEN m <= 127 THEN 2 WHEN m <= 255 THEN 3
+        |         WHEN m <= 511 THEN 4 WHEN m <= 1023 THEN 5
+        |         WHEN m <= 2047 THEN 6 ELSE 7 END AS seg
+        |  FROM al0
+        |), al2 AS (
+        |  SELECT doc_id, si, s, seg,
+        |    (m // (CASE WHEN seg < 2 THEN 2 ELSE 1 << seg END)) % 16 AS q
+        |  FROM al1
+        |), al AS (
+        |  SELECT doc_id, si, s,
+        |    (CASE WHEN s >= 0 THEN 1 ELSE -1 END)
+        |    * (CASE WHEN seg = 0 THEN q * 16 + 8
+        |            WHEN seg = 1 THEN q * 16 + 264
+        |            ELSE (q * 16 + 264) * (1 << (seg - 1)) END) AS dec
+        |  FROM al2
+        |), bl AS (
+        |  SELECT doc_id, 'ulaw' AS law, si, s, dec FROM mu
+        |  UNION ALL
+        |  SELECT doc_id, 'alaw' AS law, si, s, dec FROM al
+        |), f AS (
+        |  SELECT doc_id, law, si, s, dec,
+        |    lag(dec) OVER (PARTITION BY doc_id, law ORDER BY si) AS prev
+        |  FROM bl
+        |)
+        |SELECT doc_id AS media_id, law, CAST(32 AS BIGINT) AS n_samples,
+        |  CAST(8000 AS INT) AS sample_rate,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND ((dec >= 0) <> (prev >= 0))
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+        |  CAST(sum(abs(dec)) AS BIGINT) AS abs_energy,
+        |  CAST(sum(dec * ((si % 31) + 1)) AS BIGINT) AS sample_checksum,
+        |  CAST(sum(abs(dec - s)) AS BIGINT) AS quant_err
+        |FROM f GROUP BY 1, 2 ORDER BY media_id, law""".stripMargin,
 
     // q287: the BMP decode replayed from source bytes — identical
     // byte-expansion machinery to q121; col0 picks i%10==0 positions.

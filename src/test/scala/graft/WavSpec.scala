@@ -89,4 +89,80 @@ class WavSpec extends AnyFunSuite {
     val s = Wav.synthSamples(bytes, 3)
     assert(s.toSeq == Seq[Short](0x1234, -1, -32768))
   }
+
+  // ------------------------------------------------------------------
+  // G.711 companding (q322) — pins the quantizer behaviors the oracle
+  // diff can't name: known code points, sign structure, companding
+  // fixed point, error bounds, and container-level law enforcement.
+  // ------------------------------------------------------------------
+
+  test("mu-law known points: silence is code 0xFF and decodes to 0") {
+    assert((Wav.mulawEncode(0) & 0xff) == 0xff)
+    assert(Wav.mulawDecode(0xff.toByte) == 0)
+    // full-scale positive saturates to code 0x80 (uval 0x7F ^ 0xFF)
+    assert((Wav.mulawEncode(32767) & 0xff) == 0x80)
+    assert(Wav.mulawDecode(0x80.toByte) == 32124)
+  }
+
+  test("A-law known points: zero decodes to +8 (no zero level)") {
+    assert(Wav.alawDecode(Wav.alawEncode(0)) == 8)
+    assert(Wav.alawDecode(Wav.alawEncode(-1)) == -8)
+    // full-scale magnitude hits the top segment's last level
+    assert(Wav.alawDecode(Wav.alawEncode(32767)) == 32256)
+  }
+
+  test("companding is a fixed point: decode∘encode is idempotent") {
+    var s = -32768
+    while (s <= 32767) {
+      val mu1 = Wav.mulawDecode(Wav.mulawEncode(s.toShort))
+      assert(Wav.mulawDecode(Wav.mulawEncode(mu1)) == mu1)
+      val al1 = Wav.alawDecode(Wav.alawEncode(s.toShort))
+      assert(Wav.alawDecode(Wav.alawEncode(al1)) == al1)
+      s += 257 // stride covers all segments incl. both signs
+    }
+  }
+
+  test("quantization error is segment-bounded over the full domain") {
+    var s = -32768
+    while (s <= 32767) {
+      val mu = Wav.mulawDecode(Wav.mulawEncode(s.toShort)).toInt
+      // mu-law: worst case is the clip region (|s| in (32636, 32768])
+      assert(math.abs(mu - s) <= 1024,
+        s"mu-law error ${math.abs(mu - s)} at $s")
+      val al = Wav.alawDecode(Wav.alawEncode(s.toShort)).toInt
+      assert(math.abs(al - s) <= 1024,
+        s"A-law error ${math.abs(al - s)} at $s")
+      s += 1
+    }
+  }
+
+  test("mu-law decode is odd-symmetric across the code inversion") {
+    // code c and c^0x80 decode to negatives of each other
+    for (c <- 0 until 256) {
+      val pos = Wav.mulawDecode(c.toByte).toInt
+      val neg = Wav.mulawDecode((c ^ 0x80).toByte).toInt
+      assert(pos == -neg, s"code $c: $pos vs $neg")
+    }
+  }
+
+  test("G.711 container round-trip carries codes verbatim") {
+    val codes = Array.tabulate(33)(i => (i * 7 % 256).toByte) // odd → pad
+    for (tag <- Seq(Wav.FormatAlaw, Wav.FormatMulaw)) {
+      val a = Wav.decodeG711(Wav.encodeG711(codes, 8000, tag))
+      assert(a.sampleRate == 8000 && a.channels == 1)
+      val expect =
+        if (tag == Wav.FormatMulaw) codes.map(Wav.mulawDecode)
+        else codes.map(Wav.alawDecode)
+      assert(a.samples.toSeq == expect.toSeq)
+    }
+  }
+
+  test("law enforcement: G.711 decoder rejects PCM and vice versa") {
+    val pcm = Wav.encodePcm16Mono(tone, 8000)
+    intercept[IllegalArgumentException] { Wav.decodeG711(pcm) }
+    val g711 = Wav.encodeG711(Array.tabulate(32)(_.toByte), 8000,
+      Wav.FormatMulaw)
+    intercept[IllegalArgumentException] { Wav.decodePcm16(g711) }
+    ()
+  }
 }
