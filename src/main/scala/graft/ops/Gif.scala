@@ -89,6 +89,43 @@ object Gif {
     }
   }
 
+  /** GIF 4-pass interlace row order (GIF87a spec Appendix E): rows
+    * 0,8,16,… then 4,12,… then 2,6,10,… then 1,3,5,… — transmission
+    * row t carries image row `interlaceRows(h)(t)`. Unlike PNG's
+    * Adam7 ([[Png]] pass-local filtering), GIF interlace permutes
+    * WHOLE ROWS through one continuous LZW stream. */
+  def interlaceRows(height: Int): Array[Int] =
+    ((0 until height by 8) ++ (4 until height by 8) ++
+      (2 until height by 4) ++ (1 until height by 2)).toArray
+
+  /** Encode row-major grayscale `pixels` as a GIF87a stream with a
+    * 256-entry gray global color table (palette index = gray value)
+    * and a real LZW-compressed image data stream. With
+    * `interlaced = true` the rows are transmitted in the 4-pass
+    * interlace order and the image descriptor's interlace flag is
+    * set. */
+  def encodeGray(pixels: Array[Byte], width: Int, height: Int,
+                 interlaced: Boolean): Array[Byte] = {
+    if (!interlaced) encodeGray(pixels, width, height)
+    else {
+      require(pixels.length == width * height,
+        s"pixel buffer ${pixels.length} != $width x $height")
+      val order = interlaceRows(height)
+      val permuted = new Array[Byte](pixels.length)
+      var t = 0
+      while (t < height) {
+        System.arraycopy(pixels, order(t) * width, permuted, t * width, width)
+        t += 1
+      }
+      val gif = encodeGray(permuted, width, height)
+      // set the interlace flag in the image descriptor's packed byte.
+      // The descriptor follows the 13-byte header + 768-byte GCT: its
+      // packed field sits at offset 13 + 768 + 9.
+      gif(13 + 768 + 9) = (gif(13 + 768 + 9) | 0x40).toByte
+      gif
+    }
+  }
+
   /** Encode row-major grayscale `pixels` as a GIF87a stream with a
     * 256-entry gray global color table (palette index = gray value)
     * and a real LZW-compressed image data stream. */
@@ -174,6 +211,7 @@ object Gif {
     }
     require((gif(pos) & 0xff) == 0x2c, "image descriptor expected")
     require((gif(pos + 9) & 0x80) == 0, "local color table not in scope")
+    val interlaced = (gif(pos + 9) & 0x40) != 0
     pos += 10
     val minCodeSize = gif(pos) & 0xff
     pos += 1
@@ -247,6 +285,17 @@ object Gif {
     val px = pixels.toByteArray
     require(px.length == width * height,
       s"decoded ${px.length} pixels for $width x $height")
-    GrayImage(width, height, px)
+    if (!interlaced) GrayImage(width, height, px)
+    else {
+      // scatter transmission rows back onto the image lattice
+      val order = interlaceRows(height)
+      val out = new Array[Byte](px.length)
+      var t = 0
+      while (t < height) {
+        System.arraycopy(px, t * width, out, order(t) * width, width)
+        t += 1
+      }
+      GrayImage(width, height, out)
+    }
   }
 }

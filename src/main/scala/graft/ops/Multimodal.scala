@@ -652,6 +652,43 @@ object Multimodal {
       }.toDF("media_id", "width", "height", "pixel_sum", "pixel_checksum")
   }
 
+  /** INTERLACED GIF PIXEL DECODE under oracle — the GIF sibling of
+    * the Adam7 path ([[pngInterlacedPixelFeatures]]): the same
+    * payload pixels transmitted in the GIF 4-pass row order
+    * ([[Gif.interlaceRows]]) through ONE continuous LZW stream, with
+    * the image descriptor's interlace flag set, and the engine's own
+    * decoder scattering transmission rows back onto the lattice. The
+    * pixel checksum is POSITION-weighted over the row-major result,
+    * so a decoder that left rows in transmission order (or scattered
+    * with the wrong pass geometry) breaks the hash — which is why the
+    * shared q288 oracle is a differential test of the interlace
+    * machinery. Narrow per-row mapPartitions, zero shuffle. */
+  def gifInterlacedPixelFeatures(df: DataFrame, idCol: String,
+                                 textCol: String, width: Int,
+                                 height: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = width * height
+    df.where(octet_length(col(textCol)) >= n)
+      .select(col(idCol).cast("long").as("media_id"),
+        substring(col(textCol).cast("binary"), 1, n).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val gif = Gif.encodeGray(bytes, width, height, interlaced = true)
+          val img = Gif.decodeGray(gif)
+          var sum = 0L; var ck = 0L; var i = 0
+          while (i < img.pixels.length) {
+            val b = img.pixels(i) & 0xff
+            sum += b
+            ck += b.toLong * ((i % 31) + 1)
+            i += 1
+          }
+          (id, img.width, img.height, sum, ck)
+        }
+      }.toDF("media_id", "width", "height", "pixel_sum", "pixel_checksum")
+  }
+
   /** IMAGE NEAR-DUP PAIRS by aHash Hamming distance — the perceptual
     * dedup join over [[pngAverageHash]] fingerprints: pairs with ≤
     * `maxHamming` differing bits of the `bits`-bit hash. Candidate

@@ -1846,6 +1846,20 @@ object PipelineOps {
         .orderBy(col("media_id"))
     }),
 
+    // INTERLACED GIF DECODE under oracle — the GIF sibling of q321's
+    // Adam7: same pixels, transmitted in the 4-pass row order through
+    // one continuous LZW stream (interlace flag set), scattered back
+    // onto the lattice by the engine's own decoder. Shares q288's
+    // byte replay verbatim — same pixels, different transmission
+    // order — so the shared oracle is a differential test of the
+    // interlace machinery (the position-weighted checksum breaks if
+    // rows stay in transmission order).
+    "q323_gif_interlaced_decode" -> ((s, d) => {
+      Multimodal.gifInterlacedPixelFeatures(Tables.documents(s, d),
+          "doc_id", "text", width = 12, height = 5)
+        .orderBy(col("media_id"))
+    }),
+
     // Perceptual average-hash over the SAME decode round-trip as q121:
     // 128 exact pixel-vs-mean bits (pixel·n > Σ — no float mean) per
     // image — the image-dedup fingerprint; every bit certifies a
@@ -2590,6 +2604,26 @@ object PipelineOps {
 
   // q121/q321's oracle: decoded-pixel statistics replayed from source
   // bytes (PNG is lossless, sequential or interlaced).
+  // q288/q323: the GIF decode replayed from source bytes (LZW is
+  // lossless, so the pixel stream IS the payload prefix; q323's
+  // interlaced transmission scatters back to the same row-major
+  // pixels, making the shared replay a differential interlace test).
+  private val GifDecodeSql: String =
+    """WITH b0 AS (
+      |  SELECT doc_id, hex(encode(text)) AS h FROM documents
+      |  WHERE octet_length(encode(text)) >= 60
+      |), by AS (
+      |  SELECT doc_id, i,
+      |    (strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1))-1)*16
+      |    + (strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1))-1) AS b
+      |  FROM b0, unnest(range(0, 60)) AS u(i)
+      |)
+      |SELECT doc_id AS media_id, CAST(12 AS INTEGER) AS width,
+      |  CAST(5 AS INTEGER) AS height,
+      |  CAST(sum(b) AS BIGINT) AS pixel_sum,
+      |  CAST(sum(b * ((i % 31)+1)) AS BIGINT) AS pixel_checksum
+      |FROM by GROUP BY doc_id ORDER BY media_id""".stripMargin
+
   private val PngDecodeSql: String =
     """WITH b0 AS (
       |  SELECT doc_id, hex(encode(text)) AS h FROM documents
@@ -5292,21 +5326,12 @@ object PipelineOps {
 
     // q288: the GIF decode replayed from source bytes (LZW is
     // lossless, so the pixel stream IS the payload prefix).
-    "q288_gif_pixel_decode" ->
-      """WITH b0 AS (
-        |  SELECT doc_id, hex(encode(text)) AS h FROM documents
-        |  WHERE octet_length(encode(text)) >= 60
-        |), by AS (
-        |  SELECT doc_id, i,
-        |    (strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1))-1)*16
-        |    + (strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1))-1) AS b
-        |  FROM b0, unnest(range(0, 60)) AS u(i)
-        |)
-        |SELECT doc_id AS media_id, CAST(12 AS INTEGER) AS width,
-        |  CAST(5 AS INTEGER) AS height,
-        |  CAST(sum(b) AS BIGINT) AS pixel_sum,
-        |  CAST(sum(b * ((i % 31)+1)) AS BIGINT) AS pixel_checksum
-        |FROM by GROUP BY doc_id ORDER BY media_id""".stripMargin,
+    "q288_gif_pixel_decode" -> GifDecodeSql,
+
+    // q323: shares q288's replay VERBATIM — same pixels, different
+    // transmission order, so the shared oracle is a differential test
+    // of the interlace row permutation + scatter-back.
+    "q323_gif_interlaced_decode" -> GifDecodeSql,
 
     // q267: the JPEG decode replayed from source bytes — coefficient
     // rules (DC (b%101)−50, AC (b%21)−10, zero tail), dequantization

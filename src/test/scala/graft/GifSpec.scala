@@ -77,4 +77,57 @@ class GifSpec extends AnyFunSuite {
     val g = Gif.encodeGray(Array.tabulate(60)(_.toByte), 12, 5)
     intercept[Exception] { Gif.decodeGray(g.slice(0, g.length - 6)) }
   }
+
+  // ------------------------------------------------------------------
+  // Interlace (q323) — the 4-pass transmission order of GIF87a
+  // Appendix E, with scatter-back on decode.
+  // ------------------------------------------------------------------
+
+  test("interlace row order: the Appendix E pass sequence") {
+    assert(Gif.interlaceRows(10).toSeq ==
+      Seq(0, 8, 4, 2, 6, 1, 3, 5, 7, 9))
+    // short images: empty passes contribute nothing
+    assert(Gif.interlaceRows(1).toSeq == Seq(0))
+    assert(Gif.interlaceRows(3).toSeq == Seq(0, 2, 1))
+    assert(Gif.interlaceRows(5).toSeq == Seq(0, 4, 2, 1, 3))
+    // every row appears exactly once
+    assert(Gif.interlaceRows(23).sorted.toSeq == (0 until 23))
+  }
+
+  test("interlaced round-trip equals sequential pixels (ragged sizes)") {
+    for ((w, h) <- Seq((12, 5), (1, 1), (3, 17), (16, 8), (7, 9))) {
+      val px = Array.tabulate(w * h)(i => ((i * 37 + 11) % 256).toByte)
+      val img = Gif.decodeGray(Gif.encodeGray(px, w, h, interlaced = true))
+      assert(img.width == w && img.height == h)
+      assert(img.pixels.toSeq == px.toSeq, s"${w}x$h")
+    }
+  }
+
+  test("interlaced stream differs from sequential but decodes the same") {
+    // pixel value = row index, so any row permutation error is visible
+    val w = 4; val h = 10
+    val px = Array.tabulate(w * h)(i => (i / w * 20).toByte)
+    val seq = Gif.encodeGray(px, w, h)
+    val int = Gif.encodeGray(px, w, h, interlaced = true)
+    assert(!java.util.Arrays.equals(seq, int),
+      "interlace must change the transmitted stream")
+    // the interlace flag is the descriptor's bit 6
+    assert((int(13 + 768 + 9) & 0x40) != 0 && (seq(13 + 768 + 9) & 0x40) == 0)
+    assert(Gif.decodeGray(int).pixels.toSeq == Gif.decodeGray(seq).pixels.toSeq)
+  }
+
+  test("decoder without scatter-back would see transmission order") {
+    // flipping the interlace flag OFF on an interlaced stream makes
+    // the decoder return rows in transmission order — proving the
+    // scatter-back is doing real work, not a no-op
+    val w = 2; val h = 8
+    val px = Array.tabulate(w * h)(i => (i / w).toByte) // row index
+    val int = Gif.encodeGray(px, w, h, interlaced = true)
+    val stripped = int.clone()
+    stripped(13 + 768 + 9) = (stripped(13 + 768 + 9) & ~0x40).toByte
+    val raw = Gif.decodeGray(stripped).pixels.map(_.toInt)
+    assert(raw.grouped(w).map(_.head).toSeq == Seq(0, 4, 2, 6, 1, 3, 5, 7),
+      "transmission order is the Appendix E sequence")
+    assert(Gif.decodeGray(int).pixels.map(_.toInt).toSeq == px.map(_.toInt).toSeq)
+  }
 }
