@@ -22,6 +22,98 @@ object TextAnalysis {
     size(filter(split(textCol, "[^\\w]+"), s => length(s) > 0)) +
       (length(textCol) - length(regexp_replace(textCol, "[^\\w\\s]", "")))
 
+  /** UNIGRAM-LM (SentencePiece-style) TOKENIZER — the subword
+    * segmentation family's second member beside [[graft.ops.BpeTrainer]]
+    * (merge-based): Kudo 2018 (arXiv:1804.10959) segments raw text by
+    * the VITERBI argmax of Σ log p(piece) over a unigram piece model,
+    * operating on whole text units with whitespace marked (the '▁'
+    * convention; '_' here). This implementation pins the
+    * frequency-initialized model (piece scores from one exact
+    * substring-count pass — the EM refinement's standard starting
+    * point) so the entire train+segment chain is integer-replayable:
+    *
+    *  - UNITS: the first `unitLen` chars of each doc, spaces → '_',
+    *    deduplicated with multiplicity (one DP per distinct unit).
+    *  - CANDIDATES: every substring of length 1..`maxPieceLen` of
+    *    every unit, count = Σ unit multiplicity (one narrow flatMap +
+    *    partial agg — the only data-scale shuffle).
+    *  - VOCAB: all single chars (segmentation totality) + the top
+    *    `vocabSize` multi-char pieces by (count DESC, piece ASC) — a
+    *    TakeOrdered boundary, O(vocabSize) on the driver.
+    *  - SCORES: ln(cnt/total) round-9 scaled to a long (the standing
+    *    cross-engine libm guard), broadcast as an O(vocab) map.
+    *  - VITERBI: dp[i] = max_k dp[i−k] + s9(piece(i−k,i)), ties to the
+    *    LONGER last piece — exact integer DP, narrow mapPartitions.
+    *
+    * At 100 TB: unit stats are partial-aggregated, the model is a
+    * broadcast codebook, and segmentation is embarrassingly parallel
+    * per unit — the same shape real tokenizer-apply jobs run at
+    * corpus scale.
+    *
+    * @return (unit, unit_count, n_pieces, seg '|'-joined, score9). */
+  def unigramLmSegment(df: DataFrame, textCol: String,
+                       vocabSize: Int = 200, maxPieceLen: Int = 4,
+                       unitLen: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val units = df.where(length(col(textCol)) >= 1)
+      .select(translate(substring(col(textCol), 1, unitLen), " ", "_")
+        .as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val pieces = units.as[(String, Long)]
+      .flatMap { case (w, c) =>
+        for {
+          st <- 0 until w.length
+          k <- 1 to math.min(maxPieceLen, w.length - st)
+        } yield (w.substring(st, st + k), c)
+      }.toDF("piece", "c")
+      .groupBy(col("piece")).agg(sum(col("c")).as("cnt"))
+    val total = pieces.agg(sum(col("cnt"))).as[Long].first()
+    val chars = pieces.where(length(col("piece")) === 1)
+    val multi = pieces.where(length(col("piece")) >= 2)
+      .orderBy(col("cnt").desc, col("piece").asc).limit(vocabSize)
+    val scores: Map[String, Long] = chars.union(multi)
+      .withColumn("s9", graft.util.Exact.scaled(
+        round(log(col("cnt").cast("double") / lit(total.toDouble)), 9), 9))
+      .select(col("piece"), col("s9")).as[(String, Long)]
+      .collect().toMap // O(vocabSize + alphabet): a broadcast codebook
+    val bc = spark.sparkContext.broadcast(scores)
+    units.as[(String, Long)].mapPartitions { it =>
+      val s9 = bc.value
+      it.map { case (w, c) =>
+        val n = w.length
+        val dpS = new Array[Long](n + 1)
+        val dpNp = new Array[Int](n + 1)
+        val dpSeg = new Array[String](n + 1)
+        dpSeg(0) = ""
+        var i = 1
+        while (i <= n) {
+          var bestS = Long.MinValue; var bestK = 0
+          var k = 1
+          val kMax = math.min(maxPieceLen, i)
+          while (k <= kMax) {
+            s9.get(w.substring(i - k, i)) match {
+              case Some(v) =>
+                val cand = dpS(i - k) + v
+                // ties → the longer last piece (k ascending, >= keeps
+                // the largest k among equal scores)
+                if (cand >= bestS) { bestS = cand; bestK = k }
+              case None => ()
+            }
+            k += 1
+          }
+          dpS(i) = bestS
+          dpNp(i) = dpNp(i - bestK) + 1
+          dpSeg(i) =
+            if (i - bestK == 0) w.substring(0, i)
+            else dpSeg(i - bestK) + "|" + w.substring(i - bestK, i)
+          i += 1
+        }
+        (w, c, dpNp(n), dpSeg(n), dpS(n))
+      }
+    }.toDF("unit", "unit_count", "n_pieces", "seg", "score9")
+  }
+
   /** Per-doc quality metrics; every ratio is int/int → deterministic.
     * Columns: n_tokens, n_distinct, avg_token_len, distinct_ratio,
     * stopword_ratio, punct_ratio, n_subwords. */

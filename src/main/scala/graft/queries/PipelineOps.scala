@@ -623,6 +623,21 @@ object PipelineOps {
         .limit(10)
     }),
 
+    // UNIGRAM-LM (SentencePiece-style) TOKENIZER — the subword family's
+    // second member beside BPE (q115/q116): Kudo 2018's Viterbi
+    // segmentation over a unigram piece model, here in its
+    // frequency-initialized regime so the ENTIRE train+segment chain
+    // replays — substring-count piece stats, all-chars + top-200
+    // vocabulary at a deterministic (count DESC, piece ASC) boundary,
+    // round-9 scaled-long ln scores, and the exact integer DP with
+    // ties to the longer last piece. DuckDB replays the Viterbi via a
+    // recursive CTE carrying the last-4 dp states, so one wrong score,
+    // boundary, or tie-break breaks the hash.
+    "q324_unigram_lm_segment" -> ((s, d) => {
+      TextAnalysis.unigramLmSegment(Tables.documents(s, d), "text")
+        .orderBy(col("unit"))
+    }),
+
     // Real greedy BPE apply (native codegen kernel, merge table as a
     // codegen reference object) declared in its anchor regime: an
     // empty merge table keeps every word as characters, so the count
@@ -3903,6 +3918,64 @@ object PipelineOps {
         |  CAST(s9 AS DOUBLE) / 1000000000.0 AS score, n_terms
         |FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin,
     // Deterministic rank: exact counts, lexicographic tie-break.
+    // q324: the unigram-LM train+segment chain replayed end-to-end —
+    // unit stats, the (count DESC, piece ASC) vocabulary boundary,
+    // round-9 ln scores, and the Viterbi DP itself via a recursive
+    // CTE whose rows carry the last-4 dp states (score, seg, np) as a
+    // list of structs; the correlated argmax orders by
+    // (score DESC, k DESC), mirroring the engine's longer-last-piece
+    // tie-break.
+    "q324_unigram_lm_segment" ->
+      """WITH RECURSIVE w0 AS (
+        |  SELECT replace(substr(text, 1, 16), ' ', '_') AS w, count(*) AS c
+        |  FROM documents WHERE length(text) >= 1 GROUP BY 1
+        |), pc AS (
+        |  SELECT substr(w, CAST(st AS INT), CAST(k AS INT)) AS piece,
+        |         CAST(sum(c) AS BIGINT) AS cnt
+        |  FROM w0, unnest(range(1, 17)) AS s(st), unnest(range(1, 5)) AS kk(k)
+        |  WHERE st + k - 1 <= len(w)
+        |  GROUP BY 1
+        |), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM pc
+        |), vocab AS (
+        |  SELECT piece, cnt FROM pc WHERE len(piece) = 1
+        |  UNION ALL
+        |  SELECT piece, cnt FROM (
+        |    SELECT piece, cnt,
+        |      row_number() OVER (ORDER BY cnt DESC, piece ASC) AS r
+        |    FROM pc WHERE len(piece) >= 2) WHERE r <= 200
+        |), sc AS (
+        |  SELECT piece,
+        |    CAST(round(round(ln(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE)), 9)
+        |      * 1000000000) AS BIGINT) AS s9
+        |  FROM vocab, tot
+        |), v AS (
+        |  SELECT w, c, 0 AS i,
+        |    [{'s': CAST(0 AS BIGINT), 'seg': CAST('' AS VARCHAR), 'np': 0}]
+        |      AS hist
+        |  FROM w0
+        |  UNION ALL
+        |  SELECT w, c, i + 1,
+        |    list_append(CASE WHEN len(hist) >= 4 THEN hist[2:] ELSE hist END,
+        |      (SELECT {'s': hist[len(hist) - k + 1].s + sc.s9,
+        |               'seg': CASE WHEN i + 1 - k = 0
+        |                 THEN substr(w, CAST(i + 2 - k AS INT), CAST(k AS INT))
+        |                 ELSE hist[len(hist) - k + 1].seg || '|'
+        |                   || substr(w, CAST(i + 2 - k AS INT), CAST(k AS INT))
+        |                 END,
+        |               'np': hist[len(hist) - k + 1].np + 1}
+        |       FROM unnest([1, 2, 3, 4]) AS t(k)
+        |       JOIN sc
+        |         ON sc.piece = substr(w, CAST(i + 2 - k AS INT), CAST(k AS INT))
+        |       WHERE k <= i + 1
+        |       ORDER BY hist[len(hist) - k + 1].s + sc.s9 DESC, k DESC
+        |       LIMIT 1))
+        |  FROM v WHERE i < len(w)
+        |), fin AS (SELECT w, c, hist[len(hist)] AS best FROM v WHERE i = len(w))
+        |SELECT w AS unit, CAST(c AS BIGINT) AS unit_count,
+        |  CAST(best.np AS INT) AS n_pieces,
+        |  best.seg AS seg, best.s AS score9
+        |FROM fin ORDER BY unit""".stripMargin,
+
     "q116_bpe_train_pairs" ->
       """WITH w AS (
         |  SELECT unnest(regexp_split_to_array(text, '\s+')) AS word

@@ -105,4 +105,60 @@ class TrainPipelineSpec extends AnyFunSuite {
       assert(r.getLong(3) == r.getLong(2) + 1, "bins must be contiguous")
     }
   }
+
+  // ------------------------------------------------------------------
+  // unigramLmSegment (q324) — the Viterbi tokenizer's intrinsic
+  // properties on planted corpora.
+  // ------------------------------------------------------------------
+
+  test("unigramLmSegment: a frequent unit segments as ONE piece") {
+    // 'abcd' is in the vocabulary (length ≤ maxPieceLen), and a
+    // single piece at ln p always beats two pieces at ln p₁ + ln p₂ —
+    // the Viterbi must keep it whole; the hapax splits
+    val docs = (Seq.fill(50)("abcd") ++ Seq("xy zq")).toDF("text")
+    val rows = TextAnalysis.unigramLmSegment(docs, "text")
+      .collect().map(r => r.getString(0) -> ((r.getInt(2), r.getString(3))))
+      .toMap
+    assert(rows("abcd") == ((1, "abcd")), s"got ${rows("abcd")}")
+    // ties between equal-score splits go to the LONGER LAST piece
+    val tie = (Seq.fill(10)("abcdef") ++ Seq("zz")).toDF("text")
+    val seg6 = TextAnalysis.unigramLmSegment(tie, "text")
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    // all substrings of 'abcdef' have count 10 → every 2-piece split
+    // of the 6-char unit ties; k DESC keeps the longest last piece
+    assert(seg6("abcdef") == "ab|cdef", s"got ${seg6("abcdef")}")
+  }
+
+  test("unigramLmSegment: totality — every unit segments, even hapaxes") {
+    val docs = Seq("abcd abcd", "qzkj").toDF("text") // qzkj appears once
+    val rows = TextAnalysis.unigramLmSegment(docs, "text").collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      val unit = r.getString(0); val seg = r.getString(3)
+      assert(seg.replace("|", "") == unit,
+        s"segmentation must spell the unit: $unit vs $seg")
+      assert(r.getLong(4) < 0, "log-prob scores are negative")
+    }
+  }
+
+  test("unigramLmSegment: piece count + score are consistent and " +
+    "repartition-invariant") {
+    val docs = graft.io.Tables.documents(spark, TestSession.sf)
+    val a = TextAnalysis.unigramLmSegment(docs, "text")
+      .orderBy("unit").collect()
+    val b = TextAnalysis.unigramLmSegment(docs.repartition(7), "text")
+      .orderBy("unit").collect()
+    assert(a.length == b.length && a.length > 100)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+    a.foreach { r =>
+      assert(r.getString(3).split("\\|").length == r.getInt(2),
+        "n_pieces must count the seg separators")
+    }
+  }
+
+  test("unigramLmSegment: multiplicity rides the unit, not the rows") {
+    val docs = Seq.fill(7)("abcd").toDF("text")
+    val rows = TextAnalysis.unigramLmSegment(docs, "text").collect()
+    assert(rows.length == 1 && rows.head.getLong(1) == 7L)
+  }
 }
