@@ -549,6 +549,48 @@ object Multimodal {
         "zero_crossings", "abs_energy", "sample_checksum", "quant_err")
   }
 
+  /** IMA ADPCM AUDIO DECODE under oracle — the PREDICTIVE member of
+    * the audio family (PCM verbatim → G.711 stateless companding →
+    * ADPCM stateful prediction): payload bytes → 33 deterministic
+    * int16 samples → a real single-block IMA ADPCM RIFF/WAVE stream
+    * (tag 0x11, block header carrying the seed predictor + step
+    * index, 4-bit nibbles low-first) → the engine's own chunk walk +
+    * nibble STATE MACHINE (89-entry step table, index adaptation,
+    * shift-add reconstruction, clamps) → integer features over the
+    * decoded samples + total prediction error. Every decoded sample
+    * depends on the entire state trajectory before it, so the oracle
+    * — a sequential recurrence DuckDB replays step by step — breaks
+    * on one wrong table entry, clamp, or nibble bit anywhere in the
+    * stream. Narrow per-row mapPartitions, zero shuffle. */
+  def adpcmFeatures(df: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.where(octet_length(col(textCol)) >= 66)
+      .select(col(idCol).cast("long").as("media_id"),
+        substring(col(textCol).cast("binary"), 1, 66).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val orig = Wav.synthSamples(bytes, n = 33)
+          val audio = Wav.decodeImaAdpcm(
+            Wav.encodeImaAdpcm(orig, sampleRate = 8000))
+          val s = audio.samples
+          var zc = 0L; var en = 0L; var ck = 0L; var qe = 0L
+          var i = 0
+          while (i < s.length) {
+            if (i > 0 && ((s(i) >= 0) != (s(i - 1) >= 0))) zc += 1
+            en += math.abs(s(i).toLong)
+            ck += s(i).toLong * ((i % 31) + 1)
+            qe += math.abs(s(i).toLong - orig(i).toLong)
+            i += 1
+          }
+          (id, s.length.toLong, audio.sampleRate, zc, en, ck, qe)
+        }
+      }.toDF("media_id", "n_samples", "sample_rate", "zero_crossings",
+        "abs_energy", "sample_checksum", "quant_err")
+  }
+
   /** FULL BMP PIXEL DECODE under oracle — the uncompressed member of
     * the decoder family: payload bytes → a real 8-bit palettized BMP
     * (bottom-up rows, 4-byte padding, 256×4 BGRA palette) →

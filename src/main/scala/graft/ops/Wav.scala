@@ -196,6 +196,188 @@ object Wav {
     (if ((a & 0x80) != 0) t else -t).toShort
   }
 
+  // --------------------------------------------------------------------
+  // IMA ADPCM (DVI4) — the PREDICTIVE member of the audio family:
+  // unlike PCM (verbatim) and G.711 (per-sample stateless companding),
+  // ADPCM carries a STATE MACHINE across samples — a 16-bit predictor
+  // plus an adaptive step-size index, with each 4-bit nibble coding the
+  // prediction residual at the current step. The algorithm is the
+  // public IMA Digital Audio Focus Group specification (the WAV format
+  // tag 0x0011 codec; also RTP DVI4, RFC 3551 §4.5.1): 89-entry step
+  // table, 16-entry index-adaptation table, and the shift-add residual
+  // reconstruction. All-integer and encoder-embeds-decoder, so
+  // decode∘encode is exactly replayable as a sequential recurrence.
+  // --------------------------------------------------------------------
+
+  /** WAVE format tag for IMA ADPCM (WAVE_FORMAT_IMA_ADPCM). */
+  final val FormatImaAdpcm = 0x11
+
+  private final val StepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+    598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+    1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+    5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  /** Index adaptation depends only on the nibble's magnitude bits. */
+  private def indexDelta(nibble: Int): Int = (nibble & 7) match {
+    case 4 => 2
+    case 5 => 4
+    case 6 => 6
+    case 7 => 8
+    case _ => -1
+  }
+
+  private def clampSample(v: Int): Int =
+    math.max(-32768, math.min(32767, v))
+  private def clampIndex(v: Int): Int = math.max(0, math.min(88, v))
+
+  /** ADPCM codec state: `pred` is the reconstructed previous sample. */
+  final case class AdpcmState(pred: Int, index: Int)
+
+  /** Encode one sample against the state: choose the nibble by the
+    * standard successive-comparison quantizer, then run the DECODER's
+    * reconstruction to advance the state (the encoder embeds the
+    * decoder, which is what keeps encoder and decoder predictors in
+    * lockstep). Returns (nibble, nextState). */
+  def adpcmEncodeStep(s: Int, st: AdpcmState): (Int, AdpcmState) = {
+    val step = StepTable(st.index)
+    val delta = s - st.pred
+    val sign = if (delta < 0) 8 else 0
+    var d = math.abs(delta)
+    var n = sign
+    if (d >= step) { n |= 4; d -= step }
+    if (d >= (step >> 1)) { n |= 2; d -= step >> 1 }
+    if (d >= (step >> 2)) n |= 1
+    (n, adpcmDecodeStep(n, st)._2)
+  }
+
+  /** Decode one nibble against the state: shift-add residual
+    * reconstruction diff = step/8 + b0·step/4 + b1·step/2 + b2·step,
+    * sign from bit 3, sample clamp, index adaptation. Returns
+    * (decodedSample, nextState). */
+  def adpcmDecodeStep(nibble: Int, st: AdpcmState): (Int, AdpcmState) = {
+    val step = StepTable(st.index)
+    var diff = step >> 3
+    if ((nibble & 1) != 0) diff += step >> 2
+    if ((nibble & 2) != 0) diff += step >> 1
+    if ((nibble & 4) != 0) diff += step
+    val pred = clampSample(
+      if ((nibble & 8) != 0) st.pred - diff else st.pred + diff)
+    (pred, AdpcmState(pred, clampIndex(st.index + indexDelta(nibble))))
+  }
+
+  /** Encode mono PCM16 samples as a single-block IMA ADPCM RIFF/WAVE
+    * stream: the standard 4-byte block header (predictor = sample 0
+    * verbatim, initial step index, reserved byte) followed by nibbles
+    * for samples 1..n−1, two per byte LOW NIBBLE FIRST. The fmt chunk
+    * carries the tag-0x11 extension (cbSize 2, samplesPerBlock). */
+  def encodeImaAdpcm(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    require(samples.length >= 1, "need at least the header sample")
+    require(samples.length % 2 == 1,
+      "samples after the header sample must pair into whole nibble bytes")
+    val nNib = samples.length - 1
+    val blockAlign = 4 + nNib / 2
+    val out = new java.io.ByteArrayOutputStream()
+    val dataLen = blockAlign
+    out.write("RIFF".getBytes("US-ASCII"))
+    putLe32(out, 40 + dataLen + (dataLen & 1))
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII"))
+    putLe32(out, 20)                    // 16 + cbSize(2) + extra(2)
+    putLe16(out, FormatImaAdpcm)
+    putLe16(out, 1)                     // mono
+    putLe32(out, sampleRate)
+    // byte rate for one block per samplesPerBlock samples
+    putLe32(out, sampleRate * blockAlign / samples.length)
+    putLe16(out, blockAlign)
+    putLe16(out, 4)                     // bits per (coded) sample
+    putLe16(out, 2)                     // cbSize
+    putLe16(out, samples.length)        // samplesPerBlock
+    out.write("data".getBytes("US-ASCII"))
+    putLe32(out, dataLen)
+    // block header: predictor = sample 0 verbatim, step index 0
+    putLe16(out, samples(0) & 0xffff)
+    out.write(0)                        // initial step index
+    out.write(0)                        // reserved
+    var st = AdpcmState(samples(0).toInt, 0)
+    var i = 1
+    while (i < samples.length) {
+      val (lo, st1) = adpcmEncodeStep(samples(i).toInt, st)
+      val (hi, st2) = adpcmEncodeStep(samples(i + 1).toInt, st1)
+      out.write(lo | (hi << 4))
+      st = st2
+      i += 2
+    }
+    if ((dataLen & 1) == 1) out.write(0)
+    out.toByteArray
+  }
+
+  /** Decode a single-block IMA ADPCM WAV produced by
+    * [[encodeImaAdpcm]]-shaped encoders: chunk walk, tag-0x11 fmt
+    * validation (4-bit, extension present, block align vs
+    * samplesPerBlock cross-check), block-header state seed, then the
+    * nibble state machine — sample 0 is the header predictor
+    * verbatim, each subsequent sample the reconstruction of one
+    * nibble (low nibble of each byte first). */
+  def decodeImaAdpcm(bytes: Array[Byte]): PcmAudio = {
+    require(bytes.length >= 48, "truncated WAV")
+    require(new String(bytes.slice(0, 4), "US-ASCII") == "RIFF" &&
+      new String(bytes.slice(8, 12), "US-ASCII") == "WAVE", "not RIFF/WAVE")
+    var pos = 12
+    var sampleRate = 0; var blockAlign = 0; var samplesPerBlock = 0
+    var data: Array[Byte] = null
+    while (pos + 8 <= bytes.length) {
+      val id = new String(bytes.slice(pos, pos + 4), "US-ASCII")
+      val len = le32(bytes, pos + 4)
+      require(len >= 0 && pos + 8 + len <= bytes.length,
+        s"chunk '$id' overruns the stream")
+      id match {
+        case "fmt " =>
+          require(le16(bytes, pos + 8) == FormatImaAdpcm,
+            s"IMA ADPCM decoder: format tag must be 0x11")
+          require(le16(bytes, pos + 10) == 1, "ADPCM decoder is mono")
+          sampleRate = le32(bytes, pos + 12)
+          blockAlign = le16(bytes, pos + 20)
+          require(le16(bytes, pos + 22) == 4, "IMA ADPCM codes 4 bits")
+          require(len >= 20, "tag-0x11 fmt requires the extension")
+          require(le16(bytes, pos + 24) == 2, "cbSize must be 2")
+          samplesPerBlock = le16(bytes, pos + 26)
+          require(samplesPerBlock == 1 + (blockAlign - 4) * 2,
+            "samplesPerBlock inconsistent with block align")
+        case "data" =>
+          data = java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + len)
+        case _ => ()
+      }
+      pos += 8 + len + (len & 1)
+    }
+    require(sampleRate > 0, "missing fmt chunk")
+    require(data != null, "missing data chunk")
+    require(data.length == blockAlign, "single-block decoder scope")
+    val pred0 = le16(data, 0).toShort.toInt
+    val idx0 = data(2) & 0xff
+    require(idx0 <= 88, s"step index $idx0 out of table range")
+    require(data(3) == 0, "reserved header byte must be zero")
+    val samples = new Array[Short](samplesPerBlock)
+    samples(0) = pred0.toShort
+    var st = AdpcmState(pred0, idx0)
+    var si = 1
+    var bi = 4
+    while (si < samplesPerBlock) {
+      val b = data(bi) & 0xff
+      val (s1, st1) = adpcmDecodeStep(b & 0xf, st)
+      samples(si) = s1.toShort
+      val (s2, st2) = adpcmDecodeStep((b >> 4) & 0xf, st1)
+      samples(si + 1) = s2.toShort
+      st = st2
+      si += 2
+      bi += 1
+    }
+    PcmAudio(sampleRate, 1, samples)
+  }
+
   /** Encode 8-bit G.711 codes as a canonical RIFF/WAVE stream with
     * format tag [[FormatMulaw]] or [[FormatAlaw]] (bits 8, block
     * align = channels, byte rate = rate·channels). */

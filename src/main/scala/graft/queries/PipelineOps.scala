@@ -1822,6 +1822,20 @@ object PipelineOps {
         .orderBy(col("media_id"), col("law"))
     }),
 
+    // IMA ADPCM AUDIO DECODE under oracle — the PREDICTIVE member of
+    // the audio family: payload bytes → int16 samples → a real
+    // single-block tag-0x11 RIFF/WAVE stream (block-header state
+    // seed, 4-bit nibbles low-first) → the engine's own chunk walk +
+    // nibble state machine (89-entry step table, index adaptation,
+    // shift-add reconstruction, clamps). Every decoded sample depends
+    // on the whole state trajectory before it, so the sequential
+    // recurrence DuckDB replays breaks on one wrong table entry,
+    // clamp, or nibble bit anywhere in the stream.
+    "q325_adpcm_decode" -> ((s, d) => {
+      Multimodal.adpcmFeatures(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("media_id"))
+    }),
+
     // FULL BMP PIXEL DECODE under oracle — the uncompressed member of
     // the decoder family (PNG q121 / JPEG q267 / WAV q274 / GIF q288):
     // payload bytes → real 8-bit palettized BMP (bottom-up rows,
@@ -5274,6 +5288,78 @@ object PipelineOps {
         |  CAST(sum(abs(s)) AS BIGINT) AS abs_energy,
         |  CAST(sum(s * ((si % 31) + 1)) AS BIGINT) AS sample_checksum
         |FROM f GROUP BY 1, 2 ORDER BY media_id, channel""".stripMargin,
+
+    // q325: the IMA ADPCM encode∘decode state machine replayed as a
+    // sequential recurrence — the recursive CTE carries (pred, idx)
+    // per doc, each step re-deriving the nibble via the successive-
+    // comparison quantizer and advancing through the 89-entry step
+    // table + index adaptation with both clamps; dec = the new
+    // predictor. Lateral column aliases keep the shift-add chain
+    // readable.
+    "q325_adpcm_decode" ->
+      """WITH RECURSIVE b0 AS (
+        |  SELECT doc_id, hex(encode(text)) AS h FROM documents
+        |  WHERE octet_length(encode(text)) >= 66
+        |), by AS (
+        |  SELECT doc_id, i,
+        |    (strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1))-1)*16
+        |    + (strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1))-1) AS b
+        |  FROM b0, unnest(range(0, 66)) AS u(i)
+        |), sm AS (
+        |  SELECT lo.doc_id, lo.i // 2 AS si,
+        |    CASE WHEN lo.b + 256*hi.b >= 32768 THEN lo.b + 256*hi.b - 65536
+        |         ELSE lo.b + 256*hi.b END AS s
+        |  FROM by lo JOIN by hi ON hi.doc_id = lo.doc_id AND hi.i = lo.i + 1
+        |  WHERE lo.i % 2 = 0
+        |), rec AS (
+        |  SELECT doc_id, 0 AS i, s AS pred, 0 AS idx, s AS dec, 0 AS qe
+        |  FROM sm WHERE si = 0
+        |  UNION ALL
+        |  SELECT doc_id, i + 1, predn, idxn, predn, abs(predn - s)
+        |  FROM (
+        |    SELECT r.doc_id, r.i, r.pred, r.idx, n.s,
+        |      [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,
+        |      50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,
+        |      230,253,279,307,337,371,408,449,494,544,598,658,724,796,
+        |      876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,
+        |      2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,
+        |      7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,
+        |      20350,22385,24623,27086,29794,32767]
+        |        [r.idx + 1] AS step,
+        |      abs(n.s - r.pred) AS d0,
+        |      (n.s - r.pred) < 0 AS sgn,
+        |      d0 >= step AS b4,
+        |      d0 - CASE WHEN b4 THEN step ELSE 0 END AS d1,
+        |      d1 >= step // 2 AS b2,
+        |      d1 - CASE WHEN b2 THEN step // 2 ELSE 0 END AS d2,
+        |      d2 >= step // 4 AS b1,
+        |      step // 8 + CASE WHEN b1 THEN step // 4 ELSE 0 END
+        |        + CASE WHEN b2 THEN step // 2 ELSE 0 END
+        |        + CASE WHEN b4 THEN step ELSE 0 END AS diff,
+        |      greatest(-32768, least(32767,
+        |        r.pred + CASE WHEN sgn THEN -diff ELSE diff END)) AS predn,
+        |      4 * CAST(b4 AS INT) + 2 * CAST(b2 AS INT) + CAST(b1 AS INT)
+        |        AS lo3,
+        |      greatest(0, least(88, r.idx +
+        |        CASE WHEN lo3 < 4 THEN -1 WHEN lo3 = 4 THEN 2
+        |             WHEN lo3 = 5 THEN 4 WHEN lo3 = 6 THEN 6
+        |             ELSE 8 END)) AS idxn
+        |    FROM rec r JOIN sm n ON n.doc_id = r.doc_id AND n.si = r.i + 1
+        |    WHERE r.i < 32
+        |  )
+        |), f AS (
+        |  SELECT doc_id, i, dec, qe,
+        |    lag(dec) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |  FROM rec
+        |)
+        |SELECT doc_id AS media_id, CAST(33 AS BIGINT) AS n_samples,
+        |  CAST(8000 AS INT) AS sample_rate,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND ((dec >= 0) <> (prev >= 0))
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+        |  CAST(sum(abs(dec)) AS BIGINT) AS abs_energy,
+        |  CAST(sum(dec * ((i % 31) + 1)) AS BIGINT) AS sample_checksum,
+        |  CAST(sum(qe) AS BIGINT) AS quant_err
+        |FROM f GROUP BY 1 ORDER BY media_id""".stripMargin,
 
     // q322: the G.711 companding quantizer replayed per sample from
     // source bytes — Sun g711.c decode∘encode as a closed-form

@@ -157,6 +157,73 @@ class WavSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------------
+  // IMA ADPCM (q325) — the predictive codec's state machine.
+  // ------------------------------------------------------------------
+
+  private def adpcmRoundTrip(s: Array[Short]): Array[Short] =
+    Wav.decodeImaAdpcm(Wav.encodeImaAdpcm(s, 8000)).samples
+
+  test("ADPCM: header sample is verbatim; constant signal converges") {
+    val s = Array.fill(33)(1234.toShort)
+    val dec = adpcmRoundTrip(s)
+    assert(dec.length == 33 && dec(0) == 1234)
+    // residuals are tiny at the smallest step; the tail must hug the
+    // constant within the initial step size
+    dec.tail.foreach(v => assert(math.abs(v - 1234) <= 8, v.toString))
+  }
+
+  test("ADPCM: step adaptation tracks a large jump within a few samples") {
+    val s = (Array.fill(1)(0) ++ Array.fill(32)(20000)).map(_.toShort)
+    val dec = adpcmRoundTrip(s)
+    // the adaptive step must close a 20000 gap well before the end
+    assert(math.abs(dec.last - 20000) < 2000, dec.last.toString)
+    // and the approach is monotone nondecreasing while far below target
+    val approach = dec.toSeq.slice(1, 8)
+    assert(approach == approach.sorted, approach.toString)
+  }
+
+  test("ADPCM: encoder state equals decoder state (lockstep property)") {
+    // encode twice: once via the container, once stepping the state
+    // machine manually — the nibble streams must agree, which holds
+    // only if the encoder advances with the DECODER's reconstruction
+    val s = Array.tabulate(33)(i => ((i * 2731 % 32768) - 16384).toShort)
+    var st = Wav.AdpcmState(s(0).toInt, 0)
+    val manual = (1 until 33).map { i =>
+      val (n, st2) = Wav.adpcmEncodeStep(s(i).toInt, st)
+      st = st2; n
+    }
+    val wav = Wav.encodeImaAdpcm(s, 8000)
+    val data = wav.slice(wav.length - 16, wav.length)
+    val packed = manual.grouped(2).map(p => p.head | (p(1) << 4)).toSeq
+    assert(data.map(_ & 0xff).toSeq == packed)
+  }
+
+  test("ADPCM: clamps hold at the domain edges") {
+    val s = (Seq(32767) ++ Seq.fill(16)(-32768) ++ Seq.fill(16)(32767))
+      .map(_.toShort).toArray
+    val dec = adpcmRoundTrip(s)
+    dec.foreach(v => assert(v >= -32768 && v <= 32767))
+    // step index saturates high then must recover — decode succeeds
+    assert(dec.length == 33)
+  }
+
+  test("ADPCM: decoder rejects malformed containers") {
+    val good = Wav.encodeImaAdpcm(Array.fill(33)(100.toShort), 8000)
+    intercept[IllegalArgumentException] { // PCM stream to ADPCM decoder
+      Wav.decodeImaAdpcm(Wav.encodePcm16Mono(tone, 8000))
+    }
+    val badIdx = good.clone()
+    // block header step index beyond the table
+    val dataOff = good.length - 20
+    badIdx(dataOff + 2) = 90.toByte
+    intercept[IllegalArgumentException] { Wav.decodeImaAdpcm(badIdx) }
+    val badSpb = good.clone()
+    badSpb(46) = 7 // samplesPerBlock inconsistent with block align
+    intercept[IllegalArgumentException] { Wav.decodeImaAdpcm(badSpb) }
+    ()
+  }
+
   test("law enforcement: G.711 decoder rejects PCM and vice versa") {
     val pcm = Wav.encodePcm16Mono(tone, 8000)
     intercept[IllegalArgumentException] { Wav.decodeG711(pcm) }
