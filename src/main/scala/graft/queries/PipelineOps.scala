@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.io.Tables
-import graft.ops.{CorpusStats, Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.ops.{CorpusStats, Crawl, Dedup, Similarity, TextAnalysis, Multimodal}
 import graft.functions.SimHash
 
 /** LLM-training-data pipeline operators over `documents` /
@@ -1834,6 +1834,36 @@ object PipelineOps {
     "q325_adpcm_decode" -> ((s, d) => {
       Multimodal.adpcmFeatures(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("media_id"))
+    }),
+
+    // URL CANONICALIZATION + URL-level dedup grouping — the crawl
+    // curation pass before URL dedup / revisit scheduling (RFC 3986
+    // §6 syntax normalization + tracking-param strip): scheme/host
+    // lowercase, default ports stripped ONLY under their matching
+    // scheme (:8080 and http-with-:443 survive), fragment dropped,
+    // utm_*/fbclid/gclid params dropped (sometimes emptying the
+    // query), surviving params SORTED. Raw URLs are synthesized
+    // deterministically from doc fields on BOTH engines, so the
+    // oracle replays the canonicalizer itself — every rule above is
+    // hash-breaking. Pure built-in Column expressions (codegen, no
+    // UDF); the group-by on the canonical key is the only shuffle.
+    "q326_url_canonicalize" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val raw = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTP")).otherwise(lit("https")),
+        lit("://WWW."), upper(col("source")), lit(".COM"),
+        when(col("doc_id") % 3 === 0, lit(":80"))
+          .when(col("doc_id") % 3 === 1, lit(":443"))
+          .otherwise(lit(":8080")),
+        lit("/"), col("lang"), lit("/doc?"),
+        when(col("doc_id") % 5 === 0, lit("utm_source=rss"))
+          .otherwise(concat(lit("utm_source=rss&z="),
+            (col("doc_id") % 2).cast("string"), lit("&a="),
+            (col("doc_id") % 2).cast("string"))),
+        lit("#sec"), (col("doc_id") % 4).cast("string"))
+      Crawl.urlGroups(docs.withColumn("raw_url", raw), col("raw_url"),
+          col("doc_id"))
+        .orderBy(col("url"))
     }),
 
     // FULL BMP PIXEL DECODE under oracle — the uncompressed member of
@@ -5288,6 +5318,50 @@ object PipelineOps {
         |  CAST(sum(abs(s)) AS BIGINT) AS abs_energy,
         |  CAST(sum(s * ((si % 31) + 1)) AS BIGINT) AS sample_checksum
         |FROM f GROUP BY 1, 2 ORDER BY media_id, channel""".stripMargin,
+
+    // q326: the canonicalizer replayed rule by rule — identical URL
+    // synthesis, regexp component extraction, conditional port strip,
+    // tracking-param list_filter, lexicographic param sort.
+    "q326_url_canonicalize" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+        |    || '://WWW.' || upper(source) || '.COM'
+        |    || (CASE WHEN doc_id % 3 = 0 THEN ':80'
+        |             WHEN doc_id % 3 = 1 THEN ':443' ELSE ':8080' END)
+        |    || '/' || lang || '/doc?'
+        |    || (CASE WHEN doc_id % 5 = 0 THEN 'utm_source=rss'
+        |             ELSE 'utm_source=rss&z=' || CAST(doc_id % 2 AS VARCHAR)
+        |               || '&a=' || CAST(doc_id % 2 AS VARCHAR) END)
+        |    || '#sec' || CAST(doc_id % 4 AS VARCHAR) AS raw
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(raw, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |      AS sch,
+        |    lower(regexp_extract(raw, '^[^:]+://([^/?#]*)', 1)) AS auth,
+        |    regexp_extract(raw, '^[^:]+://[^/?#]*([^?#]*)', 1) AS rawpath,
+        |    regexp_extract(raw, '\?([^#]*)', 1) AS qs
+        |  FROM u
+        |), c2 AS (
+        |  SELECT doc_id, sch,
+        |    CASE WHEN sch = 'http' AND regexp_matches(auth, ':80$')
+        |           THEN substr(auth, 1, CAST(len(auth) - 3 AS INT))
+        |         WHEN sch = 'https' AND regexp_matches(auth, ':443$')
+        |           THEN substr(auth, 1, CAST(len(auth) - 4 AS INT))
+        |         ELSE auth END AS host,
+        |    CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+        |    coalesce(array_to_string(list_sort(list_filter(
+        |      string_split(qs, '&'),
+        |      x -> x <> '' AND NOT regexp_matches(x,
+        |        '^(utm_[^=]*|fbclid|gclid)(=|$)'))), '&'), '') AS params
+        |  FROM c
+        |)
+        |SELECT sch || '://' || host || path
+        |    || (CASE WHEN params = '' THEN '' ELSE '?' || params END) AS url,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc
+        |FROM c2 GROUP BY 1 ORDER BY url""".stripMargin,
 
     // q325: the IMA ADPCM encode∘decode state machine replayed as a
     // sequential recurrence — the recursive CTE carries (pred, idx)

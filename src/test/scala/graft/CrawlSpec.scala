@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Crawl
+
+/** Pins the URL canonicalizer's rule set (q326) on the edge cases the
+  * synthesized-corpus oracle can't isolate one by one.
+  */
+class CrawlSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("u").select(Crawl.canonicalUrl(col("u")).as("c"))
+      .as[String].collect().toSeq
+
+  test("scheme/host lowercase; default ports stripped per scheme") {
+    assert(canon("HTTP://EXAMPLE.com:80/a") == Seq("http://example.com/a"))
+    assert(canon("https://Example.COM:443/a") == Seq("https://example.com/a"))
+    // a default port under the WRONG scheme survives
+    assert(canon("http://example.com:443/a") ==
+      Seq("http://example.com:443/a"))
+    assert(canon("https://example.com:80/a") ==
+      Seq("https://example.com:80/a"))
+    // non-default ports survive
+    assert(canon("http://example.com:8080/a") ==
+      Seq("http://example.com:8080/a"))
+  }
+
+  test("fragment dropped; empty path becomes /") {
+    assert(canon("http://h.com#top") == Seq("http://h.com/"))
+    assert(canon("http://h.com/p#sec2") == Seq("http://h.com/p"))
+    assert(canon("http://h.com") == Seq("http://h.com/"))
+  }
+
+  test("tracking params dropped; survivors sorted; empty query loses ?") {
+    assert(canon("http://h.com/p?z=1&utm_source=x&a=2") ==
+      Seq("http://h.com/p?a=2&z=1"))
+    assert(canon("http://h.com/p?utm_campaign=c&fbclid=f&gclid=g") ==
+      Seq("http://h.com/p"))
+    // bare utm key without '=' is also tracking
+    assert(canon("http://h.com/p?utm_x&b=1") == Seq("http://h.com/p?b=1"))
+    // a NON-tracking param that merely contains 'utm_' mid-key stays
+    assert(canon("http://h.com/p?xutm_a=1") == Seq("http://h.com/p?xutm_a=1"))
+    // path and case of params untouched
+    assert(canon("http://h.com/P?B=2&A=1") == Seq("http://h.com/P?A=1&B=2"))
+  }
+
+  test("urlGroups collapses canonical duplicates and keeps min id") {
+    val df = Seq(
+      (10L, "HTTP://X.com:80/p?b=1&a=1&utm_source=s"),
+      (3L, "http://x.COM/p?utm_medium=m&a=1&b=1"),
+      (7L, "http://x.com/q")
+    ).toDF("id", "u")
+    val g = Crawl.urlGroups(df, col("u"), col("id"))
+      .orderBy(col("url")).collect()
+    assert(g.length == 2)
+    assert(g(0).getString(0) == "http://x.com/p?a=1&b=1" &&
+      g(0).getLong(1) == 2L && g(0).getLong(2) == 3L)
+    assert(g(1).getString(0) == "http://x.com/q" && g(1).getLong(1) == 1L)
+  }
+}
