@@ -15,7 +15,9 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite,
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownRequiredColumns}
+  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
+  GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
   DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate,
   Write, WriteBuilder, WriterCommitMessage}
@@ -31,7 +33,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * partition per file, and implement `SupportsPushDownRequiredColumns`
   * so Catalyst's column pruning reaches the byte decoder — pruned
   * columns are SKIPPED during deserialization (strings by their
-  * length prefix), never materialized.
+  * length prefix), never materialized — plus, since round 9,
+  * `SupportsPushDownFilters`: simple comparison predicates are
+  * evaluated inside the decoder (records failing them are dropped
+  * before an InternalRow exists; a filter column pruned from the
+  * output is decoded transiently for the predicate only), while
+  * unsupported predicates are handed back to Spark's post-scan
+  * Filter — partial pushdown per the DSv2 contract.
   *
   * File layout (all big-endian via DataOutputStream):
   *   magic "GRC1" | nCols:int | per col { nameLen:int, nameUtf8,
@@ -289,20 +297,84 @@ class GraftRecDataWriter(dir: String, names: Array[String], codes: Array[Byte],
 }
 
 class GraftRecScanBuilder(dir: String, full: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
   // Catalyst hands us the pruned schema; keep the FILE's field order
   // so the reader can stream fields sequentially and skip the rest.
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = StructType(
       full.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
-  override def build(): Scan = new GraftRecScan(dir, full, required)
+
+  /** FILTER pushdown — the second DSv2 pushdown axis beside column
+    * pruning: simple comparisons on grec columns are accepted and
+    * evaluated INSIDE the byte decoder (non-matching records are
+    * dropped before an InternalRow is ever materialized; a filter
+    * column that is pruned from the output is decoded transiently
+    * just for the predicate). Anything else is handed back to Spark
+    * for the post-scan Filter. grec has no null encoding, so
+    * IsNotNull is accepted and vacuously true. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, rest) = filters.partition(GraftRecFilters.supported(full, _))
+    pushed = ok
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new GraftRecScan(dir, full, required, pushed)
 }
 
-class GraftRecScan(dir: String, full: StructType, required: StructType)
+/** Pushed-filter support + evaluation, shared by builder and reader. */
+object GraftRecFilters {
+  def supported(schema: StructType, f: Filter): Boolean = {
+    def col(a: String): Option[DataType] =
+      schema.fields.find(_.name == a).map(_.dataType)
+    def cmpable(a: String, v: Any): Boolean = (col(a), v) match {
+      case (Some(LongType), _: Long | _: Int) => true
+      case (Some(DoubleType), _: Double) => true
+      case (Some(StringType), _: String) => true
+      case _ => false
+    }
+    f match {
+      case EqualTo(a, v) => cmpable(a, v)
+      case GreaterThan(a, v) => cmpable(a, v)
+      case GreaterThanOrEqual(a, v) => cmpable(a, v)
+      case LessThan(a, v) => cmpable(a, v)
+      case LessThanOrEqual(a, v) => cmpable(a, v)
+      case IsNotNull(a) => col(a).isDefined
+      case _ => false
+    }
+  }
+
+  private def cmp(x: Any, v: Any): Int = x match {
+    case l: Long => java.lang.Long.compare(l, v.asInstanceOf[Number].longValue)
+    case d: Double =>
+      java.lang.Double.compare(d, v.asInstanceOf[Number].doubleValue)
+    case s: UTF8String => s.compareTo(UTF8String.fromString(v.toString))
+    case other => throw new IllegalStateException(s"unexpected $other")
+  }
+
+  /** Evaluate one pushed filter against the decoded file-column
+    * values (indexed by file position via `get`). */
+  def eval(f: Filter, get: String => Any): Boolean = f match {
+    case EqualTo(a, v) => cmp(get(a), v) == 0
+    case GreaterThan(a, v) => cmp(get(a), v) > 0
+    case GreaterThanOrEqual(a, v) => cmp(get(a), v) >= 0
+    case LessThan(a, v) => cmp(get(a), v) < 0
+    case LessThanOrEqual(a, v) => cmp(get(a), v) <= 0
+    case IsNotNull(_) => true // grec has no null encoding
+    case other => throw new IllegalStateException(s"unpushable $other")
+  }
+}
+
+class GraftRecScan(dir: String, full: StructType, required: StructType,
+                   pushed: Array[Filter])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String =
+    s"grec:$dir, PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.simpleString}"
   override def planInputPartitions(): Array[InputPartition] =
     GraftRec.listFiles(dir).map(f => GraftRecPartition(f.getAbsolutePath))
   override def createReaderFactory(): PartitionReaderFactory =
@@ -314,22 +386,25 @@ class GraftRecScan(dir: String, full: StructType, required: StructType)
         case other => throw new IllegalArgumentException(
           s"grec supports long/double/string, got $other for '${f.name}'")
       }),
-      required.fieldNames)
+      required.fieldNames, pushed)
 }
 
 case class GraftRecPartition(path: String) extends InputPartition
 
 class GraftRecReaderFactory(names: Array[String], codes: Array[Byte],
-                            wanted: Array[String])
+                            wanted: Array[String], pushed: Array[Filter])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new GraftRecReader(p.asInstanceOf[GraftRecPartition].path,
-      names, codes, wanted)
+      names, codes, wanted, pushed)
 }
 
-/** Streams one grec file; pruned columns are SKIPPED byte-wise. */
+/** Streams one grec file; pruned columns are SKIPPED byte-wise unless
+  * a pushed filter references them (then decoded transiently for the
+  * predicate only); records failing a pushed filter are dropped
+  * before any InternalRow is materialized. */
 class GraftRecReader(path: String, names: Array[String], codes: Array[Byte],
-                     wanted: Array[String])
+                     wanted: Array[String], pushed: Array[Filter])
     extends PartitionReader[InternalRow] {
   private val in = new DataInputStream(
     new BufferedInputStream(new FileInputStream(path), 1 << 16))
@@ -351,40 +426,60 @@ class GraftRecReader(path: String, names: Array[String], codes: Array[Byte],
   }
   // output slot per file column (-1 = pruned → skip bytes)
   private val slot: Array[Int] = names.map(n => wanted.indexOf(n))
+  // filter columns must be decoded even when pruned from the output
+  private val filterCols: Set[String] = pushed.flatMap(_.references).toSet
+  private val needed: Array[Boolean] =
+    names.indices.map(i => slot(i) >= 0 || filterCols.contains(names(i)))
+      .toArray
+  private val fileIdx: Map[String, Int] = names.zipWithIndex.toMap
   private var row: GenericInternalRow = _
 
   override def next(): Boolean = {
-    // Explicit one-byte EOF peek at each record boundary: skip-based
-    // EOF detection is unsound here because FileInputStream.skip will
-    // happily move PAST the end of the file (so a fully-pruned record
-    // "skips" at EOF without error and the next read blows up
-    // mid-record). mark/read/reset on the BufferedInputStream is the
-    // reliable probe; after it, any EOF below is real corruption and
-    // should propagate.
-    in.mark(1)
-    if (in.read() == -1) return false
-    in.reset()
-    val vals = new Array[Any](wanted.length)
-    var i = 0
-    while (i < codes.length) {
-      codes(i) match {
-        case 0 =>
-          if (slot(i) >= 0) vals(slot(i)) = in.readLong()
-          else in.skipNBytes(8L)
-        case 1 =>
-          if (slot(i) >= 0) vals(slot(i)) = in.readDouble()
-          else in.skipNBytes(8L)
-        case 2 =>
-          val len = in.readInt()
-          if (slot(i) >= 0) {
-            val b = new Array[Byte](len); in.readFully(b)
-            vals(slot(i)) = UTF8String.fromBytes(b)
-          } else in.skipNBytes(len.toLong)
+    while (true) {
+      // Explicit one-byte EOF peek at each record boundary: skip-based
+      // EOF detection is unsound here because FileInputStream.skip
+      // will happily move PAST the end of the file (so a fully-pruned
+      // record "skips" at EOF without error and the next read blows
+      // up mid-record). mark/read/reset on the BufferedInputStream is
+      // the reliable probe; after it, any EOF below is real corruption
+      // and should propagate.
+      in.mark(1)
+      if (in.read() == -1) return false
+      in.reset()
+      val fvals = new Array[Any](codes.length) // decoded file columns
+      var i = 0
+      while (i < codes.length) {
+        codes(i) match {
+          case 0 =>
+            if (needed(i)) fvals(i) = in.readLong()
+            else in.skipNBytes(8L)
+          case 1 =>
+            if (needed(i)) fvals(i) = in.readDouble()
+            else in.skipNBytes(8L)
+          case 2 =>
+            val len = in.readInt()
+            if (needed(i)) {
+              val b = new Array[Byte](len); in.readFully(b)
+              fvals(i) = UTF8String.fromBytes(b)
+            } else in.skipNBytes(len.toLong)
+        }
+        i += 1
       }
-      i += 1
+      val pass = pushed.forall(f =>
+        GraftRecFilters.eval(f, n => fvals(fileIdx(n))))
+      if (pass) {
+        val vals = new Array[Any](wanted.length)
+        var j = 0
+        while (j < codes.length) {
+          if (slot(j) >= 0) vals(slot(j)) = fvals(j)
+          j += 1
+        }
+        row = new GenericInternalRow(vals)
+        return true
+      }
+      // pushed filter rejected the record: keep scanning
     }
-    row = new GenericInternalRow(vals)
-    true
+    false // unreachable
   }
 
   override def get(): InternalRow = row

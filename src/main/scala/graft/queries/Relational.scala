@@ -1625,6 +1625,26 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           Exact.sumExact(col("o_totalprice"), 2).as("revenue"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // q327: grec FILTER PUSHDOWN — the second DSv2 pushdown axis
+    // beside q312's column pruning: the string equality and the
+    // double range predicate are accepted by pushFilters and
+    // evaluated INSIDE the byte decoder (l_returnflag is also PRUNED
+    // from the output, so the reader decodes it transiently for the
+    // predicate only), while the modulo predicate is handed back and
+    // stays a post-scan Filter — partial pushdown, exactly the
+    // contract. The oracle replays the whole predicate set from
+    // parquet, so a reader that mis-evaluated or mis-ordered a pushed
+    // filter breaks every aggregate.
+    "q327_grec_filter_pushdown" -> ((s, d) => {
+      s.read.format("graft.io.GraftRecSource").load(grecDir(s, d))
+        .where(col("l_returnflag") === "R" &&
+          col("l_quantity") >= 30.0 && col("l_orderkey") % 3 === 0)
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"),
+          Exact.sumExact(col("l_extendedprice"), 2).as("revenue"),
+          min(col("l_orderkey")).as("min_ok"),
+          max(col("l_orderkey")).as("max_ok"))
     })
   )
 
@@ -2741,6 +2761,17 @@ object Relational {
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
         |    / 100.0 AS revenue
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q327: the pushed + residual predicate set replayed from parquet.
+    "q327_grec_filter_pushdown" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n, sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS revenue,
+        |  CAST(min(l_orderkey) AS BIGINT) AS min_ok,
+        |  CAST(max(l_orderkey) AS BIGINT) AS max_ok
+        |FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity >= 30
+        |  AND l_orderkey % 3 = 0""".stripMargin,
 
     // q313: only the FINAL committed generation may be visible — the
     // oracle replays it from orders; a leaked stale-generation or

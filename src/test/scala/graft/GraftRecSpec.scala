@@ -142,4 +142,57 @@ class GraftRecSpec extends AnyFunSuite {
     }
     ()
   }
+
+  // ------------------------------------------------------------------
+  // Filter pushdown (q327) — the second DSv2 pushdown axis.
+  // ------------------------------------------------------------------
+
+  test("filter pushdown: supported predicates reach the scan, the " +
+    "residual stays post-scan, results are exact") {
+    import spark.implicits._
+    val dir = tmp()
+    GraftRec.write((1L to 40L).map(i => (i, i * 1.5, s"s${i % 4}"))
+      .toDF("id", "v", "s"), dir)
+    val q = spark.read.format("graft.io.GraftRecSource").load(dir)
+      .where(col("s") === "s1" && col("v") >= 9.0 && col("id") % 3 === 0)
+      .select(col("id"))
+    // the scan's description must carry the two pushable predicates
+    val scans = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }
+    assert(scans.nonEmpty)
+    val desc = scans.head.scan.description()
+    assert(desc.contains("EqualTo(s,s1)") &&
+      desc.contains("GreaterThanOrEqual(v,9.0)"), desc)
+    assert(!desc.contains("%"), s"modulo must not be pushed: $desc")
+    // and the result equals the brute-force evaluation
+    val expect = (1L to 40L)
+      .filter(i => i % 4 == 1 && i * 1.5 >= 9.0 && i % 3 == 0)
+    assert(q.as[Long].collect().sorted.toSeq == expect)
+  }
+
+  test("filter pushdown: a filter on a PRUNED column decodes it " +
+    "transiently and still filters correctly") {
+    import spark.implicits._
+    val dir = tmp()
+    GraftRec.write(Seq((1L, "keep"), (2L, "drop"), (3L, "keep"))
+      .toDF("id", "s"), dir)
+    val q = spark.read.format("graft.io.GraftRecSource").load(dir)
+      .where(col("s") === "keep").select(col("id"))
+    val scans = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }
+    // output pruned to id only, yet the string filter applies
+    assert(scans.head.output.map(_.name) == Seq("id"))
+    assert(q.as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("filter pushdown: long range + equality combine; empty result ok") {
+    import spark.implicits._
+    val dir = tmp()
+    GraftRec.write((1L to 10L).map(i => (i, s"g${i % 2}"))
+      .toDF("id", "g"), dir)
+    val df = spark.read.format("graft.io.GraftRecSource").load(dir)
+    assert(df.where(col("id") > 3L && col("id") <= 7L && col("g") === "g0")
+      .select(col("id")).as[Long].collect().sorted.toSeq == Seq(4L, 6L))
+    assert(df.where(col("id") > 100L).count() == 0L)
+  }
 }
