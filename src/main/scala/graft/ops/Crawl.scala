@@ -64,4 +64,41 @@ object Crawl {
     df.select(canonicalUrl(urlCol).as("url"), idCol.as("id"))
       .groupBy(col("url"))
       .agg(count(lit(1)).as("n_docs"), min(col("id")).as("first_doc"))
+
+  /** robots.txt decision per URL under RFC 9309 §2.2.2 longest-match
+    * semantics: among a host's rules whose path prefix matches the
+    * URL path, the LONGEST prefix wins; on an exact length tie the
+    * ALLOW rule wins; a URL matching no rule is allowed by default.
+    * (Final tie between equal-length same-verdict prefixes is broken
+    * by prefix descending — decision-invariant, pinned for replay.)
+    *
+    * The rule table is tiny next to the frontier (robots files are
+    * KBs), so the prefix match is a BROADCAST equi join on host with
+    * the startsWith residual evaluated on the build side — never a
+    * cartesian — and the longest-match argmax is an ordinary
+    * max(struct) partial aggregation per URL: the longest-prefix-match
+    * join shape (also IP routing / dictionary matching) at frontier
+    * scale.
+    *
+    * @param rules (host, prefix, allow) — one row per robots rule.
+    * @return (id, host, path, allowed, rule) with rule = '(default)'
+    *         for unmatched URLs. */
+  def robotsDecision(urls: org.apache.spark.sql.DataFrame, idCol: Column,
+                     hostCol: Column, pathCol: Column,
+                     rules: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val u = urls.select(idCol.as("_id"), hostCol.as("_host"),
+      pathCol.as("_path"))
+    val j = u.join(broadcast(rules),
+      col("_host") === rules("host") &&
+        col("_path").startsWith(rules("prefix")), "left")
+    j.groupBy(col("_id"), col("_host"), col("_path"))
+      .agg(max(when(col("prefix").isNotNull,
+        struct(length(col("prefix")).as("len"), col("allow").as("allow"),
+          col("prefix").as("prefix")))).as("best"))
+      .select(col("_id").as("id"), col("_host").as("host"),
+        col("_path").as("path"),
+        coalesce(col("best.allow"), lit(true)).as("allowed"),
+        coalesce(col("best.prefix"), lit("(default)")).as("rule"))
+  }
 }

@@ -1847,6 +1847,38 @@ object PipelineOps {
     // oracle replays the canonicalizer itself — every rule above is
     // hash-breaking. Pure built-in Column expressions (codegen, no
     // UDF); the group-by on the canonical key is the only shuffle.
+    // ROBOTS.TXT LONGEST-MATCH FILTERING — crawl-curation sibling of
+    // q326, and the longest-prefix-match join pattern generally (IP
+    // routing, dictionary matching): RFC 9309 §2.2.2 — longest
+    // matching prefix wins, ALLOW wins length ties, no match ⇒
+    // allowed. Rules are synthesized per host deterministically on
+    // both engines (a global '/de' disallow with a '/de/doc3' allow
+    // carve-out that must WIN by length, plus per-host-parity '/en'
+    // and full-site '/' disallows), so the oracle replays the
+    // precedence semantics themselves. Broadcast equi join on host +
+    // max(struct) argmax per URL — no cartesian, one aggregation.
+    "q328_robots_match" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val srcs = docs.select(col("source")).distinct()
+      val srcNum = expr("CAST(substr(source, 4, 10) AS INT)")
+      val rules = srcs.select(col("source").as("host"),
+          lit("/de").as("prefix"), lit(false).as("allow"))
+        .union(srcs.select(col("source"), lit("/de/doc3"), lit(true)))
+        .union(srcs.where(srcNum % 3 === 0)
+          .select(col("source"), lit("/en"), lit(false)))
+        .union(srcs.where(srcNum % 5 === 1)
+          .select(col("source"), lit("/"), lit(false)))
+      val urls = docs.select(col("doc_id"), col("source"),
+        concat(lit("/"), col("lang"), lit("/doc"),
+          (col("doc_id") % 10).cast("string")).as("path"))
+      Crawl.robotsDecision(urls, col("doc_id"), col("source"), col("path"),
+          rules)
+        .groupBy(col("host").as("source"), col("rule"), col("allowed"))
+        .agg(count(lit(1)).as("n_urls"))
+        .select(col("source"), col("rule"), col("allowed"), col("n_urls"))
+        .orderBy(col("source"), col("rule"))
+    }),
+
     "q326_url_canonicalize" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val raw = concat(
@@ -5318,6 +5350,40 @@ object PipelineOps {
         |  CAST(sum(abs(s)) AS BIGINT) AS abs_energy,
         |  CAST(sum(s * ((si % 31) + 1)) AS BIGINT) AS sample_checksum
         |FROM f GROUP BY 1, 2 ORDER BY media_id, channel""".stripMargin,
+
+    // q328: the RFC 9309 precedence replayed — identical rule
+    // synthesis, prefix match, and (len DESC, allow DESC, prefix DESC)
+    // argmax per URL; unmatched URLs default-allowed.
+    "q328_robots_match" ->
+      """WITH srcs AS (SELECT DISTINCT source FROM documents),
+        |rules AS (
+        |  SELECT source, '/de' AS prefix, false AS allow FROM srcs
+        |  UNION ALL SELECT source, '/de/doc3', true FROM srcs
+        |  UNION ALL SELECT source, '/en', false FROM srcs
+        |    WHERE CAST(substr(source, 4) AS INT) % 3 = 0
+        |  UNION ALL SELECT source, '/', false FROM srcs
+        |    WHERE CAST(substr(source, 4) AS INT) % 5 = 1
+        |), urls AS (
+        |  SELECT doc_id, source,
+        |    '/' || lang || '/doc' || CAST(doc_id % 10 AS VARCHAR) AS path
+        |  FROM documents
+        |), m AS (
+        |  SELECT u.doc_id, r.prefix, r.allow,
+        |    row_number() OVER (PARTITION BY u.doc_id
+        |      ORDER BY len(r.prefix) DESC, r.allow DESC, r.prefix DESC)
+        |      AS rk
+        |  FROM urls u
+        |  JOIN rules r ON r.source = u.source
+        |    AND starts_with(u.path, r.prefix)
+        |), d AS (
+        |  SELECT u.doc_id, u.source,
+        |    coalesce(m.allow, true) AS allowed,
+        |    coalesce(m.prefix, '(default)') AS rule
+        |  FROM urls u
+        |  LEFT JOIN (SELECT * FROM m WHERE rk = 1) m ON m.doc_id = u.doc_id
+        |)
+        |SELECT source, rule, allowed, CAST(count(*) AS BIGINT) AS n_urls
+        |FROM d GROUP BY 1, 2, 3 ORDER BY source, rule""".stripMargin,
 
     // q326: the canonicalizer replayed rule by rule — identical URL
     // synthesis, regexp component extraction, conditional port strip,

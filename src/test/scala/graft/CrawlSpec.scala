@@ -47,6 +47,31 @@ class CrawlSpec extends AnyFunSuite {
     assert(canon("http://h.com/P?B=2&A=1") == Seq("http://h.com/P?A=1&B=2"))
   }
 
+  test("robotsDecision: longest match wins; allow beats disallow on ties") {
+    val rules = Seq(
+      ("h", "/a", false), ("h", "/a/b", true), ("h", "/a/b/c", false),
+      ("h", "/t", false), ("h", "/t", true) // exact tie → allow wins
+    ).toDF("host", "prefix", "allow")
+    val urls = Seq(
+      (1L, "h", "/a/x"), // matches /a only → disallowed
+      (2L, "h", "/a/b/x"), // /a/b (len 4) beats /a → allowed
+      (3L, "h", "/a/b/c/x"), // /a/b/c (len 6) beats /a/b → disallowed
+      (4L, "h", "/t/x"), // tie at /t → allow wins
+      (5L, "h", "/zzz"), // no match → default allow
+      (6L, "other", "/a/x") // rules are per-host → default allow
+    ).toDF("id", "host", "path")
+    val out = graft.ops.Crawl
+      .robotsDecision(urls, col("id"), col("host"), col("path"), rules)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(3), r.getString(4)))).toMap
+    assert(out(1L) == ((false, "/a")))
+    assert(out(2L) == ((true, "/a/b")))
+    assert(out(3L) == ((false, "/a/b/c")))
+    assert(out(4L) == ((true, "/t")))
+    assert(out(5L) == ((true, "(default)")))
+    assert(out(6L) == ((true, "(default)")))
+  }
+
   test("urlGroups collapses canonical duplicates and keeps min id") {
     val df = Seq(
       (10L, "HTTP://X.com:80/p?b=1&a=1&utm_source=s"),
