@@ -13,9 +13,14 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite,
   Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference,
+  Expression => V2Expression}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation,
+  Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+  SupportsPushDownAggregates, SupportsPushDownFilters,
+  SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
   GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
@@ -296,16 +301,75 @@ class GraftRecDataWriter(dir: String, names: Array[String], codes: Array[Byte],
   override def close(): Unit = ()
 }
 
+/** One pushed aggregate function: kind ∈ count_star|count|min|max|sum,
+  * col empty for count_star. Serializable — ships to executors. */
+case class GrecAggFunc(kind: String, col: String)
+
+/** A pushed aggregation: per-FILE partial aggregation happens inside
+  * the reader (after pushed filters), so the scan emits O(groups)
+  * rows per file instead of O(records); Spark's final aggregate
+  * merges the partials (min of mins, sum of counts, …). */
+case class GrecAggSpec(groupCols: Array[String], funcs: Array[GrecAggFunc])
+
 class GraftRecScanBuilder(dir: String, full: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  private var agg: Option[(GrecAggSpec, StructType)] = None
   // Catalyst hands us the pruned schema; keep the FILE's field order
   // so the reader can stream fields sequentially and skip the rest.
+  // When an aggregation is pushed the scan's output IS the aggregate
+  // schema, so column pruning no longer applies to file fields.
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = StructType(
-      full.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+    if (agg.isEmpty)
+      required = StructType(
+        full.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+
+  /** AGGREGATE pushdown — the third DSv2 pushdown axis: COUNT(*) /
+    * COUNT(col) / MIN / MAX on any grec column and SUM on LONG
+    * columns (double sums stay in Spark: a pushed partial double sum
+    * would re-introduce the accumulation-order nondeterminism the
+    * engine's Exact discipline exists to prevent), with optional
+    * grouping on grec columns. PARTIAL pushdown only
+    * (supportCompletePushDown stays false): the reader aggregates its
+    * file and Spark's final aggregate merges across files — exactly
+    * the map-side-combine shape, but executed inside the source. */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    def fieldOf(e: V2Expression): Option[StructField] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        full.fields.find(_.name == nr.fieldNames.head)
+      case _ => None
+    }
+    val groups = aggregation.groupByExpressions.map(fieldOf)
+    if (groups.exists(_.isEmpty)) return false
+    val funcs = aggregation.aggregateExpressions.map {
+      case _: CountStar =>
+        Some((GrecAggFunc("count_star", ""), LongType: DataType))
+      case c: Count if !c.isDistinct =>
+        fieldOf(c.column()).map(f => (GrecAggFunc("count", f.name),
+          LongType: DataType))
+      case m: Min =>
+        fieldOf(m.column()).map(f => (GrecAggFunc("min", f.name), f.dataType))
+      case m: Max =>
+        fieldOf(m.column()).map(f => (GrecAggFunc("max", f.name), f.dataType))
+      case s: Sum if !s.isDistinct =>
+        fieldOf(s.column()).collect {
+          case f if f.dataType == LongType =>
+            (GrecAggFunc("sum", f.name), LongType: DataType)
+        }
+      case _ => None
+    }
+    if (funcs.exists(_.isEmpty)) return false
+    val spec = GrecAggSpec(groups.map(_.get.name), funcs.map(_.get._1))
+    val schema = StructType(
+      groups.map(_.get) ++
+        funcs.map(_.get).zipWithIndex.map { case ((f, dt), i) =>
+          StructField(s"agg_${i}_${f.kind}", dt)
+        })
+    agg = Some((spec, schema))
+    true
+  }
 
   /** FILTER pushdown — the second DSv2 pushdown axis beside column
     * pruning: simple comparisons on grec columns are accepted and
@@ -321,7 +385,8 @@ class GraftRecScanBuilder(dir: String, full: StructType)
     rest
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new GraftRecScan(dir, full, required, pushed)
+  override def build(): Scan =
+    new GraftRecScan(dir, full, required, pushed, agg)
 }
 
 /** Pushed-filter support + evaluation, shared by builder and reader. */
@@ -368,13 +433,19 @@ object GraftRecFilters {
 }
 
 class GraftRecScan(dir: String, full: StructType, required: StructType,
-                   pushed: Array[Filter])
+                   pushed: Array[Filter],
+                   agg: Option[(GrecAggSpec, StructType)])
     extends Scan with Batch {
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType = agg.map(_._2).getOrElse(required)
   override def toBatch: Batch = this
   override def description(): String =
     s"grec:$dir, PushedFilters: [${pushed.mkString(", ")}], " +
-      s"ReadSchema: ${required.simpleString}"
+      agg.map { case (sp, _) =>
+        "PushedAggregates: [" +
+          sp.funcs.map(f => s"${f.kind}(${f.col})").mkString(", ") +
+          s"], GroupBy: [${sp.groupCols.mkString(", ")}], "
+      }.getOrElse("") +
+      s"ReadSchema: ${readSchema().simpleString}"
   override def planInputPartitions(): Array[InputPartition] =
     GraftRec.listFiles(dir).map(f => GraftRecPartition(f.getAbsolutePath))
   override def createReaderFactory(): PartitionReaderFactory =
@@ -386,17 +457,89 @@ class GraftRecScan(dir: String, full: StructType, required: StructType,
         case other => throw new IllegalArgumentException(
           s"grec supports long/double/string, got $other for '${f.name}'")
       }),
-      required.fieldNames, pushed)
+      required.fieldNames, pushed, agg.map(_._1))
 }
 
 case class GraftRecPartition(path: String) extends InputPartition
 
 class GraftRecReaderFactory(names: Array[String], codes: Array[Byte],
-                            wanted: Array[String], pushed: Array[Filter])
+                            wanted: Array[String], pushed: Array[Filter],
+                            agg: Option[GrecAggSpec])
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new GraftRecReader(p.asInstanceOf[GraftRecPartition].path,
-      names, codes, wanted, pushed)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val path = p.asInstanceOf[GraftRecPartition].path
+    agg match {
+      case Some(spec) => new GraftRecAggReader(path, names, codes, spec, pushed)
+      case None => new GraftRecReader(path, names, codes, wanted, pushed)
+    }
+  }
+}
+
+/** Per-FILE partial aggregation inside the source: consumes the plain
+  * record reader (pushed filters already applied there, with only the
+  * referenced columns decoded) and reduces into O(groups) state
+  * before emitting — the scan's output is the partial-aggregate rows
+  * Spark's final aggregate merges. */
+class GraftRecAggReader(path: String, names: Array[String],
+                        codes: Array[Byte], spec: GrecAggSpec,
+                        pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+  // the inner reader decodes only the columns the aggregation touches
+  private val needCols: Array[String] =
+    (spec.groupCols ++ spec.funcs.map(_.col).filter(_.nonEmpty)).distinct
+  private val inner =
+    new GraftRecReader(path, names, codes, needCols, pushed)
+  private val colIdx: Map[String, Int] = needCols.zipWithIndex.toMap
+
+  private def cmpVals(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: UTF8String, y: UTF8String) => x.compareTo(y)
+    case other => throw new IllegalStateException(s"unexpected $other")
+  }
+
+  private lazy val results: Iterator[InternalRow] = {
+    val groups = new java.util.LinkedHashMap[Seq[Any], Array[Any]]()
+    while (inner.next()) {
+      val key: Seq[Any] =
+        spec.groupCols.toSeq.map(c => inner.lastVals(colIdx(c)))
+      var buf = groups.get(key)
+      if (buf == null) {
+        buf = new Array[Any](spec.funcs.length)
+        groups.put(key, buf)
+      }
+      var i = 0
+      while (i < spec.funcs.length) {
+        val f = spec.funcs(i)
+        f.kind match {
+          case "count_star" | "count" =>
+            buf(i) = if (buf(i) == null) 1L
+              else buf(i).asInstanceOf[Long] + 1L
+          case "min" =>
+            val v = inner.lastVals(colIdx(f.col))
+            if (buf(i) == null || cmpVals(v, buf(i)) < 0) buf(i) = v
+          case "max" =>
+            val v = inner.lastVals(colIdx(f.col))
+            if (buf(i) == null || cmpVals(v, buf(i)) > 0) buf(i) = v
+          case "sum" =>
+            val v = inner.lastVals(colIdx(f.col)).asInstanceOf[Long]
+            buf(i) = if (buf(i) == null) v
+              else buf(i).asInstanceOf[Long] + v
+        }
+        i += 1
+      }
+    }
+    groups.entrySet().iterator().asScala.map { e =>
+      new GenericInternalRow(
+        (e.getKey ++ e.getValue.toSeq).toArray): InternalRow
+    }
+  }
+
+  private var row: InternalRow = _
+  override def next(): Boolean =
+    if (results.hasNext) { row = results.next(); true } else false
+  override def get(): InternalRow = row
+  override def close(): Unit = inner.close()
 }
 
 /** Streams one grec file; pruned columns are SKIPPED byte-wise unless
@@ -433,6 +576,10 @@ class GraftRecReader(path: String, names: Array[String], codes: Array[Byte],
       .toArray
   private val fileIdx: Map[String, Int] = names.zipWithIndex.toMap
   private var row: GenericInternalRow = _
+  /** Raw decoded output values of the current record (wanted order) —
+    * the agg reader consumes these without going through the typed
+    * InternalRow getters. */
+  private[io] var lastVals: Array[Any] = _
 
   override def next(): Boolean = {
     while (true) {
@@ -474,6 +621,7 @@ class GraftRecReader(path: String, names: Array[String], codes: Array[Byte],
           if (slot(j) >= 0) vals(slot(j)) = fvals(j)
           j += 1
         }
+        lastVals = vals
         row = new GenericInternalRow(vals)
         return true
       }

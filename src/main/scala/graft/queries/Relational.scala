@@ -1645,6 +1645,27 @@ object Relational {
           Exact.sumExact(col("l_extendedprice"), 2).as("revenue"),
           min(col("l_orderkey")).as("min_ok"),
           max(col("l_orderkey")).as("max_ok"))
+    }),
+
+    // q329: grec AGGREGATE PUSHDOWN — the third DSv2 pushdown axis,
+    // completing the triad (columns q312, filters q327): COUNT / MIN /
+    // MAX / SUM(long) with grouping are PARTIALLY pushed — the reader
+    // aggregates its whole file (after the pushed range filter) and
+    // emits O(groups) rows, Spark's final aggregate merges across
+    // files. Map-side combine executed inside the source: at 100 TB
+    // this is the difference between shipping records and shipping
+    // group summaries out of the scan. Double sums deliberately stay
+    // in Spark (accumulation-order nondeterminism — the Exact
+    // discipline), which the q327 shape already covers.
+    "q329_grec_agg_pushdown" -> ((s, d) => {
+      s.read.format("graft.io.GraftRecSource").load(grecDir(s, d))
+        .where(col("l_quantity") >= 10.0)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_orderkey")).as("min_ok"),
+          max(col("l_orderkey")).as("max_ok"),
+          sum(col("l_orderkey")).as("sum_ok"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -2761,6 +2782,16 @@ object Relational {
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
         |    / 100.0 AS revenue
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q329: the pushed aggregation replayed from parquet (DuckDB
+    // sum(BIGINT) widens to HUGEINT -> cast back).
+    "q329_grec_agg_pushdown" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(l_orderkey) AS BIGINT) AS min_ok,
+        |  CAST(max(l_orderkey) AS BIGINT) AS max_ok,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
+        |FROM lineitem WHERE l_quantity >= 10
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q327: the pushed + residual predicate set replayed from parquet.
     "q327_grec_filter_pushdown" ->

@@ -185,6 +185,46 @@ class GraftRecSpec extends AnyFunSuite {
     assert(q.as[Long].collect().sorted.toSeq == Seq(1L, 3L))
   }
 
+  test("aggregate pushdown: grouped COUNT/MIN/MAX/SUM(long) reach the " +
+    "scan, which emits per-file partials, and results are exact") {
+    import spark.implicits._
+    val dir = tmp()
+    // two files → the final aggregate must MERGE partials correctly
+    GraftRec.write((1L to 30L).map(i => (i, i * 2.0, s"g${i % 3}"))
+      .toDF("id", "v", "g").repartition(2), dir)
+    val q = spark.read.format("graft.io.GraftRecSource").load(dir)
+      .where(col("v") >= 10.0)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn"),
+        max(col("id")).as("mx"), sum(col("id")).as("sm"))
+    // AQE wraps the agg plan; the scan description still prints
+    val desc = q.queryExecution.executedPlan.toString
+    assert(desc.contains("PushedAggregates:"), desc)
+    assert(desc.contains("min(id)") && desc.contains("max(id)") &&
+      desc.contains("sum(id)"), desc)
+    assert(desc.contains("GroupBy: [g]"), desc)
+    // brute-force expectation
+    val rows = (1L to 30L).filter(_ * 2.0 >= 10.0)
+    val expect = rows.groupBy(i => s"g${i % 3}").map { case (g, is) =>
+      (g, is.size.toLong, is.min, is.max, is.sum)
+    }.toSet
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSet == expect)
+  }
+
+  test("aggregate pushdown declines double sums and expression inputs") {
+    import spark.implicits._
+    val dir = tmp()
+    GraftRec.write((1L to 9L).map(i => (i, i * 1.1)).toDF("id", "v"), dir)
+    // sum(double) must NOT push (accumulation-order nondeterminism);
+    // the whole aggregation stays in Spark and still evaluates fine
+    val q = spark.read.format("graft.io.GraftRecSource").load(dir)
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+    val desc = q.queryExecution.executedPlan.toString
+    assert(!desc.contains("PushedAggregates:"), desc)
+    assert(q.collect().head.getLong(1) == 9L)
+  }
+
   test("filter pushdown: long range + equality combine; empty result ok") {
     import spark.implicits._
     val dir = tmp()
