@@ -18,9 +18,10 @@ import org.apache.spark.sql.connector.expressions.{NamedReference,
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation,
   Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
-  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
+  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics,
   SupportsPushDownAggregates, SupportsPushDownFilters,
-  SupportsPushDownRequiredColumns}
+  SupportsPushDownLimit, SupportsPushDownRequiredColumns,
+  SupportsReportStatistics}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
   GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
@@ -313,10 +314,19 @@ case class GrecAggSpec(groupCols: Array[String], funcs: Array[GrecAggFunc])
 
 class GraftRecScanBuilder(dir: String, full: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownAggregates {
+    with SupportsPushDownFilters with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var agg: Option[(GrecAggSpec, StructType)] = None
+  private var limit: Int = -1
+
+  /** LIMIT pushdown (partial): each reader stops decoding after
+    * `limit` surviving records — with a pushed filter this is a
+    * find-first-k early exit; Spark still applies the global limit
+    * across files. */
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
+  override def isPartiallyPushed(): Boolean = true
   // Catalyst hands us the pruned schema; keep the FILE's field order
   // so the reader can stream fields sequentially and skip the rest.
   // When an aggregation is pushed the scan's output IS the aggregate
@@ -386,7 +396,7 @@ class GraftRecScanBuilder(dir: String, full: StructType)
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan =
-    new GraftRecScan(dir, full, required, pushed, agg)
+    new GraftRecScan(dir, full, required, pushed, agg, limit)
 }
 
 /** Pushed-filter support + evaluation, shared by builder and reader. */
@@ -434,12 +444,41 @@ object GraftRecFilters {
 
 class GraftRecScan(dir: String, full: StructType, required: StructType,
                    pushed: Array[Filter],
-                   agg: Option[(GrecAggSpec, StructType)])
-    extends Scan with Batch {
+                   agg: Option[(GrecAggSpec, StructType)],
+                   limit: Int)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = agg.map(_._2).getOrElse(required)
   override def toBatch: Batch = this
+
+  /** Statistics from METADATA ONLY — what feeds join-strategy choices
+    * (broadcast thresholds) without touching record bytes:
+    * sizeInBytes = Σ file lengths; numRows is EXACT when the schema
+    * is all fixed-width (long/double — record size is known, so
+    * (fileLen − headerLen) / recordLen counts records arithmetically)
+    * and absent when strings make records variable-width or a pushed
+    * filter makes the surviving count data-dependent. */
+  override def estimateStatistics(): Statistics = {
+    val files = GraftRec.listFiles(dir)
+    val totalBytes = files.map(_.length()).sum
+    val fixedWidth = full.fields.forall(f =>
+      f.dataType == LongType || f.dataType == DoubleType)
+    val rows: java.util.OptionalLong =
+      if (fixedWidth && pushed.isEmpty) {
+        val headerLen = 8L + full.fields.map(f =>
+          4L + f.name.getBytes(StandardCharsets.UTF_8).length + 1L).sum
+        val recordLen = 8L * full.fields.length
+        java.util.OptionalLong.of(
+          files.map(f => (f.length() - headerLen) / recordLen).sum)
+      } else java.util.OptionalLong.empty()
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(totalBytes)
+      override def numRows(): java.util.OptionalLong = rows
+    }
+  }
   override def description(): String =
     s"grec:$dir, PushedFilters: [${pushed.mkString(", ")}], " +
+      (if (limit >= 0) s"PushedLimit: $limit, " else "") +
       agg.map { case (sp, _) =>
         "PushedAggregates: [" +
           sp.funcs.map(f => s"${f.kind}(${f.col})").mkString(", ") +
@@ -457,20 +496,21 @@ class GraftRecScan(dir: String, full: StructType, required: StructType,
         case other => throw new IllegalArgumentException(
           s"grec supports long/double/string, got $other for '${f.name}'")
       }),
-      required.fieldNames, pushed, agg.map(_._1))
+      required.fieldNames, pushed, agg.map(_._1), limit)
 }
 
 case class GraftRecPartition(path: String) extends InputPartition
 
 class GraftRecReaderFactory(names: Array[String], codes: Array[Byte],
                             wanted: Array[String], pushed: Array[Filter],
-                            agg: Option[GrecAggSpec])
+                            agg: Option[GrecAggSpec], limit: Int)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val path = p.asInstanceOf[GraftRecPartition].path
     agg match {
       case Some(spec) => new GraftRecAggReader(path, names, codes, spec, pushed)
-      case None => new GraftRecReader(path, names, codes, wanted, pushed)
+      case None =>
+        new GraftRecReader(path, names, codes, wanted, pushed, limit)
     }
   }
 }
@@ -547,8 +587,10 @@ class GraftRecAggReader(path: String, names: Array[String],
   * predicate only); records failing a pushed filter are dropped
   * before any InternalRow is materialized. */
 class GraftRecReader(path: String, names: Array[String], codes: Array[Byte],
-                     wanted: Array[String], pushed: Array[Filter])
+                     wanted: Array[String], pushed: Array[Filter],
+                     limit: Int = -1)
     extends PartitionReader[InternalRow] {
+  private var emitted = 0
   private val in = new DataInputStream(
     new BufferedInputStream(new FileInputStream(path), 1 << 16))
   // Cross-check the FILE header against the scan's schema: with
@@ -582,6 +624,7 @@ class GraftRecReader(path: String, names: Array[String], codes: Array[Byte],
   private[io] var lastVals: Array[Any] = _
 
   override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false // pushed LIMIT
     while (true) {
       // Explicit one-byte EOF peek at each record boundary: skip-based
       // EOF detection is unsound here because FileInputStream.skip
@@ -623,6 +666,7 @@ class GraftRecReader(path: String, names: Array[String], codes: Array[Byte],
         }
         lastVals = vals
         row = new GenericInternalRow(vals)
+        emitted += 1
         return true
       }
       // pushed filter rejected the record: keep scanning

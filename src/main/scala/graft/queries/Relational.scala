@@ -1666,6 +1666,27 @@ object Relational {
           max(col("l_orderkey")).as("max_ok"),
           sum(col("l_orderkey")).as("sum_ok"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // q330: grec LIMIT PUSHDOWN — the fourth pushdown surface: the
+    // reader STOPS DECODING after the pushed k (partial pushdown —
+    // Spark still applies the global limit across files). Declared in
+    // a deterministic regime: the table is written as ONE file in
+    // o_orderkey order (global sort → coalesce(1) keeps range-partition
+    // order), so "first 100 records in file order" ≡ the 100 smallest
+    // keys, which DuckDB replays as ORDER BY … LIMIT.
+    "q330_grec_limit_pushdown" -> ((s, d) => {
+      val dir = s"/tmp/graft_grec_lim_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      Tables.orders(s, d)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"))
+        .orderBy(col("o_orderkey")).coalesce(1)
+        .write.format("graft.io.GraftRecSource").mode("overwrite").save(dir)
+      s.read.format("graft.io.GraftRecSource").load(dir)
+        .limit(100)
+        .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_ok"),
+          max(col("o_orderkey")).as("max_ok"),
+          sum(col("o_orderkey")).as("sum_ok"))
     })
   )
 
@@ -2782,6 +2803,18 @@ object Relational {
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
         |    / 100.0 AS revenue
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q330: the limit regime replayed — first-100-in-file-order of a
+    // sorted single-file table == 100 smallest keys.
+    "q330_grec_limit_pushdown" ->
+      """WITH t AS (
+        |  SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 100
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_ok,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_ok,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_ok
+        |FROM t""".stripMargin,
 
     // q329: the pushed aggregation replayed from parquet (DuckDB
     // sum(BIGINT) widens to HUGEINT -> cast back).

@@ -225,6 +225,49 @@ class GraftRecSpec extends AnyFunSuite {
     assert(q.collect().head.getLong(1) == 9L)
   }
 
+  test("limit pushdown: the reader stops after k; filters compose as " +
+    "find-first-k") {
+    import spark.implicits._
+    val dir = tmp()
+    GraftRec.write((1L to 100L).map(i => (i, s"g${i % 2}"))
+      .toDF("id", "g").coalesce(1), dir)
+    val q = spark.read.format("graft.io.GraftRecSource").load(dir).limit(3)
+    assert(q.queryExecution.executedPlan.toString.contains("PushedLimit: 3"))
+    // single sorted file → first 3 records are ids 1..3
+    assert(q.select(col("id")).as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    // with a pushed filter: first k SURVIVORS (find-first-k early exit)
+    val qf = spark.read.format("graft.io.GraftRecSource").load(dir)
+      .where(col("g") === "g0").limit(2).select(col("id"))
+    assert(qf.as[Long].collect().sorted.toSeq == Seq(2L, 4L))
+  }
+
+  test("statistics: exact metadata-only row count for fixed-width " +
+    "schemas, size-only otherwise") {
+    import spark.implicits._
+    import graft.io.GraftRecScanBuilder
+    import org.apache.spark.sql.connector.read.SupportsReportStatistics
+    val dirF = tmp()
+    GraftRec.write((1L to 37L).map(i => (i, i * 0.5)).toDF("id", "v")
+      .repartition(3), dirF)
+    val schemaF = spark.read.format("graft.io.GraftRecSource").load(dirF)
+      .schema
+    val statsF = new GraftRecScanBuilder(dirF, schemaF).build()
+      .asInstanceOf[SupportsReportStatistics].estimateStatistics()
+    assert(statsF.numRows().getAsLong == 37L, "fixed-width rows exact")
+    assert(statsF.sizeInBytes().getAsLong ==
+      GraftRec.listFiles(dirF).map(_.length()).sum)
+    // a string column makes records variable-width → numRows absent
+    val dirS = tmp()
+    GraftRec.write(Seq((1L, "ab"), (2L, "cdef")).toDF("id", "s"), dirS)
+    val schemaS = spark.read.format("graft.io.GraftRecSource").load(dirS)
+      .schema
+    val statsS = new GraftRecScanBuilder(dirS, schemaS).build()
+      .asInstanceOf[SupportsReportStatistics].estimateStatistics()
+    assert(!statsS.numRows().isPresent)
+    assert(statsS.sizeInBytes().getAsLong > 0L)
+  }
+
   test("filter pushdown: long range + equality combine; empty result ok") {
     import spark.implicits._
     val dir = tmp()
