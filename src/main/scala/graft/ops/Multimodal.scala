@@ -660,6 +660,42 @@ object Multimodal {
       }.toDF("media_id", "width", "height", "col0_sum", "pixel_checksum")
   }
 
+  /** TIFF/PackBits PIXEL DECODE under oracle — the TAG-DIRECTORY
+    * member of the decoder family: unlike the linear chunk walks
+    * (RIFF/PNG/GIF), TIFF readers must walk an IFD of typed 12-byte
+    * tag entries with value-or-offset indirection. Payload bytes
+    * (high-nibble-quantized so PackBits sees genuine runs, the q320
+    * discipline) → a real little-endian single-strip TIFF 6.0 stream
+    * → [[Tiff.decodeGray]]'s own IFD walk + PackBits RLE grammar.
+    * Lossless ⇒ DuckDB replays the statistics from the quantized
+    * source bytes; one wrong tag offset, field type, or control byte
+    * breaks the hash. Narrow per-row mapPartitions, zero shuffle. */
+  def tiffPixelFeatures(df: DataFrame, idCol: String, textCol: String,
+                        width: Int, height: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = width * height
+    df.where(octet_length(col(textCol)) >= n)
+      .select(col(idCol).cast("long").as("media_id"),
+        substring(col(textCol).cast("binary"), 1, n).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val px = bytes.map(b => ((b & 0xff) & 0xf0).toByte)
+          val tiff = Tiff.encodeGray(px, width, height)
+          val img = Tiff.decodeGray(tiff)
+          var sum = 0L; var ck = 0L; var i = 0
+          while (i < img.pixels.length) {
+            val b = img.pixels(i) & 0xff
+            sum += b
+            ck += b.toLong * ((i % 31) + 1)
+            i += 1
+          }
+          (id, img.width, img.height, sum, ck)
+        }
+      }.toDF("media_id", "width", "height", "pixel_sum", "pixel_checksum")
+  }
+
   /** FULL GIF PIXEL DECODE under oracle — the dictionary-coded member
     * of the decoder family: payload bytes → a real GIF87a stream
     * (gray global color table + genuine LZW image data) →

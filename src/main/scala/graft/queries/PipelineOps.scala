@@ -1951,6 +1951,21 @@ object PipelineOps {
         .orderBy(col("media_id"))
     }),
 
+    // TIFF/PackBits DECODE under oracle — the TAG-DIRECTORY container
+    // member: TIFF 6.0's IFD of typed 12-byte entries with
+    // value-or-offset indirection (vs the linear RIFF/PNG/GIF chunk
+    // walks) + the PackBits RLE grammar (§9: literal groups, runs,
+    // the −128 no-op). High-nibble-quantized payload pixels (the q320
+    // discipline, so genuine runs appear) → a real little-endian
+    // single-strip stream → the engine's own IFD walk + RLE decode.
+    // Lossless ⇒ DuckDB replays the statistics from quantized source
+    // bytes.
+    "q331_tiff_packbits_decode" -> ((s, d) => {
+      Multimodal.tiffPixelFeatures(Tables.documents(s, d), "doc_id",
+          "text", width = 10, height = 6)
+        .orderBy(col("media_id"))
+    }),
+
     // Perceptual average-hash over the SAME decode round-trip as q121:
     // 128 exact pixel-vs-mean bits (pixel·n > Σ — no float mean) per
     // image — the image-dedup fingerprint; every bit certifies a
@@ -5620,6 +5635,26 @@ object PipelineOps {
         |  CAST(6 AS INTEGER) AS height,
         |  CAST(sum(CASE WHEN i % 10 = 0 THEN b ELSE 0 END) AS BIGINT)
         |    AS col0_sum,
+        |  CAST(sum(b * ((i % 31)+1)) AS BIGINT) AS pixel_checksum
+        |FROM by GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    // q331: the TIFF/PackBits decode replayed from quantized source
+    // bytes — lossless, so the pixel stream IS the high-nibble
+    // quantization of the payload prefix.
+    "q331_tiff_packbits_decode" ->
+      """WITH b0 AS (
+        |  SELECT doc_id, hex(encode(text)) AS h FROM documents
+        |  WHERE octet_length(encode(text)) >= 60
+        |), by AS (
+        |  SELECT doc_id, i,
+        |    ((strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1))-1)*16
+        |    + (strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1))-1))
+        |    // 16 * 16 AS b
+        |  FROM b0, unnest(range(0, 60)) AS u(i)
+        |)
+        |SELECT doc_id AS media_id, CAST(10 AS INTEGER) AS width,
+        |  CAST(6 AS INTEGER) AS height,
+        |  CAST(sum(b) AS BIGINT) AS pixel_sum,
         |  CAST(sum(b * ((i % 31)+1)) AS BIGINT) AS pixel_checksum
         |FROM by GROUP BY doc_id ORDER BY media_id""".stripMargin,
 
