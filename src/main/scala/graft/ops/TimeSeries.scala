@@ -17,6 +17,58 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
+  /** HOLT LINEAR (double) EXPONENTIAL SMOOTHING + h-step FORECAST —
+    * the capacity-planning recurrence (Holt 1957; the trend-aware
+    * sibling of [[ewmaBounded]]'s level-only EWMA): per key over its
+    * observed-day count series,
+    *   l_t = (y_t·S + 3·(l_{t−1}+b_{t−1})) / 4        (α = 1/4)
+    *   b_t = ((l_t − l_{t−1}) + 4·b_{t−1}) / 5        (β = 1/5)
+    * with S = 10⁶ scaling and TRUNCATING long division (Java `/` and
+    * DuckDB `//` agree on truncation toward zero, so the recurrence
+    * replays bit-for-bit — the rational-coefficient pinning that makes
+    * an inherently sequential float recurrence oracle-checkable).
+    * Also reports the one-step-ahead backtest Σ|y_t·S −
+    * (l_{t−1}+b_{t−1})| and the h ∈ {1,2,3} linear forecasts
+    * l_T + h·b_T.
+    *
+    * Scale shape: one partial-agg shuffle to (key, day) counts, then
+    * ONE mapGroups per key — the recurrence is inherently sequential
+    * in t but embarrassingly parallel across keys, and the per-key
+    * state is two longs (the panel rows stream through sorted). At
+    * 100 TB the key cardinality carries the parallelism, exactly how
+    * production forecasting jobs shard.
+    *
+    * @return (key, n_days, level6, trend6, forecast_1, forecast_2,
+    *          forecast_3, sae6) — the *6 columns are S-scaled longs. */
+  def holtSmooth(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val S = 1000000L
+    df.groupBy(col(keyCol).as("k"), date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .select(col("k"), col("day"), col("y"))
+      .as[(String, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (k, it) =>
+        val ys = it.toArray.sortBy(_._2.getTime).map(_._3)
+        var l = ys(0) * S
+        var b = 0L
+        var sae = 0L
+        var t = 1
+        while (t < ys.length) {
+          val pred = l + b
+          sae += math.abs(ys(t) * S - pred)
+          val lNew = (ys(t) * S + 3L * pred) / 4L
+          b = ((lNew - l) + 4L * b) / 5L
+          l = lNew
+          t += 1
+        }
+        (k, ys.length.toLong, l, b, l + b, l + 2 * b, l + 3 * b, sae)
+      }
+      .toDF(keyCol, "n_days", "level6", "trend6", "forecast_1",
+        "forecast_2", "forecast_3", "sae6")
+  }
+
   /** Hourly LOCF panel: for each key, one row per hour from its first
     * to its last observation, carrying the latest value at-or-before
     * the grid instant (null before the first in-hour observation).

@@ -789,6 +789,20 @@ object EventQueries {
         .orderBy(col("event_type"), col("lag"))
     }),
 
+    // HOLT LINEAR EXPONENTIAL SMOOTHING + FORECAST — the trend-aware
+    // forecasting recurrence (Holt 1957) over per-type observed-day
+    // counts, with rational coefficients (α=1/4, β=1/5) and S=10⁶
+    // scaled-long TRUNCATING division so the inherently sequential
+    // recurrence replays bit-for-bit (Java `/` and DuckDB `//` agree
+    // on truncation toward zero). Reports the final level/trend, the
+    // h∈{1,2,3} linear forecasts, and the one-step-ahead backtest
+    // error — sequential in t, embarrassingly parallel across keys.
+    "q332_holt_forecast" -> ((s, d) => {
+      graft.ops.TimeSeries.holtSmooth(Tables.events(s, d), "event_type",
+          "ts")
+        .orderBy(col("event_type"))
+    }),
+
     // Sketch set algebra: per user-bucket cell, |A|, |B|, |A∪B| from
     // pairwise hll_union register math and |A∩B| by inclusion–
     // exclusion — audience overlap from O(sketch) state, no re-scan.
@@ -1825,6 +1839,46 @@ object EventQueries {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q229: the same ×n-centered integer moments on the same
     // zero-filled hourly grid; HUGEINT mirrors decimal(38,0).
+    // q332: the Holt recurrence replayed step by step — a recursive
+    // CTE carrying (level, trend, sae) per type over the row-numbered
+    // observed-day series; truncating // matches the engine's long
+    // division.
+    "q332_holt_forecast" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2
+        |), o AS (
+        |  SELECT event_type, y,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) - 1
+        |      AS t
+        |  FROM d
+        |), nmax AS (
+        |  SELECT event_type, max(t) AS tmax FROM o GROUP BY 1
+        |), rec AS (
+        |  SELECT event_type, 0 AS t, y * 1000000 AS l,
+        |    CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS sae
+        |  FROM o WHERE t = 0
+        |  UNION ALL
+        |  SELECT event_type, t + 1, lnew,
+        |    ((lnew - l) + 4 * b) // 5,
+        |    sae + abs(ynew - (l + b))
+        |  FROM (
+        |    SELECT r.event_type, r.t, r.l, r.b, r.sae,
+        |      nx.y * 1000000 AS ynew,
+        |      (nx.y * 1000000 + 3 * (r.l + r.b)) // 4 AS lnew
+        |    FROM rec r
+        |    JOIN o nx ON nx.event_type = r.event_type AND nx.t = r.t + 1
+        |  )
+        |)
+        |SELECT r.event_type, CAST(r.t + 1 AS BIGINT) AS n_days,
+        |  r.l AS level6, r.b AS trend6,
+        |  r.l + r.b AS forecast_1, r.l + 2 * r.b AS forecast_2,
+        |  r.l + 3 * r.b AS forecast_3, r.sae AS sae6
+        |FROM rec r JOIN nmax n
+        |  ON n.event_type = r.event_type AND r.t = n.tmax
+        |ORDER BY r.event_type""".stripMargin,
+
     "q229_acf_hourly" ->
       """WITH c AS (
         |  SELECT event_type AS k, epoch_us(ts) // 3600000000 AS hr,

@@ -209,4 +209,63 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out.map(_.toSeq).toSeq == out2.map(_.toSeq).toSeq,
       "integer-moment acf must be partition-invariant")
   }
+
+  // ------------------------------------------------------------------
+  // holtSmooth (q332) — the exact Holt recurrence.
+  // ------------------------------------------------------------------
+
+  private def dayEvents(k: String, perDay: Seq[Int]) =
+    perDay.zipWithIndex.flatMap { case (n, d) =>
+      (0 until n).map(j =>
+        (k, Timestamp.valueOf(f"2024-01-${d + 1}%02d 0${j % 9}:00:00")))
+    }
+
+  test("holtSmooth: constant series converges to the level, trend ~ 0") {
+    import org.apache.spark.sql.functions._
+    val df = dayEvents("a", Seq.fill(20)(8)).toDF("k", "t")
+    val r = TimeSeries.holtSmooth(df, "k", "t").collect().head
+    assert(r.getLong(1) == 20L)
+    assert(r.getLong(2) == 8000000L, "level must equal the constant")
+    assert(math.abs(r.getLong(3)) <= 1L, "trend must vanish")
+    assert(r.getLong(7) == 0L, "one-step error on a constant is 0")
+  }
+
+  test("holtSmooth: a linear ramp yields a positive trend and forecasts " +
+    "that extrapolate") {
+    import org.apache.spark.sql.functions._
+    val df = dayEvents("a", (1 to 25).map(d => 2 * d)).toDF("k", "t")
+    val r = TimeSeries.holtSmooth(df, "k", "t").collect().head
+    val level = r.getLong(2); val trend = r.getLong(3)
+    assert(trend > 0L, "ramp must produce a positive trend")
+    assert(r.getLong(4) == level + trend &&
+      r.getLong(6) == level + 3 * trend, "linear forecast shape")
+    // the learned trend lets Holt TRACK a ramp (unlike a plain EWMA,
+    // which would lag it): level within 2% of the last observation
+    assert(math.abs(level - 50000000L) < 1000000L, level.toString)
+    // and the trend approaches the true slope 2e6/day
+    assert(math.abs(trend - 2000000L) < 400000L, trend.toString)
+  }
+
+  test("holtSmooth: hand-traced first two steps (exact truncation)") {
+    import org.apache.spark.sql.functions._
+    // days: 4, 8 → l0=4e6, b0=0; pred=4e6; l1=(8e6+3*4e6)/4=5e6;
+    // b1=(5e6-4e6+0)/5=2e5; sae=|8e6-4e6|=4e6
+    val df = dayEvents("a", Seq(4, 8)).toDF("k", "t")
+    val r = TimeSeries.holtSmooth(df, "k", "t").collect().head
+    assert(r.getLong(2) == 5000000L && r.getLong(3) == 200000L &&
+      r.getLong(7) == 4000000L, r.toString)
+  }
+
+  test("holtSmooth: single-day keys and repartition invariance") {
+    import org.apache.spark.sql.functions._
+    val df = (dayEvents("solo", Seq(5)) ++ dayEvents("b", Seq(1, 9, 3)))
+      .toDF("k", "t")
+    val a = TimeSeries.holtSmooth(df, "k", "t").orderBy("k").collect()
+    val b = TimeSeries.holtSmooth(df.repartition(5), "k", "t")
+      .orderBy("k").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    val solo = a.find(_.getString(0) == "solo").get
+    assert(solo.getLong(1) == 1L && solo.getLong(2) == 5000000L &&
+      solo.getLong(3) == 0L && solo.getLong(7) == 0L)
+  }
 }
