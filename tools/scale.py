@@ -98,6 +98,16 @@ QUERIES = ",".join([
     # round-9 continuation: the AVI/MJPEG container demux + per-frame
     # JPEG decode (narrow per-row kernel control, like q267/q288)
     "q315_video_frame_sample",
+    # round-9 continuation 2: the unigram-LM tokenizer (substring-count
+    # aggs + broadcast codebook + narrow Viterbi), URL canonicalization
+    # (narrow codegen + canonical-key group), robots longest-match
+    # (broadcast prefix join + per-URL argmax), Holt forecast (day agg
+    # + per-key mapGroups recurrence), the grec aggregate pushdown
+    # (per-file combine inside the source), and the ADPCM decode
+    # (narrow per-row state-machine kernel control)
+    "q324_unigram_lm_segment", "q326_url_canonicalize",
+    "q328_robots_match", "q332_holt_forecast",
+    "q329_grec_agg_pushdown", "q325_adpcm_decode",
 ])
 
 rnd = sys.argv[1]
