@@ -92,6 +92,12 @@ object Tables {
 
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
 
+  /** Streaming source over the same document files (schema from the
+    * batch reader) — the crawl-ingest shape for streaming dedup. */
+  def documentsStream(s: SparkSession, d: String): DataFrame =
+    s.readStream.schema(documents(s, d).schema)
+      .parquet(s"$d/documents*.parquet")
+
   /** embeddings with the vector canonicalized to `array<float>` — the
     * type every ANN/quantization consumer (and their `Seq[Float]`
     * collect paths for O(k) model state) relies on. Same

@@ -53,6 +53,10 @@ class SessionizeProcessor
   * micros on both engines, so no timestamp-type/timezone coupling with
   * the oracle. Value sums go through the cents path (see Exact).
   */
+/** q333's per-bucket streaming-dedup state: arrival (doc, minute)
+  * pairs for one fingerprint-prefix bucket. */
+case class FpBucketDocs(ids: List[Long], ms: List[Long])
+
 object EventQueries {
   type Q = (SparkSession, String) => DataFrame
 
@@ -72,6 +76,39 @@ object EventQueries {
     * per-partition state-store count: a stream-stream join keeps FOUR
     * stores per partition (left/right × two key indexes) vs one for an
     * aggregation, so it wants fewer, bigger partitions at equal state. */
+  /** Epoch ms of 2024-01-01T00:00Z — q333's synthetic ingest clock. */
+  private val FpBaseMs = 1704067200000L
+
+  /** q333's per-bucket election (flatMapGroupsWithState +
+    * EventTimeTimeout): accumulate arrivals, push the timeout to
+    * lastSeenMinute + 30 min; when the watermark passes it — the
+    * bucket is provably complete — emit ONE row electing the
+    * event-time-first (tie: min doc id) canonical, the duplicate
+    * count, and the bucket's last minute (the declared output's
+    * finality-cutoff column). State lives exactly for the bucket's
+    * active span + 30 min: watermark-bounded, never corpus-bounded. */
+  private[queries] def electBucket(bucket: Long,
+      rows: Iterator[(Long, Long, java.sql.Timestamp)],
+      st: GroupState[FpBucketDocs])
+      : Iterator[(Long, Long, Long, Long, Long)] = {
+    if (st.hasTimedOut) {
+      val docs = st.get
+      st.remove()
+      val pairs = docs.ids.zip(docs.ms)
+      val canonical = pairs.minBy(p => (p._2, p._1))._1
+      Iterator((bucket, pairs.length.toLong, canonical,
+        pairs.length - 1L, docs.ms.max))
+    } else {
+      val prev = st.getOption.getOrElse(FpBucketDocs(Nil, Nil))
+      val fresh = rows.toList
+      val ids = prev.ids ++ fresh.map(_._1)
+      val ms = prev.ms ++ fresh.map(r => (r._3.getTime - FpBaseMs) / 60000L)
+      st.update(FpBucketDocs(ids, ms))
+      st.setTimeoutTimestamp(FpBaseMs + (ms.max + 30L) * 60000L)
+      Iterator.empty
+    }
+  }
+
   private def withStreamPartitions[A](s: SparkSession,
       parts: Int = StreamShufflePartitions)(f: => A): A = {
     val key = "spark.sql.shuffle.partitions"
@@ -560,6 +597,47 @@ object EventQueries {
           col("event_type"), col("n_events_day"), col("peak_hour_events"),
           col("n_hours"))
         .orderBy(col("day"), col("event_type"))
+    }),
+
+    // q333: STREAMING NEAR-DUP CANDIDATE-BUCKET DEDUP — the
+    // crawl-ingest dedup shape as the THIRTEENTH streaming query:
+    // documents stream in with a synthetic ingest clock, each hashed
+    // by the portable SimHash and routed to its fingerprint-PREFIX
+    // bucket (the Manku et al. WWW'07 probe-table arrangement; 8 bits
+    // here so the fixture exercises real multi-doc elections —
+    // production widens the prefix/bands), and a
+    // flatMapGroupsWithState election with EventTimeTimeout emits,
+    // once the WATERMARK proves a bucket complete, its event-time-
+    // first canonical + duplicate count. Declared output restricts to
+    // buckets one minute INSIDE the timeout knife edge (the
+    // q311/q319 finality discipline), so the batch oracle replays
+    // the emission set exactly.
+    "q333_stream_fp_dedup" -> ((s, d) => {
+      import s.implicits._
+      val name = s"stream_fpd_${streamId.incrementAndGet()}"
+      // 1-row bound lookup (the argmax-collect class)
+      val maxM = Tables.documents(s, d)
+        .agg(max(col("doc_id") % 1440)).head().getLong(0)
+      val src = Tables.documentsStream(s, d)
+        .select(col("doc_id"),
+          shiftright(graft.functions.SimHash.simhashPortable60(
+            split(col("text"), "\\s+")), 52).as("bucket"),
+          timestamp_micros(lit(FpBaseMs * 1000L) +
+            (col("doc_id") % 1440) * lit(60000000L)).as("ts"))
+        .withWatermark("ts", "30 minutes")
+      val elected = src.as[(Long, Long, java.sql.Timestamp)]
+        .groupByKey(_._2)
+        .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.EventTimeTimeout)(electBucket)
+        .toDF("bucket", "n_docs", "canonical_doc", "dup_count", "max_m")
+      withStreamPartitions(s) {
+        val q = elected.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      s.table(name).where(col("max_m") < lit(maxM - 61L))
+        .orderBy(col("bucket"))
     }),
 
     // STREAM-STREAM inner join: clicks ⋈ same-user purchases within
@@ -1604,6 +1682,28 @@ object EventQueries {
     // with the SAME conservative finality cutoff the engine applies
     // (complete days ending ≥ 2 h before the corpus max — watermark
     // delay + margin, the q311 discipline).
+    // q333: the streaming bucket election replayed in batch — the
+    // portable-fingerprint CTE (shared with q98/q29), the 8-bit
+    // prefix bucket, the per-bucket (minute, doc) argmin canonical,
+    // and the identical conservative finality cutoff.
+    "q333_stream_fp_dedup" -> (graft.queries.PipelineOps.PortableFpCte +
+      """
+        |, m AS (SELECT doc_id, fp // 4503599627370496 AS bucket,
+        |        doc_id % 1440 AS mm FROM allfp)
+        |, gmax AS (SELECT max(mm) AS g FROM m)
+        |, grp AS (SELECT bucket, count(*) AS n_docs, max(mm) AS max_mm
+        |          FROM m GROUP BY bucket)
+        |, canon AS (SELECT bucket, doc_id, row_number() OVER (
+        |              PARTITION BY bucket ORDER BY mm, doc_id) AS rk
+        |            FROM m)
+        |SELECT g2.bucket, CAST(g2.n_docs AS BIGINT) AS n_docs,
+        |  c.doc_id AS canonical_doc,
+        |  CAST(g2.n_docs - 1 AS BIGINT) AS dup_count,
+        |  CAST(g2.max_mm AS BIGINT) AS max_m
+        |FROM grp g2 JOIN canon c ON c.bucket = g2.bucket AND c.rk = 1, gmax
+        |WHERE g2.max_mm < gmax.g - 61
+        |ORDER BY g2.bucket""".stripMargin),
+
     "q319_stream_chained_agg" ->
       """WITH mx AS (SELECT max(ts) AS mt FROM events),
         |hourly AS (

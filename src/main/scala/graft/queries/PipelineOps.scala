@@ -2255,7 +2255,7 @@ object PipelineOps {
   // hash → Charikar bit votes → fingerprint), shared by the q29
   // banded-pair oracle; `allfp` carries every document (token-less
   // docs fold to fp = 0, matching the kernel).
-  private val PortableFpCte =
+  private[queries] val PortableFpCte =
     """WITH toks AS (
       |  SELECT doc_id, t.tok
       |  FROM documents, UNNEST(string_split_regex(text, '\s+')) AS t(tok)

@@ -285,4 +285,28 @@ class TokenizerAntiJoinSpec extends AnyFunSuite {
     assert(rows == Set((0L, 3L, 2L, 2L), (1L, 1L, 1L, 1L)),
       s"unexpected chained-agg emissions: $rows")
   }
+
+  test("streaming fp-dedup election (q333): one row per closed bucket, " +
+    "event-time-first canonical, tail withheld") {
+    val sf = TestSession.sf
+    val out = graft.queries.EventQueries
+      .queries("q333_stream_fp_dedup")(spark, sf).collect()
+    assert(out.nonEmpty, "closed buckets must emit")
+    // one election per bucket, dup accounting consistent
+    val buckets = out.map(_.getLong(0))
+    assert(buckets.distinct.length == buckets.length,
+      "a bucket must be elected exactly once")
+    out.foreach { r =>
+      assert(r.getLong(3) == r.getLong(1) - 1L, "dup_count = n_docs - 1")
+    }
+    // the finality cutoff really withholds the tail: every emitted
+    // bucket's last minute sits strictly inside the knife edge
+    val maxM = graft.io.Tables.documents(spark, sf)
+      .agg(max(col("doc_id") % 1440)).head().getLong(0)
+    assert(out.forall(_.getLong(4) < maxM - 61L))
+    // and a rerun (fresh stream + state store) emits identically
+    val again = graft.queries.EventQueries
+      .queries("q333_stream_fp_dedup")(spark, sf).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }
