@@ -638,6 +638,33 @@ object PipelineOps {
         .orderBy(col("unit"))
     }),
 
+    // TOKENIZER FERTILITY per source — the tokenizer-EVAL table every
+    // tokenizer change ships with (pieces per char / per word):
+    // q324's unigram segmentation joined back to its documents and
+    // rolled up per source with exact integer ratios (×1e6 integral
+    // division — Spark `div` and DuckDB `//` agree on non-negatives).
+    // The segment table is vocabulary-bounded → broadcast side.
+    "q334_tokenizer_fertility" -> ((s, d) => {
+      val du = Tables.documents(s, d).where(length(col("text")) >= 1)
+        .select(col("source"),
+          translate(substring(col("text"), 1, 16), " ", "_").as("unit"))
+      val seg = TextAnalysis.unigramLmSegment(Tables.documents(s, d),
+          "text")
+        .select(col("unit"), col("n_pieces"))
+      du.join(seg, Seq("unit"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("unit"))).as("sum_chars"),
+          sum(length(col("unit"))
+            - length(translate(col("unit"), "_", "")) + 1).as("sum_words"),
+          sum(col("n_pieces")).as("sum_pieces"))
+        .select(col("source"), col("n_docs"), col("sum_chars"),
+          col("sum_words"), col("sum_pieces"),
+          expr("sum_pieces * 1000000 div sum_chars").as("fert_char6"),
+          expr("sum_pieces * 1000000 div sum_words").as("fert_word6"))
+        .orderBy(col("source"))
+    }),
+
     // Real greedy BPE apply (native codegen kernel, merge table as a
     // codegen reference object) declared in its anchor regime: an
     // empty merge table keeps every word as characters, so the count
@@ -2710,6 +2737,56 @@ object PipelineOps {
 
   // q121/q321's oracle: decoded-pixel statistics replayed from source
   // bytes (PNG is lossless, sequential or interlaced).
+  // q324/q334: the unigram-LM train+Viterbi chain (see the q324
+  // registration comment); `fin` carries (w, c, best{s, seg, np}).
+  private val UnigramVitCte: String =
+    """WITH RECURSIVE w0 AS (
+        |  SELECT replace(substr(text, 1, 16), ' ', '_') AS w, count(*) AS c
+        |  FROM documents WHERE length(text) >= 1 GROUP BY 1
+        |), pc AS (
+        |  SELECT substr(w, CAST(st AS INT), CAST(k AS INT)) AS piece,
+        |         CAST(sum(c) AS BIGINT) AS cnt
+        |  FROM w0, unnest(range(1, 17)) AS s(st), unnest(range(1, 5)) AS kk(k)
+        |  WHERE st + k - 1 <= len(w)
+        |  GROUP BY 1
+        |), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM pc
+        |), vocab AS (
+        |  SELECT piece, cnt FROM pc WHERE len(piece) = 1
+        |  UNION ALL
+        |  SELECT piece, cnt FROM (
+        |    SELECT piece, cnt,
+        |      row_number() OVER (ORDER BY cnt DESC, piece ASC) AS r
+        |    FROM pc WHERE len(piece) >= 2) WHERE r <= 200
+        |), sc AS (
+        |  SELECT piece,
+        |    CAST(round(round(ln(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE)), 9)
+        |      * 1000000000) AS BIGINT) AS s9
+        |  FROM vocab, tot
+        |), v AS (
+        |  SELECT w, c, 0 AS i,
+        |    [{'s': CAST(0 AS BIGINT), 'seg': CAST('' AS VARCHAR), 'np': 0}]
+        |      AS hist
+        |  FROM w0
+        |  UNION ALL
+        |  SELECT w, c, i + 1,
+        |    list_append(CASE WHEN len(hist) >= 4 THEN hist[2:] ELSE hist END,
+        |      (SELECT {'s': hist[len(hist) - k + 1].s + sc.s9,
+        |               'seg': CASE WHEN i + 1 - k = 0
+        |                 THEN substr(w, CAST(i + 2 - k AS INT), CAST(k AS INT))
+        |                 ELSE hist[len(hist) - k + 1].seg || '|'
+        |                   || substr(w, CAST(i + 2 - k AS INT), CAST(k AS INT))
+        |                 END,
+        |               'np': hist[len(hist) - k + 1].np + 1}
+        |       FROM unnest([1, 2, 3, 4]) AS t(k)
+        |       JOIN sc
+        |         ON sc.piece = substr(w, CAST(i + 2 - k AS INT), CAST(k AS INT))
+        |       WHERE k <= i + 1
+        |       ORDER BY hist[len(hist) - k + 1].s + sc.s9 DESC, k DESC
+        |       LIMIT 1))
+        |  FROM v WHERE i < len(w)
+        |), fin AS (SELECT w, c, hist[len(hist)] AS best FROM v
+        |           WHERE i = len(w))""".stripMargin
+
   // q288/q323: the GIF decode replayed from source bytes (LZW is
   // lossless, so the pixel stream IS the payload prefix; q323's
   // interlaced transmission scatters back to the same row-major
@@ -4016,56 +4093,38 @@ object PipelineOps {
     // list of structs; the correlated argmax orders by
     // (score DESC, k DESC), mirroring the engine's longer-last-piece
     // tie-break.
-    "q324_unigram_lm_segment" ->
-      """WITH RECURSIVE w0 AS (
-        |  SELECT replace(substr(text, 1, 16), ' ', '_') AS w, count(*) AS c
-        |  FROM documents WHERE length(text) >= 1 GROUP BY 1
-        |), pc AS (
-        |  SELECT substr(w, CAST(st AS INT), CAST(k AS INT)) AS piece,
-        |         CAST(sum(c) AS BIGINT) AS cnt
-        |  FROM w0, unnest(range(1, 17)) AS s(st), unnest(range(1, 5)) AS kk(k)
-        |  WHERE st + k - 1 <= len(w)
-        |  GROUP BY 1
-        |), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM pc
-        |), vocab AS (
-        |  SELECT piece, cnt FROM pc WHERE len(piece) = 1
-        |  UNION ALL
-        |  SELECT piece, cnt FROM (
-        |    SELECT piece, cnt,
-        |      row_number() OVER (ORDER BY cnt DESC, piece ASC) AS r
-        |    FROM pc WHERE len(piece) >= 2) WHERE r <= 200
-        |), sc AS (
-        |  SELECT piece,
-        |    CAST(round(round(ln(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE)), 9)
-        |      * 1000000000) AS BIGINT) AS s9
-        |  FROM vocab, tot
-        |), v AS (
-        |  SELECT w, c, 0 AS i,
-        |    [{'s': CAST(0 AS BIGINT), 'seg': CAST('' AS VARCHAR), 'np': 0}]
-        |      AS hist
-        |  FROM w0
-        |  UNION ALL
-        |  SELECT w, c, i + 1,
-        |    list_append(CASE WHEN len(hist) >= 4 THEN hist[2:] ELSE hist END,
-        |      (SELECT {'s': hist[len(hist) - k + 1].s + sc.s9,
-        |               'seg': CASE WHEN i + 1 - k = 0
-        |                 THEN substr(w, CAST(i + 2 - k AS INT), CAST(k AS INT))
-        |                 ELSE hist[len(hist) - k + 1].seg || '|'
-        |                   || substr(w, CAST(i + 2 - k AS INT), CAST(k AS INT))
-        |                 END,
-        |               'np': hist[len(hist) - k + 1].np + 1}
-        |       FROM unnest([1, 2, 3, 4]) AS t(k)
-        |       JOIN sc
-        |         ON sc.piece = substr(w, CAST(i + 2 - k AS INT), CAST(k AS INT))
-        |       WHERE k <= i + 1
-        |       ORDER BY hist[len(hist) - k + 1].s + sc.s9 DESC, k DESC
-        |       LIMIT 1))
-        |  FROM v WHERE i < len(w)
-        |), fin AS (SELECT w, c, hist[len(hist)] AS best FROM v WHERE i = len(w))
+    "q324_unigram_lm_segment" -> (UnigramVitCte +
+      """
         |SELECT w AS unit, CAST(c AS BIGINT) AS unit_count,
         |  CAST(best.np AS INT) AS n_pieces,
         |  best.seg AS seg, best.s AS score9
-        |FROM fin ORDER BY unit""".stripMargin,
+        |FROM fin ORDER BY unit""".stripMargin),
+
+    // q334: per-source tokenizer fertility over the SAME Viterbi
+    // chain — units joined back to their docs, exact integer
+    // pieces-per-char and pieces-per-word ratios (x1e6, integral
+    // division on non-negative sums so `div`/`//` agree).
+    "q334_tokenizer_fertility" -> (UnigramVitCte +
+      """
+        |, du AS (
+        |  SELECT source, replace(substr(text, 1, 16), ' ', '_') AS unit
+        |  FROM documents WHERE length(text) >= 1
+        |), j AS (
+        |  SELECT du.source, du.unit, len(du.unit) AS n_chars,
+        |    len(du.unit) - len(replace(du.unit, '_', '')) + 1 AS n_words,
+        |    f.best.np AS n_pieces
+        |  FROM du JOIN fin f ON f.w = du.unit
+        |), agg AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |    CAST(sum(n_words) AS BIGINT) AS sum_words,
+        |    CAST(sum(n_pieces) AS BIGINT) AS sum_pieces
+        |  FROM j GROUP BY 1
+        |)
+        |SELECT source, n_docs, sum_chars, sum_words, sum_pieces,
+        |  CAST(sum_pieces * 1000000 // sum_chars AS BIGINT) AS fert_char6,
+        |  CAST(sum_pieces * 1000000 // sum_words AS BIGINT) AS fert_word6
+        |FROM agg ORDER BY source""".stripMargin),
 
     "q116_bpe_train_pairs" ->
       """WITH w AS (
