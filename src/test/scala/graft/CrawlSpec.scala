@@ -16,35 +16,35 @@ class CrawlSpec extends AnyFunSuite {
       .as[String].collect().toSeq
 
   test("scheme/host lowercase; default ports stripped per scheme") {
-    assert(canon("HTTP://EXAMPLE.com:80/a") == Seq("http://example.com/a"))
-    assert(canon("https://Example.COM:443/a") == Seq("https://example.com/a"))
+    assert(canon("HTTP://A.Example.com:80/a") == Seq("http://a.example.com/a"))
+    assert(canon("https://A.example.COM:443/a") == Seq("https://a.example.com/a"))
     // a default port under the WRONG scheme survives
-    assert(canon("http://example.com:443/a") ==
-      Seq("http://example.com:443/a"))
-    assert(canon("https://example.com:80/a") ==
-      Seq("https://example.com:80/a"))
+    assert(canon("http://a.example.com:443/a") ==
+      Seq("http://a.example.com:443/a"))
+    assert(canon("https://a.example.com:80/a") ==
+      Seq("https://a.example.com:80/a"))
     // non-default ports survive
-    assert(canon("http://example.com:8080/a") ==
-      Seq("http://example.com:8080/a"))
+    assert(canon("http://a.example.com:8080/a") ==
+      Seq("http://a.example.com:8080/a"))
   }
 
   test("fragment dropped; empty path becomes /") {
-    assert(canon("http://h.com#top") == Seq("http://h.com/"))
-    assert(canon("http://h.com/p#sec2") == Seq("http://h.com/p"))
-    assert(canon("http://h.com") == Seq("http://h.com/"))
+    assert(canon("http://h.example.com#top") == Seq("http://h.example.com/"))
+    assert(canon("http://h.example.com/p#sec2") == Seq("http://h.example.com/p"))
+    assert(canon("http://h.example.com") == Seq("http://h.example.com/"))
   }
 
   test("tracking params dropped; survivors sorted; empty query loses ?") {
-    assert(canon("http://h.com/p?z=1&utm_source=x&a=2") ==
-      Seq("http://h.com/p?a=2&z=1"))
-    assert(canon("http://h.com/p?utm_campaign=c&fbclid=f&gclid=g") ==
-      Seq("http://h.com/p"))
+    assert(canon("http://h.example.com/p?z=1&utm_source=x&a=2") ==
+      Seq("http://h.example.com/p?a=2&z=1"))
+    assert(canon("http://h.example.com/p?utm_campaign=c&fbclid=f&gclid=g") ==
+      Seq("http://h.example.com/p"))
     // bare utm key without '=' is also tracking
-    assert(canon("http://h.com/p?utm_x&b=1") == Seq("http://h.com/p?b=1"))
+    assert(canon("http://h.example.com/p?utm_x&b=1") == Seq("http://h.example.com/p?b=1"))
     // a NON-tracking param that merely contains 'utm_' mid-key stays
-    assert(canon("http://h.com/p?xutm_a=1") == Seq("http://h.com/p?xutm_a=1"))
+    assert(canon("http://h.example.com/p?xutm_a=1") == Seq("http://h.example.com/p?xutm_a=1"))
     // path and case of params untouched
-    assert(canon("http://h.com/P?B=2&A=1") == Seq("http://h.com/P?A=1&B=2"))
+    assert(canon("http://h.example.com/P?B=2&A=1") == Seq("http://h.example.com/P?A=1&B=2"))
   }
 
   test("robotsDecision: longest match wins; allow beats disallow on ties") {
@@ -74,15 +74,15 @@ class CrawlSpec extends AnyFunSuite {
 
   test("urlGroups collapses canonical duplicates and keeps min id") {
     val df = Seq(
-      (10L, "HTTP://X.com:80/p?b=1&a=1&utm_source=s"),
-      (3L, "http://x.COM/p?utm_medium=m&a=1&b=1"),
-      (7L, "http://x.com/q")
+      (10L, "HTTP://X.example.com:80/p?b=1&a=1&utm_source=s"),
+      (3L, "http://x.example.COM/p?utm_medium=m&a=1&b=1"),
+      (7L, "http://x.example.com/q")
     ).toDF("id", "u")
     val g = Crawl.urlGroups(df, col("u"), col("id"))
       .orderBy(col("url")).collect()
     assert(g.length == 2)
-    assert(g(0).getString(0) == "http://x.com/p?a=1&b=1" &&
+    assert(g(0).getString(0) == "http://x.example.com/p?a=1&b=1" &&
       g(0).getLong(1) == 2L && g(0).getLong(2) == 3L)
-    assert(g(1).getString(0) == "http://x.com/q" && g(1).getLong(1) == 1L)
+    assert(g(1).getString(0) == "http://x.example.com/q" && g(1).getLong(1) == 1L)
   }
 }

@@ -25,7 +25,7 @@ PUBLIC_HOST = re.compile(
     r"(apache\.org|github\.com|arxiv\.org|aclanthology\.org|wikipedia\.org|"
     r"scala-lang\.org|scalatest\.org|duckdb\.org|w3\.org|example\.com|"
     r"openjdk\.org|ietf\.org|acm\.org|jmlr\.org|neurips|openreview|"
-    r"semanticscholar|doi\.org)$")
+    r"semanticscholar|doi\.org)$", re.IGNORECASE)
 BUCKET = re.compile(r"\b(s3a?|gs|abfss?|wasbs?)://[\w/.-]+")
 SLACK = re.compile(r"slack\.com|#[a-z0-9-]*claude|go/[a-z]")
 KEY = re.compile(r"\b(AKIA[A-Z0-9]{16}|sk-[A-Za-z0-9]{20,}|ghp_[A-Za-z0-9]{30,}|"
