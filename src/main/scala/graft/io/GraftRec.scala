@@ -175,11 +175,68 @@ class GraftRecTable(dir: String, tschema: StructType)
   override def schema(): StructType = tschema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftRecScanBuilder(dir, tschema)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftRecWriteBuilder(dir, info.schema())
+}
+
+/** STREAMING read over a grec directory — the micro-batch half of the
+  * connector (`spark.readStream.format("graft.io.GraftRecSource")`):
+  * each poll lists the committed `.grec` files and the OFFSET carries
+  * the sorted FILE-NAME SET itself (not a count/watermark — writer
+  * file names are UUIDs, so a newly committed file may sort anywhere;
+  * a count- or max-name-based offset would silently skip it). A
+  * micro-batch plans one partition per file in (end − start), exactly
+  * the ingest-tail shape of a file-drop pipeline; files are immutable
+  * once committed (the two-phase writer renames them into place), so
+  * replaying an offset range after recovery reads identical bytes. */
+case class GraftRecOffset(files: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    files.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") +
+      "\"").mkString("[", ",", "]")
+}
+
+class GraftRecMicroBatchStream(dir: String, full: StructType,
+                               required: StructType,
+                               pushed: Array[Filter])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = GraftRecOffset(Nil)
+
+  override def latestOffset(): Offset =
+    GraftRecOffset(GraftRec.listFiles(dir).map(_.getName).toSeq.sorted)
+
+  override def deserializeOffset(json: String): Offset = {
+    // minimal JSON string-array parse (names are writer-generated —
+    // uuid/part chars plus the escapes json() emits)
+    val names = "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(json)
+      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+    GraftRecOffset(names)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[GraftRecOffset].files.toSet
+    end.asInstanceOf[GraftRecOffset].files
+      .filterNot(seen)
+      .map(n => GraftRecPartition(new File(dir, n).getAbsolutePath))
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftRecReaderFactory(full.fields.map(_.name),
+      full.fields.map(f => f.dataType match {
+        case LongType => 0: Byte
+        case DoubleType => 1: Byte
+        case _ => 2: Byte
+      }),
+      required.fieldNames, pushed, None, -1)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** WRITE side of the connector, under the standard two-phase commit
@@ -449,6 +506,11 @@ class GraftRecScan(dir: String, full: StructType, required: StructType,
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = agg.map(_._2).getOrElse(required)
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(agg.isEmpty, "aggregate pushdown is a batch-only path")
+    new GraftRecMicroBatchStream(dir, full, required, pushed)
+  }
 
   /** Statistics from METADATA ONLY — what feeds join-strategy choices
     * (broadcast thresholds) without touching record bytes:

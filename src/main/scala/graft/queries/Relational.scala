@@ -1687,6 +1687,29 @@ object Relational {
         .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_ok"),
           max(col("o_orderkey")).as("max_ok"),
           sum(col("o_orderkey")).as("sum_ok"))
+    }),
+
+    // q335: grec STREAMING READ — the micro-batch half of the custom
+    // connector (TableCapability.MICRO_BATCH_READ + a from-scratch
+    // MicroBatchStream): offsets carry the sorted committed-file-name
+    // SET (writer names are UUIDs, so a count/watermark offset would
+    // silently skip a new file that sorts early), each micro-batch
+    // plans one partition per new file, and the committed two-phase
+    // writer guarantees replayed ranges read identical bytes. The
+    // declared query streams the q312 table through a complete-mode
+    // aggregation; the oracle is the batch replay from parquet.
+    "q335_grec_stream_read" -> ((s, d) => {
+      val name = "grec_stream_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val src = s.readStream.format("graft.io.GraftRecSource")
+        .load(grecDir(s, d))
+      val agg = src.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(name).orderBy(col("l_returnflag"))
     })
   )
 
@@ -2802,6 +2825,12 @@ object Relational {
         |  sum(l_quantity) AS sum_qty,
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
         |    / 100.0 AS revenue
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q335: the streamed aggregation replayed in batch from parquet.
+    "q335_grec_stream_read" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q330: the limit regime replayed — first-100-in-file-order of a

@@ -268,6 +268,46 @@ class GraftRecSpec extends AnyFunSuite {
     assert(statsS.sizeInBytes().getAsLong > 0L)
   }
 
+  test("streaming read: micro-batches consume exactly the NEW committed " +
+    "files, regardless of where their UUID names sort") {
+    import spark.implicits._
+    val dir = tmp()
+    // generation 1 through the committed DSv2 writer
+    (1L to 10L).map(i => (i, s"g${i % 2}")).toDF("id", "g").coalesce(1)
+      .write.format("graft.io.GraftRecSource").mode("append").save(dir)
+    val name = s"grecstream${System.nanoTime()}"
+    val q = spark.readStream.format("graft.io.GraftRecSource").load(dir)
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName(name).start()
+    q.processAllAvailable()
+    val first = spark.table(name).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(first == Map("g0" -> 5L, "g1" -> 5L))
+    // generation 2 lands mid-stream (fresh UUID names — may sort
+    // before generation 1's; the set-valued offset must still see it)
+    (11L to 16L).map(i => (i, "g0")).toDF("id", "g").coalesce(1)
+      .write.format("graft.io.GraftRecSource").mode("append").save(dir)
+    q.processAllAvailable()
+    q.stop()
+    val second = spark.table(name).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(second == Map("g0" -> 11L, "g1" -> 5L),
+      s"incremental batch not consumed exactly once: $second")
+  }
+
+  test("streaming offset JSON round-trips (incl. quoting)") {
+    import graft.io.{GraftRecMicroBatchStream, GraftRecOffset}
+    val ms = new GraftRecMicroBatchStream("/nonexistent",
+      new org.apache.spark.sql.types.StructType(),
+      new org.apache.spark.sql.types.StructType(), Array.empty)
+    val off = GraftRecOffset(Seq("part-a.grec", "we\"ird\\name.grec"))
+    val back = ms.deserializeOffset(off.json())
+    assert(back == off, s"${off.json()} -> $back")
+    assert(ms.deserializeOffset(GraftRecOffset(Nil).json()) ==
+      GraftRecOffset(Nil))
+  }
+
   test("filter pushdown: long range + equality combine; empty result ok") {
     import spark.implicits._
     val dir = tmp()
