@@ -58,7 +58,7 @@ object Bench {
       "q107_stream_session_window", "q122_stream_cdc_upsert",
       "q169_stream_hopping", "q309_stream_dedup_bounded",
       "q310_stream_transform_state", "q311_stream_outer_join",
-      "q333_stream_fp_dedup", "q335_grec_stream_read",
+      "q333_stream_fp_dedup", "q335_grec_stream_read", "q336_grec_stream_sink",
       "q319_stream_chained_agg")
     // returns (per-query seconds, pass wall seconds, streaming group
     // wall seconds). The pass wall is what "run the whole suite"

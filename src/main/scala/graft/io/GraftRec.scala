@@ -175,7 +175,8 @@ class GraftRecTable(dir: String, tschema: StructType)
   override def schema(): StructType = tschema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE).asJava
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftRecScanBuilder(dir, tschema)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -267,8 +268,58 @@ class GraftRecWriteBuilder(dir: String, schema: StructType)
 }
 
 class GraftRecWrite(dir: String, schema: StructType, truncate: Boolean)
-    extends Write with BatchWrite {
+    extends Write with BatchWrite
+    with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   override def toBatch: BatchWrite = this
+
+  // BatchWrite and StreamingWrite both default this; disambiguate.
+  override def useCommitCoordinator(): Boolean = true
+
+  /** STREAMING write — the connector's fourth quadrant (batch/stream ×
+    * read/write): the SAME two-phase protocol per EPOCH. Each task of
+    * each micro-batch stages `part-<epoch>-<partition>-…` invisibly;
+    * the driver's epoch-level commit renames that epoch's staged files
+    * into place. A replayed epoch (recovery re-runs a committed batch)
+    * stages fresh files whose commit simply re-lands the same rows
+    * under new names ONLY if the sink is idempotent at the consumer —
+    * grec is append-only, so exactly-once here comes from the
+    * checkpoint's offset log gating epoch re-execution, the standard
+    * DSv2 streaming-sink contract. */
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite = this
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val d = new File(dir)
+    require(!d.exists() || d.isDirectory,
+      s"grec target $dir exists and is not a directory")
+    d.mkdirs()
+    new GraftRecStreamingWriterFactory(dir, schema.fields.map(_.name),
+      schema.fields.map(f => f.dataType match {
+        case LongType => 0: Byte
+        case DoubleType => 1: Byte
+        case _ => 2: Byte
+      }))
+  }
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftRecCommitMsg(staged) if staged.nonEmpty =>
+        val src = new File(staged)
+        val dst = new File(staged.stripSuffix(GraftRec.StagingSuffix))
+        require(src.renameTo(dst),
+          s"grec epoch $epochId commit: rename $src -> $dst failed")
+      case _ => ()
+    }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftRecCommitMsg(staged) if staged.nonEmpty =>
+        new File(staged).delete(); ()
+      case _ => ()
+    }
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val d = new File(dir)
     require(!d.exists() || d.isDirectory,
@@ -307,17 +358,29 @@ class GraftRecWriterFactory(dir: String, names: Array[String],
     new GraftRecDataWriter(dir, names, codes, partitionId, taskId)
 }
 
+class GraftRecStreamingWriterFactory(dir: String, names: Array[String],
+                                     codes: Array[Byte])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    // epoch rides the partition id slot of the staged-file name so
+    // concurrent epochs can never collide on a path
+    new GraftRecDataWriter(dir, names, codes,
+      partitionId, taskId, s"e$epochId-")
+}
+
 /** Streams one partition into a staged grec file; empty partitions
   * stage nothing (message carries an empty path). */
 class GraftRecDataWriter(dir: String, names: Array[String], codes: Array[Byte],
-                         partitionId: Int, taskId: Long)
+                         partitionId: Int, taskId: Long,
+                         namePrefix: String = "")
     extends DataWriter[InternalRow] {
   private var staged: File = _
   private var out: DataOutputStream = _
 
   private def open(): Unit = {
     staged = new File(dir,
-      s"part-$partitionId-$taskId-${UUID.randomUUID()}.grec" +
+      s"part-$namePrefix$partitionId-$taskId-${UUID.randomUUID()}.grec" +
         GraftRec.StagingSuffix)
     out = new DataOutputStream(
       new BufferedOutputStream(new FileOutputStream(staged), 1 << 16))

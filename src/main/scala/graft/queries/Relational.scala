@@ -1710,6 +1710,34 @@ object Relational {
       q.processAllAvailable()
       q.stop()
       s.table(name).orderBy(col("l_returnflag"))
+    }),
+
+    // q336: grec STREAMING SINK — the connector's fourth quadrant
+    // (batch/stream × read/write): TableCapability.STREAMING_WRITE
+    // with the SAME two-phase protocol per EPOCH (staged
+    // `part-e<epoch>-…` files invisible to scans, epoch-level commit
+    // renames, abort deletes). Events stream through a projection
+    // into the sink; the batch read-back aggregates what landed — a
+    // leaked staged file or a lost epoch breaks the oracle, which
+    // replays from the source parquet.
+    "q336_grec_stream_sink" -> ((s, d) => {
+      val dir = s"/tmp/graft_grec_ss_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val src = Tables.eventsStream(s, d)
+        .select(col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"), col("event_type"))
+      val q = src.writeStream.format("graft.io.GraftRecSource")
+        .option("path", dir)
+        .option("checkpointLocation", dir + "_cp")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      s.read.format("graft.io.GraftRecSource").load(dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_uid"),
+          min(col("event_id")).as("min_eid"),
+          max(col("event_id")).as("max_eid"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -2826,6 +2854,14 @@ object Relational {
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
         |    / 100.0 AS revenue
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q336: the streamed-to-grec rows replayed from the source parquet.
+    "q336_grec_stream_sink" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_uid,
+        |  CAST(min(event_id) AS BIGINT) AS min_eid,
+        |  CAST(max(event_id) AS BIGINT) AS max_eid
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q335: the streamed aggregation replayed in batch from parquet.
     "q335_grec_stream_read" ->

@@ -296,6 +296,32 @@ class GraftRecSpec extends AnyFunSuite {
       s"incremental batch not consumed exactly once: $second")
   }
 
+  test("streaming sink: per-epoch two-phase commits land every batch, " +
+    "no staging residue, epochs visible in file names") {
+    import spark.implicits._
+    val srcDir = tmp(); val dstDir = tmp(); val cp = tmp() + "/cp"
+    (1L to 6L).map(i => (i, s"g${i % 2}")).toDF("id", "g").coalesce(1)
+      .write.format("graft.io.GraftRecSource").mode("append").save(srcDir)
+    // grec stream source → grec stream sink, end to end
+    val q = spark.readStream.format("graft.io.GraftRecSource").load(srcDir)
+      .writeStream.format("graft.io.GraftRecSource")
+      .option("path", dstDir).option("checkpointLocation", cp)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    (7L to 9L).map(i => (i, "g1")).toDF("id", "g").coalesce(1)
+      .write.format("graft.io.GraftRecSource").mode("append").save(srcDir)
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.format("graft.io.GraftRecSource").load(dstDir)
+      .select(col("id")).as[Long].collect().sorted.toSeq
+    assert(back == (1L to 9L), s"lost or duplicated epoch rows: $back")
+    val files = new java.io.File(dstDir).listFiles().map(_.getName)
+    assert(!files.exists(_.endsWith(".staging")), "staged residue")
+    // both epochs' committed files carry their epoch tag
+    assert(files.exists(_.startsWith("part-e0-")) &&
+      files.exists(_.startsWith("part-e1-")), files.toSeq.toString)
+  }
+
   test("streaming offset JSON round-trips (incl. quoting)") {
     import graft.io.{GraftRecMicroBatchStream, GraftRecOffset}
     val ms = new GraftRecMicroBatchStream("/nonexistent",
