@@ -612,6 +612,63 @@ object Graph {
     out
   }
 
+  /** LINK PREDICTION by common-neighbor scoring (Liben-Nowell &
+    * Kleinberg, CIKM 2003): for every NON-adjacent pair (a < b) that
+    * shares at least one common neighbor w with deg(w) ≤ `hubCap`,
+    * reports
+    *   - cn       — # common neighbors over the capped neighbor set,
+    *   - aa9      — Adamic–Adar Σ_w 1/ln deg(w), kept EXACT: ln deg(w)
+    *                is rounded to 9 decimals and scaled to a long (the
+    *                standing cross-engine libm guard — the ONLY float
+    *                step), the reciprocal is the exact integer
+    *                division 10¹⁸ div ln9 (truncation ≡ DuckDB `//`
+    *                on non-negatives), and the pair score is an exact
+    *                long sum of those per-neighbor weights,
+    *   - jaccard9 — round(cn / (deg_a + deg_b − cn), 9) over FULL
+    *                (uncapped) degrees.
+    * Returns the global top-`k` by (aa9 DESC, a, b) — a fully
+    * deterministic TakeOrdered boundary.
+    *
+    * The hub cap is the standard scale lever for this operator (a hub
+    * contributes ~1/ln(huge) ≈ 0 signal but deg² candidate pairs): the
+    * per-neighbor fan-out is bounded by hubCap², so the candidate join
+    * is O(Σ_w min(deg w, hubCap)²) regardless of skew. With `adj` read
+    * from the bucketed co-purchase artifact both sides of the
+    * wedge self-join arrive hash-partitioned on w — no Exchange before
+    * the join — and the only shuffles are the pair agg and the
+    * existing-edge anti join.
+    *
+    * @param adj symmetric simple adjacency (u, v, deg_u, deg_v) — both
+    *            directions present, no self-loops/duplicates, degrees
+    *            riding on the row (the co-purchase artifact contract).
+    * @return (a, b, cn, aa9, jaccard9) — top-k predicted links. */
+  def linkPrediction(adj: DataFrame, hubCap: Long, k: Int): DataFrame = {
+    // per-row Adamic–Adar weight of the CENTER node w = u: exact
+    // integer 10^18 div ln9(deg_w); pairs only exist for deg_w >= 2,
+    // so ln9 > 0 wherever the division runs (guarded anyway).
+    val thru = adj.filter(col("deg_u") <= hubCap && col("deg_u") >= 2L)
+      .withColumn("_ln9", graft.util.Exact.scaled(
+        round(log(col("deg_u").cast("double")), 9), 9))
+      .withColumn("_w9", expr("1000000000000000000 div _ln9"))
+    val t1 = thru.select(col("u").as("w"), col("v").as("a"),
+      col("deg_v").as("deg_a"), col("_w9"))
+    val t2 = thru.select(col("u").as("w"), col("v").as("b"),
+      col("deg_v").as("deg_b"))
+    val pairs = t1.join(t2, t1("w") === t2("w") && col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cn"), sum(col("_w9")).as("aa9"),
+        first(col("deg_a")).as("deg_a"), first(col("deg_b")).as("deg_b"))
+    pairs
+      .join(adj.select(col("u").as("a"), col("v").as("b")),
+        Seq("a", "b"), "left_anti")
+      .select(col("a"), col("b"), col("cn"), col("aa9"),
+        round(col("cn").cast("double") /
+          (col("deg_a") + col("deg_b") - col("cn")).cast("double"), 9)
+          .as("jaccard9"))
+      .orderBy(col("aa9").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   /** Newman–Girvan MODULARITY decomposition of a community assignment
     * ("Finding and evaluating community structure in networks", Phys.
     * Rev. E 69, 2004): per community c, Q_c = e_c/m − (d_c/2m)² where

@@ -114,6 +114,90 @@ object TextAnalysis {
     }.toDF("unit", "unit_count", "n_pieces", "seg", "score9")
   }
 
+  /** WORDPIECE TOKENIZER (greedy longest-match-first, the BERT family:
+    * Devlin et al. 2019, arXiv:1810.04805; Song et al. 2021,
+    * arXiv:2012.15524) — the subword family's third member beside
+    * [[graft.ops.BpeTrainer]] (merge-based) and [[unigramLmSegment]]
+    * (Viterbi-LM). WordPiece segments a WORD left to right, always
+    * taking the LONGEST vocabulary piece that matches at the cursor;
+    * non-initial pieces carry the '##' continuation prefix. As with
+    * q324, the frequency-initialized vocabulary regime is pinned so
+    * the whole train+segment chain replays cross-engine:
+    *
+    *  - WORDS: `\w+` runs of the lowercased text, capped to the first
+    *    `maxWordLen` chars, deduplicated with multiplicity (one
+    *    segmentation per distinct word — the tokenizer-apply shape).
+    *  - CANDIDATES: initial pieces = prefixes of length 1..`maxPieceLen`;
+    *    continuation pieces = '##'+substrings starting at ≥1 (words
+    *    never contain '#' — `\w` excludes it — so the marker is
+    *    unambiguous); counts = Σ word multiplicity.
+    *  - VOCAB: every single-char piece in BOTH forms (segmentation
+    *    totality — greedy can never dead-end) + the top `vocabSize`
+    *    multi-char pieces by (count DESC, piece ASC), a TakeOrdered
+    *    boundary.
+    *  - SEGMENT: greedy longest match against the broadcast vocab —
+    *    deterministic (no tie exists: lengths are distinct), exact.
+    *
+    * At 100 TB: word stats and candidate counts are partial-aggregated
+    * narrow passes, the vocabulary is an O(vocab) broadcast codebook,
+    * and segmentation is embarrassingly parallel per distinct word.
+    *
+    * @return (word, word_count, n_pieces, seg '|'-joined with '##'
+    *         continuation markers). */
+  def wordPieceSegment(df: DataFrame, textCol: String,
+                       vocabSize: Int = 200, maxPieceLen: Int = 4,
+                       maxWordLen: Int = 12): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df
+      .select(explode(split(lower(col(textCol)), "[^\\w]+")).as("w0"))
+      .where(length(col("w0")) >= 1)
+      .select(substring(col("w0"), 1, maxWordLen).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val cands = words.as[(String, Long)]
+      .flatMap { case (w, c) =>
+        for {
+          st <- 0 until w.length
+          k <- 1 to math.min(maxPieceLen, w.length - st)
+        } yield (if (st == 0) w.substring(0, k)
+                 else "##" + w.substring(st, st + k), c)
+      }.toDF("piece", "c")
+      .groupBy(col("piece")).agg(sum(col("c")).as("cnt"))
+    val contentLen = when(col("piece").startsWith("##"),
+      length(col("piece")) - 2).otherwise(length(col("piece")))
+    val chars = cands.where(contentLen === 1)
+    val multi = cands.where(contentLen >= 2)
+      .orderBy(col("cnt").desc, col("piece").asc).limit(vocabSize)
+    val vocab: Set[String] = chars.union(multi)
+      .select(col("piece")).as[String].collect().toSet
+    val bc = spark.sparkContext.broadcast(vocab)
+    words.as[(String, Long)].mapPartitions { it =>
+      val v = bc.value
+      it.map { case (w, c) =>
+        val n = w.length
+        val sb = new StringBuilder
+        var np = 0
+        var pos = 0
+        while (pos < n) {
+          var k = math.min(maxPieceLen, n - pos)
+          var hit = 0
+          while (hit == 0 && k >= 1) {
+            val cand = if (pos == 0) w.substring(0, k)
+                       else "##" + w.substring(pos, pos + k)
+            if (v.contains(cand)) hit = k else k -= 1
+          }
+          // totality: every single char is in the vocab in both forms
+          if (np > 0) sb.append('|')
+          if (pos > 0) sb.append("##")
+          sb.append(w.substring(pos, pos + hit))
+          np += 1
+          pos += hit
+        }
+        (w, c, np.toLong, sb.toString)
+      }
+    }.toDF("word", "word_count", "n_pieces", "seg")
+  }
+
   /** Per-doc quality metrics; every ratio is int/int → deterministic.
     * Columns: n_tokens, n_distinct, avg_token_len, distinct_ratio,
     * stopword_ratio, punct_ratio, n_subwords. */

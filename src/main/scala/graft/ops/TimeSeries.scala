@@ -69,6 +69,67 @@ object TimeSeries {
         "forecast_2", "forecast_3", "sae6")
   }
 
+  /** HOLT–WINTERS ADDITIVE SEASONAL smoothing + h-step FORECAST
+    * (Winters 1960; the seasonality-aware member of the
+    * [[ewmaBounded]] → [[holtSmooth]] family): per key over its
+    * observed-day count series with a weekly (`period` = 7) additive
+    * seasonal state,
+    *   idx  = t mod period
+    *   l_t  = (y_t·S − s[idx] + 3·(l_{t−1}+b_{t−1})) / 4   (α = 1/4)
+    *   b_t  = ((l_t − l_{t−1}) + 4·b_{t−1}) / 5            (β = 1/5)
+    *   s[idx] ← ((y_t·S − l_t) + 2·s[idx]) / 3             (γ = 1/3)
+    * seeded l_0 = y_0·S, b_0 = 0, s ≡ 0 (the zero-initialized
+    * seasonal vector LEARNS the weekly shape as rounds pass — no
+    * first-season special case to replay). All state is S = 10⁶
+    * scaled longs with TRUNCATING division — Java `/` and DuckDB `//`
+    * both truncate toward zero (negatives included, which seasonal
+    * deviations produce), so the recurrence replays bit-for-bit.
+    * Also reports the one-step-ahead backtest Σ|y_t·S − (l+b+s[idx])|
+    * and forecasts ŷ_{T+h} = l_T + h·b_T + s[(T−1+h) mod period].
+    *
+    * Scale shape: identical to [[holtSmooth]] — one partial-agg
+    * shuffle to (key, day) counts, one mapGroups per key; per-key
+    * state is `period`+2 longs. Sequential in t, embarrassingly
+    * parallel across keys.
+    *
+    * @return (key, n_days, level6, trend6, s0..s{period−1},
+    *          forecast_1..3, sae6). */
+  def holtWinters(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val period = 7 // weekly seasonality over daily counts (pinned)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val S = 1000000L
+    df.groupBy(col(keyCol).as("k"), date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .select(col("k"), col("day"), col("y"))
+      .as[(String, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (k, it) =>
+        val ys = it.toArray.sortBy(_._2.getTime).map(_._3)
+        val s = new Array[Long](period)
+        var l = ys(0) * S
+        var b = 0L
+        var sae = 0L
+        var t = 1
+        while (t < ys.length) {
+          val idx = t % period
+          val pred = l + b + s(idx)
+          sae += math.abs(ys(t) * S - pred)
+          val lNew = (ys(t) * S - s(idx) + 3L * (l + b)) / 4L
+          b = ((lNew - l) + 4L * b) / 5L
+          s(idx) = ((ys(t) * S - lNew) + 2L * s(idx)) / 3L
+          l = lNew
+          t += 1
+        }
+        val last = ys.length - 1
+        def fc(h: Int): Long = l + h * b + s((last + h) % period)
+        (k, ys.length.toLong, l, b, s(0), s(1), s(2), s(3), s(4), s(5),
+          s(6), fc(1), fc(2), fc(3), sae)
+      }
+      .toDF(keyCol, "n_days", "level6", "trend6", "s0", "s1", "s2", "s3",
+        "s4", "s5", "s6", "forecast_1", "forecast_2", "forecast_3", "sae6")
+  }
+
   /** Hourly LOCF panel: for each key, one row per hour from its first
     * to its last observation, carrying the latest value at-or-before
     * the grid instant (null before the first in-hour observation).

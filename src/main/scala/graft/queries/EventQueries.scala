@@ -881,6 +881,20 @@ object EventQueries {
         .orderBy(col("event_type"))
     }),
 
+    // HOLT–WINTERS ADDITIVE SEASONAL (Winters 1960) — q332's Holt
+    // recurrence extended with a zero-initialized weekly (period 7)
+    // seasonal state vector (γ=1/3), the forecasting shape for
+    // day-of-week-cyclic operational series. Seasonal deviations go
+    // NEGATIVE, so this also pins truncation-toward-zero division on
+    // negatives across engines (Java `/` ≡ DuckDB `//`). Reports the
+    // full final seasonal state s0..s6, seasonal-aware h∈{1,2,3}
+    // forecasts, and the one-step-ahead backtest error.
+    "q339_holt_winters" -> ((s, d) => {
+      graft.ops.TimeSeries.holtWinters(Tables.events(s, d), "event_type",
+          "ts")
+        .orderBy(col("event_type"))
+    }),
+
     // Sketch set algebra: per user-bucket cell, |A|, |B|, |A∪B| from
     // pairwise hll_union register math and |A∩B| by inclusion–
     // exclusion — audience overlap from O(sketch) state, no re-scan.
@@ -1978,6 +1992,60 @@ object EventQueries {
         |FROM rec r JOIN nmax n
         |  ON n.event_type = r.event_type AND r.t = n.tmax
         |ORDER BY r.event_type""".stripMargin,
+
+    // q339: the Holt–Winters recurrence replayed step by step — the
+    // q332 recursive-CTE shape with the seven seasonal states carried
+    // as explicit columns; the CASE chains select/update the active
+    // index, and `//` truncation-toward-zero covers the NEGATIVE
+    // seasonal deviations too (pinned by the DuckDB semantics).
+    "q339_holt_winters" -> {
+      def sCase(idxExpr: String, p: String): String =
+        s"CASE $idxExpr " + (0 to 6).map(i => s"WHEN $i THEN ${p}s$i")
+          .mkString(" ") + " END"
+      val sUpd = (0 to 6).map(i =>
+        s"    CASE WHEN idx = $i THEN ((ynew - lnew) + 2 * s$i) // 3 " +
+          s"ELSE s$i END,").mkString("\n")
+      val sInit = (0 to 6).map(i => s"CAST(0 AS BIGINT) AS s$i")
+        .mkString(", ")
+      s"""WITH RECURSIVE d AS (
+         |  SELECT event_type, date_trunc('day', ts) AS day,
+         |    CAST(count(*) AS BIGINT) AS y
+         |  FROM events GROUP BY 1, 2
+         |), o AS (
+         |  SELECT event_type, y,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY day) - 1
+         |      AS t
+         |  FROM d
+         |), nmax AS (
+         |  SELECT event_type, max(t) AS tmax FROM o GROUP BY 1
+         |), rec AS (
+         |  SELECT event_type, 0 AS t, y * 1000000 AS l,
+         |    CAST(0 AS BIGINT) AS b, $sInit, CAST(0 AS BIGINT) AS sae
+         |  FROM o WHERE t = 0
+         |  UNION ALL
+         |  SELECT event_type, t + 1, lnew, ((lnew - l) + 4 * b) // 5,
+         |$sUpd
+         |    sae + abs(ynew - (l + b + scur))
+         |  FROM (
+         |    SELECT r.*, (r.t + 1) % 7 AS idx, nx.y * 1000000 AS ynew,
+         |      ${sCase("(r.t + 1) % 7", "r.")} AS scur,
+         |      (nx.y * 1000000 - ${sCase("(r.t + 1) % 7", "r.")}
+         |        + 3 * (r.l + r.b)) // 4 AS lnew
+         |    FROM rec r JOIN o nx
+         |      ON nx.event_type = r.event_type AND nx.t = r.t + 1
+         |  )
+         |)
+         |SELECT r.event_type, CAST(r.t + 1 AS BIGINT) AS n_days,
+         |  r.l AS level6, r.b AS trend6,
+         |  r.s0, r.s1, r.s2, r.s3, r.s4, r.s5, r.s6,
+         |  r.l + 1 * r.b + ${sCase("(r.t + 1) % 7", "r.")} AS forecast_1,
+         |  r.l + 2 * r.b + ${sCase("(r.t + 2) % 7", "r.")} AS forecast_2,
+         |  r.l + 3 * r.b + ${sCase("(r.t + 3) % 7", "r.")} AS forecast_3,
+         |  r.sae AS sae6
+         |FROM rec r JOIN nmax n
+         |  ON n.event_type = r.event_type AND r.t = n.tmax
+         |ORDER BY r.event_type""".stripMargin
+    },
 
     "q229_acf_hourly" ->
       """WITH c AS (

@@ -638,6 +638,18 @@ object PipelineOps {
         .orderBy(col("unit"))
     }),
 
+    // q338: WORDPIECE (greedy longest-match-first, the BERT family) —
+    // the subword trio's third member beside BPE (merge-based, q115/
+    // q116) and unigram-LM (Viterbi, q324). Same pinned frequency-
+    // initialized vocabulary discipline; the oracle PRECOMPUTES the
+    // greedy step table (longest matching piece per (word, pos)) and
+    // walks it with a recursive CTE, so a wrong vocabulary boundary,
+    // a wrong '##' form, or any non-longest match breaks the hash.
+    "q338_wordpiece_segment" -> ((s, d) => {
+      TextAnalysis.wordPieceSegment(Tables.documents(s, d), "text")
+        .orderBy(col("word"))
+    }),
+
     // TOKENIZER FERTILITY per source — the tokenizer-EVAL table every
     // tokenizer change ships with (pieces per char / per word):
     // q324's unigram segmentation joined back to its documents and
@@ -4099,6 +4111,70 @@ object PipelineOps {
         |  CAST(best.np AS INT) AS n_pieces,
         |  best.seg AS seg, best.s AS score9
         |FROM fin ORDER BY unit""".stripMargin),
+
+    // q338: WordPiece replayed end-to-end — word stats, candidate
+    // counts in both piece forms, the totality singles + top-200
+    // (cnt DESC, piece ASC) vocabulary, then the GREEDY walk: `step`
+    // precomputes the longest matching piece per (word, pos)
+    // non-recursively (row_number by k DESC over vocabulary hits) and
+    // the recursive CTE just follows it to the end of the word.
+    "q338_wordpiece_segment" ->
+      """WITH RECURSIVE w0 AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT substr(w0, 1, 12) AS w FROM (
+        |      SELECT unnest(regexp_split_to_array(lower(text), '[^\w]+'))
+        |        AS w0
+        |      FROM documents) t
+        |    WHERE len(w0) >= 1)
+        |  GROUP BY 1
+        |), pc AS (
+        |  SELECT CASE WHEN st = 1 THEN substr(w, 1, CAST(k AS INT))
+        |         ELSE '##' || substr(w, CAST(st AS INT), CAST(k AS INT))
+        |         END AS piece,
+        |    CAST(sum(c) AS BIGINT) AS cnt
+        |  FROM w0, unnest(range(1, 13)) AS s(st), unnest(range(1, 5)) AS kk(k)
+        |  WHERE st + k - 1 <= len(w)
+        |  GROUP BY 1
+        |), vocab AS (
+        |  SELECT piece FROM pc
+        |  WHERE len(piece) - CASE WHEN piece LIKE '##%' THEN 2 ELSE 0 END = 1
+        |  UNION ALL
+        |  SELECT piece FROM (
+        |    SELECT piece, row_number() OVER (ORDER BY cnt DESC, piece ASC)
+        |      AS r
+        |    FROM pc
+        |    WHERE len(piece) - CASE WHEN piece LIKE '##%' THEN 2 ELSE 0 END
+        |      >= 2)
+        |  WHERE r <= 200
+        |), step AS (
+        |  SELECT w, pos, k, piece FROM (
+        |    SELECT w0.w, p.pos, kk.k,
+        |      CASE WHEN p.pos = 0 THEN substr(w0.w, 1, CAST(kk.k AS INT))
+        |           ELSE '##' || substr(w0.w, CAST(p.pos + 1 AS INT),
+        |             CAST(kk.k AS INT))
+        |      END AS piece,
+        |      row_number() OVER (PARTITION BY w0.w, p.pos
+        |                         ORDER BY kk.k DESC) AS r
+        |    FROM w0, unnest(range(0, 12)) AS p(pos),
+        |      unnest(range(1, 5)) AS kk(k)
+        |    WHERE p.pos + kk.k <= len(w0.w)
+        |      AND (CASE WHEN p.pos = 0 THEN substr(w0.w, 1, CAST(kk.k AS INT))
+        |           ELSE '##' || substr(w0.w, CAST(p.pos + 1 AS INT),
+        |             CAST(kk.k AS INT)) END)
+        |        IN (SELECT piece FROM vocab)
+        |  ) WHERE r = 1
+        |), rec AS (
+        |  SELECT w, 0 AS pos, 0 AS np, CAST('' AS VARCHAR) AS seg FROM w0
+        |  UNION ALL
+        |  SELECT r.w, r.pos + s.k, r.np + 1,
+        |    r.seg || CASE WHEN r.pos = 0 THEN '' ELSE '|' END || s.piece
+        |  FROM rec r JOIN step s ON s.w = r.w AND s.pos = r.pos
+        |)
+        |SELECT r.w AS word, w0.c AS word_count,
+        |  CAST(r.np AS BIGINT) AS n_pieces, r.seg
+        |FROM rec r JOIN w0 ON w0.w = r.w
+        |WHERE r.pos = len(r.w)
+        |ORDER BY word""".stripMargin,
 
     // q334: per-source tokenizer fertility over the SAME Viterbi
     // chain — units joined back to their docs, exact integer

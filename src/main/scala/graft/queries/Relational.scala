@@ -756,6 +756,16 @@ object Relational {
         .orderBy(col("node"))
     }),
 
+    // q337: link prediction over the co-purchase graph — Adamic–Adar
+    // + Jaccard common-neighbor scores for non-adjacent pairs, top-100
+    // by (aa9 DESC, a, b). The hub cap (deg ≤ 100) is the operator's
+    // scale lever (bounds wedge fan-out at cap² per center) AND a
+    // pinned semantic both engines replay; the wedge self-join reads
+    // both sides from the bucketed artifact (co-located on w).
+    "q337_link_prediction" -> ((s, d) =>
+      graft.ops.Graph.linkPrediction(coPurchaseAdj(s, d),
+        hubCap = 100L, k = 100)),
+
     // q192: exact join-size prediction from per-key histograms — the
     // self-join fan-out predictor (Σ cnt² over l_partkey) plus the
     // top-5 skew keys a salted join / AQE split would target; never
@@ -2250,6 +2260,42 @@ object Relational {
         |      / CAST(d.deg * (d.deg - 1) AS DOUBLE), 9)
         |  ELSE 0.0 END AS cc9
         |FROM deg d LEFT JOIN tri t USING (node) ORDER BY node""".stripMargin,
+    // q337: the same wedge generation as q204's kernel, Adamic–Adar
+    // weights via the standing ln-round-9 scaled-long guard, exact
+    // integer reciprocal (// ≡ Spark div on non-negatives), NOT EXISTS
+    // for the non-adjacency filter, deterministic top-100 boundary.
+    "q337_link_prediction" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS u,
+        |    CAST(b.l_partkey AS BIGINT) AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |sym AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+        |deg AS (
+        |  SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+        |  FROM sym GROUP BY 1),
+        |thru AS (
+        |  SELECT s.u AS w, s.v,
+        |    1000000000000000000 //
+        |      CAST(round(round(ln(CAST(dw.deg AS DOUBLE)), 9)
+        |        * 1000000000) AS BIGINT) AS w9
+        |  FROM sym s JOIN deg dw ON dw.node = s.u
+        |  WHERE dw.deg <= 100 AND dw.deg >= 2),
+        |pairs AS (
+        |  SELECT t1.v AS a, t2.v AS b, CAST(count(*) AS BIGINT) AS cn,
+        |    CAST(sum(t1.w9) AS BIGINT) AS aa9
+        |  FROM thru t1 JOIN thru t2 ON t2.w = t1.w AND t1.v < t2.v
+        |  GROUP BY 1, 2),
+        |nonedge AS (
+        |  SELECT p.* FROM pairs p
+        |  WHERE NOT EXISTS (SELECT 1 FROM e0 e WHERE e.u = p.a AND e.v = p.b))
+        |SELECT n.a, n.b, n.cn, n.aa9,
+        |  round(CAST(n.cn AS DOUBLE)
+        |    / CAST(da.deg + db.deg - n.cn AS DOUBLE), 9) AS jaccard9
+        |FROM nonedge n
+        |JOIN deg da ON da.node = n.a JOIN deg db ON db.node = n.b
+        |ORDER BY n.aa9 DESC, n.a, n.b LIMIT 100""".stripMargin,
+
     "q199_hilbert" -> {
       val (ctes, last, dcol) =
         graft.ops.Hilbert.hilbertSqlCtes("base",

@@ -335,4 +335,83 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(stars == bsp)
   }
+
+  // ---- linkPrediction (Adamic–Adar / Jaccard common-neighbor) ----
+
+  /** Build the (u, v, deg_u, deg_v) symmetric-adjacency contract from
+    * an undirected edge list. */
+  private def adjDf(edges: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.filter(e => e._1 != e._2)
+    val sym = und ++ und.map(_.swap)
+    val deg = sym.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    sym.map { case (u, v) => (u, v, deg(u), deg(v)) }
+      .toDF("u", "v", "deg_u", "deg_v")
+  }
+
+  /** Per-neighbor Adamic–Adar weight, the engine's exact formulation:
+    * 10^18 div (ln deg rounded to 9 decimals, scaled to a long). */
+  private def aaW9(deg: Long): Long =
+    1000000000000000000L / math.round(
+      BigDecimal(math.log(deg.toDouble)).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP).toDouble * 1e9)
+
+  /** Brute-force reference over neighbor sets. */
+  private def refLinkPred(edges: Seq[(Long, Long)], hubCap: Long)
+      : Map[(Long, Long), (Long, Long, Double)] = {
+    val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.filter(e => e._1 != e._2)
+    val nbr = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (n, es) => n -> es.map(_._2).toSet }
+    val undSet = und.toSet
+    val out = for {
+      a <- nbr.keys.toSeq; b <- nbr.keys.toSeq
+      if a < b && !undSet.contains((a, b))
+      common = (nbr(a) & nbr(b)).filter(w => nbr(w).size <= hubCap
+        && nbr(w).size >= 2)
+      if common.nonEmpty
+    } yield {
+      val cn = common.size.toLong
+      val aa = common.toSeq.map(w => aaW9(nbr(w).size.toLong)).sum
+      val jac = BigDecimal(cn.toDouble /
+        (nbr(a).size + nbr(b).size - cn).toDouble)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (a, b) -> (cn, aa, jac)
+    }
+    out.toMap
+  }
+
+  private def runLinkPred(edges: Seq[(Long, Long)], hubCap: Long, k: Int)
+      : Seq[(Long, Long, Long, Long, Double)] =
+    Graph.linkPrediction(adjDf(edges), hubCap, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+
+  test("linkPrediction: hand graph — scores, exclusions, determinism") {
+    // triangle 1-2-3 plus pendant 3-4: predictable pairs are (1,4) and
+    // (2,4), both through the single center 3 (deg 3)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val got = runLinkPred(edges, hubCap = 100L, k = 10)
+    val w3 = aaW9(3L)
+    assert(w3 == 1000000000000000000L / 1098612289L)
+    assert(got == Seq((1L, 4L, 1L, w3, 0.5), (2L, 4L, 1L, w3, 0.5)))
+    // hub cap below deg(3): the only center is excluded → no pairs
+    assert(runLinkPred(edges, hubCap = 2L, k = 10).isEmpty)
+  }
+
+  test("linkPrediction: seeded random graph equals the brute-force ref") {
+    val rnd = new scala.util.Random(29)
+    val edges = Seq.fill(250)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2)
+    val ref = refLinkPred(edges, hubCap = 12L)
+    val got = runLinkPred(edges, hubCap = 12L, k = 10000)
+    assert(got.size == ref.size)
+    got.foreach { case (a, b, cn, aa, jac) =>
+      assert(ref((a, b)) == ((cn, aa, jac)), s"pair ($a,$b)")
+    }
+    // top-k ordering: aa9 descending, ties by (a, b)
+    val keys = got.map(t => (-t._4, t._1, t._2))
+    assert(keys == keys.sorted)
+  }
 }

@@ -268,4 +268,93 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(solo.getLong(1) == 1L && solo.getLong(2) == 5000000L &&
       solo.getLong(3) == 0L && solo.getLong(7) == 0L)
   }
+
+  // ------------------------------------------------------------------
+  // holtWinters (q339) — Holt + additive weekly seasonality.
+  // ------------------------------------------------------------------
+  // output: k, n_days(1), level6(2), trend6(3), s0..s6(4..10),
+  //         forecast_1..3(11..13), sae6(14)
+
+  /** [[dayEvents]] is capped at 31 days by its Jan-only formatting;
+    * seasonal tests need ≥6 weeks, so this one walks real dates. */
+  private def hwDayEvents(k: String, perDay: Seq[Int]) =
+    perDay.zipWithIndex.flatMap { case (n, d) =>
+      val day = java.time.LocalDate.of(2024, 1, 1).plusDays(d)
+      (0 until n).map(j =>
+        (k, Timestamp.valueOf(s"$day 0${j % 9}:00:00")))
+    }
+
+  /** Plain-Scala mirror of the exact recurrence. */
+  private def hwRef(ys: Seq[Long]): (Long, Long, Array[Long], Seq[Long], Long) = {
+    val S = 1000000L
+    val s = new Array[Long](7)
+    var l = ys.head * S; var b = 0L; var sae = 0L
+    for (t <- 1 until ys.length) {
+      val idx = t % 7
+      sae += math.abs(ys(t) * S - (l + b + s(idx)))
+      val ln = (ys(t) * S - s(idx) + 3L * (l + b)) / 4L
+      b = ((ln - l) + 4L * b) / 5L
+      s(idx) = ((ys(t) * S - ln) + 2L * s(idx)) / 3L
+      l = ln
+    }
+    val last = ys.length - 1
+    (l, b, s, (1 to 3).map(h => l + h * b + s((last + h) % 7)), sae)
+  }
+
+  test("holtWinters: constant series — level exact, trend and season 0") {
+    val df = dayEvents("a", Seq.fill(21)(6)).toDF("k", "t")
+    val r = TimeSeries.holtWinters(df, "k", "t").collect().head
+    assert(r.getLong(1) == 21L && r.getLong(2) == 6000000L)
+    assert(r.getLong(3) == 0L && r.getLong(14) == 0L)
+    assert((4 to 10).forall(i => r.getLong(i) == 0L), "no spurious season")
+  }
+
+  test("holtWinters: planted weekly cycle — seasonal states split high " +
+    "and low days with the right signs, forecasts carry the cycle") {
+    // 6 full weeks of a period-7 pattern: day-of-cycle 0 spikes to 30,
+    // the rest sit at 10 — s must go positive exactly on the spike slot
+    val pattern = Seq(30, 10, 10, 10, 10, 10, 10)
+    val ys = Seq.fill(6)(pattern).flatten
+    val df = hwDayEvents("a", ys).toDF("k", "t")
+    val r = TimeSeries.holtWinters(df, "k", "t").collect().head
+    val (l, b, s, fc, sae) = hwRef(ys.map(_.toLong))
+    assert(r.getLong(2) == l && r.getLong(3) == b && r.getLong(14) == sae)
+    (0 to 6).foreach(i => assert(r.getLong(4 + i) == s(i), s"s$i"))
+    assert((11 to 13).map(r.getLong) == fc)
+    // the spike lands on t ≡ 0 (mod 7): its seasonal state is the
+    // unique strongly-positive one
+    assert(s(0) > 10000000L, s"spike season ${s(0)}")
+    assert((1 to 6).forall(i => s(i) < s(0) / 4), s.mkString(","))
+    // a seasonal forecast for the spike slot exceeds the flat slots:
+    // last t = 41, so h with (41+h)%7==0 is h=1 → forecast_1 spikes
+    assert(r.getLong(11) > r.getLong(12) + 10000000L)
+  }
+
+  test("holtWinters: negative seasonal deviations replay the toward-zero " +
+    "truncation (hand-traced first two steps)") {
+    // days: 9, 3 → l0=9e6; t=1: idx=1, pred=9e6, sae=6e6;
+    // l1=(3e6-0+27e6)/4=7.5e6; b1=(7.5e6-9e6)/5=-3e5 (toward zero);
+    // s1=((3e6-7.5e6)+0)/3=-1.5e6
+    val df = dayEvents("a", Seq(9, 3)).toDF("k", "t")
+    val r = TimeSeries.holtWinters(df, "k", "t").collect().head
+    assert(r.getLong(2) == 7500000L && r.getLong(3) == -300000L)
+    assert(r.getLong(5) == -1500000L && r.getLong(14) == 6000000L)
+  }
+
+  test("holtWinters: repartition invariance and ref equality on a " +
+    "seeded irregular series") {
+    val rnd = new scala.util.Random(17)
+    val ys = (1 to 23).map(_ => 1 + rnd.nextInt(20))
+    val df = (hwDayEvents("a", ys) ++ hwDayEvents("z", Seq(4))).toDF("k", "t")
+    val a = TimeSeries.holtWinters(df, "k", "t").orderBy("k").collect()
+    val b = TimeSeries.holtWinters(df.repartition(5), "k", "t")
+      .orderBy("k").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    val (l, bb, s, fc, sae) = hwRef(ys.map(_.toLong))
+    val ra = a.find(_.getString(0) == "a").get
+    assert(ra.getLong(2) == l && ra.getLong(3) == bb &&
+      ra.getLong(14) == sae)
+    (0 to 6).foreach(i => assert(ra.getLong(4 + i) == s(i)))
+    assert((11 to 13).map(ra.getLong) == fc)
+  }
 }

@@ -161,4 +161,69 @@ class TrainPipelineSpec extends AnyFunSuite {
     val rows = TextAnalysis.unigramLmSegment(docs, "text").collect()
     assert(rows.length == 1 && rows.head.getLong(1) == 7L)
   }
+
+  // ------------------------------------------------------------------
+  // wordPieceSegment (q338) — greedy longest-match-first subword
+  // segmentation, the BERT-family sibling of BPE and unigram-LM.
+  // ------------------------------------------------------------------
+
+  private def wpMap(texts: Seq[String]): Map[String, (Long, Long, String)] =
+    TextAnalysis.wordPieceSegment(texts.toDF("text"), "text")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+
+  test("wordPieceSegment: frequent word stays whole; greedy takes the " +
+    "longest match even when a shorter split would use fewer pieces later") {
+    // 'abcd' (len ≤ maxPieceLen) is itself a vocabulary piece — one piece
+    val m = wpMap(Seq.fill(30)("abcd") :+ "zq")
+    assert(m("abcd") == ((30L, 1L, "abcd")))
+    assert(m("zq")._2 == 1L) // 'zq' itself is a candidate piece (len 2)
+  }
+
+  test("wordPieceSegment: continuation pieces carry the ## marker and " +
+    "spell the word back") {
+    val m = wpMap(Seq.fill(5)("abcdefgh"))
+    val (_, np, seg) = m("abcdefgh")
+    // greedy: 'abcd' then '##efgh' (both frequent, maxPieceLen 4)
+    assert(seg == "abcd|##efgh" && np == 2L, s"got $seg")
+    val spelled = seg.split("\\|").map(_.stripPrefix("##")).mkString
+    assert(spelled == "abcdefgh")
+  }
+
+  test("wordPieceSegment: totality — a hapax over unseen multi-char " +
+    "pieces falls back to single chars, initial vs ## forms distinct") {
+    // corpus vocab is dominated by 'wwww' pieces; 'qzkj' appears once —
+    // its multi-char pieces may miss the top list but singles always exist
+    val m = wpMap(Seq.fill(500)("wwww") :+ "qzkj")
+    val (_, _, seg) = m("qzkj")
+    assert(seg.replace("|", "").replace("##", "") == "qzkj")
+    seg.split("\\|").zipWithIndex.foreach { case (p, i) =>
+      if (i == 0) assert(!p.startsWith("##"))
+      else assert(p.startsWith("##"), s"non-initial piece '$p' unmarked")
+    }
+  }
+
+  test("wordPieceSegment: lowercasing, word capping, and multiplicity") {
+    val m = wpMap(Seq("ABCD abcd", "abcdefghijklmnop"))
+    assert(m("abcd")._1 == 2L) // case-folded into one word
+    // words cap at maxWordLen=12 chars
+    assert(m.keySet.contains("abcdefghijkl"))
+    assert(m.keys.forall(_.length <= 12))
+  }
+
+  test("wordPieceSegment: repartition-invariant and piece-count consistent") {
+    val docs = graft.io.Tables.documents(spark, TestSession.sf)
+    val a = TextAnalysis.wordPieceSegment(docs, "text")
+      .orderBy("word").collect()
+    val b = TextAnalysis.wordPieceSegment(docs.repartition(7), "text")
+      .orderBy("word").collect()
+    assert(a.length == b.length && a.length > 10)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+    a.foreach { r =>
+      assert(r.getString(3).split("\\|").length.toLong == r.getLong(2))
+      assert(r.getString(3).replace("|", "").replace("##", "")
+        == r.getString(0))
+    }
+  }
 }
