@@ -201,6 +201,34 @@ object Sketches {
       .agg(max(col("_rho")).as("reg"))
   }
 
+  /** KMV (bottom-k) distinct sketch per group — the
+    * [[graft.functions.KmvAggregator]] over the portable 60-bit md5
+    * hash of `valueCol`. The third member of the distinct-count
+    * family: DataSketches HLL (rows-only in its approximate regime),
+    * the portable-HLL registers (register-replayable), and now a
+    * sketch whose ESTIMATE replays cross-engine even when
+    * approximate — the k-th smallest distinct hash is a deterministic
+    * order statistic and (k−1)·2⁶⁰ div h_k is exact integer math, so
+    * DuckDB reproduces the estimate bit-for-bit at any cardinality.
+    * Below k distinct values the sketch degenerates to the exact set.
+    *
+    * One partial-agg shuffle; O(k) state per group map-side and
+    * through the wire; shard sketches merge into coarser rollups
+    * without re-scanning (SketchesSpec pins partial ∪ = global).
+    *
+    * @return groupCols :+ (n_kept, kth_hash, est_distinct). */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  k: Int = 256): DataFrame = {
+    val h = conv(substring(md5(col(valueCol).cast("string")
+      .cast("binary")), 1, 15), 16, 10).cast("long")
+    val kmv = udaf(new graft.functions.KmvAggregator(k))
+    df.withColumn("_h", h)
+      .groupBy(groupCols.map(col): _*)
+      .agg(kmv(col("_h")).as("kmv"))
+      .select((groupCols.map(col) :+ col("kmv._1").as("n_kept") :+
+        col("kmv._2").as("kth_hash") :+ col("kmv._3").as("est_distinct")): _*)
+  }
+
   /** The HLL estimate from [[portableHllRegisters]] registers, kept
     * cross-engine-deterministic: the harmonic sum Σ2^(−Mj) is EXACT
     * integer math (Σ 2^(width+1−Mj) in a long, empty buckets at

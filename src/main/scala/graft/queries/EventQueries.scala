@@ -818,6 +818,19 @@ object EventQueries {
     // granularity where sketch cubes are actually built at 100 TB;
     // the q65 coarse rollup keeps its rows-only status (estimates at
     // 1.5k distinct are approximate by design).
+    // KMV (bottom-k) distinct sketch per event type — the
+    // distinct-count family member whose ESTIMATE replays
+    // cross-engine even in the approximate regime (unlike HLL's
+    // rows-only q65): the k-th smallest distinct portable-md5 hash is
+    // a deterministic order statistic and (k−1)·2⁶⁰ div h_k is exact
+    // integer math. Below k distinct the sketch is the exact set.
+    // O(k) mergeable state per group (custom Aggregator UDAF).
+    "q340_kmv_distinct" -> ((s, d) => {
+      graft.ops.Sketches.kmvDistinct(Tables.events(s, d),
+          Seq("event_type"), "user_id", k = 256)
+        .orderBy(col("event_type"))
+    }),
+
     "q103_hll_cells" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .withColumn("bucket", col("user_id") % 64)
@@ -2258,6 +2271,31 @@ object EventQueries {
         |    * 562949953421312.0 / CAST(s_all AS DOUBLE) AS e_raw
         |  FROM est)
         |ORDER BY event_type""".stripMargin,
+    // q340: the KMV order statistic + integer estimator replayed —
+    // distinct portable hashes, row_number ≤ k, max = h_k, and the
+    // HUGEINT (k−1)·2⁶⁰ // h_k (exact-regime groups fall out of the
+    // CASE). Any wrong hash, a lost duplicate, or an off-by-one in
+    // the order statistic breaks the hash.
+    "q340_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+        |  FROM h),
+        |kth AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+        |    max(h) AS kth_hash
+        |  FROM r WHERE rk <= 256 GROUP BY 1)
+        |SELECT event_type, n_kept, kth_hash,
+        |  CASE WHEN n_kept < 256 THEN n_kept
+        |       ELSE CAST((CAST(255 AS HUGEINT) * 1152921504606846976)
+        |         // kth_hash AS BIGINT) END AS est_distinct
+        |FROM kth ORDER BY event_type""".stripMargin,
+
     // Exact because every cell is in the sketch's coupon regime — the
     // ground truth is plain COUNT(DISTINCT) per cell.
     "q103_hll_cells" ->

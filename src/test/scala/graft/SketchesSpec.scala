@@ -248,4 +248,57 @@ class SketchesSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(merged == global, "register max-merge must be lossless")
   }
+
+  // ---- kmvDistinct (q340) — bottom-k order-statistic sketch ----
+
+  /** The engine's portable 60-bit hash, recomputed independently. */
+  private def h60(v: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(v.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  private def kmvRef(ids: Seq[Long], k: Int): (Long, Long, Long) = {
+    val hs = ids.distinct.map(i => h60(i.toString)).sorted.take(k)
+    val n = hs.length.toLong
+    val kth = if (hs.isEmpty) 0L else hs.last
+    val est = if (n < k) n
+      else (BigInt(k - 1) * (BigInt(1) << 60) / BigInt(kth)).toLong
+    (n, kth, est)
+  }
+
+  test("kmvDistinct: exact below k (duplicates never occupy slots), " +
+    "replayable estimate above k, both equal to the hash-level ref") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // group 'small': 40 distinct ids duplicated 25× each (< k=64 → exact)
+    // group 'big': 2000 distinct ids (> k → order-statistic estimate)
+    val rows = ((1 to 1000).map(_ => ("small", rnd.nextInt(40).toLong)) ++
+      (1 to 4000).map(_ => ("big", rnd.nextInt(100000).toLong))).toList
+    val df = rows.toDF("g", "id")
+    val got = Sketches.kmvDistinct(df, Seq("g"), "id", k = 64)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val smallIds = rows.filter(_._1 == "small").map(_._2)
+    val bigIds = rows.filter(_._1 == "big").map(_._2)
+    assert(got("small") == kmvRef(smallIds, 64))
+    assert(got("small")._3 == smallIds.distinct.size.toLong,
+      "below-k estimate must be the exact distinct count")
+    assert(got("big") == kmvRef(bigIds, 64))
+    // sanity: the estimator lands near the truth (1/√62 ≈ 13% @ 3σ)
+    val exactBig = bigIds.distinct.size.toLong
+    assert(math.abs(got("big")._3 - exactBig).toDouble / exactBig < 0.4)
+  }
+
+  test("kmvDistinct: partition/merge-order invariance (mergeable partials)") {
+    import spark.implicits._
+    val rows = (1 to 5000).toList.map(i => ("g", (i * 2654435761L) % 1200))
+    val a = Sketches.kmvDistinct(rows.toDF("g", "id"), Seq("g"), "id", 128)
+      .collect().map(_.toSeq).toSeq
+    val b = Sketches.kmvDistinct(rows.toDF("g", "id").repartition(17),
+        Seq("g"), "id", 128)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
 }
