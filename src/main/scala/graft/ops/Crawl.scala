@@ -101,4 +101,47 @@ object Crawl {
         coalesce(col("best.allow"), lit(true)).as("allowed"),
         coalesce(col("best.prefix"), lit("(default)")).as("rule"))
   }
+
+  /** HTML MAIN-CONTENT EXTRACTION — the tag-strip / link-harvest /
+    * boilerplate-signal pass between fetch and text curation in every
+    * web-corpus pipeline (the regex tier of trafilatura/jusText-class
+    * extractors; semantics-bearing rules only, no DOM):
+    *
+    *  - `title`: first `<title>…</title>` payload (non-greedy);
+    *  - script/style SUBTREES removed before the tag strip (their
+    *    payload is code, not content — a plain tag strip would leak
+    *    it into the text), then comments, then all remaining tags;
+    *    whitespace runs collapsed, ends trimmed;
+    *  - `links`: every `href="…"`/`href='…'` value in document order,
+    *    '|'-joined (the frontier-expansion harvest), plus `n_links`;
+    *  - `text_ratio6`: stripped-text length over raw HTML length
+    *    (×10⁶ integral division) — the classic text-to-markup
+    *    boilerplate signal low-content chrome pages fail.
+    *
+    * Pure built-in regexp Column expressions (codegen, zero UDFs,
+    * replays in any RE2/PCRE engine — `(?s)` and non-greedy are
+    * common dialect); at 100 TB this is a narrow per-row map fused
+    * into the scan stage, no shuffle at all.
+    *
+    * @return input + (title, text, n_links, links, html_len,
+    *         text_len, text_ratio6). */
+  def htmlExtract(df: org.apache.spark.sql.DataFrame, htmlCol: Column)
+      : org.apache.spark.sql.DataFrame = {
+    val noScript = regexp_replace(htmlCol,
+      "(?s)<(script|style)[^>]*>.*?</(script|style)>", "")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", "")
+    val stripped = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    val text = trim(regexp_replace(stripped, "\\s+", " "))
+    val links = regexp_extract_all(htmlCol,
+      lit("href=[\"']([^\"']+)[\"']"), lit(1))
+    df.withColumn("title",
+        regexp_extract(htmlCol, "(?s)<title>(.*?)</title>", 1))
+      .withColumn("text", text)
+      .withColumn("n_links", size(links).cast("long"))
+      .withColumn("links", array_join(links, "|"))
+      .withColumn("html_len", length(htmlCol).cast("long"))
+      .withColumn("text_len", length(text).cast("long"))
+      .withColumn("text_ratio6",
+        expr("text_len * 1000000 div html_len"))
+  }
 }

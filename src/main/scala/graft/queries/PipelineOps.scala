@@ -1918,6 +1918,40 @@ object PipelineOps {
         .orderBy(col("source"), col("rule"))
     }),
 
+    // q341: HTML MAIN-CONTENT EXTRACTION — the fetch→text pass of the
+    // crawl family (q326 canonicalize / q328 robots): markup
+    // synthesized deterministically from doc fields on both engines
+    // (same discipline as q326's raw URLs), incl. a script whose body
+    // contains a bare '<' and function-call text and a style block —
+    // payloads a naive tag strip would leak into the text — plus
+    // double- AND single-quoted hrefs and a comment. The extractor
+    // (title, subtree-then-tag strip, link harvest, text-to-markup
+    // ratio) is pure codegen regexp; the oracle replays every rule.
+    "q341_html_extract" -> ((s, d) => {
+      val html = concat(
+        lit("<html><head><title>"), col("source"), lit(" doc "),
+        (col("doc_id") % 100).cast("string"), lit("</title>"),
+        when(col("doc_id") % 4 === 0, lit("<script type=\"text/javascript\">" +
+          "var x = 1 < 2; nav(\"menu\");</script>")).otherwise(lit("")),
+        when(col("doc_id") % 6 === 1, lit("<style>.m { color: red; }</style>"))
+          .otherwise(lit("")),
+        lit("</head><body class=\"main\"><h1>"), col("lang"),
+        lit("</h1><p>"), substring(col("text"), 1, 80), lit("</p>"),
+        lit("<a href=\"https://"), col("source"), lit(".example.com/doc"),
+        (col("doc_id") % 10).cast("string"), lit("\">next</a>"),
+        when(col("doc_id") % 3 === 0, concat(lit("<a href='/rel/doc"),
+          (col("doc_id") % 7).cast("string"), lit("'>rel</a>")))
+          .otherwise(lit("")),
+        lit("<!-- gen "), (col("doc_id") % 5).cast("string"),
+        lit(" --></body></html>"))
+      Crawl.htmlExtract(
+          Tables.documents(s, d).select(col("doc_id"), html.as("html")),
+          col("html"))
+        .select(col("doc_id"), col("title"), col("text"), col("n_links"),
+          col("links"), col("html_len"), col("text_len"), col("text_ratio6"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q326_url_canonicalize" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val raw = concat(
@@ -5538,6 +5572,55 @@ object PipelineOps {
     // q326: the canonicalizer replayed rule by rule — identical URL
     // synthesis, regexp component extraction, conditional port strip,
     // tracking-param list_filter, lexicographic param sort.
+    // q341: identical markup synthesis (apostrophes doubled for SQL),
+    // then the extractor replayed rule by rule: script/style SUBTREE
+    // removal before the tag strip (the script body's bare '<' and
+    // the style payload must vanish, not leak), comment drop, tag→
+    // space, whitespace collapse + trim, both href quote forms in
+    // document order, and the ×1e6 integral text-to-markup ratio.
+    "q341_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>' || source || ' doc '
+        |    || CAST(doc_id % 100 AS VARCHAR) || '</title>'
+        |    || CASE WHEN doc_id % 4 = 0 THEN
+        |         '<script type="text/javascript">var x = 1 < 2; nav("menu");</script>'
+        |       ELSE '' END
+        |    || CASE WHEN doc_id % 6 = 1 THEN
+        |         '<style>.m { color: red; }</style>' ELSE '' END
+        |    || '</head><body class="main"><h1>' || lang || '</h1><p>'
+        |    || substr(text, 1, 80) || '</p>'
+        |    || '<a href="https://' || source || '.example.com/doc'
+        |    || CAST(doc_id % 10 AS VARCHAR) || '">next</a>'
+        |    || CASE WHEN doc_id % 3 = 0 THEN
+        |         '<a href=''/rel/doc' || CAST(doc_id % 7 AS VARCHAR)
+        |           || '''>rel</a>'
+        |       ELSE '' END
+        |    || '<!-- gen ' || CAST(doc_id % 5 AS VARCHAR)
+        |    || ' --></body></html>' AS html
+        |  FROM documents
+        |), e AS (
+        |  SELECT doc_id, html,
+        |    regexp_extract(html, '(?s)<title>(.*?)</title>', 1) AS title,
+        |    trim(regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(html,
+        |            '(?s)<(script|style)[^>]*>.*?</(script|style)>', '', 'g'),
+        |          '(?s)<!--.*?-->', '', 'g'),
+        |        '(?s)<[^>]*>', ' ', 'g'),
+        |      '\s+', ' ', 'g')) AS text,
+        |    regexp_extract_all(html, 'href=["'']([^"'']+)["'']', 1) AS lk
+        |  FROM h)
+        |SELECT doc_id, title, text,
+        |  CAST(len(lk) AS BIGINT) AS n_links,
+        |  array_to_string(lk, '|') AS links,
+        |  CAST(length(html) AS BIGINT) AS html_len,
+        |  CAST(length(text) AS BIGINT) AS text_len,
+        |  CAST(length(text) AS BIGINT) * 1000000
+        |    // CAST(length(html) AS BIGINT) AS text_ratio6
+        |FROM e ORDER BY doc_id""".stripMargin,
+
     "q326_url_canonicalize" ->
       """WITH u AS (
         |  SELECT doc_id,

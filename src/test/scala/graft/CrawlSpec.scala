@@ -72,6 +72,39 @@ class CrawlSpec extends AnyFunSuite {
     assert(out(6L) == ((true, "(default)")))
   }
 
+  test("htmlExtract: script/style subtrees drop BEFORE the tag strip, " +
+    "comments vanish, links harvest both quote forms in order") {
+    val html = "<html><head><title>T1</title>" +
+      "<script>if (a < b) { call(\"x\"); }</script>" +
+      "<style>.c { color: red; }</style></head>" +
+      "<body><p>Hello   world</p><!-- secret -->" +
+      "<a href=\"https://h.example.com/a\">A</a>" +
+      "<a href='/rel/b'>B</a></body></html>"
+    val r = Crawl.htmlExtract(Seq((1L, html)).toDF("id", "html"),
+      col("html")).collect().head
+    assert(r.getAs[String]("title") == "T1")
+    val text = r.getAs[String]("text")
+    assert(text == "T1 Hello world A B", s"got '$text'")
+    // the script body's bare '<' and call text must NOT leak
+    assert(!text.contains("call") && !text.contains("color")
+      && !text.contains("secret"))
+    assert(r.getAs[Long]("n_links") == 2L)
+    assert(r.getAs[String]("links") == "https://h.example.com/a|/rel/b")
+    assert(r.getAs[Long]("text_ratio6") ==
+      text.length.toLong * 1000000L / html.length)
+  }
+
+  test("htmlExtract: no links, no title, markup-only page → empty text, " +
+    "ratio 0") {
+    val r = Crawl.htmlExtract(
+      Seq((1L, "<html><body><br/><hr></body></html>")).toDF("id", "html"),
+      col("html")).collect().head
+    assert(r.getAs[String]("title") == "")
+    assert(r.getAs[String]("text") == "")
+    assert(r.getAs[Long]("n_links") == 0L && r.getAs[String]("links") == "")
+    assert(r.getAs[Long]("text_ratio6") == 0L)
+  }
+
   test("urlGroups collapses canonical duplicates and keeps min id") {
     val df = Seq(
       (10L, "HTTP://X.example.com:80/p?b=1&a=1&utm_source=s"),
