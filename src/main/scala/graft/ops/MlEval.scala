@@ -546,4 +546,66 @@ object MlEval {
         slope.as("slope"), icept.as("icept"))
       .orderBy(col(keyCol))
   }
+
+  /** KRIPPENDORFF'S ALPHA (nominal) — the multi-rater,
+    * missing-data-tolerant agreement coefficient generalizing q290's
+    * two-rater Cohen's kappa (Krippendorff, "Content Analysis", 2004;
+    * the label-QA standard when annotator counts vary per item).
+    * α = 1 − D_o/D_e over the coincidence matrix; for nominal data
+    * every term reduces to integer pair counts EXCEPT the per-unit
+    * 1/(m_u−1) weight — which this formulation clears EXACTLY by
+    * scaling with K = lcm(1..maxRaters−1), so
+    *   doK        = Σ_u D_u · K/(m_u−1)      (exact long; D_u =
+    *                m_u(m_u−1) − Σ_c m_uc(m_uc−1) = disagreeing
+    *                ordered pairs in unit u)
+    *   n_c        = Σ_{pairable u} m_uc      (coincidence marginals —
+    *                integers, the (m_u−1) cancels)
+    *   α          = 1 − doK·(n−1) / (K·(n² − Σ_c n_c²))
+    * — one double division at the end (round-9), everything before it
+    * decimal(38,0)-exact. Units with m_u < 2 are unpairable and drop;
+    * De = 0 (all ratings one category) → α null (undefined).
+    *
+    * Rater IDENTITY never enters nominal α — only the multiset of
+    * values per unit — so the input is just (unit, value) rows.
+    * Shape: one groupBy(unit, value) partial agg, one groupBy(unit),
+    * one O(#categories) marginal agg; scalars attach by broadcast
+    * cross join. No pair join — D_u comes from counts, not pairs.
+    *
+    * @param maxRaters upper bound on ratings per unit (pins K;
+    *                  enforced). @return one row:
+    *                  (n_units, n_values, do_k, alpha9). */
+  def krippendorffAlpha(ratings: DataFrame, unitCol: String,
+                        valueCol: String, maxRaters: Int = 4): DataFrame = {
+    require(maxRaters >= 2 && maxRaters <= 8, "pin a small rater bound")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val k = (1L until maxRaters.toLong).foldLeft(1L)((a, b) => a / gcd(a, b) * b)
+    val uc = ratings.groupBy(col(unitCol).as("u"), col(valueCol).as("c"))
+      .agg(count(lit(1)).as("muc"))
+    val units = uc.groupBy(col("u"))
+      .agg(sum(col("muc")).as("mu"),
+        sum(col("muc") * (col("muc") - 1)).as("agree2"))
+      .where(col("mu") >= 2)
+    // exact per-unit disagreement, cleared of the 1/(mu−1) weight
+    // ((mu−1) divides K by construction — div is exact, not floor)
+    val doK = units
+      .select(when(col("mu") > maxRaters, raise_error(
+          lit(s"krippendorffAlpha: a unit exceeds maxRaters=$maxRaters")))
+        .otherwise((col("mu") * (col("mu") - 1) - col("agree2")) *
+          expr(s"$k div (mu - 1)")).as("duk"))
+      .agg(sum(col("duk")).as("do_k"), count(lit(1)).as("n_units"))
+    val marg = uc.join(units.select(col("u")), Seq("u"), "left_semi")
+      .groupBy(col("c")).agg(sum(col("muc")).as("nc"))
+      .agg(sum(col("nc")).as("n"), sum(col("nc") * col("nc")).as("nc2"))
+    val nDec = col("n").cast("decimal(38,0)")
+    doK.crossJoin(broadcast(marg))
+      .select(col("n_units"), col("n").as("n_values"), col("do_k"),
+        when(nDec * col("n") === col("nc2").cast("decimal(38,0)"),
+          lit(null).cast("double"))
+          .otherwise(round(lit(1.0) -
+            (col("do_k").cast("decimal(38,0)") * (col("n") - 1))
+              .cast("double") /
+            (lit(k).cast("decimal(38,0)") * (nDec * col("n") - col("nc2")))
+              .cast("double"), 9))
+          .as("alpha9"))
+  }
 }

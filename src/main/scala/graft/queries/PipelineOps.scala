@@ -2076,6 +2076,30 @@ object PipelineOps {
             .as("kappa"))
     }),
 
+    // q342: KRIPPENDORFF'S ALPHA (nominal) — q290's kappa generalized
+    // to MANY raters with MISSING ratings, the label-QA standard when
+    // annotator counts vary per item. A 4-rater panel is synthesized
+    // deterministically on both engines (rater r skips unit u when
+    // (u+r) % 5 = 0 → m_u ∈ {3,4}; a rater disagrees to 'xx' when the
+    // portable 60-bit md5 of "u:r" lands in the top 30%), so the
+    // statistic runs over genuinely ragged units. The 1/(m_u−1)
+    // coincidence weights are cleared EXACTLY by the lcm(1..3) = 6
+    // scaling — every term before the final division is integer.
+    "q342_krippendorff_alpha" -> ((s, d) => {
+      val r = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(0L), lit(3L))).as("rater"))
+        .where((col("doc_id") + col("rater")) % 5 =!= 0)
+        .withColumn("h", expr("cast(conv(substring(md5(concat(" +
+          "cast(doc_id as string), ':', cast(rater as string))), 1, 15), " +
+          "16, 10) as bigint)"))
+        .withColumn("value",
+          when(pmod(col("h"), lit(10L)) >= 7, lit("xx"))
+            .otherwise(col("lang")))
+      graft.ops.MlEval.krippendorffAlpha(r, "doc_id", "value",
+        maxRaters = 4)
+    }),
+
     // Langid confusion matrix: the q36 predictor scored against the
     // labeled lang — names which languages the bigram profile
     // mistakes for which (the eval q36's histogram can't give).
@@ -3895,6 +3919,47 @@ object PipelineOps {
         |GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin),
 
     // q290: same prediction CTEs, then the exact-integer kappa core.
+    // q342: identical panel synthesis (portable md5 disagreement,
+    // (u+r)%5 missingness), then the exact-integer alpha core: the
+    // lcm-6 cleared per-unit disagreements, coincidence marginals
+    // (the (m_u−1) cancels — plain integer counts), and the single
+    // HUGEINT-guarded final division.
+    "q342_krippendorff_alpha" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, rater,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |      CAST(rater AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM documents, unnest(range(0, 4)) AS t(rater)
+        |  WHERE (doc_id + rater) % 5 <> 0
+        |), v AS (
+        |  SELECT doc_id AS u, CASE WHEN h % 10 >= 7 THEN 'xx' ELSE lang END
+        |    AS c
+        |  FROM r
+        |), uc AS (
+        |  SELECT u, c, CAST(count(*) AS BIGINT) AS muc FROM v GROUP BY 1, 2
+        |), units AS (
+        |  SELECT u, CAST(sum(muc) AS BIGINT) AS mu,
+        |    CAST(sum(muc * (muc - 1)) AS BIGINT) AS agree2
+        |  FROM uc GROUP BY 1 HAVING sum(muc) >= 2
+        |), dok AS (
+        |  SELECT CAST(sum((mu * (mu - 1) - agree2) * (6 // (mu - 1)))
+        |      AS BIGINT) AS do_k,
+        |    CAST(count(*) AS BIGINT) AS n_units
+        |  FROM units
+        |), marg AS (
+        |  SELECT CAST(sum(nc) AS BIGINT) AS n,
+        |    CAST(sum(nc * nc) AS BIGINT) AS nc2
+        |  FROM (SELECT c, sum(muc) AS nc FROM uc JOIN units USING (u)
+        |        GROUP BY 1)
+        |)
+        |SELECT n_units, n AS n_values, do_k,
+        |  CASE WHEN CAST(n AS HUGEINT) * n = nc2 THEN NULL
+        |       ELSE round(1.0 - CAST(CAST(do_k AS HUGEINT) * (n - 1)
+        |           AS DOUBLE)
+        |         / CAST(6 * (CAST(n AS HUGEINT) * n - nc2) AS DOUBLE), 9)
+        |  END AS alpha9
+        |FROM dok, marg""".stripMargin,
+
     "q290_cohens_kappa" -> (LangIdPredCtes +
       """
         |, j AS (SELECT d.lang, p.lang_pred

@@ -293,4 +293,63 @@ class MlEvalSpec extends AnyFunSuite {
     val rates = out.map(_.getAs[Double]("pos_rate9")).toSeq
     assert(rates == Seq(0.4, 0.2, 0.6))
   }
+
+  // ---- krippendorffAlpha (q342) ----
+
+  /** Textbook coincidence-matrix alpha in plain doubles. */
+  private def kaRef(units: Seq[Seq[String]]): Option[Double] = {
+    val pair = units.filter(_.length >= 2)
+    var doNum = 0.0
+    val nc = scala.collection.mutable.Map.empty[String, Long]
+    var n = 0L
+    pair.foreach { vs =>
+      val m = vs.length
+      val cnt = vs.groupBy(identity).map { case (c, xs) => c -> xs.size.toLong }
+      val agree = cnt.values.map(c => c * (c - 1)).sum
+      doNum += (m.toLong * (m - 1) - agree).toDouble / (m - 1)
+      cnt.foreach { case (c, x) => nc(c) = nc.getOrElse(c, 0L) + x }
+      n += m
+    }
+    val de = (n * n - nc.values.map(c => c * c).sum).toDouble / (n - 1)
+    if (de == 0.0) None
+    else Some(BigDecimal(1.0 - doNum / de)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  private def kaRun(units: Seq[Seq[String]], maxRaters: Int = 4) = {
+    val rows = units.zipWithIndex.flatMap { case (vs, u) =>
+      vs.map(v => (u.toLong, v)) }
+    MlEval.krippendorffAlpha(rows.toDF("u", "v"), "u", "v", maxRaters)
+      .collect().head
+  }
+
+  test("krippendorffAlpha: perfect agreement is 1, uniform-category " +
+    "panels are undefined (null), singleton units drop") {
+    val perfect = kaRun(Seq(Seq("a", "a", "a"), Seq("b", "b"), Seq("a")))
+    assert(perfect.getLong(0) == 2L && perfect.getLong(1) == 5L)
+    assert(perfect.getLong(2) == 0L && perfect.getDouble(3) == 1.0)
+    val uniform = kaRun(Seq(Seq("a", "a"), Seq("a", "a", "a")))
+    assert(uniform.isNullAt(3), "De = 0 must yield null, not a value")
+  }
+
+  test("krippendorffAlpha: ragged multi-rater panel equals the textbook " +
+    "coincidence formulation") {
+    val rnd = new scala.util.Random(23)
+    val cats = Seq("a", "b", "c")
+    val units = (1 to 60).map { _ =>
+      val m = 2 + rnd.nextInt(3) // 2..4 raters
+      (1 to m).map(_ => cats(rnd.nextInt(cats.length)))
+    }
+    val r = kaRun(units)
+    assert(Some(r.getDouble(3)) == kaRef(units))
+    // disagreement dominates a 3-category random panel: alpha near 0
+    assert(math.abs(r.getDouble(3)) < 0.25)
+  }
+
+  test("krippendorffAlpha: a unit above maxRaters fails fast") {
+    val e = intercept[Exception] {
+      kaRun(Seq(Seq("a", "b", "a", "b", "a")), maxRaters = 4)
+    }
+    assert(e.getMessage != null)
+  }
 }
