@@ -761,6 +761,46 @@ object PipelineOps {
     // is a TRUE cross-implementation check: two independent codebases
     // must agree on every double bit (conventions pinned in
     // StringSimSpec).
+    // q343: FELLEGI–SUNTER probabilistic record linkage — the
+    // decision layer over q82/q117's block→verify joins: a dirty copy
+    // of customer is synthesized deterministically (portable-md5
+    // field corruption: 1/4 names, 1/5 segments, 1/3 balance
+    // buckets), pairs block on nation (equi join, never cartesian),
+    // and each pair scores Σ ln(m/u) / ln((1−m)/(1−u)) with m pinned
+    // to binary-EXACT literals (0.9375/0.875/0.75 — so 1−m is also
+    // literal-exact cross-engine) and u estimated from the candidate
+    // pairs in one aggregate pass. Top-100 by score: the all-agree
+    // true matches surface first (the linkage working end-to-end).
+    "q343_fellegi_sunter" -> ((s, d) => {
+      val h = expr("cast(conv(substring(md5(cast(c_custkey as string)), " +
+        "1, 15), 16, 10) as bigint)")
+      val base = Tables.customer(s, d)
+        .withColumn("bal", expr("cast(round(c_acctbal * 100) as bigint) " +
+          "div 10000"))
+        .withColumn("hh", h)
+      val a = base.select(col("c_custkey").as("a_key"), col("c_nationkey"),
+        col("c_name").as("a_name"), col("c_mktsegment").as("a_seg"),
+        col("bal").as("a_bal"))
+      val b = base.select(col("c_custkey").as("b_key"), col("c_nationkey"),
+        when(col("hh") % 4 === 0, concat(col("c_name"), lit("~")))
+          .otherwise(col("c_name")).as("b_name"),
+        when(col("hh") % 5 === 0, lit("NONE"))
+          .otherwise(col("c_mktsegment")).as("b_seg"),
+        (col("bal") + when(col("hh") % 3 === 0, 1L).otherwise(0L))
+          .as("b_bal"))
+      val pairs = a.join(b, Seq("c_nationkey"))
+        .select(col("a_key"), col("b_key"),
+          (col("a_name") === col("b_name")).as("agree_name"),
+          (col("a_seg") === col("b_seg")).as("agree_seg"),
+          (col("a_bal") === col("b_bal")).as("agree_bal"))
+      graft.ops.Matching.fellegiSunter(pairs,
+          Seq("agree_name" -> 0.9375, "agree_seg" -> 0.875,
+            "agree_bal" -> 0.75))
+        .withColumn("is_true", col("a_key") === col("b_key"))
+        .orderBy(col("score9").desc, col("a_key"), col("b_key"))
+        .limit(100)
+    }),
+
     "q117_jw_pairs" -> ((s, d) => {
       val t = Tables.documents(s, d).select(col("doc_id"),
         substring(col("text"), 1, 60).as("head"),
@@ -5330,6 +5370,67 @@ object PipelineOps {
           |  max(CASE WHEN krk = 1 THEN n_chars END) AS keep_chars
           |FROM r GROUP BY cluster_id ORDER BY cluster_id""".stripMargin),
     // not a replayed recurrence.
+    // q343: identical dirty-copy synthesis + blocked pairs, then the
+    // FS log-likelihood weights as per-run scalars (ln round-9 scaled;
+    // m and 1−m binary-exact literals so both engines divide the same
+    // bits) and the exact long pair-score sum + top-100 boundary.
+    "q343_fellegi_sunter" ->
+      """WITH h AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) // 10000 AS bal,
+        |    CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS hh
+        |  FROM customer),
+        |b AS (
+        |  SELECT c_custkey AS b_key, c_nationkey,
+        |    CASE WHEN hh % 4 = 0 THEN c_name || '~' ELSE c_name END
+        |      AS b_name,
+        |    CASE WHEN hh % 5 = 0 THEN 'NONE' ELSE c_mktsegment END
+        |      AS b_seg,
+        |    bal + CASE WHEN hh % 3 = 0 THEN 1 ELSE 0 END AS b_bal
+        |  FROM h),
+        |a AS (
+        |  SELECT c_custkey AS a_key, c_nationkey, c_name AS a_name,
+        |    c_mktsegment AS a_seg, bal AS a_bal
+        |  FROM h),
+        |p AS (
+        |  SELECT a_key, b_key,
+        |    (a_name = b_name) AS agree_name, (a_seg = b_seg) AS agree_seg,
+        |    (a_bal = b_bal) AS agree_bal
+        |  FROM a JOIN b USING (c_nationkey)),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS t,
+        |    CAST(sum(CASE WHEN agree_name THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS an,
+        |    CAST(sum(CASE WHEN agree_seg THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS asg,
+        |    CAST(sum(CASE WHEN agree_bal THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ab
+        |  FROM p)
+        |SELECT a_key, b_key, agree_name, agree_seg, agree_bal,
+        |  (CASE WHEN agree_name THEN CAST(round(round(ln(0.9375 /
+        |      (CAST(an AS DOUBLE) / CAST(t AS DOUBLE))), 9)
+        |      * 1000000000) AS BIGINT)
+        |   ELSE CAST(round(round(ln(0.0625 /
+        |      (1.0 - CAST(an AS DOUBLE) / CAST(t AS DOUBLE))), 9)
+        |      * 1000000000) AS BIGINT) END)
+        |  + (CASE WHEN agree_seg THEN CAST(round(round(ln(0.875 /
+        |      (CAST(asg AS DOUBLE) / CAST(t AS DOUBLE))), 9)
+        |      * 1000000000) AS BIGINT)
+        |   ELSE CAST(round(round(ln(0.125 /
+        |      (1.0 - CAST(asg AS DOUBLE) / CAST(t AS DOUBLE))), 9)
+        |      * 1000000000) AS BIGINT) END)
+        |  + (CASE WHEN agree_bal THEN CAST(round(round(ln(0.75 /
+        |      (CAST(ab AS DOUBLE) / CAST(t AS DOUBLE))), 9)
+        |      * 1000000000) AS BIGINT)
+        |   ELSE CAST(round(round(ln(0.25 /
+        |      (1.0 - CAST(ab AS DOUBLE) / CAST(t AS DOUBLE))), 9)
+        |      * 1000000000) AS BIGINT) END)
+        |  AS score9,
+        |  (a_key = b_key) AS is_true
+        |FROM p, tot
+        |ORDER BY score9 DESC, a_key, b_key LIMIT 100""".stripMargin,
+
     "q117_jw_pairs" ->
       """WITH t AS (
         |  SELECT doc_id, substr(text, 1, 60) AS head,

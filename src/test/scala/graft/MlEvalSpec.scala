@@ -352,4 +352,43 @@ class MlEvalSpec extends AnyFunSuite {
     }
     assert(e.getMessage != null)
   }
+
+  // ---- fellegiSunter (q343) ----
+
+  test("fellegiSunter: hand-computed weights, exact long score sum, " +
+    "agreement-pattern ranking") {
+    import graft.ops.Matching
+    // 4 pairs: t=4, agree_x in 2 of 4 (u=0.5), agree_y in 1 of 4 (u=0.25)
+    val pairs = Seq(
+      (1L, 1L, true, true),
+      (2L, 2L, true, false),
+      (3L, 4L, false, false),
+      (4L, 3L, false, false))
+      .toDF("a_key", "b_key", "agree_x", "agree_y")
+    val out = Matching.fellegiSunter(pairs,
+        Seq("agree_x" -> 0.75, "agree_y" -> 0.875))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getAs[Long]("score9")).toMap
+    def w9(x: Double): Long =
+      math.round(BigDecimal(math.log(x)).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP).toDouble * 1e9)
+    val wxA = w9(0.75 / 0.5); val wxD = w9(0.25 / 0.5)
+    val wyA = w9(0.875 / 0.25); val wyD = w9(0.125 / 0.75)
+    assert(out((1L, 1L)) == wxA + wyA)
+    assert(out((2L, 2L)) == wxA + wyD)
+    assert(out((3L, 4L)) == wxD + wyD && out((4L, 3L)) == wxD + wyD)
+    // more agreement strictly outranks less
+    assert(out((1L, 1L)) > out((2L, 2L)) && out((2L, 2L)) > out((3L, 4L)))
+  }
+
+  test("fellegiSunter: degenerate empirical u (all or none agree) fails " +
+    "fast instead of scoring ln(0)") {
+    import graft.ops.Matching
+    val allAgree = Seq((1L, 1L, true), (2L, 2L, true))
+      .toDF("a_key", "b_key", "agree_x")
+    val e = intercept[Exception] {
+      Matching.fellegiSunter(allAgree, Seq("agree_x" -> 0.9375)).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
