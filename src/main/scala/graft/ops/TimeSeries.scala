@@ -160,6 +160,71 @@ object TimeSeries {
       .select(col(keyCol), col("hour"), col("locf__oval").as("value"))
   }
 
+  /** Hourly LINEAR-INTERPOLATION panel — the lerp sibling of
+    * [[resampleHourlyLocf]] (LOCF holds the last value; interpolation
+    * is the correct regularization for continuous signals — sensor
+    * readings, balances, rates). For each key and each hourly grid
+    * instant t in its span:
+    *   v(t) = (v0·(t1−t) + v1·(t−t0)) div (t1−t0)
+    * over the surrounding observations (t0 ≤ t < t1), computed in
+    * EXACT integer math — values as cents, instants as micros,
+    * truncating division (Java `/` ≡ DuckDB `//`) — so the panel
+    * replays bit-for-bit. An observation exactly at t yields its own
+    * value (the formula collapses to v0); instants before the first
+    * observation are null; an instant at the LAST observation with
+    * nothing after takes that value.
+    *
+    * Plan: observations and grid instants UNION into one per-key
+    * stream sorted by (us, side — observations first at equal
+    * instants); `prev` is a running last(ignoreNulls) and `next` a
+    * first(ignoreNulls) over the strictly-following frame — Catalyst
+    * plans ONE exchange + ONE sort and both windows reuse them, the
+    * same single-shuffle shape as the as-of join. No range join, no
+    * per-key collect.
+    *
+    * @return (key, hr_us — grid instant epoch micros, v_interp_c —
+    *         interpolated cents, null outside coverage). */
+  def resampleHourlyLerp(df: DataFrame, keyCol: String, tsCol: String,
+                         valCol: String, tieCol: String): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    val obs = df.groupBy(col(keyCol), us.as("us"))
+      .agg(max_by(round(col(valCol) * 100).cast("long"), col(tieCol))
+        .as("vc"))
+      .select(col(keyCol), col("us"), lit(0).as("side"),
+        col("vc").as("_ov"), col("us").as("_ot"))
+    val grid = df.groupBy(col(keyCol))
+      .agg(date_trunc("hour", min(col(tsCol))).as("_h0"),
+        date_trunc("hour", max(col(tsCol))).as("_h1"))
+      .select(col(keyCol),
+        explode(sequence(col("_h0"), col("_h1"),
+          expr("interval 1 hour"))).as("_hour"))
+      .select(col(keyCol), unix_micros(col("_hour")).as("us"),
+        lit(1).as("side"), lit(null).cast("long").as("_ov"),
+        lit(null).cast("long").as("_ot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("us"), col("side"))
+    val prevW = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val nextW = w.rowsBetween(1,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    obs.unionAll(grid)
+      .withColumn("_pv", last(col("_ov"), ignoreNulls = true).over(prevW))
+      .withColumn("_pt", last(col("_ot"), ignoreNulls = true).over(prevW))
+      .withColumn("_nv", first(col("_ov"), ignoreNulls = true).over(nextW))
+      .withColumn("_nt", first(col("_ot"), ignoreNulls = true).over(nextW))
+      .where(col("side") === 1)
+      .withColumn("_num", col("_pv") * (col("_nt") - col("us")) +
+        col("_nv") * (col("us") - col("_pt")))
+      .withColumn("_den", col("_nt") - col("_pt"))
+      .select(col(keyCol), col("us").as("hr_us"),
+        when(col("_pt").isNull, lit(null).cast("long"))
+          .when(col("_nt").isNull,
+            when(col("_pt") === col("us"), col("_pv"))
+              .otherwise(lit(null).cast("long")))
+          .otherwise(expr("_num div _den"))
+          .as("v_interp_c"))
+  }
+
   /** SCD TYPE-2 HISTORY build: collapse a per-key change log into
     * validity intervals — one row per state RUN, `[valid_from_us,
     * valid_to_us)` half-open, `valid_to_us` null on the current row.

@@ -159,6 +159,20 @@ object EventQueries {
         .orderBy(col("user_id"), col("hour"))
     }),
 
+    // Hourly LINEAR-INTERPOLATION panel — q80's lerp sibling (the
+    // correct regularization for continuous signals, vs LOCF's step
+    // hold): surrounding observations found by ONE interleaved
+    // union+sort (two window passes reuse the single exchange/sort),
+    // the lerp exact in integer cents·micros with truncating
+    // division. Oracle: DuckDB generate_series + BOTH ASOF directions
+    // (<= for prev, strict > for next) — a true cross-implementation
+    // check of the surrounding-pair semantics.
+    "q344_lerp_resample" -> ((s, d) => {
+      graft.ops.TimeSeries.resampleHourlyLerp(Tables.events(s, d),
+          "user_id", "ts", "value", "event_id")
+        .orderBy(col("user_id"), col("hr_us"))
+    }),
+
     // Concurrent-session pairs across users: session intervals from
     // the q40 gaps-and-islands pass, then the grid-bucketed interval
     // OVERLAP join (RangeJoin.overlapJoin — equi join on time cells,
@@ -2330,6 +2344,41 @@ object EventQueries {
         |FROM grid g ASOF LEFT JOIN obs o
         |  ON g.user_id = o.user_id AND o.ts <= g.h
         |ORDER BY 1, 2""".stripMargin,
+    // q344: the lerp panel replayed with DuckDB's native ASOF joins
+    // in both directions; the interpolation is the same exact integer
+    // cents·micros expression with `//` truncation.
+    "q344_lerp_resample" ->
+      """WITH b AS (
+        |  SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+        |         date_trunc('hour', max(ts)) AS h1
+        |  FROM events GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id,
+        |    epoch_us(unnest(generate_series(h0, h1, INTERVAL 1 HOUR)))
+        |      AS hr_us
+        |  FROM b),
+        |obs AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    arg_max(CAST(round(value * 100) AS BIGINT), event_id) AS vc
+        |  FROM events GROUP BY 1, 2),
+        |prev AS (
+        |  SELECT g.user_id, g.hr_us, o.us AS pt, o.vc AS pv
+        |  FROM grid g ASOF LEFT JOIN obs o
+        |    ON g.user_id = o.user_id AND o.us <= g.hr_us),
+        |nxt AS (
+        |  SELECT g.user_id, g.hr_us, o.us AS nt, o.vc AS nv
+        |  FROM grid g ASOF LEFT JOIN obs o
+        |    ON g.user_id = o.user_id AND o.us > g.hr_us)
+        |SELECT p.user_id, p.hr_us,
+        |  CASE WHEN p.pt IS NULL THEN NULL
+        |       WHEN n.nt IS NULL THEN
+        |         CASE WHEN p.pt = p.hr_us THEN p.pv ELSE NULL END
+        |       ELSE (p.pv * (n.nt - p.hr_us) + n.nv * (p.hr_us - p.pt))
+        |         // (n.nt - p.pt) END AS v_interp_c
+        |FROM prev p JOIN nxt n
+        |  ON n.user_id = p.user_id AND n.hr_us = p.hr_us
+        |ORDER BY 1, 2""".stripMargin,
+
     "q81_session_overlap" -> SessionOverlapSql,
     "q134_events_schema_smoke" ->
       """SELECT epoch_us(min(ts)) AS min_us, epoch_us(max(ts)) AS max_us,

@@ -357,4 +357,46 @@ class TimeSeriesSpec extends AnyFunSuite {
     (0 to 6).foreach(i => assert(ra.getLong(4 + i) == s(i)))
     assert((11 to 13).map(ra.getLong) == fc)
   }
+
+  // ------------------------------------------------------------------
+  // resampleHourlyLerp (q344) — linear interpolation between
+  // surrounding observations, exact integer cents·micros.
+  // ------------------------------------------------------------------
+
+  test("hourly lerp: interpolates between surrounding obs, null before " +
+    "first, last-instant value without a successor, tie on tieCol") {
+    val df = Seq(
+      // key 1: 1.00 @ 10:30 (tie pair — id 6 wins with 1.00 over 9.99),
+      // 3.00 @ 12:30
+      (1L, ts("2026-01-01 10:30:00"), 9.99, 5L),
+      (1L, ts("2026-01-01 10:30:00"), 1.00, 6L),
+      (1L, ts("2026-01-01 12:30:00"), 3.00, 7L),
+      // key 2: single obs exactly on the hour
+      (2L, ts("2026-01-01 05:00:00"), 4.00, 8L))
+      .toDF("k", "t", "v", "id")
+    val got = TimeSeries.resampleHourlyLerp(df, "k", "t", "v", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    def us(h: String) = java.time.Instant.parse(h).toEpochMilli * 1000L
+    assert(got == Set(
+      (1L, us("2026-01-01T10:00:00Z"), None),      // before first obs
+      (1L, us("2026-01-01T11:00:00Z"), Some(150L)), // exact midpointish lerp
+      (1L, us("2026-01-01T12:00:00Z"), Some(250L)),
+      (2L, us("2026-01-01T05:00:00Z"), Some(400L))), got.toString)
+  }
+
+  test("hourly lerp: truncating division and repartition invariance") {
+    val df = Seq(
+      (1L, ts("2026-01-01 10:30:00"), 0.00, 1L),
+      (1L, ts("2026-01-01 12:30:00"), 0.01, 2L))
+      .toDF("k", "t", "v", "id")
+    val got = TimeSeries.resampleHourlyLerp(df, "k", "t", "v", "id")
+      .orderBy("hr_us").collect()
+    // 11:00 lerp = 0.25 cents -> truncates to 0
+    assert(got.map(r => if (r.isNullAt(2)) -1L else r.getLong(2)).toSeq
+      == Seq(-1L, 0L, 0L))
+    val a = TimeSeries.resampleHourlyLerp(df.repartition(5), "k", "t",
+      "v", "id").orderBy("hr_us").collect()
+    assert(a.map(_.toSeq).toSeq == got.map(_.toSeq).toSeq)
+  }
 }
