@@ -38,6 +38,41 @@ object KMeans2D {
              cs: Seq[(Double, Double)]): DataFrame =
     points.withColumn("cluster", assignExpr(col(xCol), col(yCol), cs))
 
+  /** SIMPLIFIED (centroid-based) SILHOUETTE per cluster — the O(n·k)
+    * clustering-quality score production evals run where Rousseeuw
+    * 1987's exact silhouette is O(n²): per point, a = distance to its
+    * OWN (nearest) centroid, b = distance to the nearest OTHER
+    * centroid, s = (b−a)/b (a ≤ b by construction of the nearest
+    * assignment, so max(a,b) = b; coincident centroids ⇒ s = 0).
+    * Cross-engine determinism: the squared distances are the same
+    * IEEE expressions [[assignExpr]] compares, `sqrt` is correctly
+    * rounded per IEEE-754 (bit-identical in any compliant engine),
+    * s rounds to 9 decimals, and per-cluster means go through the
+    * scaled-long path. One narrow map + one partial agg — no joins,
+    * no shuffle beyond the k-row rollup.
+    *
+    * @return (cluster, n, mean_sil9) per non-empty cluster. */
+  def silhouette(points: DataFrame, xCol: String, yCol: String,
+                 cs: Seq[(Double, Double)]): DataFrame = {
+    require(cs.length >= 2)
+    val ds = cs.map(sqDistTo(col(xCol), col(yCol), _))
+    val cluster = assignExpr(col(xCol), col(yCol), cs)
+    def minOf(xs: Seq[Column]): Column = xs.reduce(least(_, _))
+    val a2 = minOf(ds)
+    val b2 = cs.indices.init.foldRight(minOf(ds.init)) { (i, rest) =>
+      when(col("cluster") === i,
+        minOf(ds.indices.filter(_ != i).map(ds))).otherwise(rest)
+    }
+    val s9 = when(b2 === 0.0, lit(0.0))
+      .otherwise(round((sqrt(b2) - sqrt(a2)) / sqrt(b2), 9))
+    points.withColumn("cluster", cluster)
+      .withColumn("_s9", s9)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        graft.util.Exact.avgExact(col("_s9"), 9).as("mean_sil9"))
+      .orderBy(col("cluster"))
+  }
+
   /** One Lloyd iteration: new centroid = mean of members (SURVEY A6).
     * Empty clusters keep their previous centroid (Spark's groupBy just
     * omits them; reference behavior is the same — no reduce call). */

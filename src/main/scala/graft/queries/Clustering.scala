@@ -88,6 +88,16 @@ object Clustering {
         .orderBy(col("cluster"))
     }),
 
+    // q345: SIMPLIFIED SILHOUETTE — the O(n·k) clustering-quality
+    // eval (per point: own-centroid distance a vs nearest-other b,
+    // s = (b−a)/b) over the same pinned centroids as q20, the score
+    // a clustering pipeline reports beside WSSSE. sqrt is IEEE
+    // correctly-rounded (bit-identical cross-engine), s rounds to 9,
+    // cluster means ride the scaled-long path. One narrow map + the
+    // k-row rollup — no joins.
+    "q345_silhouette" -> ((s, d) =>
+      KMeans2D.silhouette(points2d(s, d), "x", "y", InitCentroids)),
+
     // Full Lloyd's loop (§3.2): O(k) driver state, one tiny-shuffle agg
     // per iteration. Runs the SAME fitExact code path as the q119
     // oracle anchor (scaled-long means; convergence on squared
@@ -326,6 +336,38 @@ object Clustering {
         |  CAST(sum(CAST(round(x*100) AS BIGINT)) AS DOUBLE)/(count(*)*100.0) AS mean_x,
         |  sum(y)/count(*) AS mean_y
         |FROM a GROUP BY 1 ORDER BY cluster""".stripMargin,
+    // q345: same assignment chain; a² = least of all three squared
+    // distances, b² = least of the OTHERS by assigned cluster, then
+    // the IEEE sqrt ratio rounded to 9 and the scaled-long mean.
+    "q345_silhouette" ->
+      """WITH pts AS (
+        |  SELECT c_acctbal AS x, CAST(c_custkey % 100 AS DOUBLE) AS y
+        |  FROM customer
+        |), a AS (
+        |  SELECT x, y,
+        |    (x-0.0)*(x-0.0)+(y-50.0)*(y-50.0) AS d0,
+        |    (x-4000.0)*(x-4000.0)+(y-20.0)*(y-20.0) AS d1,
+        |    (x-9000.0)*(x-9000.0)+(y-80.0)*(y-80.0) AS d2
+        |  FROM pts
+        |), b AS (
+        |  SELECT
+        |    CASE WHEN d0<=d1 AND d0<=d2 THEN 0 WHEN d1<=d2 THEN 1 ELSE 2
+        |      END AS cluster,
+        |    least(d0, d1, d2) AS a2,
+        |    CASE WHEN d0<=d1 AND d0<=d2 THEN least(d1, d2)
+        |         WHEN d1<=d2 THEN least(d0, d2)
+        |         ELSE least(d0, d1) END AS b2
+        |  FROM a
+        |), sil AS (
+        |  SELECT cluster,
+        |    CASE WHEN b2 = 0.0 THEN 0.0
+        |         ELSE round((sqrt(b2) - sqrt(a2)) / sqrt(b2), 9) END AS s9
+        |  FROM b)
+        |SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(s9 * 1000000000) AS BIGINT)) AS DOUBLE)
+        |    / (count(*) * 1000000000.0) AS mean_sil9
+        |FROM sil GROUP BY 1 ORDER BY cluster""".stripMargin,
+
     // Mirrors q94 operation-for-operation: same assignment tie-break
     // chain (lowest index wins on <=), same scaled-long means (scale
     // 6) — the division CAST(sum AS DOUBLE)/(count*1000000.0) is the

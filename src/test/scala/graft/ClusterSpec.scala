@@ -169,4 +169,47 @@ class FitAnchorSpec extends AnyFunSuite {
     // sparse cell: present, not core, no cluster
     assert(got((3L, 3L)) == ((2L, false, -1L)))
   }
+
+  // ---- KMeans2D.silhouette (q345) ----
+
+  test("silhouette: hand-computed (b-a)/b per point, boundary tie -> 0, " +
+    "coincident-centroid guard") {
+    import spark.implicits._
+    import graft.cluster.KMeans2D
+    val cs = Seq((0.0, 0.0), (10.0, 0.0))
+    // (1,0): a=1, b=9 -> s=8/9; (9,0): cluster 1, a=1, b=9 -> 8/9;
+    // (5,0): tie, a=b=5 -> s=0
+    val pts = Seq((1.0, 0.0), (9.0, 0.0), (5.0, 0.0)).toDF("x", "y")
+    val got = KMeans2D.silhouette(pts, "x", "y", cs)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val s89 = BigDecimal(8.0 / 9.0).setScale(9,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0) == ((2L, s89 / 2.0))) // mean of {8/9, 0}
+    assert(got(1) == ((1L, s89)))
+    // coincident centroids: every distance pair ties at b2 = a2; the
+    // b2 = 0 guard covers the on-centroid point
+    val gotC = KMeans2D.silhouette(Seq((0.0, 0.0)).toDF("x", "y"), "x",
+        "y", Seq((0.0, 0.0), (0.0, 0.0)))
+      .collect().head
+    assert(gotC.getDouble(2) == 0.0)
+  }
+
+  test("silhouette: separated blobs score near 1, interleaved points " +
+    "near 0; repartition-invariant") {
+    import spark.implicits._
+    import graft.cluster.KMeans2D
+    val cs = Seq((0.0, 0.0), (100.0, 0.0))
+    val rnd = new scala.util.Random(5)
+    val blobs = (1 to 200).map(_ => (rnd.nextDouble * 4 - 2, rnd.nextDouble * 4 - 2)) ++
+      (1 to 200).map(_ => (100 + rnd.nextDouble * 4 - 2, rnd.nextDouble * 4 - 2))
+    val g = KMeans2D.silhouette(blobs.toList.toDF("x", "y"), "x", "y", cs)
+      .collect().map(r => r.getDouble(2))
+    assert(g.forall(_ > 0.9), g.mkString(","))
+    val a = KMeans2D.silhouette(blobs.toList.toDF("x", "y").repartition(7),
+      "x", "y", cs).collect().map(_.toSeq)
+    val b = KMeans2D.silhouette(blobs.toList.toDF("x", "y"), "x", "y", cs)
+      .collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
 }
