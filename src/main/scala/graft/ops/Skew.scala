@@ -138,4 +138,38 @@ object Skew {
             .otherwise("plain").as("verdict"))
     }.reduce(_.unionByName(_))
   }
+
+  /** RENDEZVOUS (highest-random-weight) HASHING shard assignment
+    * (Thaler & Ravishankar 1998 — the consistent-placement scheme
+    * behind cache rings and shard routers): key k goes to
+    * argmax_{s ∈ shards} h(k, s) over the portable 60-bit md5. The
+    * defining property — growing the fleet from N to N+1 shards moves
+    * EXACTLY the keys whose new shard wins the argmax, an expected
+    * 1/(N+1) of them, with no other reshuffling (modulo hashing moves
+    * nearly everything) — is what this returns evidence for: the
+    * assignment under both fleets plus the per-key moved flag.
+    *
+    * Shape: a narrow per-row argmax over `shards`+1 hash evaluations
+    * (pure codegen expressions — no explode, no join, no shuffle);
+    * the caller aggregates. Deterministic and engine-replayable:
+    * argmax ties break to the LOWER shard id (h is 60-bit md5 over
+    * distinct strings — ties are cosmically unlikely but pinned).
+    *
+    * @return df + (shard_old, shard_new, moved). */
+  def rendezvousAssign(df: DataFrame, keyCol: Column, shards: Int)
+      : DataFrame = {
+    require(shards >= 1 && shards <= 64)
+    def h(s: Int): Column = expr(
+      s"cast(conv(substring(md5(concat(cast(${"_rv_key"} as string), " +
+        s"':', '$s')), 1, 15), 16, 10) as bigint)")
+    def argmax(n: Int): Column =
+      (0 until n).map(s => struct(h(s).as("h"), lit(-s).as("neg")))
+        .reduce((a, b) => when(b("h") > a("h"), b).otherwise(a))
+        .getField("neg") * -1
+    df.withColumn("_rv_key", keyCol)
+      .withColumn("shard_old", argmax(shards).cast("int"))
+      .withColumn("shard_new", argmax(shards + 1).cast("int"))
+      .withColumn("moved", col("shard_old") =!= col("shard_new"))
+      .drop("_rv_key")
+  }
 }

@@ -845,6 +845,21 @@ object EventQueries {
         .orderBy(col("event_type"))
     }),
 
+    // RENDEZVOUS (HRW) HASHING placement audit — the consistent shard
+    // router (Thaler–Ravishankar 1998) evaluated on fleet growth 8→9:
+    // per old shard, how many keys it owns and how many move (HRW
+    // moves ONLY argmax-stolen keys — an expected 1/9 — where modulo
+    // hashing moves ~8/9). Narrow per-row codegen argmax over the
+    // portable md5; the rollup is the only shuffle.
+    "q346_rendezvous_hash" -> ((s, d) => {
+      val keys = Tables.events(s, d).select(col("user_id")).distinct()
+      graft.ops.Skew.rendezvousAssign(keys, col("user_id"), shards = 8)
+        .groupBy(col("shard_old"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("moved"), 1L).otherwise(0L)).as("n_moved"))
+        .orderBy(col("shard_old"))
+    }),
+
     "q103_hll_cells" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .withColumn("bucket", col("user_id") % 64)
@@ -2285,6 +2300,32 @@ object EventQueries {
         |    * 562949953421312.0 / CAST(s_all AS DOUBLE) AS e_raw
         |  FROM est)
         |ORDER BY event_type""".stripMargin,
+    // q346: the HRW argmax replayed via row_number over the unnested
+    // (key, shard) hash table — (h DESC, s ASC) pins the same
+    // lower-shard tie-break; old = winner among s<8, new among s<=8.
+    "q346_rendezvous_hash" ->
+      """WITH k AS (SELECT DISTINCT user_id AS key FROM events),
+        |h AS (
+        |  SELECT key, s,
+        |    CAST('0x' || substr(md5(CAST(key AS VARCHAR) || ':' ||
+        |      CAST(s AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM k, unnest(range(0, 9)) AS t(s)),
+        |old AS (
+        |  SELECT key, CAST(s AS INT) AS shard_old FROM (
+        |    SELECT key, s, row_number() OVER (PARTITION BY key
+        |      ORDER BY h DESC, s ASC) AS rk
+        |    FROM h WHERE s < 8) WHERE rk = 1),
+        |nw AS (
+        |  SELECT key, CAST(s AS INT) AS shard_new FROM (
+        |    SELECT key, s, row_number() OVER (PARTITION BY key
+        |      ORDER BY h DESC, s ASC) AS rk
+        |    FROM h) WHERE rk = 1)
+        |SELECT o.shard_old, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(CASE WHEN o.shard_old <> n.shard_new THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_moved
+        |FROM old o JOIN nw n USING (key)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // q340: the KMV order statistic + integer estimator replayed —
     // distinct portable hashes, row_number ≤ k, max = h_k, and the
     // HUGEINT (k−1)·2⁶⁰ // h_k (exact-regime groups fall out of the

@@ -101,4 +101,33 @@ class AqeSkewSpec extends AnyFunSuite {
       assert(g == p, s"threshold $t diverged")
     }
   }
+
+  // ---- Skew.rendezvousAssign (q346) ----
+
+  test("rendezvousAssign: matches an independent md5 argmax, minimal " +
+    "movement on fleet growth, old shards never swap among themselves") {
+    import spark.implicits._
+    import graft.ops.Skew
+    def h60(k: String, s: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$k:$s".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val keys = (1L to 2000L).toList
+    val got = Skew.rendezvousAssign(keys.toDF("k"), col("k"), shards = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getBoolean(3)))).toMap
+    keys.foreach { k =>
+      val hs = (0 until 9).map(s => h60(k.toString, s))
+      val old = (0 until 8).maxBy(s => (hs(s), -s))
+      val nw = (0 until 9).maxBy(s => (hs(s), -s))
+      assert(got(k) == ((old, nw, old != nw)), s"key $k")
+      // HRW invariant: a key moves ONLY to the new shard, never
+      // between old shards
+      if (old != nw) assert(nw == 8, s"key $k moved old->old")
+    }
+    // expected movement ~ 1/9 of keys; allow a generous band
+    val moved = got.values.count(_._3)
+    assert(moved > 2000 / 9 / 2 && moved < 2000 / 9 * 2, s"moved=$moved")
+  }
 }
