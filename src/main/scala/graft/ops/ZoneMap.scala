@@ -100,4 +100,33 @@ object ZoneMap {
     run("lex", col("x") * 65536L + col("y"))
       .unionByName(run("zorder", ZOrder.zValue(col("x"), col("y"))))
   }
+
+  /** CLUSTERING DEPTH of a file layout (the OPTIMIZE/Z-ORDER
+    * effectiveness metric lakehouse table services report): given one
+    * (lo, hi) zone per file for a probe column, the depth at a point
+    * is how many file ranges cover it — a point query must read that
+    * many files — and the table's clustering depth is the MAXIMUM
+    * over all points. Depth 1 = perfectly clustered (disjoint
+    * ranges); depth ≈ n_files = the column is unclustered and zone
+    * maps skip nothing.
+    *
+    * Exact boundary sweep: each file contributes (+1 at lo, −1 at
+    * hi+1); the running sum ordered by (pos, delta — closes before
+    * opens at the same integer point, half-open semantics) peaks at
+    * the depth. The sweep table is O(n_files) METADATA, not data —
+    * the single-partition window here is over 2·files rows, the same
+    * O(files) driver-scale state every table service holds.
+    *
+    * @param files one row per file: (lo, hi) inclusive integer zone.
+    * @return one row: (n_files, max_depth). */
+  def clusteringDepth(files: DataFrame): DataFrame = {
+    val ev = files.select(col("lo").as("pos"), lit(1L).as("d"))
+      .unionAll(files.select((col("hi") + 1).as("pos"), lit(-1L).as("d")))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pos"), col("d"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    ev.withColumn("depth", sum(col("d")).over(w))
+      .agg((count(lit(1)) / 2).cast("long").as("n_files"),
+        max(col("depth")).as("max_depth"))
+  }
 }

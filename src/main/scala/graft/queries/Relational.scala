@@ -181,6 +181,33 @@ object Relational {
         blockSize = 4096,
         predLo = "1995-01-01", predHi = "1996-01-01")),
 
+    // q347: CLUSTERING DEPTH — the layout-quality audit behind q167's
+    // zone maps (the OPTIMIZE metric table services report): max #
+    // files whose [min,max] partkey zones overlap one point, i.e. the
+    // worst-case files-per-point-query. Files are value-range buckets
+    // (no global sort — (v·64) div (max+1)); laid out BY partkey the
+    // probe column's zones are disjoint (depth 1), laid out BY
+    // orderkey every file spans ~the whole partkey domain (depth ≈
+    // n_files) — the difference IS the metric. Sweep is O(files)
+    // metadata.
+    "q347_clustering_depth" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      def layout(name: String, orderCol: String): DataFrame = {
+        val mx = li.agg(max(col(orderCol).cast("long"))).first().getLong(0)
+        val files = li
+          .withColumn("_fid", expr(s"cast($orderCol as bigint) * 64 " +
+            s"div ${mx + 1}"))
+          .groupBy(col("_fid"))
+          .agg(min(col("l_partkey").cast("long")).as("lo"),
+            max(col("l_partkey").cast("long")).as("hi"))
+        graft.ops.ZoneMap.clusteringDepth(files)
+          .select(lit(name).as("layout"), col("n_files"), col("max_depth"))
+      }
+      layout("by_orderkey", "l_orderkey")
+        .unionByName(layout("by_partkey", "l_partkey"))
+        .orderBy(col("layout"))
+    }),
+
     // TPC-H Q1 shape: scan → filter → hash agg with partial aggregation
     // (the combiner the reference never had — SURVEY §4). Pushdown check:
     // PushedFilters should show the shipdate range at the parquet scan.
@@ -2207,6 +2234,47 @@ object Relational {
         |SELECT kh % 64 AS bucket, count(*) AS n_rows,
         |  CAST(bit_xor(h) AS BIGINT) AS xor60
         |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // q347: value-range files + the (pos, delta) boundary sweep —
+    // closes sort before opens at equal points (half-open semantics),
+    // running sum peaks at the depth.
+    "q347_clustering_depth" ->
+      """WITH mo AS (
+        |  SELECT max(CAST(l_orderkey AS BIGINT)) + 1 AS m FROM lineitem),
+        |mp AS (
+        |  SELECT max(CAST(l_partkey AS BIGINT)) + 1 AS m FROM lineitem),
+        |fo AS (
+        |  SELECT CAST(l_orderkey AS BIGINT) * 64 // mo.m AS fid,
+        |    min(CAST(l_partkey AS BIGINT)) AS lo,
+        |    max(CAST(l_partkey AS BIGINT)) AS hi
+        |  FROM lineitem, mo GROUP BY 1),
+        |fp AS (
+        |  SELECT CAST(l_partkey AS BIGINT) * 64 // mp.m AS fid,
+        |    min(CAST(l_partkey AS BIGINT)) AS lo,
+        |    max(CAST(l_partkey AS BIGINT)) AS hi
+        |  FROM lineitem, mp GROUP BY 1),
+        |eo AS (
+        |  SELECT lo AS pos, CAST(1 AS BIGINT) AS d FROM fo
+        |  UNION ALL SELECT hi + 1, CAST(-1 AS BIGINT) FROM fo),
+        |ep AS (
+        |  SELECT lo AS pos, CAST(1 AS BIGINT) AS d FROM fp
+        |  UNION ALL SELECT hi + 1, CAST(-1 AS BIGINT) FROM fp),
+        |so AS (
+        |  SELECT CAST(count(*) // 2 AS BIGINT) AS n_files,
+        |    CAST(max(depth) AS BIGINT) AS max_depth
+        |  FROM (SELECT sum(d) OVER (ORDER BY pos, d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS depth
+        |    FROM eo)),
+        |sp AS (
+        |  SELECT CAST(count(*) // 2 AS BIGINT) AS n_files,
+        |    CAST(max(depth) AS BIGINT) AS max_depth
+        |  FROM (SELECT sum(d) OVER (ORDER BY pos, d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS depth
+        |    FROM ep))
+        |SELECT 'by_orderkey' AS layout, n_files, max_depth FROM so
+        |UNION ALL
+        |SELECT 'by_partkey', n_files, max_depth FROM sp
+        |ORDER BY layout""".stripMargin,
+
     // Global (key, tie-string) order replayed with row_number; the tie
     // string is identical on both engines so the total order is too.
     "q167_zone_map" ->

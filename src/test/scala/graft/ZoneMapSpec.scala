@@ -46,4 +46,23 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(out("zorder")._1 > 0L, s"z-order must skip: ${out("zorder")}")
     assert(out("zorder")._2 < out("lex")._2)
   }
+
+  // ---- ZoneMap.clusteringDepth (q347) ----
+
+  test("clusteringDepth: disjoint zones depth 1, nested/overlapping " +
+    "count exactly, touching half-open ranges do not stack") {
+    import spark.implicits._
+    import graft.ops.ZoneMap
+    def run(fs: Seq[(Long, Long)]) =
+      ZoneMap.clusteringDepth(fs.toDF("lo", "hi")).collect().head
+    val disjoint = run(Seq((1L, 5L), (6L, 9L), (10L, 20L)))
+    assert(disjoint.getLong(0) == 3L && disjoint.getLong(1) == 1L)
+    // [1,10] ⊃ [2,3] plus [3,8]: point 3 covered by all three
+    val nested = run(Seq((1L, 10L), (2L, 3L), (3L, 8L)))
+    assert(nested.getLong(1) == 3L)
+    // adjacent inclusive ranges [1,5],[5,9] DO share point 5 → depth 2;
+    // [1,4],[5,9] don't → depth 1
+    assert(run(Seq((1L, 5L), (5L, 9L))).getLong(1) == 2L)
+    assert(run(Seq((1L, 4L), (5L, 9L))).getLong(1) == 1L)
+  }
 }
