@@ -547,6 +547,66 @@ object MlEval {
       .orderBy(col(keyCol))
   }
 
+  /** CUPED variance reduction for A/B metrics (Deng, Xu, Kohavi &
+    * Walker, WSDM 2013 — the experimentation-platform standard): the
+    * post-period metric Y is adjusted by the pre-period covariate X,
+    *   Ŷ = Y − θ·(X − X̄),  θ = cov(X,Y)/var(X)  (pooled),
+    * which preserves the treatment-effect estimate while shrinking
+    * its variance by the X,Y correlation². Everything reduces to the
+    * five decimal(38,0) moment sums (n, Σx, Σy, Σxy, Σx², Σy²) —
+    * [[olsTrend]]'s closed-form discipline — so per arm this reports
+    * the raw and CUPED-adjusted means, and pooled θ plus the achieved
+    * variance ratio var(Y−θX)/var(Y) = 1 − ρ², from ONE aggregate
+    * pass over per-unit rows. θ and the ratio are single double
+    * divisions round-9/6; arm means are exact-sum/count divisions.
+    *
+    * Shape: one shuffle to per-unit (x, y, arm), one partial-agg to
+    * the per-arm moment rows, pooled = the 2-row rollup broadcast
+    * back. At 100 TB the moments are all that ever crosses the wire.
+    *
+    * @param units one row per experiment unit: (armCol int,
+    *              xCol long — pre-period covariate, yCol long —
+    *              post-period metric, both in integral units).
+    * @return one row per arm: (arm, n_units, mean_x6, mean_y6,
+    *         adj_mean6, theta9, var_ratio6). */
+  def cuped(units: DataFrame, armCol: String, xCol: String,
+            yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val byArm = units.groupBy(col(armCol).as("arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(xCol).cast(dec)).as("sx"),
+        sum(col(yCol).cast(dec)).as("sy"),
+        sum((col(xCol).cast(dec) * col(yCol).cast(dec))).as("sxy"),
+        sum((col(xCol).cast(dec) * col(xCol).cast(dec))).as("sxx"),
+        sum((col(yCol).cast(dec) * col(yCol).cast(dec))).as("syy"))
+    val pooled = byArm.agg(sum(col("n")).as("pn"),
+      sum(col("sx")).as("psx"), sum(col("sy")).as("psy"),
+      sum(col("sxy")).as("psxy"), sum(col("sxx")).as("psxx"),
+      sum(col("syy")).as("psyy"))
+    val withPool = byArm.crossJoin(broadcast(pooled))
+    val covNum = (col("pn").cast(dec) * col("psxy") -
+      col("psx") * col("psy")).cast("double")
+    val varXNum = (col("pn").cast(dec) * col("psxx") -
+      col("psx") * col("psx")).cast("double")
+    val varYNum = (col("pn").cast(dec) * col("psyy") -
+      col("psy") * col("psy")).cast("double")
+    val theta = round(covNum / varXNum, 9)
+    // 1 − ρ² computed from the same moment numerators (the shared
+    // n²·denominators cancel in the ratio)
+    val varRatio = round(lit(1.0) - (covNum / varXNum) *
+      (covNum / varYNum), 6)
+    val meanX = round(col("sx").cast("double") / col("n").cast("double"), 6)
+    val meanY = round(col("sy").cast("double") / col("n").cast("double"), 6)
+    val poolMeanX = col("psx").cast("double") / col("pn").cast("double")
+    withPool.select(col("arm"), col("n").as("n_units"),
+        meanX.as("mean_x6"), meanY.as("mean_y6"),
+        round((col("sy").cast("double") / col("n").cast("double")) -
+          theta * ((col("sx").cast("double") / col("n").cast("double")) -
+            poolMeanX), 6).as("adj_mean6"),
+        theta.as("theta9"), varRatio.as("var_ratio6"))
+      .orderBy(col("arm"))
+  }
+
   /** KRIPPENDORFF'S ALPHA (nominal) — the multi-rater,
     * missing-data-tolerant agreement coefficient generalizing q290's
     * two-rater Cohen's kappa (Krippendorff, "Content Analysis", 2004;

@@ -845,6 +845,30 @@ object EventQueries {
         .orderBy(col("event_type"))
     }),
 
+    // CUPED variance reduction (Deng–Xu–Kohavi–Walker 2013) — the A/B
+    // analysis adjustment every experimentation platform applies: the
+    // post-period metric corrected by the pre-period covariate,
+    // Ŷ = Y − θ(X − X̄). Period split at the exact (min+max)/2 micro
+    // midpoint, arms by portable-md5 parity (a valid A/A on this
+    // synthetic data — adj means converge, variance still shrinks by
+    // ρ²). Everything flows through six decimal(38,0) moment sums in
+    // ONE pass; θ and the achieved var ratio are single round-9/6
+    // divisions.
+    "q348_cuped" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("vc"))
+      val mm = ev.agg(min(col("us")), max(col("us"))).first()
+      val mid = (mm.getLong(0) + mm.getLong(1)) / 2
+      val units = ev.groupBy(col("user_id"))
+        .agg(sum(when(col("us") < mid, col("vc")).otherwise(0L)).as("x"),
+          sum(when(col("us") >= mid, col("vc")).otherwise(0L)).as("y"))
+        .withColumn("arm", pmod(expr("cast(conv(substring(md5(" +
+          "cast(user_id as string)), 1, 15), 16, 10) as bigint)"),
+          lit(2L)).cast("int"))
+      graft.ops.MlEval.cuped(units, "arm", "x", "y")
+    }),
+
     // RENDEZVOUS (HRW) HASHING placement audit — the consistent shard
     // router (Thaler–Ravishankar 1998) evaluated on fleet growth 8→9:
     // per old shard, how many keys it owns and how many move (HRW
@@ -2300,6 +2324,53 @@ object EventQueries {
         |    * 562949953421312.0 / CAST(s_all AS DOUBLE) AS e_raw
         |  FROM est)
         |ORDER BY event_type""".stripMargin,
+    // q348: the CUPED moments replayed in HUGEINT, θ and the var
+    // ratio as the same single divisions, the adjusted mean using the
+    // ROUNDED θ exactly as the engine does.
+    "q348_cuped" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+        |u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN us < m.mid THEN vc ELSE 0 END) AS BIGINT)
+        |      AS x,
+        |    CAST(sum(CASE WHEN us >= m.mid THEN vc ELSE 0 END) AS BIGINT)
+        |      AS y,
+        |    CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 2 AS INT) AS arm
+        |  FROM ev, m GROUP BY user_id),
+        |a AS (
+        |  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM u GROUP BY 1),
+        |p AS (
+        |  SELECT sum(CAST(n AS HUGEINT)) AS pn, sum(sx) AS psx,
+        |    sum(sy) AS psy, sum(sxy) AS psxy, sum(sxx) AS psxx,
+        |    sum(syy) AS psyy
+        |  FROM a)
+        |SELECT arm, n AS n_units,
+        |  round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_x6,
+        |  round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_y6,
+        |  round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - round(CAST(pn * psxy - psx * psy AS DOUBLE)
+        |        / CAST(pn * psxx - psx * psx AS DOUBLE), 9)
+        |      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+        |         - CAST(psx AS DOUBLE) / CAST(pn AS DOUBLE)), 6)
+        |    AS adj_mean6,
+        |  round(CAST(pn * psxy - psx * psy AS DOUBLE)
+        |    / CAST(pn * psxx - psx * psx AS DOUBLE), 9) AS theta9,
+        |  round(1.0 - (CAST(pn * psxy - psx * psy AS DOUBLE)
+        |      / CAST(pn * psxx - psx * psx AS DOUBLE))
+        |    * (CAST(pn * psxy - psx * psy AS DOUBLE)
+        |      / CAST(pn * psyy - psy * psy AS DOUBLE)), 6) AS var_ratio6
+        |FROM a, p ORDER BY arm""".stripMargin,
+
     // q346: the HRW argmax replayed via row_number over the unnested
     // (key, shard) hash table — (h DESC, s ASC) pins the same
     // lower-shard tie-break; old = winner among s<8, new among s<=8.

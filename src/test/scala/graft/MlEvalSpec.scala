@@ -391,4 +391,39 @@ class MlEvalSpec extends AnyFunSuite {
     }
     assert(e.getMessage != null)
   }
+
+  // ---- cuped (q348) ----
+
+  test("cuped: theta recovers a planted linear covariate, adjustment " +
+    "removes the covariate imbalance, var ratio ~ 1 - rho^2") {
+    // y = 2x exactly -> theta = 2, rho^2 = 1, var_ratio = 0, and the
+    // adjusted means of both arms collapse to the same value even
+    // though arm 1 got the larger-x units
+    val units = (1L to 100L).map(i => (if (i <= 50) 0 else 1, i, 2 * i))
+      .toList.toDF("arm", "x", "y")
+    val got = MlEval.cuped(units, "arm", "x", "y")
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(got(0).getAs[Double]("theta9") == 2.0)
+    assert(got(0).getAs[Double]("var_ratio6") == 0.0)
+    val adj0 = got(0).getAs[Double]("adj_mean6")
+    val adj1 = got(1).getAs[Double]("adj_mean6")
+    assert(adj0 == adj1, s"perfect covariate must equalize: $adj0 vs $adj1")
+    // raw means differ wildly (25.5*2 vs 75.5*2); adjusted = pooled mean
+    assert(got(0).getAs[Double]("mean_y6") == 51.0)
+    assert(got(1).getAs[Double]("mean_y6") == 151.0)
+    assert(adj0 == 101.0)
+  }
+
+  test("cuped: zero-correlation covariate leaves means untouched " +
+    "(theta 0) and var ratio 1") {
+    // x alternates independent of y within each arm
+    val units = Seq((0, 1L, 10L), (0, 3L, 10L), (1, 1L, 20L), (1, 3L, 20L))
+      .toDF("arm", "x", "y")
+    val got = MlEval.cuped(units, "arm", "x", "y")
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(got(0).getAs[Double]("theta9") == 0.0)
+    assert(got(0).getAs[Double]("var_ratio6") == 1.0)
+    assert(got(0).getAs[Double]("adj_mean6") == 10.0)
+    assert(got(1).getAs[Double]("adj_mean6") == 20.0)
+  }
 }
