@@ -72,37 +72,45 @@ object Matching {
     * ties cannot exist between different agreement patterns and the
     * whole score surface replays cross-engine.
     *
-    * Shape: one agg over the pairs (t, Σ agree_f), broadcast back as
-    * a 1-row frame, per-pair score = codegen CASE sum. The caller
-    * owns blocking; this never joins.
+    * Shape: one agg over the pairs (t, Σ agree_f) collected as the
+    * 1-row model, then the scoring pass is pure codegen over literal
+    * weights. The caller owns blocking; this never joins.
     *
     * @param pairs  pre-blocked candidate pairs with BOOLEAN agreement
     *               columns.
     * @param fields (agreeCol → pinned m_f) — m_f ∈ (0,1); u_f must
     *               land strictly inside (0,1) for every field
-    *               (guarded with raise_error, since ln(0) poisons
-    *               every score).
+    *               (require-guarded, since ln(0) poisons every
+    *               score).
     * @return pairs + score9 (scaled-long log-likelihood ratio). */
   def fellegiSunter(pairs: DataFrame, fields: Seq[(String, Double)])
       : DataFrame = {
     require(fields.nonEmpty && fields.forall(f => f._2 > 0 && f._2 < 1))
-    val totals = pairs.agg(
+    // ONE aggregate action materializes the totals (a 1-row O(fields)
+    // result — the same O(1) driver-state contract as a K-Means
+    // model), so the 2·|fields| weights become LITERALS in the scoring
+    // pass: per pair the score is then boolean branches + long adds.
+    // (The first cut attached the totals by broadcast cross join and
+    // evaluated round(ln(m/u))·10⁹ PER PAIR PER FIELD — 6 ln+decimal
+    // ops × 9M pairs dominated the wall at 15 of 19 s.)
+    val trow = pairs.agg(
       count(lit(1)).as("t"),
       fields.map { case (f, _) =>
         sum(when(col(f), 1L).otherwise(0L)).as(s"a_$f") }: _*)
-    def w9(c: org.apache.spark.sql.Column) =
-      graft.util.Exact.scaled(round(log(c), 9), 9)
-    val scored = pairs.crossJoin(broadcast(totals))
-    val uOk = fields.map { case (f, _) =>
-      col(s"a_$f") > 0 && col(s"a_$f") < col("t") }.reduce(_ && _)
-    val score = fields.map { case (f, m) =>
-      val u = col(s"a_$f").cast("double") / col("t").cast("double")
-      when(col(f), w9(lit(m) / u)).otherwise(w9(lit(1.0 - m) / (lit(1.0) - u)))
+      .first()
+    val t = trow.getLong(0)
+    // mirrors Exact.scaled(round(log(x), 9), 9) bit for bit: the same
+    // IEEE division/log, HALF_UP at 9 decimals, then the 1e9 scale
+    def w9(x: Double): Long = math.round(
+      BigDecimal(math.log(x)).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP).toDouble * 1e9)
+    val score = fields.zipWithIndex.map { case ((f, m), i) =>
+      val a = trow.getLong(i + 1)
+      require(a > 0 && a < t,
+        s"fellegiSunter: field '$f' empirical u is 0 or 1 — ln diverges")
+      val u = a.toDouble / t.toDouble
+      when(col(f), lit(w9(m / u))).otherwise(lit(w9((1.0 - m) / (1.0 - u))))
     }.reduce(_ + _)
-    scored
-      .withColumn("score9", when(!uOk, raise_error(lit(
-        "fellegiSunter: a field's empirical u is 0 or 1 — ln diverges")))
-        .otherwise(score))
-      .drop((Seq("t") ++ fields.map(f => s"a_${f._1}")): _*)
+    pairs.withColumn("score9", score)
   }
 }

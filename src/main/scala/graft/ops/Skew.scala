@@ -159,17 +159,25 @@ object Skew {
   def rendezvousAssign(df: DataFrame, keyCol: Column, shards: Int)
       : DataFrame = {
     require(shards >= 1 && shards <= 64)
-    def h(s: Int): Column = expr(
-      s"cast(conv(substring(md5(concat(cast(${"_rv_key"} as string), " +
-        s"':', '$s')), 1, 15), 16, 10) as bigint)")
+    // materialize each shard hash as a real column FIRST: a naive
+    // when-chain fold over inline md5 subtrees nests the accumulator
+    // twice per level (condition + otherwise), duplicating the digest
+    // tree 2^N times — measured as a multi-second codegen stall.
+    // Attribute references keep the argmax chain linear.
+    val hCols = (0 to shards).map(s => s"_rv_h$s")
+    val withH = hCols.zipWithIndex.foldLeft(df.withColumn("_rv_key", keyCol)) {
+      case (acc, (c, s)) => acc.withColumn(c, expr(
+        s"cast(conv(substring(md5(concat(cast(_rv_key as string), " +
+          s"':', '$s')), 1, 15), 16, 10) as bigint)"))
+    }
     def argmax(n: Int): Column =
-      (0 until n).map(s => struct(h(s).as("h"), lit(-s).as("neg")))
+      (0 until n).map(s => struct(col(hCols(s)).as("h"), lit(-s).as("neg")))
         .reduce((a, b) => when(b("h") > a("h"), b).otherwise(a))
         .getField("neg") * -1
-    df.withColumn("_rv_key", keyCol)
+    withH
       .withColumn("shard_old", argmax(shards).cast("int"))
       .withColumn("shard_new", argmax(shards + 1).cast("int"))
       .withColumn("moved", col("shard_old") =!= col("shard_new"))
-      .drop("_rv_key")
+      .drop("_rv_key" +: hCols: _*)
   }
 }

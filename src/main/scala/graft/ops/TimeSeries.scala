@@ -175,11 +175,13 @@ object TimeSeries {
     * nothing after takes that value.
     *
     * Plan: observations and grid instants UNION into one per-key
-    * stream sorted by (us, side — observations first at equal
-    * instants); `prev` is a running last(ignoreNulls) and `next` a
-    * first(ignoreNulls) over the strictly-following frame — Catalyst
-    * plans ONE exchange + ONE sort and both windows reuse them, the
-    * same single-shuffle shape as the as-of join. No range join, no
+    * stream; `prev` is a running last(ignoreNulls) over the (us, side
+    * — observations first at equal instants) ASC order and `next` the
+    * same RUNNING shape over the DESC order with a strict frame — one
+    * exchange, two in-partition sorts, both windows O(n). (A
+    * first(ignoreNulls) over (1, unboundedFollowing) would express
+    * `next` in one sort but Spark re-aggregates that frame from each
+    * row to the partition end — O(rows²) per key.) No range join, no
     * per-key collect.
     *
     * @return (key, hr_us — grid instant epoch micros, v_interp_c —
@@ -201,17 +203,25 @@ object TimeSeries {
       .select(col(keyCol), unix_micros(col("_hour")).as("us"),
         lit(1).as("side"), lit(null).cast("long").as("_ov"),
         lit(null).cast("long").as("_ot"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(keyCol)).orderBy(col("us"), col("side"))
-    val prevW = w.rowsBetween(
-      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val nextW = w.rowsBetween(1,
-      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val W = org.apache.spark.sql.expressions.Window
+    // prev = running last over the ASC order. next = the SAME running
+    // shape over the DESC order — NOT first() over a
+    // (1, unboundedFollowing) frame: Spark's UnboundedFollowing frame
+    // re-aggregates from each row to the partition end, O(rows²) per
+    // key (measured 11 s at sf0.1 vs ~2 s for the two running frames).
+    // DESC tie order (us DESC, side DESC) puts the grid row BEFORE its
+    // same-instant observation, so "strictly after in event time"
+    // is exactly the strict preceding frame.
+    val prevW = W.partitionBy(col(keyCol)).orderBy(col("us"), col("side"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    val nextW = W.partitionBy(col(keyCol))
+      .orderBy(col("us").desc, col("side").desc)
+      .rowsBetween(W.unboundedPreceding, -1)
     obs.unionAll(grid)
       .withColumn("_pv", last(col("_ov"), ignoreNulls = true).over(prevW))
       .withColumn("_pt", last(col("_ot"), ignoreNulls = true).over(prevW))
-      .withColumn("_nv", first(col("_ov"), ignoreNulls = true).over(nextW))
-      .withColumn("_nt", first(col("_ot"), ignoreNulls = true).over(nextW))
+      .withColumn("_nv", last(col("_ov"), ignoreNulls = true).over(nextW))
+      .withColumn("_nt", last(col("_ot"), ignoreNulls = true).over(nextW))
       .where(col("side") === 1)
       .withColumn("_num", col("_pv") * (col("_nt") - col("us")) +
         col("_nv") * (col("us") - col("_pt")))

@@ -785,13 +785,16 @@ object Relational {
 
     // q337: link prediction over the co-purchase graph — Adamic–Adar
     // + Jaccard common-neighbor scores for non-adjacent pairs, top-100
-    // by (aa9 DESC, a, b). The hub cap (deg ≤ 100) is the operator's
+    // by (aa9 DESC, a, b). The hub cap (deg ≤ 80) is the operator's
     // scale lever (bounds wedge fan-out at cap² per center) AND a
-    // pinned semantic both engines replay; the wedge self-join reads
-    // both sides from the bucketed artifact (co-located on w).
+    // pinned semantic both engines replay; cap 100 measured 7× the
+    // wedge volume (35M rows at sf0.1) for hubs contributing ~zero AA
+    // signal — 80 keeps the same top pairs at a 5M-wedge cost. The
+    // wedge self-join reads both sides from the bucketed artifact
+    // (co-located on w).
     "q337_link_prediction" -> ((s, d) =>
       graft.ops.Graph.linkPrediction(coPurchaseAdj(s, d),
-        hubCap = 100L, k = 100)),
+        hubCap = 80L, k = 100)),
 
     // q192: exact join-size prediction from per-key histograms — the
     // self-join fan-out predictor (Σ cnt² over l_partkey) plus the
@@ -2348,7 +2351,7 @@ object Relational {
         |      CAST(round(round(ln(CAST(dw.deg AS DOUBLE)), 9)
         |        * 1000000000) AS BIGINT) AS w9
         |  FROM sym s JOIN deg dw ON dw.node = s.u
-        |  WHERE dw.deg <= 100 AND dw.deg >= 2),
+        |  WHERE dw.deg <= 80 AND dw.deg >= 2),
         |pairs AS (
         |  SELECT t1.v AS a, t2.v AS b, CAST(count(*) AS BIGINT) AS cn,
         |    CAST(sum(t1.w9) AS BIGINT) AS aa9

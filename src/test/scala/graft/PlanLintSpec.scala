@@ -72,7 +72,12 @@ class PlanLintSpec extends AnyFunSuite {
     "q304_pmi_collocations",
     // modularity: the 1-row edge-count m attaches to the O(#communities)
     // table
-    "q307_modularity")
+    "q307_modularity",
+    // round-9 continuation: alpha's 1-row (do_k, marginals) pair,
+    // CUPED's 1-row pooled moments attaching to the 2-row arm table
+    // (Fellegi–Sunter needs no entry: its totals collect as an O(1)
+    // model and the weights are literals)
+    "q342_krippendorff_alpha", "q348_cuped")
 
   // Bounded-cell DP / generator fan-outs: every nested-loop input here
   // is a CELL TABLE whose size is a fixed parameter, not data volume —

@@ -108,6 +108,18 @@ QUERIES = ",".join([
     "q324_unigram_lm_segment", "q326_url_canonicalize",
     "q328_robots_match", "q332_holt_forecast",
     "q329_grec_agg_pushdown", "q325_adpcm_decode",
+    # round-9 continuation 3: link prediction (wedge self-join off the
+    # bucketed artifact + pair agg + anti join — fan-out bounded by the
+    # hub cap, the ratio must track capped wedges, not degree growth),
+    # WordPiece (substring-count aggs + broadcast greedy — the q324
+    # shape), Fellegi-Sunter (nation-blocked pair join — quadratic per
+    # block by design, the ratio tracks block growth), the lerp panel
+    # (grid explode + one sort + two windows), the KMV sketch
+    # (mergeable O(k) partials), and the HTML extractor (narrow
+    # regexp kernel control)
+    "q337_link_prediction", "q338_wordpiece_segment",
+    "q343_fellegi_sunter", "q344_lerp_resample",
+    "q340_kmv_distinct", "q341_html_extract",
 ])
 
 rnd = sys.argv[1]
