@@ -765,12 +765,16 @@ object PipelineOps {
     // decision layer over q82/q117's block→verify joins: a dirty copy
     // of customer is synthesized deterministically (portable-md5
     // field corruption: 1/4 names, 1/5 segments, 1/3 balance
-    // buckets), pairs block on nation (equi join, never cartesian),
-    // and each pair scores Σ ln(m/u) / ln((1−m)/(1−u)) with m pinned
-    // to binary-EXACT literals (0.9375/0.875/0.75 — so 1−m is also
-    // literal-exact cross-engine) and u estimated from the candidate
-    // pairs in one aggregate pass. Top-100 by score: the all-agree
-    // true matches surface first (the linkage working end-to-end).
+    // buckets), pairs block on a CONSTANT-SIZE quasi-identifier — the
+    // 16-char name prefix, ~100 keys per block at EVERY SF (the
+    // corruption appends, so the dirty prefix survives; a fixed-COUNT
+    // block key like nation measured 79× per 100× — block sizes grew
+    // with the data and the pair grid quadratically) — and each pair
+    // scores Σ ln(m/u) / ln((1−m)/(1−u)) with m pinned to binary-
+    // EXACT literals (0.9375/0.875/0.75 — so 1−m is also literal-
+    // exact cross-engine) and u estimated from the candidate pairs in
+    // one aggregate pass. Top-100 by score: the all-agree true
+    // matches surface first (the linkage working end-to-end).
     "q343_fellegi_sunter" -> ((s, d) => {
       val h = expr("cast(conv(substring(md5(cast(c_custkey as string)), " +
         "1, 15), 16, 10) as bigint)")
@@ -778,17 +782,19 @@ object PipelineOps {
         .withColumn("bal", expr("cast(round(c_acctbal * 100) as bigint) " +
           "div 10000"))
         .withColumn("hh", h)
-      val a = base.select(col("c_custkey").as("a_key"), col("c_nationkey"),
+      val a = base.select(col("c_custkey").as("a_key"),
+        substring(col("c_name"), 1, 16).as("blk"),
         col("c_name").as("a_name"), col("c_mktsegment").as("a_seg"),
         col("bal").as("a_bal"))
-      val b = base.select(col("c_custkey").as("b_key"), col("c_nationkey"),
+      val b0 = base.select(col("c_custkey").as("b_key"),
         when(col("hh") % 4 === 0, concat(col("c_name"), lit("~")))
           .otherwise(col("c_name")).as("b_name"),
         when(col("hh") % 5 === 0, lit("NONE"))
           .otherwise(col("c_mktsegment")).as("b_seg"),
         (col("bal") + when(col("hh") % 3 === 0, 1L).otherwise(0L))
           .as("b_bal"))
-      val pairs = a.join(b, Seq("c_nationkey"))
+      val b = b0.withColumn("blk", substring(col("b_name"), 1, 16))
+      val pairs = a.join(b, Seq("blk"))
         .select(col("a_key"), col("b_key"),
           (col("a_name") === col("b_name")).as("agree_name"),
           (col("a_seg") === col("b_seg")).as("agree_seg"),
@@ -5382,7 +5388,7 @@ object PipelineOps {
         |      AS BIGINT) AS hh
         |  FROM customer),
         |b AS (
-        |  SELECT c_custkey AS b_key, c_nationkey,
+        |  SELECT c_custkey AS b_key,
         |    CASE WHEN hh % 4 = 0 THEN c_name || '~' ELSE c_name END
         |      AS b_name,
         |    CASE WHEN hh % 5 = 0 THEN 'NONE' ELSE c_mktsegment END
@@ -5390,14 +5396,14 @@ object PipelineOps {
         |    bal + CASE WHEN hh % 3 = 0 THEN 1 ELSE 0 END AS b_bal
         |  FROM h),
         |a AS (
-        |  SELECT c_custkey AS a_key, c_nationkey, c_name AS a_name,
+        |  SELECT c_custkey AS a_key, c_name AS a_name,
         |    c_mktsegment AS a_seg, bal AS a_bal
         |  FROM h),
         |p AS (
         |  SELECT a_key, b_key,
         |    (a_name = b_name) AS agree_name, (a_seg = b_seg) AS agree_seg,
         |    (a_bal = b_bal) AS agree_bal
-        |  FROM a JOIN b USING (c_nationkey)),
+        |  FROM a JOIN b ON substr(a.a_name, 1, 16) = substr(b.b_name, 1, 16)),
         |tot AS (
         |  SELECT CAST(count(*) AS BIGINT) AS t,
         |    CAST(sum(CASE WHEN agree_name THEN 1 ELSE 0 END) AS BIGINT)
