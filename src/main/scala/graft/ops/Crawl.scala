@@ -127,15 +127,19 @@ object Crawl {
     *         text_len, text_ratio6). */
   def htmlExtract(df: org.apache.spark.sql.DataFrame, htmlCol: Column)
       : org.apache.spark.sql.DataFrame = {
+    // (?i): real markup mixes case — '<SCRIPT>' must not leak its
+    // body. The close-tag alternation accepts a mismatched pair
+    // ('<script>…</style>' ends the strip early) — the pinned
+    // RE2-compatible semantic, since RE2 has no backreferences.
     val noScript = regexp_replace(htmlCol,
-      "(?s)<(script|style)[^>]*>.*?</(script|style)>", "")
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", "")
     val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", "")
     val stripped = regexp_replace(noComment, "(?s)<[^>]*>", " ")
     val text = trim(regexp_replace(stripped, "\\s+", " "))
     val links = regexp_extract_all(htmlCol,
-      lit("href=[\"']([^\"']+)[\"']"), lit(1))
+      lit("(?i)href=[\"']([^\"']+)[\"']"), lit(1))
     df.withColumn("title",
-        regexp_extract(htmlCol, "(?s)<title>(.*?)</title>", 1))
+        regexp_extract(htmlCol, "(?is)<title>(.*?)</title>", 1))
       .withColumn("text", text)
       .withColumn("n_links", size(links).cast("long"))
       .withColumn("links", array_join(links, "|"))

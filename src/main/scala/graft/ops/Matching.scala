@@ -93,7 +93,10 @@ object Matching {
     // (The first cut attached the totals by broadcast cross join and
     // evaluated round(ln(m/u))·10⁹ PER PAIR PER FIELD — 6 ln+decimal
     // ops × 9M pairs dominated the wall at 15 of 19 s.)
-    val trow = pairs.agg(
+    // localCheckpoint: the caller's blocked pair join would otherwise
+    // re-run end-to-end for the scoring pass (totals is an action)
+    val p = pairs.localCheckpoint(true)
+    val trow = p.agg(
       count(lit(1)).as("t"),
       fields.map { case (f, _) =>
         sum(when(col(f), 1L).otherwise(0L)).as(s"a_$f") }: _*)
@@ -111,6 +114,6 @@ object Matching {
       val u = a.toDouble / t.toDouble
       when(col(f), lit(w9(m / u))).otherwise(lit(w9((1.0 - m) / (1.0 - u))))
     }.reduce(_ + _)
-    pairs.withColumn("score9", score)
+    p.withColumn("score9", score)
   }
 }

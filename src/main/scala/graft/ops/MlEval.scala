@@ -590,11 +590,16 @@ object MlEval {
       col("psx") * col("psx")).cast("double")
     val varYNum = (col("pn").cast(dec) * col("psyy") -
       col("psy") * col("psy")).cast("double")
-    val theta = round(covNum / varXNum, 9)
+    // var(X) = 0 (constant/absent covariate — the cold-start case):
+    // CUPED degrades to the raw means (θ = 0, no variance reduction)
+    // instead of poisoning every arm with 0/0 = NaN
+    val theta = when(varXNum === 0.0, lit(0.0))
+      .otherwise(round(covNum / varXNum, 9))
     // 1 − ρ² computed from the same moment numerators (the shared
     // n²·denominators cancel in the ratio)
-    val varRatio = round(lit(1.0) - (covNum / varXNum) *
-      (covNum / varYNum), 6)
+    val varRatio = when(varXNum === 0.0 || varYNum === 0.0, lit(1.0))
+      .otherwise(round(lit(1.0) - (covNum / varXNum) *
+        (covNum / varYNum), 6))
     val meanX = round(col("sx").cast("double") / col("n").cast("double"), 6)
     val meanY = round(col("sy").cast("double") / col("n").cast("double"), 6)
     val poolMeanX = col("psx").cast("double") / col("pn").cast("double")

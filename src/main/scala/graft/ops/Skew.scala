@@ -171,9 +171,9 @@ object Skew {
           s"':', '$s')), 1, 15), 16, 10) as bigint)"))
     }
     def argmax(n: Int): Column =
-      (0 until n).map(s => struct(col(hCols(s)).as("h"), lit(-s).as("neg")))
+      (0 until n).map(s => struct(col(hCols(s)).as("h"), lit(s).as("s")))
         .reduce((a, b) => when(b("h") > a("h"), b).otherwise(a))
-        .getField("neg") * -1
+        .getField("s")
     withH
       .withColumn("shard_old", argmax(shards).cast("int"))
       .withColumn("shard_new", argmax(shards + 1).cast("int"))

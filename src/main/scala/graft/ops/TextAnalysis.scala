@@ -60,6 +60,9 @@ object TextAnalysis {
       .select(translate(substring(col(textCol), 1, unitLen), " ", "_")
         .as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      // materialize the (small) distinct-unit table: it feeds both the
+      // piece counts and the final Viterbi pass — one corpus scan
+      .localCheckpoint(true)
     val pieces = units.as[(String, Long)]
       .flatMap { case (w, c) =>
         for {
@@ -154,6 +157,10 @@ object TextAnalysis {
       .where(length(col("w0")) >= 1)
       .select(substring(col("w0"), 1, maxWordLen).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      // materialize the (small) distinct-word table: it feeds both the
+      // candidate counts and the final segmentation pass — without
+      // this the corpus scan + explode + groupBy runs twice
+      .localCheckpoint(true)
     val cands = words.as[(String, Long)]
       .flatMap { case (w, c) =>
         for {

@@ -74,7 +74,11 @@ object TimeSeries {
     * [[ewmaBounded]] → [[holtSmooth]] family): per key over its
     * observed-day count series with a weekly (`period` = 7) additive
     * seasonal state,
-    *   idx  = t mod period
+    *   idx  = epochDay(day_t) mod period   (CALENDAR-anchored: a
+    *          missing day must not rotate every later observation
+    *          into the wrong seasonal slot, as a row-index t mod 7
+    *          would — Thursday's count updating Wednesday's state
+    *          for the rest of the series)
     *   l_t  = (y_t·S − s[idx] + 3·(l_{t−1}+b_{t−1})) / 4   (α = 1/4)
     *   b_t  = ((l_t − l_{t−1}) + 4·b_{t−1}) / 5            (β = 1/5)
     *   s[idx] ← ((y_t·S − l_t) + 2·s[idx]) / 3             (γ = 1/3)
@@ -85,7 +89,8 @@ object TimeSeries {
     * both truncate toward zero (negatives included, which seasonal
     * deviations produce), so the recurrence replays bit-for-bit.
     * Also reports the one-step-ahead backtest Σ|y_t·S − (l+b+s[idx])|
-    * and forecasts ŷ_{T+h} = l_T + h·b_T + s[(T−1+h) mod period].
+    * and forecasts ŷ_{T+h} = l_T + h·b_T +
+    * s[(epochDay(day_T) + h) mod period].
     *
     * Scale shape: identical to [[holtSmooth]] — one partial-agg
     * shuffle to (key, day) counts, one mapGroups per key; per-key
@@ -105,14 +110,17 @@ object TimeSeries {
       .as[(String, java.sql.Timestamp, Long)]
       .groupByKey(_._1)
       .mapGroups { (k, it) =>
-        val ys = it.toArray.sortBy(_._2.getTime).map(_._3)
+        val rows = it.toArray.sortBy(_._2.getTime)
+        // date_trunc('day') in the UTC session ⇒ epoch ms divide evenly
+        val eds = rows.map(_._2.getTime / 86400000L)
+        val ys = rows.map(_._3)
         val s = new Array[Long](period)
         var l = ys(0) * S
         var b = 0L
         var sae = 0L
         var t = 1
         while (t < ys.length) {
-          val idx = t % period
+          val idx = (eds(t) % period).toInt
           val pred = l + b + s(idx)
           sae += math.abs(ys(t) * S - pred)
           val lNew = (ys(t) * S - s(idx) + 3L * (l + b)) / 4L
@@ -121,8 +129,8 @@ object TimeSeries {
           l = lNew
           t += 1
         }
-        val last = ys.length - 1
-        def fc(h: Int): Long = l + h * b + s((last + h) % period)
+        val lastEd = eds(ys.length - 1)
+        def fc(h: Int): Long = l + h * b + s(((lastEd + h) % period).toInt)
         (k, ys.length.toLong, l, b, s(0), s(1), s(2), s(3), s(4), s(5),
           s(6), fc(1), fc(2), fc(3), sae)
       }
@@ -223,8 +231,12 @@ object TimeSeries {
       .withColumn("_nv", last(col("_ov"), ignoreNulls = true).over(nextW))
       .withColumn("_nt", last(col("_ot"), ignoreNulls = true).over(nextW))
       .where(col("side") === 1)
-      .withColumn("_num", col("_pv") * (col("_nt") - col("us")) +
-        col("_nv") * (col("us") - col("_pt")))
+      // cents × micros products overflow a Long once values ~2e7 meet
+      // month-long gaps — accumulate the numerator in decimal(38,0)
+      // (HUGEINT on the oracle side); div still returns a long
+      .withColumn("_num",
+        col("_pv").cast("decimal(38,0)") * (col("_nt") - col("us")) +
+          col("_nv").cast("decimal(38,0)") * (col("us") - col("_pt")))
       .withColumn("_den", col("_nt") - col("_pt"))
       .select(col(keyCol), col("us").as("hr_us"),
         when(col("_pt").isNull, lit(null).cast("long"))

@@ -949,8 +949,9 @@ object EventQueries {
 
     // HOLT–WINTERS ADDITIVE SEASONAL (Winters 1960) — q332's Holt
     // recurrence extended with a zero-initialized weekly (period 7)
-    // seasonal state vector (γ=1/3), the forecasting shape for
-    // day-of-week-cyclic operational series. Seasonal deviations go
+    // seasonal state vector (γ=1/3, slots CALENDAR-anchored at
+    // epoch-day mod 7 so missing days can't rotate the cycle), the
+    // forecasting shape for day-of-week-cyclic operational series. Seasonal deviations go
     // NEGATIVE, so this also pins truncation-toward-zero division on
     // negatives across engines (Java `/` ≡ DuckDB `//`). Reports the
     // full final seasonal state s0..s6, seasonal-aware h∈{1,2,3}
@@ -2061,9 +2062,11 @@ object EventQueries {
 
     // q339: the Holt–Winters recurrence replayed step by step — the
     // q332 recursive-CTE shape with the seven seasonal states carried
-    // as explicit columns; the CASE chains select/update the active
-    // index, and `//` truncation-toward-zero covers the NEGATIVE
-    // seasonal deviations too (pinned by the DuckDB semantics).
+    // as explicit columns; the seasonal index is CALENDAR-anchored
+    // (epoch-day mod 7, so a missing day can't rotate later slots),
+    // the CASE chains select/update the active index, and `//`
+    // truncation-toward-zero covers the NEGATIVE seasonal deviations
+    // too (pinned by the DuckDB semantics).
     "q339_holt_winters" -> {
       def sCase(idxExpr: String, p: String): String =
         s"CASE $idxExpr " + (0 to 6).map(i => s"WHEN $i THEN ${p}s$i")
@@ -2079,6 +2082,7 @@ object EventQueries {
          |  FROM events GROUP BY 1, 2
          |), o AS (
          |  SELECT event_type, y,
+         |    epoch_us(day) // 86400000000 AS ed,
          |    row_number() OVER (PARTITION BY event_type ORDER BY day) - 1
          |      AS t
          |  FROM d
@@ -2093,9 +2097,9 @@ object EventQueries {
          |$sUpd
          |    sae + abs(ynew - (l + b + scur))
          |  FROM (
-         |    SELECT r.*, (r.t + 1) % 7 AS idx, nx.y * 1000000 AS ynew,
-         |      ${sCase("(r.t + 1) % 7", "r.")} AS scur,
-         |      (nx.y * 1000000 - ${sCase("(r.t + 1) % 7", "r.")}
+         |    SELECT r.*, nx.ed % 7 AS idx, nx.y * 1000000 AS ynew,
+         |      ${sCase("nx.ed % 7", "r.")} AS scur,
+         |      (nx.y * 1000000 - ${sCase("nx.ed % 7", "r.")}
          |        + 3 * (r.l + r.b)) // 4 AS lnew
          |    FROM rec r JOIN o nx
          |      ON nx.event_type = r.event_type AND nx.t = r.t + 1
@@ -2104,12 +2108,13 @@ object EventQueries {
          |SELECT r.event_type, CAST(r.t + 1 AS BIGINT) AS n_days,
          |  r.l AS level6, r.b AS trend6,
          |  r.s0, r.s1, r.s2, r.s3, r.s4, r.s5, r.s6,
-         |  r.l + 1 * r.b + ${sCase("(r.t + 1) % 7", "r.")} AS forecast_1,
-         |  r.l + 2 * r.b + ${sCase("(r.t + 2) % 7", "r.")} AS forecast_2,
-         |  r.l + 3 * r.b + ${sCase("(r.t + 3) % 7", "r.")} AS forecast_3,
+         |  r.l + 1 * r.b + ${sCase("(ox.ed + 1) % 7", "r.")} AS forecast_1,
+         |  r.l + 2 * r.b + ${sCase("(ox.ed + 2) % 7", "r.")} AS forecast_2,
+         |  r.l + 3 * r.b + ${sCase("(ox.ed + 3) % 7", "r.")} AS forecast_3,
          |  r.sae AS sae6
          |FROM rec r JOIN nmax n
          |  ON n.event_type = r.event_type AND r.t = n.tmax
+         |JOIN o ox ON ox.event_type = r.event_type AND ox.t = n.tmax
          |ORDER BY r.event_type""".stripMargin
     },
 
@@ -2354,22 +2359,29 @@ object EventQueries {
         |    sum(sy) AS psy, sum(sxy) AS psxy, sum(sxx) AS psxx,
         |    sum(syy) AS psyy
         |  FROM a)
+        |, th AS (
+        |  SELECT
+        |    CASE WHEN pn * psxx - psx * psx = 0 THEN 0.0
+        |         ELSE round(CAST(pn * psxy - psx * psy AS DOUBLE)
+        |           / CAST(pn * psxx - psx * psx AS DOUBLE), 9) END
+        |      AS theta9,
+        |    CASE WHEN pn * psxx - psx * psx = 0
+        |           OR pn * psyy - psy * psy = 0 THEN 1.0
+        |         ELSE round(1.0 - (CAST(pn * psxy - psx * psy AS DOUBLE)
+        |             / CAST(pn * psxx - psx * psx AS DOUBLE))
+        |           * (CAST(pn * psxy - psx * psy AS DOUBLE)
+        |             / CAST(pn * psyy - psy * psy AS DOUBLE)), 6) END
+        |      AS var_ratio6
+        |  FROM p)
         |SELECT arm, n AS n_units,
         |  round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_x6,
         |  round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_y6,
         |  round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
-        |    - round(CAST(pn * psxy - psx * psy AS DOUBLE)
-        |        / CAST(pn * psxx - psx * psx AS DOUBLE), 9)
-        |      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - th.theta9 * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
         |         - CAST(psx AS DOUBLE) / CAST(pn AS DOUBLE)), 6)
         |    AS adj_mean6,
-        |  round(CAST(pn * psxy - psx * psy AS DOUBLE)
-        |    / CAST(pn * psxx - psx * psx AS DOUBLE), 9) AS theta9,
-        |  round(1.0 - (CAST(pn * psxy - psx * psy AS DOUBLE)
-        |      / CAST(pn * psxx - psx * psx AS DOUBLE))
-        |    * (CAST(pn * psxy - psx * psy AS DOUBLE)
-        |      / CAST(pn * psyy - psy * psy AS DOUBLE)), 6) AS var_ratio6
-        |FROM a, p ORDER BY arm""".stripMargin,
+        |  th.theta9, th.var_ratio6
+        |FROM a, p, th ORDER BY arm""".stripMargin,
 
     // q346: the HRW argmax replayed via row_number over the unnested
     // (key, shard) hash table — (h DESC, s ASC) pins the same
@@ -2485,8 +2497,9 @@ object EventQueries {
         |  CASE WHEN p.pt IS NULL THEN NULL
         |       WHEN n.nt IS NULL THEN
         |         CASE WHEN p.pt = p.hr_us THEN p.pv ELSE NULL END
-        |       ELSE (p.pv * (n.nt - p.hr_us) + n.nv * (p.hr_us - p.pt))
-        |         // (n.nt - p.pt) END AS v_interp_c
+        |       ELSE CAST((CAST(p.pv AS HUGEINT) * (n.nt - p.hr_us)
+        |           + CAST(n.nv AS HUGEINT) * (p.hr_us - p.pt))
+        |         // (n.nt - p.pt) AS BIGINT) END AS v_interp_c
         |FROM prev p JOIN nxt n
         |  ON n.user_id = p.user_id AND n.hr_us = p.hr_us
         |ORDER BY 1, 2""".stripMargin,

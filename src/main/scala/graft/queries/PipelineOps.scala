@@ -5773,16 +5773,16 @@ object PipelineOps {
         |  FROM documents
         |), e AS (
         |  SELECT doc_id, html,
-        |    regexp_extract(html, '(?s)<title>(.*?)</title>', 1) AS title,
+        |    regexp_extract(html, '(?is)<title>(.*?)</title>', 1) AS title,
         |    trim(regexp_replace(
         |      regexp_replace(
         |        regexp_replace(
         |          regexp_replace(html,
-        |            '(?s)<(script|style)[^>]*>.*?</(script|style)>', '', 'g'),
+        |            '(?is)<(script|style)[^>]*>.*?</(script|style)>', '', 'g'),
         |          '(?s)<!--.*?-->', '', 'g'),
         |        '(?s)<[^>]*>', ' ', 'g'),
         |      '\s+', ' ', 'g')) AS text,
-        |    regexp_extract_all(html, 'href=["'']([^"'']+)["'']', 1) AS lk
+        |    regexp_extract_all(html, '(?i)href=["'']([^"'']+)["'']', 1) AS lk
         |  FROM h)
         |SELECT doc_id, title, text,
         |  CAST(len(lk) AS BIGINT) AS n_links,

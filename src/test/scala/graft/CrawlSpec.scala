@@ -94,6 +94,20 @@ class CrawlSpec extends AnyFunSuite {
       text.length.toLong * 1000000L / html.length)
   }
 
+  test("htmlExtract: UPPERCASE and mixed-case tags are handled — script " +
+    "bodies still never leak") {
+    val html = "<HTML><HEAD><TITLE>Up</TITLE>" +
+      "<SCRIPT type=\"x\">if (a < b) leak();</SCRIPT>" +
+      "<Style>.c { leakier: red; }</Style></HEAD>" +
+      "<BODY><P>ok</P><A HREF=\"/Mixed\">m</A></BODY></HTML>"
+    val r = Crawl.htmlExtract(Seq((1L, html)).toDF("id", "html"),
+      col("html")).collect().head
+    assert(r.getAs[String]("title") == "Up")
+    assert(r.getAs[String]("text") == "Up ok m")
+    assert(r.getAs[Long]("n_links") == 1L &&
+      r.getAs[String]("links") == "/Mixed")
+  }
+
   test("htmlExtract: no links, no title, markup-only page → empty text, " +
     "ratio 0") {
     val r = Crawl.htmlExtract(

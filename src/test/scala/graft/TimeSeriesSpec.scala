@@ -284,22 +284,27 @@ class TimeSeriesSpec extends AnyFunSuite {
         (k, Timestamp.valueOf(s"$day 0${j % 9}:00:00")))
     }
 
-  /** Plain-Scala mirror of the exact recurrence. */
-  private def hwRef(ys: Seq[Long]): (Long, Long, Array[Long], Seq[Long], Long) = {
+  /** Plain-Scala mirror of the exact recurrence; `eds` are the
+    * calendar epoch-days anchoring the seasonal slots. */
+  private def hwRef(eds: Seq[Long], ys: Seq[Long])
+      : (Long, Long, Array[Long], Seq[Long], Long) = {
     val S = 1000000L
     val s = new Array[Long](7)
     var l = ys.head * S; var b = 0L; var sae = 0L
     for (t <- 1 until ys.length) {
-      val idx = t % 7
+      val idx = (eds(t) % 7).toInt
       sae += math.abs(ys(t) * S - (l + b + s(idx)))
       val ln = (ys(t) * S - s(idx) + 3L * (l + b)) / 4L
       b = ((ln - l) + 4L * b) / 5L
       s(idx) = ((ys(t) * S - ln) + 2L * s(idx)) / 3L
       l = ln
     }
-    val last = ys.length - 1
-    (l, b, s, (1 to 3).map(h => l + h * b + s((last + h) % 7)), sae)
+    val lastEd = eds(ys.length - 1)
+    (l, b, s, (1 to 3).map(h => l + h * b + s(((lastEd + h) % 7).toInt)), sae)
   }
+
+  /** Epoch days for `n` consecutive days from 2024-01-01 (= 19723). */
+  private def hwEds(n: Int): Seq[Long] = (0 until n).map(19723L + _)
 
   test("holtWinters: constant series — level exact, trend and season 0") {
     val df = dayEvents("a", Seq.fill(21)(6)).toDF("k", "t")
@@ -312,33 +317,59 @@ class TimeSeriesSpec extends AnyFunSuite {
   test("holtWinters: planted weekly cycle — seasonal states split high " +
     "and low days with the right signs, forecasts carry the cycle") {
     // 6 full weeks of a period-7 pattern: day-of-cycle 0 spikes to 30,
-    // the rest sit at 10 — s must go positive exactly on the spike slot
+    // the rest sit at 10 — s must go positive exactly on the spike's
+    // CALENDAR slot (epoch-day 19723 % 7 = 4)
     val pattern = Seq(30, 10, 10, 10, 10, 10, 10)
     val ys = Seq.fill(6)(pattern).flatten
     val df = hwDayEvents("a", ys).toDF("k", "t")
     val r = TimeSeries.holtWinters(df, "k", "t").collect().head
-    val (l, b, s, fc, sae) = hwRef(ys.map(_.toLong))
+    val (l, b, s, fc, sae) = hwRef(hwEds(ys.length), ys.map(_.toLong))
     assert(r.getLong(2) == l && r.getLong(3) == b && r.getLong(14) == sae)
     (0 to 6).foreach(i => assert(r.getLong(4 + i) == s(i), s"s$i"))
     assert((11 to 13).map(r.getLong) == fc)
-    // the spike lands on t ≡ 0 (mod 7): its seasonal state is the
-    // unique strongly-positive one
-    assert(s(0) > 10000000L, s"spike season ${s(0)}")
-    assert((1 to 6).forall(i => s(i) < s(0) / 4), s.mkString(","))
-    // a seasonal forecast for the spike slot exceeds the flat slots:
-    // last t = 41, so h with (41+h)%7==0 is h=1 → forecast_1 spikes
+    val spike = (19723L % 7).toInt // the spike day's calendar slot
+    assert(s(spike) > 10000000L, s"spike season ${s(spike)}")
+    assert((0 to 6).filter(_ != spike).forall(i => s(i) < s(spike) / 4),
+      s.mkString(","))
+    // day 42 is again a spike day: its slot is (19723+42)%7 == spike,
+    // reached at h = 1 → forecast_1 carries the spike
     assert(r.getLong(11) > r.getLong(12) + 10000000L)
+  }
+
+  test("holtWinters: a MISSING day does not rotate later seasonal slots " +
+    "(calendar anchoring)") {
+    // same weekly spike, but one flat mid-week day has zero events and
+    // is absent from the panel — the spike slot must stay put
+    val pattern = Seq(30, 10, 10, 10, 10, 10, 10)
+    val full = Seq.fill(6)(pattern).flatten
+    val dropIdx = 10 // a flat day in week 2
+    val eds = hwEds(full.length).zipWithIndex.filter(_._2 != dropIdx).map(_._1)
+    val ys = full.zipWithIndex.filter(_._2 != dropIdx).map(_._1)
+    val rows = eds.zip(ys).flatMap { case (ed, n) =>
+      val day = java.time.LocalDate.ofEpochDay(ed)
+      (0 until n).map(j => ("a", Timestamp.valueOf(s"$day 0${j % 9}:00:00")))
+    }
+    val r = TimeSeries.holtWinters(rows.toDF("k", "t"), "k", "t")
+      .collect().head
+    val (l, b, s, fc, sae) = hwRef(eds, ys.map(_.toLong))
+    assert(r.getLong(2) == l && r.getLong(3) == b && r.getLong(14) == sae)
+    (0 to 6).foreach(i => assert(r.getLong(4 + i) == s(i), s"s$i"))
+    assert((11 to 13).map(r.getLong) == fc)
+    val spike = (19723L % 7).toInt
+    assert(s(spike) > 10000000L, "spike slot survives the gap")
+    assert((0 to 6).filter(_ != spike).forall(i => s(i) < s(spike) / 4),
+      "no other slot inherits the spike: " + s.mkString(","))
   }
 
   test("holtWinters: negative seasonal deviations replay the toward-zero " +
     "truncation (hand-traced first two steps)") {
-    // days: 9, 3 → l0=9e6; t=1: idx=1, pred=9e6, sae=6e6;
-    // l1=(3e6-0+27e6)/4=7.5e6; b1=(7.5e6-9e6)/5=-3e5 (toward zero);
-    // s1=((3e6-7.5e6)+0)/3=-1.5e6
+    // days: 9 (Jan 1), 3 (Jan 2, epoch day 19724, slot 19724%7 = 5):
+    // l0=9e6; t=1: pred=9e6, sae=6e6; l1=(3e6-0+27e6)/4=7.5e6;
+    // b1=(7.5e6-9e6)/5=-3e5 (toward zero); s5=((3e6-7.5e6)+0)/3=-1.5e6
     val df = dayEvents("a", Seq(9, 3)).toDF("k", "t")
     val r = TimeSeries.holtWinters(df, "k", "t").collect().head
     assert(r.getLong(2) == 7500000L && r.getLong(3) == -300000L)
-    assert(r.getLong(5) == -1500000L && r.getLong(14) == 6000000L)
+    assert(r.getLong(4 + 5) == -1500000L && r.getLong(14) == 6000000L)
   }
 
   test("holtWinters: repartition invariance and ref equality on a " +
@@ -350,7 +381,7 @@ class TimeSeriesSpec extends AnyFunSuite {
     val b = TimeSeries.holtWinters(df.repartition(5), "k", "t")
       .orderBy("k").collect()
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
-    val (l, bb, s, fc, sae) = hwRef(ys.map(_.toLong))
+    val (l, bb, s, fc, sae) = hwRef(hwEds(ys.length), ys.map(_.toLong))
     val ra = a.find(_.getString(0) == "a").get
     assert(ra.getLong(2) == l && ra.getLong(3) == bb &&
       ra.getLong(14) == sae)

@@ -112,8 +112,9 @@ QUERIES = ",".join([
     # bucketed artifact + pair agg + anti join — fan-out bounded by the
     # hub cap, the ratio must track capped wedges, not degree growth),
     # WordPiece (substring-count aggs + broadcast greedy — the q324
-    # shape), Fellegi-Sunter (nation-blocked pair join — quadratic per
-    # block by design, the ratio tracks block growth), the lerp panel
+    # shape), Fellegi-Sunter (constant-size name-prefix blocks — pair
+    # volume and the ratio grow LINEARLY; a growing ratio is a real
+    # regression, not design), the lerp panel
     # (grid explode + one sort + two windows), the KMV sketch
     # (mergeable O(k) partials), and the HTML extractor (narrow
     # regexp kernel control)
