@@ -23,15 +23,10 @@ import org.apache.spark.sql.expressions.Aggregator
   *
   * Output: (n_kept, kth_hash, est_distinct) — n_kept < k means exact.
   */
-class KmvAggregator(k: Int)
-    extends Aggregator[Long, Seq[Long], (Long, Long, Long)] {
-  require(k >= 2, s"KMV needs k >= 2, got $k")
-
-  override def zero: Seq[Long] = Vector.empty
-
+object KmvAggregator {
   /** Insert preserving "sorted distinct, at most k" — O(log k) search
     * + O(k) copy, fine for the O(k) buffer sizes this is built for. */
-  private def insert(b: Seq[Long], h: Long): Seq[Long] = {
+  private[functions] def insert(k: Int)(b: Seq[Long], h: Long): Seq[Long] = {
     if (b.length == k && h >= b.last) return b
     val i = b.search(h)(Ordering.Long) match {
       case scala.collection.Searching.Found(_) => return b // duplicate
@@ -41,18 +36,31 @@ class KmvAggregator(k: Int)
     if (grown.length > k) grown.dropRight(1) else grown
   }
 
-  override def reduce(b: Seq[Long], h: Long): Seq[Long] = insert(b, h)
+  /** The KMV distinct estimate from a kept-hash set: exact below k,
+    * (k−1)·2⁶⁰ div h_k above — pure integer arithmetic. */
+  def estimate(hashes: Seq[Long], k: Int): Long = {
+    val n = hashes.length.toLong
+    if (n < k) n
+    else (BigInt(k - 1) * (BigInt(1) << 60) / BigInt(hashes.last)).toLong
+  }
+}
+
+class KmvAggregator(k: Int)
+    extends Aggregator[Long, Seq[Long], (Long, Long, Long)] {
+  require(k >= 2, s"KMV needs k >= 2, got $k")
+
+  override def zero: Seq[Long] = Vector.empty
+
+  override def reduce(b: Seq[Long], h: Long): Seq[Long] =
+    KmvAggregator.insert(k)(b, h)
 
   override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
-    b.foldLeft(a)(insert)
+    b.foldLeft(a)(KmvAggregator.insert(k))
 
   override def finish(r: Seq[Long]): (Long, Long, Long) = {
     val n = r.length.toLong
     val kth = if (r.isEmpty) 0L else r.last
-    val est =
-      if (n < k) n // sketch holds every distinct hash — exact
-      else (BigInt(k - 1) * (BigInt(1) << 60) / BigInt(kth)).toLong
-    (n, kth, est)
+    (n, kth, KmvAggregator.estimate(r, k))
   }
 
   override def bufferEncoder: Encoder[Seq[Long]] =
@@ -61,4 +69,22 @@ class KmvAggregator(k: Int)
   override def outputEncoder: Encoder[(Long, Long, Long)] =
     Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
       Encoders.scalaLong)
+}
+
+/** [[KmvAggregator]]'s sibling that RETURNS the kept-hash set itself —
+  * the form sketch set algebra composes over (union = merge, and any
+  * subset relation is decidable on the kept sets). */
+class KmvHashesAggregator(k: Int)
+    extends Aggregator[Long, Seq[Long], Seq[Long]] {
+  require(k >= 2, s"KMV needs k >= 2, got $k")
+  override def zero: Seq[Long] = Vector.empty
+  override def reduce(b: Seq[Long], h: Long): Seq[Long] =
+    KmvAggregator.insert(k)(b, h)
+  override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+    b.foldLeft(a)(KmvAggregator.insert(k))
+  override def finish(r: Seq[Long]): Seq[Long] = r
+  override def bufferEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
 }

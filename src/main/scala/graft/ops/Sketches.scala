@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.CountMinSketch
 
@@ -227,6 +227,55 @@ object Sketches {
       .agg(kmv(col("_h")).as("kmv"))
       .select((groupCols.map(col) :+ col("kmv._1").as("n_kept") :+
         col("kmv._2").as("kth_hash") :+ col("kmv._3").as("est_distinct")): _*)
+  }
+
+  /** KMV SET ALGEBRA (Beyer et al. SIGMOD 2007 §4) — union,
+    * intersection, and Jaccard estimates between two audiences from
+    * their bottom-k sketches alone, with q340's distinguishing
+    * property intact: every estimate REPLAYS cross-engine even in the
+    * approximate regime. K(A∪B) is the k smallest of the merged kept
+    * sets (sketch mergeability), ρ̂ = |K(A∪B) ∩ K(A) ∩ K(B)| / |K(A∪B)|
+    * estimates Jaccard, |A∪B| comes from K(A∪B)'s order statistic,
+    * and |A∩B| = ρ̂·|A∪B| — all deterministic integers plus two final
+    * divisions. Unsaturated sketches (< k kept) degrade to exact set
+    * algebra (the denominators use the KEPT size, not k).
+    *
+    * Shape: the base table is materialized once, three filtered O(k)
+    * sketch aggregations collect driver-side (the q231 O(sketch)
+    * set-algebra contract), and the algebra itself is O(k) Scala.
+    *
+    * @return one row: (k, n_a_kept, n_b_kept, n_u_kept, est_a, est_b,
+    *         est_union, jacc_num, jaccard9, est_inter). */
+  def kmvSetAlgebra(df: DataFrame, valueCol: String, inA: Column,
+                    inB: Column, k: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val h = conv(substring(md5(col(valueCol).cast("string")
+      .cast("binary")), 1, 15), 16, 10).cast("long")
+    val base = df.select(h.as("_h"), inA.as("_a"), inB.as("_b"))
+      .localCheckpoint(true) // three sketch aggs read it — scan once
+    val kmvH = udaf(new graft.functions.KmvHashesAggregator(k))
+    def sketch(pred: Column): Seq[Long] =
+      base.where(pred).agg(kmvH(col("_h"))).first()
+        .getSeq[Long](0)
+    val ka = sketch(col("_a"))
+    val kb = sketch(col("_b"))
+    val ku = sketch(col("_a") || col("_b"))
+    val (sa, sb) = (ka.toSet, kb.toSet)
+    val jaccNum = ku.count(x => sa(x) && sb(x)).toLong
+    val nU = ku.length.toLong
+    val estU = graft.functions.KmvAggregator.estimate(ku, k)
+    val jaccard9 =
+      if (nU == 0) 0.0
+      else BigDecimal(jaccNum.toDouble / nU.toDouble)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val estInter = if (nU == 0) 0L else jaccNum * estU / nU
+    Seq((k.toLong, ka.length.toLong, kb.length.toLong, nU,
+      graft.functions.KmvAggregator.estimate(ka, k),
+      graft.functions.KmvAggregator.estimate(kb, k),
+      estU, jaccNum, jaccard9, estInter))
+      .toDF("k", "n_a_kept", "n_b_kept", "n_u_kept", "est_a", "est_b",
+        "est_union", "jacc_num", "jaccard9", "est_inter")
   }
 
   /** The HLL estimate from [[portableHllRegisters]] registers, kept

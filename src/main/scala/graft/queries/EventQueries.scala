@@ -869,6 +869,24 @@ object EventQueries {
       graft.ops.MlEval.cuped(units, "arm", "x", "y")
     }),
 
+    // q349: KMV SET ALGEBRA — audience union/intersection/Jaccard
+    // from bottom-k sketches alone (Beyer 2007), q340's replayable-
+    // estimator property extended to BINARY set operations (q231's
+    // HLL algebra is oracle-green only in its exact coupon regime;
+    // these estimates replay even saturated). Audiences are planted
+    // hash segments (A = seg∈{0,1}, B = seg∈{1,2} → true Jaccard
+    // 1/3) because the synthetic events give every user every event
+    // type — real audiences would be degenerate Jaccard-1 sets.
+    "q349_kmv_set_algebra" -> ((s, d) => {
+      val seg = pmod(expr("cast(conv(substring(md5(concat(" +
+        "cast(user_id as string), ':seg')), 1, 15), 16, 10) as bigint)"),
+        lit(3L))
+      val users = Tables.events(s, d).select(col("user_id")).distinct()
+        .withColumn("seg", seg)
+      graft.ops.Sketches.kmvSetAlgebra(users, "user_id",
+        inA = col("seg").isin(0L, 1L), inB = col("seg").isin(1L, 2L))
+    }),
+
     // RENDEZVOUS (HRW) HASHING placement audit — the consistent shard
     // router (Thaler–Ravishankar 1998) evaluated on fleet growth 8→9:
     // per old shard, how many keys it owns and how many move (HRW
@@ -2382,6 +2400,54 @@ object EventQueries {
         |    AS adj_mean6,
         |  th.theta9, th.var_ratio6
         |FROM a, p, th ORDER BY arm""".stripMargin,
+
+    // q349: the bottom-k order statistics replayed directly — sorted
+    // LIMIT k per audience, the merged-union sketch, the triple-
+    // membership Jaccard numerator, and the HUGEINT estimators; the
+    // kept-size denominators (not k) cover the unsaturated regime.
+    "q349_kmv_set_algebra" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |hh AS (
+        |  SELECT
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS h,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':seg'),
+        |      1, 15) AS BIGINT) % 3 AS seg
+        |  FROM u),
+        |ka AS (SELECT h FROM hh WHERE seg IN (0, 1) ORDER BY h LIMIT 256),
+        |kb AS (SELECT h FROM hh WHERE seg IN (1, 2) ORDER BY h LIMIT 256),
+        |ku AS (SELECT h FROM hh ORDER BY h LIMIT 256),
+        |st AS (
+        |  SELECT
+        |    (SELECT CAST(count(*) AS BIGINT) FROM ka) AS na,
+        |    (SELECT max(h) FROM ka) AS ha,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM kb) AS nb,
+        |    (SELECT max(h) FROM kb) AS hb,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM ku) AS nu,
+        |    (SELECT max(h) FROM ku) AS hu,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM ku
+        |     WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb))
+        |      AS jnum)
+        |SELECT CAST(256 AS BIGINT) AS k, na AS n_a_kept, nb AS n_b_kept,
+        |  nu AS n_u_kept,
+        |  CASE WHEN na < 256 THEN na
+        |       ELSE CAST((CAST(255 AS HUGEINT) * 1152921504606846976)
+        |         // ha AS BIGINT) END AS est_a,
+        |  CASE WHEN nb < 256 THEN nb
+        |       ELSE CAST((CAST(255 AS HUGEINT) * 1152921504606846976)
+        |         // hb AS BIGINT) END AS est_b,
+        |  CASE WHEN nu < 256 THEN nu
+        |       ELSE CAST((CAST(255 AS HUGEINT) * 1152921504606846976)
+        |         // hu AS BIGINT) END AS est_union,
+        |  jnum AS jacc_num,
+        |  CASE WHEN nu = 0 THEN 0.0
+        |       ELSE round(CAST(jnum AS DOUBLE) / CAST(nu AS DOUBLE), 9)
+        |  END AS jaccard9,
+        |  CASE WHEN nu = 0 THEN 0 ELSE
+        |    (jnum * (CASE WHEN nu < 256 THEN nu
+        |       ELSE CAST((CAST(255 AS HUGEINT) * 1152921504606846976)
+        |         // hu AS BIGINT) END)) // nu END AS est_inter
+        |FROM st""".stripMargin,
 
     // q346: the HRW argmax replayed via row_number over the unnested
     // (key, shard) hash table — (h DESC, s ASC) pins the same

@@ -301,4 +301,39 @@ class SketchesSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("kmvSetAlgebra: exact regime equals true set algebra; saturated " +
+    "regime matches the hash-level reference and lands near truth") {
+    import spark.implicits._
+    // exact regime: 60 ids split A = {0..39}, B = {20..59}
+    val small = (0L until 60L).toList.toDF("id")
+      .withColumn("a", col("id") < 40L).withColumn("b", col("id") >= 20L)
+    val r = Sketches.kmvSetAlgebra(small, "id", col("a"), col("b"), k = 256)
+      .collect().head
+    assert(r.getAs[Long]("n_u_kept") == 60L)
+    assert(r.getAs[Long]("est_a") == 40L && r.getAs[Long]("est_b") == 40L)
+    assert(r.getAs[Long]("est_union") == 60L)
+    assert(r.getAs[Long]("jacc_num") == 20L)
+    assert(r.getAs[Long]("est_inter") == 20L)
+    assert(math.abs(r.getAs[Double]("jaccard9") - 20.0 / 60.0) < 1e-9)
+    // saturated regime: 6000 ids, A = 2/3, B = 2/3, Jaccard = 1/2
+    val big = (0L until 6000L).toList.toDF("id")
+      .withColumn("a", col("id") % 3 =!= 0L)
+      .withColumn("b", col("id") % 3 =!= 1L)
+    val rb = Sketches.kmvSetAlgebra(big, "id", col("a"), col("b"), k = 128)
+      .collect().head
+    // hash-level reference of the same estimator
+    val hs = (0L until 6000L).map(i => i -> h60(i.toString)).toMap
+    def bottom(ids: Seq[Long]) = ids.map(hs).sorted.take(128)
+    val ka = bottom((0L until 6000L).filter(_ % 3 != 0))
+    val kb = bottom((0L until 6000L).filter(_ % 3 != 1))
+    val ku = bottom((0L until 6000L).filter(i => i % 3 != 0 || i % 3 != 1))
+    val jn = ku.count(x => ka.contains(x) && kb.contains(x)).toLong
+    assert(rb.getAs[Long]("jacc_num") == jn)
+    // the 128-sample estimate lands near the planted 1/3... truth here:
+    // |A∩B| = ids with id%3==2 → 2000; |A∪B| = 6000 → J = 1/3
+    assert(math.abs(rb.getAs[Double]("jaccard9") - 1.0 / 3.0) < 0.15)
+    val estI = rb.getAs[Long]("est_inter")
+    assert(estI > 1000L && estI < 3000L, s"est_inter $estI")
+  }
 }
