@@ -650,6 +650,33 @@ object PipelineOps {
         .orderBy(col("word"))
     }),
 
+    // q350: WORDPIECE FERTILITY per source — q334's eval axis for the
+    // q338 tokenizer, completing the comparison table (unigram q334
+    // vs WordPiece q350 on identical per-source ratios): words joined
+    // to the vocabulary-bounded (word → n_pieces) broadcast table,
+    // exact integer pieces-per-word and pieces-per-char (×1e6
+    // integral division).
+    "q350_wordpiece_fertility" -> ((s, d) => {
+      val dw = Tables.documents(s, d)
+        .select(col("source"),
+          explode(split(lower(col("text")), "[^\\w]+")).as("w0"))
+        .where(length(col("w0")) >= 1)
+        .select(col("source"), substring(col("w0"), 1, 12).as("word"))
+      val seg = TextAnalysis.wordPieceSegment(Tables.documents(s, d),
+          "text")
+        .select(col("word"), col("n_pieces"))
+      dw.join(broadcast(seg), Seq("word"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("word"))).as("sum_chars"),
+          sum(col("n_pieces")).as("sum_pieces"))
+        .select(col("source"), col("n_words"), col("sum_chars"),
+          col("sum_pieces"),
+          expr("sum_pieces * 1000000 div n_words").as("fert_word6"),
+          expr("sum_pieces * 1000000 div sum_chars").as("fert_char6"))
+        .orderBy(col("source"))
+    }),
+
     // TOKENIZER FERTILITY per source — the tokenizer-EVAL table every
     // tokenizer change ships with (pieces per char / per word):
     // q324's unigram segmentation joined back to its documents and
@@ -2855,6 +2882,64 @@ object PipelineOps {
   // bytes (PNG is lossless, sequential or interlaced).
   // q324/q334: the unigram-LM train+Viterbi chain (see the q324
   // registration comment); `fin` carries (w, c, best{s, seg, np}).
+  // q338/q350: the WordPiece train+greedy chain (see the q338
+  // registration comment); `fin` carries (w, c, np, seg).
+  private val WordPieceCte: String =
+    """WITH RECURSIVE w0 AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT substr(w0, 1, 12) AS w FROM (
+        |      SELECT unnest(regexp_split_to_array(lower(text), '[^\w]+'))
+        |        AS w0
+        |      FROM documents) t
+        |    WHERE len(w0) >= 1)
+        |  GROUP BY 1
+        |), pc AS (
+        |  SELECT CASE WHEN st = 1 THEN substr(w, 1, CAST(k AS INT))
+        |         ELSE '##' || substr(w, CAST(st AS INT), CAST(k AS INT))
+        |         END AS piece,
+        |    CAST(sum(c) AS BIGINT) AS cnt
+        |  FROM w0, unnest(range(1, 13)) AS s(st), unnest(range(1, 5)) AS kk(k)
+        |  WHERE st + k - 1 <= len(w)
+        |  GROUP BY 1
+        |), vocab AS (
+        |  SELECT piece FROM pc
+        |  WHERE len(piece) - CASE WHEN piece LIKE '##%' THEN 2 ELSE 0 END = 1
+        |  UNION ALL
+        |  SELECT piece FROM (
+        |    SELECT piece, row_number() OVER (ORDER BY cnt DESC, piece ASC)
+        |      AS r
+        |    FROM pc
+        |    WHERE len(piece) - CASE WHEN piece LIKE '##%' THEN 2 ELSE 0 END
+        |      >= 2)
+        |  WHERE r <= 200
+        |), step AS (
+        |  SELECT w, pos, k, piece FROM (
+        |    SELECT w0.w, p.pos, kk.k,
+        |      CASE WHEN p.pos = 0 THEN substr(w0.w, 1, CAST(kk.k AS INT))
+        |           ELSE '##' || substr(w0.w, CAST(p.pos + 1 AS INT),
+        |             CAST(kk.k AS INT))
+        |      END AS piece,
+        |      row_number() OVER (PARTITION BY w0.w, p.pos
+        |                         ORDER BY kk.k DESC) AS r
+        |    FROM w0, unnest(range(0, 12)) AS p(pos),
+        |      unnest(range(1, 5)) AS kk(k)
+        |    WHERE p.pos + kk.k <= len(w0.w)
+        |      AND (CASE WHEN p.pos = 0 THEN substr(w0.w, 1, CAST(kk.k AS INT))
+        |           ELSE '##' || substr(w0.w, CAST(p.pos + 1 AS INT),
+        |             CAST(kk.k AS INT)) END)
+        |        IN (SELECT piece FROM vocab)
+        |  ) WHERE r = 1
+        |), rec AS (
+        |  SELECT w, 0 AS pos, 0 AS np, CAST('' AS VARCHAR) AS seg FROM w0
+        |  UNION ALL
+        |  SELECT r.w, r.pos + s.k, r.np + 1,
+        |    r.seg || CASE WHEN r.pos = 0 THEN '' ELSE '|' END || s.piece
+        |  FROM rec r JOIN step s ON s.w = r.w AND s.pos = r.pos
+        |), fin AS (
+        |  SELECT r.w, w0.c, CAST(r.np AS BIGINT) AS np, r.seg
+        |  FROM rec r JOIN w0 ON w0.w = r.w
+        |  WHERE r.pos = len(r.w))""".stripMargin
+
   private val UnigramVitCte: String =
     """WITH RECURSIVE w0 AS (
         |  SELECT replace(substr(text, 1, 16), ' ', '_') AS w, count(*) AS c
@@ -4263,63 +4348,35 @@ object PipelineOps {
     // precomputes the longest matching piece per (word, pos)
     // non-recursively (row_number by k DESC over vocabulary hits) and
     // the recursive CTE just follows it to the end of the word.
-    "q338_wordpiece_segment" ->
-      """WITH RECURSIVE w0 AS (
-        |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
-        |    SELECT substr(w0, 1, 12) AS w FROM (
-        |      SELECT unnest(regexp_split_to_array(lower(text), '[^\w]+'))
-        |        AS w0
-        |      FROM documents) t
-        |    WHERE len(w0) >= 1)
-        |  GROUP BY 1
-        |), pc AS (
-        |  SELECT CASE WHEN st = 1 THEN substr(w, 1, CAST(k AS INT))
-        |         ELSE '##' || substr(w, CAST(st AS INT), CAST(k AS INT))
-        |         END AS piece,
-        |    CAST(sum(c) AS BIGINT) AS cnt
-        |  FROM w0, unnest(range(1, 13)) AS s(st), unnest(range(1, 5)) AS kk(k)
-        |  WHERE st + k - 1 <= len(w)
-        |  GROUP BY 1
-        |), vocab AS (
-        |  SELECT piece FROM pc
-        |  WHERE len(piece) - CASE WHEN piece LIKE '##%' THEN 2 ELSE 0 END = 1
-        |  UNION ALL
-        |  SELECT piece FROM (
-        |    SELECT piece, row_number() OVER (ORDER BY cnt DESC, piece ASC)
-        |      AS r
-        |    FROM pc
-        |    WHERE len(piece) - CASE WHEN piece LIKE '##%' THEN 2 ELSE 0 END
-        |      >= 2)
-        |  WHERE r <= 200
-        |), step AS (
-        |  SELECT w, pos, k, piece FROM (
-        |    SELECT w0.w, p.pos, kk.k,
-        |      CASE WHEN p.pos = 0 THEN substr(w0.w, 1, CAST(kk.k AS INT))
-        |           ELSE '##' || substr(w0.w, CAST(p.pos + 1 AS INT),
-        |             CAST(kk.k AS INT))
-        |      END AS piece,
-        |      row_number() OVER (PARTITION BY w0.w, p.pos
-        |                         ORDER BY kk.k DESC) AS r
-        |    FROM w0, unnest(range(0, 12)) AS p(pos),
-        |      unnest(range(1, 5)) AS kk(k)
-        |    WHERE p.pos + kk.k <= len(w0.w)
-        |      AND (CASE WHEN p.pos = 0 THEN substr(w0.w, 1, CAST(kk.k AS INT))
-        |           ELSE '##' || substr(w0.w, CAST(p.pos + 1 AS INT),
-        |             CAST(kk.k AS INT)) END)
-        |        IN (SELECT piece FROM vocab)
-        |  ) WHERE r = 1
-        |), rec AS (
-        |  SELECT w, 0 AS pos, 0 AS np, CAST('' AS VARCHAR) AS seg FROM w0
-        |  UNION ALL
-        |  SELECT r.w, r.pos + s.k, r.np + 1,
-        |    r.seg || CASE WHEN r.pos = 0 THEN '' ELSE '|' END || s.piece
-        |  FROM rec r JOIN step s ON s.w = r.w AND s.pos = r.pos
+    "q338_wordpiece_segment" -> (WordPieceCte +
+      """
+        |SELECT f.w AS word, f.c AS word_count, f.np AS n_pieces, f.seg
+        |FROM fin f ORDER BY word""".stripMargin),
+
+    // q350: the shared WordPiece chain + the per-source join and the
+    // same exact integral ratios as q334 — the comparison table's
+    // second column.
+    "q350_wordpiece_fertility" -> (WordPieceCte +
+      """
+        |, dw AS (
+        |  SELECT source, substr(w0, 1, 12) AS w FROM (
+        |    SELECT source,
+        |      unnest(regexp_split_to_array(lower(text), '[^\w]+')) AS w0
+        |    FROM documents) t
+        |  WHERE len(w0) >= 1
+        |), j AS (
+        |  SELECT dw.source, len(dw.w) AS n_chars, f.np
+        |  FROM dw JOIN fin f ON f.w = dw.w
+        |), agg AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |    CAST(sum(np) AS BIGINT) AS sum_pieces
+        |  FROM j GROUP BY 1
         |)
-        |SELECT r.w AS word, w0.c AS word_count,
-        |  CAST(r.np AS BIGINT) AS n_pieces, r.seg
-        |FROM rec r JOIN w0 ON w0.w = r.w
-        |WHERE r.pos = len(r.w)
-        |ORDER BY word""".stripMargin,
+        |SELECT source, n_words, sum_chars, sum_pieces,
+        |  sum_pieces * 1000000 // n_words AS fert_word6,
+        |  sum_pieces * 1000000 // sum_chars AS fert_char6
+        |FROM agg ORDER BY source""".stripMargin),
 
     // q334: per-source tokenizer fertility over the SAME Viterbi
     // chain — units joined back to their docs, exact integer
