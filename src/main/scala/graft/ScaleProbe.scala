@@ -88,7 +88,16 @@ object ScaleProbe {
         "q105's 10^6 supplier-node offset; shrink copies or the source")
     rep("region", (df, i) => if (i == 0) df else df.limit(0))
     rep("nation", (df, i) => if (i == 0) df else df.limit(0))
-    rep("customer", shift("c_custkey", big))
+    // customer NAMES must vary per copy like keys do (the round-9
+    // document-text discipline): key-only shifting leaves 10 copies
+    // sharing every c_name, so any name-derived grouping — q343's
+    // 16-char-prefix blocks — densifies 10× per decade and the probe
+    // measures the replica, not the plan. Swap the FIRST character
+    // per copy ('0ustomer#…', '1ustomer#…') — same length, the digit
+    // window that bounds prefix-block sizes stays intact.
+    rep("customer", (df, i) =>
+      shift("c_custkey", big)(df, i).withColumn("c_name",
+        concat(lit(i.toString), substring(col("c_name"), 2, 1000))))
     rep("supplier", shift("s_suppkey", suppStep))
     rep("part", shift("p_partkey", big))
     rep("orders", (df, i) =>

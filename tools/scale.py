@@ -121,6 +121,10 @@ QUERIES = ",".join([
     "q337_link_prediction", "q338_wordpiece_segment",
     "q343_fellegi_sunter", "q344_lerp_resample",
     "q340_kmv_distinct", "q341_html_extract",
+    # round-9 continuation 4: KMV set algebra (one distinct scan +
+    # three O(k) driver sketch collects) and WordPiece fertility
+    # (the q338 chain + a broadcast join)
+    "q349_kmv_set_algebra", "q350_wordpiece_fertility",
 ])
 
 rnd = sys.argv[1]
