@@ -37,11 +37,19 @@ object KmvAggregator {
   }
 
   /** The KMV distinct estimate from a kept-hash set: exact below k,
-    * (k−1)·2⁶⁰ div h_k above — pure integer arithmetic. */
+    * (k−1)·2⁶⁰ div h_k above — pure integer arithmetic, kept TOTAL:
+    * h_k = 0 (a zero 60-bit md5 prefix filling the whole kept set —
+    * degenerate but representable) estimates the limit Long.MaxValue
+    * instead of throwing, and tiny h_k clamps the BigInt quotient to
+    * Long.MaxValue instead of wrapping negative on .toLong. */
   def estimate(hashes: Seq[Long], k: Int): Long = {
     val n = hashes.length.toLong
     if (n < k) n
-    else (BigInt(k - 1) * (BigInt(1) << 60) / BigInt(hashes.last)).toLong
+    else if (hashes.last <= 0L) Long.MaxValue
+    else {
+      val est = BigInt(k - 1) * (BigInt(1) << 60) / BigInt(hashes.last)
+      if (est > Long.MaxValue) Long.MaxValue else est.toLong
+    }
   }
 }
 

@@ -271,11 +271,15 @@ object Dedup {
       .cache()
     // fused round 1: label = min(self, direct neighbors); both
     // directions are in `edges`, so groupBy(src) covers every node.
+    // eager localCheckpoint round snapshots, not a cache chain: a
+    // cached round's lineage chains back through every previous round,
+    // so one eviction mid-sweep recomputes the whole BSP history (the
+    // q204/q197 storage-pressure mechanics); the disk-backed snapshot
+    // can spill but never recompute.
     var labels = edges.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("nmin"))
       .select(col("id"), least(col("id"), col("nmin")).as("label"))
-      .cache()
-    var retained = labels
+      .localCheckpoint(true)
     var changed = 1L
     var it = 1
     while (changed > 0 && it < maxIter) {
@@ -291,25 +295,13 @@ object Dedup {
         .select(prop("id"),
           coalesce(col("mlabel"), col("lab1")).as("label"),
           (coalesce(col("mlabel"), col("lab1")) =!= col("old")).as("chg"))
-        .cache()
+        .localCheckpoint(true)
       changed = next.filter(col("chg")).count()
-      retained.unpersist(blocking = false)
-      retained = next
       labels = next.select(col("id"), col("label"))
       it += 1
     }
     edges.unpersist(blocking = false)
-    // materialize the result into its own cache, then release the
-    // final round's — otherwise every call leaks one cached plan for
-    // the session lifetime. A cache (not localCheckpoint) keeps the
-    // lineage intact: after executor loss the result recomputes
-    // instead of failing on missing checkpoint blocks; the cache
-    // itself is reclaimed by util.Caches.clearAll / catalog.clearCache.
-    val out = labels.select(col("id").as("doc_id"), col("label").as("rep_id"))
-      .cache()
-    out.count()
-    retained.unpersist(blocking = false)
-    out
+    labels.select(col("id").as("doc_id"), col("label").as("rep_id"))
   }
 
   /** Benchmark decontamination: training docs sharing at least

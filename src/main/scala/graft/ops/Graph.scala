@@ -73,15 +73,15 @@ object Graph {
     val base = ((100 - damp).toLong * scale / 100) / n
 
     var ranks = deg.withColumn("rank", lit(scale / n))
-    var persisted: DataFrame = null
     for (_ <- 1 to iters) {
-      val cur = ranks.cache()
-      // O(1) scalar per round (this action also materializes `cur`,
-      // so the next round reads the cache, not the lineage)
+      // localCheckpoint round snapshot, NOT a cache chain (the q204
+      // lesson): an evictable per-round cache leaves lineage chaining
+      // through every previous round, so one eviction mid-sweep
+      // recomputes the whole history; the eager disk-backed snapshot
+      // can spill under storage pressure but never recompute.
+      val cur = ranks.localCheckpoint(true)
       val dangShare = cur.where(col("outdeg") === 0)
         .agg(coalesce(sum(col("rank")), lit(0L))).first().getLong(0) / n
-      if (persisted != null) persisted.unpersist(blocking = false)
-      persisted = cur
       val contrib = e.join(cur, e("src") === cur("node"))
         .groupBy(col("dst").as("cnode"))
         .agg(sum(expr("rank div outdeg")).as("contrib"))
@@ -141,13 +141,11 @@ object Graph {
 
     var ranks = deg.withColumn("rank",
       expr(s"CASE WHEN $inSeeds THEN ${scale / s}L ELSE 0L END"))
-    var persisted: DataFrame = null
     for (_ <- 1 to iters) {
-      val cur = ranks.cache()
+      // eager localCheckpoint round snapshot — see pageRankExact
+      val cur = ranks.localCheckpoint(true)
       val dangShare = cur.where(col("outdeg") === 0)
         .agg(coalesce(sum(col("rank")), lit(0L))).first().getLong(0) / s
-      if (persisted != null) persisted.unpersist(blocking = false)
-      persisted = cur
       val contrib = e.join(cur, e("src") === cur("node"))
         .groupBy(col("dst").as("cnode"))
         .agg(sum(expr("rank div outdeg")).as("contrib"))
@@ -194,26 +192,24 @@ object Graph {
       .distinct().cache()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()
-    var hubs = nodes.withColumn("h", lit(1L)).cache()
+    var hubs = nodes.withColumn("h", lit(1L)).localCheckpoint(true)
     var auths: DataFrame = null
-    var persisted: Seq[DataFrame] = Seq(hubs)
     for (_ <- 1 to iters) {
+      // eager localCheckpoint half-step snapshots — see pageRankExact
       val aRaw = e.join(hubs, e("src") === hubs("node"))
         .groupBy(e("dst").as("anode")).agg(sum(col("h")).as("a"))
       val aSum = aRaw.agg(coalesce(sum(col("a")), lit(0L))).first().getLong(0)
       val aN = nodes.join(aRaw, nodes("node") === aRaw("anode"), "left")
         .select(col("node"),
           expr(s"coalesce(a, 0L) * ${scale}L div ${math.max(aSum, 1L)}L").as("a"))
-        .cache()
+        .localCheckpoint(true)
       val hRaw = e.join(aN, e("dst") === aN("node"))
         .groupBy(e("src").as("hnode")).agg(sum(col("a")).as("hs"))
       val hSum = hRaw.agg(coalesce(sum(col("hs")), lit(0L))).first().getLong(0)
       val hN = nodes.join(hRaw, nodes("node") === hRaw("hnode"), "left")
         .select(col("node"),
           expr(s"coalesce(hs, 0L) * ${scale}L div ${math.max(hSum, 1L)}L").as("h"))
-        .cache()
-      persisted.foreach(_.unpersist(blocking = false))
-      persisted = Seq(aN, hN)
+        .localCheckpoint(true)
       auths = aN
       hubs = hN
     }
@@ -317,42 +313,57 @@ object Graph {
     * GBs at sf0.1 under the driver's storage pressure); the only
     * exchanges left are the adjacency groupBy and the O(nodes)
     * partial-count sum. Per-partition scratch is O(n) longs — bounded
-    * by the same gate that bounds the broadcast. */
-  private def orientedKernelBroadcast(o: DataFrame): DataFrame = {
-    val spark = o.sparkSession
+    * by the same gate that bounds the broadcast.
+    *
+    * Driver-memory bound (round-10): staging is STREAMED, never a
+    * boxed collect — the earlier `adjRows.collect()` materialized
+    * Rows with Seq[Long] neighbor lists (~30–40 B/entry boxed, ~0.5–1
+    * GB of driver transient at the gate; fine in a 128 GiB sandbox,
+    * tight on a production 4–8 GB driver). Now the only driver-side
+    * structures are the flat primitive arrays themselves — 8 B/node
+    * (ids) + 4 B/node (offsets) + 4 B/edge (slots) ≈ 64 MB per 16M
+    * entries of either kind — plus ONE shuffle partition of boxed
+    * rows live at a time (toLocalIterator's contract, |E|/parts). */
+  private def orientedKernelBroadcast(o0: DataFrame): DataFrame = {
+    val spark = o0.sparkSession
     import spark.implicits._
+    val o = o0.localCheckpoint(true) // consumed thrice below
+    // node universe: sources ∪ all neighbors, range-sorted on the
+    // executors; collect() of a Dataset[Long] lands in a primitive
+    // Array[Long] (slot = rank), never a Row per node
+    val nodes = o.select(col("src").as("n"))
+      .union(o.select(col("dst").as("n")))
+      .distinct().orderBy(col("n")).as[Long].collect()
+    val n = nodes.length
     // one row per non-sink node; total payload = |E| neighbor ids —
     // the same bytes any broadcast of the adjacency must move
-    val adjRows = o.groupBy(col("src"))
+    val adj = o.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-      .collect()
-    // node universe: sources ∪ all neighbors, sorted; slot = rank
-    val nodeSet = new java.util.TreeSet[java.lang.Long]()
-    adjRows.foreach { r =>
-      nodeSet.add(r.getLong(0))
-      r.getSeq[Long](1).foreach(v => nodeSet.add(v))
-    }
-    val nodes = new Array[Long](nodeSet.size)
-    locally {
-      var i = 0; val it = nodeSet.iterator()
-      while (it.hasNext) { nodes(i) = it.next(); i += 1 }
-    }
-    val n = nodes.length
+      .localCheckpoint(true) // streamed twice: degrees, then fill
     val off = new Array[Int](n + 1)
-    val degOf = new Array[Int](n)
-    adjRows.foreach { r =>
-      degOf(java.util.Arrays.binarySearch(nodes, r.getLong(0))) =
-        r.getSeq[Long](1).length
-    }
     locally {
+      // pass 1: per-source degrees → prefix-sum offsets. Streaming:
+      // one partition of (src, deg) pairs boxed at a time.
+      val degOf = new Array[Int](n)
+      val it = adj.select(col("src"), size(col("nbrs"))).toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        degOf(java.util.Arrays.binarySearch(nodes, r.getLong(0))) = r.getInt(1)
+      }
       var i = 0; while (i < n) { off(i + 1) = off(i) + degOf(i); i += 1 }
     }
     val flat = new Array[Int](off(n))
-    adjRows.foreach { r =>
-      val s = java.util.Arrays.binarySearch(nodes, r.getLong(0))
-      var p = off(s)
-      r.getSeq[Long](1).foreach { v =>
-        flat(p) = java.util.Arrays.binarySearch(nodes, v); p += 1
+    locally {
+      // pass 2: fill neighbor slots. Offsets are precomputed, so
+      // arrival order is free; each source appears exactly once.
+      val it = adj.toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        val s = java.util.Arrays.binarySearch(nodes, r.getLong(0))
+        var p = off(s)
+        r.getSeq[Long](1).foreach { v =>
+          flat(p) = java.util.Arrays.binarySearch(nodes, v); p += 1
+        }
       }
     }
     val bcNodes = spark.sparkContext.broadcast(nodes)
@@ -446,12 +457,9 @@ object Graph {
       .distinct().cache()
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
-    var persisted: DataFrame = null
     for (_ <- 1 to iters) {
-      val cur = labels.cache()
-      cur.count() // materialize the BSP step before dropping the prior
-      if (persisted != null) persisted.unpersist(blocking = false)
-      persisted = cur
+      // eager localCheckpoint round snapshot — see pageRankExact
+      val cur = labels.localCheckpoint(true)
       val best = e
         .join(cur.select(col("node").as("dst"), col("lbl")), "dst")
         .groupBy(col("src").as("node"), col("lbl"))
@@ -509,12 +517,9 @@ object Graph {
     // attribute-derived seed — see bfsDistances
     var dist = e.sparkSession.range(1)
       .select((col("id") + lit(source)).as("node"), col("id").as("dist"))
-    var persisted: DataFrame = null
     for (_ <- 1 to rounds) {
-      val cur = dist.cache()
-      cur.count()
-      if (persisted != null) persisted.unpersist(blocking = false)
-      persisted = cur
+      // eager localCheckpoint round snapshot — see pageRankExact
+      val cur = dist.localCheckpoint(true)
       val relaxed = e.join(cur.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
       dist = cur.select(col("node"), col("dist")).union(relaxed)
@@ -536,12 +541,10 @@ object Graph {
     var seen = e.sparkSession.range(1)
       .select((col("id") + lit(source)).as("node"), col("id").as("dist"))
     var frontier = seen
-    val retained = scala.collection.mutable.Buffer.empty[DataFrame]
     for (k <- 1 to maxHops) {
-      val s = seen.cache(); val f = frontier.cache()
-      s.count(); f.count()
-      retained.foreach(_.unpersist(blocking = false))
-      retained.clear(); retained += s; retained += f
+      // eager localCheckpoint round snapshots — see pageRankExact
+      val s = seen.localCheckpoint(true)
+      val f = frontier.localCheckpoint(true)
       val fresh = e.join(f.select(col("node").as("src")), "src")
         .select(col("dst").as("node")).distinct()
         .join(s, Seq("node"), "left_anti")
@@ -586,23 +589,28 @@ object Graph {
     * on the bucket key. */
   def kCoreSym(sym: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1)
-    var adj = sym.cache()
-    var size = adj.count()
+    // eager localCheckpoint round snapshots, NOT a cache chain (the
+    // q204 lesson applied to the peel): each cached round kept lineage
+    // chaining back through every previous round, so one eviction
+    // mid-sweep forced a recompute through the whole peel history —
+    // exactly the storage-pressure sensitivity the round-9 driver bench
+    // showed on q197 (9.9 s driver vs 4.9 s quiet local). The snapshot
+    // is disk-backed: pressure can spill it, never recompute it.
+    var adj = sym.localCheckpoint(true)
+    var size = adj.count() // cheap: reads the materialized snapshot
     var converged = false
     for (_ <- 1 to rounds if !converged) {
       val keep = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("u"))
       val next = adj.join(keep, Seq("u"), "left_semi")
         .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
-        .select(col("u"), col("v")).cache()
-      val nextSize = next.count() // materialize before dropping the prior
+        .select(col("u"), col("v")).localCheckpoint(true)
+      val nextSize = next.count()
       if (nextSize == size) {
         // fixpoint: every remaining round is a no-op — skip them (the
         // result is IDENTICAL to running all `rounds`, just cheaper)
-        next.unpersist(blocking = false)
         converged = true
       } else {
-        adj.unpersist(blocking = false)
         adj = next
         size = nextSize
       }

@@ -658,9 +658,16 @@ object MlEval {
         .otherwise((col("mu") * (col("mu") - 1) - col("agree2")) *
           expr(s"$k div (mu - 1)")).as("duk"))
       .agg(sum(col("duk")).as("do_k"), count(lit(1)).as("n_units"))
+    // nc² summed in decimal(38,0): a long product silently wraps once a
+    // category's marginal passes ~3·10⁹ ratings, and the DuckDB oracle
+    // computes this term in HUGEINT — the decimal cast keeps the
+    // "everything before the final division is decimal(38,0)-exact"
+    // contract true at any panel size (the cuped moment-sum pattern)
     val marg = uc.join(units.select(col("u")), Seq("u"), "left_semi")
       .groupBy(col("c")).agg(sum(col("muc")).as("nc"))
-      .agg(sum(col("nc")).as("n"), sum(col("nc") * col("nc")).as("nc2"))
+      .agg(sum(col("nc")).as("n"),
+        sum(col("nc").cast("decimal(38,0)") * col("nc").cast("decimal(38,0)"))
+          .as("nc2"))
     val nDec = col("n").cast("decimal(38,0)")
     doK.crossJoin(broadcast(marg))
       .select(col("n_units"), col("n").as("n_values"), col("do_k"),

@@ -269,7 +269,13 @@ object Sketches {
       if (nU == 0) 0.0
       else BigDecimal(jaccNum.toDouble / nU.toDouble)
         .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val estInter = if (nU == 0) 0L else jaccNum * estU / nU
+    // product in BigInt (the estimate()'s own discipline): jaccNum·estU
+    // overflows a long once est_union passes ~3.6e16 at k=256, while
+    // the oracle's HUGEINT expression does not
+    val estInter = if (nU == 0) 0L else {
+      val e = BigInt(jaccNum) * BigInt(estU) / BigInt(nU)
+      if (e > Long.MaxValue) Long.MaxValue else e.toLong
+    }
     Seq((k.toLong, ka.length.toLong, kb.length.toLong, nU,
       graft.functions.KmvAggregator.estimate(ka, k),
       graft.functions.KmvAggregator.estimate(kb, k),

@@ -302,6 +302,19 @@ class SketchesSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("KmvAggregator.estimate is total: h_k = 0 and tiny h_k clamp to " +
+    "Long.MaxValue instead of throwing / wrapping negative") {
+    import graft.functions.KmvAggregator.estimate
+    // degenerate saturated sketch whose k-th order statistic is 0
+    assert(estimate(Seq(0L, 0L), k = 2) == Long.MaxValue)
+    // h_k = 30 at k = 256: 255·2⁶⁰/30 ≈ 9.8e18 exceeds Long.MaxValue —
+    // must clamp, never convert a >63-bit BigInt to a negative long
+    val tiny = Seq.fill(255)(0L) :+ 30L
+    assert(estimate(tiny, k = 256) == Long.MaxValue)
+    // ordinary regime unchanged: h_k = 2⁶⁰ estimates exactly k−1
+    assert(estimate(Seq(1L, 1L << 60), k = 2) == 1L)
+  }
+
   test("kmvSetAlgebra: exact regime equals true set algebra; saturated " +
     "regime matches the hash-level reference and lands near truth") {
     import spark.implicits._
