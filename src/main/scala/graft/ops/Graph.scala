@@ -450,11 +450,25 @@ object Graph {
     * @return (node LONG, community LONG) for every node with ≥1 edge.
     */
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
-    require(iters >= 1)
     val e0 = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
-    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().cache()
+    labelPropagationSym(
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().cache(), iters)
+  }
+
+  /** [[labelPropagation]] over an already-SYMMETRIZED simple adjacency
+    * (`src`/`dst` LONG, both directions present, no self-loops or
+    * duplicates) — the entry for callers holding the bucketed
+    * co-purchase artifact ([[kCoreSym]]'s contract): the symmetrize
+    * union + distinct disappear, the label-init distinct and every
+    * per-round neighbor count group on the bucket key, and the
+    * adjacency is re-read from the bucketed scan each round instead of
+    * holding a session cache. */
+  def labelPropagationSym(sym: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1)
+    val e = sym.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
     for (_ <- 1 to iters) {
@@ -711,6 +725,28 @@ object Graph {
     val deg = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    modularityCore(und, deg, m, communities)
+  }
+
+  /** [[modularity]] over an already-SYMMETRIZED simple adjacency
+    * (`u`/`v` LONG, both directions, no self-loops/duplicates — the
+    * bucketed co-purchase artifact contract): the single-direction
+    * edge list is a narrow `u < v` filter (no least/greatest distinct
+    * shuffle) and degrees group directly on the bucket key — zero
+    * Exchange before the first aggregation when `sym` is the bucketed
+    * scan. */
+  def modularitySym(sym: DataFrame, communities: DataFrame): DataFrame = {
+    val s = sym.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v"))
+    val und = s.filter(col("u") < col("v"))
+      .select(col("u").as("a"), col("v").as("b"))
+    val m = und.agg(count(lit(1)).as("m"))
+    val deg = s.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    modularityCore(und, deg, m, communities)
+  }
+
+  private def modularityCore(und: DataFrame, deg: DataFrame, m: DataFrame,
+                             communities: DataFrame): DataFrame = {
     val comm = communities.select(col("node"), col("community"))
     val dc = deg.join(comm, Seq("node"))
       .groupBy(col("community"))

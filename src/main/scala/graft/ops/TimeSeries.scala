@@ -145,9 +145,24 @@ object TimeSeries {
     * the value of the max `tieCol` (as-of ordering among equal
     * timestamps is otherwise unspecified).
     *
+    * SPAN CONTRACT (`maxSpanHours`): output size is Σ_keys span/step —
+    * it grows with the KEY TIME SPAN, not the input row count, so one
+    * key with a decades-long first→last gap silently explodes the
+    * panel (a 30-year sensor = 263k grid rows from 2 observations).
+    * The per-key span is therefore CHECKED against `maxSpanHours`
+    * inside the grid expression (narrow, no extra pass) and the
+    * operator fails loudly instead of fanning out — resample a
+    * violating corpus in windows, or raise the cap deliberately. This
+    * also documents why the 100× scale probe reads superlinear wall
+    * for q80: a time-extended replica grows every key's span, so the
+    * OUTPUT grows superlinearly by design; runtime per emitted grid
+    * row is the honest scale metric (ScaleProbe's n_rows
+    * normalization).
+    *
     * Output: key, `hour` (timestamp, grid instant), `value`. */
   def resampleHourlyLocf(df: DataFrame, keyCol: String, tsCol: String,
-                         valCol: String, tieCol: String): DataFrame = {
+                         valCol: String, tieCol: String,
+                         maxSpanHours: Long = 26304L): DataFrame = {
     // every internal frame is built from explicit selects, so other
     // input columns never leak in — only the KEY column's name can
     // collide with the constructed output/internal names (tsCol/
@@ -158,11 +173,18 @@ object TimeSeries {
       s"keyCol '$keyCol' collides with a reserved output/internal name")
     val obs = df.groupBy(col(keyCol), col(tsCol).as("_ots"))
       .agg(max_by(col(valCol), col(tieCol)).as("_oval"))
+    val spanHours = (unix_seconds(col("_h1")) - unix_seconds(col("_h0")))
+      .divide(lit(3600L)).cast("long")
     val grid = df.groupBy(col(keyCol))
       .agg(date_trunc("hour", min(col(tsCol))).as("_h0"),
         date_trunc("hour", max(col(tsCol))).as("_h1"))
       .select(col(keyCol),
-        explode(sequence(col("_h0"), col("_h1"), expr("interval 1 hour"))).as("hour"))
+        explode(when(spanHours > maxSpanHours, raise_error(concat(
+            lit(s"resampleHourlyLocf: key "), col(keyCol).cast("string"),
+            lit(s" spans more hours than maxSpanHours=$maxSpanHours — " +
+              "resample in windows or raise the cap deliberately"))))
+          .otherwise(sequence(col("_h0"), col("_h1"),
+            expr("interval 1 hour")))).as("hour"))
     AsOfJoin.asOf(grid, obs, Seq(keyCol), "hour", "_ots", Seq("_oval"),
         prefix = "locf_")
       .select(col(keyCol), col("hour"), col("locf__oval").as("value"))

@@ -607,16 +607,17 @@ object Relational {
     }),
 
     // q168: synchronous label-propagation communities (3 rounds,
-    // min-label tie-break) over the same part↔supplier graph as q105 —
-    // deterministic by construction, so the unrolled recurrence is
-    // oracle-checkable.
-    "q168_label_propagation" -> ((s, d) => {
-      val edges = Tables.lineitem(s, d).select(
-        col("l_partkey").as("src"),
-        (lit(1000000L) + col("l_suppkey")).as("dst"))
-      graft.ops.Graph.labelPropagation(edges, iters = 3)
-        .orderBy(col("node"))
-    }),
+    // min-label tie-break) over the part CO-PURCHASE graph, read from
+    // the bucketed artifact (round-10: the q197/q204/q337 path — one
+    // bucketed write feeds all five graph queries; label init and the
+    // per-round neighbor-count groupBy land on the bucket key with no
+    // Exchange). Deterministic by construction, so the unrolled
+    // recurrence stays oracle-checkable.
+    "q168_label_propagation" -> ((s, d) =>
+      graft.ops.Graph.labelPropagationSym(
+          coPurchaseAdj(s, d).select(col("u").as("src"), col("v").as("dst")),
+          iters = 3)
+        .orderBy(col("node"))),
 
     // Materialized-view rewrite (Goldstein–Larson summary matching as
     // a Catalyst Rule): this aggregate GROUPS COARSER than the
@@ -1588,17 +1589,19 @@ object Relational {
     }),
 
     // q307: Newman–Girvan modularity of q168's label-propagation
-    // communities over the same part↔supplier graph — the "was this
+    // communities over the same part co-purchase graph — the "was this
     // clustering better than chance" score every community pipeline
-    // reports. Per-community numerator 4·m·e_c − d_c² stays integer
+    // reports. Round-10: BOTH the LPA and the modularity decomposition
+    // read the bucketed artifact (narrow u<v filter for the undirected
+    // list, degrees grouped on the bucket key — no Exchange before the
+    // first agg). Per-community numerator 4·m·e_c − d_c² stays integer
     // (exact cross-engine); the graph family's quality metric beside
     // q105 rank / q168 membership / q197 density.
     "q307_modularity" -> ((s, d) => {
-      val edges = Tables.lineitem(s, d).select(
-        col("l_partkey").as("src"),
-        (lit(1000000L) + col("l_suppkey")).as("dst"))
-      val comm = graft.ops.Graph.labelPropagation(edges, iters = 3)
-      graft.ops.Graph.modularity(edges, comm)
+      val adj = coPurchaseAdj(s, d)
+      val comm = graft.ops.Graph.labelPropagationSym(
+        adj.select(col("u").as("src"), col("v").as("dst")), iters = 3)
+      graft.ops.Graph.modularitySym(adj, comm)
         .orderBy(col("community"))
     }),
 
@@ -1794,26 +1797,34 @@ object Relational {
 
   /** The LPA recurrence as a reusable CTE chain (`e0`/`ed`/`r0`…
     * `r{iters}`) — shared by q168 (membership) and q307 (modularity
-    * scored on the same communities). */
+    * scored on the same communities). Round-10: the graph is the part
+    * CO-PURCHASE graph (kCoreSql's e0 — parts sharing an order, the
+    * artifact the engine reads bucketed), and every CTE is
+    * MATERIALIZED: e0 is itself a self-join pipeline, so DuckDB's
+    * default CTE inlining would replicate it once per downstream
+    * reference per round (the q205 exponential-tree lesson). */
   private def lpaCtes(iters: Int): String = {
     def step(prev: String, k: Int): String =
-      s"""c$k AS (
+      s"""c$k AS MATERIALIZED (
          |  SELECT e.src AS node, l.lbl, count(*) AS c
          |  FROM ed e JOIN $prev l ON l.node = e.dst GROUP BY 1, 2),
-         |b$k AS (
+         |b$k AS MATERIALIZED (
          |  SELECT node, lbl FROM (
          |    SELECT node, lbl,
          |      row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rk
          |    FROM c$k) WHERE rk = 1),
-         |r$k AS (
+         |r$k AS MATERIALIZED (
          |  SELECT p.node, coalesce(b.lbl, p.lbl) AS lbl
          |  FROM $prev p LEFT JOIN b$k b USING (node))""".stripMargin
     val steps = (1 to iters).map(i => step(s"r${i - 1}", i)).mkString(",\n")
-    s"""e0 AS (
-       |  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src,
-       |    1000000 + CAST(l_suppkey AS BIGINT) AS dst FROM lineitem),
-       |ed AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
-       |r0 AS (SELECT DISTINCT src AS node, src AS lbl FROM ed),
+    s"""e0 AS MATERIALIZED (
+       |  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS src,
+       |    CAST(b.l_partkey AS BIGINT) AS dst
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |ed AS MATERIALIZED (
+       |  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |r0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM ed),
        |$steps""".stripMargin
   }
 

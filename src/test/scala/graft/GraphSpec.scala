@@ -144,6 +144,35 @@ class GraphSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("labelPropagationSym / modularitySym over a pre-symmetrized " +
+    "adjacency equal the edge-list entries (the bucketed-artifact path)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val raw = (1 to 120).map(_ =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }
+    val edges = raw.toDF("src", "dst")
+    // the artifact contract: both directions, simple, degs on the row
+    val one = raw.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val sym = (one ++ one.map(_.swap)).toDF("u", "v")
+    val degs = sym.groupBy(col("u").as("n")).agg(count(lit(1)).as("dg"))
+    val adj = sym.join(degs.select(col("n").as("u"), col("dg").as("deg_u")), "u")
+      .join(degs.select(col("n").as("v"), col("dg").as("deg_v")), "v")
+    val viaEdges = Graph.labelPropagation(edges, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val viaSym = Graph.labelPropagationSym(
+        adj.select(col("u").as("src"), col("v").as("dst")), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(viaEdges == viaSym)
+    val comm = Graph.labelPropagation(edges, 3)
+    val mA = Graph.modularity(edges, comm)
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    val mB = Graph.modularitySym(adj, comm)
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(mA.toSeq == mB.toSeq)
+  }
+
   test("bfsDistances: min-hop distances on a graph with a shortcut") {
     import spark.implicits._
     // path 1-2-3-4-5 plus shortcut 1-4; node 9-8 is a disconnected pair

@@ -49,6 +49,22 @@ class TimeSeriesSpec extends AnyFunSuite {
       (2L, "2026-01-01 05:00:00.0", Some(4.0)))) // on-the-hour obs is inclusive
   }
 
+  test("hourly LOCF: a key whose span exceeds maxSpanHours fails loudly " +
+    "instead of fanning out; a compliant cap passes unchanged") {
+    val df = Seq(
+      (1L, ts("2026-01-01 00:00:00"), 1.0, 1L),
+      (1L, ts("2026-01-03 00:00:00"), 2.0, 2L)) // span = 48 hours
+      .toDF("k", "t", "v", "id")
+    val e = intercept[Exception] {
+      TimeSeries.resampleHourlyLocf(df, "k", "t", "v", "id",
+        maxSpanHours = 10L).collect()
+    }
+    assert(e.getMessage.contains("maxSpanHours") ||
+      Option(e.getCause).exists(_.getMessage.contains("maxSpanHours")))
+    assert(TimeSeries.resampleHourlyLocf(df, "k", "t", "v", "id",
+      maxSpanHours = 48L).count() == 49L)
+  }
+
   test("scd2History: runs collapse, intervals chain half-open, last is current") {
     val ev = Seq(
       (1L, "A", 10L, 1L), (1L, "A", 20L, 2L), // same-state run collapses
