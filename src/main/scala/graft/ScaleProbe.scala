@@ -57,9 +57,23 @@ object ScaleProbe {
     gcSettle()
     val p2 = pass()
     graft.util.Caches.clearAll(spark)
+    // OUTPUT-SIZE pass (round-10, verdict ask #1): for every probed
+    // query, record the emitted row count beside the seconds so
+    // output-bound growth is separable from plan growth — a near-dup
+    // pair query over a replicated corpus emits superlinearly MORE
+    // PAIRS by design (that is what a near-dup detector is for), and
+    // runtime-per-emitted-row is the honest scale reading for it.
+    // Counted un-timed, after the timed passes, caches cleared.
+    val rows = names.map { name =>
+      val n = SparkEntry.queries(name)(spark, out).count()
+      graft.util.Caches.clearAll(spark)
+      name -> n
+    }
     val qs = p1.zip(p2).map { case ((n, a), (_, b)) => "\"" + n + "\":" + math.min(a, b) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"scaleprobe","copies":$copies,"queries":$qs,"dir":"$out"}""")
+    val rs = rows.map { case (n, c) => "\"" + n + "\":" + c }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"scaleprobe","copies":$copies,"queries":$qs,"rows":$rs,"dir":"$out"}""")
     spark.stop()
   }
 
