@@ -468,6 +468,71 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("n_a"), col("containment"))
   }
 
+  /** [[containmentPairs]] through a directed PREFIX FILTER — the
+    * non-quadratic scale path that returns EXACTLY the same output
+    * (the SSJoin prefix principle applied to Broder containment, the
+    * same move [[prefixJaccardPairs]] makes for Jaccard).
+    *
+    * Key fact: C(A,B) = |A∩B|/|A| ≥ τ forces |A∩B| ≥ ⌈τ·|A|⌉, so
+    * under any global total order on shingles the overlap cannot fit
+    * entirely in A's last ⌈τ·|A|⌉ − 1 shingles — A's PREFIX (its
+    * first |A| − ⌈τ·|A|⌉ + 1 shingles) must intersect B. Joining only
+    * contained-side prefixes against the full posting list therefore
+    * generates every qualifying DIRECTED pair; the exact count+verify
+    * discards false candidates — pruning costs compute, never
+    * correctness. Only the contained side prunes (a tweet inside an
+    * article bounds nothing about the article), which is why the
+    * candidate join is asymmetric.
+    *
+    * The canonical order is ascending global shingle frequency
+    * (rarest first, ties by hash): prefixes hold each document's
+    * RAREST shingles, so the per-shingle posting lists the prefix
+    * probes are small by construction — the frequent boilerplate
+    * shingles that make [[containmentPairs]]' all-sharing-pairs grid
+    * quadratic under replication/skew never leave the suffix. At
+    * τ = 0.8 the prefix is ~20% of each doc's shingles probing
+    * rare postings, vs 100% probing everything.
+    *
+    * Plan: one frequency shuffle, one per-doc rank window (bounded by
+    * doc shingle count), the asymmetric prefix⋈posting bucket join,
+    * then the linear (doc, shingle) count join and the τ filter. */
+  def containmentPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                             tau: Double, shingleN: Int = 3): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, "tau in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val sh = withShingles(df, textCol, shingleN)
+      .select(col(idCol).as("id"), explode(col("shingles")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("shingle"))
+      .cache()
+    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // one id-partitioned window pass yields BOTH the canonical-order
+    // rank and the set size (the prefixJaccardPairs shape)
+    val ranked = sh.join(freq, "shingle")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("id"))))
+    val prefix = ranked
+      .filter(col("rk") <= col("n") - ceil(col("n") * tau) + 1)
+      .select(col("id").as("id_a"), col("shingle"), col("n").as("n_a"))
+    val cand = prefix
+      .join(sh.select(col("id").as("id_b"), col("shingle")), "shingle")
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_a"))
+      .distinct()
+    val inter = cand
+      .join(sh.select(col("id").as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"), first(col("n_a")).as("n_a"))
+    inter
+      .withColumn("containment",
+        col("inter").cast("double") / col("n_a").cast("double"))
+      .filter(col("containment") >= tau)
+      .select(col("id_a"), col("id_b"), col("inter"), col("n_a"),
+        col("containment"))
+  }
+
   /** Exact-threshold Jaccard join via PREFIX FILTERING (SSJoin /
     * PPJoin family, Chaudhuri et al. ICDE 2006) — the non-quadratic
     * scale path that returns EXACTLY [[exactJaccardPairs]]'s output.

@@ -368,11 +368,15 @@ object PipelineOps {
     }),
 
     // Directed containment dedup (Broder containment |A∩B|/|A| ≥ .8):
-    // the asymmetric fragment-inside-superset relation Jaccard misses
-    // — same shingle-equi-join candidates as q27, scored against the
-    // contained side only, each pair fanned to its two directions.
+    // the asymmetric fragment-inside-superset relation Jaccard misses.
+    // Round-10: declared on the DIRECTED PREFIX FILTER (SSJoin
+    // principle applied to containment — only the contained side's
+    // |A|−⌈τ|A|⌉+1 rarest shingles probe the posting lists), replacing
+    // the all-sharing-pairs candidate grid whose Σdf² growth was the
+    // probe's superlinear stage; output is provably identical
+    // (equivalence spec), so the quadratic SQL oracle is unchanged.
     "q216_containment_dedup" -> ((s, d) => {
-      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+      Dedup.containmentPairsPrefix(Tables.documents(s, d), "doc_id", "text",
           tau = 0.8)
         .orderBy(col("id_a"), col("id_b"))
     }),

@@ -1169,6 +1169,37 @@ class SpanRemovalSpec extends AnyFunSuite {
     assert(jac == 0L)
   }
 
+  test("containmentPairsPrefix ≡ containmentPairs at several thresholds " +
+    "(directed prefix filter is lossless), corpus + hand case") {
+    val docs = graft.io.Tables.documents(spark, TestSession.sf)
+    for (tau <- Seq(0.5, 0.8)) {
+      val exact = graft.ops.Dedup
+        .containmentPairs(docs, "doc_id", "text", tau = tau)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4)))
+        .sorted.toSeq
+      val pruned = graft.ops.Dedup
+        .containmentPairsPrefix(docs, "doc_id", "text", tau = tau)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4)))
+        .sorted.toSeq
+      assert(pruned == exact, s"prefix filter must be lossless at tau=$tau")
+    }
+    // the hand case: asymmetric direction survives the prefix filter
+    import spark.implicits._
+    val frag = "alpha beta gamma delta epsilon"
+    val filler = (1 to 40).map(i => s"w$i").mkString(" ")
+    val hand = Seq((1L, frag), (2L, s"$frag $filler"),
+      (3L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val got = graft.ops.Dedup
+      .containmentPairsPrefix(hand, "doc_id", "text", tau = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(got.count(t => t._1 == 1L && t._2 == 2L && t._3 == 1.0) == 1)
+    assert(!got.exists(t => t._1 == 2L && t._2 == 1L))
+  }
+
   // ---- mmrRerank -----------------------------------------------------
 
   test("mmrRerank: diversity beats redundancy on a hand-built pool") {
