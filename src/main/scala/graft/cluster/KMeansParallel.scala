@@ -199,6 +199,82 @@ object KMeansParallel {
     means.unionByName(empties)
   }
 
+  /** EXACT K-Means‖ initialization with FIXED oversampling rounds —
+    * the oracle-checkable redeclaration of [[init]] (q24, round-10):
+    * same phases (min-id seed → oversampling rounds → vote weights),
+    * with the two sources of unreplayability removed.
+    *
+    *  - SELECTION IS INTEGER-EXACT WITHOUT ψ: within a round, ranking
+    *    by p = l·d²/ψ is the same total order as ranking by d² alone
+    *    (l/ψ is one positive constant), and the sparse squared
+    *    distance is exactly d9 = nsq9 + cnsq9 − 2·dot9 over scaled-
+    *    long sums — so the top-⌊l⌋ cut (d9min DESC, id ASC, the
+    *    reference's deterministic tie-break) needs no division and no
+    *    float anywhere. ψ itself is never computed.
+    *  - ROUNDS ARE PINNED instead of ⌈ln ψ⌉-adaptive (the reference
+    *    caps at maxRounds anyway and every probed corpus saturates
+    *    the cap; pinning removes the one libm call from the surface).
+    *
+    * Per round, the reference's exact shape: the top cut ranks ALL
+    * docs (existing candidates score d9min = 0 and sink), then known
+    * ids drop — so a round can add fewer than `l`. Weights are the
+    * exact round-3 cosine argmax ([[KMeansSparse.assignExactFrames]])
+    * against candidates in INSERTION order (seed, then each round's
+    * adds in cut order), first-max-wins — task2_3.java:485-564's
+    * semantics under the q120 arithmetic. Driver state is the O(k·l)
+    * candidate id list (the standing contract of [[init]]).
+    *
+    * @param exploded doc vectors as (id, term, v) rows.
+    * @return (cand_id, weight, rounds, n_candidates), one row per
+    *         candidate; weight = votes (0 for unvoted). */
+  def initExactFixedRounds(exploded: DataFrame, l: Int,
+                           rounds: Int): DataFrame = {
+    require(l >= 1 && rounds >= 1)
+    val S = 1000000000L
+    val spark = exploded.sparkSession
+    import spark.implicits._
+    val ex = exploded.select(col("id"), col("term"), col("v"))
+    val nrm = ex.groupBy(col("id"))
+      .agg(sum(round(col("v") * col("v") * S).cast("long")).as("nsq9"))
+      .localCheckpoint(true)
+    val seed = nrm.agg(min(col("id"))).first().getLong(0)
+    // (id, round added, d9min at selection) in insertion order
+    var cands = Vector[(Long, Int, Long)]((seed, 0, 0L))
+    for (r <- 1 to rounds) {
+      val ids = cands.map(_._1)
+      val centRows = ex.filter(col("id").isin(ids: _*))
+        .select(col("id").as("cid"), col("term"), col("v").as("cv"))
+      val cnrm = centRows.groupBy(col("cid"))
+        .agg(sum(round(col("cv") * col("cv") * S).cast("long")).as("cnsq9"))
+      val dots = ex.join(broadcast(centRows), "term")
+        .groupBy(col("id"), col("cid"))
+        .agg(sum(round(col("v") * col("cv") * S).cast("long")).as("dot9"))
+      val dmin = nrm
+        .withColumn("cid", explode(lit(ids.toArray)))
+        .join(broadcast(cnrm), "cid")
+        .join(dots, Seq("id", "cid"), "left")
+        .select(col("id"), (col("nsq9") + col("cnsq9")
+          - lit(2L) * coalesce(col("dot9"), lit(0L))).as("d9"))
+        .groupBy(col("id")).agg(min(col("d9")).as("d9min"))
+      val top = dmin.orderBy(col("d9min").desc, col("id")).limit(l)
+        .collect().map(rw => (rw.getLong(0), rw.getLong(1)))
+      val known = cands.map(_._1).toSet
+      cands = cands ++ top.filterNot(t => known(t._1))
+        .map { case (id, d) => (id, r, d) }
+    }
+    val centIdx = cands.zipWithIndex
+      .map { case ((id, _, _), i) => (id, i.toLong) }.toDF("cid", "cidx")
+    val cents = ex.join(broadcast(centIdx), ex("id") === centIdx("cid"))
+      .select(col("cidx"), col("term"), col("v").as("cv"))
+    val votes = KMeansSparse.assignExactFrames(ex, cents, cands.size)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("w"))
+    centIdx.join(votes, centIdx("cidx") === votes("cluster"), "left")
+      .select(col("cid").as("cand_id"),
+        coalesce(col("w"), lit(0L)).as("weight"),
+        lit(rounds.toLong).as("rounds"),
+        lit(cands.size.toLong).as("n_candidates"))
+  }
+
   /** init + final standard loop (reference conv 0.9, task2_3.java:1332). */
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int, l: Double,
           maxRounds: Int = 5, finalMaxIter: Int = 10,

@@ -115,6 +115,88 @@ object KMeansSparse {
     (cs, it)
   }
 
+  /** EXACT cosine assignment with centroids as a FRAME — the
+    * bit-deterministic, driver-free sibling of [[assign]] (the q120
+    * reclusterRoundExact discipline lifted to per-doc assignment, and
+    * the piece that makes the iterative fit oracle-checkable): dot
+    * products and squared norms are scaled-long sums at 1e9, cosine
+    * rounds to 3 decimals (the reference's task2_2.java:179
+    * convention), argmax is first-max-wins (row_number by cos DESC,
+    * cidx — strict `>` ⇒ lowest index on ties, task2_2.java:272-279).
+    * Any engine replaying the recurrence produces identical bits.
+    *
+    * @param exploded doc vectors as (id, term, v) rows.
+    * @param cents    centroids as (cidx 0..k−1, term, cv) rows.
+    * @return (id, cluster). */
+  def assignExactFrames(exploded: DataFrame, cents: DataFrame,
+                        k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val S = 1000000000L
+    val nrm = exploded.groupBy(col("id"))
+      .agg(sum(round(col("v") * col("v") * S).cast("long")).as("nsq9"))
+    val cnrm = cents.groupBy(col("cidx"))
+      .agg(sum(round(col("cv") * col("cv") * S).cast("long")).as("cnsq9"))
+    val dots = exploded.join(broadcast(cents), "term")
+      .groupBy(col("id"), col("cidx"))
+      .agg(sum(round(col("v") * col("cv") * S).cast("long")).as("dot9"))
+    // full (doc × centroid) grid without a nested loop: a k-literal
+    // explode then a broadcast HASH join on cidx (the q120 pattern)
+    val pairs = nrm
+      .withColumn("cidx", explode(lit((0L until k.toLong).toArray)))
+      .join(broadcast(cnrm), "cidx")
+      .join(dots, Seq("id", "cidx"), "left")
+      .withColumn("cos", round(
+        (coalesce(col("dot9"), lit(0L)).cast("double") / S) /
+          (sqrt(col("nsq9").cast("double") / S) *
+            sqrt(col("cnsq9").cast("double") / S)) * 1000) / 1000)
+    pairs.withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("cos").desc, col("cidx"))))
+      .filter(col("rk") === 1)
+      .select(col("id"), col("cidx").as("cluster"))
+  }
+
+  /** EXACT unweighted centroid mean as a FRAME: per (cluster, term),
+    * Σ round(v·1e9) / (n·1e9) — order-independent, so both engines
+    * compute bit-identical centroid doubles (A7's arithmetic in the
+    * q120 discipline). Empty clusters keep their previous centroid's
+    * vector, like [[meanCentroids]].
+    * @return next centroids (cidx, term, cv). */
+  def meanExactFrames(exploded: DataFrame, assigned: DataFrame,
+                      prevCents: DataFrame): DataFrame = {
+    val S = 1000000000L
+    val sizes = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"))
+    val means = exploded.join(assigned, "id")
+      .groupBy(col("cluster"), col("term"))
+      .agg(sum(round(col("v") * S).cast("long")).as("s9"))
+      .join(broadcast(sizes), "cluster")
+      .select(col("cluster").as("cidx"), col("term"),
+        (col("s9").cast("double") / (col("n") * S)).as("cv"))
+    val empties = prevCents.join(
+        sizes.select(col("cluster").as("cidx")), Seq("cidx"), "left_anti")
+      .select(col("cidx"), col("term"), col("cv"))
+    means.unionByName(empties)
+  }
+
+  /** `iters` EXACT Lloyd iterations with frame centroids — assign →
+    * scaled-long mean, repeated — returning the final centroid frame.
+    * The distributed, oracle-checkable shape of [[fit]] (fixed
+    * iteration count instead of the float-cosine convergence test;
+    * per iteration: one term join + two key shuffles, O(1) driver
+    * state). Each round's centroids are localCheckpoint snapshots
+    * (the BSP hygiene of graft.ops.Graph). */
+  def fitExactFrames(exploded: DataFrame, init: DataFrame, k: Int,
+                     iters: Int): DataFrame = {
+    require(iters >= 0)
+    var cents = init
+    for (_ <- 1 to iters) {
+      val cur = cents.localCheckpoint(true)
+      val a = assignExactFrames(exploded, cur, k)
+      cents = meanExactFrames(exploded, a, cur)
+    }
+    cents.localCheckpoint(true)
+  }
+
   /** Deterministic seeding: vectors of the k smallest doc ids (the
     * reference shuffles unseeded, task2_2.java:65 — SURVEY §7.4.4 makes
     * every random draw explicit; this is the simplest reproducible

@@ -8,11 +8,19 @@ import graft.cluster.{KMeans2D, KMeansSparse, KMeansParallel}
 
 /** K-Means coverage (SURVEY §2 A6-A12, M1-M3, T3-T6; reference Part 2).
   *
-  * q20 (single assignment step against literal centroids) is fully
-  * SQL-expressible and oracle-checked — it pins the distance kernel and
-  * tie-break semantics. The iterative fits (q21-q24) are driver-loop
-  * algorithms with no SQL equivalent → rows-only checks, with invariants
-  * covered in ClusterSpec.
+  * q20 (single assignment step against literal centroids) pins the
+  * distance kernel and tie-break semantics. Round-10: the formerly
+  * rows-only iterative surfaces are REDECLARED on their exact,
+  * integer-replayable forms and carry full value oracles — q21 is the
+  * q119 convergence-driven fit with scaled-long 4-decimal output, q22
+  * and q23 run two exact Lloyd iterations with frame centroids (the
+  * q120 arithmetic iterated: scaled-long dots/norms, round-3 cosine,
+  * first-max-wins), and q24 is K-Means‖ init with pinned rounds, whose
+  * top-⌊l⌋ cut ranks by the exact integer d²₉ (p = l·d²/ψ is the same
+  * total order — l/ψ is a per-round positive constant, so ψ never
+  * needs computing). The float-convergence variants remain available
+  * as library entries (KMeansSparse.fit, KMeansParallel.init) with
+  * invariants in ClusterSpec.
   */
 object Clustering {
   type Q = (SparkSession, String) => DataFrame
@@ -99,18 +107,22 @@ object Clustering {
       KMeans2D.silhouette(points2d(s, d), "x", "y", InitCentroids)),
 
     // Full Lloyd's loop (§3.2): O(k) driver state, one tiny-shuffle agg
-    // per iteration. Runs the SAME fitExact code path as the q119
-    // oracle anchor (scaled-long means; convergence on squared
-    // movement), so this rows-only query's arithmetic is value-checked
-    // through its sibling.
+    // per iteration — the SAME fitExact run as q119, presented at the
+    // reference's 4-decimal display precision. Round-10: the rounding
+    // is scaled-long (round(x·10⁴) as BIGINT, the standing cross-engine
+    // rounding discipline), so the query is fully oracle-checked — the
+    // q119 CTE chain wrapped with the same rounding.
     "q21_kmeans_2d" -> ((s, d) => {
       val (cs, iters) = KMeans2D.fitExact(points2d(s, d), "x", "y",
-        InitCentroids, maxIter = 10, tol = 0.5)
-      val rows = cs.zipWithIndex.map { case ((x, y), i) =>
-        (i, math.rint(x * 10000) / 10000, math.rint(y * 10000) / 10000, iters)
-      }
+        InitCentroids, maxIter = FitMaxIter, tol = 0.5)
+      val rows = cs.zipWithIndex.map { case ((x, y), i) => (i, x, y, iters) }
       import s.implicits._
-      rows.toDF("cluster", "cx", "cy", "iters").orderBy(col("cluster"))
+      rows.toDF("cluster", "cx", "cy", "iters")
+        .select(col("cluster"),
+          round(col("cx") * 10000).cast("long").as("cx4"),
+          round(col("cy") * 10000).cast("long").as("cy4"),
+          col("iters"))
+        .orderBy(col("cluster"))
     }),
 
     // THE FULL CONVERGENCE-DRIVEN LLOYD LOOP, value-checked cross-engine
@@ -150,40 +162,79 @@ object Clustering {
         .orderBy(col("cluster"), col("term"))
     }),
 
-    // Cosine K-Means over sparse TF-IDF vectors (task2_2): deterministic
-    // min-id seeding, conv 0.98. Output = cluster sizes.
+    // Cosine K-Means over sparse TF-IDF vectors (task2_2), redeclared
+    // round-10 on TWO EXACT Lloyd iterations with frame centroids
+    // (min-id seeds; the q120 arithmetic iterated — scaled-long
+    // dots/norms, round-3 cosine, first-max-wins, Σround(v·1e9)/(n·1e9)
+    // means, empty-cluster fallback). Output = cluster sizes after the
+    // final assignment; DuckDB unrolls the identical recurrence off
+    // the q19-proven TF-IDF CTEs. A7/M2/T6's float-convergence fit
+    // stays a library entry (ClusterSpec).
     "q22_kmeans_sparse" -> ((s, d) => {
-      val dv = docVectors(s, d)
-      val init = KMeansSparse.seedByMinId(dv, "doc_id", "vec", 4)
-      val (cs, _) = KMeansSparse.fit(dv, "vec", init, maxIter = 5)
-      KMeansSparse.assign(dv, "vec", cs)
+      val (ex, cFinal) = exactSparseFit(s, d)
+      KMeansSparse.assignExactFrames(ex, cFinal, SparseK)
         .groupBy(col("cluster")).agg(count(lit(1)).as("n_docs"))
         .orderBy(col("cluster"))
     }),
 
-    // T3: top-5 terms per cluster by summed pre-division weight.
+    // T3: top-5 terms per cluster by summed pre-division weight —
+    // round-10: over the q22 exact fit's final assignment, ranking by
+    // the SCALED-LONG weight sum (desc, term asc), so the whole chain
+    // incl. the tie-break replays cross-engine.
     "q23_kmeans_topterms" -> ((s, d) => {
-      val dv = docVectors(s, d)
-      val init = KMeansSparse.seedByMinId(dv, "doc_id", "vec", 4)
-      val (cs, _) = KMeansSparse.fit(dv, "vec", init, maxIter = 3)
-      KMeansSparse.topTerms(KMeansSparse.assign(dv, "vec", cs), "vec", 5)
+      import org.apache.spark.sql.expressions.Window
+      val (ex, cFinal) = exactSparseFit(s, d)
+      val a = KMeansSparse.assignExactFrames(ex, cFinal, SparseK)
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("s9").desc, col("term"))
+      ex.join(a, "id")
+        .groupBy(col("cluster"), col("term"))
+        .agg(sum(round(col("v") * 1000000000L).cast("long")).as("s9"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
         .select(col("cluster"), col("rk"), col("term"))
         .orderBy(col("cluster"), col("rk"))
     }),
 
-    // K-Means|| init (task2_3): candidates, weights, ψ trace.
+    // K-Means|| init (task2_3), redeclared round-10 on the EXACT
+    // fixed-rounds form: 3 oversampling rounds whose top-⌊l⌋ cut ranks
+    // by the integer d²₉ (the same total order as p = l·d²/ψ — ψ is a
+    // per-round constant and never computed), weights by the exact
+    // round-3 cosine argmax. No libm anywhere ⇒ candidates, weights,
+    // and counts all replay in DuckDB. The adaptive ⌈ln ψ⌉ variant
+    // stays a library entry (ClusterSpec).
     "q24_kmeans_parallel" -> ((s, d) => {
-      val dv = docVectors(s, d)
-      val ir = KMeansParallel.init(dv, "doc_id", "vec", k = 4, l = 8.0,
-        maxRounds = 3)
-      val rows = ir.candidates.zip(ir.weights).map { case ((id, _), w) =>
-        (id, w, ir.rounds, ir.candidates.size)
-      }
-      import s.implicits._
-      rows.toDF("cand_id", "weight", "rounds", "n_candidates")
+      val ex = docVectors(s, d).select(col("doc_id").as("id"),
+        explode(col("vec")).as(Seq("term", "v")))
+      KMeansParallel.initExactFixedRounds(ex, l = 8, rounds = 3)
         .orderBy(col("cand_id"))
     })
   )
+
+  /** k for the exact sparse-fit queries (q22/q23). */
+  private val SparseK = 4
+
+  /** Exact-iteration count for q22/q23 (the DuckDB side unrolls this
+    * many CTE blocks plus one final assignment). */
+  private val SparseIters = 2
+
+  /** Shared exact sparse fit for q22/q23: exploded doc vectors + the
+    * centroid frame after [[SparseIters]] exact Lloyd iterations from
+    * the [[SparseK]] min-id seeds. */
+  private def exactSparseFit(s: SparkSession,
+                             d: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val dv = docVectors(s, d)
+    val ex = dv.select(col("doc_id").as("id"),
+      explode(col("vec")).as(Seq("term", "v")))
+    val seedIdx = dv.orderBy(col("doc_id")).limit(SparseK)
+      .withColumn("cidx",
+        (row_number().over(Window.orderBy(col("doc_id"))) - 1).cast("long"))
+      .select(col("doc_id"), col("cidx"))
+    val c0 = ex.join(broadcast(seedIdx), ex("id") === seedIdx("doc_id"))
+      .select(col("cidx"), col("term"), col("v").as("cv"))
+    (ex, KMeansSparse.fitExactFrames(ex, c0, SparseK, SparseIters))
+  }
 
   /** DuckDB mirror of [[KMeans2D.fitExact]]: `maxIter` unrolled Lloyd
     * iterations as chained CTEs — each block is exactly q94's
@@ -319,8 +370,189 @@ object Clustering {
       |WHERE c.cidx NOT IN (SELECT cluster FROM wsums WHERE wsum > 0)
       |ORDER BY cluster, term""".stripMargin
 
+  /** DuckDB mirror of the q22/q23 exact sparse fit: TokCte rebuilds
+    * the TF-IDF doc vectors (q19-proven parity), then `iters` unrolled
+    * Lloyd iterations — each block exactly
+    * [[KMeansSparse.assignExactFrames]] + [[KMeansSparse.meanExactFrames]]
+    * (scaled-long dots/norms, round-3 cosine, first-max-wins
+    * assignment, Σround(v·1e9)/(n·1e9) means, empty-cluster fallback).
+    * Every CTE MATERIALIZED (each block references its predecessor
+    * several times — the q205 exponential-inlining lesson). Iteration
+    * `iters` + 1's assignment (as{iters+1}/sz{iters+1}) is the final
+    * assignment both queries read. */
+  private def sparseFitCtes(iters: Int, k: Int): String = {
+    def iter(i: Int): String = {
+      val p = s"c${i - 1}"
+      s"""cn$i AS MATERIALIZED (
+         |  SELECT cidx, sum(CAST(round(cv*cv*1000000000) AS BIGINT)) AS cnsq9
+         |  FROM $p GROUP BY cidx),
+         |dt$i AS MATERIALIZED (
+         |  SELECT d.id, c.cidx,
+         |    sum(CAST(round(d.v*c.cv*1000000000) AS BIGINT)) AS dot9
+         |  FROM dv d JOIN $p c ON c.term = d.term GROUP BY 1, 2),
+         |pa$i AS MATERIALIZED (
+         |  SELECT n.id, c.cidx,
+         |    round((CAST(coalesce(t.dot9, 0) AS DOUBLE)/1000000000.0)
+         |      / (sqrt(CAST(n.nsq9 AS DOUBLE)/1000000000.0)
+         |         * sqrt(CAST(c.cnsq9 AS DOUBLE)/1000000000.0)) * 1000) / 1000
+         |      AS cos
+         |  FROM nrm n CROSS JOIN cn$i c
+         |  LEFT JOIN dt$i t ON t.id = n.id AND t.cidx = c.cidx),
+         |as$i AS MATERIALIZED (
+         |  SELECT id, cidx AS cluster FROM (
+         |    SELECT id, cidx,
+         |      row_number() OVER (PARTITION BY id ORDER BY cos DESC, cidx) AS rk
+         |    FROM pa$i) WHERE rk = 1),
+         |sz$i AS MATERIALIZED (
+         |  SELECT cluster, CAST(count(*) AS BIGINT) AS n FROM as$i GROUP BY 1),
+         |c$i AS MATERIALIZED (
+         |  SELECT m.cluster AS cidx, m.term,
+         |    CAST(m.s9 AS DOUBLE) / (z.n * 1000000000.0) AS cv
+         |  FROM (SELECT a.cluster, d.term,
+         |          sum(CAST(round(d.v*1000000000) AS BIGINT)) AS s9
+         |        FROM dv d JOIN as$i a ON a.id = d.id GROUP BY 1, 2) m
+         |  JOIN sz$i z ON z.cluster = m.cluster
+         |  UNION ALL
+         |  SELECT c.cidx, c.term, c.cv FROM $p c
+         |  WHERE c.cidx NOT IN (SELECT cluster FROM sz$i))""".stripMargin
+    }
+    // iters fit iterations plus one more block whose ASSIGNMENT is the
+    // final read (its c{iters+1} centroid table is never consumed)
+    s"""dv AS MATERIALIZED (SELECT doc_id AS id, term, tfidf AS v FROM tfidf),
+       |seeds AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) - 1 AS cidx
+       |  FROM (SELECT DISTINCT doc_id FROM tfidf ORDER BY doc_id LIMIT $k)),
+       |c0 AS MATERIALIZED (
+       |  SELECT s.cidx, d.term, d.v AS cv
+       |  FROM seeds s JOIN dv d ON d.id = s.doc_id),
+       |nrm AS MATERIALIZED (
+       |  SELECT id, sum(CAST(round(v*v*1000000000) AS BIGINT)) AS nsq9
+       |  FROM dv GROUP BY id),
+       |${(1 to iters + 1).map(iter).mkString(",\n")}""".stripMargin
+  }
+
+  /** DuckDB mirror of [[KMeansParallel.initExactFixedRounds]]: the
+    * min-id seed, `rounds` unrolled oversampling rounds (per round:
+    * per-candidate norms come straight from nrm — centroids ARE docs —
+    * the (doc × cand) d9 = nsq9 + cnsq9 − 2·dot9 grid, min per doc,
+    * the top-`l` cut by (d9min DESC, id) over ALL docs, then known ids
+    * drop), candidate indices in insertion order (rnd, d9min DESC,
+    * id), and the exact round-3 cosine argmax vote weights. */
+  private def kmeansParInitSql(l: Int, rounds: Int): String = {
+    def round_(r: Int): String = {
+      val p = s"cs${r - 1}"
+      s"""cn_$r AS MATERIALIZED (
+         |  SELECT c.id AS cid, n.nsq9 AS cnsq9
+         |  FROM $p c JOIN nrm n ON n.id = c.id),
+         |dt_$r AS MATERIALIZED (
+         |  SELECT a.id, b.id AS cid,
+         |    sum(CAST(round(a.v*b.v*1000000000) AS BIGINT)) AS dot9
+         |  FROM dv a
+         |  JOIN (SELECT d.* FROM dv d JOIN $p c ON c.id = d.id) b
+         |    ON b.term = a.term
+         |  GROUP BY 1, 2),
+         |dm_$r AS MATERIALIZED (
+         |  SELECT n.id,
+         |    min(n.nsq9 + c.cnsq9 - 2*coalesce(t.dot9, 0)) AS d9min
+         |  FROM nrm n CROSS JOIN cn_$r c
+         |  LEFT JOIN dt_$r t ON t.id = n.id AND t.cid = c.cid
+         |  GROUP BY 1),
+         |ad_$r AS MATERIALIZED (
+         |  SELECT id, d9min FROM (
+         |    SELECT id, d9min,
+         |      row_number() OVER (ORDER BY d9min DESC, id) AS rk
+         |    FROM dm_$r) WHERE rk <= $l),
+         |cs$r AS MATERIALIZED (
+         |  SELECT * FROM $p
+         |  UNION ALL
+         |  SELECT a.id, $r AS rnd, a.d9min FROM ad_$r a
+         |  WHERE a.id NOT IN (SELECT id FROM $p))""".stripMargin
+    }
+    TextQueries.TokCte +
+      s""", dv AS MATERIALIZED (SELECT doc_id AS id, term, tfidf AS v FROM tfidf),
+         |nrm AS MATERIALIZED (
+         |  SELECT id, sum(CAST(round(v*v*1000000000) AS BIGINT)) AS nsq9
+         |  FROM dv GROUP BY id),
+         |cs0 AS MATERIALIZED (
+         |  SELECT CAST(min(id) AS BIGINT) AS id, 0 AS rnd,
+         |    CAST(0 AS BIGINT) AS d9min FROM dv),
+         |${(1 to rounds).map(round_).mkString(",\n")},
+         |cidx AS MATERIALIZED (
+         |  SELECT id,
+         |    CAST(row_number() OVER (ORDER BY rnd, d9min DESC, id) AS BIGINT)
+         |      - 1 AS cidx
+         |  FROM cs$rounds),
+         |wdt AS MATERIALIZED (
+         |  SELECT a.id, x.cidx,
+         |    sum(CAST(round(a.v*d.v*1000000000) AS BIGINT)) AS dot9
+         |  FROM dv a
+         |  JOIN dv d ON d.term = a.term
+         |  JOIN cidx x ON x.id = d.id
+         |  GROUP BY 1, 2),
+         |wpa AS MATERIALIZED (
+         |  SELECT n.id, c.cidx,
+         |    round((CAST(coalesce(t.dot9, 0) AS DOUBLE)/1000000000.0)
+         |      / (sqrt(CAST(n.nsq9 AS DOUBLE)/1000000000.0)
+         |         * sqrt(CAST(c.cnsq9 AS DOUBLE)/1000000000.0)) * 1000) / 1000
+         |      AS cos
+         |  FROM nrm n
+         |  CROSS JOIN (SELECT x.cidx, m.nsq9 AS cnsq9
+         |              FROM cidx x JOIN nrm m ON m.id = x.id) c
+         |  LEFT JOIN wdt t ON t.id = n.id AND t.cidx = c.cidx),
+         |was AS MATERIALIZED (
+         |  SELECT id, cidx AS cluster FROM (
+         |    SELECT id, cidx,
+         |      row_number() OVER (PARTITION BY id ORDER BY cos DESC, cidx) AS rk
+         |    FROM wpa) WHERE rk = 1),
+         |wv AS MATERIALIZED (
+         |  SELECT cluster, CAST(count(*) AS BIGINT) AS w FROM was GROUP BY 1)
+         |SELECT x.id AS cand_id, CAST(coalesce(v.w, 0) AS BIGINT) AS weight,
+         |  CAST($rounds AS BIGINT) AS rounds,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM cidx) AS n_candidates
+         |FROM cidx x LEFT JOIN wv v ON v.cluster = x.cidx
+         |ORDER BY cand_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q119_kmeans_full_fit" -> kmeansFitSql(FitMaxIter),
+
+    // q21 = the q119 fit presented at scaled-long 4-decimal precision:
+    // the proven CTE chain wrapped with the same rounding both engines
+    // implement identically (round-half-away on exact doubles).
+    "q21_kmeans_2d" ->
+      s"""SELECT cluster, CAST(round(cx*10000) AS BIGINT) AS cx4,
+         |  CAST(round(cy*10000) AS BIGINT) AS cy4, iters
+         |FROM (${kmeansFitSql(FitMaxIter)}) t
+         |ORDER BY cluster""".stripMargin,
+
+    // q22: cluster sizes after the final assignment of the exact
+    // 2-iteration sparse fit — sz{iters+1} of the unrolled chain.
+    "q22_kmeans_sparse" -> (TextQueries.TokCte + ", " +
+      sparseFitCtes(SparseIters, SparseK) +
+      s"""
+         |SELECT cluster, n AS n_docs FROM sz${SparseIters + 1}
+         |ORDER BY cluster""".stripMargin),
+
+    // q23: top-5 terms per cluster of the same final assignment, by
+    // scaled-long summed weight (desc, term asc).
+    "q23_kmeans_topterms" -> (TextQueries.TokCte + ", " +
+      sparseFitCtes(SparseIters, SparseK) +
+      s""",
+         |ts AS MATERIALIZED (
+         |  SELECT a.cluster, d.term,
+         |    sum(CAST(round(d.v*1000000000) AS BIGINT)) AS s9
+         |  FROM dv d JOIN as${SparseIters + 1} a ON a.id = d.id
+         |  GROUP BY 1, 2)
+         |SELECT cluster, rk, term FROM (
+         |  SELECT cluster, term,
+         |    CAST(row_number() OVER (PARTITION BY cluster
+         |      ORDER BY s9 DESC, term) AS BIGINT) AS rk
+         |  FROM ts) WHERE rk <= 5
+         |ORDER BY cluster, rk""".stripMargin),
+
+    // q24: the exact fixed-rounds K-Means|| init replayed end-to-end.
+    "q24_kmeans_parallel" -> kmeansParInitSql(l = 8, rounds = 3),
     "q120_kmeanspar_recluster" -> reclusterSql,
     "q20_kmeans_assign_step" ->
       """WITH pts AS (

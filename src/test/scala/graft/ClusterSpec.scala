@@ -138,12 +138,14 @@ class FitAnchorSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
 
   test("q21 centroids and iteration count equal the q119 oracle fit (4-dec rounding aside)") {
+    import org.apache.spark.sql.functions._
     val q21 = graft.queries.Clustering.queries("q21_kmeans_2d")(spark, TestSession.sf)
-      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getInt(3)))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // expected = q119's doubles through the SAME scaled-long rounding
     val q119 = graft.queries.Clustering.queries("q119_kmeans_full_fit")(spark, TestSession.sf)
-      .collect().map(r => (r.getInt(0),
-        math.rint(r.getDouble(1) * 10000) / 10000,
-        math.rint(r.getDouble(2) * 10000) / 10000, r.getInt(3)))
+      .select(col("cluster"), round(col("cx") * 10000).cast("long"),
+        round(col("cy") * 10000).cast("long"), col("iters"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3)))
     assert(q21.toSeq == q119.toSeq,
       "q21 must be the q119 fit output modulo its 4-decimal display rounding")
   }
