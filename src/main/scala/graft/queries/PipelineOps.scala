@@ -2029,6 +2029,128 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     }),
 
+    // q351: THE CRAWL PIPELINE END-TO-END (round-10 stretch) — the
+    // round-9 crawl operators composed into the actual web-pipeline
+    // shape, as ONE declared query (the q88 precedent): synthesize
+    // fetch artifacts (q326's raw URLs + q341's markup) in one
+    // documents scan, then
+    //   canonicalize → URL-level dedup (first doc per canonical URL)
+    //   → robots.txt longest-match filter (q328's rule synthesis)
+    //   → HTML main-content extraction
+    //   → near-dup FINGERPRINT dedup with canonical election (q333's
+    //     batch shape: portable 60-bit SimHash over the EXTRACTED
+    //     text, min-id keeper per fingerprint)
+    //   → quality gate (token count, distinct ratio, and the
+    //     text-to-markup ratio — the crawl-specific boilerplate cut)
+    //   → split/shard assignment and greedy sequence packing,
+    // rolled up per (split, shard, pack_bin). Every stage is a narrow
+    // map or one key shuffle over the SURVIVORS of the previous one;
+    // the only side input is the KB-sized robots rule table (built
+    // from a source-column-pruned scan, standing in for the separate
+    // robots corpus a real crawler holds). DuckDB replays the whole
+    // DAG — synthesis, canonicalization, precedence, extraction
+    // regexes, the Charikar fold, and the pack arithmetic.
+    "q351_crawl_pipeline" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val rawUrl = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTP")).otherwise(lit("https")),
+        lit("://WWW."), upper(col("source")), lit(".COM"),
+        when(col("doc_id") % 3 === 0, lit(":80"))
+          .when(col("doc_id") % 3 === 1, lit(":443"))
+          .otherwise(lit(":8080")),
+        lit("/"), col("lang"), lit("/doc?"),
+        when(col("doc_id") % 5 === 0, lit("utm_source=rss"))
+          .otherwise(concat(lit("utm_source=rss&z="),
+            (col("doc_id") % 2).cast("string"), lit("&a="),
+            (col("doc_id") % 2).cast("string"))),
+        lit("#sec"), (col("doc_id") % 4).cast("string"))
+      val html = concat(
+        lit("<html><head><title>"), col("source"), lit(" doc "),
+        (col("doc_id") % 100).cast("string"), lit("</title>"),
+        when(col("doc_id") % 4 === 0, lit("<script type=\"text/javascript\">" +
+          "var x = 1 < 2; nav(\"menu\");</script>")).otherwise(lit("")),
+        when(col("doc_id") % 6 === 1, lit("<style>.m { color: red; }</style>"))
+          .otherwise(lit("")),
+        lit("</head><body class=\"main\"><h1>"), col("lang"),
+        lit("</h1><p>"), substring(col("text"), 1, 80), lit("</p>"),
+        lit("<a href=\"https://"), col("source"), lit(".example.com/doc"),
+        (col("doc_id") % 10).cast("string"), lit("\">next</a>"),
+        when(col("doc_id") % 3 === 0, concat(lit("<a href='/rel/doc"),
+          (col("doc_id") % 7).cast("string"), lit("'>rel</a>")))
+          .otherwise(lit("")),
+        lit("<!-- gen "), (col("doc_id") % 5).cast("string"),
+        lit(" --></body></html>"))
+      val base = docs.select(col("doc_id"), col("source"),
+        Crawl.canonicalUrl(rawUrl).as("url"), html.as("html"),
+        concat(lit("/"), col("lang"), lit("/doc"),
+          (col("doc_id") % 10).cast("string")).as("path"))
+      // URL-level dedup: first doc per canonical URL (one url shuffle).
+      // localCheckpoint at each fan-out point: the survivor frame
+      // feeds 2-3 consumers (decision + join-back; both banded join
+      // sides + the anti probe), and without the snapshot EVERY
+      // consumer re-derives from its own corpus scan — the exact
+      // "stage re-reads the corpus" shape this DAG exists to avoid.
+      // Materialized once, survivors only, each stage reads the last
+      // stage's snapshot.
+      val urlKeep = base.withColumn("_rk", row_number().over(
+          Window.partitionBy(col("url")).orderBy(col("doc_id"))))
+        .filter(col("_rk") === 1).drop("_rk", "url")
+        .localCheckpoint(true)
+      // robots longest-match filter (KB-sized broadcast rule table;
+      // the rule synthesis reads a source-column-pruned scan once —
+      // standing in for the separate robots corpus a real crawler has)
+      val srcs = docs.select(col("source")).distinct().localCheckpoint(true)
+      val srcNum = expr("CAST(substr(source, 4, 10) AS INT)")
+      val rules = srcs.select(col("source").as("host"),
+          lit("/de").as("prefix"), lit(false).as("allow"))
+        .union(srcs.select(col("source"), lit("/de/doc3"), lit(true)))
+        .union(srcs.where(srcNum % 3 === 0)
+          .select(col("source"), lit("/en"), lit(false)))
+        .union(srcs.where(srcNum % 5 === 1)
+          .select(col("source"), lit("/"), lit(false)))
+      val allowedIds = Crawl.robotsDecision(urlKeep, col("doc_id"),
+          col("source"), col("path"), rules)
+        .filter(col("allowed")).select(col("id").as("doc_id"))
+      val allowed = urlKeep.join(allowedIds, Seq("doc_id"), "left_semi")
+      // HTML extraction (narrow codegen regexp map)
+      val extracted = Crawl.htmlExtract(
+          allowed.select(col("doc_id"), col("html")), col("html"))
+        .select(col("doc_id"), col("text"), col("text_ratio6"))
+      // near-dup dedup with first-doc election: a doc drops iff ANY
+      // lower-id doc's portable SimHash is within Hamming 10 (the
+      // order-free batch form of q333's keep-first election; 10 is
+      // tuned to these ~17-token extracts — their cross-pair noise
+      // floor starts at 11 bits). The pair set comes from the banded
+      // pigeonhole join (q29's kernel), never an all-pairs cross.
+      val fps = extracted.withColumn("fp",
+          SimHash.simhashPortable60(split(col("text"), "\\s+")))
+        .localCheckpoint(true)
+      val nearDrop = Dedup.simhashPairs(fps, "doc_id", "fp", maxHamming = 10)
+        .select(col("id_b").as("doc_id")).distinct()
+      val fpKeep = fps.join(nearDrop, Seq("doc_id"), "left_anti").drop("fp")
+      // quality gate: token stats + the text-to-markup boilerplate cut
+      // (330k ≈ the survivor p25 — script/style-laden pages fail)
+      val toks = split(col("text"), "\\s+")
+      val quality = fpKeep
+        .withColumn("n_tokens", size(toks).cast("long"))
+        .withColumn("dr", size(array_distinct(toks)).cast("double") /
+          size(toks).cast("double"))
+        .filter(col("n_tokens") >= 16 && col("dr") >= 0.3 &&
+          col("text_ratio6") >= 330000)
+      // split, shard, pack (the q88 tail)
+      val sp = TextAnalysis.withSplit(quality, "doc_id")
+        .select(col("doc_id"), col("split"),
+          concat(col("split"), lit("_"),
+            (col("doc_id") % 4).cast("string")).as("shard"),
+          col("n_tokens"))
+      TextAnalysis.packSequences(sp, "shard", "doc_id", "n_tokens",
+          budget = 512)
+        .groupBy(col("split"), col("shard"), col("pack_bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy(col("split"), col("shard"), col("pack_bin"))
+    }),
+
     "q326_url_canonicalize" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val raw = concat(
@@ -5894,6 +6016,179 @@ object PipelineOps {
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(min(doc_id) AS BIGINT) AS first_doc
         |FROM c2 GROUP BY 1 ORDER BY url""".stripMargin,
+
+    // q351: the whole crawl DAG replayed — q326's synthesis +
+    // canonicalization, first-doc-per-URL election, q328's rule
+    // synthesis + longest-match precedence, q341's markup synthesis +
+    // extraction regexes, the q98 Charikar fold over the EXTRACTED
+    // text, the q88 quality/split/shard/pack tail plus the
+    // text-to-markup ratio gate.
+    "q351_crawl_pipeline" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+        |    || '://WWW.' || upper(source) || '.COM'
+        |    || (CASE WHEN doc_id % 3 = 0 THEN ':80'
+        |             WHEN doc_id % 3 = 1 THEN ':443' ELSE ':8080' END)
+        |    || '/' || lang || '/doc?'
+        |    || (CASE WHEN doc_id % 5 = 0 THEN 'utm_source=rss'
+        |             ELSE 'utm_source=rss&z=' || CAST(doc_id % 2 AS VARCHAR)
+        |               || '&a=' || CAST(doc_id % 2 AS VARCHAR) END)
+        |    || '#sec' || CAST(doc_id % 4 AS VARCHAR) AS raw
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(raw, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |      AS sch,
+        |    lower(regexp_extract(raw, '^[^:]+://([^/?#]*)', 1)) AS auth,
+        |    regexp_extract(raw, '^[^:]+://[^/?#]*([^?#]*)', 1) AS rawpath,
+        |    regexp_extract(raw, '\?([^#]*)', 1) AS qs
+        |  FROM u
+        |), canon AS (
+        |  SELECT doc_id,
+        |    sch || '://'
+        |    || (CASE WHEN sch = 'http' AND regexp_matches(auth, ':80$')
+        |           THEN substr(auth, 1, CAST(len(auth) - 3 AS INT))
+        |         WHEN sch = 'https' AND regexp_matches(auth, ':443$')
+        |           THEN substr(auth, 1, CAST(len(auth) - 4 AS INT))
+        |         ELSE auth END)
+        |    || (CASE WHEN rawpath = '' THEN '/' ELSE rawpath END)
+        |    || (CASE WHEN coalesce(array_to_string(list_sort(list_filter(
+        |           string_split(qs, '&'),
+        |           x -> x <> '' AND NOT regexp_matches(x,
+        |             '^(utm_[^=]*|fbclid|gclid)(=|$)'))), '&'), '') = ''
+        |         THEN ''
+        |         ELSE '?' || array_to_string(list_sort(list_filter(
+        |           string_split(qs, '&'),
+        |           x -> x <> '' AND NOT regexp_matches(x,
+        |             '^(utm_[^=]*|fbclid|gclid)(=|$)'))), '&') END) AS url
+        |  FROM c
+        |), ku AS MATERIALIZED (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      row_number() OVER (PARTITION BY url ORDER BY doc_id) AS rk
+        |    FROM canon) WHERE rk = 1
+        |), srcs AS (SELECT DISTINCT source FROM documents),
+        |rules AS (
+        |  SELECT source, '/de' AS prefix, false AS allow FROM srcs
+        |  UNION ALL SELECT source, '/de/doc3', true FROM srcs
+        |  UNION ALL SELECT source, '/en', false FROM srcs
+        |    WHERE CAST(substr(source, 4) AS INT) % 3 = 0
+        |  UNION ALL SELECT source, '/', false FROM srcs
+        |    WHERE CAST(substr(source, 4) AS INT) % 5 = 1
+        |), urls AS (
+        |  SELECT d.doc_id, d.source,
+        |    '/' || d.lang || '/doc' || CAST(d.doc_id % 10 AS VARCHAR) AS path
+        |  FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM ku)
+        |), m AS (
+        |  SELECT u2.doc_id, r.allow,
+        |    row_number() OVER (PARTITION BY u2.doc_id
+        |      ORDER BY len(r.prefix) DESC, r.allow DESC, r.prefix DESC)
+        |      AS rk
+        |  FROM urls u2
+        |  JOIN rules r ON r.source = u2.source
+        |    AND starts_with(u2.path, r.prefix)
+        |), alw AS MATERIALIZED (
+        |  SELECT u2.doc_id FROM urls u2
+        |  LEFT JOIN (SELECT * FROM m WHERE rk = 1) m ON m.doc_id = u2.doc_id
+        |  WHERE coalesce(m.allow, true)
+        |), h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>' || source || ' doc '
+        |    || CAST(doc_id % 100 AS VARCHAR) || '</title>'
+        |    || CASE WHEN doc_id % 4 = 0 THEN
+        |         '<script type="text/javascript">var x = 1 < 2; nav("menu");</script>'
+        |       ELSE '' END
+        |    || CASE WHEN doc_id % 6 = 1 THEN
+        |         '<style>.m { color: red; }</style>' ELSE '' END
+        |    || '</head><body class="main"><h1>' || lang || '</h1><p>'
+        |    || substr(text, 1, 80) || '</p>'
+        |    || '<a href="https://' || source || '.example.com/doc'
+        |    || CAST(doc_id % 10 AS VARCHAR) || '">next</a>'
+        |    || CASE WHEN doc_id % 3 = 0 THEN
+        |         '<a href=''/rel/doc' || CAST(doc_id % 7 AS VARCHAR)
+        |           || '''>rel</a>'
+        |       ELSE '' END
+        |    || '<!-- gen ' || CAST(doc_id % 5 AS VARCHAR)
+        |    || ' --></body></html>' AS html
+        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM alw)
+        |), e AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(html,
+        |            '(?is)<(script|style)[^>]*>.*?</(script|style)>', '', 'g'),
+        |          '(?s)<!--.*?-->', '', 'g'),
+        |        '(?s)<[^>]*>', ' ', 'g'),
+        |      '\s+', ' ', 'g')) AS text,
+        |    CAST(length(trim(regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(html,
+        |            '(?is)<(script|style)[^>]*>.*?</(script|style)>', '', 'g'),
+        |          '(?s)<!--.*?-->', '', 'g'),
+        |        '(?s)<[^>]*>', ' ', 'g'),
+        |      '\s+', ' ', 'g'))) AS BIGINT) * 1000000
+        |      // CAST(length(html) AS BIGINT) AS text_ratio6
+        |  FROM h
+        |), etoks AS (
+        |  SELECT doc_id, t.tok
+        |  FROM e, UNNEST(string_split_regex(text, '\s+')) AS t(tok)
+        |  WHERE length(t.tok) > 0
+        |), ehashes AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS hh
+        |  FROM etoks
+        |), evotes AS (
+        |  SELECT doc_id, b.bit,
+        |    sum(CASE WHEN (hh >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM ehashes, UNNEST(generate_series(0, 59)) AS b(bit)
+        |  GROUP BY 1, 2
+        |), efps AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+        |      ELSE 0 END) AS BIGINT) AS fp
+        |  FROM evotes GROUP BY doc_id
+        |), allfp AS (
+        |  SELECT e.doc_id, e.text, e.text_ratio6,
+        |    CAST(coalesce(f.fp, 0) AS BIGINT) AS fp
+        |  FROM e LEFT JOIN efps f ON f.doc_id = e.doc_id
+        |), nd AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM allfp a JOIN allfp b ON a.doc_id < b.doc_id
+        |    AND bit_count(xor(a.fp, b.fp)) <= 10
+        |), kf AS MATERIALIZED (
+        |  SELECT doc_id, text, text_ratio6 FROM allfp
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM nd)
+        |), q AS (
+        |  SELECT doc_id, text_ratio6,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    CAST(len(list_distinct(regexp_split_to_array(text, '\s+')))
+        |        AS DOUBLE)
+        |      / CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE) AS dr
+        |  FROM kf
+        |), f AS (
+        |  SELECT doc_id, n_tokens FROM q
+        |  WHERE n_tokens >= 16 AND dr >= 0.3 AND text_ratio6 >= 330000
+        |), sh AS (
+        |  SELECT doc_id, n_tokens, split,
+        |    split || '_' || CAST(doc_id % 4 AS VARCHAR) AS shard
+        |  FROM (
+        |    SELECT doc_id, n_tokens,
+        |      CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+        |           THEN 'val' ELSE 'train' END AS split
+        |    FROM f)
+        |), p AS (
+        |  SELECT split, shard, n_tokens,
+        |    (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+        |      // 512 AS pack_bin
+        |  FROM sh)
+        |SELECT split, shard, CAST(pack_bin AS BIGINT) AS pack_bin,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM p GROUP BY 1, 2, 3 ORDER BY split, shard, pack_bin""".stripMargin,
 
     // q325: the IMA ADPCM encode∘decode state machine replayed as a
     // sequential recurrence — the recursive CTE carries (pred, idx)

@@ -65,6 +65,9 @@ QUERIES = ",".join([
     "q343_fellegi_sunter", "q344_lerp_resample",
     "q340_kmv_distinct", "q341_html_extract",
     "q349_kmv_set_algebra", "q350_wordpiece_fertility",
+    # round-10: the composed crawl pipeline (one corpus scan, per-stage
+    # survivor snapshots — canon/robots/extract/near-dup/quality/pack)
+    "q351_crawl_pipeline",
 ])
 
 # queries whose OUTPUT is a pair/grid set that grows superlinearly on a
