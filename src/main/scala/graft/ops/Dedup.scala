@@ -533,6 +533,57 @@ object Dedup {
         col("containment"))
   }
 
+  /** CANDIDATE-VOLUME AUDIT for the containment join — q192's
+    * "predict the join before running it" discipline applied to
+    * similarity joins: from the shingle frequency table ALONE (no pair
+    * join anywhere), the exact number of rows the naive
+    * all-sharing-pairs candidate join would emit (Σ_s C(df_s, 2)) vs
+    * the rows the [[containmentPairsPrefix]] probe join emits
+    * (Σ over prefix occurrences of (df_s − 1)) — the measurement
+    * behind choosing the prefix plan, and the early-warning signal a
+    * corpus pipeline reads before a dedup sweep melts a cluster.
+    *
+    * Both sums depend only on the multiset of df values at each rank
+    * position, so the report is invariant to the canonical order's
+    * tie-break — which is what makes it cross-engine checkable even
+    * though the engine ranks ties by shingle hash.
+    *
+    * Shape: one frequency shuffle + one per-doc rank window + three
+    * O(1)-row aggregates (broadcast-combined). Output: one row
+    * (n_docs, n_shingle_rows, n_distinct_shingles, join_rows_naive,
+    * n_prefix_rows, join_rows_prefix, reduction_ratio6 =
+    * naive·10⁶ div prefix). */
+  def containmentCandidateReport(df: DataFrame, idCol: String,
+                                 textCol: String, tau: Double,
+                                 shingleN: Int = 3): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, "tau in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val sh = withShingles(df, textCol, shingleN)
+      .select(col(idCol).as("id"), explode(col("shingles")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("shingle"))
+      .localCheckpoint(true) // freq + ranked both read it
+    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .localCheckpoint(true) // naive aggregate + rank join
+    val naive = freq.agg(
+      count(lit(1)).as("n_distinct_shingles"),
+      sum(col("df")).as("n_shingle_rows"),
+      sum(expr("df * (df - 1) div 2")).as("join_rows_naive"))
+    val ranked = sh.join(freq, "shingle")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("id"))))
+    val pref = ranked
+      .filter(col("rk") <= col("n") - ceil(col("n") * tau) + 1)
+      .agg(count(lit(1)).as("n_prefix_rows"),
+        sum(col("df") - 1).as("join_rows_prefix"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    nDocs.crossJoin(broadcast(naive)).crossJoin(broadcast(pref))
+      .withColumn("reduction_ratio6",
+        when(col("join_rows_prefix") > 0,
+          expr("join_rows_naive * 1000000 div join_rows_prefix"))
+          .otherwise(lit(null).cast("long")))
+  }
+
   /** Exact-threshold Jaccard join via PREFIX FILTERING (SSJoin /
     * PPJoin family, Chaudhuri et al. ICDE 2006) — the non-quadratic
     * scale path that returns EXACTLY [[exactJaccardPairs]]'s output.

@@ -2151,6 +2151,97 @@ object PipelineOps {
         .orderBy(col("split"), col("shard"), col("pack_bin"))
     }),
 
+    // q352: TEMPERATURE-SAMPLED corpus mix at α = 1/2 — the
+    // multilingual sampling knob (the (n_s)^α up/down-weighting of
+    // mBERT/XLM-R-style pretraining mixes): per-source allocation
+    // ∝ √n_s instead of q127's externally-given weights, damping big
+    // sources and boosting small ones. α = 1/2 keeps the weight
+    // IEEE-exact (sqrt is correctly rounded — no libm drift), scaled
+    // to a long; the allocation is the same exact largest-remainder
+    // (Hamilton) arithmetic and md5-rank selection as q127, so the
+    // whole sampler replays cross-engine.
+    "q352_temperature_mix" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wdf = Tables.documents(s, d).withColumn("_w",
+        round(sqrt(count(lit(1)).over(Window.partitionBy(col("source")))
+          .cast("double")) * 1000000).cast("long"))
+      TextAnalysis.mixtureSample(wdf, "source", "doc_id", col("_w"),
+          total = 100L)
+        .orderBy(col("source"), col("sel_rk"))
+    }),
+
+    // q353: ROBUST PER-DIMENSION SCALING of embeddings — the
+    // median/IQR normalization (scikit RobustScaler semantics) feature
+    // pipelines run where mean/std would chase outliers. Per dim:
+    // exact-regime median and quartiles (q104's percentile_approx ==
+    // quantile_disc discipline), the 1.5·IQR outlier count (Tukey
+    // fence), and the scaled-long sum of (v−med)/IQR — one explode,
+    // one per-dim agg, one broadcast join back. All boundaries are
+    // exact data values and IEEE arithmetic, so DuckDB replays them.
+    "q353_robust_scale" -> ((s, d) => {
+      val ex = Tables.embeddings(s, d).select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("i", "v0")))
+        .select(col("vec_id"), (col("i") + 1).cast("long").as("dim"),
+          col("v0").cast("double").as("v"))
+      val stats = ex.groupBy(col("dim")).agg(
+        expr("percentile_approx(v, 0.5, 1000000)").as("med"),
+        expr("percentile_approx(v, 0.25, 1000000)").as("q1"),
+        expr("percentile_approx(v, 0.75, 1000000)").as("q3"))
+      ex.join(broadcast(stats), "dim")
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"),
+          first(col("med")).as("med"), first(col("q1")).as("q1"),
+          first(col("q3")).as("q3"),
+          sum(when(abs(col("v") - col("med")) >
+              lit(1.5) * (col("q3") - col("q1")), 1L).otherwise(0L))
+            .as("n_outliers"),
+          sum(when(col("q3") =!= col("q1"),
+              round((col("v") - col("med")) / (col("q3") - col("q1"))
+                * 1000000).cast("long"))
+            .otherwise(lit(0L))).as("sum_scaled6"))
+        .orderBy(col("dim"))
+    }),
+
+    // q354: containment-join CANDIDATE-VOLUME AUDIT — q192's
+    // predict-the-join discipline for similarity joins: from the
+    // shingle frequency table alone, the exact naive candidate volume
+    // Σ C(df,2) vs the q216 prefix plan's probe volume Σ_prefix(df−1)
+    // and their ratio — the report read before running a dedup sweep.
+    // Both sums are tie-break-invariant functions of the df multiset,
+    // hence oracle-checkable despite the engine's hash tie-break.
+    "q354_containment_candidates" -> ((s, d) =>
+      Dedup.containmentCandidateReport(Tables.documents(s, d), "doc_id",
+        "text", tau = 0.8)),
+
+    // q355: SEQUENCE-LENGTH BUCKETING with padding-waste accounting —
+    // the batch-efficiency step of training prep: docs bucket at the
+    // token-length octile boundaries (exact-regime percentiles, the
+    // q104 discipline; a doc AT a boundary falls in the lower bucket
+    // via the strict `<` count), and each bucket reports the padding
+    // waste n·max−Σlen a max-length-padded batch of it would burn —
+    // the number that justifies bucketing at all (vs one global max).
+    // Boundaries ride the plan as a broadcast scalar array folded per
+    // row (no driver collect); everything is integer or an exact data
+    // value.
+    "q355_length_buckets" -> ((s, d) => {
+      val l = Tables.documents(s, d).select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("len"))
+      val bs = l.agg(expr("percentile_approx(len, " +
+        "array(0.125D, 0.25D, 0.375D, 0.5D, 0.625D, 0.75D, 0.875D), " +
+        "1000000)").as("bs"))
+      l.crossJoin(broadcast(bs))
+        .withColumn("bucket", expr(
+          "aggregate(bs, 0L, (a, x) -> a + CASE WHEN x < len THEN 1L " +
+            "ELSE 0L END)"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("len")).as("min_len"),
+          max(col("len")).as("max_len"), sum(col("len")).as("sum_len"))
+        .withColumn("pad_waste", col("n") * col("max_len") - col("sum_len"))
+        .withColumn("waste_ratio6",
+          expr("pad_waste * 1000000 div (n * max_len)"))
+        .orderBy(col("bucket"))
+    }),
+
     "q326_url_canonicalize" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val raw = concat(
@@ -6016,6 +6107,122 @@ object PipelineOps {
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(min(doc_id) AS BIGINT) AS first_doc
         |FROM c2 GROUP BY 1 ORDER BY url""".stripMargin,
+
+    // q352: the Hamilton allocation replayed with √n_s weights —
+    // identical CTE chain to q127 with the weight derived from group
+    // size (sqrt is IEEE-correctly-rounded on both engines).
+    "q352_temperature_mix" ->
+      """WITH g AS (
+        |  SELECT source,
+        |    CAST(round(sqrt(CAST(count(*) AS DOUBLE)) * 1000000) AS BIGINT)
+        |      AS w
+        |  FROM documents GROUP BY source),
+        |b AS (
+        |  SELECT source, w, (SELECT sum(w) FROM g) AS wsum FROM g),
+        |c AS (
+        |  SELECT source, (100 * w) // wsum AS base,
+        |         100 * w - ((100 * w) // wsum) * wsum AS rem
+        |  FROM b),
+        |e AS (
+        |  SELECT source, base, rem,
+        |    (SELECT 100 - sum(base) FROM c) AS leftover,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS rr
+        |  FROM c),
+        |alloc AS (
+        |  SELECT source,
+        |    CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |      AS alloc
+        |  FROM e),
+        |sel AS (
+        |  SELECT source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+        |      AS sel_rk
+        |  FROM documents)
+        |SELECT s.source, s.doc_id, s.sel_rk, a.alloc
+        |FROM sel s JOIN alloc a USING (source)
+        |WHERE s.sel_rk <= a.alloc ORDER BY s.source, s.sel_rk""".stripMargin,
+
+    // q353: exact-regime quantiles (quantile_disc == percentile_approx
+    // at this accuracy, the q104 discipline), Tukey fence count, and
+    // the scaled-long sum of robust-scaled values.
+    "q353_robust_scale" ->
+      """WITH ex AS (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT)
+        |      AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |st AS (
+        |  SELECT dim, quantile_disc(v, 0.5) AS med,
+        |    quantile_disc(v, 0.25) AS q1, quantile_disc(v, 0.75) AS q3
+        |  FROM ex GROUP BY dim)
+        |SELECT e.dim, CAST(count(*) AS BIGINT) AS n,
+        |  st.med, st.q1, st.q3,
+        |  CAST(sum(CASE WHEN abs(e.v - st.med) > 1.5 * (st.q3 - st.q1)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(sum(CASE WHEN st.q3 <> st.q1
+        |    THEN CAST(round((e.v - st.med) / (st.q3 - st.q1) * 1000000)
+        |      AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS sum_scaled6
+        |FROM ex e JOIN st USING (dim)
+        |GROUP BY e.dim, st.med, st.q1, st.q3
+        |ORDER BY e.dim""".stripMargin,
+
+    // q354: both candidate volumes from the frequency table alone —
+    // tie-break-invariant sums, so the string-ordered rank here equals
+    // the engine's hash-ordered rank.
+    "q354_containment_candidates" ->
+      ("WITH " + ShingleCtes +
+        """,
+          |freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+          |naive AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n_distinct_shingles,
+          |    CAST(sum(df) AS BIGINT) AS n_shingle_rows,
+          |    CAST(sum(df * (df - 1) // 2) AS BIGINT) AS join_rows_naive
+          |  FROM freq),
+          |ranked AS (
+          |  SELECT s.doc_id, f.df,
+          |    row_number() OVER (PARTITION BY s.doc_id
+          |      ORDER BY f.df, s.shingle) AS rk,
+          |    count(*) OVER (PARTITION BY s.doc_id) AS n
+          |  FROM sh s JOIN freq f USING (shingle)),
+          |pref AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n_prefix_rows,
+          |    CAST(sum(df - 1) AS BIGINT) AS join_rows_prefix
+          |  FROM ranked WHERE rk <= n - ceil(n * 0.8) + 1),
+          |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+          |SELECT nd.n_docs, naive.n_distinct_shingles, naive.n_shingle_rows,
+          |  naive.join_rows_naive, pref.n_prefix_rows, pref.join_rows_prefix,
+          |  CAST(naive.join_rows_naive * 1000000 // pref.join_rows_prefix
+          |    AS BIGINT) AS reduction_ratio6
+          |FROM nd, naive, pref""".stripMargin),
+
+    // q355: octile boundaries via quantile_disc (== percentile_approx
+    // in the exact regime), strict-< bucket fold, integer waste math.
+    "q355_length_buckets" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS len
+        |  FROM documents),
+        |b AS (
+        |  SELECT quantile_disc(len,
+        |    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bs
+        |  FROM l),
+        |a AS (
+        |  SELECT l.doc_id, l.len,
+        |    CAST(len(list_filter(b.bs, x -> x < l.len)) AS BIGINT) AS bucket
+        |  FROM l CROSS JOIN b),
+        |g AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(min(len) AS BIGINT) AS min_len,
+        |    CAST(max(len) AS BIGINT) AS max_len,
+        |    CAST(sum(len) AS BIGINT) AS sum_len
+        |  FROM a GROUP BY bucket)
+        |SELECT bucket, n, min_len, max_len, sum_len,
+        |  CAST(n * max_len - sum_len AS BIGINT) AS pad_waste,
+        |  CAST((n * max_len - sum_len) * 1000000 // (n * max_len)
+        |    AS BIGINT) AS waste_ratio6
+        |FROM g ORDER BY bucket""".stripMargin,
 
     // q351: the whole crawl DAG replayed — q326's synthesis +
     // canonicalization, first-doc-per-URL election, q328's rule

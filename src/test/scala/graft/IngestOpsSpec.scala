@@ -1200,6 +1200,34 @@ class SpanRemovalSpec extends AnyFunSuite {
     assert(!got.exists(t => t._1 == 2L && t._2 == 1L))
   }
 
+  test("containmentCandidateReport: hand-checkable volumes, " +
+    "partition-invariant (tie-break-free sums)") {
+    import spark.implicits._
+    // doc1 ≡ doc2 ("a b c d e" → 3 shingles each, df = 2); doc3 disjoint
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"),
+      (3L, "p q r s t")).toDF("doc_id", "text")
+    val r = graft.ops.Dedup
+      .containmentCandidateReport(docs, "doc_id", "text", tau = 0.8)
+      .collect().head
+    assert(r.getAs[Long]("n_docs") == 3L)
+    assert(r.getAs[Long]("n_shingle_rows") == 9L)
+    assert(r.getAs[Long]("n_distinct_shingles") == 6L)
+    // naive = 3 shared shingles × C(2,2) = 3
+    assert(r.getAs[Long]("join_rows_naive") == 3L)
+    // prefix cut at n=3, τ=.8: 3 − ⌈2.4⌉ + 1 = 1 prefix shingle/doc;
+    // Σ(df−1) = 1 (doc1) + 1 (doc2) + 0 (doc3) = 2
+    assert(r.getAs[Long]("n_prefix_rows") == 3L)
+    assert(r.getAs[Long]("join_rows_prefix") == 2L)
+    assert(r.getAs[Long]("reduction_ratio6") == 1500000L)
+    // the sums are functions of the df multiset only — invariant to
+    // partitioning (and therefore to any rank tie-break)
+    val r2 = graft.ops.Dedup
+      .containmentCandidateReport(docs.repartition(7), "doc_id", "text",
+        tau = 0.8)
+      .collect().head
+    assert(r.toSeq == r2.toSeq)
+  }
+
   // ---- mmrRerank -----------------------------------------------------
 
   test("mmrRerank: diversity beats redundancy on a hand-built pool") {
