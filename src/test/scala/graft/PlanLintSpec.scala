@@ -77,7 +77,11 @@ class PlanLintSpec extends AnyFunSuite {
     // CUPED's 1-row pooled moments attaching to the 2-row arm table
     // (Fellegi–Sunter needs no entry: its totals collect as an O(1)
     // model and the weights are literals)
-    "q342_krippendorff_alpha", "q348_cuped")
+    "q342_krippendorff_alpha", "q348_cuped",
+    // round-10: q354's three 1-row volume aggregates combine by
+    // crossJoin; q355's 1-row octile-boundary array attaches to the
+    // length stream — both the textbook scalar-subquery shape
+    "q354_containment_candidates", "q355_length_buckets")
 
   // Bounded-cell DP / generator fan-outs: every nested-loop input here
   // is a CELL TABLE whose size is a fixed parameter, not data volume —
