@@ -68,6 +68,12 @@ QUERIES = ",".join([
     # round-10: the composed crawl pipeline (one corpus scan, per-stage
     # survivor snapshots — canon/robots/extract/near-dup/quality/pack)
     "q351_crawl_pipeline",
+    # round-10 continuation: temperature mixing (group-stat window +
+    # md5-rank selection), the containment candidate audit (frequency
+    # shuffle + rank window, no pair join), length bucketing (scalar
+    # boundary broadcast + one agg)
+    "q352_temperature_mix", "q354_containment_candidates",
+    "q355_length_buckets",
 ])
 
 # queries whose OUTPUT is a pair/grid set that grows superlinearly on a
