@@ -172,6 +172,28 @@ object Relational {
           round(col("l_extendedprice") * 100).cast("long").cast("string"),
           col("l_returnflag"), col("l_linestatus")), nBuckets = 64)),
 
+    // q356: PARQUET FOOTER INTEGRITY AUDIT — the storage-introspection
+    // pass behind zone-map planning (q167/q347): read ONLY the parquet
+    // footers (a tail read per file, fanned out over the cluster —
+    // seconds at 100 TB) and roll each file's row-group statistics up
+    // per column; the oracle recomputes the same numbers FROM THE DATA
+    // (count/nulls/min/max per column), so the check certifies that
+    // the footer stats a pruning layer would trust actually match the
+    // pages — the "do the zone maps lie" audit, and a cross-layer
+    // check between parquet-hadoop's footer decode and DuckDB's full
+    // scan. Row-group structure folds away (Σ counts, min of mins,
+    // max of maxes), so the result is layout-independent.
+    "q356_parquet_layout" -> ((s, d) =>
+      graft.io.ParquetLayout.report(s,
+          Seq(s"$d/lineitem.parquet", s"$d/orders.parquet"),
+          Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "o_orderkey", "o_custkey"))
+        .groupBy(col("file_name"), col("column_name"))
+        .agg(sum(col("n_values")).as("n_values"),
+          sum(col("null_count")).as("null_count"),
+          min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+        .orderBy(col("file_name"), col("column_name"))),
+
     // q167: zone-map skip report — what a shipdate-sorted layout buys
     // for a one-year predicate: per-4096-row-block min/max + skip flag.
     "q167_zone_map" -> ((s, d) =>
@@ -1943,6 +1965,24 @@ object Relational {
        |SELECT node, CAST(pr AS BIGINT) AS rank_ppt FROM r$iters ORDER BY node""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q356: the footer rollups recomputed from the data — per column,
+    // total values (rows), nulls, min, max. Engine-independent ground
+    // truth for the footer decode.
+    "q356_parquet_layout" -> {
+      def block(file: String, col: String): String =
+        s"""SELECT '$file' AS file_name, '$col' AS column_name,
+           |  CAST(count(*) AS BIGINT) AS n_values,
+           |  CAST(count(*) - count($col) AS BIGINT) AS null_count,
+           |  CAST(min($col) AS BIGINT) AS min_v,
+           |  CAST(max($col) AS BIGINT) AS max_v
+           |FROM ${file.stripSuffix(".parquet")}""".stripMargin
+      (Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+        .map(c => block("lineitem.parquet", c)) ++
+        Seq("o_orderkey", "o_custkey")
+          .map(c => block("orders.parquet", c)))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY file_name, column_name")
+    },
+
     "q105_pagerank" -> pageRankSql(3),
     "q209_ppr" -> pprSql(3, Seq(1L, 2L, 3L)),
     "q218_hits" -> hitsSql(2),

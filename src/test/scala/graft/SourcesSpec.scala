@@ -50,4 +50,32 @@ class SourcesSpec extends AnyFunSuite {
     val orig = docs.select("doc_id", "lang")
     assert(back.exceptAll(orig).count() == 0 && orig.exceptAll(back).count() == 0)
   }
+
+  test("parquet footer report: multi-row-group stats, nulls, and the " +
+    "per-file rollup equal the data") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pqlayout").toString
+    // small page/block sizes force MULTIPLE row groups in one file
+    val rows = (1L to 50000L).map(i =>
+      (i, if (i % 7 == 0) None else Some(i * 3 % 1000)))
+    rows.toDF("k", "v").coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", 64 * 1024)
+      .option("parquet.page.size", 8 * 1024)
+      .parquet(dir)
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+    val rep = graft.io.ParquetLayout.report(spark, Seq(f), Seq("k", "v"))
+    val nGroups = rep.filter(col("column_name") === "k")
+      .select(col("row_group_id")).distinct().count()
+    assert(nGroups > 1, s"expected multiple row groups, got $nGroups")
+    val roll = rep.groupBy(col("column_name"))
+      .agg(sum(col("n_values")).as("nv"), sum(col("null_count")).as("nc"),
+        min(col("min_v")).as("mn"), max(col("max_v")).as("mx"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(roll("k") == ((50000L, 0L, 1L, 50000L)))
+    val nNull = rows.count(_._2.isEmpty).toLong
+    val vs = rows.flatMap(_._2)
+    assert(roll("v") == ((50000L, nNull, vs.min, vs.max)))
+  }
 }

@@ -74,6 +74,10 @@ QUERIES = ",".join([
     # boundary broadcast + one agg)
     "q352_temperature_mix", "q354_containment_candidates",
     "q355_length_buckets",
+    # q356 footer audit: tail-only metadata reads, O(files + row
+    # groups) — the ratio should stay ~flat at any data scale (the
+    # whole point of footer-driven planning)
+    "q356_parquet_layout",
 ])
 
 # queries whose OUTPUT is a pair/grid set that grows superlinearly on a
