@@ -941,6 +941,47 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     }),
 
+    // q357: FILTER ATTRIBUTION — the funnel accounting a curation
+    // pipeline publishes beside its quality gates: for four rule flags
+    // (too-short, repetitive vocabulary, too-few stopwords, too-long —
+    // thresholds chosen to split this corpus), how many docs each rule
+    // fails OUTRIGHT, how many it fails FIRST in the declared order
+    // (what a sequential pipeline's per-stage drop counters show), how
+    // many it fails UNIQUELY (the data only that rule protects — the
+    // rule you could delete for free has uniq = 0), and every pairwise
+    // co-failure count. ONE tokenize pass + ONE aggregate; all counts
+    // exact integer sums over flag products, so the whole report
+    // replays in SQL.
+    "q357_filter_attribution" -> ((s, d) => {
+      val q = TextAnalysis.qualityMetrics(Tables.documents(s, d), "text")
+        .select(col("doc_id"),
+          (col("n_tokens") < 32L).cast("long").as("f1"),
+          (col("distinct_ratio") < 0.36).cast("long").as("f2"),
+          (col("stopword_ratio") < 0.015).cast("long").as("f3"),
+          (col("n_tokens") > 85L).cast("long").as("f4"))
+      q.agg(
+        count(lit(1)).as("n_docs"),
+        sum(expr("(1 - f1) * (1 - f2) * (1 - f3) * (1 - f4)")).as("n_pass"),
+        sum(col("f1")).as("fail_short"),
+        sum(col("f2")).as("fail_rep"),
+        sum(col("f3")).as("fail_lowstop"),
+        sum(col("f4")).as("fail_long"),
+        sum(col("f1")).as("first_short"),
+        sum(expr("f2 * (1 - f1)")).as("first_rep"),
+        sum(expr("f3 * (1 - f1) * (1 - f2)")).as("first_lowstop"),
+        sum(expr("f4 * (1 - f1) * (1 - f2) * (1 - f3)")).as("first_long"),
+        sum(expr("f1 * (1 - f2) * (1 - f3) * (1 - f4)")).as("uniq_short"),
+        sum(expr("f2 * (1 - f1) * (1 - f3) * (1 - f4)")).as("uniq_rep"),
+        sum(expr("f3 * (1 - f1) * (1 - f2) * (1 - f4)")).as("uniq_lowstop"),
+        sum(expr("f4 * (1 - f1) * (1 - f2) * (1 - f3)")).as("uniq_long"),
+        sum(expr("f1 * f2")).as("co_short_rep"),
+        sum(expr("f1 * f3")).as("co_short_lowstop"),
+        sum(expr("f1 * f4")).as("co_short_long"),
+        sum(expr("f2 * f3")).as("co_rep_lowstop"),
+        sum(expr("f2 * f4")).as("co_rep_long"),
+        sum(expr("f3 * f4")).as("co_lowstop_long"))
+    }),
+
     // Substring-span duplication profile (exact substring dedup
     // family): 40-char windows at stride 20, md5 span keys, a span is
     // duplicated iff ≥2 distinct docs contain it; per-doc duplicated
@@ -5783,6 +5824,45 @@ object PipelineOps {
         |  CAST(len(list_filter(regexp_split_to_array(text, '[^\w]+'), x -> length(x) > 0))
         |    + length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS BIGINT) AS n_subwords
         |FROM t ORDER BY doc_id""".stripMargin,
+    // q357: the same q33 metric forms folded into flags, then every
+    // attribution count as an exact sum of flag products.
+    "q357_filter_attribution" ->
+      """WITH t AS (
+        |  SELECT regexp_split_to_array(text, '\s+') AS arr FROM documents),
+        |m AS (
+        |  SELECT CAST(len(arr) AS BIGINT) AS nt,
+        |    CAST(len(list_distinct(arr)) AS DOUBLE)
+        |      / CAST(len(arr) AS DOUBLE) AS dr,
+        |    CAST(len(list_filter(arr, x -> x IN ('the', 'a'))) AS DOUBLE)
+        |      / CAST(len(arr) AS DOUBLE) AS stp
+        |  FROM t),
+        |f AS (
+        |  SELECT CASE WHEN nt < 32 THEN 1 ELSE 0 END AS f1,
+        |    CASE WHEN dr < 0.36 THEN 1 ELSE 0 END AS f2,
+        |    CASE WHEN stp < 0.015 THEN 1 ELSE 0 END AS f3,
+        |    CASE WHEN nt > 85 THEN 1 ELSE 0 END AS f4
+        |  FROM m)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum((1-f1)*(1-f2)*(1-f3)*(1-f4)) AS BIGINT) AS n_pass,
+        |  CAST(sum(f1) AS BIGINT) AS fail_short,
+        |  CAST(sum(f2) AS BIGINT) AS fail_rep,
+        |  CAST(sum(f3) AS BIGINT) AS fail_lowstop,
+        |  CAST(sum(f4) AS BIGINT) AS fail_long,
+        |  CAST(sum(f1) AS BIGINT) AS first_short,
+        |  CAST(sum(f2*(1-f1)) AS BIGINT) AS first_rep,
+        |  CAST(sum(f3*(1-f1)*(1-f2)) AS BIGINT) AS first_lowstop,
+        |  CAST(sum(f4*(1-f1)*(1-f2)*(1-f3)) AS BIGINT) AS first_long,
+        |  CAST(sum(f1*(1-f2)*(1-f3)*(1-f4)) AS BIGINT) AS uniq_short,
+        |  CAST(sum(f2*(1-f1)*(1-f3)*(1-f4)) AS BIGINT) AS uniq_rep,
+        |  CAST(sum(f3*(1-f1)*(1-f2)*(1-f4)) AS BIGINT) AS uniq_lowstop,
+        |  CAST(sum(f4*(1-f1)*(1-f2)*(1-f3)) AS BIGINT) AS uniq_long,
+        |  CAST(sum(f1*f2) AS BIGINT) AS co_short_rep,
+        |  CAST(sum(f1*f3) AS BIGINT) AS co_short_lowstop,
+        |  CAST(sum(f1*f4) AS BIGINT) AS co_short_long,
+        |  CAST(sum(f2*f3) AS BIGINT) AS co_rep_lowstop,
+        |  CAST(sum(f2*f4) AS BIGINT) AS co_rep_long,
+        |  CAST(sum(f3*f4) AS BIGINT) AS co_lowstop_long
+        |FROM f""".stripMargin,
     "q34_token_stats" ->
       """WITH t AS (
         |  SELECT source, len(regexp_split_to_array(text, '\s+')) AS n_tokens FROM documents)
