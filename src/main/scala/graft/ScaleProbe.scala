@@ -69,11 +69,25 @@ object ScaleProbe {
       graft.util.Caches.clearAll(spark)
       name -> n
     }
+    // INTERNAL-VOLUME pass (round-11, verdict asks #3/#7): for
+    // fixed-output probes the rows pass above records a constant, so
+    // ratio_per_row degenerates to the wall ratio; these meters count
+    // the candidate/decoded volume the query actually processes.
+    // Un-timed, after the timed passes, like the rows pass.
+    val vols = names.flatMap { name =>
+      SparkEntry.volumes.get(name).map { fn =>
+        val v = fn(spark, out)
+        graft.util.Caches.clearAll(spark)
+        name -> v
+      }
+    }
     val qs = p1.zip(p2).map { case ((n, a), (_, b)) => "\"" + n + "\":" + math.min(a, b) }
       .mkString("{", ",", "}")
     val rs = rows.map { case (n, c) => "\"" + n + "\":" + c }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"scaleprobe","copies":$copies,"queries":$qs,"rows":$rs,"dir":"$out"}""")
+    val vs = vols.map { case (n, c) => "\"" + n + "\":" + c }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"scaleprobe","copies":$copies,"queries":$qs,"rows":$rs,"vols":$vs,"dir":"$out"}""")
     spark.stop()
   }
 

@@ -23,6 +23,16 @@ object SparkEntry {
       graft.queries.PipelineOps.queries ++
       graft.queries.EventQueries.queries
 
+  /** Internal-volume meters for fixed-output scale probes (round-11):
+    * candidate pairs / decoded rows the probe divides runtime by when
+    * the emitted row count is constant by construction (LIMIT k,
+    * O(1)-row aggs, verify-filtered pair joins). Consumed by
+    * [[ScaleProbe]]; not part of the driver contract. */
+  def volumes: Map[String, (SparkSession, String) => Long] =
+    graft.queries.Relational.volumes ++
+      graft.queries.PipelineOps.volumes ++
+      graft.queries.EventQueries.volumes
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Diagnostic main for the round-10 isolated-streaming regression
+  * (q309/q310/q311 walls 2–3.7× up with zero code change): times the
+  * named queries one at a time on a fresh JVM, optionally after
+  * CONTAMINATING the session the way a full Bench run does — N
+  * retained memory-sink tables (the accumulated result tables of
+  * earlier streaming passes) and/or a batch-query burn-in — so the
+  * hypothesis "late-JVM heap/table accumulation, not the queries"
+  * is directly measurable.
+  *
+  * `runMain graft.StreamLab <sfDir> <q1,q2,…> [memTables] [burnin]`
+  */
+object StreamLab {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args(1).split(",").toSeq
+    val memTables = if (args.length > 2) args(2).toInt else 0
+    val burnin = args.length > 3 && args(3) == "burnin"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(2000000).selectExpr("sum(id % 7)").collect()
+    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000).count()
+    // contamination arm A: memory-sink tables full of event rows, the
+    // exact residue a Bench pass leaves behind (each streaming query's
+    // result table is never dropped)
+    if (memTables > 0) {
+      (1 to memTables).foreach { i =>
+        val q = graft.io.Tables.eventsStream(spark, sfDir)
+          .writeStream.outputMode("append")
+          .format("memory").queryName(s"contam_$i").start()
+        q.processAllAvailable(); q.stop()
+      }
+      println(s"contaminated: $memTables memory tables, " +
+        s"heap used ${(Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) / 1048576} MB")
+      if (args.length > 3 && args(3) == "drop") {
+        (1 to memTables).foreach(i => spark.catalog.dropTempView(s"contam_$i"))
+        System.gc(); Thread.sleep(2000); System.gc()
+        println(s"dropped: heap used ${(Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) / 1048576} MB")
+      }
+    }
+    // contamination arm B: a batch burn-in (cache/uncache churn)
+    if (burnin) {
+      (1 to 10).foreach { _ =>
+        val df = spark.read.parquet(s"$sfDir/lineitem.parquet").cache()
+        df.count(); df.unpersist(blocking = false)
+      }
+    }
+    def gcSettle(): Unit = { System.gc(); Thread.sleep(2000); System.gc() }
+    gcSettle()
+    names.foreach { name =>
+      val s = spark.newSession()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(s, sfDir).write.mode("overwrite").format("noop").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"q":"$name","sec":$sec%.2f,"heap_mb":${(Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) / 1048576}}""")
+    }
+    spark.stop()
+  }
+}

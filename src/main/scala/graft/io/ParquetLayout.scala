@@ -26,6 +26,7 @@ object ParquetLayout {
   def report(spark: SparkSession, paths: Seq[String],
              cols: Seq[String]): DataFrame = {
     import spark.implicits._
+    require(paths.nonEmpty, "ParquetLayout.report: empty path list")
     val colSet = cols.toSet
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
@@ -51,15 +52,24 @@ object ParquetLayout {
                   val st = cc.getStatistics
                   // physical type may be INT32 or INT64 — both decode
                   // to an integral Number; anything else is a misuse
-                  // of the INT-columns contract and fails loudly
-                  def asLong(v: Any): Long = v match {
+                  // of the INT-columns contract and fails loudly.
+                  // A writer may legally OMIT min/max (all-null row
+                  // group, or stats disabled): genericGetMin returns
+                  // null there — report the row with null min/max
+                  // instead of tripping the misuse guard on null
+                  // (ADVICE r10: `other.getClass` NPE'd first).
+                  def asLong(v: Any): java.lang.Long = v match {
+                    case null => null
                     case n: java.lang.Number => n.longValue
                     case other => throw new IllegalArgumentException(
                       s"$name: non-integral parquet stats ${other.getClass}")
                   }
+                  val hasMinMax = st != null && st.hasNonNullValue
                   Some((base, g.toLong, name, cc.getValueCount,
-                    st.getNumNulls,
-                    asLong(st.genericGetMin), asLong(st.genericGetMax)))
+                    if (st == null) null
+                    else (st.getNumNulls: java.lang.Long),
+                    if (hasMinMax) asLong(st.genericGetMin) else null,
+                    if (hasMinMax) asLong(st.genericGetMax) else null))
                 }
               }
             }.iterator

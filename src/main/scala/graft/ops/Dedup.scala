@@ -282,6 +282,7 @@ object Dedup {
       .localCheckpoint(true)
     var changed = 1L
     var it = 1
+    var prevSnap = labels
     while (changed > 0 && it < maxIter) {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src").as("nid")).agg(min(col("label")).as("nlabel"))
@@ -296,6 +297,10 @@ object Dedup {
           coalesce(col("mlabel"), col("lab1")).as("label"),
           (coalesce(col("mlabel"), col("lab1")) =!= col("old")).as("chg"))
         .localCheckpoint(true)
+      // previous round's snapshot is dead once `next` materializes —
+      // free it (graft.ops.Graph.unpersistSnapshot; round-11)
+      graft.ops.Graph.unpersistSnapshot(prevSnap)
+      prevSnap = next
       changed = next.filter(col("chg")).count()
       labels = next.select(col("id"), col("label"))
       it += 1
@@ -448,11 +453,29 @@ object Dedup {
     * (mostly) inside B".
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-                       tau: Double, shingleN: Int = 3): DataFrame = {
-    val sh = withShingles(df, textCol, shingleN)
+                       tau: Double, shingleN: Int = 3): DataFrame =
+    containmentNaiveFromSh(containmentShingles(df, idCol, textCol, shingleN)
+      .cache(), tau)
+
+  /** The (id, shingle-hash) exploded set both containment plans read. */
+  private def containmentShingles(df: DataFrame, idCol: String,
+                                  textCol: String, shingleN: Int): DataFrame =
+    withShingles(df, textCol, shingleN)
       .select(col(idCol).as("id"), explode(col("shingles")).as("s"))
       .select(col("id"), xxhash64(col("s")).as("shingle"))
-      .cache()
+
+  /** ⌈n·τ⌉ with τ taken EXACTLY at its shortest-decimal rendering
+    * (ADVICE r10): `n * lit(tau)` in double arithmetic can round an
+    * integer product up (τ=0.3, n=10 → 3.0000000000000004, ceil=4),
+    * silently shrinking the prefix by one shingle and breaking the
+    * zero-miss contract for pairs at exactly containment = τ. Routing
+    * τ through BigDecimal.valueOf (the value the caller wrote, e.g.
+    * "0.8", not the nearest-double artifact) makes the multiply and
+    * ceil exact decimal arithmetic. */
+  private def ceilTauExact(n: Column, tau: Double): Column =
+    ceil(n * lit(java.math.BigDecimal.valueOf(tau)))
+
+  private def containmentNaiveFromSh(sh: DataFrame, tau: Double): DataFrame = {
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -499,11 +522,12 @@ object Dedup {
   def containmentPairsPrefix(df: DataFrame, idCol: String, textCol: String,
                              tau: Double, shingleN: Int = 3): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, "tau in (0, 1]")
+    containmentPrefixFromSh(containmentShingles(df, idCol, textCol, shingleN)
+      .cache(), tau)
+  }
+
+  private def containmentPrefixFromSh(sh: DataFrame, tau: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = withShingles(df, textCol, shingleN)
-      .select(col(idCol).as("id"), explode(col("shingles")).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("shingle"))
-      .cache()
     val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     // one id-partitioned window pass yields BOTH the canonical-order
     // rank and the set size (the prefixJaccardPairs shape)
@@ -512,7 +536,7 @@ object Dedup {
         Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("id"))))
     val prefix = ranked
-      .filter(col("rk") <= col("n") - ceil(col("n") * tau) + 1)
+      .filter(col("rk") <= col("n") - ceilTauExact(col("n"), tau) + 1)
       .select(col("id").as("id_a"), col("shingle"), col("n").as("n_a"))
     val cand = prefix
       .join(sh.select(col("id").as("id_b"), col("shingle")), "shingle")
@@ -573,7 +597,7 @@ object Dedup {
         Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("id"))))
     val pref = ranked
-      .filter(col("rk") <= col("n") - ceil(col("n") * tau) + 1)
+      .filter(col("rk") <= col("n") - ceilTauExact(col("n"), tau) + 1)
       .agg(count(lit(1)).as("n_prefix_rows"),
         sum(col("df") - 1).as("join_rows_prefix"))
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
@@ -582,6 +606,37 @@ object Dedup {
         when(col("join_rows_prefix") > 0,
           expr("join_rows_naive * 1000000 div join_rows_prefix"))
           .otherwise(lit(null).cast("long")))
+  }
+
+  /** ADAPTIVE containment join (round-11, verdict ask #6): predicts
+    * the naive all-sharing-pairs candidate volume Σ_s C(df_s, 2) from
+    * the shingle frequency table — the [[containmentCandidateReport]]
+    * aggregate, one tiny collect of O(1) model state — and picks the
+    * plan: BELOW `naivePairBudget` the naive grid join wins (the
+    * prefix plan's rank window + three-way verify join is a fixed
+    * constant the small side never amortizes — measured 7.0 s vs
+    * 2.6 s at sf0.1); ABOVE it the prefix plan's pruned probes win
+    * (13.6× vs 36.8× at the 100× probe). Both plans return EXACTLY
+    * the same rows (equivalence spec'd in DedupSpec), so the switch
+    * can never change the answer — only the shuffle volume.
+    *
+    * The budget's unit is candidate rows through the naive grid
+    * shuffle; the default (2×10⁷) sits between the sf0.1 corpus
+    * (1.27×10⁶ measured, naive wins by 2.7×) and the 10×-replica
+    * probe (~10⁸ — near-dup copies multiply every df ~10×, squaring
+    * into C(df,2)), roughly where the two plans' measured walls
+    * cross. */
+  def containmentPairsAdaptive(df: DataFrame, idCol: String,
+                               textCol: String, tau: Double,
+                               shingleN: Int = 3,
+                               naivePairBudget: Long = 20000000L): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, "tau in (0, 1]")
+    val sh = containmentShingles(df, idCol, textCol, shingleN).cache()
+    val naiveRows = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .agg(coalesce(sum(expr("df * (df - 1) div 2")), lit(0L)))
+      .head().getLong(0)
+    if (naiveRows <= naivePairBudget) containmentNaiveFromSh(sh, tau)
+    else containmentPrefixFromSh(sh, tau)
   }
 
   /** Exact-threshold Jaccard join via PREFIX FILTERING (SSJoin /

@@ -39,6 +39,32 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Free a round snapshot's storage (round-11, ADVICE r10): the
+    * iterative kernels below snapshot each round with
+    * `localCheckpoint(true)`, and those disk/memory-backed blocks were
+    * RETAINED until ContextCleaner happened to GC them — up to `iters`
+    * dead rounds per call. `Dataset.unpersist` alone does NOT free a
+    * checkpoint (it only touches the SQL cache), so this digs the
+    * materialized RDD out of the snapshot's `LogicalRDD` and drops its
+    * blocks directly.
+    *
+    * Contract: call ONLY on a snapshot that will never be read again —
+    * lineage is truncated, so a freed snapshot is unrecoverable (the
+    * same trade localCheckpoint itself makes vs executor loss: these
+    * kernels prefer a loud retry-the-job failure over silently
+    * recomputing a whole BSP history; a multi-node deployment would
+    * use reliable `checkpoint()` to the cluster FS). Safe timing: each
+    * round's snapshot is EAGER, so once round t is materialized the
+    * round t−1 snapshot is dead. */
+  private[ops] def unpersistSnapshot(df: DataFrame): Unit = {
+    df.unpersist(blocking = false) // covers plain .cache() inputs
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+  }
+
   /** Exact integer PageRank.
     *
     * Recurrence (all ops on non-negative longs, `div` = truncating
@@ -73,13 +99,18 @@ object Graph {
     val base = ((100 - damp).toLong * scale / 100) / n
 
     var ranks = deg.withColumn("rank", lit(scale / n))
+    var prevSnap: DataFrame = null
     for (_ <- 1 to iters) {
       // localCheckpoint round snapshot, NOT a cache chain (the q204
       // lesson): an evictable per-round cache leaves lineage chaining
       // through every previous round, so one eviction mid-sweep
       // recomputes the whole history; the eager disk-backed snapshot
-      // can spill under storage pressure but never recompute.
+      // can spill under storage pressure but never recompute. Once
+      // this round materializes, the PREVIOUS round's snapshot is
+      // dead — free it ([[unpersistSnapshot]]).
       val cur = ranks.localCheckpoint(true)
+      if (prevSnap != null) unpersistSnapshot(prevSnap)
+      prevSnap = cur
       val dangShare = cur.where(col("outdeg") === 0)
         .agg(coalesce(sum(col("rank")), lit(0L))).first().getLong(0) / n
       val contrib = e.join(cur, e("src") === cur("node"))
@@ -141,9 +172,13 @@ object Graph {
 
     var ranks = deg.withColumn("rank",
       expr(s"CASE WHEN $inSeeds THEN ${scale / s}L ELSE 0L END"))
+    var prevSnap: DataFrame = null
     for (_ <- 1 to iters) {
-      // eager localCheckpoint round snapshot — see pageRankExact
+      // eager localCheckpoint round snapshot + previous-round release
+      // — see pageRankExact
       val cur = ranks.localCheckpoint(true)
+      if (prevSnap != null) unpersistSnapshot(prevSnap)
+      prevSnap = cur
       val dangShare = cur.where(col("outdeg") === 0)
         .agg(coalesce(sum(col("rank")), lit(0L))).first().getLong(0) / s
       val contrib = e.join(cur, e("src") === cur("node"))
@@ -195,7 +230,10 @@ object Graph {
     var hubs = nodes.withColumn("h", lit(1L)).localCheckpoint(true)
     var auths: DataFrame = null
     for (_ <- 1 to iters) {
-      // eager localCheckpoint half-step snapshots — see pageRankExact
+      // eager localCheckpoint half-step snapshots + previous-round
+      // release — see pageRankExact. The previous auths die once the
+      // new ones materialize; the previous hubs only after the new
+      // hubs do (aN's build still reads them).
       val aRaw = e.join(hubs, e("src") === hubs("node"))
         .groupBy(e("dst").as("anode")).agg(sum(col("h")).as("a"))
       val aSum = aRaw.agg(coalesce(sum(col("a")), lit(0L))).first().getLong(0)
@@ -203,6 +241,7 @@ object Graph {
         .select(col("node"),
           expr(s"coalesce(a, 0L) * ${scale}L div ${math.max(aSum, 1L)}L").as("a"))
         .localCheckpoint(true)
+      if (auths != null) unpersistSnapshot(auths)
       val hRaw = e.join(aN, e("dst") === aN("node"))
         .groupBy(e("src").as("hnode")).agg(sum(col("a")).as("hs"))
       val hSum = hRaw.agg(coalesce(sum(col("hs")), lit(0L))).first().getLong(0)
@@ -210,6 +249,7 @@ object Graph {
         .select(col("node"),
           expr(s"coalesce(hs, 0L) * ${scale}L div ${math.max(hSum, 1L)}L").as("h"))
         .localCheckpoint(true)
+      unpersistSnapshot(hubs)
       auths = aN
       hubs = hN
     }
@@ -471,9 +511,13 @@ object Graph {
       col("dst").cast("long").as("dst"))
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
+    var prevSnap: DataFrame = null
     for (_ <- 1 to iters) {
-      // eager localCheckpoint round snapshot — see pageRankExact
+      // eager localCheckpoint round snapshot + previous-round release
+      // — see pageRankExact
       val cur = labels.localCheckpoint(true)
+      if (prevSnap != null) unpersistSnapshot(prevSnap)
+      prevSnap = cur
       val best = e
         .join(cur.select(col("node").as("dst"), col("lbl")), "dst")
         .groupBy(col("src").as("node"), col("lbl"))
@@ -531,9 +575,13 @@ object Graph {
     // attribute-derived seed — see bfsDistances
     var dist = e.sparkSession.range(1)
       .select((col("id") + lit(source)).as("node"), col("id").as("dist"))
+    var prevSnap: DataFrame = null
     for (_ <- 1 to rounds) {
-      // eager localCheckpoint round snapshot — see pageRankExact
+      // eager localCheckpoint round snapshot + previous-round release
+      // — see pageRankExact
       val cur = dist.localCheckpoint(true)
+      if (prevSnap != null) unpersistSnapshot(prevSnap)
+      prevSnap = cur
       val relaxed = e.join(cur.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
       dist = cur.select(col("node"), col("dist")).union(relaxed)
@@ -555,10 +603,16 @@ object Graph {
     var seen = e.sparkSession.range(1)
       .select((col("id") + lit(source)).as("node"), col("id").as("dist"))
     var frontier = seen
+    var prevS: DataFrame = null
+    var prevF: DataFrame = null
     for (k <- 1 to maxHops) {
-      // eager localCheckpoint round snapshots — see pageRankExact
+      // eager localCheckpoint round snapshots + previous-round release
+      // — see pageRankExact (both of this round's snapshots read both
+      // of the previous round's, so the release waits for the pair)
       val s = seen.localCheckpoint(true)
       val f = frontier.localCheckpoint(true)
+      if (prevS != null) { unpersistSnapshot(prevS); unpersistSnapshot(prevF) }
+      prevS = s; prevF = f
       val fresh = e.join(f.select(col("node").as("src")), "src")
         .select(col("dst").as("node")).distinct()
         .join(s, Seq("node"), "left_anti")
@@ -622,9 +676,13 @@ object Graph {
       val nextSize = next.count()
       if (nextSize == size) {
         // fixpoint: every remaining round is a no-op — skip them (the
-        // result is IDENTICAL to running all `rounds`, just cheaper)
+        // result is IDENTICAL to running all `rounds`, just cheaper);
+        // the identical-content `next` snapshot is dead — free it
+        unpersistSnapshot(next)
         converged = true
       } else {
+        // previous round's peel snapshot is dead once `next` counted
+        unpersistSnapshot(adj)
         adj = next
         size = nextSize
       }
@@ -837,11 +895,14 @@ object Graph {
         .union(sMin.select(col("c").as("u"), col("m").as("v")))
         .distinct().localCheckpoint(true)
       val nextFp = fingerprint(small) // O(1) rows back off the checkpoint
+      // unpersistSnapshot, not Dataset.unpersist (round-11): the
+      // latter only touches the SQL cache, so every round's checkpoint
+      // blocks were silently retained despite the unpersist call here
       if (nextFp == fp) {
-        small.unpersist(blocking = false)
+        unpersistSnapshot(small)
         converged = true
       } else {
-        e.unpersist(blocking = false)
+        unpersistSnapshot(e)
         e = small
         fp = nextFp
       }

@@ -159,6 +159,13 @@ object TimeSeries {
     * row is the honest scale metric (ScaleProbe's n_rows
     * normalization).
     *
+    * BREAKING-DEFAULT NOTE (r10, deliberate): the cap default is
+    * ~3 years, so a previously-working multi-decade key now raises at
+    * runtime — that loud failure IS the contract (the silent
+    * alternative is a 263k-row fan-out per stray key). Callers who
+    * genuinely want unbounded spans pass
+    * `maxSpanHours = Long.MaxValue` and own the output size.
+    *
     * Output: key, `hour` (timestamp, grid instant), `value`. */
   def resampleHourlyLocf(df: DataFrame, keyCol: String, tsCol: String,
                          valCol: String, tieCol: String,

@@ -117,6 +117,17 @@ object EventQueries {
     try f finally s.conf.set(key, prev)
   }
 
+  /** Internal-VOLUME meters for the scale probe (round-11, verdict
+    * ask #3) — see [[graft.queries.PipelineOps.volumes]]. */
+  private[graft] val volumes: Map[String, (SparkSession, String) => Long] = Map(
+    // q200 emits one slope per user; its work volume is the pairwise
+    // slope count Σ_user C(n_u, 2).
+    "q200_theil_sen" -> ((s, d) =>
+      Tables.events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .agg(sum(expr("n * (n - 1) div 2"))).head().getLong(0)),
+  )
+
   val queries: Map[String, Q] = Map(
     // Tumbling 1-hour rollup per event type (batch).
     "q39_event_hourly" -> ((s, d) => {

@@ -48,6 +48,50 @@ object PipelineOps {
     compCache.clear()
   }
 
+  /** Internal-VOLUME meters for the scale probe (round-11, verdict
+    * asks #3/#7): candidate-stage volumes for queries whose OUTPUT is
+    * fixed (LIMIT k) or verify-filtered, where rows-normalization
+    * can't see the internal work. Cheap frequency aggregates over the
+    * query's own inputs — never a re-run of the pair join itself. */
+  private[graft] val volumes: Map[String, (SparkSession, String) => Long] = {
+    // q82/q117/q118 share one block→verify candidate stage (two
+    // 12-char window keys); its volume is the pre-verify candidate
+    // count Σ_k1 C(df,2) + Σ_k2 C(df,2) from the key frequencies.
+    val headBlockVolume: (SparkSession, String) => Long = (s, d) => {
+      val t = Tables.documents(s, d).select(
+        substring(col("text"), 1, 12).as("k1"),
+        when(length(col("text")) >= 42, substring(col("text"), 31, 12))
+          .as("k2"))
+      def pairsOf(k: String): Long = t.select(col(k)).na.drop()
+        .groupBy(col(k)).agg(count(lit(1)).as("df"))
+        .agg(coalesce(sum(expr("df * (df - 1) div 2")), lit(0L)))
+        .head().getLong(0)
+      pairsOf("k1") + pairsOf("k2")
+    }
+    Map(
+      "q82_fuzzy_pairs" -> headBlockVolume,
+      "q117_jw_pairs" -> headBlockVolume,
+      "q118_dl_pairs" -> headBlockVolume,
+      // q343 is top-100: volume = its blocked candidate grid Σ_blk n²
+      // (a × dirty-b within each 16-char name-prefix block; the
+      // corruption APPENDS, so the dirty prefix equals the clean one
+      // and both sides share the block frequency table).
+      "q343_fellegi_sunter" -> ((s, d) =>
+        Tables.customer(s, d)
+          .groupBy(substring(col("c_name"), 1, 16).as("blk"))
+          .agg(count(lit(1)).as("n"))
+          .agg(sum(expr("n * n"))).head().getLong(0)),
+      // q243 brute-force mutual NN: candidate volume = both directed
+      // dot-product grids, 2·|even|·|odd|.
+      "q243_mutual_nn_align" -> ((s, d) => {
+        val e = Tables.embeddings(s, d)
+        val nEven = e.filter(pmod(col("label"), lit(2)) === 0).count()
+        val nOdd = e.filter(pmod(col("label"), lit(2)) === 1).count()
+        2L * nEven * nOdd
+      }),
+    )
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: one shuffle on the content hash.
     "q25_dedup_exact" -> ((s, d) => {
@@ -306,13 +350,29 @@ object PipelineOps {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // SimHash fingerprints via the native Catalyst expression
-    // (graft.functions.SimHash64, codegen'd). Rows-only.
+    // SimHash fingerprint + its 9 pigeonhole band keys + popcount —
+    // the per-doc banding audit of the q29 pair machinery, declared
+    // on the PORTABLE md5 kernel so every value is oracle-checkable
+    // (round-11, verdict ask #5 — this was the board's last rows-only
+    // entry while it ran the xxhash64 kernel; that production kernel
+    // stays the spec-pinned perf path, SimHashSpec proving it
+    // structurally identical to this one up to the hash primitive).
+    // Band bounds replicate Dedup.simhashPairs' even 64-bit split at
+    // maxHamming=8: band j covers [j*64/9, (j+1)*64/9).
     "q28_simhash" -> ((s, d) => {
+      val fp = SimHash.simhashPortable60(split(col("text"), "\\s+"))
+      val bounds = (0 to 9).map(i => i * 64 / 9)
+      val bandKeys = (0 until 9).map { j =>
+        val lo = bounds(j); val width = bounds(j + 1) - lo
+        val mask = if (width == 64) -1L else (1L << width) - 1L
+        shiftrightunsigned(col("fp"), lo).bitwiseAND(lit(mask))
+      }
       Tables.documents(s, d)
-        .select(col("doc_id"),
-          SimHash.simhash64(split(col("text"), "\\s+")).as("fp"))
-        .orderBy(col("doc_id"))
+        .select(col("doc_id"), fp.as("fp"))
+        .select(col("doc_id"), col("fp"),
+          expr("bit_count(fp)").cast("int").as("popcount"),
+          posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
+        .orderBy(col("doc_id"), col("band"))
     }),
 
     // SimHash near-dup pairs by banded fingerprint equi-join (Manku
@@ -369,14 +429,17 @@ object PipelineOps {
 
     // Directed containment dedup (Broder containment |A∩B|/|A| ≥ .8):
     // the asymmetric fragment-inside-superset relation Jaccard misses.
-    // Round-10: declared on the DIRECTED PREFIX FILTER (SSJoin
-    // principle applied to containment — only the contained side's
-    // |A|−⌈τ|A|⌉+1 rarest shingles probe the posting lists), replacing
-    // the all-sharing-pairs candidate grid whose Σdf² growth was the
-    // probe's superlinear stage; output is provably identical
-    // (equivalence spec), so the quadratic SQL oracle is unchanged.
+    // Round-10 declared the DIRECTED PREFIX FILTER (SSJoin principle
+    // applied to containment); round-11 makes the plan ADAPTIVE
+    // (verdict ask #6): the q354 predictor Σ C(df,2) — one O(1)
+    // aggregate of the frequency table — picks the naive grid below
+    // the candidate budget (where the prefix plan's fixed rank-window
+    // constant dominates: 7.0 s vs 2.6 s at sf0.1) and the prefix
+    // probes above it (13.6× vs 36.8× at the 100× probe). Both plans
+    // are output-identical (equivalence spec), so the quadratic SQL
+    // oracle is unchanged by the switch.
     "q216_containment_dedup" -> ((s, d) => {
-      Dedup.containmentPairsPrefix(Tables.documents(s, d), "doc_id", "text",
+      Dedup.containmentPairsAdaptive(Tables.documents(s, d), "doc_id", "text",
           tau = 0.8)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -5880,6 +5943,18 @@ object PipelineOps {
     "q98_simhash_portable" -> (PortableFpCte +
       """
         |SELECT doc_id, fp FROM allfp ORDER BY doc_id""".stripMargin),
+    // q28 (oracle-green since round 11 — previously the board's last
+    // rows-only entry): fingerprint + popcount + the nine q29 band
+    // keys, band j covering bits [j*64/9, (j+1)*64/9).
+    "q28_simhash" -> (PortableFpCte +
+      """
+        |SELECT a.doc_id, a.fp,
+        |  CAST(bit_count(a.fp) AS INTEGER) AS popcount,
+        |  b.band, CAST((a.fp >> b.lo) & ((CAST(1 AS BIGINT) << b.w) - 1)
+        |    AS BIGINT) AS band_key
+        |FROM allfp a, (VALUES (0,0,7),(1,7,7),(2,14,7),(3,21,7),(4,28,7),
+        |  (5,35,7),(6,42,7),(7,49,7),(8,56,8)) AS b(band, lo, w)
+        |ORDER BY a.doc_id, b.band""".stripMargin),
     // q29 (oracle-green since round 8): the banded-pair join replayed
     // as the quadratic all-pairs Hamming baseline over the SAME
     // portable fingerprints — pigeonhole-exactness of the 9-band

@@ -1200,6 +1200,51 @@ class SpanRemovalSpec extends AnyFunSuite {
     assert(!got.exists(t => t._1 == 2L && t._2 == 1L))
   }
 
+  test("containmentPairsAdaptive: budget picks the plan (rank window " +
+    "present only on the prefix side), output identical either way") {
+    import spark.implicits._
+    val frag = "alpha beta gamma delta epsilon"
+    val filler = (1 to 40).map(i => s"w$i").mkString(" ")
+    val hand = Seq((1L, frag), (2L, s"$frag $filler"),
+      (3L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val asNaive = graft.ops.Dedup.containmentPairsAdaptive(
+      hand, "doc_id", "text", tau = 0.8, naivePairBudget = Long.MaxValue)
+    val asPrefix = graft.ops.Dedup.containmentPairsAdaptive(
+      hand, "doc_id", "text", tau = 0.8, naivePairBudget = 0L)
+    // the switch is observable in the PLAN (the prefix side carries
+    // the canonical-order rank window; the naive grid has no window)
+    assert(!asNaive.queryExecution.optimizedPlan.toString
+      .contains("row_number"))
+    assert(asPrefix.queryExecution.optimizedPlan.toString
+      .contains("row_number"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sorted.toSeq
+    assert(rows(asNaive) == rows(asPrefix))
+  }
+
+  test("containmentPairsPrefix: ⌈n·τ⌉ is exact decimal, not double " +
+    "(τ=0.3, n=10 — the ADVICE r10 rounding edge)") {
+    import spark.implicits._
+    // A has 10 shingles: 7 rare (df=1) rank first in canonical order,
+    // the 3 shared with B (df=2) rank 8-10. Exact ⌈10·0.3⌉ = 3 keeps
+    // a prefix of 10−3+1 = 8 — one shared shingle probes B. The
+    // double-arithmetic bug (10·0.3 → 3.0000000000000004, ceil 4)
+    // shrinks the prefix to 7 rare-only shingles and silently drops
+    // the pair at exactly containment = τ.
+    val a = "u1 u2 u3 u4 u5 u6 u7 u8 u9 x y z" // 10 shingles
+    val b = "u8 u9 x y z"                      // its last 3 shingles
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val naive = graft.ops.Dedup
+      .containmentPairs(docs, "doc_id", "text", tau = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pruned = graft.ops.Dedup
+      .containmentPairsPrefix(docs, "doc_id", "text", tau = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.contains((1L, 2L)), "A→B at exactly containment 0.3")
+    assert(pruned == naive, "prefix filter must be lossless AT the edge")
+  }
+
   test("containmentCandidateReport: hand-checkable volumes, " +
     "partition-invariant (tie-break-free sums)") {
     import spark.implicits._

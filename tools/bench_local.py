@@ -36,7 +36,8 @@ artifact = {
 }
 # round-9 attribution fields: environment control + streaming walls
 summ = j.get("summary", {})
-for k in ("control_q02_sec", "streaming_group_wall_sec", "streaming_isolated"):
+for k in ("control_q02_sec", "batch_total_sec", "streaming_group_wall_sec",
+          "streaming_iso_control_sec", "streaming_isolated"):
     if k in summ:
         artifact[k] = summ[k]
 if errors:

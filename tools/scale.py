@@ -74,6 +74,13 @@ QUERIES = ",".join([
     # boundary broadcast + one agg)
     "q352_temperature_mix", "q354_containment_candidates",
     "q355_length_buckets",
+    # round-11 (verdict ask #2): the block→verify pair family, never
+    # probed before — q213 re-cut to constant-size name-prefix blocks
+    # this round; q82/q117/q118 carry candidate-volume meters (their
+    # outputs are verify-filtered), q196/q213 emit their full pair set
+    # (rows-normalized directly)
+    "q213_fs_linkage", "q82_fuzzy_pairs", "q117_jw_pairs",
+    "q118_dl_pairs", "q196_sorted_neighborhood",
     # q356 footer audit: tail-only metadata reads, O(files + row
     # groups) — the ratio should stay ~flat at any data scale (the
     # whole point of footer-driven planning)
@@ -153,6 +160,7 @@ def probe(src, out, copies):
         else:
             merged["queries"].update(part["queries"])
             merged["rows"].update(part.get("rows", {}))
+            merged.setdefault("vols", {}).update(part.get("vols", {}))
     return merged
 
 
@@ -171,6 +179,20 @@ for q in big["queries"]:
     if rs > 0 and rb > 0:
         ratio_per_row[q] = round(
             (big["queries"][q] / rb) / (small["queries"][q] / rs), 2)
+# round-11 (verdict asks #3/#7): internal-volume normalization for
+# fixed-output probes — runtime per candidate pair / decoded row, the
+# reading that distinguishes "linear compute behind a LIMIT 100" from
+# genuine superlinear growth.
+vols_small = small.get("vols", {})
+vols_big = big.get("vols", {})
+vols_ratio = {q: round(vols_big[q] / max(vols_small.get(q, 0), 1), 2)
+              for q in vols_big}
+ratio_per_volume = {}
+for q in vols_big:
+    vs, vb = vols_small.get(q, 0), vols_big.get(q, 0)
+    if vs > 0 and vb > 0 and q in big["queries"]:
+        ratio_per_volume[q] = round(
+            (big["queries"][q] / vb) / (small["queries"][q] / vs), 2)
 artifact = {
     "metric": "scale_100x",
     "round": int(rnd),
@@ -196,8 +218,12 @@ artifact = {
     "rows_small": rows_small,
     "rows_big": rows_big,
     "rows_ratio_100x": rows_ratio,
+    "vols_small": vols_small,
+    "vols_big": vols_big,
+    "vols_ratio_100x": vols_ratio,
     "ratio_100x": ratios,
     "ratio_per_row_100x": ratio_per_row,
+    "ratio_per_volume_100x": ratio_per_volume,
     "output_bound_queries": sorted(OUTPUT_BOUND),
     "median_ratio": sorted(ratios.values())[len(ratios) // 2],
 }
