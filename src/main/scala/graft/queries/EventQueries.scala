@@ -665,6 +665,109 @@ object EventQueries {
         .orderBy(col("bucket"))
     }),
 
+    // q358: INCREMENTAL CRAWL PIPELINE (round-11 stretch) — q351's
+    // crawl DAG composed over STREAMING ingest through the custom grec
+    // micro-batch source (q335): documents arrive in TWO COMMITTED
+    // EPOCHS (the first ingest half-day is written before the query
+    // starts; the second commits WHILE it runs — the source's
+    // latestOffset re-lists the committed file set each trigger, so
+    // the new files become a genuine second micro-batch), flow through
+    // the stateless crawl stages (synthesized fetch artifacts →
+    // compiled robots gate → HTML main-content extraction → quality
+    // gate → portable SimHash), and a WINDOWED near-dup election
+    // (flatMapGroupsWithState keyed by (fp-prefix, 6-hour ingest
+    // window), EventTimeTimeout) emits each horizon's event-time-first
+    // canonical + duplicate count as the watermark finalizes it — the
+    // dedup contract a continuously-crawling cluster actually runs
+    // ("near-dup within N hours"), with state bounded by the horizon.
+    //
+    // The WINDOW in the key is what makes multi-epoch emission exact:
+    // epoch boundaries align to window boundaries, so a later epoch
+    // can never reopen an earlier window's already-elected bucket —
+    // every key emits exactly once and the append rows replay as one
+    // global election (the q311/q319 finality discipline, q333's
+    // knife edge). Quality/robots run BEFORE the stateful stage —
+    // stateless gates shrink election state, the cheap-first plan
+    // order. The robots KB rides as a compiled decision expression
+    // (a crawler compiles its per-host rule table into exactly such a
+    // matcher); the ORACLE replays the general rule-table
+    // longest-match instead, so the check is cross-FORMULATION. The
+    // one q351 stage not composed is URL-level first-fetch dedup: it
+    // is this same election machinery keyed by url-hash, and chaining
+    // a second flatMapGroupsWithState is outside Spark's supported
+    // multiple-stateful-operator set (q319's chaining covers windowed
+    // aggs) — a production pipeline runs it as the upstream query.
+    "q358_stream_crawl_incremental" -> ((s, d) => {
+      import s.implicits._
+      val name = s"stream_crawlinc_${streamId.incrementAndGet()}"
+      // 1-row bound lookup (the argmax-collect class)
+      val maxM = Tables.documents(s, d)
+        .agg(max(col("doc_id") % 1440)).head().getLong(0)
+      // fixed per-dataset workspace, wiped per invocation (q122's
+      // reuse-don't-leak discipline)
+      val tmp = s"/tmp/graft_crawlinc_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("lang"), col("text"))
+      docs.filter(col("doc_id") % 1440 < 360)
+        .write.format("graft.io.GraftRecSource").mode("append").save(tmp)
+      val src = s.readStream.format("graft.io.GraftRecSource").load(tmp)
+      val srcNum = expr("CAST(substr(source, 4, 10) AS INT)")
+      val gated = src
+        .withColumn("ts", timestamp_micros(lit(FpBaseMs * 1000L) +
+          (col("doc_id") % 1440) * lit(60000000L)))
+        .withWatermark("ts", "30 minutes")
+        .withColumn("path", PipelineOps.crawlPath)
+        .filter( // compiled longest-match over the q351 rule KB
+          when(expr("startswith(path, '/de/doc3')"), lit(true))
+            .when(expr("startswith(path, '/de')"), lit(false))
+            .when(expr("startswith(path, '/en')") && srcNum % 3 === 0,
+              lit(false))
+            .when(srcNum % 5 === 1, lit(false))
+            .otherwise(lit(true)))
+      val extracted = graft.ops.Crawl.htmlExtract(
+          gated.select(col("doc_id"), col("ts"),
+            PipelineOps.crawlHtml.as("html")), col("html"))
+        .select(col("doc_id"), col("ts"), col("text"), col("text_ratio6"))
+      val toks = split(col("text"), "\\s+")
+      val keyed = extracted
+        .withColumn("n_tokens", size(toks).cast("long"))
+        .withColumn("dr", size(array_distinct(toks)).cast("double") /
+          size(toks).cast("double"))
+        .filter(col("n_tokens") >= 16 && col("dr") >= 0.3 &&
+          col("text_ratio6") >= 330000)
+        .select(col("doc_id"),
+          (shiftright(graft.functions.SimHash.simhashPortable60(
+            split(col("text"), "\\s+")), 52) * 4 +
+            expr("(doc_id % 1440) div 360")).as("bucket"),
+          col("ts"))
+      val elected = keyed.as[(Long, Long, java.sql.Timestamp)]
+        .groupByKey(_._2)
+        .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.EventTimeTimeout)(electBucket)
+        .toDF("bucket", "n_docs", "canonical_doc", "dup_count", "max_m")
+      withStreamPartitions(s) {
+        val q = elected.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        q.processAllAvailable()
+        // EPOCH 2 commits while the query runs: the remaining ingest
+        // windows land as new committed grec files and the next
+        // trigger consumes exactly them
+        docs.filter(col("doc_id") % 1440 >= 360)
+          .write.format("graft.io.GraftRecSource").mode("append").save(tmp)
+        q.processAllAvailable()
+        q.stop()
+      }
+      val fin = s.table(name).where(col("max_m") < lit(maxM - 61L))
+      graft.ops.TextAnalysis.withSplit(fin, "canonical_doc")
+        .select(col("bucket"), col("n_docs"), col("canonical_doc"),
+          col("dup_count"), col("max_m"), col("split"),
+          concat(col("split"), lit("_"),
+            (col("canonical_doc") % 4).cast("string")).as("shard"))
+        .orderBy(col("bucket"))
+    }),
+
     // STREAM-STREAM inner join: clicks ⋈ same-user purchases within
     // the preceding hour, with watermarks on BOTH sides so join state
     // is evicted once the time-range condition can no longer match
@@ -1813,6 +1916,134 @@ object EventQueries {
         |FROM grp g2 JOIN canon c ON c.bucket = g2.bucket AND c.rk = 1, gmax
         |WHERE g2.max_mm < gmax.g - 61
         |ORDER BY g2.bucket""".stripMargin),
+
+    // q358: the whole incremental crawl DAG replayed in batch — the
+    // q351 synthesis/extraction CTEs (no URL-dedup stage; robots as
+    // the GENERAL rule-table longest-match, cross-checking the
+    // engine's compiled matcher), the quality gate, the portable
+    // fingerprint fold over SURVIVORS, the (fp-prefix, 6h-window)
+    // composite key, the per-key (minute, doc) argmin election, and
+    // q333's conservative finality cutoff.
+    "q358_stream_crawl_incremental" ->
+      """WITH srcs AS (SELECT DISTINCT source FROM documents),
+        |rules AS (
+        |  SELECT source, '/de' AS prefix, false AS allow FROM srcs
+        |  UNION ALL SELECT source, '/de/doc3', true FROM srcs
+        |  UNION ALL SELECT source, '/en', false FROM srcs
+        |    WHERE CAST(substr(source, 4) AS INT) % 3 = 0
+        |  UNION ALL SELECT source, '/', false FROM srcs
+        |    WHERE CAST(substr(source, 4) AS INT) % 5 = 1
+        |), urls AS (
+        |  SELECT doc_id, source,
+        |    '/' || lang || '/doc' || CAST(doc_id % 10 AS VARCHAR) AS path
+        |  FROM documents
+        |), m AS (
+        |  SELECT u2.doc_id, r.allow,
+        |    row_number() OVER (PARTITION BY u2.doc_id
+        |      ORDER BY len(r.prefix) DESC, r.allow DESC, r.prefix DESC)
+        |      AS rk
+        |  FROM urls u2
+        |  JOIN rules r ON r.source = u2.source
+        |    AND starts_with(u2.path, r.prefix)
+        |), alw AS MATERIALIZED (
+        |  SELECT u2.doc_id FROM urls u2
+        |  LEFT JOIN (SELECT * FROM m WHERE rk = 1) m ON m.doc_id = u2.doc_id
+        |  WHERE coalesce(m.allow, true)
+        |), h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>' || source || ' doc '
+        |    || CAST(doc_id % 100 AS VARCHAR) || '</title>'
+        |    || CASE WHEN doc_id % 4 = 0 THEN
+        |         '<script type="text/javascript">var x = 1 < 2; nav("menu");</script>'
+        |       ELSE '' END
+        |    || CASE WHEN doc_id % 6 = 1 THEN
+        |         '<style>.m { color: red; }</style>' ELSE '' END
+        |    || '</head><body class="main"><h1>' || lang || '</h1><p>'
+        |    || substr(text, 1, 80) || '</p>'
+        |    || '<a href="https://' || source || '.example.com/doc'
+        |    || CAST(doc_id % 10 AS VARCHAR) || '">next</a>'
+        |    || CASE WHEN doc_id % 3 = 0 THEN
+        |         '<a href=''/rel/doc' || CAST(doc_id % 7 AS VARCHAR)
+        |           || '''>rel</a>'
+        |       ELSE '' END
+        |    || '<!-- gen ' || CAST(doc_id % 5 AS VARCHAR)
+        |    || ' --></body></html>' AS html
+        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM alw)
+        |), e AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(html,
+        |            '(?is)<(script|style)[^>]*>.*?</(script|style)>', '', 'g'),
+        |          '(?s)<!--.*?-->', '', 'g'),
+        |        '(?s)<[^>]*>', ' ', 'g'),
+        |      '\s+', ' ', 'g')) AS text,
+        |    CAST(length(trim(regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(html,
+        |            '(?is)<(script|style)[^>]*>.*?</(script|style)>', '', 'g'),
+        |          '(?s)<!--.*?-->', '', 'g'),
+        |        '(?s)<[^>]*>', ' ', 'g'),
+        |      '\s+', ' ', 'g'))) AS BIGINT) * 1000000
+        |      // CAST(length(html) AS BIGINT) AS text_ratio6
+        |  FROM h
+        |), f AS MATERIALIZED (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text, text_ratio6,
+        |      CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+        |        AS n_tokens,
+        |      CAST(len(list_distinct(regexp_split_to_array(text, '\s+')))
+        |          AS DOUBLE)
+        |        / CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE)
+        |        AS dr
+        |    FROM e)
+        |  WHERE n_tokens >= 16 AND dr >= 0.3 AND text_ratio6 >= 330000
+        |), etoks AS (
+        |  SELECT doc_id, t.tok
+        |  FROM f, UNNEST(string_split_regex(text, '\s+')) AS t(tok)
+        |  WHERE length(t.tok) > 0
+        |), ehashes AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS hh
+        |  FROM etoks
+        |), evotes AS (
+        |  SELECT doc_id, b.bit,
+        |    sum(CASE WHEN (hh >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM ehashes, UNNEST(generate_series(0, 59)) AS b(bit)
+        |  GROUP BY 1, 2
+        |), efps AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+        |      ELSE 0 END) AS BIGINT) AS fp
+        |  FROM evotes GROUP BY doc_id
+        |), keyed AS (
+        |  SELECT f.doc_id,
+        |    (CAST(coalesce(p.fp, 0) AS BIGINT) >> 52) * 4
+        |      + (f.doc_id % 1440) // 360 AS bucket,
+        |    f.doc_id % 1440 AS mm
+        |  FROM f LEFT JOIN efps p ON p.doc_id = f.doc_id
+        |), gmax AS (SELECT max(doc_id % 1440) AS g FROM documents),
+        |grp AS (SELECT bucket, count(*) AS n_docs, max(mm) AS max_mm
+        |        FROM keyed GROUP BY bucket),
+        |canon AS (SELECT bucket, doc_id, row_number() OVER (
+        |            PARTITION BY bucket ORDER BY mm, doc_id) AS rk
+        |          FROM keyed),
+        |fin AS (
+        |  SELECT g2.bucket, CAST(g2.n_docs AS BIGINT) AS n_docs,
+        |    c.doc_id AS canonical_doc,
+        |    CAST(g2.n_docs - 1 AS BIGINT) AS dup_count,
+        |    CAST(g2.max_mm AS BIGINT) AS max_m
+        |  FROM grp g2 JOIN canon c ON c.bucket = g2.bucket AND c.rk = 1, gmax
+        |  WHERE g2.max_mm < gmax.g - 61)
+        |SELECT bucket, n_docs, canonical_doc, dup_count, max_m,
+        |  CASE WHEN substr(md5(CAST(canonical_doc AS VARCHAR)), 1, 2) < '1a'
+        |    THEN 'val' ELSE 'train' END AS split,
+        |  (CASE WHEN substr(md5(CAST(canonical_doc AS VARCHAR)), 1, 2) < '1a'
+        |    THEN 'val' ELSE 'train' END)
+        |    || '_' || CAST(canonical_doc % 4 AS VARCHAR) AS shard
+        |FROM fin ORDER BY bucket""".stripMargin,
 
     "q319_stream_chained_agg" ->
       """WITH mx AS (SELECT max(ts) AS mt FROM events),

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.io.Tables
@@ -91,6 +91,45 @@ object PipelineOps {
       }),
     )
   }
+
+  /** Deterministic synthetic FETCH ARTIFACTS shared by the crawl
+    * family (q326 raw URLs, q341/q351 markup, q351/q358 request
+    * paths): pure functions of document fields, so engine and oracle
+    * synthesize byte-identical fixtures and the queries exercise the
+    * crawl operators on the same inputs. */
+  private[queries] def crawlRawUrl: Column = concat(
+    when(col("doc_id") % 2 === 0, lit("HTTP")).otherwise(lit("https")),
+    lit("://WWW."), upper(col("source")), lit(".COM"),
+    when(col("doc_id") % 3 === 0, lit(":80"))
+      .when(col("doc_id") % 3 === 1, lit(":443"))
+      .otherwise(lit(":8080")),
+    lit("/"), col("lang"), lit("/doc?"),
+    when(col("doc_id") % 5 === 0, lit("utm_source=rss"))
+      .otherwise(concat(lit("utm_source=rss&z="),
+        (col("doc_id") % 2).cast("string"), lit("&a="),
+        (col("doc_id") % 2).cast("string"))),
+    lit("#sec"), (col("doc_id") % 4).cast("string"))
+
+  private[queries] def crawlHtml: Column = concat(
+    lit("<html><head><title>"), col("source"), lit(" doc "),
+    (col("doc_id") % 100).cast("string"), lit("</title>"),
+    when(col("doc_id") % 4 === 0, lit("<script type=\"text/javascript\">" +
+      "var x = 1 < 2; nav(\"menu\");</script>")).otherwise(lit("")),
+    when(col("doc_id") % 6 === 1, lit("<style>.m { color: red; }</style>"))
+      .otherwise(lit("")),
+    lit("</head><body class=\"main\"><h1>"), col("lang"),
+    lit("</h1><p>"), substring(col("text"), 1, 80), lit("</p>"),
+    lit("<a href=\"https://"), col("source"), lit(".example.com/doc"),
+    (col("doc_id") % 10).cast("string"), lit("\">next</a>"),
+    when(col("doc_id") % 3 === 0, concat(lit("<a href='/rel/doc"),
+      (col("doc_id") % 7).cast("string"), lit("'>rel</a>")))
+      .otherwise(lit("")),
+    lit("<!-- gen "), (col("doc_id") % 5).cast("string"),
+    lit(" --></body></html>"))
+
+  private[queries] def crawlPath: Column =
+    concat(lit("/"), col("lang"), lit("/doc"),
+      (col("doc_id") % 10).cast("string"))
 
   val queries: Map[String, Q] = Map(
     // Exact dedup: one shuffle on the content hash.
@@ -2109,24 +2148,8 @@ object PipelineOps {
     // (title, subtree-then-tag strip, link harvest, text-to-markup
     // ratio) is pure codegen regexp; the oracle replays every rule.
     "q341_html_extract" -> ((s, d) => {
-      val html = concat(
-        lit("<html><head><title>"), col("source"), lit(" doc "),
-        (col("doc_id") % 100).cast("string"), lit("</title>"),
-        when(col("doc_id") % 4 === 0, lit("<script type=\"text/javascript\">" +
-          "var x = 1 < 2; nav(\"menu\");</script>")).otherwise(lit("")),
-        when(col("doc_id") % 6 === 1, lit("<style>.m { color: red; }</style>"))
-          .otherwise(lit("")),
-        lit("</head><body class=\"main\"><h1>"), col("lang"),
-        lit("</h1><p>"), substring(col("text"), 1, 80), lit("</p>"),
-        lit("<a href=\"https://"), col("source"), lit(".example.com/doc"),
-        (col("doc_id") % 10).cast("string"), lit("\">next</a>"),
-        when(col("doc_id") % 3 === 0, concat(lit("<a href='/rel/doc"),
-          (col("doc_id") % 7).cast("string"), lit("'>rel</a>")))
-          .otherwise(lit("")),
-        lit("<!-- gen "), (col("doc_id") % 5).cast("string"),
-        lit(" --></body></html>"))
       Crawl.htmlExtract(
-          Tables.documents(s, d).select(col("doc_id"), html.as("html")),
+          Tables.documents(s, d).select(col("doc_id"), crawlHtml.as("html")),
           col("html"))
         .select(col("doc_id"), col("title"), col("text"), col("n_links"),
           col("links"), col("html_len"), col("text_len"), col("text_ratio6"))
@@ -2157,38 +2180,9 @@ object PipelineOps {
     "q351_crawl_pipeline" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
-      val rawUrl = concat(
-        when(col("doc_id") % 2 === 0, lit("HTTP")).otherwise(lit("https")),
-        lit("://WWW."), upper(col("source")), lit(".COM"),
-        when(col("doc_id") % 3 === 0, lit(":80"))
-          .when(col("doc_id") % 3 === 1, lit(":443"))
-          .otherwise(lit(":8080")),
-        lit("/"), col("lang"), lit("/doc?"),
-        when(col("doc_id") % 5 === 0, lit("utm_source=rss"))
-          .otherwise(concat(lit("utm_source=rss&z="),
-            (col("doc_id") % 2).cast("string"), lit("&a="),
-            (col("doc_id") % 2).cast("string"))),
-        lit("#sec"), (col("doc_id") % 4).cast("string"))
-      val html = concat(
-        lit("<html><head><title>"), col("source"), lit(" doc "),
-        (col("doc_id") % 100).cast("string"), lit("</title>"),
-        when(col("doc_id") % 4 === 0, lit("<script type=\"text/javascript\">" +
-          "var x = 1 < 2; nav(\"menu\");</script>")).otherwise(lit("")),
-        when(col("doc_id") % 6 === 1, lit("<style>.m { color: red; }</style>"))
-          .otherwise(lit("")),
-        lit("</head><body class=\"main\"><h1>"), col("lang"),
-        lit("</h1><p>"), substring(col("text"), 1, 80), lit("</p>"),
-        lit("<a href=\"https://"), col("source"), lit(".example.com/doc"),
-        (col("doc_id") % 10).cast("string"), lit("\">next</a>"),
-        when(col("doc_id") % 3 === 0, concat(lit("<a href='/rel/doc"),
-          (col("doc_id") % 7).cast("string"), lit("'>rel</a>")))
-          .otherwise(lit("")),
-        lit("<!-- gen "), (col("doc_id") % 5).cast("string"),
-        lit(" --></body></html>"))
       val base = docs.select(col("doc_id"), col("source"),
-        Crawl.canonicalUrl(rawUrl).as("url"), html.as("html"),
-        concat(lit("/"), col("lang"), lit("/doc"),
-          (col("doc_id") % 10).cast("string")).as("path"))
+        Crawl.canonicalUrl(crawlRawUrl).as("url"), crawlHtml.as("html"),
+        crawlPath.as("path"))
       // URL-level dedup: first doc per canonical URL (one url shuffle).
       // localCheckpoint at each fan-out point: the survivor frame
       // feeds 2-3 consumers (decision + join-back; both banded join
@@ -2348,19 +2342,7 @@ object PipelineOps {
 
     "q326_url_canonicalize" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val raw = concat(
-        when(col("doc_id") % 2 === 0, lit("HTTP")).otherwise(lit("https")),
-        lit("://WWW."), upper(col("source")), lit(".COM"),
-        when(col("doc_id") % 3 === 0, lit(":80"))
-          .when(col("doc_id") % 3 === 1, lit(":443"))
-          .otherwise(lit(":8080")),
-        lit("/"), col("lang"), lit("/doc?"),
-        when(col("doc_id") % 5 === 0, lit("utm_source=rss"))
-          .otherwise(concat(lit("utm_source=rss&z="),
-            (col("doc_id") % 2).cast("string"), lit("&a="),
-            (col("doc_id") % 2).cast("string"))),
-        lit("#sec"), (col("doc_id") % 4).cast("string"))
-      Crawl.urlGroups(docs.withColumn("raw_url", raw), col("raw_url"),
+      Crawl.urlGroups(docs.withColumn("raw_url", crawlRawUrl), col("raw_url"),
           col("doc_id"))
         .orderBy(col("url"))
     }),

@@ -309,4 +309,35 @@ class TokenizerAntiJoinSpec extends AnyFunSuite {
       .queries("q333_stream_fp_dedup")(spark, sf).collect()
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("incremental crawl pipeline (q358): epoched grec ingest, " +
+    "exactly-once windowed elections, tail withheld, deterministic") {
+    val sf = TestSession.sf
+    val out = graft.queries.EventQueries
+      .queries("q358_stream_crawl_incremental")(spark, sf).collect()
+    assert(out.nonEmpty, "closed (fp-prefix, window) keys must emit")
+    // exactly one election per composite key, even though the docs of
+    // a key can arrive across two source epochs
+    val keys = out.map(_.getLong(0))
+    assert(keys.distinct.length == keys.length,
+      "a (bucket, window) key must be elected exactly once")
+    // the composite key's window component must span multiple ingest
+    // windows — i.e. elections really happened across epochs
+    assert(out.map(r => r.getLong(0) % 4).distinct.length > 1,
+      "elections must cover more than one ingest window")
+    out.foreach { r =>
+      assert(r.getLong(3) == r.getLong(1) - 1L, "dup_count = n_docs - 1")
+      val split = r.getString(5)
+      assert(r.getString(6) == s"${split}_${r.getLong(2) % 4}",
+        "shard = split _ canonical%4")
+    }
+    // finality knife edge (q333's discipline)
+    val maxM = graft.io.Tables.documents(spark, sf)
+      .agg(max(col("doc_id") % 1440)).head().getLong(0)
+    assert(out.forall(_.getLong(4) < maxM - 61L))
+    // a rerun (fresh grec table + stream + state store) is identical
+    val again = graft.queries.EventQueries
+      .queries("q358_stream_crawl_incremental")(spark, sf).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }

@@ -81,6 +81,10 @@ QUERIES = ",".join([
     # (rows-normalized directly)
     "q213_fs_linkage", "q82_fuzzy_pairs", "q117_jw_pairs",
     "q118_dl_pairs", "q196_sorted_neighborhood",
+    # round-11 stretch: the incremental (epoched grec-stream) crawl
+    # pipeline — election state is horizon-bounded, so the ratio
+    # should track the corpus, not the pair grid
+    "q358_stream_crawl_incremental",
     # q356 footer audit: tail-only metadata reads, O(files + row
     # groups) — the ratio should stay ~flat at any data scale (the
     # whole point of footer-driven planning)
