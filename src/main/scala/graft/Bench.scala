@@ -74,7 +74,8 @@ object Bench {
       "q169_stream_hopping", "q309_stream_dedup_bounded",
       "q310_stream_transform_state", "q311_stream_outer_join",
       "q333_stream_fp_dedup", "q335_grec_stream_read", "q336_grec_stream_sink",
-      "q319_stream_chained_agg", "q358_stream_crawl_incremental")
+      "q319_stream_chained_agg", "q358_stream_crawl_incremental",
+      "q359_stream_url_frontier")
     // returns (per-query seconds, pass wall seconds, streaming group
     // wall seconds). The pass wall is what "run the whole suite"
     // actually costs: the streaming group overlaps, so it's less than

@@ -768,6 +768,49 @@ object EventQueries {
         .orderBy(col("bucket"))
     }),
 
+    // q359: STREAMING URL-FRONTIER DEDUP — the upstream query q358's
+    // scaladoc defers to (URL-level first-fetch dedup is the same
+    // election machinery keyed by url-hash; chaining it INTO q358
+    // would need two flatMapGroupsWithState operators): raw fetch
+    // URLs canonicalize (q326's operator) and each (canonical-url,
+    // 6-hour ingest window) key elects its event-time-FIRST fetch
+    // once the watermark closes the horizon — "fetch each URL once
+    // per re-crawl horizon", the frontier contract of a continuous
+    // crawler, with state bounded by the horizon. The key is the
+    // PORTABLE 60-bit md5 of the canonical URL (the q98 hash
+    // discipline), so the oracle replays canonicalization, hashing,
+    // windowing, election, and the q333 finality knife edge exactly.
+    "q359_stream_url_frontier" -> ((s, d) => {
+      import s.implicits._
+      val name = s"stream_urlfront_${streamId.incrementAndGet()}"
+      // 1-row bound lookup (the argmax-collect class)
+      val maxM = Tables.documents(s, d)
+        .agg(max(col("doc_id") % 1440)).head().getLong(0)
+      val keyed = Tables.documentsStream(s, d)
+        .withColumn("ts", timestamp_micros(lit(FpBaseMs * 1000L) +
+          (col("doc_id") % 1440) * lit(60000000L)))
+        .withWatermark("ts", "30 minutes")
+        .withColumn("url",
+          graft.ops.Crawl.canonicalUrl(PipelineOps.crawlRawUrl))
+        .select(col("doc_id"),
+          (expr("cast(conv(substring(md5(url), 1, 15), 16, 10) as bigint)")
+            * 4 + expr("(doc_id % 1440) div 360")).as("key"),
+          col("ts"))
+      val elected = keyed.as[(Long, Long, java.sql.Timestamp)]
+        .groupByKey(_._2)
+        .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.EventTimeTimeout)(electBucket)
+        .toDF("key", "n_fetches", "first_doc", "refetch_count", "max_m")
+      withStreamPartitions(s) {
+        val q = elected.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      s.table(name).where(col("max_m") < lit(maxM - 61L))
+        .orderBy(col("key"))
+    }),
+
     // STREAM-STREAM inner join: clicks ⋈ same-user purchases within
     // the preceding hour, with watermarks on BOTH sides so join state
     // is evicted once the time-range condition can no longer match
@@ -2044,6 +2087,64 @@ object EventQueries {
         |    THEN 'val' ELSE 'train' END)
         |    || '_' || CAST(canonical_doc % 4 AS VARCHAR) AS shard
         |FROM fin ORDER BY bucket""".stripMargin,
+
+    // q359: canonicalize (q326's rules) → portable md5-60 url key ×
+    // 6h window → per-key (minute, doc) argmin election → the q333
+    // finality cutoff — the URL-frontier contract replayed in batch.
+    "q359_stream_url_frontier" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+        |    || '://WWW.' || upper(source) || '.COM'
+        |    || (CASE WHEN doc_id % 3 = 0 THEN ':80'
+        |             WHEN doc_id % 3 = 1 THEN ':443' ELSE ':8080' END)
+        |    || '/' || lang || '/doc?'
+        |    || (CASE WHEN doc_id % 5 = 0 THEN 'utm_source=rss'
+        |             ELSE 'utm_source=rss&z=' || CAST(doc_id % 2 AS VARCHAR)
+        |               || '&a=' || CAST(doc_id % 2 AS VARCHAR) END)
+        |    || '#sec' || CAST(doc_id % 4 AS VARCHAR) AS raw
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(raw, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |      AS sch,
+        |    lower(regexp_extract(raw, '^[^:]+://([^/?#]*)', 1)) AS auth,
+        |    regexp_extract(raw, '^[^:]+://[^/?#]*([^?#]*)', 1) AS rawpath,
+        |    regexp_extract(raw, '\?([^#]*)', 1) AS qs
+        |  FROM u
+        |), c2 AS (
+        |  SELECT doc_id, sch,
+        |    CASE WHEN sch = 'http' AND regexp_matches(auth, ':80$')
+        |           THEN substr(auth, 1, CAST(len(auth) - 3 AS INT))
+        |         WHEN sch = 'https' AND regexp_matches(auth, ':443$')
+        |           THEN substr(auth, 1, CAST(len(auth) - 4 AS INT))
+        |         ELSE auth END AS host,
+        |    CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+        |    coalesce(array_to_string(list_sort(list_filter(
+        |      string_split(qs, '&'),
+        |      x -> x <> '' AND NOT regexp_matches(x,
+        |        '^(utm_[^=]*|fbclid|gclid)(=|$)'))), '&'), '') AS params
+        |  FROM c
+        |), keyed AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(sch || '://' || host || path
+        |      || (CASE WHEN params = '' THEN '' ELSE '?' || params END)),
+        |      1, 15) AS BIGINT) * 4 + (doc_id % 1440) // 360 AS key,
+        |    doc_id % 1440 AS mm
+        |  FROM c2
+        |), gmax AS (SELECT max(doc_id % 1440) AS g FROM documents),
+        |grp AS (SELECT key, count(*) AS n, max(mm) AS max_mm
+        |        FROM keyed GROUP BY key),
+        |canon AS (SELECT key, doc_id, row_number() OVER (
+        |            PARTITION BY key ORDER BY mm, doc_id) AS rk
+        |          FROM keyed)
+        |SELECT g2.key, CAST(g2.n AS BIGINT) AS n_fetches,
+        |  c3.doc_id AS first_doc,
+        |  CAST(g2.n - 1 AS BIGINT) AS refetch_count,
+        |  CAST(g2.max_mm AS BIGINT) AS max_m
+        |FROM grp g2 JOIN canon c3 ON c3.key = g2.key AND c3.rk = 1, gmax
+        |WHERE g2.max_mm < gmax.g - 61
+        |ORDER BY g2.key""".stripMargin,
 
     "q319_stream_chained_agg" ->
       """WITH mx AS (SELECT max(ts) AS mt FROM events),
