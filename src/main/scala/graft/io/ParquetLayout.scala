@@ -28,11 +28,28 @@ object ParquetLayout {
     import spark.implicits._
     require(paths.nonEmpty, "ParquetLayout.report: empty path list")
     val colSet = cols.toSet
+    val conf0 = spark.sessionState.newHadoopConf()
+    // Accept table DIRECTORIES as well as bare files (round-11): a
+    // lakehouse table is a directory of part files, and the footer
+    // sweep fans out over its parts. Driver-side listing is O(file
+    // names) — the footers themselves are still read by the tasks.
+    val expanded = paths.flatMap { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(conf0)
+      val st = fs.getFileStatus(hp)
+      if (!st.isDirectory) Seq(p)
+      else fs.listStatus(hp).toSeq
+        .filter(f => f.isFile && {
+          val n = f.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        })
+        .map(_.getPath.toString)
+    }
+    require(expanded.nonEmpty, "ParquetLayout.report: no data files")
     val confBc = spark.sparkContext.broadcast(
-      new org.apache.spark.util.SerializableConfiguration(
-        spark.sessionState.newHadoopConf()))
-    val rows = spark.createDataset(paths)
-      .repartition(math.min(paths.size, 64))
+      new org.apache.spark.util.SerializableConfiguration(conf0))
+    val rows = spark.createDataset(expanded)
+      .repartition(math.min(expanded.size, 64))
       .mapPartitions { it =>
         val conf = confBc.value.value
         it.flatMap { p =>
