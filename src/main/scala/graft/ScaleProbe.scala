@@ -40,6 +40,18 @@ object ScaleProbe {
     require(!out.startsWith("/root/testdata") && new java.io.File(out).getCanonicalPath != new java.io.File(src).getCanonicalPath,
       s"refusing to build a replica into $out — driver-owned or equal to src")
     if (!new java.io.File(s"$out/_READY").exists()) build(spark, src, out, copies)
+    // BUILD-ONLY mode (round-11): queryCsv == "-" builds the replica
+    // and exits. The r11 artifact's first big-side chunk measured
+    // 2-3x slow because its JVM had just WRITTEN the multi-GB replica
+    // (page-cache/writeback residue) — the harness now builds in a
+    // dedicated JVM so the first timed chunk starts as clean as the
+    // rest (fresh-JVM repeats on the built replica read control ~2.5x
+    // vs the contaminated 5.8x).
+    if (queryCsv == "-") {
+      println(s"""{"metric":"scaleprobe","copies":$copies,"queries":{},"rows":{},"vols":{},"dir":"$out"}""")
+      spark.stop()
+      return
+    }
 
     // same warmup + measurement discipline as Bench
     spark.range(2000000).selectExpr("sum(id % 7)").collect()

@@ -153,8 +153,12 @@ def probe_chunk(src, out, copies, qcsv):
 
 def probe(src, out, copies):
     # ISOLATED discipline: at most CHUNK queries per JVM. The replica
-    # is built by the first chunk's JVM (the _READY flag makes the
-    # rest read-only); timings are per-query min-of-two either way.
+    # builds in a DEDICATED JVM first (round-11: the first timed chunk
+    # used to share its JVM with the multi-GB replica write and its
+    # big-side readings came out 2-3x inflated by writeback/page-cache
+    # residue — the control read 5.8x where fresh-JVM repeats read
+    # ~2.5x); the _READY flag makes every timed chunk read-only.
+    probe_chunk(src, out, copies, "-")
     names = queries.split(",")
     merged = None
     for i in range(0, len(names), CHUNK):
