@@ -23,6 +23,11 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val Array(src, out, copiesStr, queryCsv) = args.take(4)
     val copies = copiesStr.toInt
+    // "times" (round-11): a repeat series re-measuring walls only —
+    // the harness takes min over several fresh-JVM series for the
+    // sub-second side, and the un-timed rows/vols passes only need to
+    // run once (they are deterministic counts, not measurements)
+    val timesOnly = args.lift(4).contains("times")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -76,7 +81,7 @@ object ScaleProbe {
     // PAIRS by design (that is what a near-dup detector is for), and
     // runtime-per-emitted-row is the honest scale reading for it.
     // Counted un-timed, after the timed passes, caches cleared.
-    val rows = names.map { name =>
+    val rows = if (timesOnly) Nil else names.map { name =>
       val n = SparkEntry.queries(name)(spark, out).count()
       graft.util.Caches.clearAll(spark)
       name -> n
@@ -86,7 +91,7 @@ object ScaleProbe {
     // ratio_per_row degenerates to the wall ratio; these meters count
     // the candidate/decoded volume the query actually processes.
     // Un-timed, after the timed passes, like the rows pass.
-    val vols = names.flatMap { name =>
+    val vols = if (timesOnly) Nil else names.flatMap { name =>
       SparkEntry.volumes.get(name).map { fn =>
         val v = fn(spark, out)
         graft.util.Caches.clearAll(spark)

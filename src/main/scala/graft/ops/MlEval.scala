@@ -680,4 +680,54 @@ object MlEval {
               .cast("double"), 9))
           .as("alpha9"))
   }
+
+  /** Local-differential-privacy release via randomized response
+    * (Warner, JASA 1965; the mechanism RAPPOR builds on — Erlingsson
+    * et al., CCS 2014), DERANDOMIZED: each unit's binary truth is
+    * flipped iff the first four hex chars of md5(id) fall below
+    * `flipHexCeil` — e.g. "4000" = 16384/65536 = exactly ¼, the
+    * ε = ln 3 mechanism. The hash draw replaces the RNG the same way
+    * the engine's sampling family does (q61/q113): per-unit
+    * consistent, reshuffle-stable, zero RNG state at 100 TB, and the
+    * release replays bit-for-bit on any engine with md5.
+    *
+    * Output is the CALIBRATION AUDIT of the release: per cohort the
+    * observed (privatized) positive count beside the debiased estimate
+    * p̂ = (obs/n − p)/(1 − 2p) and the true rate the mechanism is
+    * estimating — the validation table a privacy team publishes on
+    * known data before trusting the mechanism on data it may not keep.
+    * All counts are exact integer sums; the two rates are single IEEE
+    * divisions of exact longs (est_rate clears to (obs·2ᵏ − n·flips) /
+    * (n·(2ᵏ − 2·flips)) in integer units of 2⁻¹⁶).
+    *
+    * Scale shape: the flip is one codegen'd md5 compare riding the
+    * per-unit rows; the release is ONE partial-agg cohort shuffle.
+    *
+    * @param units one row per reporting unit: (id, truth ∈ {0,1}, cohort)
+    * @param flipHexCeil 4 lowercase hex chars; flip prob = hex/65536. */
+  def ldpRandomizedResponse(units: DataFrame, idCol: String,
+      truthCol: String, cohortCol: String,
+      flipHexCeil: String = "4000"): DataFrame = {
+    require(flipHexCeil.matches("[0-9a-f]{4}"),
+      "flipHexCeil: 4 lowercase hex chars")
+    val flips = java.lang.Long.parseLong(flipHexCeil, 16)
+    require(flips > 0 && 2 * flips != 65536L,
+      "flip prob must be in (0, ½) ∪ (½, 1) for the debias to exist")
+    val reported = units.select(col(cohortCol).as("cohort"),
+      col(truthCol).cast("long").as("truth"),
+      when(substring(md5(col(idCol).cast("string")), 1, 4) < flipHexCeil,
+        lit(1L) - col(truthCol).cast("long"))
+        .otherwise(col(truthCol).cast("long")).as("reported"))
+    reported.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(col("truth")).as("true_pos"),
+        sum(col("reported")).as("obs_pos"))
+      .select(col("cohort"), col("n_units"), col("true_pos"), col("obs_pos"),
+        (col("true_pos").cast("double") / col("n_units").cast("double"))
+          .as("true_rate"),
+        ((col("obs_pos") * 65536L - col("n_units") * flips).cast("double") /
+          (col("n_units") * (65536L - 2L * flips)).cast("double"))
+          .as("est_rate"))
+      .orderBy(col("cohort"))
+  }
 }

@@ -1379,6 +1379,26 @@ object EventQueries {
         .orderBy(col("prev_type"), col("actual_type"))
     }),
 
+    // q360: LOCAL-DP TELEMETRY RELEASE (randomized response, Warner
+    // 1965 / the RAPPOR primitive) — the privacy family's MECHANISM
+    // member beside q289's k-anonymity gate: per-user binary truth
+    // ("ever emitted an error event"), each user's report flipped with
+    // probability exactly ¼ (ε = ln 3) by the engine's md5 hash draw,
+    // released per cohort as observed count + debiased estimate beside
+    // the true rate — the calibration audit run on known data before
+    // the mechanism is trusted on data the cluster may not keep. One
+    // user-key partial agg + one cohort partial agg; the flip is a
+    // codegen'd hash compare, zero RNG state at 100 TB.
+    "q360_ldp_release" -> ((s, d) => {
+      val truth = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("truth"))
+        .withColumn("cohort", col("user_id") % 5L)
+      graft.ops.MlEval.ldpRandomizedResponse(
+        truth, "user_id", "truth", "cohort")
+    }),
+
     // q237: exact skewness/kurtosis of spend cents per type from the
     // four integer power sums — heavy-tail detection for salting and
     // robust-aggregate decisions; HUGEINT↔decimal(38,0) numerators,
@@ -2952,6 +2972,28 @@ object EventQueries {
         |    AS BIGINT) AS stage
         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
         |ORDER BY user_id""".stripMargin,
+
+    // q360: same md5-derandomized flip (first 4 hex < '4000' = exactly
+    // ¼), same exact-integer debias cleared to units of 2⁻¹⁶.
+    "q360_ldp_release" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS truth
+        |  FROM events GROUP BY user_id),
+        |r AS (
+        |  SELECT user_id % 5 AS cohort, truth,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 4) < '4000'
+        |      THEN 1 - truth ELSE truth END AS reported
+        |  FROM u)
+        |SELECT cohort, CAST(count(*) AS BIGINT) AS n_units,
+        |  CAST(sum(truth) AS BIGINT) AS true_pos,
+        |  CAST(sum(reported) AS BIGINT) AS obs_pos,
+        |  CAST(CAST(sum(truth) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS true_rate,
+        |  CAST(CAST(sum(reported) AS BIGINT) * 65536
+        |         - count(*) * 16384 AS DOUBLE)
+        |    / CAST(count(*) * 32768 AS DOUBLE) AS est_rate
+        |FROM r GROUP BY cohort ORDER BY cohort""".stripMargin,
     "q135_asof_literal" ->
       """WITH l(event_id, user_id, us, value) AS (VALUES
         |    (1,1,100,10),(2,1,200,20),(3,1,50,5),(4,2,500,40),(5,3,999,1)),

@@ -32,6 +32,51 @@ class MlEvalSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("ldpRandomizedResponse: flips follow the md5 draw; debias exact") {
+    // derive the expected flip set from the same public hash the op uses
+    def flips(id: Long): Boolean =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString < "4000"
+    val units = (0L until 200L).map(i => (i, i % 3 == 0, i % 4))
+    val got = MlEval.ldpRandomizedResponse(
+      units.toDF("id", "truth", "cohort"), "id", "truth", "cohort")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    val exp = units.groupBy(_._3).map { case (c, rows) =>
+      val n = rows.size.toLong
+      val tp = rows.count(_._2).toLong
+      val obs = rows.count(r => r._2 ^ flips(r._1)).toLong
+      c -> (n, tp, obs,
+        tp.toDouble / n.toDouble,
+        (obs * 65536L - n * 16384L).toDouble / (n * 32768L).toDouble)
+    }
+    assert(got == exp)
+    // the mechanism must actually flip someone on this fixture (p=¼)
+    assert(got.values.map(_._3).sum != got.values.map(_._2).sum)
+  }
+
+  test("ldpRandomizedResponse: near-zero flip prob recovers the truth") {
+    // p = 1/65536: no id in this small fixture draws below '0001'
+    val units = (1L to 50L).map(i => (i, i <= 20L, 0L))
+    val r = MlEval.ldpRandomizedResponse(
+      units.toDF("id", "truth", "cohort"), "id", "truth", "cohort", "0001")
+      .collect().head
+    assert(r.getLong(2) == 20L && r.getLong(3) == 20L)
+    // debias with flips=1: (20·65536 − 50)/(50·65534) — exact IEEE
+    assert(r.getDouble(5) ==
+      (20L * 65536L - 50L).toDouble / (50L * 65534L).toDouble)
+    intercept[IllegalArgumentException] {
+      MlEval.ldpRandomizedResponse(
+        units.toDF("id", "truth", "cohort"), "id", "truth", "cohort", "8000")
+    }
+    intercept[IllegalArgumentException] {
+      MlEval.ldpRandomizedResponse(
+        units.toDF("id", "truth", "cohort"), "id", "truth", "cohort", "XY")
+    }
+  }
+
   test("decisionStump: the perfect split earns the full root entropy") {
     // feature 1..100, positive iff f <= 50 → threshold 50 is pure
     val rows = (1L to 100L).map(i => (i, i <= 50L))
