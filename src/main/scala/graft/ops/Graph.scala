@@ -928,4 +928,141 @@ object Graph {
       .first()
     (r.getLong(0), r.getLong(1))
   }
+
+  /** STRONGLY CONNECTED COMPONENTS of a directed graph — the directed
+    * sibling of the stars-CC closure (Tarjan, SIAM J. Comput. 1972):
+    * per node, the component labeled by its MINIMUM member id plus the
+    * component size. Mutual reachability is what undirected CC cannot
+    * express — the cycling core of a behavioral transition graph vs
+    * its one-way periphery.
+    *
+    * Scale shape (the q204 triangle-staging discipline): the 100 TB
+    * work is the CALLER's edge distillation — e.g. condensing an
+    * event log to the top-k-successor graph bounds edges at k·|V| by
+    * construction, two key shuffles, see q361 — and the closure here
+    * runs on that CONDENSED graph: edges stream to the driver via
+    * toLocalIterator into flat primitive CSR arrays (8 B/node ids +
+    * 4 B/node offsets + 4 B/edge slots; one boxed shuffle partition
+    * live at a time), then ONE iterative O(V+E) Tarjan pass labels
+    * every component. Tarjan is inherently sequential DFS — a BSP
+    * formulation (forward-backward / coloring) pays its rounds in
+    * full shuffles of the SAME edge set, a bad trade below hundreds
+    * of millions of condensed edges; the loud `maxEdges` gate keeps
+    * the driver transient explicit (~1 GB at the 5·10⁷ default).
+    *
+    * @param edges directed (src, dst) rows; self-loops and duplicates
+    *              tolerated (deduped; a self-loop never changes SCCs).
+    * @return one row per node of the edge set: (node, scc_id,
+    *         scc_size), scc_id = min member id. */
+  def sccCondensation(edges: DataFrame,
+                      maxEdges: Long = 50000000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint(true) // consumed thrice below
+    val m = e.count()
+    require(m <= maxEdges,
+      s"sccCondensation: $m condensed edges exceed the driver-staging " +
+        s"gate $maxEdges — distill the graph further (top-k successors " +
+        "or a min-count threshold) before the closure")
+    val nodes = e.select(col("src").as("n"))
+      .union(e.select(col("dst").as("n")))
+      .distinct().orderBy(col("n")).as[Long].collect()
+    val n = nodes.length
+    // CSR build: two streamed passes over the checkpointed edge set
+    val off = new Array[Int](n + 1)
+    locally {
+      val deg = new Array[Int](n)
+      val it = e.toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        deg(java.util.Arrays.binarySearch(nodes, r.getLong(0))) += 1
+      }
+      var i = 0; while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+    }
+    val adj = new Array[Int](off(n))
+    locally {
+      val fill = java.util.Arrays.copyOf(off, n)
+      val it = e.toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        val s = java.util.Arrays.binarySearch(nodes, r.getLong(0))
+        adj(fill(s)) = java.util.Arrays.binarySearch(nodes, r.getLong(1))
+        fill(s) += 1
+      }
+    }
+    // iterative Tarjan over slot indices (explicit DFS work stack —
+    // no recursion, so chain-shaped graphs cannot overflow the JVM
+    // stack); compOf(slot) = component ordinal
+    val idx = Array.fill(n)(-1)
+    val low = new Array[Int](n)
+    val onStk = new Array[Boolean](n)
+    val compOf = Array.fill(n)(-1)
+    val tarjanStk = new Array[Int](n)
+    var stkTop = 0
+    val workNode = new Array[Int](n + 1)
+    val workPtr = new Array[Int](n + 1)
+    var counter = 0
+    var nComp = 0
+    var v = 0
+    while (v < n) {
+      if (idx(v) < 0) {
+        var wTop = 0
+        workNode(0) = v; workPtr(0) = off(v)
+        idx(v) = counter; low(v) = counter; counter += 1
+        tarjanStk(stkTop) = v; stkTop += 1; onStk(v) = true
+        while (wTop >= 0) {
+          val u = workNode(wTop)
+          if (workPtr(wTop) < off(u + 1)) {
+            val w = adj(workPtr(wTop))
+            workPtr(wTop) += 1
+            if (idx(w) < 0) {
+              idx(w) = counter; low(w) = counter; counter += 1
+              tarjanStk(stkTop) = w; stkTop += 1; onStk(w) = true
+              wTop += 1
+              workNode(wTop) = w; workPtr(wTop) = off(w)
+            } else if (onStk(w) && idx(w) < low(u)) low(u) = idx(w)
+          } else {
+            if (low(u) == idx(u)) {
+              var done = false
+              while (!done) {
+                stkTop -= 1
+                val w = tarjanStk(stkTop)
+                onStk(w) = false
+                compOf(w) = nComp
+                done = w == u
+              }
+              nComp += 1
+            }
+            wTop -= 1
+            if (wTop >= 0) {
+              val p = workNode(wTop)
+              if (low(u) < low(p)) low(p) = low(u)
+            }
+          }
+        }
+      }
+      v += 1
+    }
+    // component labels: min member id + size (one pass each; nodes is
+    // sorted ascending, so the first slot seen per component IS min)
+    val compMin = Array.fill(nComp)(Long.MaxValue)
+    val compSize = new Array[Long](nComp)
+    var i = 0
+    while (i < n) {
+      val c = compOf(i)
+      if (nodes(i) < compMin(c)) compMin(c) = nodes(i)
+      compSize(c) += 1
+      i += 1
+    }
+    val rows = new Array[(Long, Long, Long)](n)
+    i = 0
+    while (i < n) {
+      rows(i) = (nodes(i), compMin(compOf(i)), compSize(compOf(i)))
+      i += 1
+    }
+    spark.createDataset(rows.toSeq).toDF("node", "scc_id", "scc_size")
+  }
 }

@@ -126,6 +126,15 @@ object EventQueries {
       Tables.events(s, d).groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"))
         .agg(sum(expr("n * (n - 1) div 2"))).head().getLong(0)),
+    // q361 emits one row per item node (fixed at the vocabulary at
+    // any event volume — the condensed graph is 2·|V|-bounded by
+    // construction); its work volume is the transition count the
+    // distillation window actually scans.
+    "q361_scc_condensation" -> ((s, d) =>
+      Tables.events(s, d).filter(col("props").isNotNull)
+        .filter(get_json_object(col("props"), "$.k").cast("long").isNotNull)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .agg(sum(expr("greatest(n - 1, 0)"))).head().getLong(0)),
   )
 
   val queries: Map[String, Q] = Map(
@@ -1397,6 +1406,37 @@ object EventQueries {
         .withColumn("cohort", col("user_id") % 5L)
       graft.ops.MlEval.ldpRandomizedResponse(
         truth, "user_id", "truth", "cohort")
+    }),
+
+    // q361: STRONGLY CONNECTED COMPONENTS of the item-transition
+    // graph — the directed closure the undirected CC family (q52/
+    // q207/q221) cannot express: which items form a mutually-reachable
+    // browsing CORE vs the one-way periphery. The 100 TB work is the
+    // distillation (the graph family's q154 Markov base): per-user
+    // consecutive-item transitions (one user-key window shuffle),
+    // edge counts (one partial agg), TOP-2 successors per item (rank
+    // window over the O(V·deg) count table) — bounding the condensed
+    // graph at 2·|V| edges BY CONSTRUCTION at any event volume. The
+    // closure then runs on the condensed graph via Graph.
+    // sccCondensation (streamed CSR staging + one O(V+E) Tarjan pass,
+    // the q204 driver-staging discipline, loud maxEdges gate).
+    "q361_scc_condensation" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("props").isNotNull)
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+        .filter(col("item").isNotNull)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val trans = ev.withColumn("nxt", lead(col("item"), 1).over(w))
+        .filter(col("nxt").isNotNull && col("nxt") =!= col("item"))
+        .groupBy(col("item"), col("nxt")).agg(count(lit(1)).as("cnt"))
+      val rkw = Window.partitionBy(col("item"))
+        .orderBy(col("cnt").desc, col("nxt"))
+      val top2 = trans.withColumn("rk", row_number().over(rkw))
+        .filter(col("rk") <= 2)
+        .select(col("item").as("src"), col("nxt").as("dst"))
+      graft.ops.Graph.sccCondensation(top2).orderBy(col("node"))
     }),
 
     // q237: exact skewness/kurtosis of spend cents per type from the
@@ -2994,6 +3034,50 @@ object EventQueries {
         |         - count(*) * 16384 AS DOUBLE)
         |    / CAST(count(*) * 32768 AS DOUBLE) AS est_rate
         |FROM r GROUP BY cohort ORDER BY cohort""".stripMargin,
+
+    // q361: SCC replayed from first principles — the top-2 condensed
+    // graph rebuilt identically, then MUTUAL REACHABILITY via one
+    // recursive closure: scc_id(a) = min{b : a⇄b} ∪ {a}. One wrong
+    // Tarjan low-link anywhere and some node's min-member label (or
+    // its component size) breaks the hash. Dedup is via explicit
+    // SELECT DISTINCT, never bare UNION: in DuckDB 1.0.0 a
+    // NON-self-referencing UNION CTE inside a WITH RECURSIVE block
+    // evaluates as UNION ALL (verified minimal repro), so only the
+    // recursive member `reach` may rely on UNION semantics.
+    "q361_scc_condensation" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT user_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+        |    epoch_us(ts) AS us, event_id
+        |  FROM events WHERE props IS NOT NULL),
+        |s AS (
+        |  SELECT item, lead(item) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id) AS nxt
+        |  FROM e0 WHERE item IS NOT NULL),
+        |t AS (
+        |  SELECT item, nxt, count(*) AS cnt FROM s
+        |  WHERE nxt IS NOT NULL AND nxt != item GROUP BY 1, 2),
+        |r AS (
+        |  SELECT item, nxt,
+        |    row_number() OVER (PARTITION BY item
+        |      ORDER BY cnt DESC, nxt) AS rk
+        |  FROM t),
+        |g AS MATERIALIZED (
+        |  SELECT item AS src, nxt AS dst FROM r WHERE rk <= 2),
+        |nd AS (SELECT DISTINCT node FROM (
+        |  SELECT src AS node FROM g UNION ALL SELECT dst FROM g)),
+        |reach(a, b) AS (
+        |  SELECT src, dst FROM g
+        |  UNION
+        |  SELECT reach.a, g.dst FROM reach JOIN g ON reach.b = g.src),
+        |mutual AS (SELECT DISTINCT a, b FROM (
+        |  SELECT node AS a, node AS b FROM nd
+        |  UNION ALL
+        |  SELECT r1.a, r1.b FROM reach r1
+        |  JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a))
+        |SELECT a AS node, min(b) AS scc_id,
+        |  CAST(count(*) AS BIGINT) AS scc_size
+        |FROM mutual GROUP BY a ORDER BY node""".stripMargin,
     "q135_asof_literal" ->
       """WITH l(event_id, user_id, us, value) AS (VALUES
         |    (1,1,100,10),(2,1,200,20),(3,1,50,5),(4,2,500,40),(5,3,999,1)),

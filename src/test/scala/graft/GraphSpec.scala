@@ -443,4 +443,68 @@ class GraphSpec extends AnyFunSuite {
     val keys = got.map(t => (-t._4, t._1, t._2))
     assert(keys == keys.sorted)
   }
+
+  // ---- sccCondensation (q361) ----
+
+  private def runScc(edges: Seq[(Long, Long)], maxEdges: Long = 50000000L) = {
+    import spark.implicits._
+    graft.ops.Graph.sccCondensation(edges.toDF("src", "dst"), maxEdges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+  }
+
+  /** Brute-force mutual reachability via Floyd–Warshall. */
+  private def refScc(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+    val es = edges.filter(e => e._1 != e._2).distinct
+    val ns = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val pos = ns.zipWithIndex.toMap
+    val n = ns.length
+    val reach = Array.fill(n, n)(false)
+    es.foreach { case (a, b) => reach(pos(a))(pos(b)) = true }
+    for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+      if (reach(i)(k) && reach(k)(j)) reach(i)(j) = true
+    ns.map { v =>
+      val mem = ns.filter(w => w == v ||
+        (reach(pos(v))(pos(w)) && reach(pos(w))(pos(v))))
+      v -> ((mem.min, mem.size.toLong))
+    }.toMap
+  }
+
+  test("sccCondensation: hand graph — cycle core, tail, 2-cycle island") {
+    // 1→2→3→1 (SCC {1,2,3}), tail 3→4→5 (singletons), island 8⇄9
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (8L, 9L), (9L, 8L))
+    val got = runScc(edges)
+    assert(got(1L) == ((1L, 3L)) && got(2L) == ((1L, 3L))
+      && got(3L) == ((1L, 3L)))
+    assert(got(4L) == ((4L, 1L)) && got(5L) == ((5L, 1L)))
+    assert(got(8L) == ((8L, 2L)) && got(9L) == ((8L, 2L)))
+    // self-loops and duplicate edges change nothing
+    assert(runScc(edges ++ Seq((1L, 1L), (2L, 3L))) == got)
+  }
+
+  test("sccCondensation: one-way pair stays two singletons (direction matters)") {
+    val got = runScc(Seq((1L, 2L)))
+    assert(got == Map(1L -> ((1L, 1L)), 2L -> ((2L, 1L))))
+  }
+
+  test("sccCondensation: seeded random digraphs equal Floyd–Warshall") {
+    for (seed <- Seq(7, 23, 41)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(120)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      assert(runScc(edges) == refScc(edges), s"seed $seed")
+    }
+    // deep chain into a closing cycle: exercises the explicit DFS
+    // work stack (a recursive Tarjan would be fine at 400 but the
+    // shape is the one that overflows recursion at scale)
+    val chain = (0L until 400L).map(i => (i, i + 1)) :+ (400L, 0L)
+    val got = runScc(chain)
+    assert(got(0L) == ((0L, 401L)) && got(399L) == ((0L, 401L)))
+  }
+
+  test("sccCondensation: the maxEdges staging gate raises loudly") {
+    intercept[IllegalArgumentException] {
+      runScc(Seq((1L, 2L), (2L, 3L), (3L, 1L)), maxEdges = 2L)
+    }
+  }
 }

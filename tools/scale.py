@@ -93,6 +93,10 @@ QUERIES = ",".join([
     # two partial-agg shuffles + a codegen'd hash flip, should track
     # the event volume linearly
     "q360_ldp_release",
+    # round-11 continuation: SCC over the condensed top-2 transition
+    # graph — output fixed at the item vocabulary, so read it by
+    # ratio_per_volume (the distillation's transition count)
+    "q361_scc_condensation",
 ])
 
 # queries whose OUTPUT is a pair/grid set that grows superlinearly on a
