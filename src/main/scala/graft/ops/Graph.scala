@@ -958,17 +958,20 @@ object Graph {
                       maxEdges: Long = 50000000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select(col("src").cast("long").as("src"),
+    val e0 = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
-      .filter(col("src") =!= col("dst"))
       .distinct().localCheckpoint(true) // consumed thrice below
+    // self-loops drop from the CSR (they never change SCCs) but their
+    // endpoints STAY in the node universe — a self-loop-only node is
+    // a 1-node component, not an absent row
+    val e = e0.filter(col("src") =!= col("dst"))
     val m = e.count()
     require(m <= maxEdges,
       s"sccCondensation: $m condensed edges exceed the driver-staging " +
         s"gate $maxEdges — distill the graph further (top-k successors " +
         "or a min-count threshold) before the closure")
-    val nodes = e.select(col("src").as("n"))
-      .union(e.select(col("dst").as("n")))
+    val nodes = e0.select(col("src").as("n"))
+      .union(e0.select(col("dst").as("n")))
       .distinct().orderBy(col("n")).as[Long].collect()
     val n = nodes.length
     // CSR build: two streamed passes over the checkpointed edge set

@@ -713,11 +713,14 @@ object MlEval {
     val flips = java.lang.Long.parseLong(flipHexCeil, 16)
     require(flips > 0 && 2 * flips != 65536L,
       "flip prob must be in (0, ½) ∪ (½, 1) for the debias to exist")
+    val t = when(col(truthCol).cast("long").isin(0L, 1L),
+      col(truthCol).cast("long"))
+      .otherwise(raise_error(lit(
+        s"ldpRandomizedResponse: $truthCol must be binary 0/1")))
     val reported = units.select(col(cohortCol).as("cohort"),
-      col(truthCol).cast("long").as("truth"),
+      t.as("truth"),
       when(substring(md5(col(idCol).cast("string")), 1, 4) < flipHexCeil,
-        lit(1L) - col(truthCol).cast("long"))
-        .otherwise(col(truthCol).cast("long")).as("reported"))
+        lit(1L) - t).otherwise(t).as("reported"))
     reported.groupBy(col("cohort"))
       .agg(count(lit(1)).as("n_units"),
         sum(col("truth")).as("true_pos"),

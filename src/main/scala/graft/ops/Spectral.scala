@@ -91,22 +91,27 @@ object Spectral {
         var n = 0L
         while (it.hasNext) {
           val x = it.next()
-          if (d < 0) { d = x.length; acc = new Array[Long](d * (d + 1) / 2) }
-          require(x.length == d, s"ragged embedding: ${x.length} vs $d")
-          n += 1
-          var i = 0
-          var c = 0
-          while (i < d) {
-            val xi = x(i)
-            var j = i
-            while (j < d) {
-              // exact Spark-expression association: (xi·xj)·1e9 —
-              // pre-scaling xi would round a DIFFERENT double
-              acc(c) += roundLikeSql(xi * x(j) * 1000000000d)
-              c += 1
-              j += 1
+          // null vectors contribute nothing — the same silent skip
+          // the explode formulation had (explode of a null array
+          // emits no rows, so null rows never reached gram or count)
+          if (x != null) {
+            if (d < 0) { d = x.length; acc = new Array[Long](d * (d + 1) / 2) }
+            require(x.length == d, s"ragged embedding: ${x.length} vs $d")
+            n += 1
+            var i = 0
+            var c = 0
+            while (i < d) {
+              val xi = x(i)
+              var j = i
+              while (j < d) {
+                // exact Spark-expression association: (xi·xj)·1e9 —
+                // pre-scaling xi would round a DIFFERENT double
+                acc(c) += roundLikeSql(xi * x(j) * 1000000000d)
+                c += 1
+                j += 1
+              }
+              i += 1
             }
-            i += 1
           }
         }
         if (n == 0) Iterator.empty
