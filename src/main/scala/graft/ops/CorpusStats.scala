@@ -416,4 +416,50 @@ object CorpusStats {
           .otherwise(round((col("rank") - 1L).cast("double") /
             (col("n") - 1L).cast("double"), 9)))
   }
+
+  /** PER-GROUP QUANTILE ALIGNMENT to the pooled distribution — the
+    * drift-CORRECTION sibling of [[psiDrift]]'s detection: each row's
+    * value maps to the pooled order statistic at its within-group
+    * percentile (quantile normalization, Bolstad et al.
+    * Bioinformatics 2003, in the unequal-group-size inverse-CDF
+    * form), so every source's marginal becomes the corpus marginal
+    * and a single global threshold means the same thing on every
+    * source. All-integer: within-group rank rk and pooled position
+    * t = ⌈rk·N / n_g⌉ (type-1 inverse CDF, computed as an exact
+    * integer div) — no interpolation, no floats, replayable anywhere.
+    * Conventions: ranks break ties by (value, id); rk = n_g maps to
+    * the pooled max; a 1-row group maps to the pooled max (p = 1).
+    *
+    * Scale shape: pooled positions come from a RANGE sort +
+    * per-partition zipWithIndex offsets (the q96 dense-id machinery
+    * on rows — no single-partition window); within-group ranks are
+    * one group-key window shuffle; the map-back is one equi join on
+    * the position. N crosses the driver as an O(1) literal (the
+    * TfIdf.idf pattern).
+    *
+    * @return df columns (groupCol, idCol, valueCol) + aligned. */
+  def quantileAlign(df: DataFrame, groupCol: String, idCol: String,
+                    valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(groupCol).as("grp"),
+      col(idCol).cast("long").as("id"), col(valueCol).cast("long").as("v"))
+    val n = base.count()
+    val pooled = base.select(col("v"), col("id"))
+      .orderBy(col("v"), col("id"))
+      .rdd.map(r => r.getLong(0))
+      .zipWithIndex()
+      .map { case (v, i) => (i + 1, v) }
+      .toDF("pos", "aligned")
+    val wg = Window.partitionBy(col("grp")).orderBy(col("v"), col("id"))
+    val ranked = base
+      .withColumn("rk", row_number().over(wg).cast("long"))
+      .withColumn("n_g",
+        count(lit(1)).over(Window.partitionBy(col("grp"))).cast("long"))
+      .withColumn("pos", expr(s"(rk * ${n}L + n_g - 1) div n_g"))
+    ranked.join(pooled, Seq("pos"))
+      .select(col("grp").as(groupCol), col("id").as(idCol),
+        col("v").as(valueCol), col("aligned"))
+  }
 }

@@ -1409,6 +1409,24 @@ object PipelineOps {
         .orderBy(col("event_type"), col("bin"))
     }),
 
+    // q362: per-source QUANTILE ALIGNMENT of doc length to the pooled
+    // distribution — the drift-CORRECTION sibling of q233's detection
+    // (quantile normalization, Bolstad 2003, in the unequal-size
+    // inverse-CDF form): each doc's n_chars maps to the pooled order
+    // statistic at its within-source percentile, t = ⌈rk·N/n_g⌉ as an
+    // exact integer div — after alignment every source's marginal IS
+    // the corpus marginal, so one global length threshold means the
+    // same thing on every source. Pooled positions via range sort +
+    // zipWithIndex (no single-partition window); one source-key
+    // window + one position join.
+    "q362_quantile_align" -> ((s, d) => {
+      CorpusStats.quantileAlign(
+          Tables.documents(s, d).select(col("doc_id"), col("source"),
+            col("n_chars")),
+          "source", "doc_id", "n_chars")
+        .orderBy(col("doc_id"))
+    }),
+
     // q179: exact per-language rank / percent-rank normalization of
     // doc length via VALUE COMPRESSION (window over the distinct-value
     // table, never over data rows — the scalable exact-rank shape);
@@ -4055,6 +4073,26 @@ object PipelineOps {
         |    AS pos_rate9,
         |  fit.fit9
         |FROM pre JOIN fit ON fit.i = pre.bin ORDER BY pre.bin""".stripMargin),
+
+    // q362: pooled order statistics by row_number over (v, id), the
+    // same ⌈rk·N/n_g⌉ integer target, joined back on the position.
+    "q362_quantile_align" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, n_chars FROM documents),
+        |p AS (
+        |  SELECT n_chars AS aligned,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS pos
+        |  FROM d),
+        |r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY source) AS n_g,
+        |    (SELECT count(*) FROM d) AS n
+        |  FROM d)
+        |SELECT r.doc_id, r.source, r.n_chars, p.aligned
+        |FROM r JOIN p ON p.pos = (r.rk * r.n + r.n_g - 1) // r.n_g
+        |ORDER BY r.doc_id""".stripMargin,
 
     // q233: slice-A deciles per type (quantile_disc == the exact-
     // regime percentile_approx), q184's list_filter fold for the bin,

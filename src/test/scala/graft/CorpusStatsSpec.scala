@@ -183,4 +183,45 @@ class CorpusStatsSpec extends AnyFunSuite {
       "apple" -> (1L, 0L), "pear" -> (2L, 0L),
       "banana" -> (3L, 1L), "cherry" -> (4L, 1L)), out.toString)
   }
+
+  // ---- quantileAlign (q362) ----
+
+  private def runQa(rows: Seq[(String, Long, Long)]) = {
+    import spark.implicits._
+    graft.ops.CorpusStats.quantileAlign(
+        rows.toDF("src", "id", "v"), "src", "id", "v")
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+  }
+
+  test("quantileAlign: hand mapping — unequal groups, extremes to extremes") {
+    // pooled sorted: [1,5,6,7,8,100] → positions 1..6
+    val rows = Seq(("a", 1L, 1L), ("a", 2L, 100L),
+      ("b", 3L, 5L), ("b", 4L, 6L), ("b", 5L, 7L), ("b", 6L, 8L))
+    val got = runQa(rows)
+    // a (n_g=2): rk1→⌈6/2⌉=3→6; rk2→6→100
+    // b (n_g=4): rk1→2→5; rk2→3→6; rk3→⌈18/4⌉=5→8; rk4→6→100
+    assert(got == Map(1L -> 6L, 2L -> 100L,
+      3L -> 5L, 4L -> 6L, 5L -> 8L, 6L -> 100L))
+  }
+
+  test("quantileAlign: identical marginals are a fixed point; 1-row group → pooled max") {
+    val same = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L),
+      ("b", 4L, 10L), ("b", 5L, 20L), ("b", 6L, 30L))
+    val got = runQa(same)
+    same.foreach { case (_, id, v) => assert(got(id) == v, s"id $id") }
+    val single = runQa(Seq(("a", 1L, 3L), ("a", 2L, 9L), ("lone", 9L, 4L)))
+    assert(single(9L) == 9L, "a 1-row group sits at p=1 → pooled max")
+  }
+
+  test("quantileAlign: invariant to partitioning (distributed rank path)") {
+    import spark.implicits._
+    val rows = (1L to 300L).map(i => (s"s${i % 7}", i, i * 13 % 97))
+    val a = graft.ops.CorpusStats.quantileAlign(
+        rows.toDF("src", "id", "v"), "src", "id", "v")
+      .collect().map(r => (r.getLong(1), r.getLong(3))).sortBy(_._1).toSeq
+    val b = graft.ops.CorpusStats.quantileAlign(
+        rows.toDF("src", "id", "v").repartition(13), "src", "id", "v")
+      .collect().map(r => (r.getLong(1), r.getLong(3))).sortBy(_._1).toSeq
+    assert(a == b)
+  }
 }

@@ -97,6 +97,10 @@ QUERIES = ",".join([
     # graph — output fixed at the item vocabulary, so read it by
     # ratio_per_volume (the distillation's transition count)
     "q361_scc_condensation",
+    # round-11 continuation: quantile alignment — a global range sort
+    # (zipWithIndex dense ids) + one group window + a position join;
+    # output linear in the corpus
+    "q362_quantile_align",
 ])
 
 # queries whose OUTPUT is a pair/grid set that grows superlinearly on a
