@@ -129,11 +129,24 @@ object KMeansSparse {
     * @param cents    centroids as (cidx 0..k−1, term, cv) rows.
     * @return (id, cluster). */
   def assignExactFrames(exploded: DataFrame, cents: DataFrame,
-                        k: Int): DataFrame = {
+                        k: Int): DataFrame =
+    assignExactFramesPre(docNorms(exploded), exploded, cents, k)
+
+  /** Per-doc scaled-long squared norms — CENTROID-INVARIANT, so an
+    * iterative fit computes them once, not once per round (round-11,
+    * guide §1.2: the norm aggregation is a full O(nnz) key shuffle
+    * that [[assignExactFrames]] silently re-ran every iteration). */
+  def docNorms(exploded: DataFrame): DataFrame = {
+    val S = 1000000000L
+    exploded.groupBy(col("id"))
+      .agg(sum(round(col("v") * col("v") * S).cast("long")).as("nsq9"))
+  }
+
+  /** [[assignExactFrames]] with the doc-norm table precomputed. */
+  def assignExactFramesPre(nrm: DataFrame, exploded: DataFrame,
+                           cents: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val S = 1000000000L
-    val nrm = exploded.groupBy(col("id"))
-      .agg(sum(round(col("v") * col("v") * S).cast("long")).as("nsq9"))
     val cnrm = cents.groupBy(col("cidx"))
       .agg(sum(round(col("cv") * col("cv") * S).cast("long")).as("cnsq9"))
     val dots = exploded.join(broadcast(cents), "term")
@@ -186,15 +199,23 @@ object KMeansSparse {
     * state). Each round's centroids are localCheckpoint snapshots
     * (the BSP hygiene of graft.ops.Graph). */
   def fitExactFrames(exploded: DataFrame, init: DataFrame, k: Int,
-                     iters: Int): DataFrame = {
+                     iters: Int, nrm0: DataFrame = null): DataFrame = {
     require(iters >= 0)
+    // doc norms are centroid-invariant: one eager doc-sized snapshot
+    // serves every round (see docNorms); callers that also assign
+    // against the returned centroids pass their own snapshot in so
+    // the whole query computes norms exactly once
+    val nrm = if (nrm0 != null) nrm0
+      else if (iters > 0) docNorms(exploded).localCheckpoint(true) else null
     var cents = init
     for (_ <- 1 to iters) {
       val cur = cents.localCheckpoint(true)
-      val a = assignExactFrames(exploded, cur, k)
+      val a = assignExactFramesPre(nrm, exploded, cur, k)
       cents = meanExactFrames(exploded, a, cur)
     }
-    cents.localCheckpoint(true)
+    val out = cents.localCheckpoint(true)
+    if (nrm != null && (nrm0 eq null)) graft.ops.Graph.unpersistSnapshot(nrm)
+    out
   }
 
   /** Deterministic seeding: vectors of the k smallest doc ids (the

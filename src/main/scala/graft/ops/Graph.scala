@@ -56,7 +56,7 @@ object Graph {
     * use reliable `checkpoint()` to the cluster FS). Safe timing: each
     * round's snapshot is EAGER, so once round t is materialized the
     * round t−1 snapshot is dead. */
-  private[ops] def unpersistSnapshot(df: DataFrame): Unit = {
+  private[graft] def unpersistSnapshot(df: DataFrame): Unit = {
     df.unpersist(blocking = false) // covers plain .cache() inputs
     df.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
@@ -64,6 +64,17 @@ object Graph {
       case _ => ()
     }
   }
+
+  /** Broadcast-vs-shuffle gate for the per-round node-state joins of
+    * the iterative kernels (round-11, guide §3.1): a per-node table
+    * (ranks, labels, hub/auth scores — ≤ ~24 B/row) below
+    * [[BroadcastAdjEntries]] rows is shipped to the cached/bucketed
+    * edge table, so no per-round exchange touches |E| rows; above the
+    * gate the unchanged shuffle-join plan runs. Join STRATEGY only —
+    * the scaled-long arithmetic is partition-invariant, so results
+    * are bit-identical either way. */
+  private def bcGate(entries: Long): DataFrame => DataFrame =
+    if (entries <= BroadcastAdjEntries) broadcast else identity
 
   /** Exact integer PageRank.
     *
@@ -97,6 +108,12 @@ object Graph {
       .cache()
     val n = deg.count()
     val base = ((100 - damp).toLong * scale / 100) / n
+    // rank/contrib tables are one row per NODE: below the broadcast
+    // gate ship them to the edges instead of SMJ-shuffling the cached
+    // edge table every round (guide §3.1 — the rank⋈edges join is the
+    // only per-round place |E| rows would cross an exchange). Above
+    // the gate the original all-shuffle plan runs unchanged.
+    val bc = bcGate(n)
 
     var ranks = deg.withColumn("rank", lit(scale / n))
     var prevSnap: DataFrame = null
@@ -113,10 +130,10 @@ object Graph {
       prevSnap = cur
       val dangShare = cur.where(col("outdeg") === 0)
         .agg(coalesce(sum(col("rank")), lit(0L))).first().getLong(0) / n
-      val contrib = e.join(cur, e("src") === cur("node"))
+      val contrib = e.join(bc(cur), e("src") === cur("node"))
         .groupBy(col("dst").as("cnode"))
         .agg(sum(expr("rank div outdeg")).as("contrib"))
-      ranks = deg.join(contrib, deg("node") === contrib("cnode"), "left")
+      ranks = deg.join(bc(contrib), deg("node") === contrib("cnode"), "left")
         .select(col("node"), col("outdeg"),
           expr(s"${base}L + ($damp * (coalesce(contrib, 0L) + ${dangShare}L)) div 100")
             .as("rank"))
@@ -169,6 +186,8 @@ object Graph {
     val s = seeds.size.toLong
     val inSeeds = s"node IN (${seeds.mkString(", ")})"
     val base = ((100 - damp).toLong * scale / 100) / s
+    // node-state broadcast gate — see pageRankExact
+    val bc = bcGate(deg.count())
 
     var ranks = deg.withColumn("rank",
       expr(s"CASE WHEN $inSeeds THEN ${scale / s}L ELSE 0L END"))
@@ -181,10 +200,10 @@ object Graph {
       prevSnap = cur
       val dangShare = cur.where(col("outdeg") === 0)
         .agg(coalesce(sum(col("rank")), lit(0L))).first().getLong(0) / s
-      val contrib = e.join(cur, e("src") === cur("node"))
+      val contrib = e.join(bc(cur), e("src") === cur("node"))
         .groupBy(col("dst").as("cnode"))
         .agg(sum(expr("rank div outdeg")).as("contrib"))
-      ranks = deg.join(contrib, deg("node") === contrib("cnode"), "left")
+      ranks = deg.join(bc(contrib), deg("node") === contrib("cnode"), "left")
         .select(col("node"), col("outdeg"),
           expr(s"""CASE WHEN $inSeeds THEN ${base}L ELSE 0L END
                   | + ($damp * (coalesce(contrib, 0L)
@@ -227,6 +246,8 @@ object Graph {
       .distinct().cache()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()
+    // node-state broadcast gate — see pageRankExact
+    val bc = bcGate(nodes.count())
     var hubs = nodes.withColumn("h", lit(1L)).localCheckpoint(true)
     var auths: DataFrame = null
     for (_ <- 1 to iters) {
@@ -234,21 +255,30 @@ object Graph {
       // release — see pageRankExact. The previous auths die once the
       // new ones materialize; the previous hubs only after the new
       // hubs do (aN's build still reads them).
-      val aRaw = e.join(hubs, e("src") === hubs("node"))
+      // aRaw/hRaw are snapshotted ONCE each: before round 11 the raw
+      // accumulation (the expensive e⋈score join) was evaluated twice
+      // per half-step — once under the Σ scalar, once under the
+      // normalize join — doubling every edge join in the query
+      // (guide §1.2 "don't compute things you throw away").
+      val aRaw = e.join(bc(hubs), e("src") === hubs("node"))
         .groupBy(e("dst").as("anode")).agg(sum(col("h")).as("a"))
+        .localCheckpoint(true)
       val aSum = aRaw.agg(coalesce(sum(col("a")), lit(0L))).first().getLong(0)
-      val aN = nodes.join(aRaw, nodes("node") === aRaw("anode"), "left")
+      val aN = nodes.join(bc(aRaw), nodes("node") === aRaw("anode"), "left")
         .select(col("node"),
           expr(s"coalesce(a, 0L) * ${scale}L div ${math.max(aSum, 1L)}L").as("a"))
         .localCheckpoint(true)
+      unpersistSnapshot(aRaw)
       if (auths != null) unpersistSnapshot(auths)
-      val hRaw = e.join(aN, e("dst") === aN("node"))
+      val hRaw = e.join(bc(aN), e("dst") === aN("node"))
         .groupBy(e("src").as("hnode")).agg(sum(col("a")).as("hs"))
+        .localCheckpoint(true)
       val hSum = hRaw.agg(coalesce(sum(col("hs")), lit(0L))).first().getLong(0)
-      val hN = nodes.join(hRaw, nodes("node") === hRaw("hnode"), "left")
+      val hN = nodes.join(bc(hRaw), nodes("node") === hRaw("hnode"), "left")
         .select(col("node"),
           expr(s"coalesce(hs, 0L) * ${scale}L div ${math.max(hSum, 1L)}L").as("h"))
         .localCheckpoint(true)
+      unpersistSnapshot(hRaw)
       unpersistSnapshot(hubs)
       auths = aN
       hubs = hN
@@ -509,8 +539,15 @@ object Graph {
     require(iters >= 1)
     val e = sym.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
-    var labels = e.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node"))
+    // node-label broadcast gate (see pageRankExact): below the gate
+    // each round ships the label table to the adjacency, so the
+    // bucketed scan's hash partitioning on src survives the join and
+    // BOTH per-round aggregations (groupBy(src,lbl), then groupBy(src))
+    // run exchange-free — zero |E|-row shuffles per round. Above the
+    // gate the original shuffle-join plan runs unchanged.
+    val nodes0 = e.select(col("src").as("node")).distinct()
+    val bc = bcGate(nodes0.count())
+    var labels = nodes0.withColumn("lbl", col("node"))
     var prevSnap: DataFrame = null
     for (_ <- 1 to iters) {
       // eager localCheckpoint round snapshot + previous-round release
@@ -519,14 +556,14 @@ object Graph {
       if (prevSnap != null) unpersistSnapshot(prevSnap)
       prevSnap = cur
       val best = e
-        .join(cur.select(col("node").as("dst"), col("lbl")), "dst")
+        .join(bc(cur.select(col("node").as("dst"), col("lbl"))), "dst")
         .groupBy(col("src").as("node"), col("lbl"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("node"))
         .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("m"))
         .select(col("node"), (-col("m.neg")).as("lbl"))
       labels = cur.select(col("node"), col("lbl").as("prev"))
-        .join(best, Seq("node"), "left")
+        .join(bc(best), Seq("node"), "left")
         .select(col("node"), coalesce(col("lbl"), col("prev")).as("lbl"))
     }
     labels.select(col("node"), col("lbl").as("community"))
@@ -572,6 +609,9 @@ object Graph {
         col("w")))
       .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
       .cache()
+    // node-state broadcast gate — see pageRankExact (the count also
+    // materializes the cache before the loop)
+    val bc = bcGate(e.count())
     // attribute-derived seed — see bfsDistances
     var dist = e.sparkSession.range(1)
       .select((col("id") + lit(source)).as("node"), col("id").as("dist"))
@@ -582,7 +622,7 @@ object Graph {
       val cur = dist.localCheckpoint(true)
       if (prevSnap != null) unpersistSnapshot(prevSnap)
       prevSnap = cur
-      val relaxed = e.join(cur.withColumnRenamed("node", "src"), "src")
+      val relaxed = e.join(bc(cur.withColumnRenamed("node", "src")), "src")
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
       dist = cur.select(col("node"), col("dist")).union(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
@@ -603,6 +643,9 @@ object Graph {
     var seen = e.sparkSession.range(1)
       .select((col("id") + lit(source)).as("node"), col("id").as("dist"))
     var frontier = seen
+    // frontier/seen broadcast gate — see pageRankExact (the count also
+    // materializes the cache before the loop)
+    val bc = bcGate(e.count())
     var prevS: DataFrame = null
     var prevF: DataFrame = null
     for (k <- 1 to maxHops) {
@@ -613,9 +656,9 @@ object Graph {
       val f = frontier.localCheckpoint(true)
       if (prevS != null) { unpersistSnapshot(prevS); unpersistSnapshot(prevF) }
       prevS = s; prevF = f
-      val fresh = e.join(f.select(col("node").as("src")), "src")
+      val fresh = e.join(bc(f.select(col("node").as("src"))), "src")
         .select(col("dst").as("node")).distinct()
-        .join(s, Seq("node"), "left_anti")
+        .join(bc(s), Seq("node"), "left_anti")
         .withColumn("dist", lit(k.toLong))
       seen = s.union(fresh)
       frontier = fresh
@@ -666,14 +709,20 @@ object Graph {
     // is disk-backed: pressure can spill it, never recompute it.
     var adj = sym.localCheckpoint(true)
     var size = adj.count() // cheap: reads the materialized snapshot
+    // the per-round survivor set is one row per node — below the gate
+    // both restriction semi joins become map-side hash joins and no
+    // |E|-row exchange remains in the round (see pageRankExact)
+    val bc = bcGate(size)
     var converged = false
     for (_ <- 1 to rounds if !converged) {
       val keep = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("u"))
-      val next = adj.join(keep, Seq("u"), "left_semi")
-        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+        .localCheckpoint(true) // consumed by BOTH semi joins below
+      val next = adj.join(bc(keep), Seq("u"), "left_semi")
+        .join(bc(keep.select(col("u").as("v"))), Seq("v"), "left_semi")
         .select(col("u"), col("v")).localCheckpoint(true)
       val nextSize = next.count()
+      unpersistSnapshot(keep) // dead once `next` is materialized
       if (nextSize == size) {
         // fixpoint: every remaining round is a no-op — skip them (the
         // result is IDENTICAL to running all `rounds`, just cheaper);
@@ -805,13 +854,22 @@ object Graph {
 
   private def modularityCore(und: DataFrame, deg: DataFrame, m: DataFrame,
                              communities: DataFrame): DataFrame = {
+    // The community table is consumed THREE times below (deg join +
+    // both endpoints of the intra join); before round 11 each
+    // consumer re-evaluated the whole upstream plan — for q307 that
+    // re-ran the final label-propagation round twice more. One eager
+    // node-sized snapshot + the broadcast gate (see pageRankExact)
+    // turns the endpoint joins map-side, so the edge list never
+    // crosses an exchange before the community-keyed aggregation.
     val comm = communities.select(col("node"), col("community"))
-    val dc = deg.join(comm, Seq("node"))
+      .localCheckpoint(true)
+    val bc = bcGate(comm.count())
+    val dc = deg.join(bc(comm), Seq("node"))
       .groupBy(col("community"))
       .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("total_deg"))
     val intra = und
-      .join(comm.select(col("node").as("a"), col("community").as("ca")), "a")
-      .join(comm.select(col("node").as("b"), col("community").as("cb")), "b")
+      .join(bc(comm.select(col("node").as("a"), col("community").as("ca"))), "a")
+      .join(bc(comm.select(col("node").as("b"), col("community").as("cb"))), "b")
       .filter(col("ca") === col("cb"))
       .groupBy(col("ca").as("community")).agg(count(lit(1)).as("intra_edges"))
     dc.join(intra, Seq("community"), "left")
@@ -868,6 +926,10 @@ object Graph {
       .filter(col("u") =!= col("v"))
     var e = e0.distinct().cache()
     var fp = fingerprint(e)
+    // per-node min tables (lMin/sMin) ride the broadcast gate (see
+    // pageRankExact); edge count only shrinks across rounds, so gating
+    // once on the initial count is conservative
+    val bc = bcGate(fp._1)
     var converged = false
     for (_ <- 1 to maxRounds if !converged) {
       // large-star: strictly-larger neighbors hop to the local min
@@ -875,13 +937,17 @@ object Graph {
       val lMin = sym.groupBy(col("u").as("c"))
         .agg(min(col("v")).as("nmin"))
         .select(col("c"), least(col("c"), col("nmin")).as("m"))
-      val large = sym.join(lMin, sym("u") === lMin("c"))
+      val large = sym.join(bc(lMin), sym("u") === lMin("c"))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v")).distinct()
-      // small-star: orient larger→smaller, small neighbors join min
+      // small-star: orient larger→smaller, small neighbors join min.
+      // Snapshot the orientation ONCE: it feeds both sMin and the
+      // re-attach join below — unmaterialized, the whole large-star
+      // phase (join + distinct) re-evaluated under each consumer
+      // (guide §1.2), doubling every round's heavy work.
       val oriented = large.select(greatest(col("u"), col("v")).as("u"),
-        least(col("u"), col("v")).as("v"))
+        least(col("u"), col("v")).as("v")).localCheckpoint(true)
       val sMin = oriented.groupBy(col("u").as("c")).agg(min(col("v")).as("m"))
       // eager localCheckpoint = materialize AND truncate lineage: the
       // loop body references `e` three times, so without truncation
@@ -889,12 +955,13 @@ object Graph {
       // (On a multi-node cluster this would be a reliable checkpoint
       // to the cluster FS every few rounds — the same discipline the
       // PageRank scaladoc above notes.)
-      val small = oriented.join(sMin, oriented("u") === sMin("c"))
+      val small = oriented.join(bc(sMin), oriented("u") === sMin("c"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
         .union(sMin.select(col("c").as("u"), col("m").as("v")))
         .distinct().localCheckpoint(true)
       val nextFp = fingerprint(small) // O(1) rows back off the checkpoint
+      unpersistSnapshot(oriented) // dead once `small` is materialized
       // unpersistSnapshot, not Dataset.unpersist (round-11): the
       // latter only touches the SQL cache, so every round's checkpoint
       // blocks were silently retained despite the unpersist call here

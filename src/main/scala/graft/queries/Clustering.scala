@@ -171,8 +171,8 @@ object Clustering {
     // the q19-proven TF-IDF CTEs. A7/M2/T6's float-convergence fit
     // stays a library entry (ClusterSpec).
     "q22_kmeans_sparse" -> ((s, d) => {
-      val (ex, cFinal) = exactSparseFit(s, d)
-      KMeansSparse.assignExactFrames(ex, cFinal, SparseK)
+      val (ex, nrm, cFinal) = exactSparseFit(s, d)
+      KMeansSparse.assignExactFramesPre(nrm, ex, cFinal, SparseK)
         .groupBy(col("cluster")).agg(count(lit(1)).as("n_docs"))
         .orderBy(col("cluster"))
     }),
@@ -183,8 +183,8 @@ object Clustering {
     // incl. the tie-break replays cross-engine.
     "q23_kmeans_topterms" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val (ex, cFinal) = exactSparseFit(s, d)
-      val a = KMeansSparse.assignExactFrames(ex, cFinal, SparseK)
+      val (ex, nrm, cFinal) = exactSparseFit(s, d)
+      val a = KMeansSparse.assignExactFramesPre(nrm, ex, cFinal, SparseK)
       val w = Window.partitionBy(col("cluster"))
         .orderBy(col("s9").desc, col("term"))
       ex.join(a, "id")
@@ -222,7 +222,7 @@ object Clustering {
     * centroid frame after [[SparseIters]] exact Lloyd iterations from
     * the [[SparseK]] min-id seeds. */
   private def exactSparseFit(s: SparkSession,
-                             d: String): (DataFrame, DataFrame) = {
+                             d: String): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val dv = docVectors(s, d)
     val ex = dv.select(col("doc_id").as("id"),
@@ -233,7 +233,12 @@ object Clustering {
       .select(col("doc_id"), col("cidx"))
     val c0 = ex.join(broadcast(seedIdx), ex("id") === seedIdx("doc_id"))
       .select(col("cidx"), col("term"), col("v").as("cv"))
-    (ex, KMeansSparse.fitExactFrames(ex, c0, SparseK, SparseIters))
+    // ONE doc-norm snapshot serves the fit's rounds AND the caller's
+    // final assignment (round-11 — norms are centroid-invariant; the
+    // old shape recomputed the O(nnz) norm shuffle 3× per query)
+    val nrm = KMeansSparse.docNorms(ex).localCheckpoint(true)
+    (ex, nrm,
+      KMeansSparse.fitExactFrames(ex, c0, SparseK, SparseIters, nrm0 = nrm))
   }
 
   /** DuckDB mirror of [[KMeans2D.fitExact]]: `maxIter` unrolled Lloyd
