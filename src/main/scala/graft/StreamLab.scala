@@ -54,7 +54,15 @@ object StreamLab {
     // residue hypothesis "earlier streaming queries inflate the late
     // isolated pass" made directly measurable.
     if (args.length > 3 && args(3).startsWith("group")) {
-      val passes = args(3).stripPrefix("group").toIntOption.getOrElse(1)
+      // "group2" = 2 passes, unbounded pool; "group2p6" = 2 passes on a
+      // 6-thread pool (the §2.6 bounded-in-flight experiment) — prints
+      // the GROUP WALL per pass so pool sizes can be A/B'd directly
+      val spec = args(3).stripPrefix("group")
+      val (passes, pool) = spec.split("p") match {
+        case Array(n, p) => (n.toInt, p.toInt)
+        case Array(n) if n.nonEmpty => (n.toInt, 0)
+        case _ => (1, 0)
+      }
       val group = Seq("q41_stream_hourly", "q42_stream_sessionize",
         "q57_stream_dedup", "q64_stream_stream_join", "q101_stream_static_join",
         "q107_stream_session_window", "q122_stream_cdc_upsert",
@@ -65,19 +73,32 @@ object StreamLab {
         "q359_stream_url_frontier")
       import scala.concurrent.{Await, Future, ExecutionContext}
       import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext = ExecutionContext.global
+      // daemon threads: a plain fixed pool is non-daemon and keeps the
+      // JVM alive after main() returns
+      implicit val ec: ExecutionContext =
+        if (pool <= 0) ExecutionContext.global
+        else ExecutionContext.fromExecutorService(
+          java.util.concurrent.Executors.newFixedThreadPool(pool, r => {
+            val t = new Thread(r); t.setDaemon(true); t
+          }))
       (1 to passes).foreach { p =>
-        Await.result(Future.sequence(group.map { n => Future {
+        val w0 = System.nanoTime()
+        val walls = Await.result(Future.sequence(group.map { n => Future {
           val s = spark.newSession()
+          val t0 = System.nanoTime()
           try SparkEntry.queries(n)(s, sfDir)
             .write.mode("overwrite").format("noop").save()
           catch { case e: Throwable => println(s"contam $n: ${e.getMessage}") }
+          val sec = (System.nanoTime() - t0) / 1e9
           try s.catalog.listTables().collect()
             .filter(t => t.isTemporary && t.name.startsWith("stream_"))
             .foreach(t => s.catalog.dropTempView(t.name))
           catch { case _: Throwable => () }
+          n -> sec
         } }), Duration.Inf)
-        println(s"group pass $p done, heap used ${(Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) / 1048576} MB")
+        val wall = (System.nanoTime() - w0) / 1e9
+        println(f"group pass $p pool=$pool wall=$wall%.2f s, rows: " +
+          walls.map { case (n, sec) => f"$n=$sec%.1f" }.mkString(" "))
       }
     }
     // contamination arm D: a full BATCH suite pass on the root session

@@ -395,14 +395,18 @@ object MlEval {
   def poissonBootstrap(df: DataFrame, groupCol: String, idCol: String,
                        vCol: String, reps: Int = 50): DataFrame = {
     require(reps >= 1, "need at least one replicate")
-    val thr = PoissonThresholds24.mkString("array(", "L,", "L)")
+    // flat IF-sum, not aggregate(array, …): a higher-order-function
+    // fold is excluded from whole-stage codegen and was evaluated
+    // interpreted per (row × replicate); the unrolled 9-term sum is
+    // the identical arithmetic inside codegen (round-11, guide §4)
+    val wSum = PoissonThresholds24
+      .map(t => s"IF(u >= ${t}L, 1L, 0L)").mkString(" + ")
     df.select(col(groupCol).as("g"), col(idCol).cast("string").as("id"),
         col(vCol).cast("long").as("x"))
       .withColumn("rep", explode(sequence(lit(1), lit(reps))))
       .withColumn("u", expr(
         "cast(conv(substring(md5(concat(id, ':', rep)), 1, 6), 16, 10) as bigint)"))
-      .withColumn("w", expr(
-        s"aggregate($thr, 0L, (acc, t) -> acc + IF(u >= t, 1L, 0L))"))
+      .withColumn("w", expr(wSum))
       .groupBy(col("g"), col("rep"))
       .agg(sum(col("w")).as("n_eff"), sum(col("w") * col("x")).as("wsum"))
       .select(col("g").as(groupCol), col("rep").cast("long").as("rep"),
@@ -513,10 +517,15 @@ object MlEval {
       .select(col("a.g").as("g"), col("a.ng").as("ng"),
         ((col("b.y") - col("a.y")).cast("double") /
           (col("b.x") - col("a.x")).cast("double")).as("slope"))
+    // rank FIRST, count SECOND (round-11, guide §2.4): the ranking
+    // window's (g, slope) sort satisfies the unordered count window's
+    // (g) sort prefix, so the count pass reuses the existing order —
+    // the original count-then-rank order paid a SECOND full sort of
+    // the O(Σn²) slope table. Same exchange, same values.
     val ranked = slopes
-      .withColumn("np", count(lit(1)).over(Window.partitionBy(col("g"))))
       .withColumn("rk", row_number().over(Window.partitionBy(col("g"))
         .orderBy(col("slope"))))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy(col("g"))))
     ranked.filter(col("rk").cast("long") === expr("(np + 1L) div 2L"))
       .select(col("g"), col("ng").as("n_points"),
         col("np").cast("long").as("n_pairs"),

@@ -1228,7 +1228,10 @@ object TextAnalysis {
       cov.count()
       if (persisted != null) persisted.unpersist(blocking = false)
       persisted = cov
-      val top = tok.join(cov, Seq("tok"), "left_anti")
+      // covered is bounded by the k selected docs' shingle sets —
+      // broadcast the anti side so the corpus shingle table never
+      // shuffles per round (guide §3.1; k·|doc| entries by construction)
+      val top = tok.join(broadcast(cov), Seq("tok"), "left_anti")
         .groupBy(col("id")).agg(count(lit(1)).as("gain"))
         .orderBy(col("gain").desc, col("id")).limit(1)
         .collect()
