@@ -57,6 +57,69 @@ object VectorKernelsImpl {
     s
   }
 
+  /** `round(v)` exactly as Spark's `Round` on DoubleType (BigDecimal
+    * HALF_UP) followed by a truncating long cast — byte-identical to
+    * the SQL `cast(round(v) as long)` these kernels replace, so a
+    * query swapped onto a kernel keeps its oracle hash. (The older
+    * [[roundAway]] kernels use Math.round — fine for their own
+    * oracles, but NOT interchangeable with SQL `round`.) */
+  @inline private def roundHalfUp0(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+
+  @inline private def elem(a: ArrayData, isFloat: Boolean, i: Int): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  /** Σ_i round((a(i)−b(i))²·1e9) as long — the scaled-long centroid
+    * distance of the IVF family, previously a zip_with+aggregate
+    * HOF fold (interpreted per element; round-11, guide §4). Same
+    * left-to-right order and HALF_UP rounding as the SQL form. */
+  def sqDistScaled9(a: ArrayData, aF: Boolean, b: ArrayData, bF: Boolean): Long = {
+    val n = a.numElements(); var s = 0L; var i = 0
+    while (i < n) {
+      val d = elem(a, aF, i) - elem(b, bF, i)
+      s += roundHalfUp0(d * d * Scale)
+      i += 1
+    }
+    s
+  }
+
+  /** Σ_i round(a(i)²·1e9) as long with SQL-round semantics (the
+    * q264 energy denominator — see [[roundHalfUp0]]). */
+  def normSqScaled9HalfUp(a: ArrayData, aF: Boolean): Long = {
+    val n = a.numElements(); var s = 0L; var i = 0
+    while (i < n) { val v = elem(a, aF, i); s += roundHalfUp0(v * v * Scale); i += 1 }
+    s
+  }
+
+  /** Plain IEEE Σ_i (a(i)−b(i))² double, left-to-right — the
+    * distributed probe planner's centroid distance. */
+  def sqDistPlain(a: ArrayData, aF: Boolean, b: ArrayData, bF: Boolean): Double = {
+    val n = a.numElements(); var s = 0.0; var i = 0
+    while (i < n) { val d = elem(a, aF, i) - elem(b, bF, i); s = s + d * d; i += 1 }
+    s
+  }
+
+  /** Portable md5-Rademacher LSH bucket: r9_i = round(v_i·1e9) (SQL
+    * HALF_UP), proj_p = Σ_i r9_i·signs(p)(i) in long, bucket =
+    * Σ_p 1[proj_p > 0]·2^p — the whole per-row transform +
+    * planes×(zip_with+aggregate) HOF chain as ONE codegen call. */
+  def portableLshBucket(a: ArrayData, aF: Boolean,
+                        signs: Array[Array[Long]]): Long = {
+    val n = a.numElements()
+    val r9 = new Array[Long](n)
+    var i = 0
+    while (i < n) { r9(i) = roundHalfUp0(elem(a, aF, i) * Scale); i += 1 }
+    var bucket = 0L; var p = 0
+    while (p < signs.length) {
+      val sp = signs(p); var s = 0L; var j = 0
+      while (j < n) { s += r9(j) * sp(j); j += 1 }
+      if (s > 0) bucket += (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
   /** Σ_i (a(i)−b(i))² over int code arrays — EXACT long arithmetic
     * (the asymmetric-free SQ8 candidate distance: all-integer, so any
     * engine computes the identical value). */
@@ -253,6 +316,81 @@ case class NormSqScaled(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Scaled-long squared distance Σ round((a−b)²·1e9) (LongType out) —
+  * SQL-round semantics, see VectorKernelsImpl.roundHalfUp0. */
+case class SqDistScaled9(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorKernels.checkFloatArray(left, "sqdist_scaled9") match {
+      case TypeCheckResult.TypeCheckSuccess =>
+        VectorKernels.checkFloatArray(right, "sqdist_scaled9")
+      case f => f
+    }
+  private def aF = VectorKernels.isFloat(left)
+  private def bF = VectorKernels.isFloat(right)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernelsImpl.sqDistScaled9(
+      a.asInstanceOf[ArrayData], aF, b.asInstanceOf[ArrayData], bF)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernelsImpl.sqDistScaled9($a, $aF, $b, $bF)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Plain IEEE squared distance Σ (a−b)² (DoubleType out). */
+case class SqDistPlain(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorKernels.checkFloatArray(left, "sqdist_plain") match {
+      case TypeCheckResult.TypeCheckSuccess =>
+        VectorKernels.checkFloatArray(right, "sqdist_plain")
+      case f => f
+    }
+  private def aF = VectorKernels.isFloat(left)
+  private def bF = VectorKernels.isFloat(right)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernelsImpl.sqDistPlain(
+      a.asInstanceOf[ArrayData], aF, b.asInstanceOf[ArrayData], bF)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernelsImpl.sqDistPlain($a, $aF, $b, $bF)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Σ round(a²·1e9) with SQL-round semantics (LongType out). */
+case class NormSqScaled9(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorKernels.checkFloatArray(child, "normsq_scaled9")
+  private def aF = VectorKernels.isFloat(child)
+  override def nullSafeEval(a: Any): Any =
+    VectorKernelsImpl.normSqScaled9HalfUp(a.asInstanceOf[ArrayData], aF)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.VectorKernelsImpl.normSqScaled9HalfUp($a, $aF)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Portable md5-Rademacher LSH bucket of a vector (LongType out);
+  * the sign matrix rides inside the expression as a reference object. */
+case class PortableLshBucketExpr(child: Expression, signs: Array[Array[Long]])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorKernels.checkFloatArray(child, "portable_lsh_bucket")
+  private def aF = VectorKernels.isFloat(child)
+  override def nullSafeEval(a: Any): Any =
+    VectorKernelsImpl.portableLshBucket(a.asInstanceOf[ArrayData], aF, signs)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshSigns", signs, "long[][]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.VectorKernelsImpl.portableLshBucket($a, $aF, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Equal-position count between two array<long> minhash signatures. */
 case class SigMatches(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = IntegerType
@@ -347,6 +485,22 @@ object VectorFunctions {
   /** Bit-deterministic scaled squared norm (long). */
   def normSqScaled(a: Column): Column =
     Bridge.column(NormSqScaled(Bridge.expression(a)))
+
+  /** Scaled-long squared distance with SQL-round semantics. */
+  def sqDistScaled9(a: Column, b: Column): Column =
+    Bridge.column(SqDistScaled9(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Plain IEEE squared distance (double). */
+  def sqDistPlain(a: Column, b: Column): Column =
+    Bridge.column(SqDistPlain(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Scaled squared norm with SQL-round semantics (long). */
+  def normSqScaled9(a: Column): Column =
+    Bridge.column(NormSqScaled9(Bridge.expression(a)))
+
+  /** Portable md5-Rademacher LSH bucket. */
+  def portableLshBucket(vec: Column, signs: Array[Array[Long]]): Column =
+    Bridge.column(PortableLshBucketExpr(Bridge.expression(vec), signs))
 
   /** MinHash signature column. */
   def minhashSig(shingles: Column, numHashes: Int): Column =

@@ -126,10 +126,11 @@ object IvfIndex {
     // join would plan as BroadcastNestedLoopJoin, while the generate is
     // joinless and keeps the probe-ranking stage a pure map+window.
     val csLit = typedlit(cs.map(_.toSeq).toSeq)
-    val dist = aggregate(
-      zip_with(col("qvec"), col("centroid"),
-        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-      lit(0.0), (acc, x) => acc + x)
+    // native codegen kernel (round-11, guide §4): the zip_with +
+    // aggregate HOF fold ran interpreted per (query × centroid ×
+    // dim); identical left-to-right IEEE sum
+    val dist = graft.functions.VectorFunctions.sqDistPlain(
+      col("qvec"), col("centroid"))
     val pw = Window.partitionBy(col("query_id"))
       .orderBy(col("dist"), col("bucket"))
     val probes = queries
@@ -175,19 +176,19 @@ object IvfIndex {
       .map(_.getSeq[Float](0).map(_.toDouble))
       .zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
     val csLit = typedlit(cents)
-    val diff2 = zip_with(col("vec"), col("c._2"), (x, y) =>
-      round((x.cast("double") - y) * (x.cast("double") - y) * lit(1e9))
-        .cast("long"))
     val w = Window.partitionBy(col("id")).orderBy(col("d29"), col("bucket"))
     // one ranked table serves both sides: pr = 1 is the assignment,
-    // pr <= nProbe the probe plan
+    // pr <= nProbe the probe plan. d29 via the native kernel (same
+    // HALF_UP rounding and fold order as the HOF form it replaces —
+    // round-11, guide §4)
     val ranked = df
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
         sqrt(Similarity.normSqExact(col(vecCol))).as("nrm"),
         queriesFilter.as("isq"))
       .select(col("id"), col("vec"), col("nrm"), col("isq"),
         explode(csLit).as("c"))
-      .withColumn("d29", aggregate(diff2, lit(0L), (acc, x) => acc + x))
+      .withColumn("d29", graft.functions.VectorFunctions.sqDistScaled9(
+        col("vec"), col("c._2")))
       .select(col("id"), col("vec"), col("nrm"), col("isq"),
         col("c._1").as("bucket"), col("d29"))
       .withColumn("pr", row_number().over(w))

@@ -85,11 +85,11 @@ object Quantize {
     df.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
       .join(deq, Seq(idCol))
       .select(col(idCol),
-        expr("aggregate(zip_with(v, vec_q, (a, b) -> " +
-          "cast(round((a - b) * (a - b) * 1000000000) as long)), " +
-          "0L, (acc, e) -> acc + e)").as("sse9"),
-        expr("aggregate(v, 0L, (acc, a) -> " +
-          "acc + cast(round(a * a * 1000000000) as long))").as("norm9"))
+        // native kernels — identical HALF_UP rounding and fold order
+        // as the HOF folds they replace (round-11, guide §4)
+        graft.functions.VectorFunctions.sqDistScaled9(col("v"), col("vec_q"))
+          .as("sse9"),
+        graft.functions.VectorFunctions.normSqScaled9(col("v")).as("norm9"))
       .withColumn("rel9", when(col("norm9") === 0, lit(null))
         .otherwise(round(col("sse9").cast("double") /
           col("norm9").cast("double"), 9)))

@@ -205,17 +205,14 @@ object Similarity {
     }
     // dims are keyed 1-based to line up with SQL generate_subscripts
     val signs = Array.tabulate(planes, dim)((p, i) => sign(p, i + 1))
-    val r9 = transform(col(vecCol),
-      x => round(x.cast("double") * lit(1e9)).cast("long"))
-    val bucketCol = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(col("r9"), typedlit(signs(p).toSeq), (a, s) => a * s),
-        lit(0L), (acc, x) => acc + x)
-      (proj > 0).cast("long") * lit(1L << p)
-    }.reduce(_ + _)
+    // one native codegen call per row (round-11, guide §4): the
+    // transform + planes×(zip_with+aggregate) HOF chain ran
+    // interpreted per (row × plane × dim); identical r9 rounding,
+    // long fold order, and >0 bucket-bit rule
     val bucketed = fanOut(df).select(col(idCol), col(vecCol),
-        sqrt(normSqExact(col(vecCol))).as("nrm"), r9.as("r9"))
-      .select(col(idCol), col(vecCol), col("nrm"), bucketCol.as("bucket"))
+        sqrt(normSqExact(col(vecCol))).as("nrm"),
+        graft.functions.VectorFunctions.portableLshBucket(
+          col(vecCol), signs).as("bucket"))
     val a = bucketed.select(col("bucket"), col(idCol).as("id_a"),
       col(vecCol).as("va"), col("nrm").as("na"))
     val b = bucketed.select(col("bucket"), col(idCol).as("id_b"),
@@ -460,14 +457,14 @@ object Similarity {
     // per-vector ranked centroid distances: pr = 1 is the list
     // assignment, pr <= nProbe the probe plan — one table serves both
     def ranked(df: DataFrame): DataFrame = {
-      val diff2 = zip_with(col("vec"), col("c._2"), (x, y) =>
-        round((x.cast("double") - y) * (x.cast("double") - y) * lit(1e9))
-          .cast("long"))
       val w = Window.partitionBy(col("id")).orderBy(col("d29"), col("bucket"))
+      // d29 via the native kernel — identical HALF_UP rounding and
+      // fold order as the zip_with+aggregate HOF it replaces (guide §4)
       fanOut(df).select(col(idCol).as("id"), col(vecCol).as("vec"),
           sqrt(normSqExact(col(vecCol))).as("nrm"))
         .select(col("id"), col("vec"), col("nrm"), explode(csLit).as("c"))
-        .withColumn("d29", aggregate(diff2, lit(0L), (acc, x) => acc + x))
+        .withColumn("d29", graft.functions.VectorFunctions.sqDistScaled9(
+          col("vec"), col("c._2")))
         .select(col("id"), col("vec"), col("nrm"),
           col("c._1").as("bucket"), col("d29"))
         .withColumn("pr", row_number().over(w))
