@@ -45,13 +45,23 @@ object NaiveBayes {
     *         scaled log-posterior, `correct` ∈ {0,1}. */
   def classify(df: DataFrame, idCol: String, textCol: String,
                classCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("id"), col(classCol).as("cls"),
+    // ONE tokenize pass (round-11, guide §2): dt is the only consumer
+    // of the exploded token stream; lt folds FROM dt (Σ per-doc counts
+    // grouped by the doc's class ≡ the direct (class, term) count —
+    // identical integers, one explode instead of two). The eager
+    // snapshot stops dt's tokenize+agg subtree replaying in its three
+    // consumers (docTot, seen, lt); values are unchanged.
+    val tok = df.select(col(idCol).as("id"),
       explode(toks(col(textCol))).as("term"))
     val dt = tok.groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val docTot = dt.groupBy(col("id")).agg(sum(col("cnt")).as("t_d"))
-    val lt = tok.groupBy(col("cls"), col("term"))
-      .agg(count(lit(1)).as("c"))
+    val docCls = df.select(col(idCol).as("id"), col(classCol).as("cls"))
+    val lt = dt.join(docCls, Seq("id"))
+      .groupBy(col("cls"), col("term"))
+      .agg(sum(col("cnt")).as("c"))
+      .localCheckpoint(true)
     val nl = lt.groupBy(col("cls")).agg(sum(col("c")).as("n"))
     val vocab = lt.select(col("term")).distinct()
       .agg(count(lit(1)).as("v"))

@@ -54,11 +54,15 @@ object Recommend {
       .filter(col("u").isNotNull && col("item").isNotNull)
       .distinct()
     // prolific-user pruning: one (user) agg, rejoin, filter — bounds
-    // the pair stage at cap² rows per user
+    // the pair stage at cap² rows per user. Eager snapshot (round-11,
+    // guide §2): `kept` feeds THREE consumers (degrees + both sides
+    // of the per-user pair self-join) — unsnapshotted, the upstream
+    // distinct + cap join replays in each.
     val kept = inter.join(
       inter.groupBy(col("u")).agg(count(lit(1)).as("nu"))
         .filter(col("nu") <= maxUserItems).select(col("u")),
       Seq("u"))
+      .localCheckpoint(true)
     val deg = kept.groupBy(col("item")).agg(count(lit(1)).as("deg"))
     val co = kept.as("a")
       .join(kept.as("b"), col("a.u") === col("b.u")
@@ -119,16 +123,27 @@ object Recommend {
       .agg(min(struct(col("ord"), col("tie"))).as("f"))
       .select(col("u"), col("item"), col("f.ord").as("ord"),
         col("f.tie").as("tie"))
+    // Eager snapshots (round-11, guide §2 — compute once, reuse):
+    // without them the whole upstream subtree (events scan + JSON
+    // parse + the firsts agg + the split window) replays inside EVERY
+    // consumer — `test` twice and `train` FOUR times (similarity
+    // build, candidate join, seen-filter, evaluated count): 62 scans /
+    // 146 Exchanges in the unsnapshotted q206 plan. Both are bounded:
+    // test is one row per user, train the distinct train-period
+    // (user, item) pairs. Values are unchanged — the snapshot only
+    // materializes the same deterministic result.
     val test = firsts
       .withColumn("rn", row_number().over(Window.partitionBy(col("u"))
         .orderBy(col("ord").desc, col("tie").desc)))
       .filter(col("rn") === 1)
       .select(col("u"), col("item").as("test_item"),
         col("ord").as("t_ord"), col("tie").as("t_tie"))
+      .localCheckpoint(true)
     val train = inter.join(test, Seq("u"))
       .filter(col("ord") < col("t_ord")
         || (col("ord") === col("t_ord") && col("tie") < col("t_tie")))
       .select(col("u"), col("item")).distinct()
+      .localCheckpoint(true)
     val sim = itemItemCosine(train, "u", "item", maxUserItems, simTopN)
       .select(col("item"), col("neighbor"),
         graft.util.Exact.scaled(col("cosine9"), 9).as("sim9"))
