@@ -812,12 +812,19 @@ object Dedup {
   def segmentDedup(df: DataFrame, idCol: String, textCol: String,
                    segWords: Int = 8): DataFrame = {
     require(segWords >= 1, "need segWords >= 1")
-    val toks = split(col(textCol), "\\s+")
+    // tokenize ONCE into an attribute (round-11, guide §4): the
+    // transform lambda below references the token array per segment,
+    // and a raw `split(text)` Column there re-ran the regex split for
+    // EVERY segment — O(words²/segWords) characters per document.
+    // An attribute reference makes it one split per doc.
+    val withArr = df.select(col(idCol),
+      split(col(textCol), "\\s+").as("_toks"))
+    val toks = col("_toks")
     // ≥1 even for a hypothetical empty token array: Spark's sequence()
     // DESCENDS when stop < start, which would fabricate segments.
     val nSegs = greatest(lit(1L),
       ceil(size(toks).cast("double") / segWords).cast("long"))
-    val segs = df.select(col(idCol),
+    val segs = withArr.select(col(idCol),
       posexplode(transform(sequence(lit(0L), nSegs - 1),
         i => concat_ws(" ",
           slice(toks, (i * segWords).cast("int") + 1, lit(segWords)))))

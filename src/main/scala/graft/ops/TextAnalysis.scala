@@ -1108,8 +1108,14 @@ object TextAnalysis {
     * Two key-shuffles ((doc,term) grid then doc), both partial-agg;
     * N rides the grouping key from the narrow pass (no totals join). */
   def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), size(toks(col(textCol))).cast("long").as("n_tok"),
-        explode(toks(col(textCol))).as("tok"))
+    // tokenize ONCE (round-11, guide §4): `size(toks)` beside
+    // `explode(toks)` ran the regex split twice per document —
+    // materializing the array in a lower project halves the split
+    // work (CollapseProject keeps the alias: it is non-cheap and
+    // referenced twice, and the Generate blocks collapse anyway)
+    df.select(col(idCol), toks(col(textCol)).as("arr"))
+      .select(col(idCol), size(col("arr")).cast("long").as("n_tok"),
+        explode(col("arr")).as("tok"))
       .groupBy(col(idCol), col("n_tok"), col("tok"))
       .agg(count(lit(1)).as("c"))
       .withColumn("lnp9", graft.util.Exact.scaled(
