@@ -103,14 +103,15 @@ object Bench {
       import scala.concurrent.duration.Duration
       // bounded in-flight (round-11, guide §2.6 "2-3 jobs in flight is
       // plenty"): all 17 at once mutually inflated every row's wall
-      // 2-3× (A/B at pool=6: group wall 8.7→9.1 s equal, per-row walls
-      // 5.4-8.7 s → 1.0-5.4 s) — enough overlap to hide the fixed
-      // query-start/state-store costs, not so much that 17 state-store
-      // inits fight for the same cores. Daemon threads so the pool
-      // never pins the JVM.
+      // 2-3×. StreamLab A/B over pool sizes (min-of-2 group walls,
+      // fresh JVM each): unbounded 8.00 s with per-row walls 4.9-8.0;
+      // pool=6 10.88 s (too serialized); pool=10 7.16 s with per-row
+      // walls 1.5-5.7 — enough overlap to hide the fixed query-start/
+      // state-store costs without 17 state-store inits fighting for
+      // the same cores. Daemon threads so the pool never pins the JVM.
       implicit val ec: ExecutionContext =
         ExecutionContext.fromExecutorService(
-          java.util.concurrent.Executors.newFixedThreadPool(6, r => {
+          java.util.concurrent.Executors.newFixedThreadPool(10, r => {
             val t = new Thread(r); t.setDaemon(true); t
           }))
       val streamed = Await.result(

@@ -233,6 +233,11 @@ object KMeansParallel {
     val S = 1000000000L
     val spark = exploded.sparkSession
     import spark.implicits._
+    // NOT snapshotted (round-11, measured): callers pass an explode
+    // over an already-cached vector table, so re-deriving ex per
+    // consumer is a narrow in-memory read — an eager snapshot of the
+    // full nnz-row matrix costs MORE than it saves (q24 3.07→5.26 s
+    // when tried; the bounded nrm/centroid tables are what snapshot)
     val ex = exploded.select(col("id"), col("term"), col("v"))
     val nrm = ex.groupBy(col("id"))
       .agg(sum(round(col("v") * col("v") * S).cast("long")).as("nsq9"))
@@ -266,7 +271,9 @@ object KMeansParallel {
       .map { case ((id, _, _), i) => (id, i.toLong) }.toDF("cid", "cidx")
     val cents = ex.join(broadcast(centIdx), ex("id") === centIdx("cid"))
       .select(col("cidx"), col("term"), col("v").as("cv"))
-    val votes = KMeansSparse.assignExactFrames(ex, cents, cands.size)
+    // reuse the norm snapshot — assignExactFrames would re-run the
+    // O(nnz) docNorms shuffle the loop already paid for (round-11)
+    val votes = KMeansSparse.assignExactFramesPre(nrm, ex, cents, cands.size)
       .groupBy(col("cluster")).agg(count(lit(1)).as("w"))
     centIdx.join(votes, centIdx("cidx") === votes("cluster"), "left")
       .select(col("cid").as("cand_id"),

@@ -156,8 +156,12 @@ object Clustering {
         .withColumn("cand_idx",
           (row_number().over(Window.orderBy(col("doc_id"))) - 1).cast("long"))
         .withColumn("w", size(col("vec")).cast("long"))
+      // eager snapshot (round-11, guide §2): the 8-candidate exploded
+      // table feeds five consumers inside reclusterRoundExact, each of
+      // which otherwise replayed the global-window candidate ranking
       val exploded = cands.select(col("cand_idx"), col("w"),
         explode(col("vec")).as(Seq("term", "v")))
+        .localCheckpoint(true)
       KMeansParallel.reclusterRoundExact(exploded, k = 3)
         .orderBy(col("cluster"), col("term"))
     }),
@@ -225,8 +229,13 @@ object Clustering {
                              d: String): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val dv = docVectors(s, d)
+    // eager snapshot (round-11, guide §2): the exploded (id, term, v)
+    // matrix feeds every round's dot/mean aggs, the seed frame, the
+    // norm build, and the caller's final assignment (~7 consumers) —
+    // unsnapshotted, each re-ran the explode over the vector cache
     val ex = dv.select(col("doc_id").as("id"),
       explode(col("vec")).as(Seq("term", "v")))
+      .localCheckpoint(true)
     val seedIdx = dv.orderBy(col("doc_id")).limit(SparseK)
       .withColumn("cidx",
         (row_number().over(Window.orderBy(col("doc_id"))) - 1).cast("long"))

@@ -1269,14 +1269,22 @@ object PipelineOps {
     // is topology-determined, so any consistent id bijection agrees),
     // q105's exact integer recurrence ranks them, TakeOrdered cuts.
     "q205_textrank" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("pos"))
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"),
-          posexplode(split(col("text"), "\\s+")).as(Seq("pos", "tok")))
-      val bi = toks.withColumn("nxt", lead(col("tok"), 1).over(w))
-        .filter(col("nxt").isNotNull && col("tok") =!= col("nxt"))
-        .select(col("tok").as("w1"), col("nxt").as("w2")).distinct()
+      // round-11 (guide §2): adjacent-token bigrams come from a NARROW
+      // sequence+element_at extraction over the split array — the old
+      // posexplode + lead() window paid a full token shuffle+sort per
+      // doc for pairs the array already holds adjacently (identical
+      // pair set, the perplexityScore pattern). The distinct bigram
+      // table and the id-labeled edge list are eager snapshots: each
+      // fed 2-3 consumers that otherwise replayed the tokenize.
+      val bi = Tables.documents(s, d)
+        .select(split(col("text"), "\\s+").as("arr"))
+        .where(size(col("arr")) >= 2)
+        .select(explode(expr("sequence(1, size(arr) - 1)")).as("i"),
+          col("arr"))
+        .select(element_at(col("arr"), col("i")).as("w1"),
+          element_at(col("arr"), col("i") + 1).as("w2"))
+        .filter(col("w1") =!= col("w2")).distinct()
+        .localCheckpoint(true)
       val vocab = bi.select(col("w1").as("tok"))
         .unionAll(bi.select(col("w2").as("tok")))
       val ids = graft.text.Dictionary.denseIdsScalable(vocab, "tok")
@@ -1284,6 +1292,7 @@ object PipelineOps {
         .join(ids.select(col("tok").as("w1"), col("id").as("src")), "w1")
         .join(ids.select(col("tok").as("w2"), col("id").as("dst")), "w2")
         .select(col("src"), col("dst"))
+        .localCheckpoint(true)
       val und = e0.unionAll(e0.select(col("dst").as("src"),
         col("src").as("dst")))
       graft.ops.Graph.pageRankExact(und, iters = 3)
