@@ -50,10 +50,13 @@ object Clustering {
       val fc = TextQueries.filteredCounts(s, d)
       // coalesce: the vector table is small (one row per doc) and feeds
       // ~10 short actions per K-Means run — right-sizing partitions
-      // cuts per-action task overhead (what AQE does for shuffles)
+      // cuts per-action task overhead (what AQE does for shuffles).
+      // Scale-adaptive (round-11, round contract): parallelism/4 keeps
+      // the local[32] value at 8 while a production cluster gets
+      // proportionally more partitions instead of a pinned local tune.
       TfIdf.docVectors(
         TfIdf.tfidf(TfIdf.tf(fc, "doc_id"), TfIdf.idf(fc, "doc_id")), "doc_id")
-        .coalesce(8)
+        .coalesce(math.max(2, s.sparkContext.defaultParallelism / 4))
         .cache()
     })
 

@@ -209,6 +209,10 @@ object EventQueries {
         .withColumn("sid", sum(col("new_s")).over(run))
         .groupBy(col("user_id"), col("sid"))
         .agg(min(col("us")).as("lo"), (max(col("us")) + 1).as("hi"))
+        // eager snapshot (round-11, guide §2): both sides of the
+        // self-overlap-join otherwise replay the full events window
+        // pass — one gaps-and-islands sort instead of two
+        .localCheckpoint(true)
       val a = iv.select(col("user_id").as("user_a"), col("lo").as("lo_a"),
         col("hi").as("hi_a"))
       val b = iv.select(col("user_id").as("user_b"), col("lo").as("lo_b"),
@@ -239,6 +243,9 @@ object EventQueries {
         .withColumn("sid", sum(col("new_s")).over(run))
         .groupBy(col("user_id"), col("sid"))
         .agg(min(col("us")).as("lo"), (max(col("us")) + 1).as("hi"))
+        // eager snapshot (round-11, guide §2): both overlap-join sides
+        // otherwise replay the events gaps-and-islands window pass
+        .localCheckpoint(true)
       val a = iv.select(col("user_id").as("user_a"), col("lo").as("lo_a"),
         col("hi").as("hi_a"))
       val b = iv.select(col("user_id").as("user_b"), col("lo").as("lo_b"),
