@@ -241,7 +241,9 @@ object KMeansParallel {
     val ex = exploded.select(col("id"), col("term"), col("v"))
     val nrm = ex.groupBy(col("id"))
       .agg(sum(round(col("v") * col("v") * S).cast("long")).as("nsq9"))
-      .localCheckpoint(true)
+      // staged (round-12): O(docs) rows — lineage kept for
+      // recompute-on-loss; see graft.util.Snapshots
+      .transform(graft.util.Snapshots.stage)
     val seed = nrm.agg(min(col("id"))).first().getLong(0)
     // (id, round added, d9min at selection) in insertion order
     var cands = Vector[(Long, Int, Long)]((seed, 0, 0L))

@@ -585,9 +585,11 @@ object Dedup {
     val sh = withShingles(df, textCol, shingleN)
       .select(col(idCol).as("id"), explode(col("shingles")).as("s"))
       .select(col("id"), xxhash64(col("s")).as("shingle"))
-      .localCheckpoint(true) // freq + ranked both read it
-    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .localCheckpoint(true) // naive aggregate + rank join
+      // freq + ranked both read it; staged (round-12): O(shingle rows)
+      .transform(graft.util.Snapshots.stage)
+    // naive aggregate + rank join both read it
+    val freq = graft.util.Snapshots.stage(
+      sh.groupBy(col("shingle")).agg(count(lit(1)).as("df")))
     val naive = freq.agg(
       count(lit(1)).as("n_distinct_shingles"),
       sum(col("df")).as("n_shingle_rows"),

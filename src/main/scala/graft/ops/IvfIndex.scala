@@ -192,7 +192,8 @@ object IvfIndex {
       .select(col("id"), col("vec"), col("nrm"), col("isq"),
         col("c._1").as("bucket"), col("d29"))
       .withColumn("pr", row_number().over(w))
-      .localCheckpoint(true) // two consumers below
+      // two consumers below; staged (round-12): O(n·centroids) rows
+      .transform(graft.util.Snapshots.stage)
     val corpus = ranked.filter(col("pr") === 1)
       .select(col("bucket"), col("id").as("neighbor_id"),
         col("vec").as("cvec"), col("nrm").as("cnorm"))

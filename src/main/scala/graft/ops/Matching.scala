@@ -93,9 +93,10 @@ object Matching {
     // (The first cut attached the totals by broadcast cross join and
     // evaluated round(ln(m/u))·10⁹ PER PAIR PER FIELD — 6 ln+decimal
     // ops × 9M pairs dominated the wall at 15 of 19 s.)
-    // localCheckpoint: the caller's blocked pair join would otherwise
-    // re-run end-to-end for the scoring pass (totals is an action)
-    val p = pairs.localCheckpoint(true)
+    // snapshot: the caller's blocked pair join would otherwise re-run
+    // end-to-end for the scoring pass (totals is an action). Staged
+    // (round-12): O(blocked pairs), lineage kept
+    val p = graft.util.Snapshots.stage(pairs)
     val trow = p.agg(
       count(lit(1)).as("t"),
       fields.map { case (f, _) =>

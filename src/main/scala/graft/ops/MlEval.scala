@@ -512,21 +512,34 @@ object MlEval {
     val kept = pts.join(
       pts.groupBy(col("g")).agg(count(lit(1)).as("ng"))
         .filter(col("ng") <= maxGroupSize), Seq("g"))
+    // pair count DERIVED, not window-counted (round-12, guide §2.3):
+    // the pair stage emits exactly the ordered-by-x pairs, so per
+    // group  np = C(ng, 2) − Σ_x C(c_x, 2)  — total unordered row
+    // pairs minus the vertical (equal-x) pairs the join skips; every
+    // remaining pair appears exactly once (the smaller x first). An
+    // exact integer identity computed on the O(n) point table, which
+    // removes (a) the unbounded count-window's second full pass over
+    // the O(Σn²) slope buffer and (b) the ng/np columns from the
+    // slope rows — the ranking exchange now carries (g, slope) only.
+    val npTbl = kept.groupBy(col("g"), col("ng"), col("x"))
+      .agg(count(lit(1)).as("cx"))
+      .groupBy(col("g"), col("ng"))
+      .agg(sum(expr("cx * (cx - 1) div 2")).as("vp"))
+      .select(col("g"), col("ng"),
+        (expr("ng * (ng - 1) div 2") - col("vp")).as("np"))
     val slopes = kept.as("a").join(kept.as("b"),
         col("a.g") === col("b.g") && col("a.x") < col("b.x"))
-      .select(col("a.g").as("g"), col("a.ng").as("ng"),
+      .select(col("a.g").as("g"),
         ((col("b.y") - col("a.y")).cast("double") /
           (col("b.x") - col("a.x")).cast("double")).as("slope"))
-    // rank FIRST, count SECOND (round-11, guide §2.4): the ranking
-    // window's (g, slope) sort satisfies the unordered count window's
-    // (g) sort prefix, so the count pass reuses the existing order —
-    // the original count-then-rank order paid a SECOND full sort of
-    // the O(Σn²) slope table. Same exchange, same values.
+    // the join back is on the window's own partition key over a sorted
+    // stream — no new exchange or sort touches the slope table; npTbl
+    // is O(groups) rows
     val ranked = slopes
       .withColumn("rk", row_number().over(Window.partitionBy(col("g"))
         .orderBy(col("slope"))))
-      .withColumn("np", count(lit(1)).over(Window.partitionBy(col("g"))))
-    ranked.filter(col("rk").cast("long") === expr("(np + 1L) div 2L"))
+    ranked.join(npTbl, Seq("g"))
+      .filter(col("rk").cast("long") === expr("(np + 1L) div 2L"))
       .select(col("g"), col("ng").as("n_points"),
         col("np").cast("long").as("n_pairs"),
         round(col("slope"), 9).as("median_slope9"))

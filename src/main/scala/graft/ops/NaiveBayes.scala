@@ -40,6 +40,12 @@ object NaiveBayes {
     * all — the standard fit-diagnostic run; resubstitution accuracy
     * falls out of the `correct` column).
     *
+    * PRECONDITION: `idCol` must be unique per document (one row, one
+    * class, per id). `lt` folds the (class, term) counts FROM the
+    * per-doc counts through a join on id — a duplicated id (or one id
+    * under two classes) would multiply counts through that join where
+    * the older per-token-row shape counted each token row once.
+    *
     * @return (idCol, cls, pred, score9, correct) — one row per doc;
     *         `cls` is the true label, `score9` the winning class's
     *         scaled log-posterior, `correct` ∈ {0,1}. */
@@ -50,18 +56,18 @@ object NaiveBayes {
     // grouped by the doc's class ≡ the direct (class, term) count —
     // identical integers, one explode instead of two). The eager
     // snapshot stops dt's tokenize+agg subtree replaying in its three
-    // consumers (docTot, seen, lt); values are unchanged.
+    // consumers (docTot, seen, lt); values are unchanged. Round-12:
+    // staged (lineage-retaining) — both tables are O(nnz)-scale.
     val tok = df.select(col(idCol).as("id"),
       explode(toks(col(textCol))).as("term"))
-    val dt = tok.groupBy(col("id"), col("term"))
-      .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+    val dt = graft.util.Snapshots.stage(
+      tok.groupBy(col("id"), col("term"))
+        .agg(count(lit(1)).as("cnt")))
     val docTot = dt.groupBy(col("id")).agg(sum(col("cnt")).as("t_d"))
     val docCls = df.select(col(idCol).as("id"), col(classCol).as("cls"))
-    val lt = dt.join(docCls, Seq("id"))
+    val lt = graft.util.Snapshots.stage(dt.join(docCls, Seq("id"))
       .groupBy(col("cls"), col("term"))
-      .agg(sum(col("cnt")).as("c"))
-      .localCheckpoint(true)
+      .agg(sum(col("cnt")).as("c")))
     val nl = lt.groupBy(col("cls")).agg(sum(col("c")).as("n"))
     val vocab = lt.select(col("term")).distinct()
       .agg(count(lit(1)).as("v"))

@@ -57,18 +57,24 @@ object Recommend {
     // the pair stage at cap² rows per user. Eager snapshot (round-11,
     // guide §2): `kept` feeds THREE consumers (degrees + both sides
     // of the per-user pair self-join) — unsnapshotted, the upstream
-    // distinct + cap join replays in each.
-    val kept = inter.join(
+    // distinct + cap join replays in each. Round-12: staged
+    // (lineage-retaining) instead of localCheckpoint — O(input) rows.
+    val kept = graft.util.Snapshots.stage(inter.join(
       inter.groupBy(col("u")).agg(count(lit(1)).as("nu"))
         .filter(col("nu") <= maxUserItems).select(col("u")),
-      Seq("u"))
-      .localCheckpoint(true)
-    val deg = kept.groupBy(col("item")).agg(count(lit(1)).as("deg"))
-    val co = kept.as("a")
+      Seq("u")))
+    // deg feeds TWO join sides of `scored`; co feeds BOTH unionAll
+    // branches of `sym` — unsnapshotted, the r11 q206 plan physically
+    // re-ran the O(Σ n_u²) per-user pair self-join + aggregation TWICE
+    // (plan nodes 22 and 33) and the degree agg twice, scanning `kept`
+    // six times (round-12, guide §2.4 "remove shuffles outright").
+    val deg = graft.util.Snapshots.stage(
+      kept.groupBy(col("item")).agg(count(lit(1)).as("deg")))
+    val co = graft.util.Snapshots.stage(kept.as("a")
       .join(kept.as("b"), col("a.u") === col("b.u")
         && col("a.item") < col("b.item"))
       .groupBy(col("a.item").as("ia"), col("b.item").as("ib"))
-      .agg(count(lit(1)).as("co"))
+      .agg(count(lit(1)).as("co")))
     val sym = co.select(col("ia").as("item"), col("ib").as("neighbor"),
         col("co"))
       .unionAll(co.select(col("ib").as("item"), col("ia").as("neighbor"),
@@ -131,19 +137,20 @@ object Recommend {
     // 146 Exchanges in the unsnapshotted q206 plan. Both are bounded:
     // test is one row per user, train the distinct train-period
     // (user, item) pairs. Values are unchanged — the snapshot only
-    // materializes the same deterministic result.
-    val test = firsts
+    // materializes the same deterministic result. Round-12: staged
+    // (lineage-retaining persist) instead of localCheckpoint — both
+    // are O(input)-scale, so a lost executor must recompute, not
+    // kill the query (guide §5).
+    val test = graft.util.Snapshots.stage(firsts
       .withColumn("rn", row_number().over(Window.partitionBy(col("u"))
         .orderBy(col("ord").desc, col("tie").desc)))
       .filter(col("rn") === 1)
       .select(col("u"), col("item").as("test_item"),
-        col("ord").as("t_ord"), col("tie").as("t_tie"))
-      .localCheckpoint(true)
-    val train = inter.join(test, Seq("u"))
+        col("ord").as("t_ord"), col("tie").as("t_tie")))
+    val train = graft.util.Snapshots.stage(inter.join(test, Seq("u"))
       .filter(col("ord") < col("t_ord")
         || (col("ord") === col("t_ord") && col("tie") < col("t_tie")))
-      .select(col("u"), col("item")).distinct()
-      .localCheckpoint(true)
+      .select(col("u"), col("item")).distinct())
     val sim = itemItemCosine(train, "u", "item", maxUserItems, simTopN)
       .select(col("item"), col("neighbor"),
         graft.util.Exact.scaled(col("cosine9"), 9).as("sim9"))

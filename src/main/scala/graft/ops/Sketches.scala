@@ -253,7 +253,8 @@ object Sketches {
     val h = conv(substring(md5(col(valueCol).cast("string")
       .cast("binary")), 1, 15), 16, 10).cast("long")
     val base = df.select(h.as("_h"), inA.as("_a"), inB.as("_b"))
-      .localCheckpoint(true) // three sketch aggs read it — scan once
+      // three sketch aggs read it — scan once; staged (round-12)
+      .transform(graft.util.Snapshots.stage)
     val kmvH = udaf(new graft.functions.KmvHashesAggregator(k))
     def sketch(pred: Column): Seq[Long] =
       base.where(pred).agg(kmvH(col("_h"))).first()

@@ -60,9 +60,10 @@ object TextAnalysis {
       .select(translate(substring(col(textCol), 1, unitLen), " ", "_")
         .as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      // materialize the (small) distinct-unit table: it feeds both the
-      // piece counts and the final Viterbi pass — one corpus scan
-      .localCheckpoint(true)
+      // materialize the distinct-unit table: it feeds both the piece
+      // counts and the final Viterbi pass — one corpus scan. Staged
+      // (round-12): O(distinct units) can scale with input
+      .transform(graft.util.Snapshots.stage)
     val pieces = units.as[(String, Long)]
       .flatMap { case (w, c) =>
         for {
@@ -157,10 +158,11 @@ object TextAnalysis {
       .where(length(col("w0")) >= 1)
       .select(substring(col("w0"), 1, maxWordLen).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      // materialize the (small) distinct-word table: it feeds both the
+      // materialize the distinct-word table: it feeds both the
       // candidate counts and the final segmentation pass — without
-      // this the corpus scan + explode + groupBy runs twice
-      .localCheckpoint(true)
+      // this the corpus scan + explode + groupBy runs twice. Staged
+      // (round-12): O(distinct words) can scale with input
+      .transform(graft.util.Snapshots.stage)
     val cands = words.as[(String, Long)]
       .flatMap { case (w, c) =>
         for {
@@ -581,7 +583,12 @@ object TextAnalysis {
     val tok = df.select(col(idCol).as("doc"), explode(toks(col(textCol))).as("term"))
       .filter(col("term") =!= "")
       .cache()
-    val tf = tok.groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+    // tf feeds TWO consumers (the df aggregation and the final score
+    // join) — unsnapshotted, the O(nnz) (doc, term) aggregation over
+    // the token cache ran twice per bm25 call (round-12, guide §2.4);
+    // staged so lineage is kept (recompute-on-loss at scale)
+    val tf = graft.util.Snapshots.stage(
+      tok.groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf")))
     val dl = tok.groupBy(col("doc")).agg(count(lit(1)).as("dl"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = df.count()

@@ -161,10 +161,12 @@ object Clustering {
         .withColumn("w", size(col("vec")).cast("long"))
       // eager snapshot (round-11, guide §2): the 8-candidate exploded
       // table feeds five consumers inside reclusterRoundExact, each of
-      // which otherwise replayed the global-window candidate ranking
-      val exploded = cands.select(col("cand_idx"), col("w"),
-        explode(col("vec")).as(Seq("term", "v")))
-        .localCheckpoint(true)
+      // which otherwise replayed the global-window candidate ranking.
+      // Round-12: staged (lineage-retaining) per the r11 verdict —
+      // recompute-on-loss instead of job death at scale.
+      val exploded = graft.util.Snapshots.stage(
+        cands.select(col("cand_idx"), col("w"),
+          explode(col("vec")).as(Seq("term", "v"))))
       KMeansParallel.reclusterRoundExact(exploded, k = 3)
         .orderBy(col("cluster"), col("term"))
     }),
@@ -235,10 +237,13 @@ object Clustering {
     // eager snapshot (round-11, guide §2): the exploded (id, term, v)
     // matrix feeds every round's dot/mean aggs, the seed frame, the
     // norm build, and the caller's final assignment (~7 consumers) —
-    // unsnapshotted, each re-ran the explode over the vector cache
-    val ex = dv.select(col("doc_id").as("id"),
-      explode(col("vec")).as(Seq("term", "v")))
-      .localCheckpoint(true)
+    // unsnapshotted, each re-ran the explode over the vector cache.
+    // Round-12 (r11 verdict item 2): the FULL O(nnz) matrix now rides
+    // a lineage-RETAINING stage, not localCheckpoint — an executor
+    // loss recomputes the lost partitions instead of killing the query
+    val ex = graft.util.Snapshots.stage(
+      dv.select(col("doc_id").as("id"),
+        explode(col("vec")).as(Seq("term", "v"))))
     val seedIdx = dv.orderBy(col("doc_id")).limit(SparseK)
       .withColumn("cidx",
         (row_number().over(Window.orderBy(col("doc_id"))) - 1).cast("long"))
@@ -247,8 +252,9 @@ object Clustering {
       .select(col("cidx"), col("term"), col("v").as("cv"))
     // ONE doc-norm snapshot serves the fit's rounds AND the caller's
     // final assignment (round-11 — norms are centroid-invariant; the
-    // old shape recomputed the O(nnz) norm shuffle 3× per query)
-    val nrm = KMeansSparse.docNorms(ex).localCheckpoint(true)
+    // old shape recomputed the O(nnz) norm shuffle 3× per query).
+    // Staged: O(docs) rows, same recompute-on-loss rationale as `ex`.
+    val nrm = graft.util.Snapshots.stage(KMeansSparse.docNorms(ex))
     (ex, nrm,
       KMeansSparse.fitExactFrames(ex, c0, SparseK, SparseIters, nrm0 = nrm))
   }

@@ -1284,7 +1284,8 @@ object PipelineOps {
         .select(element_at(col("arr"), col("i")).as("w1"),
           element_at(col("arr"), col("i") + 1).as("w2"))
         .filter(col("w1") =!= col("w2")).distinct()
-        .localCheckpoint(true)
+        // staged (round-12): O(distinct bigrams), lineage kept
+        .transform(graft.util.Snapshots.stage)
       val vocab = bi.select(col("w1").as("tok"))
         .unionAll(bi.select(col("w2").as("tok")))
       val ids = graft.text.Dictionary.denseIdsScalable(vocab, "tok")
@@ -1292,7 +1293,8 @@ object PipelineOps {
         .join(ids.select(col("tok").as("w1"), col("id").as("src")), "w1")
         .join(ids.select(col("tok").as("w2"), col("id").as("dst")), "w2")
         .select(col("src"), col("dst"))
-        .localCheckpoint(true)
+        // staged (round-12): O(edges), lineage kept
+        .transform(graft.util.Snapshots.stage)
       val und = e0.unionAll(e0.select(col("dst").as("src"),
         col("src").as("dst")))
       graft.ops.Graph.pageRankExact(und, iters = 3)
@@ -2211,21 +2213,22 @@ object PipelineOps {
         Crawl.canonicalUrl(crawlRawUrl).as("url"), crawlHtml.as("html"),
         crawlPath.as("path"))
       // URL-level dedup: first doc per canonical URL (one url shuffle).
-      // localCheckpoint at each fan-out point: the survivor frame
-      // feeds 2-3 consumers (decision + join-back; both banded join
-      // sides + the anti probe), and without the snapshot EVERY
-      // consumer re-derives from its own corpus scan — the exact
-      // "stage re-reads the corpus" shape this DAG exists to avoid.
+      // Snapshot at each fan-out point: the survivor frame feeds 2-3
+      // consumers (decision + join-back; both banded join sides + the
+      // anti probe), and without the snapshot EVERY consumer
+      // re-derives from its own corpus scan — the exact "stage
+      // re-reads the corpus" shape this DAG exists to avoid.
       // Materialized once, survivors only, each stage reads the last
-      // stage's snapshot.
-      val urlKeep = base.withColumn("_rk", row_number().over(
+      // stage's snapshot. Staged (round-12): O(docs), lineage kept.
+      val urlKeep = graft.util.Snapshots.stage(
+        base.withColumn("_rk", row_number().over(
           Window.partitionBy(col("url")).orderBy(col("doc_id"))))
-        .filter(col("_rk") === 1).drop("_rk", "url")
-        .localCheckpoint(true)
+        .filter(col("_rk") === 1).drop("_rk", "url"))
       // robots longest-match filter (KB-sized broadcast rule table;
       // the rule synthesis reads a source-column-pruned scan once —
       // standing in for the separate robots corpus a real crawler has)
-      val srcs = docs.select(col("source")).distinct().localCheckpoint(true)
+      val srcs = graft.util.Snapshots.stage(
+        docs.select(col("source")).distinct())
       val srcNum = expr("CAST(substr(source, 4, 10) AS INT)")
       val rules = srcs.select(col("source").as("host"),
           lit("/de").as("prefix"), lit(false).as("allow"))
@@ -2248,9 +2251,9 @@ object PipelineOps {
       // tuned to these ~17-token extracts — their cross-pair noise
       // floor starts at 11 bits). The pair set comes from the banded
       // pigeonhole join (q29's kernel), never an all-pairs cross.
-      val fps = extracted.withColumn("fp",
-          SimHash.simhashPortable60(split(col("text"), "\\s+")))
-        .localCheckpoint(true)
+      val fps = graft.util.Snapshots.stage(
+        extracted.withColumn("fp",
+          SimHash.simhashPortable60(split(col("text"), "\\s+"))))
       val nearDrop = Dedup.simhashPairs(fps, "doc_id", "fp", maxHamming = 10)
         .select(col("id_b").as("doc_id")).distinct()
       val fpKeep = fps.join(nearDrop, Seq("doc_id"), "left_anti").drop("fp")

@@ -113,14 +113,16 @@ object Relational {
       val name = s"copurchase_$slug"
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_partkey"))
-      // checkpoint: the union + two degree joins below reference the
-      // self-join output four times — materialize it once
-      val edges = li.as("x").join(li.as("y"),
+      // the union + two degree joins below reference the self-join
+      // output four times — materialize it once. Staged (round-12):
+      // O(co-purchase pairs), lineage kept for recompute-on-loss
+      val edges = graft.util.Snapshots.stage(
+        li.as("x").join(li.as("y"),
           col("x.l_orderkey") === col("y.l_orderkey")
             && col("x.l_partkey") < col("y.l_partkey"))
         .select(col("x.l_partkey").cast("long").as("a"),
           col("y.l_partkey").cast("long").as("b"))
-        .distinct().localCheckpoint(true)
+        .distinct())
       val mEdges = edges.count()
       val sym = edges.select(col("a").as("u"), col("b").as("v"))
         .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
