@@ -22,6 +22,29 @@ object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Eagerly materialize a DataFrame's rows into a PERSISTED
+    * internal-row RDD and wrap the RDD back as a leaf DataFrame scan —
+    * exactly `Dataset.localCheckpoint(true)`'s storage shape (raw
+    * UnsafeRow copies in MEMORY_AND_DISK blocks, plan truncated to a
+    * LogicalRDD leaf) with ONE difference: `RDD.localCheckpoint()` is
+    * never called, so the RDD's lineage survives and a lost executor
+    * RECOMPUTES the lost partitions instead of failing the job with
+    * "checkpoint block not found". `LogicalRDD.fromDataset` carries
+    * the origin's partitioning, ordering, statistics and constraints,
+    * so the planner sees the same node localCheckpoint would produce.
+    * Blocks are registered persistent RDDs — reclaimed by
+    * [[graft.util.Caches.clearAll]] and by
+    * [[graft.ops.Graph.unpersistSnapshot]]. */
+  def persistedRowSnapshot(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+    val rdd = ds.queryExecution.toRdd.map(_.copy())
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd.count()
+    classic.Dataset.ofRows(ds.sparkSession,
+      org.apache.spark.sql.execution.LogicalRDD
+        .fromDataset(rdd, ds, isStreaming = false))
+  }
+
   /** Idempotently add a planner strategy to a live session (the
     * runtime analogue of SparkSessionExtensions.injectPlannerStrategy). */
   def addStrategy(spark: SparkSession, s: SparkStrategy): Unit = {

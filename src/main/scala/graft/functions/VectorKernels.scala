@@ -29,8 +29,9 @@ object VectorKernelsImpl {
 
   /** Σ_i round(a(i)·b(i)·1e9) as long; arrays must be same length. */
   def dotScaledFloat(a: ArrayData, b: ArrayData): Long = {
-    val n = a.numElements(); var s = 0L; var i = 0
+    val n = checkPair(a, b, "dot_scaled"); var s = 0L; var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) nullElem("dot_scaled", i)
       s += roundAway(a.getFloat(i).toDouble * b.getFloat(i).toDouble * Scale)
       i += 1
     }
@@ -38,14 +39,18 @@ object VectorKernelsImpl {
   }
 
   def dotScaledDouble(a: ArrayData, b: ArrayData): Long = {
-    val n = a.numElements(); var s = 0L; var i = 0
-    while (i < n) { s += roundAway(a.getDouble(i) * b.getDouble(i) * Scale); i += 1 }
+    val n = checkPair(a, b, "dot_scaled"); var s = 0L; var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) nullElem("dot_scaled", i)
+      s += roundAway(a.getDouble(i) * b.getDouble(i) * Scale); i += 1
+    }
     s
   }
 
   def normSqScaledFloat(a: ArrayData): Long = {
     val n = a.numElements(); var s = 0L; var i = 0
     while (i < n) {
+      if (a.isNullAt(i)) nullElem("normsq_scaled", i)
       val v = a.getFloat(i).toDouble; s += roundAway(v * v * Scale); i += 1
     }
     s
@@ -53,7 +58,10 @@ object VectorKernelsImpl {
 
   def normSqScaledDouble(a: ArrayData): Long = {
     val n = a.numElements(); var s = 0L; var i = 0
-    while (i < n) { val v = a.getDouble(i); s += roundAway(v * v * Scale); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i)) nullElem("normsq_scaled", i)
+      val v = a.getDouble(i); s += roundAway(v * v * Scale); i += 1
+    }
     s
   }
 
@@ -62,10 +70,66 @@ object VectorKernelsImpl {
     * the SQL `cast(round(v) as long)` these kernels replace, so a
     * query swapped onto a kernel keeps its oracle hash. (The older
     * [[roundAway]] kernels use Math.round — fine for their own
-    * oracles, but NOT interchangeable with SQL `round`.) */
-  @inline private def roundHalfUp0(v: Double): Long =
+    * oracles, but NOT interchangeable with SQL `round`.)
+    *
+    * Round-12: pure long/double arithmetic — `BigDecimal.valueOf(v)`
+    * (a Double.toString + decimal parse PER ELEMENT) dominated the
+    * kernel loops. Equality proof, case by case:
+    *  - NaN/±Inf: Spark's Round returns the input unchanged and the
+    *    long cast maps NaN→0, ±Inf→Long.Max/MinValue — exactly
+    *    `v.toLong`. (The BigDecimal path THREW here — r11 ADVICE; the
+    *    guard also fixes that semantic gap.)
+    *  - |v| ≥ 2^52: ulp(v) ≥ 1, so v is an integer and HALF_UP at
+    *    scale 0 is the identity; `v.toLong` saturates exactly like
+    *    `BigDecimal.doubleValue().toLong` did.
+    *  - |v| < 2^52: t = v.toLong (truncation) is exact, and v − t is
+    *    EXACT in IEEE arithmetic (v and t are both multiples of
+    *    ulp(v), and the difference needs < 53 significant bits).
+    *    Comparing that exact binary fraction against 0.5 decides the
+    *    same way as comparing BigDecimal.valueOf(v) — the value of
+    *    v's SHORTEST decimal representation d — against x.5: x.5 is
+    *    a representable double here, so d ≥ x.5 iff v ≥ x.5 (were d
+    *    on the other side of x.5 from v, the double x.5 would be
+    *    strictly closer to d than v is, contradicting that d
+    *    round-trips to v), and d < t is impossible (t is a double
+    *    with t ≤ v, same argument). Ties (frac == ±0.5) round away
+    *    from zero — BigDecimal HALF_UP's rule.
+    * VectorKernelsSpec cross-checks this against the BigDecimal form
+    * on adversarial inputs (exact x.5 ties, nextUp/nextDown of ties,
+    * negatives, NaN/Inf, 2^52 boundary, random). */
+  @inline private[graft] def roundHalfUp0(v: Double): Long = {
+    if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v))
+      return v.toLong
+    if (math.abs(v) >= 4503599627370496.0) return v.toLong // 2^52
+    val t = v.toLong
+    val frac = v - t
+    if (frac >= 0.5) t + 1L
+    else if (frac <= -0.5) t - 1L
+    else t
+  }
+
+  /** The pre-round-12 BigDecimal form, kept ONLY as the spec's
+    * reference implementation for the fast-path equality proof. */
+  private[graft] def roundHalfUp0Reference(v: Double): Long =
     java.math.BigDecimal.valueOf(v)
       .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+
+  /** Shared argument guard for the two-array kernels (r11 ADVICE): the
+    * zip_with HOFs these kernels replaced null-padded a length
+    * mismatch; the kernels read out of bounds. Fail loudly instead —
+    * a length mismatch in a similarity query is always a caller bug. */
+  @inline private def checkPair(a: ArrayData, b: ArrayData,
+                                name: String): Int = {
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"$name: mismatched vector lengths ($n vs ${b.numElements()})")
+    n
+  }
+
+  @inline private def nullElem(name: String, i: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"$name: null element at position $i (dense numeric vectors required)")
 
   @inline private def elem(a: ArrayData, isFloat: Boolean, i: Int): Double =
     if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
@@ -75,8 +139,9 @@ object VectorKernelsImpl {
     * HOF fold (interpreted per element; round-11, guide §4). Same
     * left-to-right order and HALF_UP rounding as the SQL form. */
   def sqDistScaled9(a: ArrayData, aF: Boolean, b: ArrayData, bF: Boolean): Long = {
-    val n = a.numElements(); var s = 0L; var i = 0
+    val n = checkPair(a, b, "sqdist_scaled9"); var s = 0L; var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) nullElem("sqdist_scaled9", i)
       val d = elem(a, aF, i) - elem(b, bF, i)
       s += roundHalfUp0(d * d * Scale)
       i += 1
@@ -88,15 +153,21 @@ object VectorKernelsImpl {
     * q264 energy denominator — see [[roundHalfUp0]]). */
   def normSqScaled9HalfUp(a: ArrayData, aF: Boolean): Long = {
     val n = a.numElements(); var s = 0L; var i = 0
-    while (i < n) { val v = elem(a, aF, i); s += roundHalfUp0(v * v * Scale); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i)) nullElem("normsq_scaled9", i)
+      val v = elem(a, aF, i); s += roundHalfUp0(v * v * Scale); i += 1
+    }
     s
   }
 
   /** Plain IEEE Σ_i (a(i)−b(i))² double, left-to-right — the
     * distributed probe planner's centroid distance. */
   def sqDistPlain(a: ArrayData, aF: Boolean, b: ArrayData, bF: Boolean): Double = {
-    val n = a.numElements(); var s = 0.0; var i = 0
-    while (i < n) { val d = elem(a, aF, i) - elem(b, bF, i); s = s + d * d; i += 1 }
+    val n = checkPair(a, b, "sqdist_plain"); var s = 0.0; var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) nullElem("sqdist_plain", i)
+      val d = elem(a, aF, i) - elem(b, bF, i); s = s + d * d; i += 1
+    }
     s
   }
 
@@ -109,7 +180,10 @@ object VectorKernelsImpl {
     val n = a.numElements()
     val r9 = new Array[Long](n)
     var i = 0
-    while (i < n) { r9(i) = roundHalfUp0(elem(a, aF, i) * Scale); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i)) nullElem("portable_lsh_bucket", i)
+      r9(i) = roundHalfUp0(elem(a, aF, i) * Scale); i += 1
+    }
     var bucket = 0L; var p = 0
     while (p < signs.length) {
       val sp = signs(p); var s = 0L; var j = 0
@@ -129,6 +203,7 @@ object VectorKernelsImpl {
       s"sqDistInt: mismatched code-vector lengths ($n vs ${b.numElements()})")
     var s = 0L; var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) nullElem("code_sqdist", i)
       val d = (a.getInt(i) - b.getInt(i)).toLong; s += d * d; i += 1
     }
     s

@@ -68,13 +68,24 @@ object Graph {
   /** Broadcast-vs-shuffle gate for the per-round node-state joins of
     * the iterative kernels (round-11, guide §3.1): a per-node table
     * (ranks, labels, hub/auth scores — ≤ ~24 B/row) below
-    * [[BroadcastAdjEntries]] rows is shipped to the cached/bucketed
+    * [[BroadcastNodeEntries]] rows is shipped to the cached/bucketed
     * edge table, so no per-round exchange touches |E| rows; above the
     * gate the unchanged shuffle-join plan runs. Join STRATEGY only —
     * the scaled-long arithmetic is partition-invariant, so results
     * are bit-identical either way. */
   private def bcGate(entries: Long): DataFrame => DataFrame =
-    if (entries <= BroadcastAdjEntries) broadcast else identity
+    if (entries <= BroadcastNodeEntries) broadcast else identity
+
+  /** Row-broadcast gate for node-STATE tables (round-12, r11 ADVICE):
+    * distinct from [[BroadcastAdjEntries]], which sizes the compact
+    * int-array adjacency (~4 B/entry ≈ 80 MB at 16M). A broadcast
+    * HASH RELATION of rows costs ~40-60 B/row (UnsafeRow + table
+    * overhead), so reusing the 16M gate shipped multi-hundred-MB
+    * relations per round — 2+ broadcasts per PageRank/HITS round, a
+    * driver/executor OOM risk at scales the shuffle plan handles
+    * fine. 4M rows ≈ 160-240 MB relation: inside a production
+    * executor budget with headroom for two live rounds. */
+  private[graft] val BroadcastNodeEntries = 4L * 1000 * 1000
 
   /** Exact integer PageRank.
     *
@@ -335,8 +346,11 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     // total orientation order: (deg, node). Degrees are one row per
     // node — broadcast them below the size gate so orientation is two
-    // map-side hash joins instead of two edge shuffles.
-    val degK = if (m <= BroadcastAdjEntries) broadcast(deg) else deg
+    // map-side hash joins instead of two edge shuffles. Round-12: the
+    // row-broadcast gate is the node-state threshold (nodes ≤ 2m, so
+    // m ≤ 4M bounds the relation at ~8M rows; the 16M adjacency gate
+    // allowed ~32M-row relations — r11 ADVICE).
+    val degK = if (m <= BroadcastNodeEntries) broadcast(deg) else deg
     val keyed = und
       .join(degK.select(col("node").as("a"), col("deg").as("deg_a")), "a")
       .join(degK.select(col("node").as("b"), col("deg").as("deg_b")), "b")
@@ -609,9 +623,13 @@ object Graph {
         col("w")))
       .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
       .cache()
-    // node-state broadcast gate — see pageRankExact (the count also
-    // materializes the cache before the loop)
-    val bc = bcGate(e.count())
+    // node-state broadcast gate on the NODE count (round-12, r11
+    // ADVICE: the per-round `dist` table is one row per reached node,
+    // bounded by |V| — gating on e.count() let a dense graph's 2|E|
+    // proxy overshoot the bound in the broadcast direction). The edge
+    // count still materializes the cache before the loop.
+    e.count()
+    val bc = bcGate(e.select(col("src")).distinct().count())
     // attribute-derived seed — see bfsDistances
     var dist = e.sparkSession.range(1)
       .select((col("id") + lit(source)).as("node"), col("id").as("dist"))
@@ -643,9 +661,13 @@ object Graph {
     var seen = e.sparkSession.range(1)
       .select((col("id") + lit(source)).as("node"), col("id").as("dist"))
     var frontier = seen
-    // frontier/seen broadcast gate — see pageRankExact (the count also
-    // materializes the cache before the loop)
-    val bc = bcGate(e.count())
+    // frontier/seen broadcast gate on the NODE count (round-12, r11
+    // ADVICE: the cumulative `seen` set grows to |V| rows — the old
+    // e.count() gate compared against 2|E|, which can exceed any
+    // node-sized bound on dense graphs while still passing the gate).
+    // The edge count still materializes the cache before the loop.
+    e.count()
+    val bc = bcGate(e.select(col("src")).distinct().count())
     var prevS: DataFrame = null
     var prevF: DataFrame = null
     for (k <- 1 to maxHops) {
@@ -711,8 +733,10 @@ object Graph {
     var size = adj.count() // cheap: reads the materialized snapshot
     // the per-round survivor set is one row per node — below the gate
     // both restriction semi joins become map-side hash joins and no
-    // |E|-row exchange remains in the round (see pageRankExact)
-    val bc = bcGate(size)
+    // |E|-row exchange remains in the round (see pageRankExact).
+    // Round-12: gate on the node count (survivors ≤ |V|), not the
+    // |E|-sized adjacency count (r11 ADVICE)
+    val bc = bcGate(adj.select(col("u")).distinct().count())
     var converged = false
     for (_ <- 1 to rounds if !converged) {
       val keep = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))

@@ -509,9 +509,12 @@ object MlEval {
     require(maxGroupSize >= 2, "pairs need at least two points")
     val pts = df.select(col(keyCol).as("g"), col(xCol).cast("long").as("x"),
       col(yCol).cast("long").as("y"))
-    val kept = pts.join(
+    // staged: `kept` feeds THREE consumers (both pair-join sides and
+    // the derived pair-count table below) — unsnapshotted, the scan +
+    // cap-join replayed in each (round-12, guide §2)
+    val kept = graft.util.Snapshots.stage(pts.join(
       pts.groupBy(col("g")).agg(count(lit(1)).as("ng"))
-        .filter(col("ng") <= maxGroupSize), Seq("g"))
+        .filter(col("ng") <= maxGroupSize), Seq("g")))
     // pair count DERIVED, not window-counted (round-12, guide §2.3):
     // the pair stage emits exactly the ordered-by-x pairs, so per
     // group  np = C(ng, 2) − Σ_x C(c_x, 2)  — total unordered row

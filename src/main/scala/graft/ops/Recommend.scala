@@ -63,22 +63,27 @@ object Recommend {
       inter.groupBy(col("u")).agg(count(lit(1)).as("nu"))
         .filter(col("nu") <= maxUserItems).select(col("u")),
       Seq("u")))
-    // deg feeds TWO join sides of `scored`; co feeds BOTH unionAll
-    // branches of `sym` — unsnapshotted, the r11 q206 plan physically
-    // re-ran the O(Σ n_u²) per-user pair self-join + aggregation TWICE
-    // (plan nodes 22 and 33) and the degree agg twice, scanning `kept`
-    // six times (round-12, guide §2.4 "remove shuffles outright").
-    val deg = graft.util.Snapshots.stage(
-      kept.groupBy(col("item")).agg(count(lit(1)).as("deg")))
-    val co = graft.util.Snapshots.stage(kept.as("a")
+    val deg = kept.groupBy(col("item")).agg(count(lit(1)).as("deg"))
+    // SYMMETRIC co-counts from ONE pair-join evaluation (round-12,
+    // guide §2.4): the old `co.unionAll(co.swapped)` physically re-ran
+    // the O(Σ n_u²) per-user pair self-join + aggregation in BOTH
+    // union branches (r11 q206 plan nodes 22 and 33). Emitting both
+    // directions map-side (a 2-struct explode per pair) and
+    // aggregating once produces the identical (item, neighbor, co)
+    // multiset through a single pair join and a single exchange —
+    // whose map-side partial agg collapses to the same ~2·|co-pairs|
+    // rows the two old exchanges carried combined. No materialization
+    // barrier needed (a staged `co` was tried: two extra snapshot
+    // jobs cost more than the duplicate join saved at sf0.1).
+    val sym = kept.as("a")
       .join(kept.as("b"), col("a.u") === col("b.u")
         && col("a.item") < col("b.item"))
-      .groupBy(col("a.item").as("ia"), col("b.item").as("ib"))
-      .agg(count(lit(1)).as("co")))
-    val sym = co.select(col("ia").as("item"), col("ib").as("neighbor"),
-        col("co"))
-      .unionAll(co.select(col("ib").as("item"), col("ia").as("neighbor"),
-        col("co")))
+      .select(explode(array(
+        struct(col("a.item").as("item"), col("b.item").as("neighbor")),
+        struct(col("b.item").as("item"), col("a.item").as("neighbor"))))
+        .as("p"))
+      .groupBy(col("p.item").as("item"), col("p.neighbor").as("neighbor"))
+      .agg(count(lit(1)).as("co"))
     val scored = sym
       .join(deg.select(col("item"), col("deg").as("deg_i")), Seq("item"))
       .join(deg.select(col("item").as("neighbor"), col("deg").as("deg_n")),

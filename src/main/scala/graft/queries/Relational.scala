@@ -127,10 +127,12 @@ object Relational {
       val sym = edges.select(col("a").as("u"), col("b").as("v"))
         .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
       val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
-      // degrees are one row per node — broadcast below the same gate
-      // the triangle kernel uses; above it the joins shuffle (write
-      // time only, amortized over every later read)
-      val degK = if (mEdges <= graft.ops.Graph.BroadcastAdjEntries)
+      // degrees are one row per node — broadcast below the same
+      // node-state gate the triangle kernel uses (round-12: row
+      // broadcasts ride the smaller BroadcastNodeEntries threshold);
+      // above it the joins shuffle (write time only, amortized over
+      // every later read)
+      val degK = if (mEdges <= graft.ops.Graph.BroadcastNodeEntries)
         broadcast(deg) else deg
       graft.io.Bucketing.writeBucketed(
         sym.join(degK.select(col("node").as("u"), col("deg").as("deg_u")), "u")

@@ -80,6 +80,53 @@ class VectorKernelsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("roundHalfUp0 fast path ≡ BigDecimal HALF_UP reference (round-12)") {
+    import graft.functions.VectorKernelsImpl._
+    // adversarial: exact .5 ties (positive and negative), the doubles
+    // immediately beside them, the largest-double-below-0.5 case that
+    // breaks the floor(v+0.5) idiom, the 2^52 integer boundary, huge
+    // magnitudes past Long range, and a deterministic pseudo-random
+    // sweep at the kernels' working scale (d²·1e9)
+    val p52 = 4503599627370496.0
+    val cases = Seq(
+      0.0, -0.0, 0.5, -0.5, 1.5, -1.5, 2.5, -2.5, 1e9 + 0.5, -(1e9 + 0.5),
+      Math.nextUp(0.5), Math.nextDown(0.5), Math.nextUp(-0.5),
+      Math.nextDown(-0.5), 0.49999999999999994, -0.49999999999999994,
+      p52, -p52, p52 - 0.5, -(p52 - 0.5), Math.nextDown(p52),
+      p52 * 4096, -p52 * 4096, 1e300, -1e300,
+      Long.MaxValue.toDouble, Long.MinValue.toDouble)
+    val rnd = new scala.util.Random(42)
+    val random = Seq.fill(100000) {
+      val m = rnd.nextInt(4) match {
+        case 0 => 1.0; case 1 => 1e9; case 2 => 1e15; case _ => 1e-3
+      }
+      (rnd.nextDouble() - 0.5) * m
+    }
+    (cases ++ random).foreach { v =>
+      assert(roundHalfUp0(v) == roundHalfUp0Reference(v),
+        s"fast path diverges from BigDecimal HALF_UP at v=$v")
+    }
+    // NaN/Inf: the reference THROWS (the r11 ADVICE gap); the fast
+    // path must match Spark's round-then-cast-to-long semantics
+    assert(roundHalfUp0(Double.NaN) == 0L)
+    assert(roundHalfUp0(Double.PositiveInfinity) == Long.MaxValue)
+    assert(roundHalfUp0(Double.NegativeInfinity) == Long.MinValue)
+  }
+
+  test("two-array kernels reject length mismatches loudly (round-12)") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(VectorFunctions.sqDistScaled9(col("a"), col("b"))).collect()
+    }
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null) c = c.getCause
+      Option(c.getMessage).getOrElse("")
+    }
+    assert(rootMsg(e).contains("mismatched vector lengths"))
+  }
+
   test("kernels work on float arrays (the stored embedding encoding)") {
     import spark.implicits._
     val df = Seq((1L, Seq(0.25f, -0.5f, 2.5e-9f), Seq(0.0f, 0.125f, -1.0f)))
