@@ -560,16 +560,28 @@ object MlEval {
         sum(col(yCol).cast(d38)).as("sy"),
         sum((x19 * y19).cast(d38)).as("sxy"),
         sum((x19 * x19).cast(d38)).as("sxx"))
+    olsDerive(agg)
+      .select(col(keyCol), col("n"), col("sx"), col("sy"), col("sxy"),
+        col("sxx"), col("slope"), col("icept"))
+      .orderBy(col(keyCol))
+  }
+
+  /** Attach (slope, icept) to a frame carrying [[olsTrend]]'s five
+    * exact sufficient-stat columns (n, sx, sy, sxy, sxx). Exposed so
+    * a caller holding per-group stats can roll them up to a coarser
+    * key — decimal sums are exact, so Σ of per-group sums equals the
+    * direct aggregation bit-for-bit and the derived slope is the
+    * identical double (round-12: q260's overall-scope trend now rolls
+    * up the per-type stats instead of re-scanning the input). */
+  def olsDerive(stats: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
     val nD = col("n").cast(d38)
     val num = (nD * col("sxy") - col("sx") * col("sy")).cast(d38)
     val den = (nD * col("sxx") - col("sx") * col("sx")).cast(d38)
     val slope = num.cast("double") / den.cast("double")
     val icept = (col("sy").cast("double") - slope * col("sx").cast("double")) /
       col("n").cast("double")
-    agg.select(col(keyCol), col("n"), col("sx"), col("sy"), col("sxy"),
-        col("sxx"),
-        slope.as("slope"), icept.as("icept"))
-      .orderBy(col(keyCol))
+    stats.withColumn("slope", slope).withColumn("icept", icept)
   }
 
   /** CUPED variance reduction for A/B metrics (Deng, Xu, Kohavi &

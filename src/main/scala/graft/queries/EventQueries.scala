@@ -1479,10 +1479,23 @@ object EventQueries {
       val e = Tables.events(s, d).select(col("event_type"),
         (expr("unix_micros(ts) div 1000000") - lit(1704067200L)).as("xs"),
         round(col("value") * 1000000).cast("long").as("y6"))
-      val per = graft.ops.MlEval.olsTrend(e, "event_type", "xs", "y6")
+      // ONE events pass (round-12, guide §2.3): the overall-scope
+      // trend is derived by rolling the per-type exact decimal sums
+      // up to one row — decimal addition is exact, so the rolled
+      // totals ARE the direct aggregation's integers and the derived
+      // slope the identical double. The old shape scanned and
+      // aggregated events twice (once per scope).
+      val stats = graft.util.Snapshots.stage(
+        graft.ops.MlEval.olsTrend(e, "event_type", "xs", "y6"))
+      val per = stats
         .select(col("event_type"), round(col("slope"), 9).as("slope9"))
-      val overall = graft.ops.MlEval
-        .olsTrend(e.withColumn("scope", lit("all")), "scope", "xs", "y6")
+      val d38 = "decimal(38,0)"
+      val overall = graft.ops.MlEval.olsDerive(stats.agg(
+          sum(col("n")).cast("long").as("n"),
+          sum(col("sx")).cast(d38).as("sx"),
+          sum(col("sy")).cast(d38).as("sy"),
+          sum(col("sxy")).cast(d38).as("sxy"),
+          sum(col("sxx")).cast(d38).as("sxx")))
         .select(round(col("slope"), 9).as("overall_slope9"))
       per.crossJoin(broadcast(overall))
         .withColumn("sign_flip",

@@ -1608,8 +1608,12 @@ object Relational {
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
           col("n_name"))
-      val asiaSupply = supply
-        .join(asiaSup, col("l_suppkey") === col("s_suppkey"))
+      // staged (round-12, guide §2): asiaSupply feeds BOTH the min-cost
+      // aggregation and the winners join below — unsnapshotted, the
+      // full lineitem (partkey, suppkey) aggregation + supplier join
+      // replayed in each consumer (two lineitem scans in the plan)
+      val asiaSupply = graft.util.Snapshots.stage(supply
+        .join(asiaSup, col("l_suppkey") === col("s_suppkey")))
       val minCost = asiaSupply
         .groupBy(col("l_partkey").as("mp"))
         .agg(min(col("cost_cents")).as("min_cost_cents"))

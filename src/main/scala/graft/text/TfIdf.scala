@@ -48,15 +48,23 @@ object TfIdf {
     * in `counts` (SURVEY A4). Mirrors the reference quirk of computing
     * both from the *filtered* matrix (task1_4_2 reads task1_2's output;
     * SURVEY §7.4.6). The reference needs a single reducer holding global
-    * state (task1_4_2.java:63-106); here it is a distributed
-    * `countDistinct` + a scalar broadcast of N. */
+    * state (task1_4_2.java:63-106); here N rides a broadcast scalar
+    * crossJoin (round-12, measured: the old `distinct().count()` was a
+    * BLOCKING driver action serializing every docVectors build for
+    * 0.24-0.56 s while the rest of the chain waited — as a 1-row
+    * broadcast the N-aggregation pipelines with the term aggregation;
+    * identical arithmetic, `n` cast to double either way). */
   def idf(counts: DataFrame, docCol: String): DataFrame = {
-    val n = counts.select(col(docCol)).distinct().count()
+    val n = counts.select(col(docCol)).distinct()
+      .agg(count(lit(1)).as("_n"))
     counts.groupBy(col("term"))
       .agg(count(lit(1)).as("df")) // counts has one row per (doc,term)
+      .crossJoin(broadcast(n))
       // ln() differs by 1 ulp between libm implementations — round to 9
       // decimals so downstream products are bit-identical across engines.
-      .withColumn("idf", round(log(lit(n.toDouble) / col("df").cast("double")), 9))
+      .withColumn("idf",
+        round(log(col("_n").cast("double") / col("df").cast("double")), 9))
+      .drop("_n")
   }
 
   /** TF·IDF join (SURVEY J3) — the IDF side is tiny (one row per term),

@@ -81,7 +81,14 @@ class PlanLintSpec extends AnyFunSuite {
     // round-10: q354's three 1-row volume aggregates combine by
     // crossJoin; q355's 1-row octile-boundary array attaches to the
     // length stream — both the textbook scalar-subquery shape
-    "q354_containment_candidates", "q355_length_buckets")
+    "q354_containment_candidates", "q355_length_buckets",
+    // round-12: TfIdf.idf's corpus-size N now attaches as a 1-row
+    // broadcast (was a BLOCKING driver-side distinct().count() that
+    // serialized every docVectors build) — every TF-IDF consumer
+    // inherits the scalar-subquery shape
+    "q14_idf", "q15_tfidf", "q16_lang_term_mean",
+    "q17_top_terms_per_lang", "q19_doc_vector_strings",
+    "q24_kmeans_parallel")
 
   // Bounded-cell DP / generator fan-outs: every nested-loop input here
   // is a CELL TABLE whose size is a fixed parameter, not data volume —
