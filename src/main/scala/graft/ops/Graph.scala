@@ -623,13 +623,15 @@ object Graph {
         col("w")))
       .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
       .cache()
-    // node-state broadcast gate on the NODE count (round-12, r11
-    // ADVICE: the per-round `dist` table is one row per reached node,
-    // bounded by |V| — gating on e.count() let a dense graph's 2|E|
-    // proxy overshoot the bound in the broadcast direction). The edge
-    // count still materializes the cache before the loop.
-    e.count()
-    val bc = bcGate(e.select(col("src")).distinct().count())
+    // node-state broadcast gate (round-12, r11 ADVICE): the per-round
+    // `dist` table is one row per reached node, bounded by |V|. In the
+    // SYMMETRIZED edge table every node appears as src at least once,
+    // so |E| ≥ |V| and gating the edge count against the NODE-state
+    // threshold is a conservative-safe node bound — broadcast fires
+    // only when even |E| fits the row-relation budget, and no extra
+    // count job runs (the count also materializes the cache; an exact
+    // distinct-node count was measured at +0.3-0.5 s/query at sf0.1).
+    val bc = bcGate(e.count())
     // attribute-derived seed — see bfsDistances
     var dist = e.sparkSession.range(1)
       .select((col("id") + lit(source)).as("node"), col("id").as("dist"))
@@ -661,13 +663,12 @@ object Graph {
     var seen = e.sparkSession.range(1)
       .select((col("id") + lit(source)).as("node"), col("id").as("dist"))
     var frontier = seen
-    // frontier/seen broadcast gate on the NODE count (round-12, r11
-    // ADVICE: the cumulative `seen` set grows to |V| rows — the old
-    // e.count() gate compared against 2|E|, which can exceed any
-    // node-sized bound on dense graphs while still passing the gate).
-    // The edge count still materializes the cache before the loop.
-    e.count()
-    val bc = bcGate(e.select(col("src")).distinct().count())
+    // frontier/seen broadcast gate (round-12, r11 ADVICE): the
+    // cumulative `seen` set grows to |V| rows. |E| ≥ |V| in the
+    // symmetrized table (every node occurs as src), so the edge count
+    // against the NODE-state threshold is a conservative-safe bound on
+    // everything broadcast in the loop — no extra count job (see sssp).
+    val bc = bcGate(e.count())
     var prevS: DataFrame = null
     var prevF: DataFrame = null
     for (k <- 1 to maxHops) {
@@ -734,9 +735,10 @@ object Graph {
     // the per-round survivor set is one row per node — below the gate
     // both restriction semi joins become map-side hash joins and no
     // |E|-row exchange remains in the round (see pageRankExact).
-    // Round-12: gate on the node count (survivors ≤ |V|), not the
-    // |E|-sized adjacency count (r11 ADVICE)
-    val bc = bcGate(adj.select(col("u")).distinct().count())
+    // Round-12: survivors ≤ |V| ≤ |sym rows| (every node appears as
+    // u), so the adjacency count against the NODE-state threshold is
+    // a conservative-safe node bound with no extra count job
+    val bc = bcGate(size)
     var converged = false
     for (_ <- 1 to rounds if !converged) {
       val keep = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
